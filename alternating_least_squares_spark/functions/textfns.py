@@ -1,0 +1,131 @@
+"""Text-analysis column functions for the training-data pipeline.
+
+All pure ``pyspark.sql.functions`` column expressions — JVM-side,
+vectorized, whole-stage-codegen friendly. Nothing here leaves the
+executor, nothing is a Python UDF, so these run at 100 TB scan speed.
+
+Used by the ``documents``-table operators: language ID (marker-word
+heuristic), quality scoring, token counting, shingling and document
+fingerprinting (the dedup building blocks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Punctuation class shared verbatim with the DuckDB oracle (kept to a
+# regex subset both engines interpret identically).
+PUNCT_CLASS = "[.,!?;:]"
+
+# Marker stopwords per language for the n-gram/keyword language-ID
+# heuristic. Tiny on purpose: broadcast as literal expressions, no
+# dictionary join.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "es": ["el", "los", "que"],
+    "fr": ["le", "les", "des"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization → array<string>. Empty text → empty array."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(PUNCT_CLASS))
+
+
+def word_occurrences(text: Column, word: str) -> Column:
+    """Count of substring occurrences, computed by length delta so the
+    DuckDB oracle can reproduce it with ``replace`` exactly."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(word), F.lit(""))))
+        / F.lit(len(word))
+    ).cast("long")
+
+
+def avg_token_length(text: Column) -> Column:
+    toks = tokens(text)
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.aggregate(
+            toks, F.lit(0.0), lambda acc, x: acc + F.length(x)
+        )
+        / F.size(toks)
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality ∈ [0, 1]: rewards moderate length,
+    penalizes punctuation soup and one-char tokens. Deterministic
+    arithmetic only (oracle-reproducible)."""
+    n_tok = token_count(text).cast("double")
+    n_chars = char_count(text).cast("double")
+    punct_ratio = punct_count(text).cast("double") / F.greatest(n_chars, F.lit(1.0))
+    length_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    avg_len = avg_token_length(text)
+    len_score = F.when(avg_len <= 0, F.lit(0.0)).otherwise(
+        F.least(avg_len / F.lit(5.0), F.lit(1.0))
+    )
+    return F.round(
+        F.greatest(
+            F.lit(0.0),
+            length_score * F.lit(0.5)
+            + len_score * F.lit(0.5)
+            - punct_ratio * F.lit(2.0),
+        ),
+        6,
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-word hit counts per candidate language (padded-substring
+    counting so word boundaries are honored)."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    out: dict[str, Column] = {}
+    for lang, markers in LANG_MARKERS.items():
+        score: Column = F.lit(0).cast("long")
+        for m in markers:
+            score = score + word_occurrences(padded, f" {m} ")
+        out[lang] = score
+    return out
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word-level k-shingles → array<string> (Broder 1997 MinHash
+    building block). Built with ``transform`` over an index sequence —
+    a generator inside codegen, no UDF, no shuffle.
+
+    Documents shorter than k tokens contribute their whole token
+    string as a single shingle, so no document silently drops out of
+    dedup."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - F.lit(k))
+    make = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(make)
+
+
+def fingerprint(text: Column, k: int = 3) -> Column:
+    """Document fingerprint: lexicographic min of md5 over k-shingles —
+    i.e. a 1-permutation MinHash. Identical in the DuckDB oracle
+    (md5 is engine-independent, unlike xxhash64/duckdb-hash)."""
+    return F.array_min(F.transform(shingles(text, k), F.md5))

@@ -1,0 +1,128 @@
+"""Iterative Proportional Fitting driver loop (SURVEY.md §2 A17).
+
+Reference: ``converge`` at ``core.clj:99-119``. IPF (Deming–Stephan
+1940; the Sinkhorn–Knopp family) imputes a matrix from its two
+marginals plus a seed giving the rough shape, by alternately scaling
+rows and columns to match the marginals.
+
+Deviations from the (broken) reference, per SURVEY.md §0:
+
+* the reference computes loss on the PRE-step matrix
+  (``core.clj:116`` uses ``matrix``, not ``next``) so the reported
+  loss lags one iteration, and only checks the x-marginal even though
+  the README promises both. We compute both losses on the POST-step
+  matrix.
+* ``normalized-seed`` (``core.clj:106``) is dead code upstream; we
+  seed from the raw seed exactly as the reference's loop actually
+  does (``core.clj:107``).
+
+Spark execution model: this is the one place the engine runs a
+driver-side Python loop (the same pattern MLlib's own ALS uses).
+Per iteration: two window-normalize + broadcast-scale stages (see
+``matrix.ipf_step``) and one scalar collect for the losses. Lineage
+is cut with ``localCheckpoint`` every ``checkpoint_every`` sweeps so
+the logical plan does not grow linearly with iterations — without
+this, Catalyst planning time dominates after ~30 sweeps.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from alternating_least_squares_spark.operators import matrix as M
+
+
+@dataclass
+class IPFResult:
+    """Mirror of the reference's ``{:matrix :loss :iterations}`` result
+    map (``core.clj:114``), extended with the y-loss (README promises
+    both losses; the reference only tracked x — SURVEY.md §0.3)."""
+
+    matrix: DataFrame
+    loss: float
+    y_loss: float
+    iterations: int
+
+
+def _marginal_losses(
+    matrix: DataFrame, x_marginal: DataFrame, y_marginal: DataFrame
+) -> tuple[float, float]:
+    """Residual L2 norms ‖x − rowsums‖ and ‖y − colsums‖ in ONE job.
+
+    The reference runs two separate reductions; we union the two
+    residual computations so a single action (one collect of two
+    doubles) prices an iteration's convergence check.
+    """
+    rs = M.sum_rows(matrix).select(F.col(M.ID), F.col(M.V).alias("_p"))
+    cs = M.sum_cols(matrix).select(F.col(M.ID), F.col(M.V).alias("_p"))
+    xm = x_marginal.select(F.col(M.ID), F.col(M.V).alias("_o"))
+    ym = y_marginal.select(F.col(M.ID), F.col(M.V).alias("_o"))
+    x_res = xm.join(rs, M.ID).select(F.lit("x").alias("_m"), "_o", "_p")
+    y_res = ym.join(cs, M.ID).select(F.lit("y").alias("_m"), "_o", "_p")
+    rows = (
+        x_res.unionByName(y_res)
+        .groupBy("_m")
+        .agg(F.sqrt(F.sum(F.pow(F.col("_o") - F.col("_p"), F.lit(2)))).alias("_l"))
+        .collect()
+    )
+    losses = {row["_m"]: row["_l"] for row in rows}
+    return losses.get("x", 0.0), losses.get("y", 0.0)
+
+
+def converge(
+    x_marginal: DataFrame,
+    y_marginal: DataFrame,
+    seed: DataFrame,
+    threshold: float = 1e-15,
+    max_iterations: int = 1000,
+    verbose: bool = False,
+    checkpoint_every: int = 5,
+) -> IPFResult:
+    """Iterate IPF sweeps until the x-marginal loss drops below
+    ``threshold``, the loss plateaus (Δloss < threshold), or
+    ``max_iterations`` is exhausted — the reference's three stop
+    criteria at ``core.clj:111-113`` with its defaults
+    (``core.clj:102-104``: threshold 1e-15, max-iter 1000).
+
+    Precondition (``core.clj:105``, README:7): both marginals must sum
+    to the same grand total, else IPF cannot satisfy both; we assert
+    to 1e-6 relative tolerance rather than exact equality because the
+    marginals are distributed double sums.
+    """
+    x_total = x_marginal.agg(F.sum(M.V)).first()[0]
+    y_total = y_marginal.agg(F.sum(M.V)).first()[0]
+    scale = max(abs(x_total), abs(y_total), 1.0)
+    if abs(x_total - y_total) / scale > 1e-6:
+        raise ValueError(
+            f"marginals must sum to the same total (x={x_total}, y={y_total}); "
+            "see reference README:7"
+        )
+
+    x_marginal = x_marginal.localCheckpoint(eager=True)
+    y_marginal = y_marginal.localCheckpoint(eager=True)
+
+    current = seed
+    loss = float("inf")
+    y_loss = float("inf")
+    iteration = 0
+    while iteration < max_iterations:
+        nxt = M.ipf_step(x_marginal, y_marginal, current)
+        # Cut lineage: without this the plan nests one window+join pair
+        # deeper per sweep and planning time dominates execution.
+        if (iteration + 1) % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        new_loss, new_y_loss = _marginal_losses(nxt, x_marginal, y_marginal)
+        plateaued = abs(loss - new_loss) < threshold
+        current, loss, y_loss = nxt, new_loss, new_y_loss
+        iteration += 1
+        if verbose:
+            print(f"ipf iteration={iteration} x_loss={loss} y_loss={y_loss}")
+        if loss < threshold or plateaued:
+            break
+
+    return IPFResult(
+        matrix=current, loss=loss, y_loss=y_loss, iterations=iteration
+    )

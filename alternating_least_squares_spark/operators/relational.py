@@ -1,0 +1,117 @@
+"""Relational operators (SURVEY.md §2.B data ops + §2.C implicit ETL ops).
+
+The reference's ETL script (``core.clj:138-197``) is a REPL-style
+pipeline over three CSVs; its dataflow decomposes into the operators
+below. Each is expressed declaratively so Catalyst plans it (pushdown,
+pruning, join selection all free).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def symmetric_diff(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
+    """B3 — tagged symmetric difference of two key sets.
+
+    Reference: ``diff`` at ``data.clj:17-30`` — a merge scan over two
+    SORTED seqs emitting ``[:left x]`` / ``[:right y]`` tags. The
+    sortedness there is an implementation detail (O(n+m) merge); the
+    semantics are a full-outer join keeping only the null-sides. Spark
+    picks sort-merge join itself for large inputs — same algorithm,
+    distributed.
+
+    Returns ``(key, side)`` with side ∈ {'left','right'}.
+    """
+    left = a.select(F.col(key)).distinct().withColumn("_l", F.lit(1))
+    right = b.select(F.col(key)).distinct().withColumn("_r", F.lit(1))
+    return (
+        left.join(right, key, "full_outer")
+        .filter(F.col("_l").isNull() | F.col("_r").isNull())
+        .select(
+            key,
+            F.when(F.col("_r").isNull(), F.lit("left"))
+            .otherwise(F.lit("right"))
+            .alias("side"),
+        )
+    )
+
+
+def anti_join(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
+    """C5 — keys of ``a`` absent from ``b``.
+
+    Reference: the "missing keywords" computation at ``core.clj:167``
+    (one side of the B3 diff). ``left_anti`` join: no row of ``a`` is
+    ever duplicated and the build side only needs the key column —
+    Catalyst broadcasts it when small.
+    """
+    return a.join(b, key, "left_anti")
+
+
+def zero_pad_union(
+    matrix_wide: DataFrame, all_keys: DataFrame, key: str
+) -> DataFrame:
+    """C6 — append all-zero rows for keys missing from the wide matrix
+    so the matrix domain is complete.
+
+    Reference: ``visits'`` assembly at ``core.clj:169-172`` (manually
+    conjures zero rows for the missing keywords). Expressed as a
+    right join against the full key dimension + null→0 fill — one
+    pass, no driver-side row construction.
+    """
+    value_cols = [c for c in matrix_wide.columns if c != key]
+    return (
+        matrix_wide.join(all_keys.select(key).distinct(), key, "right_outer")
+        .na.fill(0, subset=value_cols)
+    )
+
+
+def unpivot(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> DataFrame:
+    """C8 — wide → long (the reference's pre-pivoted ``visits.csv``
+    matrix → numeric matrix at ``core.clj:180-185``).
+
+    Uses the native ``DataFrame.unpivot`` (Spark ≥3.4): a narrow
+    generator, no shuffle — each input row fans out to
+    ``len(value_cols)`` output rows within its partition.
+    """
+    return df.unpivot(
+        ids=list(id_cols),
+        values=list(value_cols),
+        variableColumnName=var_name,
+        valueColumnName=value_name,
+    )
+
+
+def pivot_matrix(
+    coo: DataFrame, row_key: str, col_key: str, value: str
+) -> DataFrame:
+    """Inverse of C8: coordinate → wide (for CSV export parity with the
+    reference's ``save-csv`` of labeled matrices, ``core.clj:63-69`` +
+    ``data.clj:11-15``). One shuffle on the row key; column values
+    must be enumerable (pivot collects distinct col keys first)."""
+    return coo.groupBy(row_key).pivot(col_key).sum(value)
+
+
+def filter_nonzero(df: DataFrame, col: str) -> DataFrame:
+    """C2 — drop rows whose click-count is zero.
+
+    Reference filters on the STRING "0" (``core.clj:146,157``) because
+    its CSV layer is stringly-typed; with real schemas the predicate
+    is numeric. Pushed down to the scan (check ``PushedFilters``).
+    """
+    return df.filter(F.col(col) != 0)
+
+
+def micros_to_currency(df: DataFrame, col: str, out: str | None = None) -> DataFrame:
+    """C4 — Google-Ads-style micro-units → currency (×1e-6), reference
+    ``core.clj:154-155,164-165``."""
+    return df.withColumn(out or col, F.col(col).cast("double") * F.lit(1e-6))

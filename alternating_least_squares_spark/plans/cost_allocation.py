@@ -1,0 +1,152 @@
+"""The flagship cost-allocation pipeline (reference E2+E3).
+
+Re-expression of the reference's end-to-end ETL + IPF flow
+(``core.clj:138-197``): impute a cost matrix (row-key × hour-of-day)
+from a row-cost marginal and an hour-cost marginal, seeded by a
+visit-count matrix, then divide element-wise to get cost-per-visit.
+
+Reference roles → driver testdata mapping (FIXTURES.md §B):
+
+* keyword          → part (``l_partkey``)
+* keyword cost     → revenue by part: Σ ``l_extendedprice·(1−l_discount)``
+* hour cost        → Σ ``events.value`` by ``hour(ts)``, rescaled so the
+                     two marginals share a grand total (the reference's
+                     precondition, README:7; its CSVs satisfied it by
+                     construction, synthetic tables do not)
+* visits matrix    → lineitem counts by (part, ``l_orderkey % 24``) — a
+                     deterministic pseudo-hour so the seed has genuine
+                     row×column interaction (every timestamp in
+                     lineitem/orders sits at hour 0, so a real hour
+                     column would collapse the seed to rank 1)
+* zero-click filter→ parts with no revenue / hours with no events (C2)
+* missing keywords → parts absent from the visit matrix, zero-padded
+                     back in after Laplace smoothing (C5/C6, A9)
+
+Everything below is lazy DataFrame composition — a single Catalyst
+plan per output, materialized once by the IPF loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from alternating_least_squares_spark.operators import matrix as M
+from alternating_least_squares_spark.operators.ipf import IPFResult, converge
+from alternating_least_squares_spark.sources import load_table
+
+HOURS = 24
+
+
+def part_cost_marginal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x-marginal: discounted revenue per part (keyword costs analog,
+    ``core.clj:149-155``). Filter-out of zero-revenue parts mirrors the
+    zero-click filter (C2, ``core.clj:146``)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy(F.col("l_partkey").alias(M.ID))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(M.V)
+        )
+        .filter(F.col(M.V) != 0)
+    )
+
+
+def hour_cost_marginal(
+    spark: SparkSession, sf_dir: str, rescale_to: float | None = None
+) -> DataFrame:
+    """y-marginal: event value per hour-of-day (hour costs analog,
+    ``core.clj:159-165``). Optionally rescaled so Σy == Σx (IPF
+    precondition)."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(F.hour("ts").cast("long").alias(M.ID))
+        .agg(F.sum("value").alias(M.V))
+        .filter(F.col(M.V) != 0)
+    )
+    if rescale_to is not None:
+        total = hourly.agg(F.sum(M.V)).first()[0]
+        hourly = hourly.withColumn(M.V, F.col(M.V) * F.lit(rescale_to / total))
+    return hourly
+
+
+def visit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed: visit counts by (part, pseudo-hour). Coordinate form
+    ``(r=part, c=hour, v=count)`` — the analog of ``visits.csv`` after
+    the reference's unpivot at ``core.clj:180-185``."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy(
+            F.col("l_partkey").alias(M.R),
+            (F.col("l_orderkey") % HOURS).alias(M.C),
+        )
+        .agg(F.count("*").cast("double").alias(M.V))
+    )
+
+
+def smoothed_seed(
+    spark: SparkSession, sf_dir: str, alpha: float = 1e-15
+) -> DataFrame:
+    """E2 tail: densify the sparse visit matrix over the full
+    part×hour domain of the marginals (C6 zero-padding), then Laplace
+    smooth (A9, α=1e-15 as at ``core.clj:187``) so IPF's divisions are
+    well-defined even for all-zero rows."""
+    visits = visit_matrix(spark, sf_dir)
+    parts = part_cost_marginal(spark, sf_dir).select(F.col(M.ID).alias(M.R))
+    hours = hour_cost_marginal(spark, sf_dir).select(F.col(M.ID).alias(M.C))
+    dense = (
+        parts.crossJoin(F.broadcast(hours))
+        .join(visits, [M.R, M.C], "left")
+        .select(M.R, M.C, F.coalesce(F.col(M.V), F.lit(0.0)).alias(M.V))
+    )
+    return M.laplace_smooth(dense, alpha)
+
+
+def allocate_costs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 1e-9,
+    max_iterations: int = 50,
+) -> IPFResult:
+    """E1+E3: run IPF to impute the part×hour cost matrix."""
+    x = part_cost_marginal(spark, sf_dir)
+    x_total = x.agg(F.sum(M.V)).first()[0]
+    y = hour_cost_marginal(spark, sf_dir, rescale_to=x_total)
+    seed = smoothed_seed(spark, sf_dir).localCheckpoint(eager=True)
+    return converge(
+        x, y, seed, threshold=threshold, max_iterations=max_iterations
+    )
+
+
+def cost_per_visit(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 1e-9,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """The finale (``core.clj:191-197``, completed per SURVEY.md §0.4):
+    imputed cost ÷ visit count with zero-guard → cost per visit per
+    part per hour. Returns ``(part, hour, cost, visits, cost_per_visit)``."""
+    result = allocate_costs(
+        spark, sf_dir, threshold=threshold, max_iterations=max_iterations
+    )
+    visits = visit_matrix(spark, sf_dir)
+    cost = result.matrix.select(
+        F.col(M.R), F.col(M.C), F.col(M.V).alias("cost")
+    )
+    v = visits.select(M.R, M.C, F.col(M.V).alias("visits"))
+    return (
+        cost.join(v, [M.R, M.C], "left")
+        .select(
+            F.col(M.R).alias("part"),
+            F.col(M.C).alias("hour"),
+            F.round("cost", 6).alias("cost"),
+            F.coalesce("visits", F.lit(0.0)).alias("visits"),
+            F.round(
+                F.when(F.coalesce("visits", F.lit(0.0)) == 0, F.lit(0.0)).otherwise(
+                    F.col("cost") / F.col("visits")
+                ),
+                6,
+            ).alias("cost_per_visit"),
+        )
+    )
