@@ -30,8 +30,14 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization → array<string>. Empty text → empty array."""
-    t = F.trim(text)
+    """Whitespace tokenization → array<string>.
+
+    NULL and empty/whitespace-only text → empty array (``F.trim`` only
+    strips ASCII spaces, so we strip the full ``\\s`` class with a
+    regexp first — tab/newline-bounded text would otherwise produce
+    empty-string boundary tokens and inflate counts).
+    """
+    t = F.regexp_replace(F.coalesce(text, F.lit("")), r"^\s+|\s+$", "")
     return F.when(t == "", F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )

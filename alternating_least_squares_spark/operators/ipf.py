@@ -60,8 +60,20 @@ def _marginal_losses(
     cs = M.sum_cols(matrix).select(F.col(M.ID), F.col(M.V).alias("_p"))
     xm = x_marginal.select(F.col(M.ID), F.col(M.V).alias("_o"))
     ym = y_marginal.select(F.col(M.ID), F.col(M.V).alias("_o"))
-    x_res = xm.join(rs, M.ID).select(F.lit("x").alias("_m"), "_o", "_p")
-    y_res = ym.join(cs, M.ID).select(F.lit("y").alias("_m"), "_o", "_p")
+    # Full-outer join so a marginal id with no surviving matrix row
+    # (or a matrix row absent from the marginal) contributes its FULL
+    # residual instead of silently dropping out — an inner join here
+    # can declare convergence while a marginal entry is unserved.
+    x_res = xm.join(rs, M.ID, "full_outer").select(
+        F.lit("x").alias("_m"),
+        F.coalesce("_o", F.lit(0.0)).alias("_o"),
+        F.coalesce("_p", F.lit(0.0)).alias("_p"),
+    )
+    y_res = ym.join(cs, M.ID, "full_outer").select(
+        F.lit("y").alias("_m"),
+        F.coalesce("_o", F.lit(0.0)).alias("_o"),
+        F.coalesce("_p", F.lit(0.0)).alias("_p"),
+    )
     rows = (
         x_res.unionByName(y_res)
         .groupBy("_m")

@@ -210,11 +210,15 @@ def apply_weights(row_sums: DataFrame, weights: DataFrame) -> DataFrame:
     of sums with rows; positional alignment becomes an equi-join on
     the row id).
 
-    The marginal is tiny relative to the matrix (≤ number of distinct
-    rows) → broadcast join, no shuffle of the matrix.
+    The marginal has one entry per distinct matrix row — often small
+    enough to broadcast, but at 100 TB coordinate data it can reach
+    hundreds of millions of entries, so we do NOT force a broadcast
+    hint: AQE converts the join to broadcast-hash at runtime when the
+    marginal is actually below the threshold, and falls back to a
+    keyed shuffle when it is not.
     """
     sums = row_sums.select(F.col(ID).alias(R), F.col(V).alias("_s"))
-    return weights.join(F.broadcast(sums), R).select(
+    return weights.join(sums, R).select(
         R, C, (F.col(V) * F.col("_s")).alias(V)
     )
 
@@ -230,11 +234,13 @@ def optimize_marginal(marginal: DataFrame, seed: DataFrame) -> DataFrame:
     (SURVEY.md §0.1), which is what we implement.
 
     Fused here into one expression: ``v * marginal[r] / rowsum(v)`` —
-    a single window + a single broadcast join per call.
+    a single window + a single join per call. No forced broadcast of
+    the marginal (it scales with the row domain — see
+    :func:`apply_weights`); AQE broadcasts it when genuinely small.
     """
     w = Window.partitionBy(R)
     m = marginal.select(F.col(ID).alias(R), F.col(V).alias("_m"))
-    return seed.join(F.broadcast(m), R).select(
+    return seed.join(m, R).select(
         R, C, (F.col(V) / F.sum(V).over(w) * F.col("_m")).alias(V)
     )
 
@@ -266,6 +272,8 @@ def normalize_matrix(matrix: DataFrame) -> DataFrame:
     zeros must be materialized first if they should participate.
     """
     mn, mx = matrix.agg(F.min(V), F.max(V)).first()
+    if mn is None or mx is None:  # empty matrix: nothing to scale
+        return matrix
     span = (mx - mn) or 1.0  # degenerate all-equal matrix → zeros
     return matrix.withColumn(V, (F.col(V) - F.lit(mn)) / F.lit(span))
 

@@ -66,6 +66,11 @@ def hour_cost_marginal(
     )
     if rescale_to is not None:
         total = hourly.agg(F.sum(M.V)).first()[0]
+        if not total:  # empty/all-zero events table: nothing to rescale
+            raise ValueError(
+                "hour marginal is empty or sums to 0 — cannot rescale to "
+                f"{rescale_to} (IPF needs both marginals on a shared total)"
+            )
         hourly = hourly.withColumn(M.V, F.col(M.V) * F.lit(rescale_to / total))
     return hourly
 
@@ -84,16 +89,23 @@ def visit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def smoothed_seed(
-    spark: SparkSession, sf_dir: str, alpha: float = 1e-15
+def smoothed_seed_from(
+    visits: DataFrame,
+    x_marginal: DataFrame,
+    y_marginal: DataFrame,
+    alpha: float = 1e-15,
 ) -> DataFrame:
     """E2 tail: densify the sparse visit matrix over the full
     part×hour domain of the marginals (C6 zero-padding), then Laplace
     smooth (A9, α=1e-15 as at ``core.clj:187``) so IPF's divisions are
-    well-defined even for all-zero rows."""
-    visits = visit_matrix(spark, sf_dir)
-    parts = part_cost_marginal(spark, sf_dir).select(F.col(M.ID).alias(M.R))
-    hours = hour_cost_marginal(spark, sf_dir).select(F.col(M.ID).alias(M.C))
+    well-defined even for all-zero rows.
+
+    Takes the already-built marginals so callers pay for each marginal
+    scan exactly once (the round-1 version re-derived both marginals
+    internally — three extra full lineitem/events scans per run).
+    """
+    parts = x_marginal.select(F.col(M.ID).alias(M.R))
+    hours = y_marginal.select(F.col(M.ID).alias(M.C))
     dense = (
         parts.crossJoin(F.broadcast(hours))
         .join(visits, [M.R, M.C], "left")
@@ -102,17 +114,39 @@ def smoothed_seed(
     return M.laplace_smooth(dense, alpha)
 
 
+def smoothed_seed(
+    spark: SparkSession, sf_dir: str, alpha: float = 1e-15
+) -> DataFrame:
+    """Convenience wrapper building the seed from the raw tables."""
+    return smoothed_seed_from(
+        visit_matrix(spark, sf_dir),
+        part_cost_marginal(spark, sf_dir),
+        hour_cost_marginal(spark, sf_dir),
+        alpha,
+    )
+
+
 def allocate_costs(
     spark: SparkSession,
     sf_dir: str,
     threshold: float = 1e-9,
     max_iterations: int = 50,
 ) -> IPFResult:
-    """E1+E3: run IPF to impute the part×hour cost matrix."""
-    x = part_cost_marginal(spark, sf_dir)
+    """E1+E3: run IPF to impute the part×hour cost matrix.
+
+    Each marginal is computed ONCE and pinned with ``localCheckpoint``
+    (the seed densification, the IPF sweeps, and the per-iteration
+    loss checks all reuse the materialized result instead of
+    re-scanning lineitem/events).
+    """
+    x = part_cost_marginal(spark, sf_dir).localCheckpoint(eager=True)
     x_total = x.agg(F.sum(M.V)).first()[0]
-    y = hour_cost_marginal(spark, sf_dir, rescale_to=x_total)
-    seed = smoothed_seed(spark, sf_dir).localCheckpoint(eager=True)
+    y = hour_cost_marginal(spark, sf_dir, rescale_to=x_total).localCheckpoint(
+        eager=True
+    )
+    seed = smoothed_seed_from(
+        visit_matrix(spark, sf_dir), x, y
+    ).localCheckpoint(eager=True)
     return converge(
         x, y, seed, threshold=threshold, max_iterations=max_iterations
     )

@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # Pinned schemas for the driver testdata (FIXTURES.md §B). Explicit
@@ -86,10 +87,18 @@ TABLES: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
+    # events.parquet stores ``ts`` as INT64 TIMESTAMP(NANOS), which the
+    # Spark parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]).
+    # ``load_table`` reads it with nanosAsLong and converts to a proper
+    # TimestampType (microsecond precision) — this StructType is the
+    # POST-conversion contract callers see. ``ts_ns`` keeps the raw
+    # epoch-nanos long for timezone-independent arithmetic (oracle
+    # parity: DuckDB's epoch_ns(ts)).
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
             T.StructField("ts", T.TimestampType()),
+            T.StructField("ts_ns", T.LongType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -120,8 +129,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     Parquet scans get column pruning + predicate pushdown for free:
     any ``.select``/``.filter`` the caller adds reaches the reader.
+
+    ``events`` needs special handling: its ``ts`` column is physical
+    INT64 TIMESTAMP(NANOS), which Spark's reader refuses. We flip the
+    session to read nanos as raw longs (safe: it only affects nanos
+    columns, which Spark cannot read at all otherwise), keep the raw
+    long as ``ts_ns``, and expose ``ts`` as a real microsecond
+    TimestampType. Set on the *caller's* session so this works under
+    the driver-owned SparkSession too, not just :mod:`..session`.
     """
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(path)
+        return raw.select(
+            "event_id",
+            F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts"),
+            F.col("ts").alias("ts_ns"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
