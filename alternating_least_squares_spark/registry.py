@@ -1,0 +1,1007 @@
+"""Driver-contract query registry: every SURVEY.md §2 operator as a
+named (spark_fn, oracle_sql) pair.
+
+The driver runs each Spark query AND its DuckDB oracle side-by-side at
+sf=0.01 and compares row-count + schema + order-insensitive value-hash
+(CORRECTNESS_r{N}.json). Design rules that keep the hash stable:
+
+* **Alias discipline** — every computed column carries the same name in
+  the Spark plan and the SQL string (the compare sorts columns by name).
+* **Exact arithmetic where possible** — the shared matrix/vector
+  fixtures use ``SUM(l_quantity)`` / ``COUNT(*)`` which are integral
+  doubles: sums are EXACT in IEEE double regardless of partition
+  order, so Spark's distributed agg and DuckDB's serial agg agree to
+  the last bit.
+* **Decimal-cast sums for non-integral doubles** — order-dependent FP
+  summation (prices, event values) goes through
+  ``SUM(CAST(x AS DECIMAL(38,10)))``: decimal addition is exact and
+  order-independent, so both engines agree exactly; cast back to
+  double and round at the end.
+* **Integer-nanos time arithmetic** — hour-of-day etc. derive from the
+  raw epoch-nanos long (``ts_ns`` / DuckDB ``epoch_ns(ts)``) with
+  integer division: timezone- and precision-independent.
+* **Round ratios** — divisions are deterministic per-row, but we round
+  (6–9 dp) anyway so formatting differences can't flap the hash.
+
+Reference parity: operator numbering (A1…C10) follows SURVEY.md §2,
+which maps each to ``cassandra-codes/alternating-least-squares``
+``src/cost_allocation/core.clj`` / ``data.clj`` line numbers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from alternating_least_squares_spark.operators import matrix as M
+from alternating_least_squares_spark.operators import relational as Rel
+from alternating_least_squares_spark.functions import textfns as TX
+from alternating_least_squares_spark.plans import cost_allocation as CA
+from alternating_least_squares_spark.sources import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+HOURS = 24
+NS_PER_HOUR = 3_600_000_000_000
+
+# ---------------------------------------------------------------------------
+# shared fixtures — Spark side
+
+def _qty_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix M(r=l_partkey, c=l_orderkey%24, v=Σ l_quantity).
+
+    v is an integral double → exact under any summation order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias(M.R), (F.col("l_orderkey") % HOURS).alias(M.C)
+    ).agg(F.sum("l_quantity").alias(M.V))
+
+
+def _cnt_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias(M.R), (F.col("l_orderkey") % HOURS).alias(M.C)
+    ).agg(F.count("*").cast("double").alias(M.V))
+
+
+def _qty_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_partkey").alias(M.ID)).agg(
+        F.sum("l_quantity").alias(M.V)
+    )
+
+
+def _cnt_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_partkey").alias(M.ID)).agg(
+        F.count("*").cast("double").alias(M.V)
+    )
+
+
+def _hour_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy((F.col("l_orderkey") % HOURS).alias(M.ID)).agg(
+        F.sum("l_quantity").alias(M.V)
+    )
+
+
+# shared fixtures — DuckDB side (CTE bodies)
+M_SQL = (
+    "SELECT l_partkey AS r, l_orderkey % 24 AS c, "
+    "CAST(SUM(l_quantity) AS DOUBLE) AS v FROM lineitem GROUP BY 1, 2"
+)
+CNT_SQL = (
+    "SELECT l_partkey AS r, l_orderkey % 24 AS c, "
+    "CAST(COUNT(*) AS DOUBLE) AS v FROM lineitem GROUP BY 1, 2"
+)
+VQ_SQL = (
+    "SELECT l_partkey AS id, CAST(SUM(l_quantity) AS DOUBLE) AS v "
+    "FROM lineitem GROUP BY 1"
+)
+VC_SQL = (
+    "SELECT l_partkey AS id, CAST(COUNT(*) AS DOUBLE) AS v "
+    "FROM lineitem GROUP BY 1"
+)
+VH_SQL = (
+    "SELECT l_orderkey % 24 AS id, CAST(SUM(l_quantity) AS DOUBLE) AS v "
+    "FROM lineitem GROUP BY 1"
+)
+
+
+def _round(df: DataFrame, cols: list[str], n: int) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c), n))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# §2.A linear-algebra operators
+
+
+def q_a01_cmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _hour_vector(spark, sf_dir)
+    return M.cmap(lambda x, y: x + y, h, h)
+
+
+SQL_A01 = f"""
+WITH h AS ({VH_SQL})
+SELECT a.id AS r, b.id AS c, a.v + b.v AS v FROM h a CROSS JOIN h b
+"""
+
+
+def q_a02_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.dot(_qty_vector(spark, sf_dir), _cnt_vector(spark, sf_dir))
+
+
+SQL_A02 = f"""
+WITH a AS ({VQ_SQL}), b AS ({VC_SQL})
+SELECT CAST(SUM(a.v * b.v) AS DOUBLE) AS dot FROM a JOIN b USING (id)
+"""
+
+
+def q_a03_diff_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.diff_vector(_qty_vector(spark, sf_dir), _cnt_vector(spark, sf_dir))
+
+
+SQL_A03 = f"""
+WITH a AS ({VQ_SQL}), b AS ({VC_SQL})
+SELECT id, a.v - b.v AS v FROM a JOIN b USING (id)
+"""
+
+
+def q_a04_l2_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _round(M.l2_norm(_qty_vector(spark, sf_dir)), ["l2_norm"], 6)
+
+
+SQL_A04 = f"""
+WITH a AS ({VQ_SQL})
+SELECT round(sqrt(SUM(v * v)), 6) AS l2_norm FROM a
+"""
+
+
+def q_a05_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _round(
+        M.rmse(_qty_vector(spark, sf_dir), _cnt_vector(spark, sf_dir)), ["rmse"], 6
+    )
+
+
+SQL_A05 = f"""
+WITH a AS ({VQ_SQL}), b AS ({VC_SQL})
+SELECT round(sqrt(SUM((a.v - b.v) * (a.v - b.v))), 6) AS rmse
+FROM a JOIN b USING (id)
+"""
+
+
+def q_a06_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.transpose(_qty_matrix(spark, sf_dir))
+
+
+SQL_A06 = f"""
+WITH m AS ({M_SQL}) SELECT c AS r, r AS c, v FROM m
+"""
+
+
+def q_a07_sum_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.sum_rows(_qty_matrix(spark, sf_dir))
+
+
+SQL_A07 = f"""
+WITH m AS ({M_SQL})
+SELECT r AS id, CAST(SUM(v) AS DOUBLE) AS v FROM m GROUP BY 1
+"""
+
+
+def q_a08_sum_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.sum_cols(_qty_matrix(spark, sf_dir))
+
+
+SQL_A08 = f"""
+WITH m AS ({M_SQL})
+SELECT c AS id, CAST(SUM(v) AS DOUBLE) AS v FROM m GROUP BY 1
+"""
+
+
+def q_a09_laplace_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # α=0.5 (exactly representable) so the smoothing is visible at 6 dp;
+    # the reference's production α is 1e-15 (core.clj:187).
+    return M.laplace_smooth(M.densify(_qty_matrix(spark, sf_dir)), 0.5)
+
+
+SQL_A09 = f"""
+WITH m AS ({M_SQL}),
+     rd AS (SELECT DISTINCT r FROM m),
+     cd AS (SELECT DISTINCT c FROM m)
+SELECT rd.r, cd.c, COALESCE(m.v, 0.0) + 0.5 AS v
+FROM rd CROSS JOIN cd LEFT JOIN m ON m.r = rd.r AND m.c = cd.c
+"""
+
+
+def q_a10_weight_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _round(M.weight_matrix(_qty_matrix(spark, sf_dir)), [M.V], 9)
+
+
+SQL_A10 = f"""
+WITH m AS ({M_SQL})
+SELECT r, c, round(v / SUM(v) OVER (PARTITION BY r), 9) AS v FROM m
+"""
+
+
+def q_a11_apply_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = M.weight_matrix(_qty_matrix(spark, sf_dir))
+    return _round(M.apply_weights(_cnt_vector(spark, sf_dir), w), [M.V], 9)
+
+
+SQL_A11 = f"""
+WITH m AS ({M_SQL}), s AS ({VC_SQL}),
+     w AS (SELECT r, c, v / SUM(v) OVER (PARTITION BY r) AS v FROM m)
+SELECT w.r, w.c, round(w.v * s.v, 9) AS v
+FROM w JOIN s ON s.id = w.r
+"""
+
+
+def q_a12_add_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mat = _qty_matrix(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part")
+    row_labels = part.select(
+        F.col("p_partkey").alias(M.ID), F.col("p_name").alias("label")
+    )
+    col_labels = (
+        mat.select(M.C).distinct().select(
+            F.col(M.C).alias(M.ID), F.col(M.C).cast("string").alias("label")
+        )
+    )
+    return M.add_labels(mat, row_labels, col_labels)
+
+
+SQL_A12 = f"""
+WITH m AS ({M_SQL})
+SELECT p.p_name AS row_label, CAST(m.c AS VARCHAR) AS col_label, m.v AS v
+FROM m JOIN part p ON p.p_partkey = m.r
+"""
+
+
+def q_a13_mmult(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mat = _qty_matrix(spark, sf_dir)
+    return M.mmult(M.transpose(mat), mat)  # Mᵀ·M → 24×24 gram matrix
+
+
+SQL_A13 = f"""
+WITH m AS ({M_SQL})
+SELECT a.c AS r, b.c AS c, CAST(SUM(a.v * b.v) AS DOUBLE) AS v
+FROM m a JOIN m b ON a.r = b.r GROUP BY 1, 2
+"""
+
+
+def q_a14_seed_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _hour_vector(spark, sf_dir)
+    return M.seed_matrix(h, h)
+
+
+SQL_A14 = f"""
+WITH h AS ({VH_SQL})
+SELECT a.id AS r, b.id AS c, a.v * b.v AS v FROM h a CROSS JOIN h b
+"""
+
+
+def q_a15_optimize_marginal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = M.optimize_marginal(_cnt_vector(spark, sf_dir), _qty_matrix(spark, sf_dir))
+    return _round(out, [M.V], 9)
+
+
+SQL_A15 = f"""
+WITH m AS ({M_SQL}), g AS ({VC_SQL})
+SELECT m.r, m.c,
+       round(m.v / SUM(m.v) OVER (PARTITION BY m.r) * g.v, 9) AS v
+FROM m JOIN g ON g.id = m.r
+"""
+
+
+def q_a16_ipf_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One IPF sweep with a deterministic mid-round: the row-fitted
+    matrix is rounded to 6 dp before the column pass so the column
+    sums are order-independent on both engines."""
+    mat = _qty_matrix(spark, sf_dir)
+    x = _qty_vector(spark, sf_dir)  # row marginal (Σ = total qty)
+    y = _hour_vector(spark, sf_dir)  # col marginal (Σ = total qty)
+    row_fit = _round(M.optimize_marginal(x, mat), [M.V], 6)
+    col_fit = M.transpose(
+        M.optimize_marginal(y, M.transpose(row_fit))
+    )
+    return _round(col_fit, [M.V], 6)
+
+
+SQL_A16 = f"""
+WITH m AS ({M_SQL}), x AS ({VQ_SQL}), y AS ({VH_SQL}),
+     rf AS (
+       SELECT m.r, m.c,
+              round(m.v / SUM(m.v) OVER (PARTITION BY m.r) * x.v, 6) AS v
+       FROM m JOIN x ON x.id = m.r
+     )
+SELECT rf.r, rf.c,
+       round(CAST(rf.v AS DOUBLE)
+             / CAST(SUM(CAST(rf.v AS DECIMAL(38,10))) OVER (PARTITION BY rf.c) AS DOUBLE)
+             * y.v, 6) AS v
+FROM rf JOIN y ON y.id = rf.c
+"""
+
+
+def q_a18_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _round(M.normalize_matrix(_qty_matrix(spark, sf_dir)), [M.V], 9)
+
+
+SQL_A18 = f"""
+WITH m AS ({M_SQL}),
+     s AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM m)
+SELECT r, c,
+       round((v - mn) / (CASE WHEN mx = mn THEN 1.0 ELSE mx - mn END), 9) AS v
+FROM m, s
+"""
+
+
+def q_a19_error_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.error_matrix(_qty_matrix(spark, sf_dir), _cnt_matrix(spark, sf_dir))
+
+
+SQL_A19 = f"""
+WITH p AS ({M_SQL}), q AS ({CNT_SQL})
+SELECT p.r, p.c, abs(p.v - q.v) AS v
+FROM p JOIN q ON p.r = q.r AND p.c = q.c
+"""
+
+
+def q_a20_matrix_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2,1 norm. Row norms are deterministic (integral v → exact Σv²),
+    rounded to 6 dp, then summed in DECIMAL so the cross-row total is
+    order-independent."""
+    mat = _qty_matrix(spark, sf_dir)
+    return (
+        mat.groupBy(M.R)
+        .agg(F.round(F.sqrt(F.sum(F.col(M.V) * F.col(M.V))), 6).alias("_n"))
+        .agg(
+            F.sum(F.col("_n").cast("decimal(38,9)"))
+            .cast("double")
+            .alias("matrix_norm")
+        )
+    )
+
+
+SQL_A20 = f"""
+WITH m AS ({M_SQL}),
+     rn AS (SELECT r, round(sqrt(SUM(v * v)), 6) AS n FROM m GROUP BY r)
+SELECT CAST(SUM(CAST(n AS DECIMAL(38,9))) AS DOUBLE) AS matrix_norm FROM rn
+"""
+
+
+def q_c09_ones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.ones_matrix(spark, HOURS, HOURS)
+
+
+SQL_C09 = """
+SELECT a.r, b.c, CAST(1.0 AS DOUBLE) AS v
+FROM generate_series(0, 23) a(r) CROSS JOIN generate_series(0, 23) b(c)
+"""
+
+
+def q_c10_safe_divide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = _qty_matrix(spark, sf_dir)
+    y = _cnt_matrix(spark, sf_dir).withColumn(M.V, F.col(M.V) - F.lit(1.0))
+    return _round(M.safe_divide(x, y), [M.V], 9)
+
+
+SQL_C10 = f"""
+WITH x AS ({M_SQL}), y0 AS ({CNT_SQL}),
+     y AS (SELECT r, c, v - 1.0 AS v FROM y0)
+SELECT x.r, x.c,
+       round(CASE WHEN y.v = 0 THEN 0.0 ELSE x.v / y.v END, 9) AS v
+FROM x JOIN y ON x.r = y.r AND x.c = y.c
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.B / §2.C relational operators
+
+
+def q_b03_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    left = cust.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    right = cust.filter(F.col("c_acctbal") > 1000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return Rel.symmetric_diff(left, right, "custkey")
+
+
+SQL_B03 = """
+WITH l AS (SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_acctbal < 0),
+     r AS (SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_acctbal > 1000)
+SELECT COALESCE(l.custkey, r.custkey) AS custkey,
+       CASE WHEN r.custkey IS NULL THEN 'left' ELSE 'right' END AS side
+FROM l FULL OUTER JOIN r ON l.custkey = r.custkey
+WHERE l.custkey IS NULL OR r.custkey IS NULL
+"""
+
+
+def q_c01_sorted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select("c_custkey", "c_name", "c_acctbal").orderBy("c_custkey")
+
+
+SQL_C01 = """
+SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey
+"""
+
+
+def q_c02_filter_nonzero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return Rel.filter_nonzero(li, "l_discount").select(
+        "l_orderkey", "l_linenumber", "l_discount"
+    )
+
+
+SQL_C02 = """
+SELECT l_orderkey, l_linenumber, l_discount FROM lineitem WHERE l_discount <> 0
+"""
+
+
+def q_c04_micros(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    out = Rel.micros_to_currency(orders, "o_totalprice", "total_currency")
+    return out.select("o_orderkey", F.round("total_currency", 9).alias("total_currency"))
+
+
+SQL_C04 = """
+SELECT o_orderkey, round(o_totalprice * 0.000001, 9) AS total_currency FROM orders
+"""
+
+
+def q_c05_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    bulky = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    return Rel.anti_join(
+        part.select(F.col("p_partkey"), F.col("p_name")),
+        bulky.select(F.col("l_partkey").alias("p_partkey")),
+        "p_partkey",
+    )
+
+
+SQL_C05 = """
+SELECT p_partkey, p_name FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 48
+)
+"""
+
+
+def q_c06_zero_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return Rel.zero_pad_union(counts, cust, "c_custkey").select(
+        "c_custkey", "n_orders"
+    )
+
+
+SQL_C06 = """
+SELECT c.c_custkey, CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders
+FROM customer c
+LEFT JOIN (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1) o
+  ON o.o_custkey = c.c_custkey
+"""
+
+
+def q_c08_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_partkey")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_quantity"))
+    )
+    return Rel.unpivot(
+        wide, ["l_partkey"], ["A", "N", "R"], "returnflag", "qty"
+    ).filter(F.col("qty").isNotNull())
+
+
+SQL_C08 = """
+SELECT l_partkey, l_returnflag AS returnflag, CAST(SUM(l_quantity) AS DOUBLE) AS qty
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_c08_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("l_quantity"))
+    )
+
+
+SQL_C08_PIVOT = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS DOUBLE) AS "F",
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS DOUBLE) AS "O"
+FROM lineitem GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis (documents)
+
+
+def _toks_sql(col: str = "text") -> str:
+    stripped = f"regexp_replace({col}, '^\\s+|\\s+$', '', 'g')"
+    return (
+        f"CASE WHEN {stripped} = '' THEN CAST([] AS VARCHAR[]) "
+        f"ELSE string_split_regex({stripped}, '\\s+') END"
+    )
+
+
+def q_t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count(text).cast("long").alias("n_tokens"),
+        TX.char_count(text).cast("long").alias("n_chars_calc"),
+        TX.punct_count(text).cast("long").alias("n_punct"),
+        F.round(TX.avg_token_length(text), 6).alias("avg_token_len"),
+    )
+
+
+SQL_T01 = f"""
+WITH tk AS (SELECT doc_id, text, {_toks_sql()} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+       round(CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                       / len(toks) END, 6) AS avg_token_len
+FROM tk
+"""
+
+
+def q_t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+SQL_T02 = f"""
+WITH tk AS (SELECT doc_id, text, {_toks_sql()} AS toks FROM documents),
+     b AS (
+       SELECT doc_id,
+              CAST(len(toks) AS DOUBLE) AS n_tok,
+              CAST(length(text) AS DOUBLE) AS n_chars,
+              CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS n_punct,
+              CASE WHEN len(toks) = 0 THEN 0.0
+                   ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                        / len(toks) END AS avg_len
+       FROM tk
+     )
+SELECT doc_id,
+       round(greatest(0.0,
+         least(n_tok / 64.0, 1.0) * 0.5
+         + (CASE WHEN avg_len <= 0 THEN 0.0 ELSE least(avg_len / 5.0, 1.0) END) * 0.5
+         - (n_punct / greatest(n_chars, 1.0)) * 2.0
+       ), 6) AS quality
+FROM b
+"""
+
+
+def q_t03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scores = TX.lang_scores(F.col("text"))
+    en, de, es, fr = scores["en"], scores["de"], scores["es"], scores["fr"]
+    pred = (
+        F.when((en >= de) & (en >= es) & (en >= fr), F.lit("en"))
+        .when((de >= es) & (de >= fr), F.lit("de"))
+        .when(es >= fr, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select(
+        "doc_id",
+        en.alias("en_score"),
+        de.alias("de_score"),
+        es.alias("es_score"),
+        fr.alias("fr_score"),
+        pred.alias("lang_pred"),
+    )
+
+
+def _marker_sql(markers: list[str]) -> str:
+    terms = [
+        f"CAST((length(p) - length(replace(p, ' {m} ', ''))) / {len(m) + 2} AS BIGINT)"
+        for m in markers
+    ]
+    return " + ".join(terms)
+
+
+SQL_T03 = f"""
+WITH p0 AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+     s AS (
+       SELECT doc_id,
+              {_marker_sql(TX.LANG_MARKERS["en"])} AS en_score,
+              {_marker_sql(TX.LANG_MARKERS["de"])} AS de_score,
+              {_marker_sql(TX.LANG_MARKERS["es"])} AS es_score,
+              {_marker_sql(TX.LANG_MARKERS["fr"])} AS fr_score
+       FROM p0
+     )
+SELECT doc_id, en_score, de_score, es_score, fr_score,
+       CASE WHEN en_score >= de_score AND en_score >= es_score AND en_score >= fr_score THEN 'en'
+            WHEN de_score >= es_score AND de_score >= fr_score THEN 'de'
+            WHEN es_score >= fr_score THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM s
+"""
+
+
+def q_t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint(F.col("text"), 3).alias("fp"))
+
+
+SQL_T04 = f"""
+WITH tk AS (SELECT doc_id, {_toks_sql()} AS toks FROM documents)
+SELECT doc_id,
+       CASE WHEN len(toks) < 3 THEN md5(array_to_string(toks, ' '))
+            ELSE list_min(list_transform(range(len(toks) - 2),
+                   i -> md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])))
+       END AS fp
+FROM tk
+"""
+
+
+def q_t05_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("h"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+SQL_T05 = """
+SELECT md5(text) AS h, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# embeddings (vector math)
+
+
+def _vec_dot_d(a: Column, b: Column) -> Column:
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _vec_norm_d(a: Column) -> Column:
+    ad = F.transform(a, lambda x: x.cast("double"))
+    return F.sqrt(F.aggregate(ad, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+DOT_SQL = (
+    "list_sum(list_transform(range(64), "
+    "i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)))"
+)
+NORM_SQL = (
+    "sqrt(list_sum(list_transform(range(64), "
+    "i -> CAST({a}[i+1] AS DOUBLE) * CAST({a}[i+1] AS DOUBLE))))"
+)
+
+
+def q_v01_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        (F.col("vec_id") - 1).alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+    )
+    joined = a.join(b, "id_a")
+    cos = _vec_dot_d(F.col("ea"), F.col("eb")) / (
+        _vec_norm_d(F.col("ea")) * _vec_norm_d(F.col("eb"))
+    )
+    return joined.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+
+
+SQL_V01 = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({DOT_SQL.format(a="a.embedding", b="b.embedding")}
+             / ({NORM_SQL.format(a="a.embedding")}
+                * {NORM_SQL.format(a="b.embedding")}), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+"""
+
+
+def q_v02_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-k cosine neighbors for 20 query vectors.
+    Rank by (rounded cosine DESC, neighbor id) so ordering is
+    deterministic across engines. The LSH-bucketed variant for scale is
+    ``functions/similarity.py`` (rows-only check)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+    )
+    n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("en"))
+    pairs = q.crossJoin(n).filter(F.col("query_id") != F.col("neighbor_id"))
+    cos = _vec_dot_d(F.col("eq"), F.col("en")) / (
+        _vec_norm_d(F.col("eq")) * _vec_norm_d(F.col("en"))
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id", F.round(cos, 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+SQL_V02 = f"""
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         round({DOT_SQL.format(a="q.embedding", b="n.embedding")}
+               / ({NORM_SQL.format(a="q.embedding")}
+                  * {NORM_SQL.format(a="n.embedding")}), 6) AS cosine
+  FROM embeddings q CROSS JOIN embeddings n
+  WHERE q.vec_id < 20 AND q.vec_id <> n.vec_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+         ) AS BIGINT) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# events (time-series / stream-shaped)
+
+
+def q_e01_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.expr(f"(ts_ns DIV {NS_PER_HOUR}) % 24").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,10)")).cast("double"), 6
+            ).alias("total_value"),
+        )
+    )
+
+
+SQL_E01 = f"""
+SELECT (epoch_ns(ts) // {NS_PER_HOUR}) % 24 AS hour, event_type,
+       COUNT(*) AS n_events,
+       round(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_e02_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+SQL_E02 = """
+SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events
+"""
+
+
+def q_e03_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): the batch analog of
+    the streaming stateful operator in ``streaming/``. Integer
+    MICROsecond arithmetic (DuckDB timestamps are µs-precision, so ns
+    would not round-trip through its view) → exact parity."""
+    gap_us = 30 * 60 * 1_000_000
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "_us", F.expr("ts_ns DIV 1000")
+    )
+    w = Window.partitionBy("user_id").orderBy("_us")
+    lagged = ev.withColumn("_prev", F.lag("_us").over(w))
+    flagged = lagged.withColumn(
+        "_new",
+        F.when(
+            F.col("_prev").isNull() | (F.col("_us") - F.col("_prev") > gap_us),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("_new").over(
+            Window.partitionBy("user_id").orderBy("_us").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.min("_us").alias("session_start_us"),
+        F.max("_us").alias("session_end_us"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SQL_E03 = """
+WITH lagged AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts_us,
+         CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM lagged
+),
+sess AS (
+  SELECT user_id, ts_us,
+         CAST(SUM(new_s) OVER (
+           PARTITION BY user_id ORDER BY ts_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) AS session_end_us,
+       COUNT(*) AS n_events
+FROM sess GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# headline analytical queries
+
+
+def q_h01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary. Non-integral sums go through
+    DECIMAL(38,10) so both engines agree bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(38,10)")).cast("double"),
+                4,
+            ).alias("sum_base_price"),
+            F.round(F.sum(disc.cast("decimal(38,10)")).cast("double"), 4).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.sum(charge.cast("decimal(38,10)")).cast("double"), 4).alias(
+                "sum_charge"
+            ),
+            F.round(
+                (F.sum("l_quantity") / F.count("*")).cast("double"), 6
+            ).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_H01 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE), 4) AS sum_base_price,
+       round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE), 4) AS sum_disc_price,
+       round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,10))) AS DOUBLE), 4) AS sum_charge,
+       round(CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_h02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,10)")).cast("double"), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+SQL_H02 = """
+SELECT n.n_name,
+       round(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 4) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible (rows-only driver check)
+
+
+def q_ipf_cost_per_visit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship iterative pipeline (A17 converge + E2/E3 ETL).
+    Iterative fixed-point — not expressible as one SQL statement, so
+    this takes the driver's rows-only check; the IPF invariants are
+    pytest property tests (tests/test_ipf.py)."""
+    return CA.cost_per_visit(spark, sf_dir, threshold=1e-9, max_iterations=20)
+
+
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    "a01_cmap": (q_a01_cmap, SQL_A01),
+    "a02_dot": (q_a02_dot, SQL_A02),
+    "a03_diff_vector": (q_a03_diff_vector, SQL_A03),
+    "a04_l2_norm": (q_a04_l2_norm, SQL_A04),
+    "a05_rmse": (q_a05_rmse, SQL_A05),
+    "a06_transpose": (q_a06_transpose, SQL_A06),
+    "a07_sum_rows": (q_a07_sum_rows, SQL_A07),
+    "a08_sum_cols": (q_a08_sum_cols, SQL_A08),
+    "a09_laplace_smooth": (q_a09_laplace_smooth, SQL_A09),
+    "a10_weight_matrix": (q_a10_weight_matrix, SQL_A10),
+    "a11_apply_weights": (q_a11_apply_weights, SQL_A11),
+    "a12_add_labels": (q_a12_add_labels, SQL_A12),
+    "a13_mmult": (q_a13_mmult, SQL_A13),
+    "a14_seed_matrix": (q_a14_seed_matrix, SQL_A14),
+    "a15_optimize_marginal": (q_a15_optimize_marginal, SQL_A15),
+    "a16_ipf_step": (q_a16_ipf_step, SQL_A16),
+    "a18_normalize_matrix": (q_a18_normalize, SQL_A18),
+    "a19_error_matrix": (q_a19_error_matrix, SQL_A19),
+    "a20_matrix_norm": (q_a20_matrix_norm, SQL_A20),
+    "b03_symmetric_diff": (q_b03_symmetric_diff, SQL_B03),
+    "c01_sorted_scan": (q_c01_sorted_scan, SQL_C01),
+    "c02_filter_nonzero": (q_c02_filter_nonzero, SQL_C02),
+    "c04_micros_to_currency": (q_c04_micros, SQL_C04),
+    "c05_anti_join": (q_c05_anti_join, SQL_C05),
+    "c06_zero_pad": (q_c06_zero_pad, SQL_C06),
+    "c08_unpivot": (q_c08_unpivot, SQL_C08),
+    "c08_pivot": (q_c08_pivot, SQL_C08_PIVOT),
+    "c09_ones_matrix": (q_c09_ones, SQL_C09),
+    "c10_safe_divide": (q_c10_safe_divide, SQL_C10),
+    "t01_token_stats": (q_t01_token_stats, SQL_T01),
+    "t02_quality_score": (q_t02_quality_score, SQL_T02),
+    "t03_lang_id": (q_t03_lang_id, SQL_T03),
+    "t04_fingerprint": (q_t04_fingerprint, SQL_T04),
+    "t05_exact_dup_groups": (q_t05_exact_dup_groups, SQL_T05),
+    "v01_cosine_pairs": (q_v01_cosine_pairs, SQL_V01),
+    "v02_topk_cosine": (q_v02_topk_cosine, SQL_V02),
+    "e01_hourly_value": (q_e01_hourly_value, SQL_E01),
+    "e02_json_extract": (q_e02_json_extract, SQL_E02),
+    "e03_sessionize": (q_e03_sessionize, SQL_E03),
+    "h01_pricing_summary": (q_h01_pricing_summary, SQL_H01),
+    "h02_revenue_by_nation": (q_h02_revenue_by_nation, SQL_H02),
+    "ipf_cost_per_visit": (q_ipf_cost_per_visit, None),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
