@@ -1,0 +1,83 @@
+"""IPF property tests (SURVEY.md §5.2): the invariants that define
+correct Iterative Proportional Fitting, independent of any oracle.
+
+Reference: converge at core.clj:99-119 (with the §0.3 loss fix)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from alternating_least_squares_spark.operators import matrix as M
+from alternating_least_squares_spark.operators.ipf import converge, _marginal_losses
+from tests.conftest import coo_to_nested, vec_to_list
+
+
+def test_row_pass_row_sums_equal_marginal(make_matrix, make_vector):
+    """The defining invariant of the row pass (A15): after fitting rows
+    to the x-marginal, row sums equal the marginal exactly."""
+    seed = make_matrix([[1, 2, 3], [4, 5, 6]])
+    x = make_vector([10, 20])
+    fitted = M.optimize_marginal(x, seed)
+    sums = vec_to_list(M.sum_rows(fitted))
+    assert all(abs(a - b) < 1e-9 for a, b in zip(sums, [10.0, 20.0]))
+
+
+def test_converge_rank1_seed_one_iteration(make_matrix, make_vector):
+    """A rank-1 seed is already proportional → IPF converges in exactly
+    one sweep with both losses ≈ 0 (SURVEY §5.2)."""
+    x, y = make_vector([2, 4]), make_vector([3, 3])
+    seed = M.seed_matrix(x, y)  # rank-1 outer product
+    res = converge(x, y, seed, threshold=1e-12, max_iterations=50)
+    assert res.iterations == 1
+    assert res.loss < 1e-12
+    assert res.y_loss < 1e-9
+
+
+def test_converge_conservation_and_both_losses(make_matrix, make_vector):
+    """Σmatrix == Σmarginal after convergence (reference README:7
+    precondition propagated), and BOTH marginal losses are below
+    threshold (fixing the reference's x-only check, SURVEY §0.3)."""
+    x = make_vector([6, 14])
+    y = make_vector([8, 12])
+    seed = make_matrix([[1, 3], [5, 2]])
+    res = converge(x, y, seed, threshold=1e-10, max_iterations=200)
+    assert res.loss < 1e-6 and res.y_loss < 1e-6
+    total = res.matrix.agg(F.sum("v")).first()[0]
+    assert abs(total - 20.0) < 1e-9
+    rows = vec_to_list(M.sum_rows(res.matrix))
+    cols = vec_to_list(M.sum_cols(res.matrix))
+    assert all(abs(a - b) < 1e-6 for a, b in zip(rows, [6.0, 14.0]))
+    assert all(abs(a - b) < 1e-6 for a, b in zip(cols, [8.0, 12.0]))
+
+
+def test_converge_rejects_mismatched_totals(make_matrix, make_vector):
+    # core.clj:105 precondition: both marginals share a grand total
+    with pytest.raises(ValueError, match="same total"):
+        converge(
+            make_vector([1, 2]),
+            make_vector([100, 200]),
+            make_matrix([[1, 1], [1, 1]]),
+        )
+
+
+def test_marginal_losses_count_unserved_ids(spark, make_vector):
+    """Full-outer loss join: a marginal id with no matrix row must
+    contribute its full residual (round-1 defect, VERDICT #5)."""
+    m = spark.createDataFrame([(0, 0, 1.0)], "r long, c long, v double")
+    x = make_vector([1.0, 5.0])  # id 1 absent from the matrix
+    y = make_vector([1.0])
+    x_loss, y_loss = _marginal_losses(m, x, y)
+    assert x_loss == 5.0
+    assert y_loss == 0.0
+
+
+def test_converge_max_iterations_cap(make_matrix, make_vector):
+    res = converge(
+        make_vector([6, 14]),
+        make_vector([8, 12]),
+        make_matrix([[1, 3], [5, 2]]),
+        threshold=0.0,  # unreachable → must stop on the cap
+        max_iterations=3,
+    )
+    assert res.iterations == 3

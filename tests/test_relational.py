@@ -1,0 +1,47 @@
+"""Relational operator unit tests (§2.B/§2.C) on literal fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from alternating_least_squares_spark.operators.relational import (
+    anti_join,
+    pivot_matrix,
+    symmetric_diff,
+    unpivot,
+    zero_pad_union,
+)
+
+
+def test_symmetric_diff_tags_both_sides(spark):
+    # data.clj:17-30 — [:left x] / [:right y] tagging
+    a = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    b = spark.createDataFrame([(2,), (3,), (4,)], "k long")
+    got = {(r["k"], r["side"]) for r in symmetric_diff(a, b, "k").collect()}
+    assert got == {(1, "left"), (4, "right")}
+
+
+def test_anti_join(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "k long, p string")
+    b = spark.createDataFrame([(2,)], "k long")
+    got = [tuple(r) for r in anti_join(a, b, "k").collect()]
+    assert got == [(1, "x")]
+
+
+def test_zero_pad_union_completes_domain(spark):
+    # core.clj:169-172 — missing keys get all-zero rows
+    wide = spark.createDataFrame([(1, 5.0)], "k long, n double")
+    keys = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    got = {r["k"]: r["n"] for r in zero_pad_union(wide, keys, "k").collect()}
+    assert got == {1: 5.0, 2: 0.0, 3: 0.0}
+
+
+def test_unpivot_pivot_roundtrip(spark):
+    wide = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("b", 3.0, 4.0)], "k string, h0 double, h1 double"
+    )
+    long = unpivot(wide, ["k"], ["h0", "h1"], "hour", "v")
+    assert long.count() == 4
+    back = pivot_matrix(long, "k", "hour", "v")
+    got = {r["k"]: (r["h0"], r["h1"]) for r in back.collect()}
+    assert got == {"a": (1.0, 2.0), "b": (3.0, 4.0)}
