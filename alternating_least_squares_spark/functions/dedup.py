@@ -1,0 +1,180 @@
+"""Deduplication operators for the training-data pipeline.
+
+All hot-path expressions are native ``pyspark.sql.functions`` (JVM
+codegen, no Python UDFs). The scalable shape is always bucket-join,
+never all-pairs:
+
+* **exact dedup** — hash-groupBy on md5(text): one shuffle.
+* **near-dup (MinHash + LSH)** — Broder 1997 / Indyk–Motwani 1998:
+  n-permutation MinHash signatures (hash family = salted md5),
+  banded into b bands of r rows; docs sharing any band hash become
+  candidate pairs (one equi-join on the band hash), then an exact
+  Jaccard filter prunes false positives. At 100 TB the band join is
+  the only shuffle and its fan-out is controlled by (b, r).
+* **SimHash** — Charikar 2002: 16-bit signed-projection fingerprint;
+  near-dups share equal (or Hamming-close) simhash values.
+* **n-gram Jaccard** — exact set overlap on word k-shingles, used as
+  the verification stage of the LSH pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from alternating_least_squares_spark.functions.textfns import shingles, tokens
+
+HEX_DIGITS = "0123456789abcdef"
+
+
+def minhash_signature(shingle_col: Column, n_hashes: int = 32) -> Column:
+    """n-permutation MinHash signature → array<long> of length
+    ``n_hashes`` over a (distinct) shingle array column.
+
+    Hash family: native ``xxhash64`` with the permutation index baked
+    in as an extra hashed column — 64-bit, JVM codegen, no string
+    concatenation on the hot path. P[min_j(A) == min_j(B)] =
+    Jaccard(A, B) per permutation (Broder 1997), so signature
+    agreement estimates Jaccard.
+
+    The caller should materialize ``shingle_col`` as a real column
+    first (one shingling pass per row) — passing a raw expression here
+    would re-evaluate the shingle pipeline once per permutation."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_col, lambda s, j=j: F.xxhash64(F.lit(j), s))
+            )
+            for j in range(n_hashes)
+        ]
+    )
+
+
+def band_hashes(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH banding: split the signature into ``bands`` groups of
+    ``rows_per_band`` values; each band hashes to one bucket key
+    (band index mixed in so band 0 and band 1 never collide).
+    Two docs with Jaccard s share ≥1 band with probability
+    1 − (1 − s^r)^b — the classic S-curve."""
+    return F.array(
+        *[
+            F.xxhash64(F.lit(b), F.slice(signature, b * rows_per_band + 1, rows_per_band))
+            for b in range(bands)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) arrays.
+    ``array_intersect``/``array_union`` both dedupe, matching set
+    semantics."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
+
+
+def simhash(text: Column, bits: int = 16) -> Column:
+    """Charikar 2002 SimHash over word tokens → long in [0, 2^bits).
+
+    Bit i is the sign of Σ over tokens of ±1, where the ±1 comes from
+    the parity of hex digit i of md5(token) (``F.conv`` hex→dec, which
+    a SQL oracle reproduces with strpos on the hex alphabet)."""
+    toks = tokens(text)
+    bit_cols = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda i: F.when(
+            F.aggregate(
+                toks,
+                F.lit(0),
+                lambda acc, t: acc
+                + F.when(
+                    F.conv(F.md5(t).substr(i + 1, F.lit(1)), 16, 10).cast("int") % 2
+                    == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(
+        bit_cols, F.lit(0).cast("long"), lambda acc, bit: acc * 2 + bit
+    )
+
+
+def exact_dup_groups(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup via hash-groupBy: (h, n_docs, keep_id) with
+    ``keep_id`` = min doc id (the canonical survivor)."""
+    return docs.groupBy(F.md5(F.col(text_col)).alias("h")).agg(
+        F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id")
+    )
+
+
+def near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH + exact Jaccard
+    verification. Returns (id_a, id_b, jaccard) with id_a < id_b and
+    jaccard ≥ threshold.
+
+    Plan shape (scales to 100 TB):
+      1. one narrow pass computing signature + band hashes per doc
+      2. explode bands → equi-join on band hash (THE shuffle; never
+         an all-pairs crossJoin)
+      3. distinct candidate pairs → exact Jaccard on the shingle sets
+    """
+    rows_per_band = n_hashes // bands
+    sig = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(shingles(F.col(text_col), k)).alias("_sh"),
+        )
+        .withColumn("_sig", minhash_signature(F.col("_sh"), n_hashes))
+        .select(
+            "_id", "_sh", band_hashes(F.col("_sig"), bands, rows_per_band).alias("_bands")
+        )
+    )
+    # Materialize once: three consumers below (bucket join build side,
+    # probe side, and the Jaccard verification) would otherwise each
+    # recompute the full shingle+signature pipeline.
+    sig = sig.localCheckpoint(eager=True)
+    buckets = sig.select("_id", F.explode("_bands").alias("_bh"))
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), "_bh")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .distinct()
+    )
+    left = sig.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
+    right = sig.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
+    return (
+        cand.join(left, "id_a")
+        .join(right, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("_sh_a"), F.col("_sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def keep_one_filter(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop the higher-id member of every near-dup pair (transitive
+    enough for pipeline use; exact connected components would need an
+    iterative step). One anti-join."""
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return docs.join(losers, id_col, "left_anti")

@@ -1,0 +1,188 @@
+"""Approximate nearest-neighbor search over embedding columns.
+
+Two paths:
+
+* **exact brute force** (baseline, oracle-checkable): crossJoin +
+  per-row cosine + window top-k. Correct at any scale but O(Q·N) —
+  only for small query sets.
+* **random-hyperplane LSH** (the 100 TB path, Charikar 2002 /
+  Indyk–Motwani 1998): T hash tables × p planes; a vector's bucket in
+  a table is the sign pattern of its projections onto that table's
+  planes. Neighbors collide in ≥1 table with probability
+  1 − (1 − (1 − θ/π)^p)^T. The planes are DETERMINISTIC literals
+  (seeded ±1 Rademacher components derived from md5 in Python at plan
+  build time), so results are reproducible and the whole pipeline
+  stays in JVM codegen — no Python UDFs, no randomness at runtime.
+
+The candidate join is an equi-join on (table, bucket) — never an
+all-pairs crossJoin of the corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _vec_double(a: Column) -> Column:
+    return F.transform(a, lambda x: x.cast("double"))
+
+
+def vec_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(_vec_double(a), _vec_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def vec_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_vec_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+
+
+def rademacher_planes(
+    n_tables: int, n_planes: int, dim: int, seed: int = 42
+) -> list[list[list[float]]]:
+    """Deterministic ±1 plane components: md5(seed:table:plane:dim)
+    parity. Pure Python at plan-build time — the executors only ever
+    see literal arrays."""
+    out = []
+    for t in range(n_tables):
+        table = []
+        for p in range(n_planes):
+            comps = []
+            for d in range(dim):
+                h = hashlib.md5(f"{seed}:{t}:{p}:{d}".encode()).hexdigest()
+                comps.append(1.0 if int(h[0], 16) % 2 == 0 else -1.0)
+            table.append(comps)
+        out.append(table)
+    return out
+
+
+def bucket_expr(emb: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id for one hash table: bit p = sign of the
+    projection onto plane p. Encoded as a small long."""
+    ed = _vec_double(emb)
+    acc = F.lit(0).cast("long")
+    for comps in planes:
+        plane = F.array(*[F.lit(c) for c in comps])
+        proj = F.aggregate(
+            F.zip_with(ed, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        acc = acc * 2 + F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+    return acc
+
+
+def with_lsh_buckets(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    n_tables: int = 3,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Append (table, bucket) rows: one output row per input row per
+    hash table. Narrow (generator) — no shuffle."""
+    planes = rademacher_planes(n_tables, n_planes, dim, seed)
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                bucket_expr(F.col(vec_col), planes[t]).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return emb.withColumn("_tb", F.explode(tables)).select(
+        "*", F.col("_tb.table").alias("table"), F.col("_tb.bucket").alias("bucket")
+    ).drop("_tb")
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_tables: int = 3,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates = bucket collisions in any table,
+    scored with exact cosine, ranked per query. Plan: two narrow
+    bucket passes + one equi-join on (table, bucket) + window top-k.
+    No corpus×corpus crossJoin anywhere."""
+    qb = with_lsh_buckets(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_eq")
+        ),
+        "_eq", n_tables, n_planes, dim, seed,
+    )
+    cb = with_lsh_buckets(
+        emb.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_en")
+        ),
+        "_en", n_tables, n_planes, dim, seed,
+    )
+    cand = (
+        qb.join(cb, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "_eq", "_en")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("_eq"), F.col("_en")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_tables: int = 3,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup detection: LSH bucket collisions →
+    exact cosine ≥ threshold, id_a < id_b. Same scalable join shape as
+    the MinHash text dedup."""
+    b = with_lsh_buckets(
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_e")),
+        "_e", n_tables, n_planes, dim, seed,
+    )
+    pairs = (
+        b.alias("a")
+        .join(b.alias("b"), ["table", "bucket"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._e").alias("_ea"),
+            F.col("b._e").alias("_eb"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("_ea"), F.col("_eb")), 6).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)

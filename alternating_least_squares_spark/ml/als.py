@@ -1,0 +1,103 @@
+"""Real Alternating Least Squares, via ``pyspark.ml.recommendation.ALS``.
+
+The reference repo is *named* alternating-least-squares but implements
+IPF instead ("Not really alternating least squares, but it was the
+closest approximation", reference README.md:1). This module honors the
+name with the actual algorithm (Koren/Bell/Volinsky 2009; Zhou et al.
+2008 for the parallel formulation), using MLlib's battle-tested
+implementation — block-partitioned normal equations, exactly the
+100 TB-scale design we would otherwise hand-roll.
+
+Ratings projection of the driver testdata: user = o_custkey,
+item = l_partkey, rating = Σ l_quantity per (user, item) — an implicit
+"how much of this part did this customer buy" preference signal.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.ml.evaluation import RegressionEvaluator
+from pyspark.ml.recommendation import ALS, ALSModel
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from alternating_least_squares_spark.sources import load_table
+
+
+def ratings_from_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user, item, rating) from orders ⋈ lineitem.
+
+    The join shuffles on o_orderkey; the aggregate is a map-side
+    partial + final on (user, item). Ratings are integral doubles.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.sum("l_quantity").cast("float").alias("rating"))
+    )
+
+
+@dataclass
+class ALSResult:
+    model: ALSModel
+    rmse: float
+
+
+def train_als(
+    ratings: DataFrame,
+    rank: int = 8,
+    max_iter: int = 8,
+    reg_param: float = 0.1,
+    seed: int = 42,
+) -> ALSModel:
+    als = ALS(
+        rank=rank,
+        maxIter=max_iter,
+        regParam=reg_param,
+        seed=seed,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+        nonnegative=True,
+    )
+    return als.fit(ratings)
+
+
+def evaluate_rmse(model: ALSModel, ratings: DataFrame) -> float:
+    preds = model.transform(ratings)
+    evaluator = RegressionEvaluator(
+        metricName="rmse", labelCol="rating", predictionCol="prediction"
+    )
+    return float(evaluator.evaluate(preds))
+
+
+def recommend_top_k(model: ALSModel, k: int = 5) -> DataFrame:
+    """Top-k item recommendations per user, exploded to flat rows
+    (user, item, score)."""
+    recs = model.recommendForAllUsers(k)
+    return recs.select(
+        "user", F.explode("recommendations").alias("rec")
+    ).select(
+        F.col("user").cast("long").alias("user"),
+        F.col("rec.item").cast("long").alias("item"),
+        F.round(F.col("rec.rating").cast("double"), 4).alias("score"),
+    )
+
+
+def train_and_recommend(
+    spark: SparkSession, sf_dir: str, rank: int = 8, max_iter: int = 8, k: int = 5
+) -> DataFrame:
+    """One-call pipeline for the driver registry (rows-only check —
+    iterative ML, not SQL-expressible)."""
+    ratings = ratings_from_testdata(spark, sf_dir)
+    model = train_als(ratings, rank=rank, max_iter=max_iter)
+    return recommend_top_k(model, k)

@@ -672,6 +672,118 @@ FROM documents GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# dedup operators (documents)
+
+
+def q_d01_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from alternating_least_squares_spark.functions.dedup import simhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash(F.col("text"), 16).alias("simhash"))
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    bit_exprs = []
+    for i in range(bits):
+        sign = (
+            "CASE WHEN (strpos('0123456789abcdef', substr(md5(t), "
+            f"{i + 1}, 1)) - 1) % 2 = 1 THEN 1 ELSE -1 END"
+        )
+        bit = (
+            f"(CASE WHEN list_sum(list_transform(toks, t -> {sign})) > 0 "
+            "THEN 1 ELSE 0 END)"
+        )
+        bit_exprs.append(f"{bit} * {1 << (bits - 1 - i)}")
+    total = " + ".join(bit_exprs)
+    return f"""
+WITH tk AS (SELECT doc_id, {_toks_sql()} AS toks FROM documents)
+SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM tk
+"""
+
+
+SQL_D01 = _simhash_sql(16)
+
+
+def q_d02_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from alternating_least_squares_spark.functions.dedup import jaccard
+    from alternating_least_squares_spark.functions.textfns import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.array_distinct(shingles(F.col("text"), 3)).alias("sh_a"),
+    )
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        F.array_distinct(shingles(F.col("text"), 3)).alias("sh_b"),
+    )
+    return (
+        a.join(b, "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+    )
+
+
+SQL_D02 = f"""
+WITH tk AS (SELECT doc_id, {_toks_sql()} AS toks FROM documents),
+     sh AS (
+       SELECT doc_id,
+              CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                   ELSE list_distinct(list_transform(range(len(toks) - 2),
+                          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+              END AS s
+       FROM tk
+     )
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+             ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.s, b.s))) END, 6) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def q_d03_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash LSH near-dup pairs (rows-only: the band-join
+    pipeline is not one SQL statement; exact Jaccard verification is
+    oracle-covered by d02, signature math by t04)."""
+    from alternating_least_squares_spark.functions.dedup import near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return near_dup_pairs(docs, "doc_id", "text", n_hashes=32, bands=8, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# similarity search / ALS (rows-only: iterative or multi-stage plans)
+
+
+def q_s01_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from alternating_least_squares_spark.functions.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return lsh_topk(emb, queries_df, k=5)
+
+
+def q_s02_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from alternating_least_squares_spark.functions.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+def q_m01_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from alternating_least_squares_spark.ml.als import train_and_recommend
+
+    return train_and_recommend(spark, sf_dir, rank=8, max_iter=8, k=5)
+
+
+# ---------------------------------------------------------------------------
 # embeddings (vector math)
 
 
@@ -995,6 +1107,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "e03_sessionize": (q_e03_sessionize, SQL_E03),
     "h01_pricing_summary": (q_h01_pricing_summary, SQL_H01),
     "h02_revenue_by_nation": (q_h02_revenue_by_nation, SQL_H02),
+    "d01_simhash": (q_d01_simhash, SQL_D01),
+    "d02_jaccard_pairs": (q_d02_jaccard_pairs, SQL_D02),
+    "d03_minhash_near_dup": (q_d03_minhash_near_dup, None),
+    "s01_lsh_topk": (q_s01_lsh_topk, None),
+    "s02_embedding_near_dup": (q_s02_embedding_near_dup, None),
+    "m01_als_recommend": (q_m01_als_recommend, None),
     "ipf_cost_per_visit": (q_ipf_cost_per_visit, None),
 }
 
