@@ -132,6 +132,12 @@ def near_dup_pairs(
       3. distinct candidate pairs → exact Jaccard on the shingle sets
     """
     rows_per_band = n_hashes // bands
+    # The signature pass is narrow but compute-heavy; a small parquet
+    # source arrives as one input split, which would serialize it on a
+    # single core. Spread by id first (at scale the scan already has
+    # thousands of splits and AQE keeps this exchange local-cheap).
+    sc = docs.sparkSession.sparkContext
+    docs = docs.repartition(sc.defaultParallelism, id_col)
     sig = (
         docs.select(
             F.col(id_col).alias("_id"),

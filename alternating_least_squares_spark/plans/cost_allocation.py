@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from alternating_least_squares_spark.operators import matrix as M
 from alternating_least_squares_spark.operators.ipf import IPFResult, converge
+from alternating_least_squares_spark.operators.ipf_dense import converge_dense
 from alternating_least_squares_spark.sources import load_table
 
 HOURS = 24
@@ -138,17 +139,31 @@ def allocate_costs(
     (the seed densification, the IPF sweeps, and the per-iteration
     loss checks all reuse the materialized result instead of
     re-scanning lineitem/events).
+
+    The hour axis is bounded (≤ 24 values), so the loop runs in the
+    row-array layout (:func:`ipf_dense.converge_dense`): the matrix
+    stays partitioned by part across all sweeps and each sweep moves
+    only 24 doubles between executors — no per-iteration shuffles.
+
+    ``threshold`` here is RELATIVE to the marginal grand total (the
+    loop stops when ‖x − rowsums‖ < threshold·Σx). The reference's
+    absolute threshold (``core.clj:103``) is kept in the generic
+    ``converge``/``converge_dense`` operators, but an absolute 1e-9 is
+    below the double-rounding floor once Σx reaches ~1e10 — the loop
+    would spin at the fp plateau for the whole iteration budget.
     """
     x = part_cost_marginal(spark, sf_dir).localCheckpoint(eager=True)
     x_total = x.agg(F.sum(M.V)).first()[0]
     y = hour_cost_marginal(spark, sf_dir, rescale_to=x_total).localCheckpoint(
         eager=True
     )
-    seed = smoothed_seed_from(
-        visit_matrix(spark, sf_dir), x, y
-    ).localCheckpoint(eager=True)
-    return converge(
-        x, y, seed, threshold=threshold, max_iterations=max_iterations
+    seed = smoothed_seed_from(visit_matrix(spark, sf_dir), x, y)
+    return converge_dense(
+        x,
+        y,
+        seed,
+        threshold=threshold * max(abs(x_total), 1.0),
+        max_iterations=max_iterations,
     )
 
 

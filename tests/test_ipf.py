@@ -81,3 +81,41 @@ def test_converge_max_iterations_cap(make_matrix, make_vector):
         max_iterations=3,
     )
     assert res.iterations == 3
+
+
+def test_converge_dense_matches_coordinate(make_matrix, make_vector):
+    """The bounded-column-domain loop (ipf_dense.converge_dense) is a
+    layout change, not a semantics change: same iterations, same loss,
+    same matrix as the coordinate-form converge."""
+    from alternating_least_squares_spark.operators.ipf_dense import (
+        converge_dense,
+        from_row_arrays,
+        to_row_arrays,
+    )
+
+    x = make_vector([10, 20, 30])
+    y = make_vector([25, 35])
+    seed = make_matrix([[1, 2], [3, 4], [5, 6]])
+    r1 = converge(x, y, seed, threshold=1e-12, max_iterations=50)
+    r2 = converge_dense(x, y, seed, threshold=1e-12, max_iterations=50)
+    assert r2.iterations == r1.iterations
+    assert abs(r2.loss - r1.loss) < 1e-12
+    a = {(r["r"], r["c"]): r["v"] for r in r1.matrix.collect()}
+    b = {(r["r"], r["c"]): r["v"] for r in r2.matrix.collect()}
+    assert a.keys() == b.keys()
+    assert all(abs(a[k] - b[k]) < 1e-9 for k in a)
+    # round-trip helpers preserve the matrix exactly
+    rt = from_row_arrays(to_row_arrays(seed, [0, 1]), [0, 1])
+    c = {(r["r"], r["c"]): r["v"] for r in rt.collect()}
+    assert c == {(r["r"], r["c"]): r["v"] for r in seed.collect()}
+
+
+def test_converge_dense_rejects_mismatched_totals(make_matrix, make_vector):
+    from alternating_least_squares_spark.operators.ipf_dense import converge_dense
+
+    with pytest.raises(ValueError, match="same total"):
+        converge_dense(
+            make_vector([1, 2]),
+            make_vector([100, 200]),
+            make_matrix([[1, 1], [1, 1]]),
+        )
