@@ -1057,6 +1057,177 @@ GROUP BY 1
 # non-SQL-expressible (rows-only driver check)
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF (documents)
+
+
+def q_t06_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. Fully distributed: explode →
+    two keyed aggregations (term counts per doc; doc frequency per
+    term) → broadcast-joined idf → window top-k. The corpus size N is
+    one scalar driver-side count (not a global window, which would
+    single-partition the whole table at scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    terms = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = terms.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    scored = tf.join(F.broadcast(df_t), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(
+            F.col("tf")
+            * F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df"))),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+SQL_T06 = f"""
+WITH tk AS (SELECT doc_id, {_toks_sql()} AS toks FROM documents),
+     terms AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+     tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+     dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+     n AS (SELECT count(*) AS n_docs FROM documents),
+     scored AS (
+       SELECT tf.doc_id, tf.term, tf.tf,
+              round(tf.tf * ln((1.0 + n.n_docs) / (1.0 + dft.df)), 6) AS tfidf
+       FROM tf JOIN dft USING (term) CROSS JOIN n
+     )
+SELECT doc_id, term, tf, tfidf, rnk FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+  ) AS BIGINT) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# streaming replays (Structured Streaming run to completion, then
+# compared against plain batch SQL — the exactly-once replay property)
+
+
+def q_st01_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows over the events stream
+    (watermarked), replayed to completion with Trigger.AvailableNow.
+    The oracle is plain batch SQL — stream replay == batch is the
+    correctness property of the streaming surface."""
+    from alternating_least_squares_spark.streaming import (
+        hourly_value_stream,
+        read_events_stream,
+        run_stream_to_batch,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_stream_to_batch(hourly_value_stream(stream), output_mode="complete")
+
+
+SQL_ST01 = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_st02_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native stateful sessionization (F.session_window, 30-min gap)
+    replayed to completion. Complete output mode (session windows
+    support append/complete only; append would hold back sessions
+    newer than the watermark with no later batch to close them in a
+    replay). Session bounds exposed as epoch micros for oracle
+    parity."""
+    from alternating_least_squares_spark.streaming import (
+        read_events_stream,
+        run_stream_to_batch,
+        sessionize_stream,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    sess = run_stream_to_batch(
+        sessionize_stream(stream, gap="30 minutes"), output_mode="complete"
+    )
+    return sess.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+        "total_value",
+    )
+
+
+# session_window semantics: a session spans events closer than GAP to
+# the previous event (strictly-less merge: windows [t, t+gap) overlap
+# iff next < prev + gap) and its end is last_event + gap.
+SQL_ST02 = """
+WITH lagged AS (
+  SELECT user_id, value, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+  FROM events
+),
+flagged AS (
+  SELECT user_id, value, ts_us,
+         CASE WHEN prev IS NULL OR ts_us - prev >= 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM lagged
+),
+sess AS (
+  SELECT user_id, value, ts_us,
+         SUM(new_s) OVER (
+           PARTITION BY user_id ORDER BY ts_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS seq
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) + 1800000000 AS session_end_us,
+       COUNT(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6) AS total_value
+FROM sess GROUP BY user_id, seq
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal columns
+
+
+def q_mm01_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing proof: text → blob → Arrow-batched
+    mapInPandas feature extraction. The oracle recomputes byte length
+    and md5 in SQL, so a hash match proves the bytes round-tripped
+    Spark → Arrow → pandas → Spark exactly."""
+    from alternating_least_squares_spark.functions.multimodal import (
+        attach_blob,
+        extract_media_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_media_features(attach_blob(docs))
+    return feats.select("doc_id", "n_bytes", "md5")
+
+
+SQL_MM01 = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS md5
+FROM documents
+"""
+
+
 def q_ipf_cost_per_visit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship iterative pipeline (A17 converge + E2/E3 ETL).
     Iterative fixed-point — not expressible as one SQL statement, so
@@ -1107,6 +1278,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "e03_sessionize": (q_e03_sessionize, SQL_E03),
     "h01_pricing_summary": (q_h01_pricing_summary, SQL_H01),
     "h02_revenue_by_nation": (q_h02_revenue_by_nation, SQL_H02),
+    "t06_tfidf": (q_t06_tfidf, SQL_T06),
+    "st01_stream_hourly": (q_st01_stream_hourly, SQL_ST01),
+    "st02_stream_sessionize": (q_st02_stream_sessionize, SQL_ST02),
+    "mm01_media_features": (q_mm01_media_features, SQL_MM01),
     "d01_simhash": (q_d01_simhash, SQL_D01),
     "d02_jaccard_pairs": (q_d02_jaccard_pairs, SQL_D02),
     "d03_minhash_near_dup": (q_d03_minhash_near_dup, None),

@@ -144,7 +144,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raw = spark.read.parquet(path)
         return raw.select(
             "event_id",
-            F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts"),
+            # integer division: `/` would round through double and can
+            # land 1µs high before the truncating cast
+            F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
             F.col("ts").alias("ts_ns"),
             "user_id",
             "event_type",

@@ -1,0 +1,10 @@
+"""Structured Streaming surface (net-new vs the reference — SURVEY.md
+§2.D records the reference has no streaming anywhere; this is the
+extension surface over the driver's ``events`` stream table)."""
+
+from alternating_least_squares_spark.streaming.events import (  # noqa: F401
+    hourly_value_stream,
+    read_events_stream,
+    run_stream_to_batch,
+    sessionize_stream,
+)

@@ -1,0 +1,149 @@
+"""Structured Streaming over the ``events`` table.
+
+The reference has no streaming surface (verified across all 12 files —
+SURVEY.md §2.D); this module is the net-new extension the brief asks
+for, built on Spark's native machinery:
+
+* file-source stream (``readStream.parquet``) with the same
+  nanos-timestamp handling as the batch catalog,
+* event-time **watermarks** so state for late data is bounded,
+* **tumbling windows** (``F.window``) for time-bucketed aggregates,
+* **session windows** (``F.session_window``) for gap-based
+  sessionization — the stateful operator Spark provides natively, no
+  ``applyInPandasWithState`` needed for these semantics.
+
+Everything is expressed so that replaying the whole table through the
+stream (``Trigger.AvailableNow``) produces byte-identical results to
+the batch query — that property is oracle-checked by the driver
+(``st01``/``st02`` in the registry run the stream to completion and
+compare against plain DuckDB SQL).
+
+At scale: the stream shuffles once per aggregation on the grouping
+key; state lives in the executor state store keyed by (window, key)
+and the watermark evicts closed windows, so state size is bounded by
+(active windows × keys), not by history length.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Physical read schema: ts is INT64 TIMESTAMP(NANOS) in the parquet
+# footer; with nanosAsLong it arrives as a raw epoch-nanos long
+# (same contract as sources.catalog.load_table).
+RAW_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of the events table with the catalog's column
+    contract: ``ts`` (micros TimestampType) + ``ts_ns`` (raw long).
+
+    ``maxFilesPerTrigger`` paces ingestion for a live run; the
+    registry's replay path leaves it unset and uses AvailableNow.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = (
+        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(sf_dir)
+    return raw.select(
+        "event_id",
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+        F.col("ts").alias("ts_ns"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def hourly_value_stream(
+    events: DataFrame, watermark: str = "1 hour", window: str = "1 hour"
+) -> DataFrame:
+    """Tumbling event-time windows: per (window, event_type) totals.
+
+    The watermark bounds aggregation state: windows older than
+    (max event time − watermark) are finalized and evicted. Decimal
+    accumulation + final round, same as the batch e01 query, so the
+    result is independent of partial-aggregation order.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,10)")).cast("double"), 6
+            ).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Gap-based sessionization with ``F.session_window`` — Spark's
+    native stateful session operator (state = one open session per
+    user, merged on overlap, closed by the watermark)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,10)")).cast("double"), 6
+            ).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_batch(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Replay the stream to completion (``Trigger.AvailableNow``) into
+    an in-memory sink and return the final result as a batch DataFrame.
+
+    This is the exactly-once replay property made testable: the driver
+    compares the returned DataFrame against plain batch SQL. Complete
+    output mode emits every window regardless of watermark progress
+    (append mode would hold the final windows open — there is no
+    later batch to close them in a replay)."""
+    name = f"stream_replay_{uuid.uuid4().hex[:12]}"
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return stream_df.sparkSession.table(name)

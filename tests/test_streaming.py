@@ -1,0 +1,86 @@
+"""Streaming surface tests: replay-equals-batch is THE correctness
+property (exactly-once file-source replay through watermarked windows
+must reproduce the batch aggregation bit-for-bit)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from alternating_least_squares_spark.sources import load_table
+from alternating_least_squares_spark.streaming import (
+    hourly_value_stream,
+    read_events_stream,
+    run_stream_to_batch,
+    sessionize_stream,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_stream_hourly_equals_batch(spark):
+    stream = read_events_stream(spark, SF_SMALL)
+    assert stream.isStreaming
+    got = run_stream_to_batch(hourly_value_stream(stream)).collect()
+
+    ev = load_table(spark, SF_SMALL, "events")
+    want = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,10)")).cast("double"), 6
+            ).alias("total_value"),
+        )
+        .collect()
+    )
+    key = lambda r: (r["window_start"], r["event_type"])  # noqa: E731
+    got_m = {key(r): (r["n_events"], r["total_value"]) for r in got}
+    want_m = {key(r): (r["n_events"], r["total_value"]) for r in want}
+    assert got_m == want_m
+
+
+def test_stream_sessionize_equals_batch_islands(spark):
+    """session_window replay == gaps-and-islands batch SQL (new session
+    at gap ≥ 30 min; session end = last event + gap)."""
+    stream = read_events_stream(spark, SF_SMALL)
+    sess = run_stream_to_batch(
+        sessionize_stream(stream, gap="30 minutes"), output_mode="complete"
+    )
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in sess.collect()
+    }
+
+    gap_us = 30 * 60 * 1_000_000
+    ev = load_table(spark, SF_SMALL, "events").withColumn(
+        "_us", F.expr("ts_ns DIV 1000")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("_us")
+    flagged = ev.withColumn(
+        "_new",
+        F.when(
+            F.lag("_us").over(w).isNull()
+            | (F.col("_us") - F.lag("_us").over(w) >= gap_us),
+            1,
+        ).otherwise(0),
+    ).withColumn("_seq", F.sum("_new").over(w))
+    want_rows = (
+        flagged.groupBy("user_id", "_seq")
+        .agg(F.min("_us").alias("s"), F.max("_us").alias("e"), F.count("*").alias("n"))
+        .collect()
+    )
+    import datetime
+
+    def us_to_dt(us):
+        return datetime.datetime.fromtimestamp(us / 1e6, tz=datetime.timezone.utc).replace(
+            tzinfo=None
+        )
+
+    want = {
+        (r["user_id"], us_to_dt(r["s"]), us_to_dt(r["e"] + gap_us)): r["n"]
+        for r in want_rows
+    }
+    assert got == want
