@@ -434,6 +434,63 @@ SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey
 """
 
 
+def q_c03_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 — pure projection (reference `map first/second`, drop-key
+    `rest`, drop-total `butlast`, core.clj:149-163,180-184). The point
+    at scale: the select reaches the parquet reader as ReadSchema —
+    only these 3 of part's 6 columns are decoded."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select("p_partkey", "p_name", "p_retailprice")
+
+
+SQL_C03 = """
+SELECT p_partkey, p_name, p_retailprice FROM part
+"""
+
+
+def q_c07_sort_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 — `(sort-by first rows)` (core.clj:176,178): order by the
+    row key column. Distinct from C1 (sorted scan keeps the scan's
+    own key); this sorts DERIVED rows by a grouping key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_partkey").alias("part"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(38,10)")).cast("double"), 6
+            ).alias("total_qty")
+        )
+        .orderBy("part")
+    )
+
+
+SQL_C07 = """
+SELECT l_partkey AS part,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE), 6) AS total_qty
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_b01_b02_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1+B2 — open-csv/save-csv (data.clj:5-15): write the nation
+    table to CSV with an explicit schema, read it back, return the
+    rows. The oracle is the source table itself, so a hash match
+    proves the CSV sink+source round-trip is lossless."""
+    import tempfile
+
+    from alternating_least_squares_spark.sources import catalog
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="alternating_ls_csv_") + "/nation"
+    catalog.write_csv(nation, path)
+    return catalog.read_csv(spark, path, schema=catalog.TABLES["nation"])
+
+
+SQL_B01 = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
 def q_c02_filter_nonzero(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return Rel.filter_nonzero(li, "l_discount").select(
@@ -1258,6 +1315,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "a20_matrix_norm": (q_a20_matrix_norm, SQL_A20),
     "b03_symmetric_diff": (q_b03_symmetric_diff, SQL_B03),
     "c01_sorted_scan": (q_c01_sorted_scan, SQL_C01),
+    "c03_projection": (q_c03_projection, SQL_C03),
+    "c07_sort_by_key": (q_c07_sort_by_key, SQL_C07),
+    "b01_b02_csv_roundtrip": (q_b01_b02_csv_roundtrip, SQL_B01),
     "c02_filter_nonzero": (q_c02_filter_nonzero, SQL_C02),
     "c04_micros_to_currency": (q_c04_micros, SQL_C04),
     "c05_anti_join": (q_c05_anti_join, SQL_C05),
