@@ -27,26 +27,34 @@ from alternating_least_squares_spark.functions.textfns import shingles, tokens
 HEX_DIGITS = "0123456789abcdef"
 
 
-def minhash_signature(shingle_col: Column, n_hashes: int = 32) -> Column:
+def minhash_signature(
+    shingle_col: Column, n_hashes: int = 32, prehashed: bool = False
+) -> Column:
     """n-permutation MinHash signature → array<long> of length
     ``n_hashes`` over a (distinct) shingle array column.
 
-    Hash family: native ``xxhash64`` with the permutation index baked
-    in as an extra hashed column — 64-bit, JVM codegen, no string
-    concatenation on the hot path. P[min_j(A) == min_j(B)] =
-    Jaccard(A, B) per permutation (Broder 1997), so signature
-    agreement estimates Jaccard.
+    Hash family: native ``xxhash64`` with the permutation index as an
+    extra hashed column — 64-bit, JVM-side, no string concatenation on
+    the hot path. P[min_j(A) == min_j(B)] = Jaccard(A, B) per
+    permutation (Broder 1997), so signature agreement estimates
+    Jaccard.
 
-    The caller should materialize ``shingle_col`` as a real column
-    first (one shingling pass per row) — passing a raw expression here
-    would re-evaluate the shingle pipeline once per permutation."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingle_col, lambda s, j=j: F.xxhash64(F.lit(j), s))
-            )
-            for j in range(n_hashes)
-        ]
+    Built as one NESTED transform over a permutation-index sequence,
+    not ``n_hashes`` unrolled branches: the unrolled form duplicated
+    the whole shingle-hash subtree 32× and its one-time Janino compile
+    dominated small runs (~7 s of the cold-start wall-clock).
+
+    Pass ``prehashed=True`` when ``shingle_col`` already holds
+    xxhash64 longs (materialize it with one ``transform`` first) —
+    that skips re-hashing the shingle strings once per permutation."""
+    base = (
+        shingle_col
+        if prehashed
+        else F.transform(shingle_col, lambda s: F.xxhash64(s))
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda j: F.array_min(F.transform(base, lambda h: F.xxhash64(j, h))),
     )
 
 
@@ -143,7 +151,12 @@ def near_dup_pairs(
             F.col(id_col).alias("_id"),
             F.array_distinct(shingles(F.col(text_col), k)).alias("_sh"),
         )
-        .withColumn("_sig", minhash_signature(F.col("_sh"), n_hashes))
+        # hash each shingle string once; the 32 permutations then mix
+        # cheap longs instead of re-hashing strings
+        .withColumn("_hs", F.transform("_sh", lambda s: F.xxhash64(s)))
+        .withColumn(
+            "_sig", minhash_signature(F.col("_hs"), n_hashes, prehashed=True)
+        )
         .select(
             "_id", "_sh", band_hashes(F.col("_sig"), bands, rows_per_band).alias("_bands")
         )
