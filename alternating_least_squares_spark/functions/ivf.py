@@ -1,0 +1,147 @@
+"""IVF (inverted-file) approximate nearest-neighbor search.
+
+The second scale path for similarity search, complementing the
+random-hyperplane LSH in :mod:`.similarity`:
+
+1. **train** — KMeans (``pyspark.ml.clustering``) learns
+   ``n_centroids`` coarse centroids (the "inverted file" vocabulary).
+2. **index** — one narrow pass assigns every corpus vector to its
+   nearest centroid (the model's own transform).
+3. **probe** — each query computes distances to all centroids (a
+   broadcast of ``n_centroids`` rows), keeps the ``n_probe`` nearest
+   lists, and joins the corpus on the centroid id — an equi-join whose
+   fan-in is ``n_probe / n_centroids`` of the corpus, never all-pairs.
+4. **rerank** — exact cosine inside the probed lists, window top-k.
+
+At 100 TB: the index pass is embarrassingly parallel; the probe join
+shuffles only the probed fraction; recall/cost is tuned by
+(``n_centroids``, ``n_probe``) exactly as in FAISS-style IVF-Flat.
+KMeans itself trains on a sample — centroid quality needs no full
+pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.clustering import KMeans, KMeansModel
+from pyspark.ml.functions import array_to_vector
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from alternating_least_squares_spark.functions.similarity import cosine
+
+
+def train_centroids(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> KMeansModel:
+    """Learn the coarse quantizer. ``sample_fraction`` caps the
+    training set — at corpus scale KMeans needs a sample, not a full
+    pass."""
+    train = emb
+    if sample_fraction is not None:
+        train = emb.sample(fraction=sample_fraction, seed=seed)
+    feats = train.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    return KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(feats)
+
+
+def assign_lists(
+    emb: DataFrame, model: KMeansModel, vec_col: str = "embedding"
+) -> DataFrame:
+    """Index pass: append the owning centroid id as ``list_id``.
+    Narrow (model broadcast by MLlib), no shuffle."""
+    feats = emb.withColumn(
+        "features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    return (
+        model.transform(feats)
+        .withColumnRenamed("prediction", "list_id")
+        .drop("features")
+    )
+
+
+def _centroids_df(spark, model: KMeansModel) -> DataFrame:
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(rows, "list_id int, centroid array<double>")
+
+
+def probe_lists(
+    queries: DataFrame,
+    model: KMeansModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """(query_id, list_id) pairs for the n_probe nearest lists per
+    query. Centroids are a broadcast crossJoin (n_centroids rows);
+    distance ranking is a per-query window."""
+    spark = queries.sparkSession
+    cents = _centroids_df(spark, model)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q")
+    )
+    dist = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_d2",
+            F.aggregate(
+                F.zip_with(
+                    F.col("_q").cast("array<double>"),
+                    F.col("centroid"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("_d2"), F.asc("list_id"))
+    return (
+        dist.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_probe)
+        .select("query_id", "list_id", "_q")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    model: KMeansModel | None = None,
+) -> DataFrame:
+    """IVF-Flat top-k: probe the n_probe nearest lists, exact-cosine
+    rerank, per-query window top-k. Returns
+    (query_id, neighbor_id, cosine, rank)."""
+    if model is None:
+        model = train_centroids(emb, vec_col, n_centroids, seed)
+    corpus = assign_lists(
+        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_e")),
+        model,
+        "_e",
+    )
+    probes = probe_lists(queries, model, id_col, vec_col, n_probe)
+    cand = probes.join(corpus, "list_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("_q"), F.col("_e")), 6).alias("cosine"),
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )

@@ -834,6 +834,17 @@ def q_s02_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.4)
 
 
+def q_s03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (KMeans coarse quantizer + probed-list exact
+    rerank) — the second scale path next to s01's hyperplane LSH.
+    Rows-only: KMeans training is iterative ML."""
+    from alternating_least_squares_spark.functions.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(emb, queries_df, k=5, n_centroids=16, n_probe=4)
+
+
 def q_m01_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alternating_least_squares_spark.ml.als import train_and_recommend
 
@@ -1347,6 +1358,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "d03_minhash_near_dup": (q_d03_minhash_near_dup, None),
     "s01_lsh_topk": (q_s01_lsh_topk, None),
     "s02_embedding_near_dup": (q_s02_embedding_near_dup, None),
+    "s03_ivf_topk": (q_s03_ivf_topk, None),
     "m01_als_recommend": (q_m01_als_recommend, None),
     "ipf_cost_per_visit": (q_ipf_cost_per_visit, None),
 }
