@@ -1269,6 +1269,40 @@ FROM sess GROUP BY user_id, seq
 """
 
 
+def q_st03_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) replayed to
+    completion: running per-user profiles. One source file → one
+    micro-batch → the emitted update per user IS the final profile,
+    so plain batch SQL is an exact oracle."""
+    from alternating_least_squares_spark.streaming import (
+        read_events_stream,
+        run_stream_to_batch,
+        user_profile_stream,
+    )
+
+    stream = read_events_stream(spark, sf_dir).select(
+        "user_id", "value", F.expr("ts_ns DIV 1000").alias("ts_us")
+    )
+    prof = run_stream_to_batch(user_profile_stream(stream), output_mode="update")
+    return prof.select(
+        "user_id",
+        "n_events",
+        F.round("total_value", 6).alias("total_value"),
+        "max_value",
+        "last_ts_us",
+    )
+
+
+SQL_ST03 = """
+SELECT user_id,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value,
+       max(value) AS max_value,
+       max(epoch_us(ts)) AS last_ts_us
+FROM events GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal columns
 
@@ -1352,6 +1386,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "t06_tfidf": (q_t06_tfidf, SQL_T06),
     "st01_stream_hourly": (q_st01_stream_hourly, SQL_ST01),
     "st02_stream_sessionize": (q_st02_stream_sessionize, SQL_ST02),
+    "st03_stateful_profiles": (q_st03_stateful_profiles, SQL_ST03),
     "mm01_media_features": (q_mm01_media_features, SQL_MM01),
     "d01_simhash": (q_d01_simhash, SQL_D01),
     "d02_jaccard_pairs": (q_d02_jaccard_pairs, SQL_D02),

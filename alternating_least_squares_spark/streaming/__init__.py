@@ -8,3 +8,6 @@ from alternating_least_squares_spark.streaming.events import (  # noqa: F401
     run_stream_to_batch,
     sessionize_stream,
 )
+from alternating_least_squares_spark.streaming.stateful import (  # noqa: F401
+    user_profile_stream,
+)

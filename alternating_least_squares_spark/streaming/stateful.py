@@ -1,0 +1,85 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+``F.window``/``F.session_window`` cover time-bucketed state natively
+(see :mod:`.events`); this module is the escape hatch the brief names
+for semantics Spark has no built-in for. The example operator keeps a
+**running per-user profile** (event count, value sum, max single
+value, last event time) and emits the updated profile every
+micro-batch — the shape of a feature-store update stream.
+
+Execution model notes (the part worth locking down in tests):
+
+* state is keyed by the groupBy key and lives in the executor state
+  store; each micro-batch hands the operator (key, new rows, prior
+  state) — Arrow-batched both ways;
+* the operator must tolerate MULTIPLE pandas chunks per key per batch
+  (Spark splits large groups);
+* output rows append to the sink in ``update`` semantics: one row per
+  key per batch it appeared in; the LAST row per key is the final
+  profile (dedupe downstream by (user, batch ordinal) or just take
+  the max-count row).
+
+At scale this shuffles once per batch on the key and holds
+O(distinct keys) state — the watermark/timeout knobs (here:
+``NoTimeout`` since profiles are permanent) bound it for expiring
+semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+PROFILE_SCHEMA = (
+    "user_id long, n_events long, total_value double, max_value double, "
+    "last_ts_us long"
+)
+STATE_SCHEMA = "n long, total double, mx double, last_us long"
+
+
+def _update_profile(
+    key: tuple[Any, ...], pdfs: Iterator, state: GroupState
+) -> Iterator:
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        n, total, mx, last_us = state.get
+    else:
+        n, total, mx, last_us = 0, 0.0, float("-inf"), 0
+
+    for pdf in pdfs:  # may arrive as several chunks per batch
+        if len(pdf) == 0:
+            continue
+        n += int(len(pdf))
+        total += float(pdf["value"].sum())
+        mx = max(mx, float(pdf["value"].max()))
+        last_us = max(last_us, int(pdf["ts_us"].max()))
+
+    state.update((n, total, mx, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value": [total],
+            "max_value": [mx],
+            "last_ts_us": [last_us],
+        }
+    )
+
+
+def user_profile_stream(events: DataFrame) -> DataFrame:
+    """Running per-user profiles over a streaming events frame.
+
+    Input needs (user_id, value, ts_us); use ``read_events_stream``
+    then ``F.expr("ts_ns DIV 1000")`` for ``ts_us``."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_profile,
+        outputStructType=PROFILE_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

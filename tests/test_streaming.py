@@ -84,3 +84,42 @@ def test_stream_sessionize_equals_batch_islands(spark):
         for r in want_rows
     }
     assert got == want
+
+
+def test_stateful_user_profiles_equal_batch(spark):
+    """applyInPandasWithState replay: final per-user profiles match the
+    batch aggregation exactly (state accumulates across chunks)."""
+    from alternating_least_squares_spark.streaming.stateful import (
+        user_profile_stream,
+    )
+
+    stream = read_events_stream(spark, SF_SMALL).select(
+        "user_id", "value", F.expr("ts_ns DIV 1000").alias("ts_us")
+    )
+    prof = run_stream_to_batch(user_profile_stream(stream), output_mode="update")
+    # update semantics: keep the final (max n_events) row per user
+    final = {}
+    for r in prof.collect():
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            final[r["user_id"]] = r
+
+    ev = load_table(spark, SF_SMALL, "events")
+    want = {
+        r["user_id"]: r
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("value").alias("max_value"),
+            F.max(F.expr("ts_ns DIV 1000")).alias("last_ts_us"),
+        )
+        .collect()
+    }
+    assert final.keys() == want.keys()
+    for uid, w in want.items():
+        g = final[uid]
+        assert g["n_events"] == w["n_events"], uid
+        assert abs(g["total_value"] - w["total_value"]) < 1e-6, uid
+        assert g["max_value"] == w["max_value"], uid
+        assert g["last_ts_us"] == w["last_ts_us"], uid
