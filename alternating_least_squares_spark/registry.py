@@ -1125,6 +1125,142 @@ GROUP BY 1
 # non-SQL-expressible (rows-only driver check)
 
 
+def q_h03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 open orders by revenue for one market
+    segment before a date. Plan: broadcast the filtered customer dim,
+    shuffle lineitem once on orderkey, top-k via sort+limit (Spark
+    plans TakeOrderedAndProject — no full sort)."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(38,10)"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_H03 = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))
+             AS DOUBLE), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_h04_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue where customer and supplier share a
+    nation, per nation-of-a-region. Two broadcast dims (nation ⋈
+    region, supplier), one orders⋈customer broadcast chain, a single
+    big shuffle on orderkey."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n_r = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n_r), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(38,10)"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("revenue")
+        )
+    )
+
+
+SQL_H04 = """
+SELECT n_name,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))
+             AS DOUBLE), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name IN ('ASIA', 'EUROPE')
+GROUP BY 1
+"""
+
+
+def q_h05_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(38,10)"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_H05 = """
+SELECT c_custkey, c_name,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))
+             AS DOUBLE), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF (documents)
 
@@ -1383,6 +1519,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "e03_sessionize": (q_e03_sessionize, SQL_E03),
     "h01_pricing_summary": (q_h01_pricing_summary, SQL_H01),
     "h02_revenue_by_nation": (q_h02_revenue_by_nation, SQL_H02),
+    "h03_shipping_priority": (q_h03_shipping_priority, SQL_H03),
+    "h04_local_supplier_volume": (q_h04_local_supplier_volume, SQL_H04),
+    "h05_returned_revenue": (q_h05_returned_revenue, SQL_H05),
     "t06_tfidf": (q_t06_tfidf, SQL_T06),
     "st01_stream_hourly": (q_st01_stream_hourly, SQL_ST01),
     "st02_stream_sessionize": (q_st02_stream_sessionize, SQL_ST02),

@@ -30,12 +30,16 @@ HEADLINE = [
     "ipf_cost_per_visit",
     "h01_pricing_summary",
     "h02_revenue_by_nation",
+    "h03_shipping_priority",
     "a13_mmult",
     "a16_ipf_step",
     "e03_sessionize",
+    "st01_stream_hourly",
     "t01_token_stats",
+    "t06_tfidf",
     "d03_minhash_near_dup",
     "s01_lsh_topk",
+    "s03_ivf_topk",
     "m01_als_recommend",
 ]
 
