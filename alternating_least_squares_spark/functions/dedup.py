@@ -193,7 +193,62 @@ def keep_one_filter(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
     """Drop the higher-id member of every near-dup pair (transitive
-    enough for pipeline use; exact connected components would need an
-    iterative step). One anti-join."""
+    enough for pipeline use; :func:`dedup_components` is the exact
+    clustering). One anti-join."""
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return docs.join(losers, id_col, "left_anti")
+
+
+def dedup_components(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Exact connected components over a near-dup pair graph via
+    hash-min label propagation: every vertex converges to the MINIMUM
+    id reachable from it. Returns ``(id, component)``.
+
+    Iterative driver loop (the same pattern as the IPF/ALS loops):
+    per round one join (labels → neighbors) + one groupBy-min + a
+    scalar changed-count action; ``localCheckpoint`` cuts lineage.
+    Rounds needed = graph diameter — near-dup clusters are almost
+    cliques, so 2–3 rounds in practice. At 100 TB both sides shuffle
+    on the vertex id; no driver-side state beyond the changed counter.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        # candidate label per vertex: min over its own label and every
+        # neighbor's label
+        neighbor_labels = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

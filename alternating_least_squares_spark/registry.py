@@ -813,6 +813,43 @@ def q_d03_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(docs, "doc_id", "text", n_hashes=32, bands=8, threshold=0.5)
 
 
+def q_d04_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact connected components (iterative hash-min label
+    propagation) over the exact-duplicate graph: docs sharing an
+    md5(text) form a clique, so the true component of every doc is the
+    min doc_id in its hash group — which plain SQL can state, giving
+    an ORACLE-CHECKED iterative graph operator."""
+    from alternating_least_squares_spark.functions.dedup import dedup_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    grouped = docs.select("doc_id", F.md5("text").alias("_h"))
+    pairs = (
+        grouped.alias("a")
+        .join(grouped.alias("b"), "_h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+    comp = dedup_components(pairs)
+    # singletons (no dup partner) are their own component
+    return (
+        docs.select("doc_id")
+        .join(comp, docs.doc_id == comp.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+    )
+
+
+SQL_D04 = """
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS component
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search / ALS (rows-only: iterative or multi-stage plans)
 
@@ -1123,6 +1160,104 @@ GROUP BY 1
 
 # ---------------------------------------------------------------------------
 # non-SQL-expressible (rows-only driver check)
+
+
+# ---------------------------------------------------------------------------
+# grouping sets / window frames (not in the reference — SURVEY §2.D
+# marks them N/A there — but free in Spark, so exposed as first-class
+# query surface)
+
+
+def q_g01_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (returnflag → linestatus → grand total): one shuffle,
+    Expand feeds all grouping sets through the same hash aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+SQL_G01 = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_g02_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_G02 = """
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_w01_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame window: per-customer running order total in date order
+    (rows-frame; deterministic tie-break on o_orderkey)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)")).over(w).cast(
+                "double"
+            ),
+            6,
+        ).alias("running_total"),
+    )
+
+
+SQL_W01 = """
+SELECT o_custkey, o_orderkey,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE), 6) AS running_total
+FROM orders
+"""
+
+
+def q_w02_rank_dense_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking + offset window functions in one pass (single window
+    sort per partition): order rank by price per customer, dense rank,
+    and previous order's price."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("price_rank"),
+        F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    )
+
+
+SQL_W02 = """
+SELECT o_custkey, o_orderkey,
+       CAST(rank() OVER w AS BIGINT) AS price_rank,
+       CAST(dense_rank() OVER w AS BIGINT) AS price_dense_rank,
+       lag(o_totalprice) OVER w AS prev_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
 
 
 def q_h03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1520,6 +1655,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "h01_pricing_summary": (q_h01_pricing_summary, SQL_H01),
     "h02_revenue_by_nation": (q_h02_revenue_by_nation, SQL_H02),
     "h03_shipping_priority": (q_h03_shipping_priority, SQL_H03),
+    "g01_rollup": (q_g01_rollup, SQL_G01),
+    "g02_cube": (q_g02_cube, SQL_G02),
+    "w01_running_total": (q_w01_running_total, SQL_W01),
+    "w02_rank_dense_lag": (q_w02_rank_dense_lag, SQL_W02),
     "h04_local_supplier_volume": (q_h04_local_supplier_volume, SQL_H04),
     "h05_returned_revenue": (q_h05_returned_revenue, SQL_H05),
     "t06_tfidf": (q_t06_tfidf, SQL_T06),
@@ -1530,6 +1669,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "d01_simhash": (q_d01_simhash, SQL_D01),
     "d02_jaccard_pairs": (q_d02_jaccard_pairs, SQL_D02),
     "d03_minhash_near_dup": (q_d03_minhash_near_dup, None),
+    "d04_dedup_components": (q_d04_dedup_components, SQL_D04),
     "s01_lsh_topk": (q_s01_lsh_topk, None),
     "s02_embedding_near_dup": (q_s02_embedding_near_dup, None),
     "s03_ivf_topk": (q_s03_ivf_topk, None),

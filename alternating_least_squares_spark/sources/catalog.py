@@ -189,6 +189,23 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
 
 
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """JSON-lines scan. Always pass a schema in production — inference
+    is a full extra read, and at 100 TB a schema drift should fail
+    loudly at plan time, not silently widen types."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per line, splittable on read)."""
+    df.write.mode(mode).json(path)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

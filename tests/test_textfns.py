@@ -68,3 +68,15 @@ def test_fingerprint_deterministic_and_order_sensitive(spark):
 def test_word_occurrences_counts_all(spark):
     got = _one(spark, " the the the ", lambda c: TX.word_occurrences(c, "the"))
     assert got == 3
+
+
+def test_dedup_components_chain_and_isolated(spark):
+    """Hash-min CC: a 4-chain collapses to its min id in ~diameter
+    rounds; isolated pairs keep separate components."""
+    from alternating_least_squares_spark.functions.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["component"] for r in dedup_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
