@@ -1,0 +1,73 @@
+"""As-of join — Spark has no native operator; this is the scalable
+union+window formulation.
+
+``asof_join(left, right, key, ts)``: every left row is matched with
+the LATEST right row of the same key whose timestamp is ≤ the left
+row's (classic market-data / feature-store semantics).
+
+The naive theta-join (``l.key = r.key AND r.ts <= l.ts`` + max) is
+quadratic per key. The scalable shape — one union, ONE shuffle on the
+key, one ordered window pass:
+
+1. tag both sides and union them on (key, ts);
+2. ``last(right_payload, ignorenulls=True)`` over
+   ``partitionBy(key).orderBy(ts, side)`` rows-to-current carries the
+   most recent right payload forward;
+3. keep the left rows.
+
+Ties (equal ts): the right row sorts FIRST (side ordering), so a
+same-timestamp right row IS visible to the left row — the standard
+inclusive as-of. Cost is sort-within-partition, exactly what a range
+join in a native engine pays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    payload_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Inclusive as-of join (right.ts ≤ left.ts, latest wins).
+
+    ``payload_cols``: right columns to carry (default: all but key/ts).
+    Carried columns are renamed ``<name><suffix>``; the matched right
+    timestamp arrives as ``<ts><suffix>`` (NULL when no right row
+    precedes the left row)."""
+    if payload_cols is None:
+        payload_cols = [c for c in right.columns if c not in (key, ts)]
+
+    l_tag = left.withColumn("_side", F.lit(1))
+    r_tag = right.select(
+        key,
+        ts,
+        *[F.col(c).alias(f"{c}{suffix}") for c in payload_cols],
+    ).withColumn("_side", F.lit(0))
+
+    carried = [f"{c}{suffix}" for c in payload_cols] + [f"{ts}{suffix}"]
+    unioned = l_tag.withColumns(
+        {f"{c}{suffix}": F.lit(None).cast(r_tag.schema[f"{c}{suffix}"].dataType)
+         for c in payload_cols}
+    ).withColumn(f"{ts}{suffix}", F.lit(None).cast(r_tag.schema[ts].dataType))
+    r_full = r_tag.withColumn(f"{ts}{suffix}", F.col(ts))
+    for c in left.columns:
+        if c not in (key, ts):
+            r_full = r_full.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    unioned = unioned.unionByName(r_full.select(unioned.columns))
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumns(
+        {c: F.last(c, ignorenulls=True).over(w) for c in carried}
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side")

@@ -1396,6 +1396,41 @@ LIMIT 20
 """
 
 
+def q_j01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each click event matched with
+    the user's latest purchase at-or-before it. Oracle: DuckDB's
+    NATIVE ASOF LEFT JOIN — two independent implementations of the
+    semantics hash-compared. Integer-µs timestamps for parity."""
+    from alternating_least_squares_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns DIV 1000")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "value"
+    )
+    return asof_join(clicks, purchases, key="user_id", ts="ts_us")
+
+
+SQL_J01 = """
+WITH c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id, c.ts_us,
+       p.value AS value_asof, p.ts_us AS ts_us_asof
+FROM c ASOF LEFT JOIN p
+  ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+"""
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF (documents)
 
@@ -1659,6 +1694,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "g02_cube": (q_g02_cube, SQL_G02),
     "w01_running_total": (q_w01_running_total, SQL_W01),
     "w02_rank_dense_lag": (q_w02_rank_dense_lag, SQL_W02),
+    "j01_asof_join": (q_j01_asof_join, SQL_J01),
     "h04_local_supplier_volume": (q_h04_local_supplier_volume, SQL_H04),
     "h05_returned_revenue": (q_h05_returned_revenue, SQL_H05),
     "t06_tfidf": (q_t06_tfidf, SQL_T06),

@@ -1,0 +1,41 @@
+"""As-of join semantics on hand-checkable literals."""
+
+from __future__ import annotations
+
+from alternating_least_squares_spark.operators.asof import asof_join
+
+
+def test_asof_join_literals(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 10, "d")],
+        "k long, t long, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 15, 200.0), (3, 1, 999.0)],
+        "k long, t long, v double",
+    )
+    out = {
+        (r["k"], r["t"]): (r["v_asof"], r["t_asof"])
+        for r in asof_join(left, right, key="k", ts="t").collect()
+    }
+    assert out == {
+        (1, 10): (100.0, 8),   # latest right ≤ 10 is t=8
+        (1, 20): (200.0, 15),  # latest right ≤ 20 is t=15
+        (1, 5): (None, None),  # nothing at or before 5
+        (2, 10): (None, None), # no right rows for key 2
+    }
+
+
+def test_asof_join_inclusive_tie(spark):
+    """A right row at exactly the left timestamp IS visible."""
+    left = spark.createDataFrame([(1, 10)], "k long, t long")
+    right = spark.createDataFrame([(1, 10, 7.0)], "k long, t long, v double")
+    row = asof_join(left, right, key="k", ts="t").first()
+    assert row["v_asof"] == 7.0 and row["t_asof"] == 10
+
+
+def test_asof_join_left_columns_preserved(spark):
+    left = spark.createDataFrame([(1, 10, "x")], "k long, t long, tag string")
+    right = spark.createDataFrame([(1, 9, 1.0)], "k long, t long, v double")
+    row = asof_join(left, right, key="k", ts="t").first()
+    assert row["tag"] == "x" and row["v_asof"] == 1.0
