@@ -1202,6 +1202,30 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def q_g03_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile``
+    == DuckDB ``quantile_cont``, both linear interpolation). Exact
+    percentile requires a per-group sort — use ``approx_percentile``
+    (t-digest, no sort) when 0.1% error is acceptable at scale; that
+    variant has no cross-engine oracle, which is exactly why the exact
+    one is registered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90_price"),
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+SQL_G03 = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+       count(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem GROUP BY 1
+"""
+
+
 def q_w01_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame window: per-customer running order total in date order
     (rows-frame; deterministic tie-break on o_orderkey)."""
@@ -1692,6 +1716,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "h03_shipping_priority": (q_h03_shipping_priority, SQL_H03),
     "g01_rollup": (q_g01_rollup, SQL_G01),
     "g02_cube": (q_g02_cube, SQL_G02),
+    "g03_percentiles": (q_g03_percentiles, SQL_G03),
     "w01_running_total": (q_w01_running_total, SQL_W01),
     "w02_rank_dense_lag": (q_w02_rank_dense_lag, SQL_W02),
     "j01_asof_join": (q_j01_asof_join, SQL_J01),
