@@ -1,0 +1,65 @@
+"""Range (interval) join — points to containing intervals.
+
+Spark evaluates a plain ``p.ts BETWEEN i.start AND i.end`` join as
+BroadcastNestedLoopJoin (quadratic; fine only when one side
+broadcasts). The scalable formulation is the classic **binned range
+join** (what Databricks' range-join optimization does under the
+hood):
+
+1. pick a bin width; each interval explodes to the bins it covers
+   (``sequence(start DIV w, end DIV w)`` — a generator, no shuffle);
+2. each point maps to its single bin;
+3. equi-join on (key, bin) — THE shuffle, fan-out bounded by
+   interval_length / bin_width;
+4. re-check the exact range predicate (bins over-approximate).
+
+Bin width trades replication (long intervals → many bins) against
+candidate pruning (wide bins → more false candidates). A width near
+the median interval length keeps both ~O(1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    ts: str,
+    start: str,
+    end: str,
+    bin_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point (``key``, ``ts``) to every interval of the same
+    key with ``start ≤ ts ≤ end`` (inclusive both ends; integer
+    domains — use epoch micros for timestamps).
+
+    ``how='inner'`` only: a left variant would need an extra anti-join
+    for unmatched points; compose it from this primitive if needed.
+    """
+    if how != "inner":
+        raise ValueError("range_join supports inner only; compose left "
+                         "from inner + left_anti on the points side")
+    # integer DIV, not `/`: double division + cast truncates AFTER fp
+    # rounding and can land in the wrong bin. DIV is monotone, so
+    # start ≤ ts ≤ end ⟹ the point's bin is inside the interval's
+    # bin sequence.
+    binned_i = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"{start} DIV {bin_width}"),
+                F.expr(f"{end} DIV {bin_width}"),
+            )
+        ),
+    )
+    binned_p = points.withColumn("_bin", F.expr(f"{ts} DIV {bin_width}"))
+    return (
+        binned_p.join(binned_i, [key, "_bin"])
+        .filter((F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end)))
+        .drop("_bin")
+    )

@@ -1202,6 +1202,31 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+# One ANSI-dialect string, executed VERBATIM by both engines: Spark
+# runs it through spark.sql() over temp views; DuckDB runs it as the
+# oracle. Proves the engine exposes a raw-SQL surface, not only the
+# DataFrame API.
+SQL_SHARED_SQL01 = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 6)
+         AS total_price,
+       round(min(o_totalprice), 6) AS min_price,
+       round(max(o_totalprice), 6) AS max_price
+FROM orders
+WHERE o_orderstatus <> 'F' AND o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY o_orderpriority
+"""
+
+
+def q_sql01_shared_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-SQL surface: register the testdata as temp views and run
+    the SAME SQL string the DuckDB oracle runs — dialect-portable ANSI
+    (no engine-specific functions), byte-identical on both sides."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(SQL_SHARED_SQL01)
+
+
 def q_g03_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (Spark ``percentile``
     == DuckDB ``quantile_cont``, both linear interpolation). Exact
@@ -1452,6 +1477,48 @@ SELECT c.event_id, c.user_id, c.ts_us,
        p.value AS value_asof, p.ts_us AS ts_us_asof
 FROM c ASOF LEFT JOIN p
   ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+"""
+
+
+def q_j02_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join (operators/rangejoin.py): click events within
+    ±15 min of a same-user purchase. Bin width = the window radius, so
+    each interval explodes to ≤ 3 bins and the join is a bounded-fan
+    equi-join — never a nested-loop theta join. Oracle: DuckDB BETWEEN
+    join."""
+    from alternating_least_squares_spark.operators.rangejoin import range_join
+
+    radius_us = 15 * 60 * 1_000_000
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns DIV 1000")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        (F.col("ts_us") - radius_us).alias("w_start"),
+        (F.col("ts_us") + radius_us).alias("w_end"),
+        F.col("ts_us").alias("p_ts_us"),
+    )
+    return range_join(
+        clicks, purchases, key="user_id", ts="ts_us",
+        start="w_start", end="w_end", bin_width=radius_us,
+    ).select("event_id", "user_id", "ts_us", "p_ts_us")
+
+
+SQL_J02 = """
+WITH c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, epoch_us(ts) AS p_ts_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id, c.ts_us, p.p_ts_us
+FROM c JOIN p ON c.user_id = p.user_id
+ AND c.ts_us BETWEEN p.p_ts_us - 900000000 AND p.p_ts_us + 900000000
 """
 
 
@@ -1717,9 +1784,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "g01_rollup": (q_g01_rollup, SQL_G01),
     "g02_cube": (q_g02_cube, SQL_G02),
     "g03_percentiles": (q_g03_percentiles, SQL_G03),
+    "sql01_shared_dialect": (q_sql01_shared_dialect, SQL_SHARED_SQL01),
     "w01_running_total": (q_w01_running_total, SQL_W01),
     "w02_rank_dense_lag": (q_w02_rank_dense_lag, SQL_W02),
     "j01_asof_join": (q_j01_asof_join, SQL_J01),
+    "j02_range_join": (q_j02_range_join, SQL_J02),
     "h04_local_supplier_volume": (q_h04_local_supplier_volume, SQL_H04),
     "h05_returned_revenue": (q_h05_returned_revenue, SQL_H05),
     "t06_tfidf": (q_t06_tfidf, SQL_T06),

@@ -39,3 +39,22 @@ def test_asof_join_left_columns_preserved(spark):
     right = spark.createDataFrame([(1, 9, 1.0)], "k long, t long, v double")
     row = asof_join(left, right, key="k", ts="t").first()
     assert row["tag"] == "x" and row["v_asof"] == 1.0
+
+
+def test_range_join_literals(spark):
+    """Binned range join on hand-checkable literals: inclusive bounds,
+    overlapping intervals, cross-key isolation."""
+    from alternating_least_squares_spark.operators.rangejoin import range_join
+
+    points = spark.createDataFrame(
+        [(1, 5), (1, 10), (1, 25), (2, 10)], "k long, t long"
+    )
+    ivals = spark.createDataFrame(
+        [(1, 0, 10, "a"), (1, 8, 20, "b"), (2, 90, 99, "c")],
+        "k long, s long, e long, tag string",
+    )
+    got = sorted(
+        (r["k"], r["t"], r["tag"])
+        for r in range_join(points, ivals, "k", "t", "s", "e", bin_width=7).collect()
+    )
+    assert got == [(1, 5, "a"), (1, 10, "a"), (1, 10, "b")]
