@@ -1,0 +1,62 @@
+"""Physical-plan shape regression tests: the scale properties the
+engine promises (no all-pairs joins, pruned scans, broadcast dims)
+asserted against the actual optimized plans, so they cannot silently
+regress."""
+
+from __future__ import annotations
+
+import pytest
+
+from alternating_least_squares_spark import registry
+from tests.conftest import SF_SMALL
+
+
+def _plan(spark, name: str) -> str:
+    df = registry.queries()[name](spark, SF_SMALL)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["s01_lsh_topk", "s02_embedding_near_dup", "d03_minhash_near_dup"],
+)
+def test_candidate_generation_is_never_all_pairs(spark, name):
+    """LSH/MinHash candidate joins must be bucket equi-joins — a
+    cartesian/nested-loop corpus×corpus join would be quadratic."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_projection_reaches_the_scan(spark):
+    """c03 selects 3 of part's 6 columns; the parquet ReadSchema must
+    contain only those (column pruning reached the reader)."""
+    plan = _plan(spark, "c03_projection")
+    assert "p_partkey" in plan and "p_retailprice" in plan
+    assert "p_brand" not in plan and "p_type" not in plan
+
+
+def test_filter_pushdown_reaches_the_scan(spark):
+    """c02's non-zero filter must appear as a pushed parquet filter,
+    not only as a post-scan Filter node."""
+    plan = _plan(spark, "c02_filter_nonzero")
+    assert "PushedFilters: [" in plan
+    # at least one real pushed predicate (not an empty list)
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), plan
+
+
+def test_dimension_joins_broadcast(spark):
+    """h02 joins lineitem against orders/customer/nation dims — every
+    join should be broadcast-hash (no shuffled sort-merge join of a
+    dim at this scale), driven by AQE/size estimation, not hints."""
+    plan = _plan(spark, "h02_revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    """h03's ORDER BY + LIMIT must plan as TakeOrderedAndProject —
+    a global Sort of all groups would be a scale bug."""
+    plan = _plan(spark, "h03_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
