@@ -1,0 +1,86 @@
+"""Storage-layout scale properties: partition pruning on partitioned
+parquet sinks, and bucketed tables giving shuffle-free co-located
+joins. These are the two layout levers that matter most at 100 TB —
+asserted against actual plans, not just documented."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from alternating_least_squares_spark.sources import catalog, load_table
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="alternating_ls_storage_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_partitioned_sink_prunes_partitions(spark, tmpdir):
+    """write_parquet(partition_by=event_type) + a filter on the
+    partition column must scan ONE directory: the plan's partition
+    filters carry the predicate and the other types' files are never
+    opened."""
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "event_type", "value"
+    )
+    path = os.path.join(tmpdir, "events_by_type")
+    catalog.write_parquet(ev, path, partition_by=["event_type"])
+
+    back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
+    want = ev.filter(F.col("event_type") == "click").count()
+    assert back.count() == want
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmpdir):
+    """Two tables bucketed+sorted on the join key co-locate: the join
+    plans with NO Exchange on either side (shuffle happened once at
+    write time, amortized over every later join)."""
+    # spark.sql.warehouse.dir is static — managed tables land in
+    # ./spark-warehouse (gitignored); DROP TABLE removes the files.
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    for name, df, key in [
+        ("b_orders", orders, "o_orderkey"),
+        ("b_lineitem", li, "l_orderkey"),
+    ]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+
+    a = spark.table("b_orders")
+    b = spark.table("b_lineitem")
+    joined = a.join(b, a.o_orderkey == b.l_orderkey)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    try:
+        assert "Exchange" not in plan, plan
+        n = joined.count()
+        want = orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+        assert n == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
