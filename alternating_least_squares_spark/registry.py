@@ -871,6 +871,32 @@ def q_s02_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.4)
 
 
+def q_d05_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MinHashLSH.approxSimilarityJoin near-dup path (the API
+    users migrating from MLlib pipelines hold); coexists with the
+    hand-rolled d03 and agrees with it (tests). Rows-only: MLlib's
+    hash family is internal."""
+    from alternating_least_squares_spark.functions.mllib_lsh import (
+        mllib_minhash_near_dup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mllib_minhash_near_dup(docs, max_jaccard_distance=0.5)
+
+
+def q_s04_mllib_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BucketedRandomProjectionLSH near-neighbor pairs on the chord
+    scale (unit vectors). Rows-only."""
+    from alternating_least_squares_spark.functions.mllib_lsh import (
+        mllib_euclidean_neighbors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # chord 1.1 ⇔ cosine ≥ ~0.4 — matched to the synthetic corpus,
+    # which holds no true near-dups (max pairwise cosine ≈ 0.4)
+    return mllib_euclidean_neighbors(emb, max_distance=1.1)
+
+
 def q_s03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN (KMeans coarse quantizer + probed-list exact
     rerank) — the second scale path next to s01's hyperplane LSH.
@@ -1800,9 +1826,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "d02_jaccard_pairs": (q_d02_jaccard_pairs, SQL_D02),
     "d03_minhash_near_dup": (q_d03_minhash_near_dup, None),
     "d04_dedup_components": (q_d04_dedup_components, SQL_D04),
+    "d05_mllib_minhash": (q_d05_mllib_minhash, None),
     "s01_lsh_topk": (q_s01_lsh_topk, None),
     "s02_embedding_near_dup": (q_s02_embedding_near_dup, None),
     "s03_ivf_topk": (q_s03_ivf_topk, None),
+    "s04_mllib_euclidean": (q_s04_mllib_euclidean, None),
     "m01_als_recommend": (q_m01_als_recommend, None),
     "ipf_cost_per_visit": (q_ipf_cost_per_visit, None),
 }

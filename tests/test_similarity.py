@@ -81,3 +81,58 @@ def test_ivf_probe_fanout_bounded(spark):
     res = ivf_topk(emb, queries, k=n, n_centroids=8, n_probe=2)
     per_q = res.groupBy("query_id").count().collect()
     assert per_q and all(r["count"] < n * 0.8 for r in per_q)
+
+
+def test_mllib_and_handrolled_minhash_agree(spark):
+    """The two MinHash near-dup paths (hand-rolled banded LSH vs MLlib
+    approxSimilarityJoin) must substantially agree on which pairs are
+    near-dups at the same Jaccard threshold."""
+    from alternating_least_squares_spark.functions.dedup import near_dup_pairs
+    from alternating_least_squares_spark.functions.mllib_lsh import (
+        mllib_minhash_near_dup,
+    )
+    from alternating_least_squares_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    ours = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_pairs(docs, threshold=0.5).collect()
+    }
+    mllib = {
+        (r["id_a"], r["id_b"])
+        for r in mllib_minhash_near_dup(docs, max_jaccard_distance=0.5).collect()
+    }
+    assert ours and mllib
+    overlap = len(ours & mllib) / max(len(ours | mllib), 1)
+    assert overlap >= 0.7, (sorted(ours), sorted(mllib))
+
+
+def test_mllib_euclidean_matches_cosine_near_dups(spark):
+    """On unit vectors, chord distance d ⇔ cosine 1 − d²/2 — every
+    pair the Euclidean LSH reports must satisfy the implied cosine
+    bound (the approximation may miss pairs, never mis-admit)."""
+    from alternating_least_squares_spark.functions.mllib_lsh import (
+        mllib_euclidean_neighbors,
+    )
+    from alternating_least_squares_spark.functions.similarity import cosine
+    from alternating_least_squares_spark.sources import load_table
+    from pyspark.sql import functions as F2
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    # the synthetic embeddings hold no true near-dups (best cosine
+    # ≈ 0.4 ⇒ chord ≈ 1.1), so probe at that scale; the default 0.35
+    # is the right production near-dup threshold, just vacuous here
+    pairs = mllib_euclidean_neighbors(emb, max_distance=1.15).collect()
+    assert pairs
+    a = emb.select(F2.col("vec_id").alias("id_a"), F2.col("embedding").alias("ea"))
+    b = emb.select(F2.col("vec_id").alias("id_b"), F2.col("embedding").alias("eb"))
+    import math
+
+    for r in pairs[:10]:
+        ea = a.filter(F2.col("id_a") == r["id_a"]).first()["ea"]
+        eb = b.filter(F2.col("id_b") == r["id_b"]).first()["eb"]
+        dot = sum(x * y for x, y in zip(ea, eb))
+        na = math.sqrt(sum(x * x for x in ea))
+        nb = math.sqrt(sum(x * x for x in eb))
+        # chord ≤ 1.15 ⇔ cosine ≥ 1 − 1.15²/2 ≈ 0.34
+        assert dot / (na * nb) >= 0.33, r
