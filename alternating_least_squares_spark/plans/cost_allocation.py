@@ -127,11 +127,35 @@ def smoothed_seed(
     )
 
 
+def part_hour_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE lineitem scan feeding the whole flagship: per
+    (part, pseudo-hour) cell, the visit count AND the discounted
+    revenue. The x-marginal (revenue per part) and the visit seed are
+    both second-level aggregates/projections of this — without it the
+    pipeline scanned lineitem three times (x marginal, seed visits,
+    final-divide visits). At 100 TB that is two full scans + shuffles
+    saved; the base is one shuffle on (part, hour)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy(
+            F.col("l_partkey").alias(M.R),
+            (F.col("l_orderkey") % HOURS).alias(M.C),
+        )
+        .agg(
+            F.count("*").cast("double").alias("visits"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+    )
+
+
 def allocate_costs(
     spark: SparkSession,
     sf_dir: str,
     threshold: float = 1e-9,
     max_iterations: int = 50,
+    base: DataFrame | None = None,
 ) -> IPFResult:
     """E1+E3: run IPF to impute the part×hour cost matrix.
 
@@ -152,12 +176,19 @@ def allocate_costs(
     below the double-rounding floor once Σx reaches ~1e10 — the loop
     would spin at the fp plateau for the whole iteration budget.
     """
-    x = part_cost_marginal(spark, sf_dir).localCheckpoint(eager=True)
+    if base is None:
+        base = part_hour_base(spark, sf_dir).localCheckpoint(eager=True)
+    x = (
+        base.groupBy(F.col(M.R).alias(M.ID))
+        .agg(F.sum("revenue").alias(M.V))
+        .filter(F.col(M.V) != 0)
+    )
     x_total = x.agg(F.sum(M.V)).first()[0]
     y = hour_cost_marginal(spark, sf_dir, rescale_to=x_total).localCheckpoint(
         eager=True
     )
-    seed = smoothed_seed_from(visit_matrix(spark, sf_dir), x, y)
+    visits = base.select(M.R, M.C, F.col("visits").alias(M.V))
+    seed = smoothed_seed_from(visits, x, y)
     return converge_dense(
         x,
         y,
@@ -176,14 +207,18 @@ def cost_per_visit(
     """The finale (``core.clj:191-197``, completed per SURVEY.md §0.4):
     imputed cost ÷ visit count with zero-guard → cost per visit per
     part per hour. Returns ``(part, hour, cost, visits, cost_per_visit)``."""
+    base = part_hour_base(spark, sf_dir).localCheckpoint(eager=True)
     result = allocate_costs(
-        spark, sf_dir, threshold=threshold, max_iterations=max_iterations
+        spark,
+        sf_dir,
+        threshold=threshold,
+        max_iterations=max_iterations,
+        base=base,
     )
-    visits = visit_matrix(spark, sf_dir)
     cost = result.matrix.select(
         F.col(M.R), F.col(M.C), F.col(M.V).alias("cost")
     )
-    v = visits.select(M.R, M.C, F.col(M.V).alias("visits"))
+    v = base.select(M.R, M.C, F.col("visits").alias("visits"))
     return (
         cost.join(v, [M.R, M.C], "left")
         .select(
