@@ -1606,6 +1606,69 @@ SELECT doc_id, term, tf, tfidf, rnk FROM (
 """
 
 
+def q_t07_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 word bigrams by document frequency —
+    the building block of n-gram LM filtering / vocab construction.
+    One explode + two aggregations; top-k planned as
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = docs.select(
+        "doc_id", F.explode(TX.shingles(F.col("text"), 2)).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("bigram"))
+        .limit(50)
+    )
+
+
+SQL_T07 = f"""
+WITH tk AS (SELECT doc_id, {_toks_sql()} AS toks FROM documents),
+     sh AS (
+       SELECT doc_id,
+              CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                   ELSE list_transform(range(len(toks) - 1),
+                          i -> toks[i+1] || ' ' || toks[i+2])
+              END AS grams
+       FROM tk
+     ),
+     b AS (SELECT doc_id, unnest(grams) AS bigram FROM sh)
+SELECT bigram, count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs
+FROM b GROUP BY 1
+ORDER BY n_docs DESC, n_occurrences DESC, bigram ASC
+LIMIT 50
+"""
+
+
+def q_t08_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set contamination screen: which documents contain any of a
+    set of probe strings. Probes broadcast (tiny dim), docs stream
+    through a single contains scan — the standard decontamination
+    pass before training-data release."""
+    probes = spark.createDataFrame(
+        [("join order",), ("hash table",), ("spark sql",)], "probe string"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.crossJoin(F.broadcast(probes))
+        .filter(F.contains(F.lower("text"), F.col("probe")))
+        .select("doc_id", "probe")
+    )
+
+
+SQL_T08 = """
+WITH probes(probe) AS (VALUES ('join order'), ('hash table'), ('spark sql'))
+SELECT doc_id, probe
+FROM documents CROSS JOIN probes
+WHERE contains(lower(text), probe)
+"""
+
+
 # ---------------------------------------------------------------------------
 # streaming replays (Structured Streaming run to completion, then
 # compared against plain batch SQL — the exactly-once replay property)
@@ -1818,6 +1881,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "h04_local_supplier_volume": (q_h04_local_supplier_volume, SQL_H04),
     "h05_returned_revenue": (q_h05_returned_revenue, SQL_H05),
     "t06_tfidf": (q_t06_tfidf, SQL_T06),
+    "t07_top_bigrams": (q_t07_top_bigrams, SQL_T07),
+    "t08_contamination": (q_t08_contamination, SQL_T08),
     "st01_stream_hourly": (q_st01_stream_hourly, SQL_ST01),
     "st02_stream_sessionize": (q_st02_stream_sessionize, SQL_ST02),
     "st03_stateful_profiles": (q_st03_stateful_profiles, SQL_ST03),
