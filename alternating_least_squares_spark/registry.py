@@ -1606,6 +1606,57 @@ SELECT doc_id, term, tf, tfidf, rnk FROM (
 """
 
 
+def q_x01_grouped_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ``applyInPandas`` custom operator: per-returnflag robust
+    price statistics (median, MAD, 3-MAD outlier count) computed in
+    pandas per group — the escape hatch for per-group logic built-in
+    aggregates can't express. Arrow-batched; one shuffle on the key.
+
+    Oracle: DuckDB's native median()/mad() (pandas and DuckDB share
+    the linear-interpolation median), so the Python-side math is
+    hash-verified — the same proof pattern as mm01 for mapInPandas."""
+
+    def per_group(pdf):
+        import pandas as pd
+
+        med = float(pdf["l_extendedprice"].median())
+        mad = float((pdf["l_extendedprice"] - med).abs().median())
+        n_out = int(((pdf["l_extendedprice"] - med).abs() > 3 * mad).sum())
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "median_price": [round(med, 6)],
+                "mad_price": [round(mad, 6)],
+                "n_outliers": [n_out],
+            }
+        )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    return li.groupBy("l_returnflag").applyInPandas(
+        per_group,
+        "l_returnflag string, median_price double, mad_price double, n_outliers long",
+    )
+
+
+SQL_X01 = """
+WITH stats AS (
+  SELECT l_returnflag,
+         median(l_extendedprice) AS med,
+         mad(l_extendedprice) AS md
+  FROM lineitem GROUP BY 1
+)
+SELECT s.l_returnflag,
+       round(s.med, 6) AS median_price,
+       round(s.md, 6) AS mad_price,
+       count(*) FILTER (WHERE abs(l.l_extendedprice - s.med) > 3 * s.md)
+         AS n_outliers
+FROM lineitem l JOIN stats s USING (l_returnflag)
+GROUP BY 1, 2, 3
+"""
+
+
 def q_t07_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-50 word bigrams by document frequency —
     the building block of n-gram LM filtering / vocab construction.
@@ -1883,6 +1934,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "t06_tfidf": (q_t06_tfidf, SQL_T06),
     "t07_top_bigrams": (q_t07_top_bigrams, SQL_T07),
     "t08_contamination": (q_t08_contamination, SQL_T08),
+    "x01_grouped_outliers": (q_x01_grouped_outliers, SQL_X01),
     "st01_stream_hourly": (q_st01_stream_hourly, SQL_ST01),
     "st02_stream_sessionize": (q_st02_stream_sessionize, SQL_ST02),
     "st03_stateful_profiles": (q_st03_stateful_profiles, SQL_ST03),
