@@ -1,0 +1,80 @@
+"""End-to-end training-corpus curation plan — the LLM-data flagship.
+
+Chains the pipeline a data team would actually run before training:
+
+1. **exact dedup** — keep the min-id doc per md5(text) group;
+2. **quality floor** — drop low quality-score docs;
+3. **language filter** — keep docs whose marker-score says English;
+4. **contamination screen** — drop docs containing probe strings;
+5. **stats** — per-source corpus accounting (docs, tokens, quality).
+
+Every stage is a native-expression operator already oracle-proven on
+its own (t01–t08 family); this plan is their composition as ONE lazy
+Catalyst plan: a single documents scan, one aggregation for the dedup
+keep-set, broadcast joins for the keep/drop sets, one final
+aggregation. Registered as ``p01_corpus_curation`` with a DuckDB
+oracle of the whole chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from alternating_least_squares_spark.functions import textfns as TX
+from alternating_least_squares_spark.sources import load_table
+
+DEFAULT_PROBES = ("spark sql benchmark",)
+QUALITY_FLOOR = 0.3
+
+
+def curate(
+    spark: SparkSession,
+    sf_dir: str,
+    quality_floor: float = QUALITY_FLOOR,
+    probes: tuple[str, ...] = DEFAULT_PROBES,
+) -> DataFrame:
+    """The kept corpus: (doc_id, source, n_tokens, quality)."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 1. exact dedup: survivor = min doc_id per content hash
+    survivors = docs.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = docs.join(F.broadcast(survivors.select("doc_id")), "doc_id")
+
+    # 2–3. quality floor + language filter (marker-score argmax == en)
+    scores = TX.lang_scores(F.col("text"))
+    en_wins = (
+        (scores["en"] > scores["de"])
+        & (scores["en"] > scores["es"])
+        & (scores["en"] > scores["fr"])
+    )
+    kept = kept.withColumn("quality", TX.quality_score(F.col("text"))).filter(
+        (F.col("quality") >= quality_floor) & en_wins
+    )
+
+    # 4. contamination screen
+    for probe in probes:
+        kept = kept.filter(~F.contains(F.lower("text"), F.lit(probe)))
+
+    # 5. projection for accounting
+    return kept.select(
+        "doc_id",
+        "source",
+        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        "quality",
+    )
+
+
+def corpus_stats(curated: DataFrame) -> DataFrame:
+    """Per-source accounting of the kept corpus."""
+    return curated.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(38,10)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_quality"),
+    )

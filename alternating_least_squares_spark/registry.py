@@ -1606,6 +1606,81 @@ SELECT doc_id, term, tf, tfidf, rnk FROM (
 """
 
 
+def q_p01_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-data flagship plan (plans/corpus_curation.py): exact
+    dedup → quality floor → language filter → contamination screen →
+    per-doc accounting, as one Catalyst plan over a single documents
+    scan. The oracle replays the whole chain in SQL."""
+    from alternating_least_squares_spark.plans.corpus_curation import curate
+
+    return curate(spark, sf_dir)
+
+
+def q_p02_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from alternating_least_squares_spark.plans.corpus_curation import (
+        corpus_stats,
+        curate,
+    )
+
+    return corpus_stats(curate(spark, sf_dir))
+
+
+def _curation_sql() -> str:
+    en = _marker_sql(TX.LANG_MARKERS["en"])
+    de = _marker_sql(TX.LANG_MARKERS["de"])
+    es = _marker_sql(TX.LANG_MARKERS["es"])
+    fr = _marker_sql(TX.LANG_MARKERS["fr"])
+    return f"""
+WITH surv AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+d AS (
+  SELECT doc_id, text, source FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM surv)
+),
+tk AS (SELECT doc_id, source, text, {_toks_sql()} AS toks FROM d),
+q AS (
+  SELECT doc_id, source, text, CAST(len(toks) AS BIGINT) AS n_tokens,
+         round(greatest(0.0,
+           least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0) * 0.5
+           + (CASE WHEN (CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                         / len(toks) END) <= 0 THEN 0.0
+              ELSE least((CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                         / len(toks) END) / 5.0, 1.0) END) * 0.5
+           - (CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+              / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 2.0
+         ), 6) AS quality
+  FROM tk
+),
+lng AS (
+  SELECT doc_id, {en} AS en_s, {de} AS de_s, {es} AS es_s, {fr} AS fr_s
+  FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM d)
+),
+kept AS (
+  SELECT q.doc_id, q.source, q.n_tokens, q.quality
+  FROM q JOIN lng USING (doc_id)
+  WHERE q.quality >= 0.3
+    AND lng.en_s > lng.de_s AND lng.en_s > lng.es_s AND lng.en_s > lng.fr_s
+    AND NOT contains(lower(q.text), 'spark sql benchmark')
+)
+"""
+
+
+SQL_P01 = _curation_sql() + """
+SELECT doc_id, source, n_tokens, quality FROM kept
+"""
+
+SQL_P02 = _curation_sql() + """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(sum(CAST(quality AS DECIMAL(38,10))) AS DOUBLE) / count(*), 6)
+         AS avg_quality
+FROM kept GROUP BY 1
+"""
+
+
 def q_x01_grouped_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped ``applyInPandas`` custom operator: per-returnflag robust
     price statistics (median, MAD, 3-MAD outlier count) computed in
@@ -1935,6 +2010,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "t07_top_bigrams": (q_t07_top_bigrams, SQL_T07),
     "t08_contamination": (q_t08_contamination, SQL_T08),
     "x01_grouped_outliers": (q_x01_grouped_outliers, SQL_X01),
+    "p01_corpus_curation": (q_p01_corpus_curation, SQL_P01),
+    "p02_corpus_stats": (q_p02_corpus_stats, SQL_P02),
     "st01_stream_hourly": (q_st01_stream_hourly, SQL_ST01),
     "st02_stream_sessionize": (q_st02_stream_sessionize, SQL_ST02),
     "st03_stateful_profiles": (q_st03_stateful_profiles, SQL_ST03),
