@@ -136,10 +136,15 @@ def converge_dense(
     y_loss = float("inf")
     iteration = 0
     while True:
-        row_scaled = F.transform(
-            F.col("vals"),
-            lambda v: v * F.col("_x") / _array_sum(F.col("vals")),
-        )
+        # all-zero row guard: an unsmoothed seed row has rowsum 0 and
+        # naive v*x/0 would flood the matrix with NaN; such a row can
+        # receive no mass, so it stays zero (same convention as the
+        # column factors below)
+        rowsum = _array_sum(F.col("vals"))
+        row_scaled = F.when(
+            rowsum != 0,
+            F.transform(F.col("vals"), lambda v: v * F.col("_x") / rowsum),
+        ).otherwise(F.col("vals"))
         agg_row = state.agg(
             F.sqrt(
                 F.sum(F.pow(F.col("_x") - _array_sum(F.col("vals")), F.lit(2)))

@@ -41,6 +41,7 @@ HEADLINE = [
     "j01_asof_join",
     "t01_token_stats",
     "t06_tfidf",
+    "p02_corpus_stats",
     "d03_minhash_near_dup",
     "s01_lsh_topk",
     "s03_ivf_topk",

@@ -119,3 +119,20 @@ def test_converge_dense_rejects_mismatched_totals(make_matrix, make_vector):
             make_vector([100, 200]),
             make_matrix([[1, 1], [1, 1]]),
         )
+
+
+def test_converge_dense_zero_row_stays_zero(make_matrix, make_vector):
+    """An all-zero seed row can receive no mass: it must stay zero (no
+    NaN flood), and the loop still fits the remaining rows."""
+    from alternating_least_squares_spark.operators.ipf_dense import converge_dense
+
+    seed = make_matrix([[1.0, 2.0], [0.0, 0.0], [3.0, 1.0]])
+    x = make_vector([10.0, 0.0, 20.0])
+    y = make_vector([14.0, 16.0])
+    res = converge_dense(x, y, seed, threshold=1e-10, max_iterations=100)
+    vals = {(r["r"], r["c"]): r["v"] for r in res.matrix.collect()}
+    assert vals[(1, 0)] == 0.0 and vals[(1, 1)] == 0.0
+    import math
+
+    assert all(not math.isnan(v) for v in vals.values())
+    assert abs(sum(vals.values()) - 30.0) < 1e-6
