@@ -88,17 +88,22 @@ def simhash(text: Column, bits: int = 16) -> Column:
 
     Bit i is the sign of Σ over tokens of ±1, where the ±1 comes from
     the parity of hex digit i of md5(token) (``F.conv`` hex→dec, which
-    a SQL oracle reproduces with strpos on the hex alphabet)."""
-    toks = tokens(text)
+    a SQL oracle reproduces with strpos on the hex alphabet).
+
+    Token hashes are hoisted into one array before the per-bit loop —
+    inlining ``md5(t)`` in the bit lambda would evaluate every
+    token's md5 once per bit (16× the hashing and a 16×-duplicated
+    codegen subtree)."""
+    hashes = F.transform(tokens(text), F.md5)
     bit_cols = F.transform(
         F.sequence(F.lit(0), F.lit(bits - 1)),
         lambda i: F.when(
             F.aggregate(
-                toks,
+                hashes,
                 F.lit(0),
-                lambda acc, t: acc
+                lambda acc, h: acc
                 + F.when(
-                    F.conv(F.md5(t).substr(i + 1, F.lit(1)), 16, 10).cast("int") % 2
+                    F.conv(h.substr(i + 1, F.lit(1)), 16, 10).cast("int") % 2
                     == 1,
                     F.lit(1),
                 ).otherwise(F.lit(-1)),
@@ -115,7 +120,9 @@ def simhash(text: Column, bits: int = 16) -> Column:
 def exact_dup_groups(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup via hash-groupBy: (h, n_docs, keep_id) with
     ``keep_id`` = min doc id (the canonical survivor)."""
-    return docs.groupBy(F.md5(F.col(text_col)).alias("h")).agg(
+    return docs.groupBy(
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("h")
+    ).agg(
         F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id")
     )
 
@@ -139,6 +146,12 @@ def near_dup_pairs(
          an all-pairs crossJoin)
       3. distinct candidate pairs → exact Jaccard on the shingle sets
     """
+    if bands <= 0 or bands > n_hashes or n_hashes % bands:
+        raise ValueError(
+            f"bands must divide n_hashes (got bands={bands}, "
+            f"n_hashes={n_hashes}); bands > n_hashes would make every "
+            "band slice empty and the bucket join all-pairs"
+        )
     rows_per_band = n_hashes // bands
     # The signature pass is narrow but compute-heavy; a small parquet
     # source arrives as one input split, which would serialize it on a
@@ -229,6 +242,7 @@ def dedup_components(
         .select("id", F.col("id").alias("component"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iterations):
         # candidate label per vertex: min over its own label and every
         # neighbor's label
@@ -250,5 +264,14 @@ def dedup_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silently returning partial labels would let a keep-one dedup
+        # keep duplicates with no signal
+        raise RuntimeError(
+            f"connected components did not converge in {max_iterations} "
+            "rounds (graph diameter exceeds the budget); raise "
+            "max_iterations"
+        )
     return labels

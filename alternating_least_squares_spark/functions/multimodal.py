@@ -89,20 +89,22 @@ def extract_media_features(
 
         for pdf in it:
             blobs = pdf[blob_col]
+            # hash each payload ONCE; per-byte work dominates this path
+            digests = blobs.map(lambda b: hashlib.md5(b).hexdigest())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "n_bytes": blobs.map(len).astype("int64"),
-                    "md5": blobs.map(lambda b: hashlib.md5(b).hexdigest()),
+                    "md5": digests,
                     "fake_mean_byte": blobs.map(
                         lambda b: float(sum(b)) / len(b) if len(b) else 0.0
                     ),
                     # FAKE decode stand-ins: deterministic from content.
-                    "decoded_width": blobs.map(
-                        lambda b: int(hashlib.md5(b).hexdigest()[:4], 16) % 1920
+                    "decoded_width": digests.map(
+                        lambda h: int(h[:4], 16) % 1920
                     ).astype("int32"),
-                    "decoded_height": blobs.map(
-                        lambda b: int(hashlib.md5(b).hexdigest()[4:8], 16) % 1080
+                    "decoded_height": digests.map(
+                        lambda h: int(h[4:8], 16) % 1080
                     ).astype("int32"),
                 }
             )

@@ -15,8 +15,6 @@ item = l_partkey, rating = Σ l_quantity per (user, item) — an implicit
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 from pyspark.ml.evaluation import RegressionEvaluator
 from pyspark.ml.recommendation import ALS, ALSModel
 from pyspark.sql import DataFrame, SparkSession
@@ -43,12 +41,6 @@ def ratings_from_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("l_quantity").cast("float").alias("rating"))
     )
-
-
-@dataclass
-class ALSResult:
-    model: ALSModel
-    rmse: float
 
 
 def train_als(

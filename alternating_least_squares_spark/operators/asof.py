@@ -44,30 +44,38 @@ def asof_join(
     if payload_cols is None:
         payload_cols = [c for c in right.columns if c not in (key, ts)]
 
-    l_tag = left.withColumn("_side", F.lit(1))
-    r_tag = right.select(
-        key,
-        ts,
+    # The whole right payload travels as ONE struct: last(ignorenulls)
+    # then carries the entire matched row atomically. Filling each
+    # payload column independently would let a NULL field in the
+    # matched right row fall through to an OLDER right row's value —
+    # a frankenrow mixing fields from different matches.
+    pack = F.struct(
+        F.col(ts).alias(f"{ts}{suffix}"),
         *[F.col(c).alias(f"{c}{suffix}") for c in payload_cols],
-    ).withColumn("_side", F.lit(0))
-
-    carried = [f"{c}{suffix}" for c in payload_cols] + [f"{ts}{suffix}"]
-    unioned = l_tag.withColumns(
-        {f"{c}{suffix}": F.lit(None).cast(r_tag.schema[f"{c}{suffix}"].dataType)
-         for c in payload_cols}
-    ).withColumn(f"{ts}{suffix}", F.lit(None).cast(r_tag.schema[ts].dataType))
-    r_full = r_tag.withColumn(f"{ts}{suffix}", F.col(ts))
+    )
+    r_tag = right.select(key, ts, pack.alias("_pack")).withColumn(
+        "_side", F.lit(0)
+    )
+    l_tag = left.withColumn(
+        "_pack", F.lit(None).cast(r_tag.schema["_pack"].dataType)
+    ).withColumn("_side", F.lit(1))
+    r_full = r_tag
     for c in left.columns:
         if c not in (key, ts):
             r_full = r_full.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    unioned = unioned.unionByName(r_full.select(unioned.columns))
+    unioned = l_tag.unionByName(r_full.select(l_tag.columns))
 
     w = (
         Window.partitionBy(key)
         .orderBy(F.col(ts).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.withColumns(
-        {c: F.last(c, ignorenulls=True).over(w) for c in carried}
+    filled = unioned.withColumn(
+        "_pack", F.last("_pack", ignorenulls=True).over(w)
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    out = filled.filter(F.col("_side") == 1).drop("_side")
+    carried = [f"{ts}{suffix}"] + [f"{c}{suffix}" for c in payload_cols]
+    return out.select(
+        *[c for c in left.columns],
+        *[F.col(f"_pack.{c}").alias(c) for c in carried],
+    )

@@ -38,7 +38,9 @@ def curate(
     docs = load_table(spark, sf_dir, "documents")
 
     # 1. exact dedup: survivor = min doc_id per content hash
-    survivors = docs.groupBy(F.md5("text").alias("_h")).agg(
+    survivors = docs.groupBy(
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("_h")
+    ).agg(
         F.min("doc_id").alias("doc_id")
     )
     kept = docs.join(F.broadcast(survivors.select("doc_id")), "doc_id")

@@ -476,12 +476,17 @@ def q_b01_b02_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     table to CSV with an explicit schema, read it back, return the
     rows. The oracle is the source table itself, so a hash match
     proves the CSV sink+source round-trip is lossless."""
+    import os
     import tempfile
 
     from alternating_least_squares_spark.sources import catalog
 
     nation = load_table(spark, sf_dir, "nation")
-    path = tempfile.mkdtemp(prefix="alternating_ls_csv_") + "/nation"
+    # fixed path + overwrite mode: a fresh mkdtemp per invocation
+    # would leak a table copy into /tmp every verify round
+    path = os.path.join(
+        tempfile.gettempdir(), "alternating_ls_csv_roundtrip", "nation"
+    )
     catalog.write_csv(nation, path)
     return catalog.read_csv(spark, path, schema=catalog.TABLES["nation"])
 
@@ -592,7 +597,10 @@ FROM lineitem GROUP BY 1
 
 
 def _toks_sql(col: str = "text") -> str:
-    stripped = f"regexp_replace({col}, '^\\s+|\\s+$', '', 'g')"
+    # coalesce mirrors the Spark side (textfns.tokens maps NULL text to
+    # an empty token array); without it every token-based oracle pair
+    # silently diverges the day a NULL text row appears
+    stripped = f"regexp_replace(coalesce({col}, ''), '^\\s+|\\s+$', '', 'g')"
     return (
         f"CASE WHEN {stripped} = '' THEN CAST([] AS VARCHAR[]) "
         f"ELSE string_split_regex({stripped}, '\\s+') END"
@@ -723,7 +731,7 @@ def q_t05_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_T05 = """
-SELECT md5(text) AS h, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+SELECT md5(coalesce(text, '')) AS h, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
 FROM documents GROUP BY 1
 """
 
@@ -822,7 +830,12 @@ def q_d04_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alternating_least_squares_spark.functions.dedup import dedup_components
 
     docs = load_table(spark, sf_dir, "documents")
-    grouped = docs.select("doc_id", F.md5("text").alias("_h"))
+    # coalesce: md5(NULL) is NULL and join keys never match on NULL,
+    # which would make every NULL-text doc a singleton while the
+    # oracle's window PARTITION BY groups them
+    grouped = docs.select(
+        "doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("_h")
+    )
     pairs = (
         grouped.alias("a")
         .join(grouped.alias("b"), "_h")
@@ -845,7 +858,7 @@ def q_d04_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_D04 = """
 SELECT doc_id,
-       min(doc_id) OVER (PARTITION BY md5(text)) AS component
+       min(doc_id) OVER (PARTITION BY md5(coalesce(text, ''))) AS component
 FROM documents
 """
 
@@ -1632,7 +1645,7 @@ def _curation_sql() -> str:
     fr = _marker_sql(TX.LANG_MARKERS["fr"])
     return f"""
 WITH surv AS (
-  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(coalesce(text, ''))
 ),
 d AS (
   SELECT doc_id, text, source FROM documents

@@ -58,3 +58,39 @@ def test_range_join_literals(spark):
         for r in range_join(points, ivals, "k", "t", "s", "e", bin_width=7).collect()
     )
     assert got == [(1, 5, "a"), (1, 10, "a"), (1, 10, "b")]
+
+
+def test_asof_join_null_payload_not_overwritten(spark):
+    """A NULL payload field in the MATCHED right row must survive as
+    NULL — not be back-filled from an older right row (the carried
+    payload travels as one struct, atomically)."""
+    left = spark.createDataFrame([(1, 3)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 1, 5.0), (1, 2, None)], "k long, t long, v double"
+    )
+    row = asof_join(left, right, key="k", ts="t").first()
+    assert row["t_asof"] == 2 and row["v_asof"] is None
+
+
+def test_near_dup_pairs_rejects_bad_banding(spark):
+    import pytest as _pytest
+
+    from alternating_least_squares_spark.functions.dedup import near_dup_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="bands must divide"):
+        near_dup_pairs(docs, n_hashes=32, bands=64)
+    with _pytest.raises(ValueError, match="bands must divide"):
+        near_dup_pairs(docs, n_hashes=32, bands=5)
+
+
+def test_dedup_components_raises_when_budget_too_small(spark):
+    import pytest as _pytest
+
+    from alternating_least_squares_spark.functions.dedup import dedup_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup_components(chain, max_iterations=2)
