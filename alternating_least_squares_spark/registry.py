@@ -1619,6 +1619,63 @@ SELECT doc_id, term, tf, tfidf, rnk FROM (
 """
 
 
+def q_x02_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment — the
+    reproducible-split primitive every training pipeline needs (random
+    splits change across runs/engines; content-hash splits never do).
+    Bucket = first 4 hex digits of md5(doc_id) mod 10 → 8/1/1 split.
+    Engine-independent (md5 + integer arithmetic), hence fully
+    oracle-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.md5(F.col("doc_id").cast("string")).substr(1, 4), 16, 10)
+        .cast("long")
+        % 10
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket < 9, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+SQL_X02 = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 4096
+         + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT) * 256
+         + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1 AS BIGINT) * 16
+         + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1 AS BIGINT)
+         AS hex4
+  FROM documents
+)
+SELECT doc_id, hex4 % 10 AS bucket,
+       CASE WHEN hex4 % 10 < 8 THEN 'train'
+            WHEN hex4 % 10 < 9 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+def q_x03_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (``sampleBy``): downsample the dominant
+    language strata while keeping the tails — the class-rebalancing
+    primitive. Rows-only: Spark's Bernoulli sampler is seeded but
+    engine-specific; the per-stratum fraction properties are pytest
+    (test_sampling.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # strata absent from the map are DROPPED by sampleBy — enumerate
+    # the actual strata (tiny distinct, one collect) so tails survive
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    fractions = {lang: (0.5 if lang == "en" else 1.0) for lang in langs}
+    return docs.sampleBy("lang", fractions, seed=42).select(
+        "doc_id", "lang"
+    )
+
+
 def q_p01_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LLM-data flagship plan (plans/corpus_curation.py): exact
     dedup → quality floor → language filter → contamination screen →
@@ -2023,6 +2080,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "t07_top_bigrams": (q_t07_top_bigrams, SQL_T07),
     "t08_contamination": (q_t08_contamination, SQL_T08),
     "x01_grouped_outliers": (q_x01_grouped_outliers, SQL_X01),
+    "x02_train_test_split": (q_x02_train_test_split, SQL_X02),
+    "x03_stratified_sample": (q_x03_stratified_sample, None),
     "p01_corpus_curation": (q_p01_corpus_curation, SQL_P01),
     "p02_corpus_stats": (q_p02_corpus_stats, SQL_P02),
     "st01_stream_hourly": (q_st01_stream_hourly, SQL_ST01),
