@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1619,6 +1620,33 @@ SELECT doc_id, term, tf, tfidf, rnk FROM (
 """
 
 
+def q_x04_pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via an Arrow-batched pandas GROUPED_AGG UDF:
+    per-returnflag geometric mean of extended price. Completes the
+    Pandas-API shape matrix (mapInPandas → mm01, grouped
+    applyInPandas → x01, applyInPandasWithState → st03, grouped-agg
+    UDAF → here). Oracle: exp(avg(ln(x))) — the same math in closed
+    form, so the UDAF's Python arithmetic is hash-verified."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geomean(prices: pd.Series) -> float:
+        return float(np.exp(np.log(prices.to_numpy()).mean()))
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(geomean("l_extendedprice"), 4).alias("geomean_price")
+    )
+
+
+SQL_X04 = """
+SELECT l_returnflag,
+       round(exp(avg(ln(l_extendedprice))), 4) AS geomean_price
+FROM lineitem GROUP BY 1
+"""
+
+
 def q_x02_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/val/test assignment — the
     reproducible-split primitive every training pipeline needs (random
@@ -2082,6 +2110,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "x01_grouped_outliers": (q_x01_grouped_outliers, SQL_X01),
     "x02_train_test_split": (q_x02_train_test_split, SQL_X02),
     "x03_stratified_sample": (q_x03_stratified_sample, None),
+    "x04_pandas_udaf_geomean": (q_x04_pandas_udaf_geomean, SQL_X04),
     "p01_corpus_curation": (q_p01_corpus_curation, SQL_P01),
     "p02_corpus_stats": (q_p02_corpus_stats, SQL_P02),
     "st01_stream_hourly": (q_st01_stream_hourly, SQL_ST01),
