@@ -115,3 +115,40 @@ def micros_to_currency(df: DataFrame, col: str, out: str | None = None) -> DataF
     """C4 — Google-Ads-style micro-units → currency (×1e-6), reference
     ``core.clj:154-155,164-165``."""
     return df.withColumn(out or col, F.col(col).cast("double") * F.lit(1e-6))
+
+
+def upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """MERGE/upsert semantics over plain DataFrames: update rows whose
+    key exists in ``updates``, insert new keys, keep the rest.
+
+    Both inputs must share a schema. Shape: one full-outer join on the
+    key + per-column coalesce (updates win) — the lakehouse MERGE INTO
+    reduced to its relational core. At scale the join shuffles both
+    sides on the key once; with bucketed storage on the key (see
+    tests/test_storage.py) even that shuffle disappears.
+    """
+    if set(base.columns) != set(updates.columns):
+        raise ValueError(
+            f"upsert requires matching schemas (base {base.columns}, "
+            f"updates {updates.columns})"
+        )
+    # Row-level replace (true MERGE semantics): an explicit hit flag
+    # decides per ROW, so an update row may legitimately set a column
+    # to NULL — per-column coalesce would silently resurrect the base
+    # value there.
+    u = updates.select(
+        F.col(key),
+        F.lit(True).alias("_hit"),
+        *[F.col(c).alias(f"_u_{c}") for c in updates.columns if c != key],
+    )
+    merged = base.join(u, key, "full_outer")
+    return merged.select(
+        key,
+        *[
+            F.when(F.col("_hit").isNotNull(), F.col(f"_u_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in base.columns
+            if c != key
+        ],
+    )

@@ -497,6 +497,37 @@ SELECT n_nationkey, n_name, n_regionkey FROM nation
 """
 
 
+def q_c11_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert (operators/relational.py): apply a 10%-discount
+    "update set" for BUILDING-segment customers onto the customer
+    table — updated rows replaced wholesale, others kept. Oracle:
+    the same full-outer + row-pick in SQL."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    updates = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 0.9, 6).alias("c_acctbal"),
+    )
+    out = Rel.upsert(cust, updates, key="c_custkey")
+    return out.select(
+        "c_custkey", "c_mktsegment", F.round("c_acctbal", 6).alias("c_acctbal")
+    )
+
+
+SQL_C11 = """
+WITH u AS (
+  SELECT c_custkey, c_mktsegment, round(c_acctbal * 0.9, 6) AS c_acctbal
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+SELECT c.c_custkey,
+       CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment ELSE c.c_mktsegment END AS c_mktsegment,
+       round(CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE c.c_acctbal END, 6) AS c_acctbal
+FROM customer c LEFT JOIN u USING (c_custkey)
+"""
+
+
 def q_c02_filter_nonzero(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return Rel.filter_nonzero(li, "l_discount").select(
@@ -2081,6 +2112,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "c08_pivot": (q_c08_pivot, SQL_C08_PIVOT),
     "c09_ones_matrix": (q_c09_ones, SQL_C09),
     "c10_safe_divide": (q_c10_safe_divide, SQL_C10),
+    "c11_upsert": (q_c11_upsert, SQL_C11),
     "t01_token_stats": (q_t01_token_stats, SQL_T01),
     "t02_quality_score": (q_t02_quality_score, SQL_T02),
     "t03_lang_id": (q_t03_lang_id, SQL_T03),

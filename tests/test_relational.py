@@ -45,3 +45,30 @@ def test_unpivot_pivot_roundtrip(spark):
     back = pivot_matrix(long, "k", "hour", "v")
     got = {r["k"]: (r["h0"], r["h1"]) for r in back.collect()}
     assert got == {"a": (1.0, 2.0), "b": (3.0, 4.0)}
+
+
+def test_upsert_row_level_semantics(spark):
+    """Update rows replace WHOLE rows (a NULL in an update row is an
+    intentional NULL, not a fall-through to the base value); new keys
+    insert; untouched keys survive."""
+    from alternating_least_squares_spark.operators.relational import upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, tag string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(2, None, 99.0), (3, "c", 30.0)], "k long, tag string, v double"
+    )
+    got = {r["k"]: (r["tag"], r["v"]) for r in upsert(base, updates, "k").collect()}
+    assert got == {1: ("a", 10.0), 2: (None, 99.0), 3: ("c", 30.0)}
+
+
+def test_upsert_rejects_schema_mismatch(spark):
+    import pytest as _pytest
+
+    from alternating_least_squares_spark.operators.relational import upsert
+
+    base = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    updates = spark.createDataFrame([(1, "x")], "k long, other string")
+    with _pytest.raises(ValueError, match="matching schemas"):
+        upsert(base, updates, "k")
