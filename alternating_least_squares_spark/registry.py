@@ -497,6 +497,35 @@ SELECT n_nationkey, n_name, n_regionkey FROM nation
 """
 
 
+def q_c12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (completing the set-op family: union → C6,
+    difference → B3): customers that placed orders vs customers that
+    never did, tagged in one result. Both distinct set ops plan as
+    aggregates over a single shuffle."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orderers = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    with_orders = cust.intersect(orderers).withColumn(
+        "status", F.lit("has_orders")
+    )
+    without = cust.exceptAll(orderers).distinct().withColumn(
+        "status", F.lit("no_orders")
+    )
+    return with_orders.unionByName(without)
+
+
+SQL_C12 = """
+SELECT c_custkey, 'has_orders' AS status FROM (
+  SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders
+)
+UNION ALL
+SELECT c_custkey, 'no_orders' AS status FROM (
+  SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders
+)
+"""
+
+
 def q_c11_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/upsert (operators/relational.py): apply a 10%-discount
     "update set" for BUILDING-segment customers onto the customer
@@ -2113,6 +2142,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "c09_ones_matrix": (q_c09_ones, SQL_C09),
     "c10_safe_divide": (q_c10_safe_divide, SQL_C10),
     "c11_upsert": (q_c11_upsert, SQL_C11),
+    "c12_set_ops": (q_c12_set_ops, SQL_C12),
     "t01_token_stats": (q_t01_token_stats, SQL_T01),
     "t02_quality_score": (q_t02_quality_score, SQL_T02),
     "t03_lang_id": (q_t03_lang_id, SQL_T03),
