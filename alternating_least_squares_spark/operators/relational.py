@@ -117,25 +117,47 @@ def micros_to_currency(df: DataFrame, col: str, out: str | None = None) -> DataF
     return df.withColumn(out or col, F.col(col).cast("double") * F.lit(1e-6))
 
 
-def upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
-    """MERGE/upsert semantics over plain DataFrames: update rows whose
-    key exists in ``updates``, insert new keys, keep the rest.
+def upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key: str,
+    validate_unique: bool = False,
+) -> DataFrame:
+    """MERGE/upsert over plain DataFrames: a key present in
+    ``updates`` has its row REPLACED WHOLESALE (an update row may
+    legitimately set a column to NULL — it wins); new keys insert;
+    untouched keys survive. Output keeps ``base``'s column order.
 
-    Both inputs must share a schema. Shape: one full-outer join on the
-    key + per-column coalesce (updates win) — the lakehouse MERGE INTO
-    reduced to its relational core. At scale the join shuffles both
-    sides on the key once; with bucketed storage on the key (see
-    tests/test_storage.py) even that shuffle disappears.
+    Shape: one full-outer join on the key + per-row pick — the
+    lakehouse MERGE INTO reduced to its relational core. At scale the
+    join shuffles both sides on the key once; with bucketed storage on
+    the key (see tests/test_storage.py) even that shuffle disappears.
+
+    PRECONDITION: ``updates`` must be unique per key — duplicate
+    update keys would multiply output rows (SQL MERGE raises on
+    multiple matches). Pass ``validate_unique=True`` to enforce it
+    with one extra aggregation job.
     """
-    if set(base.columns) != set(updates.columns):
+    base_types = dict(zip(base.columns, [f.dataType for f in base.schema.fields]))
+    upd_types = dict(
+        zip(updates.columns, [f.dataType for f in updates.schema.fields])
+    )
+    if base_types != upd_types:
         raise ValueError(
-            f"upsert requires matching schemas (base {base.columns}, "
-            f"updates {updates.columns})"
+            f"upsert requires matching schemas (base {base.schema.simpleString()}, "
+            f"updates {updates.schema.simpleString()})"
         )
-    # Row-level replace (true MERGE semantics): an explicit hit flag
-    # decides per ROW, so an update row may legitimately set a column
-    # to NULL — per-column coalesce would silently resurrect the base
-    # value there.
+    reserved = [c for c in base.columns if c == "_hit" or c.startswith("_u_")]
+    if reserved:
+        raise ValueError(
+            f"upsert reserves column names '_hit' and '_u_*'; rename {reserved}"
+        )
+    if validate_unique:
+        dup = (
+            updates.groupBy(key).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(f"updates has duplicate values of key '{key}'")
     u = updates.select(
         F.col(key),
         F.lit(True).alias("_hit"),
@@ -143,12 +165,12 @@ def upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     )
     merged = base.join(u, key, "full_outer")
     return merged.select(
-        key,
         *[
-            F.when(F.col("_hit").isNotNull(), F.col(f"_u_{c}"))
+            F.col(key).alias(key)
+            if c == key
+            else F.when(F.col("_hit").isNotNull(), F.col(f"_u_{c}"))
             .otherwise(F.col(c))
             .alias(c)
             for c in base.columns
-            if c != key
         ],
     )

@@ -509,7 +509,9 @@ def q_c12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_orders = cust.intersect(orderers).withColumn(
         "status", F.lit("has_orders")
     )
-    without = cust.exceptAll(orderers).distinct().withColumn(
+    # subtract() IS SQL's EXCEPT (distinct); exceptAll().distinct()
+    # diverges when the left side itself holds duplicate rows
+    without = cust.subtract(orderers).withColumn(
         "status", F.lit("no_orders")
     )
     return with_orders.unionByName(without)

@@ -72,3 +72,29 @@ def test_upsert_rejects_schema_mismatch(spark):
     updates = spark.createDataFrame([(1, "x")], "k long, other string")
     with _pytest.raises(ValueError, match="matching schemas"):
         upsert(base, updates, "k")
+
+
+def test_upsert_guards(spark):
+    import pytest as _pytest
+
+    from alternating_least_squares_spark.operators.relational import upsert
+
+    base = spark.createDataFrame([("a", 1, 1.0)], "tag string, k long, v double")
+    # column ORDER of base is preserved
+    updates = spark.createDataFrame([("b", 2, 2.0)], "tag string, k long, v double")
+    out = upsert(base, updates, "k")
+    assert out.columns == ["tag", "k", "v"]
+    # type mismatch (same names) raises
+    bad = spark.createDataFrame([("b", 2, "x")], "tag string, k long, v string")
+    with _pytest.raises(ValueError, match="matching schemas"):
+        upsert(base, bad, "k")
+    # duplicate update keys detected when asked
+    dups = spark.createDataFrame(
+        [("b", 2, 2.0), ("c", 2, 3.0)], "tag string, k long, v double"
+    )
+    with _pytest.raises(ValueError, match="duplicate"):
+        upsert(base, dups, "k", validate_unique=True)
+    # reserved working names rejected
+    res = spark.createDataFrame([(1, True)], "k long, _hit boolean")
+    with _pytest.raises(ValueError, match="reserves"):
+        upsert(res, res, "k")

@@ -5,6 +5,11 @@ Usage::
     python tools/plan_dump.py h02_revenue_by_nation [more ...]
     python tools/plan_dump.py --all        # every registered query
 
+CAVEAT: building a query runs its builder — a few registry builders
+are eager (x03 collects strata; m01/s0x/d05 fit ML models), so
+``--all`` does real compute before printing. Name specific queries
+when you only need one plan.
+
 The scale checklist when reading a plan: PushedFilters non-empty where
 a filter exists, ReadSchema pruned to used columns, dims joined via
 BroadcastHashJoin, ORDER BY+LIMIT as TakeOrderedAndProject, no
