@@ -1,0 +1,68 @@
+"""Declarative data-quality constraints (mini expectations runner).
+
+``check(df, constraints)`` evaluates row-level predicates and
+table-level uniqueness in ONE aggregation pass and returns a tidy
+``(constraint, n_violations, passed)`` report — the validation gate a
+training-data pipeline runs before shipping a corpus snapshot.
+
+Row predicates compile to conditional counts inside a single
+``agg`` (one scan, map-side partial aggregation); uniqueness checks
+are ``count(*) − count(distinct key)``, which Spark plans as expand +
+two-level aggregate in the same job. No Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def not_null(col: str) -> tuple[str, Column]:
+    return (f"not_null({col})", F.col(col).isNotNull())
+
+
+def in_range(col: str, lo: float, hi: float) -> tuple[str, Column]:
+    return (
+        f"in_range({col},{lo},{hi})",
+        F.col(col).isNotNull() & (F.col(col) >= lo) & (F.col(col) <= hi),
+    )
+
+
+def matches(col: str, regex: str) -> tuple[str, Column]:
+    return (
+        f"matches({col})",
+        F.col(col).isNotNull() & F.col(col).rlike(regex),
+    )
+
+
+def check(
+    df: DataFrame,
+    constraints: list[tuple[str, Column]],
+    unique_keys: list[str] | None = None,
+) -> DataFrame:
+    """Evaluate all constraints in one aggregation.
+
+    ``constraints``: (name, predicate-that-good-rows-satisfy) pairs —
+    use the helpers above or any boolean Column. ``unique_keys``:
+    columns that must be duplicate-free. Returns
+    ``(constraint, n_violations, passed)``, one row per constraint.
+    """
+    aggs = [
+        F.count_if(~cond).cast("long").alias(name) for name, cond in constraints
+    ]
+    for key in unique_keys or []:
+        aggs.append(
+            (F.count(key) - F.count_distinct(F.col(key)))
+            .cast("long")
+            .alias(f"unique({key})")
+        )
+    row = df.agg(*aggs)
+    names = row.columns
+    spark = df.sparkSession
+    # one collected row → tiny report DataFrame (constraint count is
+    # O(10), never data-sized)
+    vals = row.first()
+    return spark.createDataFrame(
+        [(n, int(vals[n]), vals[n] == 0) for n in names],
+        "constraint string, n_violations long, passed boolean",
+    )

@@ -1682,6 +1682,46 @@ SELECT doc_id, term, tf, tfidf, rnk FROM (
 """
 
 
+def q_q01_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (functions/quality.py): row
+    predicates + uniqueness evaluated in ONE aggregation pass over
+    orders. Oracle: the same conditional counts in SQL."""
+    from alternating_least_squares_spark.functions import quality as Q
+
+    orders = load_table(spark, sf_dir, "orders")
+    return Q.check(
+        orders,
+        [
+            Q.not_null("o_custkey"),
+            Q.in_range("o_totalprice", 0.0, 1e7),
+            Q.matches("o_orderpriority", r"^[1-5]-"),
+        ],
+        unique_keys=["o_orderkey"],
+    )
+
+
+SQL_Q01 = """
+WITH agg AS (
+  SELECT
+    count(*) FILTER (WHERE o_custkey IS NULL) AS c1,
+    count(*) FILTER (WHERE NOT (o_totalprice IS NOT NULL
+                                AND o_totalprice >= 0.0
+                                AND o_totalprice <= 1e7)) AS c2,
+    count(*) FILTER (WHERE NOT (o_orderpriority IS NOT NULL
+                                AND regexp_matches(o_orderpriority, '^[1-5]-'))) AS c3,
+    count(o_orderkey) - count(DISTINCT o_orderkey) AS c4
+  FROM orders
+)
+SELECT 'not_null(o_custkey)' AS constraint, CAST(c1 AS BIGINT) AS n_violations, c1 = 0 AS passed FROM agg
+UNION ALL
+SELECT 'in_range(o_totalprice,0.0,10000000.0)', CAST(c2 AS BIGINT), c2 = 0 FROM agg
+UNION ALL
+SELECT 'matches(o_orderpriority)', CAST(c3 AS BIGINT), c3 = 0 FROM agg
+UNION ALL
+SELECT 'unique(o_orderkey)', CAST(c4 AS BIGINT), c4 = 0 FROM agg
+"""
+
+
 def q_x04_pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom aggregate via an Arrow-batched pandas GROUPED_AGG UDF:
     per-returnflag geometric mean of extended price. Completes the
@@ -2175,6 +2215,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "x02_train_test_split": (q_x02_train_test_split, SQL_X02),
     "x03_stratified_sample": (q_x03_stratified_sample, None),
     "x04_pandas_udaf_geomean": (q_x04_pandas_udaf_geomean, SQL_X04),
+    "q01_data_quality": (q_q01_data_quality, SQL_Q01),
     "p01_corpus_curation": (q_p01_corpus_curation, SQL_P01),
     "p02_corpus_stats": (q_p02_corpus_stats, SQL_P02),
     "st01_stream_hourly": (q_st01_stream_hourly, SQL_ST01),

@@ -98,3 +98,24 @@ def test_upsert_guards(spark):
     res = spark.createDataFrame([(1, True)], "k long, _hit boolean")
     with _pytest.raises(ValueError, match="reserves"):
         upsert(res, res, "k")
+
+
+def test_quality_check_flags_violations(spark):
+    from alternating_least_squares_spark.functions import quality as Q
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "ok"), (2, -1.0, "ok"), (2, None, "bad!"), (3, 7.0, None)],
+        "k long, v double, s string",
+    )
+    rep = {
+        r["constraint"]: (r["n_violations"], r["passed"])
+        for r in Q.check(
+            df,
+            [Q.not_null("v"), Q.in_range("v", 0.0, 10.0), Q.matches("s", "^ok$")],
+            unique_keys=["k"],
+        ).collect()
+    }
+    assert rep["not_null(v)"] == (1, False)
+    assert rep["in_range(v,0.0,10.0)"] == (2, False)  # -1.0 and NULL
+    assert rep["matches(s)"] == (2, False)  # "bad!" and NULL
+    assert rep["unique(k)"] == (1, False)  # k=2 twice
