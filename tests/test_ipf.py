@@ -136,3 +136,27 @@ def test_converge_dense_zero_row_stays_zero(make_matrix, make_vector):
 
     assert all(not math.isnan(v) for v in vals.values())
     assert abs(sum(vals.values()) - 30.0) < 1e-6
+
+
+def test_converge_dense_matches_coordinate_on_real_data(spark):
+    """Layout equivalence on the actual flagship inputs (sf0.001
+    marginals + smoothed seed), not just literals: same matrix to
+    1e-6 relative after 3 sweeps."""
+    from alternating_least_squares_spark.operators.ipf_dense import converge_dense
+    from alternating_least_squares_spark.plans import cost_allocation as CA
+    from tests.conftest import SF_SMALL
+    from pyspark.sql import functions as F
+
+    x = CA.part_cost_marginal(spark, SF_SMALL).localCheckpoint(eager=True)
+    x_total = x.agg(F.sum("v")).first()[0]
+    y = CA.hour_cost_marginal(spark, SF_SMALL, rescale_to=x_total).localCheckpoint(
+        eager=True
+    )
+    seed = CA.smoothed_seed_from(CA.visit_matrix(spark, SF_SMALL), x, y)
+    r1 = converge(x, y, seed, threshold=0.0, max_iterations=3)
+    r2 = converge_dense(x, y, seed, threshold=0.0, max_iterations=3)
+    a = {(r["r"], r["c"]): r["v"] for r in r1.matrix.collect()}
+    b = {(r["r"], r["c"]): r["v"] for r in r2.matrix.collect()}
+    assert a.keys() == b.keys() and len(a) > 1000
+    worst = max(abs(a[k] - b[k]) / max(abs(a[k]), 1e-12) for k in a)
+    assert worst < 1e-6, worst

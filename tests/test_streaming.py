@@ -123,3 +123,49 @@ def test_stateful_user_profiles_equal_batch(spark):
         assert abs(g["total_value"] - w["total_value"]) < 1e-6, uid
         assert g["max_value"] == w["max_value"], uid
         assert g["last_ts_us"] == w["last_ts_us"], uid
+
+
+def test_multi_batch_replay_equals_batch(spark, tmp_path):
+    """TRUE multi-batch streaming: split events into 4 files, feed one
+    file per micro-batch (maxFilesPerTrigger=1) so the watermark
+    advances across batches — the final windowed aggregate must still
+    equal the batch result exactly."""
+    src = load_table(spark, SF_SMALL, "events").select(
+        "event_id", F.col("ts_ns").alias("ts"), "user_id", "event_type",
+        "value", "props",
+    )
+    path = str(tmp_path / "events_multi")
+    src.repartition(4).write.mode("overwrite").parquet(path)
+
+    from alternating_least_squares_spark.streaming.events import RAW_EVENTS_SCHEMA
+
+    raw = (
+        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    stream = raw.select(
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+        "event_type",
+        "value",
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in run_stream_to_batch(hourly_value_stream(stream)).collect()
+    }
+
+    ev = load_table(spark, SF_SMALL, "events")
+    want = {
+        (r["ws"], r["event_type"]): (r["n"], r["tv"])
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("ws"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,10)")).cast("double"), 6
+            ).alias("tv"),
+        )
+        .collect()
+    }
+    assert got == want
