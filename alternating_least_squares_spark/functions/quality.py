@@ -47,8 +47,13 @@ def check(
     columns that must be duplicate-free. Returns
     ``(constraint, n_violations, passed)``, one row per constraint.
     """
+    # coalesce: a predicate that evaluates NULL (e.g. a raw comparison
+    # against a NULL column) means the row does NOT satisfy the
+    # constraint — count it as a violation rather than silently
+    # skipping it (count_if counts only TRUE).
     aggs = [
-        F.count_if(~cond).cast("long").alias(name) for name, cond in constraints
+        F.count_if(F.coalesce(~cond, F.lit(True))).cast("long").alias(name)
+        for name, cond in constraints
     ]
     for key in unique_keys or []:
         aggs.append(

@@ -119,3 +119,19 @@ def test_quality_check_flags_violations(spark):
     assert rep["in_range(v,0.0,10.0)"] == (2, False)  # -1.0 and NULL
     assert rep["matches(s)"] == (2, False)  # "bad!" and NULL
     assert rep["unique(k)"] == (1, False)  # k=2 twice
+
+
+def test_quality_check_null_predicate_counts_as_violation(spark):
+    """A raw user predicate that evaluates NULL (comparison against a
+    NULL column without a null guard) must count as a violation, not
+    silently pass."""
+    from pyspark.sql import functions as F2
+
+    from alternating_least_squares_spark.functions import quality as Q
+
+    df = spark.createDataFrame([(1.0,), (None,)], "v double")
+    rep = {
+        r["constraint"]: r["n_violations"]
+        for r in Q.check(df, [("positive", F2.col("v") > 0)]).collect()
+    }
+    assert rep["positive"] == 1
