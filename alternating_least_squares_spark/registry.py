@@ -1353,6 +1353,22 @@ FROM lineitem GROUP BY 1
 """
 
 
+def q_g04_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the sublinear-memory path for cardinality
+    and quantiles at 100 TB: HyperLogLog approx distinct (fixed ~KB
+    state vs a hash set of every key) and t-digest approx percentile
+    (no per-group sort). Rows-only: sketch internals are
+    engine-specific; the accuracy bounds vs exact are pytest
+    (test_sampling.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.round(
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)), 2
+        ).alias("approx_median_price"),
+    )
+
+
 def q_w01_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame window: per-customer running order total in date order
     (rows-frame; deterministic tie-break on o_orderkey)."""
@@ -2115,6 +2131,55 @@ FROM events GROUP BY 1
 """
 
 
+def q_st04_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the streaming events frame enriched against
+    a static dimension (event_type → category) before a windowless
+    aggregate — the standard enrichment topology (static side is
+    broadcast per micro-batch, no stream-side state). Replay == batch
+    SQL, so fully oracle-checked."""
+    from alternating_least_squares_spark.streaming import (
+        read_events_stream,
+        run_stream_to_batch,
+    )
+
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "revenue"),
+            ("refund", "revenue"),
+            ("error", "ops"),
+        ],
+        "event_type string, category string",
+    )
+    stream = read_events_stream(spark, sf_dir)
+    enriched = (
+        stream.join(F.broadcast(dim), "event_type", "left")
+        .groupBy(F.coalesce("category", F.lit("other")).alias("category"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,10)")).cast("double"), 6
+            ).alias("total_value"),
+        )
+    )
+    return run_stream_to_batch(enriched, output_mode="complete")
+
+
+SQL_ST04 = """
+WITH dim(event_type, category) AS (
+  VALUES ('click','engagement'), ('view','engagement'),
+         ('purchase','revenue'), ('refund','revenue'), ('error','ops')
+)
+SELECT coalesce(d.category, 'other') AS category,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(e.value AS DECIMAL(38,10))) AS DOUBLE), 6)
+         AS total_value
+FROM events e LEFT JOIN dim d USING (event_type)
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal columns
 
@@ -2201,6 +2266,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "g01_rollup": (q_g01_rollup, SQL_G01),
     "g02_cube": (q_g02_cube, SQL_G02),
     "g03_percentiles": (q_g03_percentiles, SQL_G03),
+    "g04_sketches": (q_g04_sketches, None),
     "sql01_shared_dialect": (q_sql01_shared_dialect, SQL_SHARED_SQL01),
     "w01_running_total": (q_w01_running_total, SQL_W01),
     "w02_rank_dense_lag": (q_w02_rank_dense_lag, SQL_W02),
@@ -2221,6 +2287,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "st01_stream_hourly": (q_st01_stream_hourly, SQL_ST01),
     "st02_stream_sessionize": (q_st02_stream_sessionize, SQL_ST02),
     "st03_stateful_profiles": (q_st03_stateful_profiles, SQL_ST03),
+    "st04_stream_enrich": (q_st04_stream_enrich, SQL_ST04),
     "mm01_media_features": (q_mm01_media_features, SQL_MM01),
     "d01_simhash": (q_d01_simhash, SQL_D01),
     "d02_jaccard_pairs": (q_d02_jaccard_pairs, SQL_D02),

@@ -40,3 +40,25 @@ def test_stratified_sample_respects_fractions(spark):
         for r in q(spark, SF_SMALL).groupBy("lang").count().collect()
     }
     assert again == got
+
+
+def test_sketches_within_error_bounds(spark):
+    """HLL approx-distinct within its configured 2% rsd (allow 3x
+    slack) of exact; t-digest median within 2% of the exact
+    percentile."""
+    q = registry.queries()["g04_sketches"]
+    got = {r["l_returnflag"]: r for r in q(spark, SF_SMALL).collect()}
+    li = load_table(spark, SF_SMALL, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("parts"),
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("median"),
+        )
+        .collect()
+    }
+    for flag, e in exact.items():
+        g = got[flag]
+        assert abs(g["approx_parts"] - e["parts"]) <= 0.06 * e["parts"] + 2
+        assert abs(g["approx_median_price"] - e["median"]) <= 0.02 * e["median"]
