@@ -169,3 +169,36 @@ def test_multi_batch_replay_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_checkpointed_file_sink_is_exactly_once(spark, tmp_path):
+    """Real sink path: stream → parquet sink with a checkpoint.
+    Replays land the full dataset once; RESTARTING the query against
+    the same checkpoint processes nothing new — the exactly-once
+    resume property that matters in production."""
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = read_events_stream(spark, SF_SMALL).select(
+            "event_id", "user_id", "value"
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n_events = load_table(spark, SF_SMALL, "events").count()
+    first = spark.read.parquet(out)
+    assert first.count() == n_events
+    assert first.select("event_id").distinct().count() == n_events
+
+    run_once()  # same checkpoint: nothing new to process
+    again = spark.read.parquet(out)
+    assert again.count() == n_events  # no duplicates appended
