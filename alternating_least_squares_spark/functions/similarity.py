@@ -160,6 +160,58 @@ def lsh_topk(
     ).filter(F.col("rank") <= k)
 
 
+def pca_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_components: int = 16,
+) -> DataFrame:
+    """Dimensionality-reduced exact rerank: MLlib PCA projects the
+    corpus and the queries into ``n_components`` dims, then brute-force
+    cosine top-k runs in the reduced space — the per-pair dot cost
+    drops dim/n_components× (64→16 = 4×) at a small recall cost.
+
+    Scale posture: ``PCA.fit`` reduces to a d×d Gramian (d = original
+    dim, 64 here) built in one distributed pass — independent of row
+    count, so fitting is cheap even at 100 TB (or fit on a sample).
+    The rerank is still Q×N for an explicit query set; for
+    corpus-scale matching compose with the LSH bucketing above.
+    Rows-only check: eigenvector sign/rotation is
+    implementation-defined, so scores are not oracle-comparable."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        array_to_vector(_vec_double(F.col(vec_col))).alias("_f"),
+    )
+    model = PCA(k=n_components, inputCol="_f", outputCol="_p").fit(corpus)
+    red_c = model.transform(corpus).select(
+        "neighbor_id", vector_to_array(F.col("_p")).alias("_en")
+    )
+    red_q = model.transform(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            array_to_vector(_vec_double(F.col(vec_col))).alias("_f"),
+        )
+    ).select("query_id", vector_to_array(F.col("_p")).alias("_eq"))
+    scored = (
+        red_q.crossJoin(red_c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_eq"), F.col("_en")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -984,6 +984,22 @@ def q_s03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries_df, k=5, n_centroids=16, n_probe=4)
 
 
+def q_s05_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA 64→32 (MLlib, one Gramian pass) + exact cosine rerank in
+    the reduced space. Rows-only: eigenvector signs are
+    implementation-defined. tests/test_similarity.py asserts (a) the
+    full-rank projection reproduces the exact v02 ranking bit-for-bit
+    (rotation invariance of cosine) and (b) a recall floor at 32
+    components — modest here because the synthetic corpus is
+    near-isotropic, the worst case for PCA; real embedding spectra
+    decay fast."""
+    from alternating_least_squares_spark.functions.similarity import pca_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return pca_topk(emb, queries_df, k=5, n_components=32)
+
+
 def q_m01_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alternating_least_squares_spark.ml.als import train_and_recommend
 
@@ -1085,6 +1101,47 @@ ranked AS (
   FROM pairs
 )
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_v03_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the storage-shrink step of a vector pipeline (4 bytes → 1 byte per
+    dim, 4× smaller scans before rerank). Pure codegen exprs.
+
+    Oracle-parity notes: round-half-up is spelled ``floor(x + 0.5)``
+    because ``round()`` tie conventions differ between engines, and the
+    quantized array is emitted as a CSV string (the driver's canon
+    layer compares scalars, not nested lists). A zero vector keeps
+    scale 1 to dodge 127/0."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(xd, lambda x: F.abs(x)))
+    safe = F.when(mx == 0, F.lit(1.0)).otherwise(mx)
+    q8 = F.transform(
+        xd, lambda x: F.floor(x * 127.0 / safe + 0.5).cast("long").cast("string")
+    )
+    return emb.select(
+        "vec_id",
+        F.round(mx, 6).alias("abs_max"),
+        F.array_join(q8, ",").alias("q8"),
+    )
+
+
+SQL_V03 = """
+WITH base AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding,
+           x -> abs(CAST(x AS DOUBLE)))) AS mx
+  FROM embeddings
+)
+SELECT e.vec_id,
+       round(b.mx, 6) AS abs_max,
+       array_to_string(list_transform(e.embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) * 127.0
+                   / (CASE WHEN b.mx = 0 THEN 1.0 ELSE b.mx END)
+                   + 0.5) AS BIGINT)), ',') AS q8
+FROM embeddings e JOIN base b USING (vec_id)
 """
 
 
@@ -1560,6 +1617,82 @@ WHERE l_returnflag = 'R'
 GROUP BY 1, 2
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20
+"""
+
+
+def q_h06_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share per ship month. One
+    broadcast join (part is the small dim), decimal-exact conditional
+    sums, ratio taken in double only at the end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,10)"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                    F.lit(0).cast("decimal(38,10)")
+                )
+            ).alias("_p"),
+            F.sum(rev).alias("_t"),
+        )
+        .select(
+            "ship_month",
+            F.round(
+                F.lit(100.0)
+                * F.col("_p").cast("double")
+                / F.col("_t").cast("double"),
+                6,
+            ).alias("promo_pct"),
+        )
+    )
+
+
+SQL_H06 = """
+SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+       round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+               THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))
+               ELSE CAST(0 AS DECIMAL(38,10)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(38,10))) AS DOUBLE), 6) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+def q_h07_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order counts by priority for one quarter where
+    at least one lineitem shipped after the order date. The EXISTS
+    subquery is a left-semi join with a non-equi conjunct — the
+    orderkey equi-key still drives the shuffle, the date comparison
+    rides along as a join residual (no extra pass)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sem = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+SQL_H07 = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY 1
 """
 
 
@@ -2180,6 +2313,32 @@ GROUP BY 1
 """
 
 
+def q_st05_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps one state row per key and
+    the event-time watermark evicts keys once they can no longer
+    collide with late data — so state is O(keys per watermark window),
+    not O(history), the property that makes streaming dedup viable on
+    an unbounded 100 TB/day feed. Only the dedup keys are projected so
+    the emitted set is deterministic (which physical row survives per
+    key is not). Replay == batch DISTINCT — fully oracle-checked."""
+    from alternating_least_squares_spark.streaming import (
+        read_events_stream,
+        run_stream_to_batch,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_stream_to_batch(deduped, output_mode="append")
+
+
+SQL_ST05 = "SELECT DISTINCT user_id, event_type FROM events"
+
+
 # ---------------------------------------------------------------------------
 # multimodal columns
 
@@ -2257,6 +2416,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "t05_exact_dup_groups": (q_t05_exact_dup_groups, SQL_T05),
     "v01_cosine_pairs": (q_v01_cosine_pairs, SQL_V01),
     "v02_topk_cosine": (q_v02_topk_cosine, SQL_V02),
+    "v03_quantize_int8": (q_v03_quantize_int8, SQL_V03),
     "e01_hourly_value": (q_e01_hourly_value, SQL_E01),
     "e02_json_extract": (q_e02_json_extract, SQL_E02),
     "e03_sessionize": (q_e03_sessionize, SQL_E03),
@@ -2274,6 +2434,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "j02_range_join": (q_j02_range_join, SQL_J02),
     "h04_local_supplier_volume": (q_h04_local_supplier_volume, SQL_H04),
     "h05_returned_revenue": (q_h05_returned_revenue, SQL_H05),
+    "h06_promo_revenue": (q_h06_promo_revenue, SQL_H06),
+    "h07_order_priority": (q_h07_order_priority, SQL_H07),
     "t06_tfidf": (q_t06_tfidf, SQL_T06),
     "t07_top_bigrams": (q_t07_top_bigrams, SQL_T07),
     "t08_contamination": (q_t08_contamination, SQL_T08),
@@ -2288,6 +2450,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "st02_stream_sessionize": (q_st02_stream_sessionize, SQL_ST02),
     "st03_stateful_profiles": (q_st03_stateful_profiles, SQL_ST03),
     "st04_stream_enrich": (q_st04_stream_enrich, SQL_ST04),
+    "st05_stream_dedup": (q_st05_stream_dedup, SQL_ST05),
     "mm01_media_features": (q_mm01_media_features, SQL_MM01),
     "d01_simhash": (q_d01_simhash, SQL_D01),
     "d02_jaccard_pairs": (q_d02_jaccard_pairs, SQL_D02),
@@ -2298,6 +2461,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "s02_embedding_near_dup": (q_s02_embedding_near_dup, None),
     "s03_ivf_topk": (q_s03_ivf_topk, None),
     "s04_mllib_euclidean": (q_s04_mllib_euclidean, None),
+    "s05_pca_topk": (q_s05_pca_topk, None),
     "m01_als_recommend": (q_m01_als_recommend, None),
     "ipf_cost_per_visit": (q_ipf_cost_per_visit, None),
 }

@@ -202,3 +202,17 @@ def test_checkpointed_file_sink_is_exactly_once(spark, tmp_path):
     run_once()  # same checkpoint: nothing new to process
     again = spark.read.parquet(out)
     assert again.count() == n_events  # no duplicates appended
+
+
+def test_stream_dedup_within_watermark_equals_batch_distinct(spark):
+    """Replaying dropDuplicatesWithinWatermark over the whole table
+    must emit exactly the batch-DISTINCT key set (each key once)."""
+    from alternating_least_squares_spark.registry import q_st05_stream_dedup
+
+    got = q_st05_stream_dedup(spark, SF_SMALL).collect()
+    keys = [(r["user_id"], r["event_type"]) for r in got]
+    assert len(keys) == len(set(keys)), "a key was emitted twice"
+    batch = load_table(spark, SF_SMALL, "events").select(
+        "user_id", "event_type"
+    ).distinct().collect()
+    assert set(keys) == {(r["user_id"], r["event_type"]) for r in batch}
