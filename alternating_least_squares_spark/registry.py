@@ -1484,6 +1484,43 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
 """
 
 
+def q_w03_time_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame (trailing 1 hour per user) —
+    complements w01/w02's ROWS frames. The frame bound is on the
+    integer-µs event time, so both engines cut it identically;
+    RANGE semantics also make ties (equal timestamps) unambiguous —
+    all peers join the frame."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns DIV 1000")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count("*").over(w).alias("n_trailing_1h"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,10)")).over(w).cast("double"),
+            6,
+        ).alias("sum_trailing_1h"),
+    )
+
+
+SQL_W03 = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       count(*) OVER w AS n_trailing_1h,
+       round(CAST(sum(CAST(value AS DECIMAL(38,10))) OVER w AS DOUBLE), 6)
+         AS sum_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_h03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: top-10 open orders by revenue for one market
     segment before a date. Plan: broadcast the filtered customer dim,
@@ -2430,6 +2467,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sql01_shared_dialect": (q_sql01_shared_dialect, SQL_SHARED_SQL01),
     "w01_running_total": (q_w01_running_total, SQL_W01),
     "w02_rank_dense_lag": (q_w02_rank_dense_lag, SQL_W02),
+    "w03_time_range_avg": (q_w03_time_range_avg, SQL_W03),
     "j01_asof_join": (q_j01_asof_join, SQL_J01),
     "j02_range_join": (q_j02_range_join, SQL_J02),
     "h04_local_supplier_volume": (q_h04_local_supplier_volume, SQL_H04),

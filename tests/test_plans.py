@@ -55,6 +55,24 @@ def test_dimension_joins_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_promo_revenue_broadcasts_part_dim(spark):
+    """h06's part join must be broadcast-hash — shuffling lineitem to
+    co-locate with a dimension 1000× smaller would be a scale bug."""
+    plan = _plan(spark, "h06_promo_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_exists_plans_as_semi_join(spark):
+    """h07's EXISTS must be a single semi join (LeftSemi), with the
+    non-equi date conjunct as a join residual — not a cartesian
+    product and not a full inner join + distinct."""
+    plan = _plan(spark, "h07_order_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_topk_uses_take_ordered(spark):
     """h03's ORDER BY + LIMIT must plan as TakeOrderedAndProject —
     a global Sort of all groups would be a scale bug."""
