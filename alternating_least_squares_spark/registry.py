@@ -1826,9 +1826,12 @@ def q_t06_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(TX.tokens(F.col("text"))).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_t = terms.groupBy("term").agg(
-        F.count_distinct("doc_id").alias("df")
-    )
+    # df = #docs containing the term = #rows of tf per term. Deriving
+    # it from tf (instead of a second count_distinct over `terms`)
+    # tokenizes the corpus once, not twice, and the second shuffle
+    # moves the already-reduced (doc, term) pairs — Catalyst reuses
+    # tf's exchange for both join sides (ReusedExchange in the plan).
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = tf.join(F.broadcast(df_t), "term").select(
         "doc_id",
         "term",
