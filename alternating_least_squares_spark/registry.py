@@ -2379,6 +2379,43 @@ def q_st05_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ST05 = "SELECT DISTINCT user_id, event_type FROM events"
 
 
+def q_st06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (click→purchase
+    attribution within 1 hour): two independent source streams joined
+    on user with event-time bounds, which is what lets Spark evict
+    join state as the watermark advances. Replay == batch interval
+    join — fully oracle-checked."""
+    from alternating_least_squares_spark.streaming import (
+        attribution_join_stream,
+        read_events_stream,
+        run_stream_to_batch,
+    )
+
+    clicks = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = attribution_join_stream(clicks, purchases, horizon="1 hour")
+    return run_stream_to_batch(joined, output_mode="append")
+
+
+SQL_ST06 = """
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id AS user_id,
+       epoch_us(c.ts) AS click_ts_us,
+       epoch_us(p.ts) AS purchase_ts_us,
+       p.value AS purchase_value
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal columns
 
@@ -2492,6 +2529,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "st03_stateful_profiles": (q_st03_stateful_profiles, SQL_ST03),
     "st04_stream_enrich": (q_st04_stream_enrich, SQL_ST04),
     "st05_stream_dedup": (q_st05_stream_dedup, SQL_ST05),
+    "st06_stream_stream_join": (q_st06_stream_stream_join, SQL_ST06),
     "mm01_media_features": (q_mm01_media_features, SQL_MM01),
     "d01_simhash": (q_d01_simhash, SQL_D01),
     "d02_jaccard_pairs": (q_d02_jaccard_pairs, SQL_D02),

@@ -128,6 +128,51 @@ def sessionize_stream(
     )
 
 
+def attribution_join_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: each purchase
+    matched to the same user's clicks in the preceding ``horizon``
+    (click-attribution topology).
+
+    Both sides are watermarked and the join condition bounds purchase
+    time to [click_ts, click_ts + horizon], so Spark can evict join
+    state once the watermark passes a row's match window — state is
+    O(events per horizon), not O(stream history). That bound is what
+    makes a stream-stream join runnable on an unbounded feed; without
+    the time condition Spark must buffer both streams forever.
+    Stream-stream inner joins support append mode only.
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        F.expr(
+            "c_user = p_user AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + interval {horizon}"
+        ),
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        "purchase_value",
+    )
+
+
 def run_stream_to_batch(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Replay the stream to completion (``Trigger.AvailableNow``) into
     an in-memory sink and return the final result as a batch DataFrame.

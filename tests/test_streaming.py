@@ -216,3 +216,37 @@ def test_stream_dedup_within_watermark_equals_batch_distinct(spark):
         "user_id", "event_type"
     ).distinct().collect()
     assert set(keys) == {(r["user_id"], r["event_type"]) for r in batch}
+
+
+def test_stream_stream_join_equals_batch_interval_join(spark):
+    """The watermarked stream-stream attribution join, replayed to
+    completion, must produce exactly the batch interval join."""
+    from alternating_least_squares_spark.registry import (
+        q_st06_stream_stream_join,
+    )
+
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in q_st06_stream_stream_join(spark, SF_SMALL).collect()
+    }
+    ev = load_table(spark, SF_SMALL, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    want = {
+        (r["click_id"], r["purchase_id"])
+        for r in c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("interval 1 hour")),
+        ).collect()
+    }
+    assert got == want and want
