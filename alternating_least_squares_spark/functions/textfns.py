@@ -44,15 +44,31 @@ def tokens(text: Column) -> Column:
 
 
 def token_count(text: Column) -> Column:
-    return F.size(tokens(text))
+    """Whitespace-token count WITHOUT materializing the token array:
+    a non-empty trimmed string has (number of ``\\s+`` runs) + 1
+    tokens. Equal to ``F.size(tokens(text))`` for every input, but the
+    expression tree is ~6× smaller — this is inlined into hot filters
+    (quality gates) where the split+array version dominated codegen
+    size."""
+    t = F.regexp_replace(F.coalesce(text, F.lit("")), r"^\s+|\s+$", "")
+    return F.when(t == "", F.lit(0)).otherwise(
+        (F.regexp_count(t, F.lit(r"\s+")) + F.lit(1)).cast("int")
+    )
 
 
 def char_count(text: Column) -> Column:
     return F.length(text)
 
 
+PUNCT_CHARS = ".,!?;:"
+
+
 def punct_count(text: Column) -> Column:
-    return F.regexp_count(text, F.lit(PUNCT_CLASS))
+    """Count of ``PUNCT_CLASS`` chars via a translate length delta —
+    no regex engine, tiny codegen footprint, same value as
+    ``regexp_count(text, PUNCT_CLASS)`` (the class is 6 literal
+    chars)."""
+    return F.length(text) - F.length(F.translate(text, PUNCT_CHARS, ""))
 
 
 def word_occurrences(text: Column, word: str) -> Column:
@@ -65,13 +81,20 @@ def word_occurrences(text: Column, word: str) -> Column:
 
 
 def avg_token_length(text: Column) -> Column:
-    toks = tokens(text)
-    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
-        F.aggregate(
-            toks, F.lit(0.0), lambda acc, x: acc + F.length(x)
-        )
-        / F.size(toks)
-    )
+    """Mean token length = (non-whitespace chars) / (token count).
+    The numerator equals sum(length(token)) exactly — every character
+    is either whitespace (removed) or part of exactly one token — so
+    this matches the naive aggregate-over-split lambda value-for-value
+    while staying a flat codegen expression (no higher-order
+    function, no array)."""
+    n_tok = token_count(text)
+    # translate with the exact Java \s class [ \t\n\x0B\f\r] — same
+    # chars the tokenizer splits on, so the delta is exactly
+    # sum(length(token)); translate keeps codegen flat (no regex).
+    non_ws = F.length(
+        F.translate(F.coalesce(text, F.lit("")), " \t\n\x0b\x0c\r", "")
+    ).cast("double")
+    return F.when(n_tok == 0, F.lit(0.0)).otherwise(non_ws / n_tok)
 
 
 def quality_score(text: Column) -> Column:

@@ -10,15 +10,15 @@ Chains the pipeline a data team would actually run before training:
 
 Every stage is a native-expression operator already oracle-proven on
 its own (t01–t08 family); this plan is their composition as ONE lazy
-Catalyst plan: a single documents scan, one aggregation for the dedup
-keep-set, broadcast joins for the keep/drop sets, one final
+Catalyst plan: a single documents scan, one content-hash shuffle for
+the dedup window, then pure per-row filters and one final
 aggregation. Registered as ``p01_corpus_curation`` with a DuckDB
 oracle of the whole chain.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from alternating_least_squares_spark.functions import textfns as TX
@@ -37,13 +37,18 @@ def curate(
     """The kept corpus: (doc_id, source, n_tokens, quality)."""
     docs = load_table(spark, sf_dir, "documents")
 
-    # 1. exact dedup: survivor = min doc_id per content hash
-    survivors = docs.groupBy(
-        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("_h")
-    ).agg(
-        F.min("doc_id").alias("doc_id")
+    # 1. exact dedup: survivor = min doc_id per content hash.
+    # Window row_number over the hash — ONE shuffle on the content
+    # hash, no second scan and no survivor-set broadcast (the survivor
+    # set is O(corpus); broadcasting it cannot work at 100 TB).
+    w = Window.partitionBy(
+        F.md5(F.coalesce(F.col("text"), F.lit("")))
+    ).orderBy("doc_id")
+    kept = (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
-    kept = docs.join(F.broadcast(survivors.select("doc_id")), "doc_id")
 
     # 2–3. quality floor + language filter (marker-score argmax == en)
     scores = TX.lang_scores(F.col("text"))
