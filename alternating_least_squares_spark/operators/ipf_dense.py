@@ -119,9 +119,27 @@ def converge_dense(
             "see reference README:7"
         )
 
+    # State carries the row sum as a MATERIALIZED column (`_rsum`).
+    # Higher-order functions (transform/aggregate lambdas) are
+    # interpreted, not codegen'd, and Catalyst inlines a projected
+    # expression into every use site — so if the row sum stays an
+    # expression it gets re-evaluated per array ELEMENT inside the
+    # row-pass lambda (~n² interpreted ops per row per sweep).
+    # Computing it once at checkpoint time makes each sweep O(n) per
+    # row: measured 4 s/sweep → <1 s/sweep on the sf0.1 flagship.
+    # Repartition by row id to the cluster's parallelism: AQE would
+    # otherwise coalesce a small state to ONE partition and every
+    # sweep's per-row work (interpreted transform/zip_with lambdas)
+    # would run single-threaded. localCheckpoint pins this layout, and
+    # all later sweeps are narrow, so the hash layout survives the
+    # whole loop — this one shuffle is the loop's only one.
+    spark = seed.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
     state = (
         to_row_arrays(seed, col_ids)
         .join(x_marginal.select(F.col(M.ID).alias(M.R), F.col(M.V).alias("_x")), M.R)
+        .select(M.R, "_x", "vals", _array_sum(F.col("vals")).alias("_rsum"))
+        .repartition(n_parts, M.R)
         .localCheckpoint(eager=True)
     )
 
@@ -140,20 +158,29 @@ def converge_dense(
         # naive v*x/0 would flood the matrix with NaN; such a row can
         # receive no mass, so it stays zero (same convention as the
         # column factors below)
-        rowsum = _array_sum(F.col("vals"))
+        rowsum = F.col("_rsum")
         row_scaled = F.when(
             rowsum != 0,
             F.transform(F.col("vals"), lambda v: v * F.col("_x") / rowsum),
         ).otherwise(F.col("vals"))
-        agg_row = state.agg(
-            F.sqrt(
-                F.sum(F.pow(F.col("_x") - _array_sum(F.col("vals")), F.lit(2)))
-            ).alias("_xloss"),
-            *[
-                F.sum(F.element_at(row_scaled, p + 1)).alias(f"c{p}")
-                for p in range(n)
-            ],
-        ).first()
+        # Project row_scaled ONCE per row, then aggregate element_at
+        # reads of the materialized array. Aggregate-over-Project is
+        # not collapsed by Catalyst, so the transform lambda runs once
+        # per row instead of once per column-sum aggregate.
+        agg_row = (
+            state.select(
+                F.pow(F.col("_x") - rowsum, F.lit(2)).alias("_xt"),
+                row_scaled.alias("_rs"),
+            )
+            .agg(
+                F.sqrt(F.sum("_xt")).alias("_xloss"),
+                *[
+                    F.sum(F.element_at(F.col("_rs"), p + 1)).alias(f"c{p}")
+                    for p in range(n)
+                ],
+            )
+            .first()
+        )
         if iteration > 0:
             # agg_row["_xloss"] is the post-step loss of the matrix in
             # `state` (= sweep `iteration`'s result) — SURVEY §0.3 fix.
@@ -185,9 +212,17 @@ def converge_dense(
             [(factors,)], "_f: array<double>"
         )
         col_scaled = F.zip_with(row_scaled, F.col("_f"), lambda v, f: v * f)
+        # col_scaled is inlined twice here (vals + its row sum) — two
+        # O(n) interpreted evals per row, paid once at checkpoint
+        # materialization; the savings show up in the sweep aggregate.
         state = (
             state.crossJoin(F.broadcast(factors_df))
-            .select(M.R, "_x", col_scaled.alias("vals"))
+            .select(
+                M.R,
+                "_x",
+                col_scaled.alias("vals"),
+                _array_sum(col_scaled).alias("_rsum"),
+            )
             .localCheckpoint(eager=True)
         )
         iteration += 1
