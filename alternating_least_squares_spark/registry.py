@@ -1733,6 +1733,226 @@ GROUP BY 1
 """
 
 
+def q_h08_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations per
+    ship year — the (supplier nation, customer nation) pair comes from
+    two independent dimension chains hanging off the same fact row.
+    Both nation-resolving chains broadcast; the only big shuffle is
+    lineitem⋈orders on orderkey."""
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s_n = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    c_n = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(s_n), li.l_suppkey == s_n.s_suppkey)
+        .join(F.broadcast(c_n), orders.o_custkey == c_n.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(38,10)"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("revenue")
+        )
+    )
+
+
+SQL_H08 = """
+SELECT supp_nation, cust_nation, l_year,
+       round(CAST(sum(vol) AS DOUBLE), 6) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)) AS vol
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+    AND n2.n_name IN ('NATION_1', 'NATION_2')
+    AND n1.n_name <> n2.n_name
+)
+GROUP BY 1, 2, 3
+"""
+
+
+def q_h09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation × order year for one
+    part family. The testdata has no partsupp table, so supply cost is
+    modeled as 10% of the part's retail price per unit — the operator
+    shape (two broadcast dims + orders join + two-key agg over an
+    arithmetic measure) is what's under test."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("red")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s_n = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "n_name")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(38,10)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(s_n), li.l_suppkey == s_n.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount).cast("double"), 6).alias("profit"))
+    )
+
+
+SQL_H09 = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           - 0.1 * p_retailprice * l_quantity
+                           AS DECIMAL(38,10))) AS DOUBLE), 6) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE contains(p_name, 'red')
+GROUP BY 1, 2
+"""
+
+
+def q_h10_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: high- vs low-priority order counts per
+    lineitem category for a one-year ship window (the testdata has no
+    l_shipmode, so l_linestatus plays the category). Conditional
+    CASE-sums ride the single orderkey shuffle."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_linestatus").alias("category"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_priority"),
+        )
+    )
+
+
+SQL_H10 = """
+SELECT l_linestatus AS category,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_priority,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_priority
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+def q_h11_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer, keeping
+    zero-order customers via a LEFT OUTER join (the filter on the
+    order side must stay inside the join, not above it, or the zeros
+    vanish). Two-level aggregation: per-customer count, then histogram
+    over the counts."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").alias("custdist")
+    )
+
+
+SQL_H11 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY 1
+)
+GROUP BY 1
+"""
+
+
+def q_h12_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of brand/size/quantity
+    conjunctions. The disjunction references both sides of the
+    part⋈lineitem join, so it can only be applied as a join residual —
+    the per-side prefilters (brand set, quantity envelope) are what
+    Catalyst can and must push to the scans."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b = F.col("p_brand")
+    s = F.col("p_size")
+    q = F.col("l_quantity")
+    disj = (
+        ((b == "Brand#1") & s.between(1, 10) & q.between(1, 20))
+        | ((b == "Brand#2") & s.between(11, 30) & q.between(10, 30))
+        | ((b == "Brand#3") & s.between(20, 50) & q.between(20, 40))
+    )
+    return joined.filter(disj).agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,10)"
+                )
+            ).cast("double"),
+            6,
+        ).alias("revenue")
+    )
+
+
+SQL_H12 = """
+SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(38,10))) AS DOUBLE), 6) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
 def q_j01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): each click event matched with
     the user's latest purchase at-or-before it. Oracle: DuckDB's
@@ -2514,6 +2734,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "h05_returned_revenue": (q_h05_returned_revenue, SQL_H05),
     "h06_promo_revenue": (q_h06_promo_revenue, SQL_H06),
     "h07_order_priority": (q_h07_order_priority, SQL_H07),
+    "h08_volume_shipping": (q_h08_volume_shipping, SQL_H08),
+    "h09_product_profit": (q_h09_product_profit, SQL_H09),
+    "h10_shipmode_priority": (q_h10_shipmode_priority, SQL_H10),
+    "h11_order_distribution": (q_h11_order_distribution, SQL_H11),
+    "h12_disjunctive_revenue": (q_h12_disjunctive_revenue, SQL_H12),
     "t06_tfidf": (q_t06_tfidf, SQL_T06),
     "t07_top_bigrams": (q_t07_top_bigrams, SQL_T07),
     "t08_contamination": (q_t08_contamination, SQL_T08),

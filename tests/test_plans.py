@@ -78,3 +78,31 @@ def test_topk_uses_take_ordered(spark):
     a global Sort of all groups would be a scale bug."""
     plan = _plan(spark, "h03_shipping_priority")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_volume_shipping_no_cartesian(spark):
+    """h08's two nation-resolving chains hang off the same fact row —
+    a planner that turned the pair filter into a cross of the chains
+    would be quadratic. All dims must stay broadcast-hash."""
+    plan = _plan(spark, "h08_volume_shipping")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_order_distribution_keeps_left_join(spark):
+    """h11 must keep zero-order customers: the priority filter lives
+    inside the LEFT OUTER join, so the plan must contain LeftOuter
+    (an inner rewrite would drop the zeros)."""
+    plan = _plan(spark, "h11_order_distribution")
+    assert "LeftOuter" in plan
+
+
+def test_disjunctive_filter_broadcasts_part(spark):
+    """h12's OR-of-conjunctions references both join sides, so it can
+    only be a join residual — but the part side must still broadcast
+    and nothing may degenerate into a nested-loop join."""
+    plan = _plan(spark, "h12_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
