@@ -1521,6 +1521,75 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """
 
 
+def q_w04_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution / navigation window functions in one pass:
+    quartile bucket (ntile), percent_rank, cume_dist, and the
+    segment's richest customer (first_value) per market segment.
+    Total order inside the window (acctbal desc, custkey asc) makes
+    every function deterministic under ties."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("balance_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first_value(F.col("c_name")).over(w).alias("segment_top_customer"),
+    )
+
+
+SQL_W04 = """
+SELECT c_mktsegment, c_custkey,
+       CAST(ntile(4) OVER w AS BIGINT) AS balance_quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       first_value(c_name) OVER w AS segment_top_customer
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
+def q_g05_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — finer than g01 rollup / g02 cube: only
+    the (returnflag, linestatus), (returnflag), and () sets, skipping
+    the (linestatus) slice a cube would also compute. grouping_id
+    disambiguates real NULL keys from subtotal rows (both engines use
+    the same bit encoding: one bit per column, left = MSB)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(38,10)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n_items", "sum_qty")
+    )
+
+
+SQL_G05 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n_items,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE), 6)
+         AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
 def q_h03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: top-10 open orders by revenue for one market
     segment before a date. Plan: broadcast the filtered customer dim,
@@ -2728,6 +2797,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "w01_running_total": (q_w01_running_total, SQL_W01),
     "w02_rank_dense_lag": (q_w02_rank_dense_lag, SQL_W02),
     "w03_time_range_avg": (q_w03_time_range_avg, SQL_W03),
+    "w04_distribution_funcs": (q_w04_distribution_funcs, SQL_W04),
+    "g05_grouping_sets": (q_g05_grouping_sets, SQL_G05),
     "j01_asof_join": (q_j01_asof_join, SQL_J01),
     "j02_range_join": (q_j02_range_join, SQL_J02),
     "h04_local_supplier_volume": (q_h04_local_supplier_volume, SQL_H04),
