@@ -112,6 +112,57 @@ def extract_media_features(
     return df.select(id_col, blob_col).mapInPandas(batches, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = "doc_id long, frame_idx long, n_bytes long, frame_md5 string"
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    frame_size: int = 64,
+    stride: int = 4,
+) -> DataFrame:
+    """Frame sampling over opaque payloads: chunk each payload into
+    fixed-size byte "frames" and keep every ``stride``-th one — the
+    video-keyframe access pattern. Unlike :func:`extract_media_features`
+    (1:1 rows) this is a 1:N **row-expanding** ``mapInPandas``: one
+    input row yields zero or more frame rows, which is the plumbing a
+    real frame decoder needs (Arrow handles the fan-out; output batch
+    size is decoupled from input batch size).
+
+    Payload = UTF-8 bytes of the text column (same deterministic
+    stand-in as :func:`attach_blob`; testdata text is ASCII so byte
+    offsets equal character offsets, which the DuckDB oracle relies
+    on). Empty/NULL payloads produce no rows — a document with no
+    decodable frames simply leaves the pipeline.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, lens, digests = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                data = (text or "").encode("utf-8")
+                n_frames = (len(data) + frame_size - 1) // frame_size
+                for i in range(0, n_frames, stride):
+                    chunk = data[i * frame_size : (i + 1) * frame_size]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    lens.append(len(chunk))
+                    digests.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "n_bytes": pd.Series(lens, dtype="int64"),
+                    "frame_md5": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, FRAME_SCHEMA)
+
+
 def decode_image(blob: bytes):  # pragma: no cover - stub by design
     """Decode a real image payload. STUB: the container has no image
     libraries; gate on PIL and fail loudly rather than fake silently."""

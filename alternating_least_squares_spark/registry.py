@@ -2732,6 +2732,33 @@ FROM documents
 """
 
 
+def q_mm02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-EXPANDING mapInPandas plumbing proof (the video-keyframe
+    access pattern): every 4th 64-byte frame of each payload, one
+    output row per sampled frame. The oracle rebuilds the same frames
+    with substring arithmetic in SQL (text is ASCII, so byte offsets
+    == char offsets), so a hash match proves the fan-out produced
+    exactly the right chunk boundaries and bytes."""
+    from alternating_least_squares_spark.functions.multimodal import (
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(docs)
+
+
+SQL_MM02 = """
+SELECT doc_id,
+       CAST(i AS BIGINT) AS frame_idx,
+       CAST(length(substring(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS BIGINT)
+         AS n_bytes,
+       md5(substring(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS frame_md5
+FROM documents,
+     UNNEST(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT), 4)) AS t(i)
+WHERE text IS NOT NULL
+"""
+
+
 def q_ipf_cost_per_visit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship iterative pipeline (A17 converge + E2/E3 ETL).
     Iterative fixed-point — not expressible as one SQL statement, so
@@ -2827,6 +2854,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "st05_stream_dedup": (q_st05_stream_dedup, SQL_ST05),
     "st06_stream_stream_join": (q_st06_stream_stream_join, SQL_ST06),
     "mm01_media_features": (q_mm01_media_features, SQL_MM01),
+    "mm02_frame_sample": (q_mm02_frame_sample, SQL_MM02),
     "d01_simhash": (q_d01_simhash, SQL_D01),
     "d02_jaccard_pairs": (q_d02_jaccard_pairs, SQL_D02),
     "d03_minhash_near_dup": (q_d03_minhash_near_dup, None),

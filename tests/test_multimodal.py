@@ -74,3 +74,29 @@ def test_decode_image_is_an_honest_stub():
         pass
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_image(b"\x89PNG\r\n")
+
+
+def test_sample_frames_boundaries_and_expansion(spark):
+    from alternating_least_squares_spark.functions.multimodal import (
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a" * 64),          # exactly one frame -> idx 0 only
+            (2, "b" * 65),          # 2 frames, stride 4 -> idx 0 only
+            (3, "c" * (64 * 5)),    # 5 frames -> idx 0 and 4
+            (4, ""),                # empty -> no rows
+            (5, None),              # NULL -> no rows
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["frame_idx"]): r
+        for r in sample_frames(docs).collect()
+    }
+    assert set(rows) == {(1, 0), (2, 0), (3, 0), (3, 4)}
+    assert rows[(2, 0)]["n_bytes"] == 64  # first chunk is full
+    # the sampled 5th frame of doc 3 is the last 64 bytes
+    assert rows[(3, 4)]["n_bytes"] == 64
+    assert rows[(1, 0)]["frame_md5"] == hashlib.md5(b"a" * 64).hexdigest()
