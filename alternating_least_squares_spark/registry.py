@@ -1245,6 +1245,107 @@ FROM sess GROUP BY 1, 2
 """
 
 
+def q_e04_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsample + gap fill: per-user 6-hour buckets over
+    each user's own [min, max] span, with empty buckets materialized
+    as zero rows (``sequence`` + ``explode`` builds the dense grid —
+    a generator, not a shuffle; the grid is |users|·|span buckets|).
+    The left join onto actual bucket aggregates shuffles on
+    (user, bucket) once. Integer-µs bucket arithmetic for exact
+    DuckDB parity."""
+    bucket_us = 6 * 3600 * 1_000_000
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "_b", F.expr(f"(ts_ns DIV 1000) DIV {bucket_us} * {bucket_us}")
+    )
+    spans = ev.groupBy("user_id").agg(
+        F.min("_b").alias("_b0"), F.max("_b").alias("_b1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("_b0"), F.col("_b1"), F.lit(bucket_us))
+        ).alias("bucket_us"),
+    )
+    actual = ev.groupBy("user_id", F.col("_b").alias("bucket_us")).agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("value").cast("decimal(38,10)")).alias("_v"),
+    )
+    return grid.join(actual, ["user_id", "bucket_us"], "left").select(
+        "user_id",
+        "bucket_us",
+        F.coalesce("_n", F.lit(0)).cast("long").alias("n_events"),
+        F.round(
+            F.coalesce(F.col("_v"), F.lit(0).cast("decimal(38,10)")).cast(
+                "double"
+            ),
+            6,
+        ).alias("total_value"),
+    )
+
+
+SQL_E04 = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 21600000000 * 21600000000 AS b, value
+  FROM events
+),
+spans AS (
+  SELECT user_id, min(b) AS b0, max(b) AS b1 FROM ev GROUP BY 1
+),
+grid AS (
+  SELECT user_id, CAST(g AS BIGINT) AS bucket_us
+  FROM spans, UNNEST(range(b0, b1 + 1, 21600000000)) AS t(g)
+),
+actual AS (
+  SELECT user_id, b AS bucket_us, count(*) AS n,
+         sum(CAST(value AS DECIMAL(38,10))) AS v
+  FROM ev GROUP BY 1, 2
+)
+SELECT g.user_id, g.bucket_us,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+       round(CAST(coalesce(v, CAST(0 AS DECIMAL(38,10))) AS DOUBLE), 6)
+         AS total_value
+FROM grid g LEFT JOIN actual a
+  ON g.user_id = a.user_id AND g.bucket_us = a.bucket_us
+"""
+
+
+def q_x05_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function) applied as a
+    per-row LATERAL join: split each document into '.'-separated
+    pieces, one output row per piece with its position and length.
+    UDTFs are the row-at-a-time slow path — this registry keeps them
+    OFF hot paths (mm01/mm02 use Arrow-batched mapInPandas instead);
+    the entry exists to lock down the API surface and its exact
+    semantics against the oracle (DuckDB's aligned unnest +
+    generate_subscripts)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="piece_idx long, piece string, n_chars long")
+    class SplitPieces:
+        def eval(self, text: str):
+            for i, piece in enumerate((text or "").split(".")):
+                yield i, piece, len(piece)
+
+    spark.udtf.register("split_pieces", SplitPieces)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "_x05_docs"
+    )
+    return spark.sql(
+        "SELECT doc_id, s.piece_idx, s.piece, s.n_chars "
+        "FROM _x05_docs, LATERAL split_pieces(text) s"
+    )
+
+
+SQL_X05 = """
+SELECT doc_id,
+       CAST(generate_subscripts(string_split(text, '.'), 1) - 1 AS BIGINT)
+         AS piece_idx,
+       unnest(string_split(text, '.')) AS piece,
+       CAST(length(unnest(string_split(text, '.'))) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # headline analytical queries
 
@@ -2813,6 +2914,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "e01_hourly_value": (q_e01_hourly_value, SQL_E01),
     "e02_json_extract": (q_e02_json_extract, SQL_E02),
     "e03_sessionize": (q_e03_sessionize, SQL_E03),
+    "e04_resample_gapfill": (q_e04_resample_gapfill, SQL_E04),
+    "x05_python_udtf": (q_x05_python_udtf, SQL_X05),
     "h01_pricing_summary": (q_h01_pricing_summary, SQL_H01),
     "h02_revenue_by_nation": (q_h02_revenue_by_nation, SQL_H02),
     "h03_shipping_priority": (q_h03_shipping_priority, SQL_H03),
