@@ -1245,6 +1245,40 @@ FROM sess GROUP BY 1, 2
 """
 
 
+# GPT-2-style pretokenizer (simplified, ASCII): contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs. Identical
+# semantics in java.util.regex (Spark) and RE2 (DuckDB) for this
+# pattern — no lookarounds, no unicode classes.
+BPE_PRETOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+"
+
+
+def q_t09_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (the LLM-pipeline's 'how many tokens is
+    this corpus' accounting): subword-boundary pretokens via regex vs
+    plain whitespace tokens, per document. Pure regexp_extract_all —
+    JVM-side, scan-speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PRETOKEN_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        TX.token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+    )
+
+
+SQL_T09 = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9'']+'))
+         AS BIGINT) AS n_bpe_tokens,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_extract_all(trim(text), '\\S+')) END AS BIGINT)
+         AS n_ws_tokens
+FROM documents
+"""
+
+
 def q_e04_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series downsample + gap fill: per-user 6-hour buckets over
     each user's own [min, max] span, with empty buckets materialized
@@ -2943,6 +2977,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "t06_tfidf": (q_t06_tfidf, SQL_T06),
     "t07_top_bigrams": (q_t07_top_bigrams, SQL_T07),
     "t08_contamination": (q_t08_contamination, SQL_T08),
+    "t09_bpe_tokens": (q_t09_bpe_tokens, SQL_T09),
     "x01_grouped_outliers": (q_x01_grouped_outliers, SQL_X01),
     "x02_train_test_split": (q_x02_train_test_split, SQL_X02),
     "x03_stratified_sample": (q_x03_stratified_sample, None),
