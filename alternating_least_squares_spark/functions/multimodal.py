@@ -137,21 +137,17 @@ def sample_frames(
     decodable frames simply leaves the pipeline.
     """
 
+    # Flush accumulated frame rows whenever they reach this many, so
+    # output batch memory is bounded by MAX_OUT_ROWS, not by
+    # (input batch rows × frames per payload).
+    MAX_OUT_ROWS = 10_000
+
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
 
-        for pdf in it:
-            ids, idxs, lens, digests = [], [], [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                data = (text or "").encode("utf-8")
-                n_frames = (len(data) + frame_size - 1) // frame_size
-                for i in range(0, n_frames, stride):
-                    chunk = data[i * frame_size : (i + 1) * frame_size]
-                    ids.append(doc_id)
-                    idxs.append(i)
-                    lens.append(len(chunk))
-                    digests.append(hashlib.md5(chunk).hexdigest())
-            yield pd.DataFrame(
+        def flush(rows):
+            ids, idxs, lens, digests = rows
+            return pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
                     "frame_idx": pd.Series(idxs, dtype="int64"),
@@ -159,6 +155,23 @@ def sample_frames(
                     "frame_md5": pd.Series(digests, dtype="object"),
                 }
             )
+
+        rows = ([], [], [], [])
+        for pdf in it:
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                data = (text or "").encode("utf-8")
+                n_frames = (len(data) + frame_size - 1) // frame_size
+                for i in range(0, n_frames, stride):
+                    chunk = data[i * frame_size : (i + 1) * frame_size]
+                    rows[0].append(doc_id)
+                    rows[1].append(i)
+                    rows[2].append(len(chunk))
+                    rows[3].append(hashlib.md5(chunk).hexdigest())
+                if len(rows[0]) >= MAX_OUT_ROWS:
+                    yield flush(rows)
+                    rows = ([], [], [], [])
+        if rows[0]:
+            yield flush(rows)
 
     return df.select(id_col, text_col).mapInPandas(batches, FRAME_SCHEMA)
 

@@ -14,9 +14,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Punctuation class shared verbatim with the DuckDB oracle (kept to a
-# regex subset both engines interpret identically).
-PUNCT_CLASS = "[.,!?;:]"
+# Punctuation charset shared with the DuckDB oracle; the regex-class
+# form is derived so the two can never drift apart.
+PUNCT_CHARS = ".,!?;:"
+PUNCT_CLASS = f"[{PUNCT_CHARS}]"
 
 # Marker stopwords per language for the n-gram/keyword language-ID
 # heuristic. Tiny on purpose: broadcast as literal expressions, no
@@ -58,9 +59,6 @@ def token_count(text: Column) -> Column:
 
 def char_count(text: Column) -> Column:
     return F.length(text)
-
-
-PUNCT_CHARS = ".,!?;:"
 
 
 def punct_count(text: Column) -> Column:

@@ -1272,7 +1272,7 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text,
          '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9'']+'))
          AS BIGINT) AS n_bpe_tokens,
-       CAST(CASE WHEN trim(text) = '' THEN 0
+       CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
             ELSE len(regexp_extract_all(trim(text), '\\S+')) END AS BIGINT)
          AS n_ws_tokens
 FROM documents
@@ -1357,7 +1357,9 @@ def q_x05_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="piece_idx long, piece string, n_chars long")
     class SplitPieces:
         def eval(self, text: str):
-            for i, piece in enumerate((text or "").split(".")):
+            if text is None:
+                return  # NULL → no rows, matching DuckDB's unnest(NULL)
+            for i, piece in enumerate(text.split(".")):
                 yield i, piece, len(piece)
 
     spark.udtf.register("split_pieces", SplitPieces)
