@@ -2159,6 +2159,101 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
 """
 
 
+def q_h13_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold, with customer context. The qualifying-key set is an
+    AGGREGATE-derived semi join — the HAVING aggregate runs first,
+    then the big tables join only against the (small) qualifying keys.
+    Top-k planned as TakeOrdered, not a global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,10)")).alias("_q"))
+        .filter(F.col("_q") > 220)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(38,10)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("total_qty")
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+SQL_H13 = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE), 6)
+         AS total_qty
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY 1
+  HAVING sum(CAST(l_quantity AS DECIMAL(38,10))) > 220
+)
+GROUP BY 1, 2, 3, 4
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q_h14_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and no URGENT orders — a scalar aggregate subquery (broadcast as a
+    plan literal via crossJoin of a 1-row aggregate) feeding a filter,
+    then an anti join against the filtered fact table. (Plain "no
+    orders at all" would be vacuous on the synthetic data — every
+    customer orders — so the anti-join side is the urgent slice.)"""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(38,10)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("total_balance"),
+        )
+    )
+
+
+SQL_H14 = """
+SELECT c_mktsegment, count(*) AS n_customers,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE), 6)
+         AS total_balance
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY 1
+"""
+
+
 def q_j01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): each click event matched with
     the user's latest purchase at-or-before it. Oracle: DuckDB's
@@ -2976,6 +3071,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "h10_shipmode_priority": (q_h10_shipmode_priority, SQL_H10),
     "h11_order_distribution": (q_h11_order_distribution, SQL_H11),
     "h12_disjunctive_revenue": (q_h12_disjunctive_revenue, SQL_H12),
+    "h13_large_volume_orders": (q_h13_large_volume_orders, SQL_H13),
+    "h14_idle_rich_customers": (q_h14_idle_rich_customers, SQL_H14),
     "t06_tfidf": (q_t06_tfidf, SQL_T06),
     "t07_top_bigrams": (q_t07_top_bigrams, SQL_T07),
     "t08_contamination": (q_t08_contamination, SQL_T08),
