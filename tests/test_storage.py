@@ -84,3 +84,61 @@ def test_bucketed_tables_join_without_shuffle(spark, tmpdir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_compaction_rewrites_fragmented_table(spark, tmpdir):
+    from alternating_least_squares_spark.operators.compaction import (
+        compact_parquet,
+        directory_stats,
+        target_file_count,
+    )
+
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    frag = os.path.join(tmpdir, "fragmented")
+    out = os.path.join(tmpdir, "compacted")
+    li.repartition(40).write.mode("overwrite").parquet(frag)
+
+    n_before, total = directory_stats(spark, frag)
+    assert n_before == 40
+    # huge target -> everything folds into one file
+    stats = compact_parquet(spark, frag, out, target_file_bytes=1 << 40)
+    assert stats["files_planned"] == 1
+    assert stats["files_after"] == 1
+    # content survives exactly
+    a = sorted(spark.read.parquet(frag).collect())
+    b = sorted(spark.read.parquet(out).collect())
+    assert a == b
+
+    # byte-budget math: planned count follows ceil(total/target)
+    assert target_file_count(total, total) == 1
+    assert target_file_count(total, total // 4) in (4, 5)
+
+
+def test_compaction_partition_aware(spark, tmpdir):
+    from alternating_least_squares_spark.operators.compaction import (
+        compact_parquet,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    frag = os.path.join(tmpdir, "frag_part")
+    out = os.path.join(tmpdir, "comp_part")
+    ev.repartition(20).write.partitionBy("event_type").mode(
+        "overwrite"
+    ).parquet(frag)
+
+    stats = compact_parquet(
+        spark, frag, out, target_file_bytes=1 << 40,
+        partition_by=["event_type"],
+    )
+    # output keeps the hive layout and shrinks the file count
+    types = [r["event_type"] for r in
+             spark.read.parquet(out).select("event_type").distinct().collect()]
+    assert len(types) >= 2
+    assert stats["files_after"] < stats["files_before"]
+    a = sorted(spark.read.parquet(frag).collect())
+    b = sorted(spark.read.parquet(out).collect())
+    assert a == b
