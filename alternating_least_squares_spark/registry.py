@@ -1245,6 +1245,28 @@ FROM sess GROUP BY 1, 2
 """
 
 
+def q_e05_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType path: ``parse_json`` once into a variant,
+    then typed ``variant_get`` extractions — the open-schema
+    semi-structured column pattern (vs e02's per-path string
+    extraction). A missing path yields NULL, matching the oracle's
+    json extraction."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "long").alias("k"),
+        F.variant_get(v, "$.missing", "string").alias("absent"),
+    )
+
+
+SQL_E05 = """
+SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k,
+       props->>'$.missing' AS absent
+FROM events
+"""
+
+
 # GPT-2-style pretokenizer (simplified, ASCII): contraction suffixes,
 # space-prefixed letter runs, digit runs, punctuation runs. Identical
 # semantics in java.util.regex (Spark) and RE2 (DuckDB) for this
@@ -2991,6 +3013,46 @@ WHERE text IS NOT NULL
 """
 
 
+def q_mm03_arrow_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` variant of mm01: the lowest-level batch-Python
+    surface — raw pyarrow RecordBatches in and out, no pandas
+    conversion layer. The right tool when the Python side is itself
+    Arrow-native (decoders emitting tensors, GPU libraries); here it
+    recomputes the mm01 byte features so the same DuckDB oracle
+    hash-proves the Arrow round-trip."""
+    import hashlib as _hl
+
+    def batches(it):
+        import pyarrow as pa
+
+        for batch in it:
+            ids = batch.column("doc_id")
+            texts = batch.column("text").to_pylist()
+            payloads = [(t or "").encode("utf-8") for t in texts]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array([len(b) for b in payloads], pa.int64()),
+                    pa.array(
+                        [_hl.md5(b).hexdigest() for b in payloads],
+                        pa.string(),
+                    ),
+                ],
+                names=["doc_id", "n_bytes", "md5"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(batches, "doc_id long, n_bytes long, md5 string")
+
+
+SQL_MM03 = """
+SELECT doc_id,
+       CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+       md5(coalesce(text, '')) AS md5
+FROM documents
+"""
+
+
 def q_ipf_cost_per_visit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship iterative pipeline (A17 converge + E2/E3 ETL).
     Iterative fixed-point — not expressible as one SQL statement, so
@@ -3046,6 +3108,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "e02_json_extract": (q_e02_json_extract, SQL_E02),
     "e03_sessionize": (q_e03_sessionize, SQL_E03),
     "e04_resample_gapfill": (q_e04_resample_gapfill, SQL_E04),
+    "e05_variant_json": (q_e05_variant_json, SQL_E05),
     "x05_python_udtf": (q_x05_python_udtf, SQL_X05),
     "h01_pricing_summary": (q_h01_pricing_summary, SQL_H01),
     "h02_revenue_by_nation": (q_h02_revenue_by_nation, SQL_H02),
@@ -3092,6 +3155,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "st06_stream_stream_join": (q_st06_stream_stream_join, SQL_ST06),
     "mm01_media_features": (q_mm01_media_features, SQL_MM01),
     "mm02_frame_sample": (q_mm02_frame_sample, SQL_MM02),
+    "mm03_arrow_features": (q_mm03_arrow_features, SQL_MM03),
     "d01_simhash": (q_d01_simhash, SQL_D01),
     "d02_jaccard_pairs": (q_d02_jaccard_pairs, SQL_D02),
     "d03_minhash_near_dup": (q_d03_minhash_near_dup, None),
