@@ -13,7 +13,7 @@ two-level aggregate in the same job. No Python in the loop.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -71,3 +71,27 @@ def check(
         [(n, int(vals[n]), vals[n] == 0) for n in names],
         "constraint string, n_violations long, passed boolean",
     )
+
+
+def observed(
+    df: DataFrame,
+    constraints: list[tuple[str, Column]],
+    name: str = "quality",
+) -> tuple[DataFrame, Observation]:
+    """Piggyback the violation counts of :func:`check` onto whatever
+    action the CALLER already runs — zero extra scans.
+
+    ``check`` costs one dedicated aggregation job; in a production
+    pipeline the same data is about to be written anyway, and
+    ``df.observe`` collects metrics as a side effect of that write.
+    Returns ``(instrumented_df, observation)``; after the caller's
+    first action, ``observation.get`` holds ``{constraint_name:
+    n_violations}``. At 100 TB this is the difference between "the
+    quality gate is free" and "the quality gate doubles the job".
+    """
+    obs = Observation(name)
+    metrics = [
+        F.count_if(F.coalesce(~cond, F.lit(True))).cast("long").alias(n)
+        for n, cond in constraints
+    ]
+    return df.observe(obs, *metrics), obs

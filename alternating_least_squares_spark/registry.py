@@ -1313,18 +1313,20 @@ def q_e04_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "_b", F.expr(f"(ts_ns DIV 1000) DIV {bucket_us} * {bucket_us}")
     )
-    spans = ev.groupBy("user_id").agg(
-        F.min("_b").alias("_b0"), F.max("_b").alias("_b1")
+    # ONE raw-events scan: the bucket aggregate. Spans re-aggregate
+    # the (much smaller) bucket table, not the raw events.
+    actual = ev.groupBy("user_id", F.col("_b").alias("bucket_us")).agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("value").cast("decimal(38,10)")).alias("_v"),
+    )
+    spans = actual.groupBy("user_id").agg(
+        F.min("bucket_us").alias("_b0"), F.max("bucket_us").alias("_b1")
     )
     grid = spans.select(
         "user_id",
         F.explode(
             F.sequence(F.col("_b0"), F.col("_b1"), F.lit(bucket_us))
         ).alias("bucket_us"),
-    )
-    actual = ev.groupBy("user_id", F.col("_b").alias("bucket_us")).agg(
-        F.count("*").alias("_n"),
-        F.sum(F.col("value").cast("decimal(38,10)")).alias("_v"),
     )
     return grid.join(actual, ["user_id", "bucket_us"], "left").select(
         "user_id",

@@ -37,6 +37,8 @@ HEADLINE = [
     "a13_mmult",
     "a16_ipf_step",
     "e03_sessionize",
+    "e04_resample_gapfill",
+    "h13_large_volume_orders",
     "st01_stream_hourly",
     "j01_asof_join",
     "t01_token_stats",

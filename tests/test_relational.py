@@ -135,3 +135,26 @@ def test_quality_check_null_predicate_counts_as_violation(spark):
         for r in Q.check(df, [("positive", F2.col("v") > 0)]).collect()
     }
     assert rep["positive"] == 1
+
+
+def test_quality_observed_rides_the_callers_action(spark):
+    """observed() must report the same violation counts as check()
+    while costing zero extra jobs - the metrics come back from the
+    caller's own action."""
+    from pyspark.sql import functions as F
+
+    from alternating_least_squares_spark.functions import quality as Q
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, -1.0), (None, 2.0)],
+        "id long, v double",
+    )
+    constraints = [Q.not_null("id"), Q.in_range("v", 0.0, 10.0)]
+    instrumented, obs = Q.observed(df, constraints)
+    instrumented.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    want = {
+        r["constraint"]: r["n_violations"]
+        for r in Q.check(df, constraints).collect()
+    }
+    assert got == want == {"not_null(id)": 1, "in_range(v,0.0,10.0)": 2}
