@@ -670,6 +670,66 @@ def _toks_sql(col: str = "text") -> str:
     )
 
 
+def q_c13_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic for defensive ETL: ``try_cast`` on a
+    JSON-extracted string and ``try_divide`` with a zero-prone
+    denominator both yield NULL instead of failing the job — the
+    semantics a 100 TB pipeline needs when one malformed row must not
+    kill a 6-hour run. DuckDB twins: TRY_CAST and NULL-on-zero-divide."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("long")
+    # Exact integer-micros division: DuckDB evaluates ANY decimal
+    # division as double (result type DOUBLE), so a rounded quotient
+    # flaps half-even vs half-up at the last digit. Integer division
+    # of exact micros is bit-identical on both engines; NULL/zero
+    # denominators yield NULL via nullif (the try-semantics this
+    # query demonstrates). Spark `div` truncates toward zero while
+    # DuckDB `//` floors — identical here because value >= 0 by
+    # construction in the testdata.
+    v_us = (F.col("value").cast("decimal(38,10)") * 1_000_000).cast("long")
+    return ev.select(
+        "event_id", k.alias("k"), v_us.alias("v_us")
+    ).selectExpr(
+        "event_id", "k", "v_us div nullif(k, 0) AS value_per_k_us"
+    )
+
+
+SQL_C13 = """
+SELECT event_id,
+       TRY_CAST(props->>'$.k' AS BIGINT) AS k,
+       CAST(CAST(value AS DECIMAL(38,10)) * 1000000 AS BIGINT)
+         // nullif(TRY_CAST(props->>'$.k' AS BIGINT), 0) AS value_per_k_us
+FROM events
+"""
+
+
+def q_c14_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of silently dropping — the semantics a
+    dimension join needs when 'unknown' is itself a category. Still a
+    hash join (the null-safe operator is an equi-key to Spark), not a
+    nested loop."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select("doc_id", F.nullif("lang", F.lit("en")).alias("k"))
+    dim = a.select("k").distinct().withColumn(
+        "bucket", F.coalesce("k", F.lit("UNKNOWN"))
+    )
+    return (
+        a.join(dim, a.k.eqNullSafe(dim.k))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+SQL_C14 = """
+WITH a AS (SELECT doc_id, nullif(lang, 'en') AS k FROM documents),
+dim AS (SELECT DISTINCT k, coalesce(k, 'UNKNOWN') AS bucket FROM a)
+SELECT bucket, count(*) AS n_docs
+FROM a JOIN dim ON a.k IS NOT DISTINCT FROM dim.k
+GROUP BY 1
+"""
+
+
 def q_t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     text = F.col("text")
@@ -3098,6 +3158,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "c10_safe_divide": (q_c10_safe_divide, SQL_C10),
     "c11_upsert": (q_c11_upsert, SQL_C11),
     "c12_set_ops": (q_c12_set_ops, SQL_C12),
+    "c13_try_arithmetic": (q_c13_try_arithmetic, SQL_C13),
+    "c14_nullsafe_join": (q_c14_nullsafe_join, SQL_C14),
     "t01_token_stats": (q_t01_token_stats, SQL_T01),
     "t02_quality_score": (q_t02_quality_score, SQL_T02),
     "t03_lang_id": (q_t03_lang_id, SQL_T03),
