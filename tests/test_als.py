@@ -34,3 +34,26 @@ def test_als_recommend_shape(spark):
     assert recs.columns == ["user", "item", "score"]
     counts = recs.groupBy("user").count().collect()
     assert counts and all(r["count"] <= 3 for r in counts)
+
+
+def test_als_model_persistence_roundtrip(spark, tmp_path):
+    """Model save/load must reproduce predictions exactly - the
+    deploy-without-retraining contract (factor matrices are parquet
+    under the hood, so the round-trip is lossless)."""
+    from pyspark.ml.recommendation import ALSModel
+
+    ratings = ratings_from_testdata(spark, SF_SMALL)
+    model = train_als(ratings, rank=4, max_iter=4, seed=42)
+    path = str(tmp_path / "als_model")
+    model.write().overwrite().save(path)
+    loaded = ALSModel.load(path)
+    sample = ratings.limit(50)
+    a = sorted(
+        (r["user"], r["item"], round(float(r["prediction"]), 6))
+        for r in model.transform(sample).collect()
+    )
+    b = sorted(
+        (r["user"], r["item"], round(float(r["prediction"]), 6))
+        for r in loaded.transform(sample).collect()
+    )
+    assert a == b
