@@ -160,3 +160,20 @@ def test_converge_dense_matches_coordinate_on_real_data(spark):
     assert a.keys() == b.keys() and len(a) > 1000
     worst = max(abs(a[k] - b[k]) / max(abs(a[k]), 1e-12) for k in a)
     assert worst < 1e-6, worst
+
+
+def test_converge_dense_result_plan_is_shuffle_free(make_matrix, make_vector):
+    """The dense loop's whole point: after the single setup shuffle is
+    pinned by localCheckpoint, everything downstream — every sweep and
+    the final coordinate expansion — is narrow. The result matrix's
+    physical plan must therefore contain no Exchange."""
+    from alternating_least_squares_spark.operators.ipf_dense import (
+        converge_dense,
+    )
+
+    seed = make_matrix([[1.0, 2.0], [3.0, 4.0]])
+    x = make_vector([3.0, 7.0])
+    y = make_vector([4.0, 6.0])
+    res = converge_dense(x, y, seed, threshold=1e-12, max_iterations=20)
+    plan = res.matrix._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

@@ -66,3 +66,74 @@ def test_optimize_marginal_hits_target_rows(spark, rows):
     fitted = M.optimize_marginal(marg, m)
     got = {r["id"]: r["v"] for r in M.sum_rows(fitted).collect()}
     assert all(abs(got[i] - v) < 1e-8 for i, v in target)
+
+
+# --- textfns flat-expression rewrites vs their array-based definitions ---
+# token_count/avg_token_length/punct_count were rewritten from
+# split+size / aggregate-lambda / regexp forms into flat codegen
+# expressions (regexp_count runs, translate length deltas). These
+# properties pin the rewrites to the definitional forms for arbitrary
+# whitespace-laden text, including the NULL/empty/only-whitespace
+# edges the oracle data never exercises.
+
+texts = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(
+            alphabet=" \t\n\x0b\x0c\rabcXYZ.,!?;:'0123456789",
+            max_size=60,
+        ),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@SETTINGS
+@given(batch=texts)
+def test_token_count_matches_definitional_split(spark, batch):
+    from pyspark.sql import functions as F
+
+    from alternating_least_squares_spark.functions import textfns as TX
+
+    df = spark.createDataFrame([(t,) for t in batch], "text string")
+    rows = df.select(
+        TX.token_count(F.col("text")).alias("fast"),
+        F.size(TX.tokens(F.col("text"))).alias("def_"),
+    ).collect()
+    assert all(r["fast"] == r["def_"] for r in rows), rows
+
+
+@SETTINGS
+@given(batch=texts)
+def test_avg_token_length_matches_lambda_aggregate(spark, batch):
+    from pyspark.sql import functions as F
+
+    from alternating_least_squares_spark.functions import textfns as TX
+
+    df = spark.createDataFrame([(t,) for t in batch], "text string")
+    toks = TX.tokens(F.col("text"))
+    definitional = F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.aggregate(toks, F.lit(0.0), lambda acc, x: acc + F.length(x))
+        / F.size(toks)
+    )
+    rows = df.select(
+        TX.avg_token_length(F.col("text")).alias("fast"),
+        definitional.alias("def_"),
+    ).collect()
+    assert all(abs(r["fast"] - r["def_"]) < 1e-12 for r in rows), rows
+
+
+@SETTINGS
+@given(batch=texts)
+def test_punct_count_matches_regexp(spark, batch):
+    from pyspark.sql import functions as F
+
+    from alternating_least_squares_spark.functions import textfns as TX
+
+    df = spark.createDataFrame([(t,) for t in batch], "text string")
+    rows = df.select(
+        TX.punct_count(F.col("text")).alias("fast"),
+        F.regexp_count("text", F.lit(TX.PUNCT_CLASS)).alias("def_"),
+    ).collect()
+    assert all(r["fast"] == r["def_"] for r in rows), rows
