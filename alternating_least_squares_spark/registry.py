@@ -730,6 +730,36 @@ GROUP BY 1
 """
 
 
+def q_c15_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``posexplode_outer`` semantics: documents keep a row even when
+    they produce NO tokens (empty/whitespace text → NULL position and
+    token) — the row-preserving flatten an ETL needs when a document
+    with no extractable units must stay visible downstream. Inner
+    explode would silently drop them."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.posexplode_outer(F.slice(toks, 1, 5)).alias("pos", "token"),
+    )
+
+
+SQL_C15 = """
+SELECT d.doc_id, CAST(t.pos AS INT) AS pos, t.token
+FROM documents d
+LEFT JOIN LATERAL (
+  SELECT unnest(toks[1:5]) AS token,
+         generate_subscripts(toks[1:5], 1) - 1 AS pos
+  FROM (
+    SELECT CASE WHEN s = '' THEN []::VARCHAR[]
+                ELSE string_split_regex(s, '\\s+') END AS toks
+    FROM (SELECT regexp_replace(coalesce(d.text, ''),
+                                '^\\s+|\\s+$', '', 'g') AS s)
+  )
+) t ON true
+"""
+
+
 def q_t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     text = F.col("text")
@@ -3160,6 +3190,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "c12_set_ops": (q_c12_set_ops, SQL_C12),
     "c13_try_arithmetic": (q_c13_try_arithmetic, SQL_C13),
     "c14_nullsafe_join": (q_c14_nullsafe_join, SQL_C14),
+    "c15_explode_outer": (q_c15_explode_outer, SQL_C15),
     "t01_token_stats": (q_t01_token_stats, SQL_T01),
     "t02_quality_score": (q_t02_quality_score, SQL_T02),
     "t03_lang_id": (q_t03_lang_id, SQL_T03),
