@@ -1841,6 +1841,42 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """
 
 
+def q_w05_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ``F.window`` tumbling aggregation (the same operator the
+    streaming surface uses in st01, here on a static frame): 1-hour
+    buckets per event type with the window bounds surfaced as
+    integer-µs columns for exact oracle parity."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,10)")).cast("double"),
+                6,
+            ).alias("total_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("win_start_us"),
+            F.unix_micros("w.end").alias("win_end_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SQL_W05 = """
+SELECT epoch_us(ts) // 3600000000 * 3600000000 AS win_start_us,
+       epoch_us(ts) // 3600000000 * 3600000000 + 3600000000 AS win_end_us,
+       event_type, count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+         AS total_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+
 def q_h03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: top-10 open orders by revenue for one market
     segment before a date. Plan: broadcast the filtered customer dim,
@@ -3217,6 +3253,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "w02_rank_dense_lag": (q_w02_rank_dense_lag, SQL_W02),
     "w03_time_range_avg": (q_w03_time_range_avg, SQL_W03),
     "w04_distribution_funcs": (q_w04_distribution_funcs, SQL_W04),
+    "w05_tumbling_batch": (q_w05_tumbling_batch, SQL_W05),
     "g05_grouping_sets": (q_g05_grouping_sets, SQL_G05),
     "j01_asof_join": (q_j01_asof_join, SQL_J01),
     "j02_range_join": (q_j02_range_join, SQL_J02),

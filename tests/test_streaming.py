@@ -250,3 +250,97 @@ def test_stream_stream_join_equals_batch_interval_join(spark):
         ).collect()
     }
     assert got == want and want
+
+
+def test_stream_foreachbatch_merge_accumulates_state(spark, tmp_path):
+    """Incremental-pipeline composition: stream micro-batches feed a
+    foreachBatch MERGE (relational.upsert) into a parquet state table,
+    accumulating per-user counts/sums. Addition commutes, so whatever
+    the file-arrival order, the final table must equal the batch
+    aggregate EXACTLY (decimal accumulation, no float drift)."""
+    from alternating_least_squares_spark.operators.relational import upsert
+    from alternating_least_squares_spark.streaming.events import (
+        RAW_EVENTS_SCHEMA,
+    )
+
+    src = load_table(spark, SF_SMALL, "events").select(
+        "event_id", F.col("ts_ns").alias("ts"), "user_id", "event_type",
+        "value", "props",
+    )
+    src_path = str(tmp_path / "events_src")
+    state_path = str(tmp_path / "profile_state")
+    ckpt = str(tmp_path / "merge_ckpt")
+    src.repartition(4).write.mode("overwrite").parquet(src_path)
+
+    state_schema = (
+        "user_id long, n_events long, total_value decimal(38,10)"
+    )
+
+    def merge_batch(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        agg = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,10)")).cast(
+                "decimal(38,10)"
+            ).alias("total_value"),
+        )
+        try:
+            base = sess.read.parquet(state_path)
+        except Exception:
+            base = sess.createDataFrame([], state_schema)
+        combined = (
+            agg.join(
+                base.select(
+                    "user_id",
+                    F.col("n_events").alias("_bn"),
+                    F.col("total_value").alias("_bv"),
+                ),
+                "user_id",
+                "left",
+            )
+            .select(
+                "user_id",
+                (F.col("n_events") + F.coalesce("_bn", F.lit(0)))
+                .cast("long")
+                .alias("n_events"),
+                (
+                    F.col("total_value")
+                    + F.coalesce("_bv", F.lit(0).cast("decimal(38,10)"))
+                )
+                .cast("decimal(38,10)")
+                .alias("total_value"),
+            )
+        )
+        # localCheckpoint breaks lineage so overwriting the path we
+        # just read from is legal and the merge is materialized first
+        out = upsert(base, combined, "user_id").localCheckpoint(eager=True)
+        out.write.mode("overwrite").parquet(state_path)
+
+    (
+        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_path)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(state_path).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in load_table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,10)")).cast(
+                "decimal(38,10)"
+            ).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want
