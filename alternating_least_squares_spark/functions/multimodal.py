@@ -167,9 +167,12 @@ def sample_frames(
                     rows[1].append(i)
                     rows[2].append(len(chunk))
                     rows[3].append(hashlib.md5(chunk).hexdigest())
-                if len(rows[0]) >= MAX_OUT_ROWS:
-                    yield flush(rows)
-                    rows = ([], [], [], [])
+                    # flush INSIDE the frame loop so the bound holds
+                    # even for a single multi-GB payload, not just
+                    # across documents
+                    if len(rows[0]) >= MAX_OUT_ROWS:
+                        yield flush(rows)
+                        rows = ([], [], [], [])
         if rows[0]:
             yield flush(rows)
 

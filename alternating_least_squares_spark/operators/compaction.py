@@ -30,11 +30,22 @@ fragmented table and asserting file count and content equality
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+HIVE_NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _hive_unescape(value: str) -> str:
+    """Undo hive partition-path escaping (%2F etc.) so path-derived
+    partition values compare equal to the column values."""
+    return re.sub(
+        "%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), value
+    )
 
 
 def directory_stats(spark: SparkSession, path: str) -> tuple[int, int]:
@@ -56,6 +67,36 @@ def directory_stats(spark: SparkSession, path: str) -> tuple[int, int]:
         n_files += 1
         total += st.getLen()
     return n_files, total
+
+
+def partition_dir_stats(
+    spark: SparkSession, path: str, partition_by: list[str]
+) -> dict[tuple[str, ...], int]:
+    """Per-dynamic-partition byte totals from the same file census as
+    :func:`directory_stats`: map of (value per partition column, as the
+    hive-unescaped path string) → total data bytes. One listing round,
+    no data read."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    root = fs.makeQualified(hpath).toString().rstrip("/")
+    out: dict[tuple[str, ...], int] = {}
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        if p.getName().startswith(("_", ".")):
+            continue
+        rel = p.toString()[len(root) :].strip("/")
+        values: dict[str, str] = {}
+        for seg in rel.split("/")[:-1]:
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                values[k] = _hive_unescape(v)
+        key = tuple(values.get(c, HIVE_NULL_PARTITION) for c in partition_by)
+        out[key] = out.get(key, 0) + st.getLen()
+    return out
 
 
 def target_file_count(
@@ -82,17 +123,72 @@ def compact_parquet(
     file per output partition per task into EVERY dynamic partition —
     the classic small-file explosion this operator exists to fix).
     """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def _qualified(p: str) -> str:
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        return hp.getFileSystem(conf).makeQualified(hp).toString().rstrip("/")
+
+    if _qualified(src) == _qualified(dst):
+        # mode("overwrite") deletes dst BEFORE the lazy read of src
+        # executes — in-place compaction would silently destroy the
+        # table. Require a scratch destination + rename outside.
+        raise ValueError(
+            f"compact_parquet: src and dst resolve to the same path "
+            f"({_qualified(src)}); in-place compaction would delete the "
+            f"input before reading it — write to a scratch dir and swap"
+        )
+
     n_before, total = directory_stats(spark, src)
     n_target = target_file_count(total, target_file_bytes)
     df: DataFrame = spark.read.parquet(src)
     if partition_by:
-        salt = (F.crc32(F.concat_ws("\x00", *df.columns)) % n_target).alias(
-            "_salt"
+        # Size the salt modulus from each dynamic partition's OWN byte
+        # total (census grouped by partition directory), not the global
+        # one: with a global modulus a small partition's rows scatter
+        # across up to n_target salts → tiny files, the exact problem
+        # this operator exists to fix.
+        per_part = partition_dir_stats(spark, src, partition_by)
+        moduli = [
+            (*key, target_file_count(bytes_, target_file_bytes))
+            for key, bytes_ in per_part.items()
+        ]
+        mod_df = spark.createDataFrame(
+            moduli, [f"__pv_{c}" for c in partition_by] + ["__mod"]
         )
+        key_exprs = [
+            F.coalesce(F.col(c).cast("string"), F.lit(HIVE_NULL_PARTITION))
+            == F.col(f"__pv_{c}")
+            for c in partition_by
+        ]
+        cond = key_exprs[0]
+        for e in key_exprs[1:]:
+            cond = cond & e
+        salt = F.pmod(
+            F.crc32(F.concat_ws("\x00", *df.columns)),
+            # a partition born between census and read falls back to
+            # the global modulus rather than failing the job
+            F.coalesce(F.col("__mod"), F.lit(n_target)),
+        ).alias("_salt")
+        # Explicit shuffle-partition count: without it AQE coalesces
+        # the (small) shuffle to one task, which writes ONE file per
+        # dynamic partition regardless of salt. 2× the planned total
+        # keeps hash collisions from merging too many salts; per
+        # dynamic partition the file count is ≤ its own modulus
+        # (collisions only merge, never split). A petabyte-class
+        # deployment would bin-pack the file census driver-side
+        # (Delta/Iceberg OPTIMIZE style) instead of shuffling rows.
+        total_planned = max(sum(m[-1] for m in moduli), 1)
         (
-            df.withColumn("_salt", salt)
-            .repartition(*[F.col(c) for c in partition_by], F.col("_salt"))
-            .drop("_salt")
+            df.join(F.broadcast(mod_df), cond, "left")
+            .withColumn("_salt", salt)
+            .repartition(
+                2 * total_planned,
+                *[F.col(c) for c in partition_by],
+                F.col("_salt"),
+            )
+            .drop("_salt", "__mod", *[f"__pv_{c}" for c in partition_by])
             .write.partitionBy(*partition_by)
             .mode("overwrite")
             .parquet(dst)

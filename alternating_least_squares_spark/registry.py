@@ -684,13 +684,17 @@ def q_c13_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of exact micros is bit-identical on both engines; NULL/zero
     # denominators yield NULL via nullif (the try-semantics this
     # query demonstrates). Spark `div` truncates toward zero while
-    # DuckDB `//` floors — identical here because value >= 0 by
-    # construction in the testdata.
+    # DuckDB `//` floors — they differ whenever the quotient is
+    # negative, and k comes from untrusted JSON, so the divisor is
+    # gated to k > 0 IN BOTH ENGINES (non-positive k → NULL, same as
+    # the zero case) rather than trusting the generator's sign.
     v_us = (F.col("value").cast("decimal(38,10)") * 1_000_000).cast("long")
     return ev.select(
         "event_id", k.alias("k"), v_us.alias("v_us")
     ).selectExpr(
-        "event_id", "k", "v_us div nullif(k, 0) AS value_per_k_us"
+        "event_id",
+        "k",
+        "v_us div (CASE WHEN k > 0 THEN k END) AS value_per_k_us",
     )
 
 
@@ -698,7 +702,9 @@ SQL_C13 = """
 SELECT event_id,
        TRY_CAST(props->>'$.k' AS BIGINT) AS k,
        CAST(CAST(value AS DECIMAL(38,10)) * 1000000 AS BIGINT)
-         // nullif(TRY_CAST(props->>'$.k' AS BIGINT), 0) AS value_per_k_us
+         // (CASE WHEN TRY_CAST(props->>'$.k' AS BIGINT) > 0
+                  THEN TRY_CAST(props->>'$.k' AS BIGINT) END)
+         AS value_per_k_us
 FROM events
 """
 

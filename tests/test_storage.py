@@ -142,3 +142,66 @@ def test_compaction_partition_aware(spark, tmpdir):
     a = sorted(spark.read.parquet(frag).collect())
     b = sorted(spark.read.parquet(out).collect())
     assert a == b
+
+
+def test_compaction_per_partition_salt_sizing(spark, tmpdir):
+    """A realistic (small) byte target: each dynamic partition's file
+    count must follow ITS OWN byte total, and a small partition must
+    not be scattered across the global salt range (the round-2 advice
+    finding)."""
+    from alternating_least_squares_spark.operators.compaction import (
+        compact_parquet,
+        partition_dir_stats,
+        target_file_count,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    # one big partition, one tiny partition
+    big = ev.withColumn("grp", F.lit("big"))
+    tiny = ev.limit(5).withColumn("grp", F.lit("tiny"))
+    frag = os.path.join(tmpdir, "frag_sized")
+    out = os.path.join(tmpdir, "comp_sized")
+    big.unionByName(tiny).repartition(16).write.partitionBy("grp").mode(
+        "overwrite"
+    ).parquet(frag)
+
+    per_part = partition_dir_stats(spark, frag, ["grp"])
+    assert set(per_part) == {("big",), ("tiny",)}
+    # target sized so 'big' needs several files but 'tiny' needs one
+    target = max(per_part[("big",)] // 4, per_part[("tiny",)] + 1)
+    compact_parquet(
+        spark, frag, out, target_file_bytes=target, partition_by=["grp"]
+    )
+
+    def files_in(sub):
+        d = os.path.join(out, f"grp={sub}")
+        return [
+            f for f in os.listdir(d)
+            if not f.startswith(("_", ".")) and f.endswith(".parquet")
+        ]
+
+    want_big = target_file_count(per_part[("big",)], target)
+    assert want_big >= 2
+    # hash collisions can only MERGE salts, never split them
+    assert 2 <= len(files_in("big")) <= want_big
+    # the tiny partition must stay a single file — the bug this guards
+    # against wrote up to n_target tiny files here
+    assert len(files_in("tiny")) == 1
+    a = sorted(spark.read.parquet(frag).collect())
+    b = sorted(spark.read.parquet(out).collect())
+    assert a == b
+
+
+def test_compaction_refuses_in_place(spark, tmpdir):
+    from alternating_least_squares_spark.operators.compaction import (
+        compact_parquet,
+    )
+
+    src = os.path.join(tmpdir, "inplace")
+    load_table(spark, SF_SMALL, "region").write.parquet(src)
+    with pytest.raises(ValueError, match="same path"):
+        compact_parquet(spark, src, src)
+    # table survives untouched
+    assert spark.read.parquet(src).count() == 5
