@@ -42,6 +42,31 @@ def test_stratified_sample_respects_fractions(spark):
     assert again == got
 
 
+def test_engine_native_sampleby(spark):
+    """The engine-native seeded sampler (``sampleBy``): per-stratum
+    fractions hold and a fixed seed is deterministic across calls
+    within a session."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    fractions = {"en": 0.5, "zh": 1.0, "es": 1.0, "de": 1.0, "fr": 1.0}
+    got = {
+        r["lang"]: r["count"]
+        for r in docs.sampleBy("lang", fractions, seed=42)
+        .groupBy("lang")
+        .count()
+        .collect()
+    }
+    base = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    assert 0.25 <= got.get("en", 0) / base["en"] <= 0.75
+    again = {
+        r["lang"]: r["count"]
+        for r in docs.sampleBy("lang", fractions, seed=42)
+        .groupBy("lang")
+        .count()
+        .collect()
+    }
+    assert again == got
+
+
 def test_sketches_within_error_bounds(spark):
     """HLL approx-distinct within its configured 2% rsd (allow 3x
     slack) of exact; t-digest median within 2% of the exact
