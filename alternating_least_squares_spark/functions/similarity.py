@@ -67,22 +67,6 @@ def rademacher_planes(
     return out
 
 
-def bucket_expr(emb: Column, planes: list[list[float]]) -> Column:
-    """Sign-pattern bucket id for one hash table: bit p = sign of the
-    projection onto plane p. Encoded as a small long."""
-    ed = _vec_double(emb)
-    acc = F.lit(0).cast("long")
-    for comps in planes:
-        plane = F.array(*[F.lit(c) for c in comps])
-        proj = F.aggregate(
-            F.zip_with(ed, plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        acc = acc * 2 + F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
-    return acc
-
-
 def with_lsh_buckets(
     emb: DataFrame,
     vec_col: str = "embedding",
@@ -92,20 +76,82 @@ def with_lsh_buckets(
     seed: int = 42,
 ) -> DataFrame:
     """Append (table, bucket) rows: one output row per input row per
-    hash table. Narrow (generator) — no shuffle."""
+    hash table. Narrow (generator) — no shuffle.
+
+    Plan-size discipline: each Rademacher plane is +-1 per dimension,
+    so a plane is BIT-PACKED into one long (bit d set -> +1). The
+    whole plane family is n_tables x n_planes literal longs instead of
+    n_tables x n_planes x dim literal doubles — the unpacked literal
+    form made the expression tree large enough that whole-stage
+    codegen compile dominated cold runs. A projection is then one
+    aggregate pass adding +-x_d by bit test (also one HOF pass per
+    plane instead of zip_with + aggregate = two).
+
+    Evaluation shape: the double-cast vector lands in a materialized
+    ``_ed`` column and the projections in a materialized ``_projs``
+    column; each is referenced many times downstream, which is what
+    stops Catalyst's CollapseProject from inlining the O(dim)
+    aggregates into per-element lambdas (that inlining is quadratic).
+    """
+    if dim > 64:
+        raise NotImplementedError(
+            f"bit-packed planes hold at most 64 dims (got {dim}); "
+            "split vectors into 64-dim words to extend"
+        )
     planes = rademacher_planes(n_tables, n_planes, dim, seed)
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                bucket_expr(F.col(vec_col), planes[t]).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
+    words = []
+    for t in range(n_tables):
+        for p in range(n_planes):
+            w = 0
+            for d, comp in enumerate(planes[t][p]):
+                if comp > 0:
+                    w |= 1 << d
+            if w >= 1 << 63:
+                w -= 1 << 64
+            words.append(w)
+    planes_lit = F.array(*[F.lit(w) for w in words])
+    projs = F.transform(
+        planes_lit,
+        lambda w: F.aggregate(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            F.lit(0.0),
+            lambda acc, d: acc
+            + F.when(
+                F.getbit(w, d) == 1,
+                F.element_at(F.col("_ed"), (d + 1).cast("integer")),
+            ).otherwise(-F.element_at(F.col("_ed"), (d + 1).cast("integer"))),
+        ),
     )
-    return emb.withColumn("_tb", F.explode(tables)).select(
-        "*", F.col("_tb.table").alias("table"), F.col("_tb.bucket").alias("bucket")
-    ).drop("_tb")
+    tables = F.transform(
+        F.sequence(F.lit(0), F.lit(n_tables - 1)),
+        lambda t: F.struct(
+            t.cast("integer").alias("table"),
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, i: acc * 2
+                + F.when(
+                    F.element_at(
+                        F.col("_projs"),
+                        (t * F.lit(n_planes) + i + 1).cast("integer"),
+                    )
+                    >= 0,
+                    F.lit(1),
+                ).otherwise(F.lit(0)),
+            ).alias("bucket"),
+        ),
+    )
+    return (
+        emb.withColumn("_ed", _vec_double(F.col(vec_col)))
+        .select("*", projs.alias("_projs"))
+        .select("*", F.explode(tables).alias("_tb"))
+        .select(
+            "*",
+            F.col("_tb.table").alias("table"),
+            F.col("_tb.bucket").alias("bucket"),
+        )
+        .drop("_tb", "_ed", "_projs")
+    )
 
 
 def lsh_topk(
@@ -131,28 +177,47 @@ def lsh_topk(
     that is what :func:`embedding_near_dup_pairs` uses. Measured on
     the sf0.001 testdata (weakly-similar random-ish vectors):
     recall@1 = 9/10 at p=2/t=6, 7/10 at p=3/t=4, 1/10 at p=6/t=3."""
+    # Norms ride the join as per-ROW scalars (computed once per vector,
+    # not once per candidate pair): pair scoring is then a single dot
+    # traversal instead of dot + two norm aggregates — interpreted HOF
+    # cost is per array element, and candidate pairs outnumber rows by
+    # orders of magnitude.
     qb = with_lsh_buckets(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_eq")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_eq"),
+            vec_norm(F.col(vec_col)).alias("_nq"),
         ),
         "_eq", n_tables, n_planes, dim, seed,
     )
-    cb = with_lsh_buckets(
-        emb.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_en")
-        ),
-        "_en", n_tables, n_planes, dim, seed,
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_en"),
+        vec_norm(F.col(vec_col)).alias("_nn"),
     )
+    # A small corpus arrives as ONE parquet split and every interpreted
+    # bucket-projection lambda would run single-threaded; re-spread it
+    # when (and only when) the scan is narrower than the cluster — at
+    # real scale the scan already has the width and no shuffle is added.
+    spark = emb.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < n_parts:
+        corpus = corpus.repartition(n_parts)
+    cb = with_lsh_buckets(corpus, "_en", n_tables, n_planes, dim, seed)
     cand = (
         qb.join(cb, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "_eq", "_en")
+        .select("query_id", "neighbor_id", "_eq", "_en", "_nq", "_nn")
         .distinct()
     )
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("_eq"), F.col("_en")), 6).alias("cosine"),
+        F.round(
+            vec_dot(F.col("_eq"), F.col("_en"))
+            / (F.col("_nq") * F.col("_nn")),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return scored.withColumn(
@@ -225,10 +290,16 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-dup detection: LSH bucket collisions →
     exact cosine ≥ threshold, id_a < id_b. Same scalable join shape as
     the MinHash text dedup."""
-    b = with_lsh_buckets(
-        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_e")),
-        "_e", n_tables, n_planes, dim, seed,
+    base = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_e"),
+        vec_norm(F.col(vec_col)).alias("_n"),
     )
+    spark = emb.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < n_parts:
+        base = base.repartition(n_parts)
+    b = with_lsh_buckets(base, "_e", n_tables, n_planes, dim, seed)
     pairs = (
         b.alias("a")
         .join(b.alias("b"), ["table", "bucket"])
@@ -238,11 +309,17 @@ def embedding_near_dup_pairs(
             F.col("b._id").alias("id_b"),
             F.col("a._e").alias("_ea"),
             F.col("b._e").alias("_eb"),
+            F.col("a._n").alias("_na"),
+            F.col("b._n").alias("_nb"),
         )
         .distinct()
     )
+    # per-pair: one dot traversal; norms are per-row scalars from above
     return pairs.select(
         "id_a",
         "id_b",
-        F.round(cosine(F.col("_ea"), F.col("_eb")), 6).alias("cosine"),
+        F.round(
+            vec_dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb")),
+            6,
+        ).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)

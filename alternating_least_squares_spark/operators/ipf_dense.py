@@ -31,7 +31,7 @@ two agree on literals.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from alternating_least_squares_spark.operators import matrix as M
@@ -47,10 +47,20 @@ def _array_sum(vals) -> F.Column:
     return F.aggregate(vals, F.lit(0.0), lambda acc, v: acc + v)
 
 
-def to_row_arrays(matrix: DataFrame, col_ids: list[int]) -> DataFrame:
+def to_row_arrays(
+    matrix: DataFrame, col_ids: list[int], fill: float = 0.0
+) -> DataFrame:
     """Coordinate ``(r, c, v)`` → ``(r, vals)`` with ``vals[p]`` the
-    value at column ``col_ids[p]`` (missing cells = 0.0). One groupBy
-    shuffle — paid once, not per sweep."""
+    value at column ``col_ids[p]`` (missing cells = ``fill``). One
+    groupBy shuffle — paid once, not per sweep.
+
+    ``fill`` doubles as the Laplace-smoothing path (A9,
+    ``core.clj:47-50``): passing ``fill=alpha`` on a SPARSE matrix is
+    equivalent to densifying over the full row x column domain and
+    adding alpha — without ever materializing the dense coordinate
+    form (a |rows|x|cols| crossJoin + join + re-group that this layout
+    would immediately collapse back into arrays anyway). Present cells
+    get ``v + fill`` so the two routes agree exactly."""
     pos = F.map_from_arrays(
         F.array(*[F.lit(int(c)) for c in col_ids]),
         F.array(*[F.lit(p) for p in range(len(col_ids))]),
@@ -67,9 +77,8 @@ def to_row_arrays(matrix: DataFrame, col_ids: list[int]) -> DataFrame:
             M.R,
             F.transform(
                 F.sequence(F.lit(0), F.lit(len(col_ids) - 1)),
-                lambda p: F.coalesce(
-                    F.try_element_at(F.col("_m"), p), F.lit(0.0)
-                ),
+                lambda p: F.coalesce(F.try_element_at(F.col("_m"), p), F.lit(0.0))
+                + F.lit(fill),
             ).alias("vals"),
         )
     )
@@ -83,6 +92,13 @@ def from_row_arrays(rows: DataFrame, col_ids: list[int]) -> DataFrame:
     ).select(M.R, F.element_at(ids, F.col("_p") + 1).alias(M.C), M.V)
 
 
+# Target state rows per partition for the sweep jobs. The loop's cost
+# at bench scale is per-task scheduling overhead (2 jobs/sweep), so a
+# small state should not be spread over every core; at cluster scale
+# the cap is defaultParallelism as before.
+ROWS_PER_PARTITION = 8192
+
+
 def converge_dense(
     x_marginal: DataFrame,
     y_marginal: DataFrame,
@@ -90,14 +106,27 @@ def converge_dense(
     threshold: float = 1e-15,
     max_iterations: int = 1000,
     verbose: bool = False,
+    seed_fill: float = 0.0,
+    x_total: float | None = None,
 ) -> IPFResult:
     """IPF with the column marginal as driver-side literals.
 
     Same contract as :func:`ipf.converge` (reference ``converge``,
     ``core.clj:99-119``, with the SURVEY §0.3 fixes: post-step loss,
-    both marginals tracked). Requires the seed's column domain to be
-    exactly the y-marginal's id set (the densify contract —
-    :func:`plans.cost_allocation.smoothed_seed_from` guarantees it).
+    both marginals tracked). The seed's column domain must lie within
+    the y-marginal's id set; cells outside it are ignored, absent
+    cells read as ``seed_fill``.
+
+    ``seed_fill`` > 0 is the fused densify+Laplace path (A9): pass the
+    SPARSE seed plus ``seed_fill=alpha`` instead of pre-densifying —
+    equivalent to :func:`plans.cost_allocation.smoothed_seed_from` for
+    every row that appears in the seed, but skips materializing and
+    re-shuffling the |rows|x|cols| dense coordinate form. (A row with
+    NO seed cells at all gets no state row this way — callers whose
+    x-marginal can contain such rows must densify explicitly.)
+
+    ``x_total`` skips the precondition aggregate when the caller has
+    already computed Σx.
     """
     y_rows = y_marginal.select(M.ID, M.V).collect()
     if len(y_rows) > MAX_DRIVER_COLS:
@@ -110,7 +139,8 @@ def converge_dense(
     y_vals = [float(row[M.V]) for row in y_rows]
     n = len(col_ids)
 
-    x_total = x_marginal.agg(F.sum(M.V)).first()[0]
+    if x_total is None:
+        x_total = x_marginal.agg(F.sum(M.V)).first()[0]
     y_total = sum(y_vals)
     scale = max(abs(x_total), abs(y_total), 1.0)
     if abs(x_total - y_total) / scale > 1e-6:
@@ -134,57 +164,66 @@ def converge_dense(
     # all later sweeps are narrow, so the hash layout survives the
     # whole loop — this one shuffle is the loop's only one.
     spark = seed.sparkSession
-    n_parts = spark.sparkContext.defaultParallelism
+    # Adaptive width: state rows == |x ∩ seed rows| ≤ |x|. One cheap
+    # count of the (tiny) marginal sizes the layout so a 20k-row bench
+    # state runs 3 tasks/job instead of 32 — per-sweep wall time is
+    # task scheduling, not compute, at that size.
+    n_rows = x_marginal.count()
+    n_parts = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            -(-n_rows // ROWS_PER_PARTITION),
+        ),
+    )
     state = (
-        to_row_arrays(seed, col_ids)
+        to_row_arrays(seed, col_ids, fill=seed_fill)
         .join(x_marginal.select(F.col(M.ID).alias(M.R), F.col(M.V).alias("_x")), M.R)
         .select(M.R, "_x", "vals", _array_sum(F.col("vals")).alias("_rsum"))
         .repartition(n_parts, M.R)
-        .localCheckpoint(eager=True)
     )
 
-    # Two Spark jobs per sweep: (1) one fused aggregate over the
-    # current state computing BOTH the column sums of the row-scaled
-    # matrix (needed for this sweep's column pass) and the post-step
-    # x-loss of the PREVIOUS sweep's matrix (needed for the stop
-    # check) — the stop check therefore runs before any work on the
-    # next sweep is done; (2) the eager checkpoint materializing the
-    # new state.
-    loss = float("inf")
-    y_loss = float("inf")
-    iteration = 0
-    while True:
+    # ONE Spark job per sweep: the eager checkpoint that materializes
+    # the new state also carries ``observe`` metrics computing (a) the
+    # post-step x-loss of that state and (b) the column sums of its
+    # row-scaled successor — everything the NEXT loop turn needs. The
+    # former separate aggregate job per sweep is gone; its results ride
+    # the checkpoint scan for free.
+    #
+    # The column-sum metrics deliberately avoid higher-order functions:
+    # ``element_at(vals, p) * x / rsum`` is a scalar expression chain
+    # (codegen-friendly), whereas projecting a transform()'d array and
+    # reading it back is interpreted per element — and inside a metric
+    # list it would be re-inlined per metric (n passes/row).
+    def _rowsum_guard(col: F.Column) -> F.Column:
         # all-zero row guard: an unsmoothed seed row has rowsum 0 and
         # naive v*x/0 would flood the matrix with NaN; such a row can
         # receive no mass, so it stays zero (same convention as the
         # column factors below)
         rowsum = F.col("_rsum")
-        row_scaled = F.when(
-            rowsum != 0,
-            F.transform(F.col("vals"), lambda v: v * F.col("_x") / rowsum),
-        ).otherwise(F.col("vals"))
-        # Project row_scaled ONCE per row, then aggregate element_at
-        # reads of the materialized array. Aggregate-over-Project is
-        # not collapsed by Catalyst, so the transform lambda runs once
-        # per row instead of once per column-sum aggregate.
-        agg_row = (
-            state.select(
-                F.pow(F.col("_x") - rowsum, F.lit(2)).alias("_xt"),
-                row_scaled.alias("_rs"),
+        return F.when(rowsum != 0, col * F.col("_x") / rowsum).otherwise(col)
+
+    def _sweep_metrics() -> list[F.Column]:
+        xss = F.sum(F.pow(F.col("_x") - F.col("_rsum"), F.lit(2))).alias("_xss")
+        return [xss] + [
+            F.sum(_rowsum_guard(F.element_at(F.col("vals"), p + 1))).alias(
+                f"c{p}"
             )
-            .agg(
-                F.sqrt(F.sum("_xt")).alias("_xloss"),
-                *[
-                    F.sum(F.element_at(F.col("_rs"), p + 1)).alias(f"c{p}")
-                    for p in range(n)
-                ],
-            )
-            .first()
-        )
+            for p in range(n)
+        ]
+
+    obs = Observation()
+    state = state.observe(obs, *_sweep_metrics()).localCheckpoint(eager=True)
+
+    loss = float("inf")
+    y_loss = float("inf")
+    iteration = 0
+    while True:
+        metrics = obs.get
         if iteration > 0:
-            # agg_row["_xloss"] is the post-step loss of the matrix in
+            # _xss is the post-step squared loss of the matrix now in
             # `state` (= sweep `iteration`'s result) — SURVEY §0.3 fix.
-            new_loss = agg_row["_xloss"]
+            new_loss = metrics["_xss"] ** 0.5
             plateaued = abs(loss - new_loss) < threshold
             loss = new_loss
             if verbose:
@@ -193,7 +232,7 @@ def converge_dense(
                 )
             if loss < threshold or plateaued or iteration >= max_iterations:
                 break
-        colsums = [agg_row[f"c{p}"] for p in range(n)]
+        colsums = [metrics[f"c{p}"] for p in range(n)]
         factors = [
             y_vals[p] / colsums[p] if colsums[p] else 0.0 for p in range(n)
         ]
@@ -211,10 +250,15 @@ def converge_dense(
         factors_df = state.sparkSession.createDataFrame(
             [(factors,)], "_f: array<double>"
         )
-        col_scaled = F.zip_with(row_scaled, F.col("_f"), lambda v, f: v * f)
-        # col_scaled is inlined twice here (vals + its row sum) — two
-        # O(n) interpreted evals per row, paid once at checkpoint
-        # materialization; the savings show up in the sweep aggregate.
+        # Row pass and column pass fused into ONE zip_with lambda (no
+        # nested transform-inside-zip_with): interpreted HOFs cost per
+        # element, so one flat lambda beats two stacked ones. Inlined
+        # twice (vals + its row sum), paid once at checkpoint
+        # materialization.
+        col_scaled = F.zip_with(
+            F.col("vals"), F.col("_f"), lambda v, f: _rowsum_guard(v) * f
+        )
+        obs = Observation()
         state = (
             state.crossJoin(F.broadcast(factors_df))
             .select(
@@ -223,6 +267,7 @@ def converge_dense(
                 col_scaled.alias("vals"),
                 _array_sum(col_scaled).alias("_rsum"),
             )
+            .observe(obs, *_sweep_metrics())
             .localCheckpoint(eager=True)
         )
         iteration += 1

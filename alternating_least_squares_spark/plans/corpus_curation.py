@@ -38,16 +38,24 @@ def curate(
     docs = load_table(spark, sf_dir, "documents")
 
     # 1. exact dedup: survivor = min doc_id per content hash.
-    # Window row_number over the hash — ONE shuffle on the content
-    # hash, no second scan and no survivor-set broadcast (the survivor
-    # set is O(corpus); broadcasting it cannot work at 100 TB).
-    w = Window.partitionBy(
-        F.md5(F.coalesce(F.col("text"), F.lit("")))
-    ).orderBy("doc_id")
+    # ONE shuffle on the content hash, no second scan and no
+    # survivor-set broadcast (the survivor set is O(corpus);
+    # broadcasting it cannot work at 100 TB). The shuffle is an
+    # EXPLICIT repartition on the hash rather than the window's
+    # implicit exchange: the window's partitioning requirement is then
+    # already satisfied (no second exchange), and AQE honors
+    # user-specified widths — its coalescer would otherwise squeeze a
+    # small corpus to ONE partition and serialize all the regex-heavy
+    # scoring below (everything downstream of this shuffle is narrow).
+    n_parts = spark.sparkContext.defaultParallelism
+    hashed = docs.withColumn(
+        "_hash", F.md5(F.coalesce(F.col("text"), F.lit("")))
+    ).repartition(n_parts, "_hash")
+    w = Window.partitionBy("_hash").orderBy("doc_id")
     kept = (
-        docs.withColumn("_rn", F.row_number().over(w))
+        hashed.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .drop("_rn", "_hash")
     )
 
     # 2–3. quality floor + language filter (marker-score argmax == en)

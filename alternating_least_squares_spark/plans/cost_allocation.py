@@ -182,19 +182,25 @@ def allocate_costs(
         base.groupBy(F.col(M.R).alias(M.ID))
         .agg(F.sum("revenue").alias(M.V))
         .filter(F.col(M.V) != 0)
+        .localCheckpoint(eager=True)  # 4 downstream actions read it
     )
     x_total = x.agg(F.sum(M.V)).first()[0]
     y = hour_cost_marginal(spark, sf_dir, rescale_to=x_total).localCheckpoint(
         eager=True
     )
+    # SPARSE seed + fused alpha-fill: every x part has >= 1 base row
+    # (x is an aggregate OF base), so the seed_fill fast path is exact
+    # here — no part can lose its state row, and the dense |part|x24
+    # coordinate seed (smoothed_seed_from) never materializes.
     visits = base.select(M.R, M.C, F.col("visits").alias(M.V))
-    seed = smoothed_seed_from(visits, x, y)
     return converge_dense(
         x,
         y,
-        seed,
+        visits,
         threshold=threshold * max(abs(x_total), 1.0),
         max_iterations=max_iterations,
+        seed_fill=1e-15,
+        x_total=x_total,
     )
 
 

@@ -342,7 +342,14 @@ def q_a17_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
     division + two multiplies on exact inputs (bit-identical IEEE ops
     in both engines), and ``floor`` re-quantizes without any rounding-
     mode ambiguity (Spark HALF_UP vs DuckDB half-even never enters).
-    """
+
+    Plan shape: the whole 12-half-sweep loop is ONE declarative
+    Catalyst plan (alternating r/c windows). An eager per-sweep
+    materialization variant (the ipf_dense pattern) was measured
+    SLOWER here — at sf0.01 the matrix is tiny and 13 job submissions
+    cost more than the extra exchanges; the production-scale loop with
+    driver-side convergence control is ``operators/ipf_dense`` (used
+    by the flagship), this query is the oracle-checkable unroll."""
     wr = Window.partitionBy(M.R)
     wc = Window.partitionBy(M.C)
     mat = _qty_matrix(spark, sf_dir).withColumn(
