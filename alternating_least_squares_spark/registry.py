@@ -1615,6 +1615,44 @@ SELECT doc_id,
 FROM tc GROUP BY 1
 """
 
+RANGEGEN_N = 24_000
+
+
+def q_x07_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python Data Source API (``sources/pysource.py``): a
+    custom partitioned connector — rows are pulled per InputPartition
+    on executors, never through the driver. The generator is a pure
+    function of the row id, so a SQL oracle can replay the connector
+    exactly; the query aggregates over the synthetic stream to prove
+    the rows actually flowed."""
+    from alternating_least_squares_spark.sources.pysource import register
+
+    register(spark)
+    src = (
+        spark.read.format("rangegen")
+        .option("n", RANGEGEN_N)
+        .option("partitions", 8)
+        .load()
+    )
+    return src.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.round(
+            F.sum(F.col("score").cast("decimal(38,10)")).cast("double"), 6
+        ).alias("score_sum"),
+    )
+
+
+SQL_X07 = f"""
+WITH g AS (
+  SELECT unnest(generate_series(0, {RANGEGEN_N - 1})) AS id
+)
+SELECT id % 24 AS bucket,
+       count(*) AS n_rows,
+       round(CAST(sum(CAST((id * 2654435761 % 1000000) / 1000000.0
+                           AS DECIMAL(38,10))) AS DOUBLE), 6) AS score_sum
+FROM g GROUP BY 1
+"""
+
 DOMAIN_CAP = 10
 
 
@@ -2955,6 +2993,97 @@ GROUP BY 1, 2
 """
 
 
+def q_h20_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + single aggregate — the query
+    whose whole cost is the scan. Every predicate (date range,
+    discount band, quantity cap) must reach the parquet reader as a
+    pushed filter; tests/test_plans.py asserts PushedFilters for this
+    family."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                        "decimal(38,10)"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("forecast_revenue")
+        )
+    )
+
+
+SQL_H20 = """
+SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,10)))
+             AS DOUBLE), 6) AS forecast_revenue
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q_h22_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of yearly revenue within a
+    region — conditional-sum over a two-dimension-chain join
+    (supplier→nation→region on one side, order year on the other).
+    The share is a CASE-sum / sum ratio per group; both sums are
+    decimal-exact so the ratio is one deterministic division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    dims = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "n_name")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,10)"
+    )
+    target = F.when(F.col("n_name") == "NATION_8", rev).otherwise(
+        F.lit(0).cast("decimal(38,10)")
+    )
+    return (
+        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                (F.sum(target).cast("double") / F.sum(rev).cast("double")),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+SQL_H22 = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(CAST(sum(CASE WHEN n_name = 'NATION_8'
+                      THEN CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(38,10))
+                      ELSE CAST(0 AS DECIMAL(38,10)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(38,10))) AS DOUBLE), 6) AS mkt_share
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE r_name = 'EUROPE'
+GROUP BY 1
+"""
+
+
 def q_j01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): each click event matched with
     the user's latest purchase at-or-before it. Oracle: DuckDB's
@@ -3844,6 +3973,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "h18_important_parts": (q_h18_important_parts, SQL_H18),
     "h19_min_cost_supplier": (q_h19_min_cost_supplier, SQL_H19),
     "h21_sole_returning_supplier": (q_h21_sole_returning_supplier, SQL_H21),
+    "h20_forecast_revenue": (q_h20_forecast_revenue, SQL_H20),
+    "h22_market_share": (q_h22_market_share, SQL_H22),
     "t06_tfidf": (q_t06_tfidf, SQL_T06),
     "t07_top_bigrams": (q_t07_top_bigrams, SQL_T07),
     "t08_contamination": (q_t08_contamination, SQL_T08),
@@ -3855,6 +3986,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "x02_train_test_split": (q_x02_train_test_split, SQL_X02),
     "x03_stratified_sample": (q_x03_stratified_sample, SQL_X03),
     "x06_domain_mix_sample": (q_x06_domain_mix_sample, SQL_X06),
+    "x07_python_datasource": (q_x07_python_datasource, SQL_X07),
     "x04_pandas_udaf_geomean": (q_x04_pandas_udaf_geomean, SQL_X04),
     "q01_data_quality": (q_q01_data_quality, SQL_Q01),
     "p01_corpus_curation": (q_p01_corpus_curation, SQL_P01),

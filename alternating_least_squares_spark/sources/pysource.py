@@ -1,0 +1,67 @@
+"""Custom connector via the Spark 4 Python Data Source API.
+
+The reference's only sources are CSV files (``data.clj:5-15``); a real
+engine also needs an extension point for NEW sources. Spark 4 exposes
+exactly that to Python (``pyspark.sql.datasource``): a DataSource
+declares a schema and hands out ``InputPartition`` objects, and each
+executor pulls only its partition's rows through ``reader.read`` — the
+same partitioned-pull contract a JDBC/Kafka/object-store connector
+implements, so the shape scales: N partitions stream independently,
+nothing funnels through the driver.
+
+``RangeGenSource`` here is a deterministic synthetic-data generator
+(the "load generator" connector every benchmark suite carries): rows
+are a pure function of the row id, so the output is reproducible
+across runs/partitionings and — unusually for a connector — exactly
+oracle-checkable against SQL (``x07_python_datasource``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+# Knuth's multiplicative-hash constant: score is a cheap deterministic
+# pseudo-random in [0, 1) reproducible in any engine with 64-bit ints.
+_MIX = 2654435761
+
+
+class RangeGenSource(DataSource):
+    """``spark.read.format("rangegen").option("n", N)`` → N rows of
+    ``(id, bucket, score)``; ``partitions`` controls the split count."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rangegen"
+
+    def schema(self) -> str:
+        return "id bigint, bucket bigint, score double"
+
+    def reader(self, schema) -> "RangeGenReader":
+        return RangeGenReader(self.options)
+
+
+class RangeGenReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.n = int(options.get("n", 1000))
+        self.n_partitions = int(options.get("partitions", 8))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # Contiguous id ranges: each executor materializes only its
+        # slice; adding partitions scales the source horizontally.
+        step = -(-self.n // self.n_partitions)
+        return [
+            InputPartition((lo, min(lo + step, self.n)))
+            for lo in range(0, self.n, step)
+        ]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        lo, hi = partition.value
+        for i in range(lo, hi):
+            yield (i, i % 24, (i * _MIX % 1_000_000) / 1_000_000.0)
+
+
+def register(spark) -> None:
+    """Idempotent registration (re-registering the same name is fine)."""
+    spark.dataSource.register(RangeGenSource)
