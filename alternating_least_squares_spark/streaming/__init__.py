@@ -11,4 +11,5 @@ from alternating_least_squares_spark.streaming.events import (  # noqa: F401
 )
 from alternating_least_squares_spark.streaming.stateful import (  # noqa: F401
     user_profile_stream,
+    user_profile_stream_tws,
 )

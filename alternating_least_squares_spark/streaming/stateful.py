@@ -83,3 +83,82 @@ def user_profile_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def user_profile_stream_tws(events: DataFrame) -> DataFrame:
+    """The same running-profile operator on Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState`` (SPARK-49564 family): state is typed and
+    named (ValueState/ListState/MapState handles instead of one tuple),
+    timers replace timeout conf, and the state store must be RocksDB
+    (changelog-checkpointable, the 100 TB-durable option). Keeping both
+    operators side by side documents the migration path; they must
+    agree exactly (tests/test_streaming.py asserts it when the runtime
+    supports the API).
+
+    Runtime requirement beyond pyspark itself: the TWS driver worker
+    speaks protobuf to the JVM, so the ``protobuf`` Python package must
+    be installed and ``spark.sql.streaming.stateStore.providerClass``
+    must be the RocksDB provider. Callers can check
+    :func:`tws_available` first."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        ProfileProcessor(),
+        outputStructType=PROFILE_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )
+
+def tws_available() -> bool:
+    """True when the runtime can actually execute
+    ``transformWithStateInPandas``: the Spark 4 API is present AND the
+    protobuf wire dependency of its driver worker is importable."""
+    try:
+        import google.protobuf  # noqa: F401
+        from pyspark.sql.streaming import stateful_processor  # noqa: F401
+    except ImportError:
+        return False
+    return ProfileProcessor is not None
+
+
+try:  # Spark 4 only; the module stays importable on older runtimes
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class ProfileProcessor(StatefulProcessor):
+        """Module-level (picklable by reference — the TWS driver worker
+        imports it rather than deserializing a closure) typed-state
+        processor with the exact `_update_profile` semantics."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._profile = handle.getValueState("profile", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            (user_id,) = key
+            prior = self._profile.get() if self._profile.exists() else None
+            n, total, mx, last_us = prior or (0, 0.0, float("-inf"), 0)
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                n += int(len(pdf))
+                total += float(pdf["value"].sum())
+                mx = max(mx, float(pdf["value"].max()))
+                last_us = max(last_us, int(pdf["ts_us"].max()))
+            self._profile.update((n, total, mx, last_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "max_value": [mx],
+                    "last_ts_us": [last_us],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+except ImportError:  # pragma: no cover
+    ProfileProcessor = None  # type: ignore[assignment]

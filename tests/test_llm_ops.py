@@ -1,0 +1,161 @@
+"""Property tests for the LLM-pipeline text operators (t10-t12, x06)
+beyond their DuckDB oracle rows: invariants a hash compare can't state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from alternating_least_squares_spark import registry
+from alternating_least_squares_spark.registry import (
+    CHUNK_LEN,
+    CHUNK_STRIDE,
+    DOMAIN_CAP,
+)
+from alternating_least_squares_spark.sources import load_table
+from tests.conftest import SF_SMALL
+
+
+def test_chunks_reassemble_to_original_text(spark):
+    """Every document must be exactly recoverable from its chunks:
+    chunk 0 whole, later chunks contribute their tail beyond the
+    overlap. The strongest possible statement that chunking loses no
+    bytes and overlaps are consistent."""
+    docs = {
+        r["doc_id"]: r["text"] or ""
+        for r in load_table(spark, SF_SMALL, "documents").collect()
+    }
+    chunk_df = (
+        load_table(spark, SF_SMALL, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.sequence(
+                    F.lit(0),
+                    (
+                        F.floor(
+                            (
+                                F.greatest(
+                                    F.length(F.coalesce("text", F.lit(""))),
+                                    F.lit(1),
+                                )
+                                - 1
+                            )
+                            / CHUNK_STRIDE
+                        )
+                        * CHUNK_STRIDE
+                    ).cast("int"),
+                    F.lit(CHUNK_STRIDE),
+                )
+            ).alias("chunk_idx", "start"),
+        )
+        .join(load_table(spark, SF_SMALL, "documents"), "doc_id")
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.substring(
+                F.coalesce("text", F.lit("")), F.col("start") + 1, CHUNK_LEN
+            ).alias("chunk"),
+        )
+        .collect()
+    )
+    by_doc: dict[int, dict[int, str]] = {}
+    for r in chunk_df:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r["chunk"]
+    overlap = CHUNK_LEN - CHUNK_STRIDE
+    for doc_id, chunks in by_doc.items():
+        rebuilt = chunks[0]
+        for i in range(1, len(chunks)):
+            rebuilt += chunks[i][overlap:] if len(chunks[i]) > overlap else ""
+        assert rebuilt == docs[doc_id], doc_id
+    assert set(by_doc) == set(docs)
+
+
+def test_chunk_query_matches_helper_shapes(spark):
+    """t10's own output: every chunk is non-empty, <= CHUNK_LEN, and
+    doc chunk counts follow ceil(len/stride) of the source text."""
+    import math
+
+    rows = registry.queries()["t10_chunk_windows"](spark, SF_SMALL).collect()
+    docs = {
+        r["doc_id"]: r["text"] or ""
+        for r in load_table(spark, SF_SMALL, "documents").collect()
+    }
+    counts: dict[int, int] = {}
+    for r in rows:
+        assert 1 <= r["chunk_len"] <= CHUNK_LEN
+        counts[r["doc_id"]] = counts.get(r["doc_id"], 0) + 1
+    for doc_id, text in docs.items():
+        expect = max(1, math.ceil(max(len(text), 1) / CHUNK_STRIDE))
+        # last window starts at floor((len-1)/stride)*stride
+        expect = (max(len(text), 1) - 1) // CHUNK_STRIDE + 1
+        assert counts[doc_id] == expect, (doc_id, len(text))
+
+
+def test_pii_redaction_removes_every_planted_match(spark):
+    """After redaction no email/phone pattern may survive, and the
+    per-doc counts must be >= 1 (one of each is planted)."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    planted = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    from alternating_least_squares_spark.registry import _PII_EMAIL, _PII_PHONE
+
+    redacted = F.regexp_replace(
+        F.regexp_replace(planted, _PII_EMAIL, "<EMAIL>"),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    leftovers = docs.select(
+        F.sum(F.regexp_count(redacted, F.lit(_PII_EMAIL))).alias("e"),
+        F.sum(F.regexp_count(redacted, F.lit(_PII_PHONE))).alias("p"),
+    ).first()
+    assert leftovers["e"] == 0 and leftovers["p"] == 0
+    counts = registry.queries()["t11_pii_redact"](spark, SF_SMALL).collect()
+    assert all(r["n_emails"] >= 1 and r["n_phones"] >= 1 for r in counts)
+
+
+def test_repetition_stats_bounds(spark):
+    """dup fraction in [0, 1); top share in (0, 1]; and top share can
+    never be below 1/n_tokens (some token attains the max)."""
+    rows = registry.queries()["t12_repetition_stats"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["dup_token_frac"] < 1.0, r
+        assert 0.0 < r["top_token_share"] <= 1.0, r
+        # 6dp output rounding can undercut the exact 1/n by 5e-7
+        assert r["top_token_share"] >= 1.0 / r["n_tokens"] - 1e-6, r
+
+
+def test_domain_mix_caps_every_source(spark):
+    """Kept count per source must be <= ~cap with hash-binomial slack,
+    and sources at-or-under the cap survive whole."""
+    base = {
+        r["source"]: r["count"]
+        for r in load_table(spark, SF_SMALL, "documents")
+        .groupBy("source")
+        .count()
+        .collect()
+    }
+    kept = {
+        r["source"]: r["count"]
+        for r in registry.queries()["x06_domain_mix_sample"](spark, SF_SMALL)
+        .groupBy("source")
+        .count()
+        .collect()
+    }
+    for src, n in base.items():
+        k = kept.get(src, 0)
+        if n <= DOMAIN_CAP:
+            assert k == n, src
+        else:
+            # rate = cap/n; binomial(n, rate) stays within 3 sigma
+            import math
+
+            rate = DOMAIN_CAP / n
+            sigma = math.sqrt(n * rate * (1 - rate))
+            assert k <= DOMAIN_CAP + 3 * sigma + 1, (src, k)

@@ -344,3 +344,49 @@ def test_stream_foreachbatch_merge_accumulates_state(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_transform_with_state_agrees_with_apply_in_pandas(spark):
+    """The Spark 4 transformWithStateInPandas profile operator must
+    reproduce the applyInPandasWithState profiles exactly. Skipped
+    where the runtime lacks the TWS driver worker's protobuf
+    dependency — the operator is still importable and its plan builds;
+    only execution needs the wire codec."""
+    import pytest
+
+    from alternating_least_squares_spark.streaming.stateful import tws_available
+
+    if not tws_available():
+        pytest.skip("transformWithStateInPandas runtime deps unavailable")
+    from alternating_least_squares_spark.streaming import (
+        read_events_stream,
+        run_stream_to_batch,
+        user_profile_stream,
+        user_profile_stream_tws,
+    )
+    from pyspark.sql import functions as F
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, SF_SMALL).select(
+            "user_id", "value", F.expr("ts_ns DIV 1000").alias("ts_us")
+        )
+        a = {
+            r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+            for r in run_stream_to_batch(
+                user_profile_stream_tws(stream), output_mode="update"
+            ).collect()
+        }
+        b = {
+            r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+            for r in run_stream_to_batch(
+                user_profile_stream(stream), output_mode="update"
+            ).collect()
+        }
+        assert a == b
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
