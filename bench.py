@@ -26,9 +26,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Headline set: flagship IPF pipeline + one representative per engine
 # area (scan-agg, multi-join, matrix core, window/sessionize, text,
 # dedup, ANN, ML).
-# h01 first: it absorbs the one-time session warmup (first parquet
-# read, codegen baseline) so the flagship's number reflects the
-# pipeline, not the JVM cold start.
+# A warmup pass (below) touches every input table and the noop sink
+# once before the clock starts, so timings measure query execution,
+# not first-file-listing / committer init / JVM class loading.
+# (Rounds 1-2 instead let h01 absorb the warmup — its r3+ numbers drop
+# accordingly; see the methodology note in BASELINE.md.)
+WARMUP_TABLES = [
+    "lineitem", "orders", "customer", "supplier", "part",
+    "nation", "region", "events", "documents", "embeddings",
+]
 HEADLINE = [
     "h01_pricing_summary",
     "ipf_cost_per_visit",
@@ -67,7 +73,32 @@ def main() -> None:
     spark = get_spark(app_name="alternating-least-squares-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    from alternating_least_squares_spark.sources import load_table
+
     qs = entry_mod.queries()
+    for table in WARMUP_TABLES:
+        load_table(spark, SF_DIR, table).count()
+    # initialize the noop committer path outside the timed region
+    load_table(spark, SF_DIR, "region").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    def release_leftovers() -> None:
+        """Between-query isolation (untimed): queries that pin state
+        (localCheckpoint blocks, streaming memory sinks) would
+        otherwise accumulate across the whole bench session and tax
+        every LATER query's GC — measured as 2-4x inflation of the
+        last few entries."""
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for jrdd in jmap.values():
+                jrdd.unpersist(False)
+        except Exception:
+            pass
+        for table in spark.catalog.listTables():
+            if table.name.startswith("stream_replay_"):
+                spark.catalog.dropTempView(table.name)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
@@ -76,6 +107,7 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.1f}s", file=sys.stderr)
+        release_leftovers()
 
     total = round(sum(timings.values()), 3)
     print(
