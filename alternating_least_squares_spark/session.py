@@ -43,8 +43,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Deterministic sessionized timezone for timestamp oracle parity.
         .config("spark.sql.session.timeZone", "UTC")
-        # events.parquet stores INT64 TIMESTAMP(NANOS) which the reader
-        # otherwise rejects; read as raw longs, converted in the catalog.
+        # Older events.parquet stores INT64 TIMESTAMP(NANOS) which the
+        # reader otherwise rejects; read as raw longs, converted in the
+        # catalog (no-op for the MICROS layout newer testdata uses).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -87,13 +87,16 @@ TABLES: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
-    # events.parquet stores ``ts`` as INT64 TIMESTAMP(NANOS), which the
-    # Spark parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]).
-    # ``load_table`` reads it with nanosAsLong and converts to a proper
-    # TimestampType (microsecond precision) — this StructType is the
-    # POST-conversion contract callers see. ``ts_ns`` keeps the raw
-    # epoch-nanos long for timezone-independent arithmetic (oracle
-    # parity: DuckDB's epoch_ns(ts)).
+    # events.parquet has shipped with two physical layouts for ``ts``:
+    # INT64 TIMESTAMP(NANOS) — which the Spark parquet reader rejects
+    # outright ([PARQUET_TYPE_ILLEGAL]) unless read with nanosAsLong —
+    # and INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false), which arrives
+    # as TIMESTAMP_NTZ. ``load_table`` detects the layout from the file
+    # footer and normalizes both to this POST-conversion contract:
+    # ``ts`` a proper TimestampType (microsecond precision) and
+    # ``ts_ns`` the epoch-nanos long for timezone-independent
+    # arithmetic (oracle parity: DuckDB's epoch_ns(ts) yields the same
+    # value for either layout).
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -124,35 +127,56 @@ TABLES: dict[str, T.StructType] = {
 }
 
 
+def normalize_events(raw: DataFrame) -> DataFrame:
+    """Map either physical layout of ``events`` onto the catalog
+    contract (``TABLES["events"]``): ``ts`` micros TimestampType +
+    ``ts_ns`` epoch-nanos long.
+
+    Works on batch and streaming DataFrames alike (pure column
+    expressions, no actions).
+    """
+    if isinstance(raw.schema["ts"].dataType, T.LongType):
+        # INT64 TIMESTAMP(NANOS) read under nanosAsLong: raw epoch
+        # nanos. Integer division: `/` would round through double and
+        # can land 1µs high before the truncating cast.
+        ts = F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts")
+        ts_ns = F.col("ts").alias("ts_ns")
+    else:
+        # INT64 TIMESTAMP(MICROS, unadjusted) arrives as TIMESTAMP_NTZ.
+        # ts_ns must stay timezone-independent (DuckDB's epoch_ns reads
+        # the naive value as-is), so measure micros from the NTZ epoch
+        # with timestampdiff — unlike unix_micros(cast), this does not
+        # route through the session timezone. The ts cast itself
+        # round-trips for field extraction (hour/date) because display
+        # and interpretation use the same session zone.
+        ts = F.col("ts").cast("timestamp").alias("ts")
+        ts_ns = (
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
+            * F.lit(1000)
+        ).alias("ts_ns")
+    return raw.select(
+        "event_id", ts, ts_ns, "user_id", "event_type", "value", "props"
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table by name (parquet scan).
 
     Parquet scans get column pruning + predicate pushdown for free:
     any ``.select``/``.filter`` the caller adds reaches the reader.
 
-    ``events`` needs special handling: its ``ts`` column is physical
-    INT64 TIMESTAMP(NANOS), which Spark's reader refuses. We flip the
-    session to read nanos as raw longs (safe: it only affects nanos
-    columns, which Spark cannot read at all otherwise), keep the raw
-    long as ``ts_ns``, and expose ``ts`` as a real microsecond
-    TimestampType. Set on the *caller's* session so this works under
-    the driver-owned SparkSession too, not just :mod:`..session`.
+    ``events`` needs special handling — see :func:`normalize_events`.
+    The nanosAsLong flip is safe under either layout (it only affects
+    NANOS columns, which Spark cannot read at all otherwise) and is set
+    on the *caller's* session so this works under the driver-owned
+    SparkSession too, not just :mod:`..session`.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.parquet(path)
-        return raw.select(
-            "event_id",
-            # integer division: `/` would round through double and can
-            # land 1µs high before the truncating cast
-            F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
-            F.col("ts").alias("ts_ns"),
-            "user_id",
-            "event_type",
-            "value",
-            "props",
-        )
+        return normalize_events(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

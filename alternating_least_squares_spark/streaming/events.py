@@ -26,15 +26,21 @@ and the watermark evicts closed windows, so state size is bounded by
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Physical read schema: ts is INT64 TIMESTAMP(NANOS) in the parquet
-# footer; with nanosAsLong it arrives as a raw epoch-nanos long
-# (same contract as sources.catalog.load_table).
+from ..sources.catalog import normalize_events
+
+# Physical read schema when ts is INT64 TIMESTAMP(NANOS) in the
+# parquet footer; with nanosAsLong it arrives as a raw epoch-nanos
+# long (same contract as sources.catalog.load_table). Newer testdata
+# stores TIMESTAMP(MICROS) instead — `raw_events_schema` probes the
+# footer and returns whichever applies; keep this constant only as the
+# nanos-layout fixture schema for tests.
 RAW_EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -45,6 +51,19 @@ RAW_EVENTS_SCHEMA = T.StructType(
         T.StructField("props", T.StringType()),
     ]
 )
+
+
+def raw_events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Physical read schema of ``<sf_dir>/events.parquet``.
+
+    A file-source stream must be given its schema up front; the right
+    one depends on which layout the testdata shipped with (epoch-nanos
+    long vs TIMESTAMP_NTZ micros — see sources.catalog.normalize_events).
+    A batch reader resolves this from the footer alone (no data scan),
+    so probe with one and reuse its answer for the stream.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 
 
 def read_events_stream(
@@ -58,21 +77,12 @@ def read_events_stream(
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = (
-        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        spark.readStream.schema(raw_events_schema(spark, sf_dir))
         .option("pathGlobFilter", "events.parquet")
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    raw = reader.parquet(sf_dir)
-    return raw.select(
-        "event_id",
-        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
-        F.col("ts").alias("ts_ns"),
-        "user_id",
-        "event_type",
-        "value",
-        "props",
-    )
+    return normalize_events(reader.parquet(sf_dir))
 
 
 def hourly_value_stream(
