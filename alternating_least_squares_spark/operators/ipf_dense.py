@@ -203,17 +203,21 @@ def converge_dense(
         rowsum = F.col("_rsum")
         return F.when(rowsum != 0, col * F.col("_x") / rowsum).otherwise(col)
 
-    def _sweep_metrics() -> list[F.Column]:
-        xss = F.sum(F.pow(F.col("_x") - F.col("_rsum"), F.lit(2))).alias("_xss")
-        return [xss] + [
-            F.sum(_rowsum_guard(F.element_at(F.col("vals"), p + 1))).alias(
-                f"c{p}"
-            )
-            for p in range(n)
-        ]
+    # Build every sweep expression ONCE, outside the loop. Column
+    # objects are immutable name-references, so the same instances are
+    # valid against each sweep's DataFrame — and constructing them is
+    # pure driver-side py4j traffic (~25 metric columns × several
+    # round-trips each ≈ 0.5 s/sweep when rebuilt per iteration, which
+    # was the measured majority of sweep wall-time at bench scale).
+    sweep_metrics = [
+        F.sum(F.pow(F.col("_x") - F.col("_rsum"), F.lit(2))).alias("_xss")
+    ] + [
+        F.sum(_rowsum_guard(F.element_at(F.col("vals"), p + 1))).alias(f"c{p}")
+        for p in range(n)
+    ]
 
     obs = Observation()
-    state = state.observe(obs, *_sweep_metrics()).localCheckpoint(eager=True)
+    state = state.observe(obs, *sweep_metrics).localCheckpoint(eager=True)
 
     loss = float("inf")
     y_loss = float("inf")
@@ -247,27 +251,32 @@ def converge_dense(
         # across sweeps, so Janino compiles the sweep stage once and
         # every later sweep hits the codegen cache. With literal
         # factors each sweep paid a fresh ~0.5 s compile.
-        factors_df = state.sparkSession.createDataFrame(
-            [(factors,)], "_f: array<double>"
-        )
-        # Row pass and column pass fused into ONE zip_with lambda (no
-        # nested transform-inside-zip_with): interpreted HOFs cost per
-        # element, so one flat lambda beats two stacked ones. Inlined
-        # twice (vals + its row sum), paid once at checkpoint
-        # materialization.
+        # Inject the factors as ONE array<double> LITERAL, consumed by
+        # a zip_with lambda. Three earlier shapes all lose to this:
+        # (a) broadcast-DF crossJoin — a fresh BroadcastExchange every
+        #     sweep, measured ~0.35 s of pure exchange overhead;
+        # (b) n unrolled element_at(lit(array), p) products — constant
+        #     folding collapses them to inline scalar literals, so the
+        #     generated source differs per sweep and Janino recompiles
+        #     (~0.4 s/sweep);
+        # (c) per-element scalar literals — same recompile.
+        # A non-primitive array literal instead lands in the codegen
+        # references array, keeping the generated source byte-stable
+        # across sweeps, and the zip_with lambda is interpreted anyway
+        # so the changing literal costs nothing. Net measured sweep:
+        # ~0.2 s vs ~0.55 s for (a) at bench scale.
         col_scaled = F.zip_with(
-            F.col("vals"), F.col("_f"), lambda v, f: _rowsum_guard(v) * f
+            F.col("vals"), F.lit(factors), lambda v, f: _rowsum_guard(v) * f
         )
         obs = Observation()
         state = (
-            state.crossJoin(F.broadcast(factors_df))
-            .select(
+            state.select(
                 M.R,
                 "_x",
                 col_scaled.alias("vals"),
                 _array_sum(col_scaled).alias("_rsum"),
             )
-            .observe(obs, *_sweep_metrics())
+            .observe(obs, *sweep_metrics)
             .localCheckpoint(eager=True)
         )
         iteration += 1
