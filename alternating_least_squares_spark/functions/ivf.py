@@ -36,17 +36,28 @@ def train_centroids(
     n_centroids: int = 16,
     seed: int = 42,
     sample_fraction: float | None = None,
+    max_iter: int = 5,
 ) -> KMeansModel:
     """Learn the coarse quantizer. ``sample_fraction`` caps the
     training set — at corpus scale KMeans needs a sample, not a full
-    pass."""
+    pass.
+
+    ``max_iter`` defaults well below MLlib's 20: a coarse quantizer
+    only partitions space, it does not need converged centroids
+    (FAISS trains its IVF vocabularies the same way), and each extra
+    Lloyd iteration is a full distributed pass over the training set.
+    Recall is governed by ``n_probe``/``n_centroids``, not by late
+    centroid drift; tests/test_similarity.py pins the recall floor.
+    """
     train = emb
     if sample_fraction is not None:
         train = emb.sample(fraction=sample_fraction, seed=seed)
     feats = train.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
-    return KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(feats)
+    return KMeans(
+        k=n_centroids, seed=seed, featuresCol="features", maxIter=max_iter
+    ).fit(feats)
 
 
 def assign_lists(

@@ -120,14 +120,31 @@ def quality_score(text: Column) -> Column:
 
 def lang_scores(text: Column) -> dict[str, Column]:
     """Marker-word hit counts per candidate language (padded-substring
-    counting so word boundaries are honored)."""
+    counting so word boundaries are honored).
+
+    Shape: ONE ``aggregate`` higher-order function per language over a
+    literal marker array, not a chain of per-marker replace deltas.
+    The arithmetic is identical ((len(p) − len(replace(p, m))) / len(m)
+    summed over markers — what the DuckDB oracle twin spells out), but
+    the expression tree is ~10× smaller. That matters because these
+    scores sit inside filters that Catalyst pushes through projections,
+    duplicating the full tree per comparison: with the inline form the
+    corpus-curation plan carried ~37 copies of ``lower(text)`` and
+    spent seconds of first-run expression compile; the HOF body is
+    interpreted (never Janino'd) and costs the same per row."""
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
     out: dict[str, Column] = {}
     for lang, markers in LANG_MARKERS.items():
-        score: Column = F.lit(0).cast("long")
-        for m in markers:
-            score = score + word_occurrences(padded, f" {m} ")
-        out[lang] = score
+        arr = F.array(*[F.lit(f" {m} ") for m in markers])
+        out[lang] = F.aggregate(
+            arr,
+            F.lit(0).cast("long"),
+            lambda acc, m: acc
+            + (
+                (F.length(padded) - F.length(F.replace(padded, m)))
+                / F.length(m)
+            ).cast("long"),
+        )
     return out
 
 
