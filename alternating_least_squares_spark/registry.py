@@ -569,6 +569,199 @@ SELECT n_nationkey, n_name, n_regionkey FROM nation
 """
 
 
+def q_b04_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 sink-family completion: ORC write → read of the supplier
+    table (includes a double column, so binary-columnar losslessness
+    is what the hash match proves). Same fixed-path/overwrite pattern
+    as the CSV round-trip."""
+    import os
+    import tempfile
+
+    from alternating_least_squares_spark.sources import catalog
+
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), "alternating_ls_orc_roundtrip", "supplier"
+    )
+    catalog.write_orc(supplier, path)
+    return catalog.read_orc(spark, path)
+
+
+SQL_B04 = """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+"""
+
+
+def q_b05_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 sink-family completion: JSON-lines write → schema'd read of
+    the nation table (ints + strings — text-format float round-trip
+    risk deliberately excluded; doubles belong in the binary formats).
+    Explicit read schema, per the catalog contract: no inference scan,
+    drift fails at plan time."""
+    import os
+    import tempfile
+
+    from alternating_least_squares_spark.sources import catalog
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = os.path.join(
+        tempfile.gettempdir(), "alternating_ls_jsonl_roundtrip", "nation"
+    )
+    catalog.write_json(nation, path)
+    out = catalog.read_json(spark, path, schema=catalog.TABLES["nation"])
+    return out.select("n_nationkey", "n_name", "n_regionkey")
+
+
+SQL_B05 = SQL_B01
+
+
+def q_x08_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/skew.salted_agg):
+    lineitem grouped by l_returnflag — 3 keys over ~600k rows at
+    sf0.1, the textbook hot-key shape where a single-phase shuffle
+    sends each key's entire mass to one reducer. The salt spreads
+    phase 1 over n_salts reducers per key; phase 2 combines n_salts
+    partials per key. Oracle is the UNSALTED plain GROUP BY: the hash
+    match proves salting never changes results (sum of integral
+    doubles + count + max are associative-exact, so the two-phase
+    regroup is bit-identical)."""
+    from alternating_least_squares_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": F.sum("l_quantity"),
+            "n_items": F.count("*"),
+            "max_price": F.max("l_extendedprice"),
+        },
+        n_salts=16,
+        reaggs={
+            "sum_qty": F.sum("sum_qty"),
+            "n_items": F.sum("n_items"),
+            "max_price": F.max("max_price"),
+        },
+    )
+
+
+SQL_X08 = """
+SELECT l_returnflag,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_items,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem GROUP BY 1
+"""
+
+
+# Context-window capacity for t13 sequence packing (tokens).
+PACK_CTX = 2048
+
+
+def q_t13_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — assign documents to fixed-capacity training
+    context windows ("bins" of PACK_CTX tokens), the step between
+    tokenization and batching in every LLM pre-training pipeline.
+
+    Offset packing, sharded per source: within each source shard,
+    docs are laid out in doc_id order and a doc's bin is its running
+    token offset ÷ capacity. The per-shard window cumsum is the whole
+    cost — packing parallelizes over shards exactly like production
+    packers (a single GLOBAL ordered cumsum would serialize at 100 TB;
+    partitionBy(source) keeps every shard's window local to one
+    reducer)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = TX.token_count(F.col("text")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select("doc_id", "source", n_tok.alias("n_tokens"))
+    return toks.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("offset"),
+    ).withColumn(
+        "bin_id", F.floor(F.col("offset") / F.lit(PACK_CTX)).cast("long")
+    )
+
+
+
+
+def q_x09_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (bucketed) join: lineitem and orders are written as
+    8-bucket tables hashed AND sorted on the order key, then joined on
+    it — the physical plan has NO Exchange and NO Sort on either side
+    (asserted in tests/test_plans.py). This is the pre-shuffle pattern
+    that turns every repeated fact-fact join at 100 TB from a full
+    shuffle into a zip of matching buckets; the one-time bucketed
+    write amortizes across every downstream join/agg on that key.
+    Oracle: the same join from the raw tables — bucketing must never
+    change results, only movement."""
+    import os
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "alternating_ls_bucketed")
+    for name, df, key in (
+        (
+            "x09_li_bucketed",
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            "l_orderkey",
+        ),
+        (
+            "x09_ord_bucketed",
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority"
+            ),
+            "o_orderkey",
+        ),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.format("parquet")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(base, name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    li = spark.table("x09_li_bucketed")
+    ords = spark.table("x09_ord_bucketed")
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(38,10)")
+                ).cast("double"),
+                4,
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_X09 = """
+SELECT o_orderpriority,
+       round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(38,10))) AS DOUBLE), 4) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
 def q_c12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT (completing the set-op family: union → C6,
     difference → B3): customers that placed orders vs customers that
@@ -835,6 +1028,21 @@ LEFT JOIN LATERAL (
                                 '^\\s+|\\s+$', '', 'g') AS s)
   )
 ) t ON true
+"""
+
+
+SQL_T13 = f"""
+WITH tk AS (
+  SELECT doc_id, source, CAST(len({_toks_sql()}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, source, n_tokens,
+       SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens AS offset,
+       (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_tokens)
+         // {PACK_CTX} AS bin_id
+FROM tk
 """
 
 
@@ -3913,6 +4121,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "c03_projection": (q_c03_projection, SQL_C03),
     "c07_sort_by_key": (q_c07_sort_by_key, SQL_C07),
     "b01_b02_csv_roundtrip": (q_b01_b02_csv_roundtrip, SQL_B01),
+    "b04_orc_roundtrip": (q_b04_orc_roundtrip, SQL_B04),
+    "b05_jsonl_roundtrip": (q_b05_jsonl_roundtrip, SQL_B05),
     "c02_filter_nonzero": (q_c02_filter_nonzero, SQL_C02),
     "c04_micros_to_currency": (q_c04_micros, SQL_C04),
     "c05_anti_join": (q_c05_anti_join, SQL_C05),
@@ -3987,6 +4197,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "x03_stratified_sample": (q_x03_stratified_sample, SQL_X03),
     "x06_domain_mix_sample": (q_x06_domain_mix_sample, SQL_X06),
     "x07_python_datasource": (q_x07_python_datasource, SQL_X07),
+    "x08_salted_agg": (q_x08_salted_agg, SQL_X08),
+    "x09_bucketed_join": (q_x09_bucketed_join, SQL_X09),
+    "t13_sequence_packing": (q_t13_sequence_packing, SQL_T13),
     "x04_pandas_udaf_geomean": (q_x04_pandas_udaf_geomean, SQL_X04),
     "q01_data_quality": (q_q01_data_quality, SQL_Q01),
     "p01_corpus_curation": (q_p01_corpus_curation, SQL_P01),

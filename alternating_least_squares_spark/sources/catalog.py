@@ -230,6 +230,23 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC scan. Columnar like parquet (striped, with min/max indexes),
+    so column pruning and predicate pushdown reach the reader the same
+    way; the format matters for interop with Hive/Trino warehouses."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (zlib-striped, splittable)."""
+    df.write.mode(mode).orc(path)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

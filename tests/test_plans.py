@@ -106,3 +106,36 @@ def test_disjunctive_filter_broadcasts_part(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_has_no_exchange_or_sort(spark):
+    """x09 joins two tables bucketed+sorted on the join key: the whole
+    point is that the SortMergeJoin runs WITHOUT an Exchange (and
+    without re-sorting) on either side. An Exchange under the join
+    means bucketing metadata was lost and the co-location guarantee
+    silently regressed. (The final single-partition agg may exchange —
+    only the subtree under the join is checked.)"""
+    # at test scale the dim side is broadcastable, which would hide
+    # the property — force the shuffle-join path the way a fact-fact
+    # join at 100 TB would take it
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = registry.queries()["x09_bucketed_join"](spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    join_part = plan.split("SortMergeJoin", 1)[1]
+    # everything below the join (both scan subtrees) must be
+    # exchange-free; the agg above it may shuffle
+    assert "Exchange" not in join_part, join_part
+    assert "Bucketed: true" in plan
+
+
+def test_salted_agg_is_two_phase(spark):
+    """x08 must contain TWO hash-aggregate levels over the salt then
+    the key — a single-phase rewrite would reintroduce the hot-key
+    reducer the operator exists to avoid."""
+    plan = _plan(spark, "x08_salted_agg")
+    assert plan.count("HashAggregate") >= 4  # partial+final x 2 phases
