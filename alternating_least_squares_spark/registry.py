@@ -762,6 +762,53 @@ GROUP BY 1
 """
 
 
+def q_x10_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition-pruned read: events
+    written `partitionBy(event_type)`, then aggregated for ONE type.
+    The read plan must carry the predicate as a PartitionFilter — the
+    scan touches a single directory, not the table (asserted in
+    tests/test_storage.py). At 100 TB, partitioning on the dominant
+    filter column is the first lever before any engine work: pruning
+    is O(dirs skipped) and happens at file-listing time.
+
+    Oracle: the same aggregate over the unpartitioned source — the
+    layout must change IO, never results. (value is re-read from the
+    partitioned copy, proving the roundtrip too.)"""
+    import os
+    import tempfile
+
+    from alternating_least_squares_spark.sources import catalog
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts_ns", "user_id", "event_type", "value"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), "alternating_ls_partitioned", "events"
+    )
+    catalog.write_parquet(ev, path, partition_by=["event_type"])
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("event_type") == "click")
+        .groupBy((F.col("user_id") % 100).alias("user_bucket"))
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,10)")).cast("double"), 6
+            ).alias("click_value"),
+        )
+    )
+
+
+SQL_X10 = """
+SELECT user_id % 100 AS user_bucket,
+       COUNT(*) AS n_clicks,
+       round(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+         AS click_value
+FROM events WHERE event_type = 'click'
+GROUP BY 1
+"""
+
+
 def q_c12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT (completing the set-op family: union → C6,
     difference → B3): customers that placed orders vs customers that
@@ -4199,6 +4246,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "x07_python_datasource": (q_x07_python_datasource, SQL_X07),
     "x08_salted_agg": (q_x08_salted_agg, SQL_X08),
     "x09_bucketed_join": (q_x09_bucketed_join, SQL_X09),
+    "x10_partition_pruning": (q_x10_partition_pruning, SQL_X10),
     "t13_sequence_packing": (q_t13_sequence_packing, SQL_T13),
     "x04_pandas_udaf_geomean": (q_x04_pandas_udaf_geomean, SQL_X04),
     "q01_data_quality": (q_q01_data_quality, SQL_Q01),
