@@ -26,6 +26,19 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _spread_if_narrow(df: DataFrame) -> DataFrame:
+    """Re-spread a DataFrame that arrived narrower than the cluster
+    (e.g. a small parquet source read as ONE split), so interpreted
+    bucket-projection lambdas don't run single-threaded. No-op — no
+    added shuffle — when the plan already has the width, which is the
+    normal case at real scale. The partition-count probe reads the
+    RDD's metadata only (the conversion is lazy; nothing executes)."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n_parts:
+        df = df.repartition(n_parts)
+    return df
+
+
 def _vec_double(a: Column) -> Column:
     return F.transform(a, lambda x: x.cast("double"))
 
@@ -93,35 +106,57 @@ def with_lsh_buckets(
     stops Catalyst's CollapseProject from inlining the O(dim)
     aggregates into per-element lambdas (that inlining is quadratic).
     """
-    if dim > 64:
-        raise NotImplementedError(
-            f"bit-packed planes hold at most 64 dims (got {dim}); "
-            "split vectors into 64-dim words to extend"
-        )
     planes = rademacher_planes(n_tables, n_planes, dim, seed)
-    words = []
-    for t in range(n_tables):
-        for p in range(n_planes):
-            w = 0
-            for d, comp in enumerate(planes[t][p]):
-                if comp > 0:
-                    w |= 1 << d
-            if w >= 1 << 63:
-                w -= 1 << 64
-            words.append(w)
-    planes_lit = F.array(*[F.lit(w) for w in words])
-    projs = F.transform(
-        planes_lit,
-        lambda w: F.aggregate(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
+    if dim <= 64:
+        words = []
+        for t in range(n_tables):
+            for p in range(n_planes):
+                w = 0
+                for d, comp in enumerate(planes[t][p]):
+                    if comp > 0:
+                        w |= 1 << d
+                if w >= 1 << 63:
+                    w -= 1 << 64
+                words.append(w)
+        planes_lit = F.array(*[F.lit(w) for w in words])
+        # try_element_at + coalesce: a vector shorter than dim reads
+        # as zero-padded (matching the zip_with fallback below) instead
+        # of throwing INVALID_ARRAY_INDEX under Spark 4's ANSI mode
+        elem = lambda d: F.coalesce(  # noqa: E731
+            F.try_element_at(F.col("_ed"), (d + 1).cast("integer")),
             F.lit(0.0),
-            lambda acc, d: acc
-            + F.when(
-                F.getbit(w, d) == 1,
-                F.element_at(F.col("_ed"), (d + 1).cast("integer")),
-            ).otherwise(-F.element_at(F.col("_ed"), (d + 1).cast("integer"))),
-        ),
-    )
+        )
+        projs = F.transform(
+            planes_lit,
+            lambda w: F.aggregate(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                F.lit(0.0),
+                lambda acc, d: acc
+                + F.when(F.getbit(w, d) == 1, elem(d)).otherwise(-elem(d)),
+            ),
+        )
+    else:
+        # beyond 64 dims a plane no longer fits one long; fall back to
+        # literal sign arrays + zip_with (bigger expression tree, same
+        # math; zip_with null-pads short vectors — coalesce keeps the
+        # zero-padding contract)
+        planes_lit = F.array(
+            *[
+                F.lit(planes[t][p])
+                for t in range(n_tables)
+                for p in range(n_planes)
+            ]
+        )
+        projs = F.transform(
+            planes_lit,
+            lambda pl: F.aggregate(
+                F.zip_with(
+                    pl, F.col("_ed"), lambda s, x: s * F.coalesce(x, F.lit(0.0))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
     tables = F.transform(
         F.sequence(F.lit(0), F.lit(n_tables - 1)),
         lambda t: F.struct(
@@ -195,14 +230,7 @@ def lsh_topk(
         F.col(vec_col).alias("_en"),
         vec_norm(F.col(vec_col)).alias("_nn"),
     )
-    # A small corpus arrives as ONE parquet split and every interpreted
-    # bucket-projection lambda would run single-threaded; re-spread it
-    # when (and only when) the scan is narrower than the cluster — at
-    # real scale the scan already has the width and no shuffle is added.
-    spark = emb.sparkSession
-    n_parts = spark.sparkContext.defaultParallelism
-    if corpus.rdd.getNumPartitions() < n_parts:
-        corpus = corpus.repartition(n_parts)
+    corpus = _spread_if_narrow(corpus)
     cb = with_lsh_buckets(corpus, "_en", n_tables, n_planes, dim, seed)
     cand = (
         qb.join(cb, ["table", "bucket"])
@@ -295,10 +323,7 @@ def embedding_near_dup_pairs(
         F.col(vec_col).alias("_e"),
         vec_norm(F.col(vec_col)).alias("_n"),
     )
-    spark = emb.sparkSession
-    n_parts = spark.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < n_parts:
-        base = base.repartition(n_parts)
+    base = _spread_if_narrow(base)
     b = with_lsh_buckets(base, "_e", n_tables, n_planes, dim, seed)
     pairs = (
         b.alias("a")

@@ -58,7 +58,10 @@ def adaptive_num_blocks(ratings: DataFrame, n_ratings: int | None = None) -> int
     if n_ratings is None:
         n_ratings = ratings.count()
     parallelism = ratings.sparkSession.sparkContext.defaultParallelism
-    return max(4, min(parallelism, -(-n_ratings // RATINGS_PER_BLOCK)))
+    # floor of 4 for block-level parallelism, but the cluster's
+    # parallelism is the hard cap (max-then-min would exceed it on a
+    # 2-core runner and over-split the factor blocks)
+    return min(parallelism, max(4, -(-n_ratings // RATINGS_PER_BLOCK)))
 
 
 def train_als(

@@ -71,11 +71,12 @@ def directory_stats(spark: SparkSession, path: str) -> tuple[int, int]:
 
 def partition_dir_stats(
     spark: SparkSession, path: str, partition_by: list[str]
-) -> dict[tuple[str, ...], int]:
-    """Per-dynamic-partition byte totals from the same file census as
+) -> dict[tuple[str, ...], tuple[int, int]]:
+    """Per-dynamic-partition file census, same listing as
     :func:`directory_stats`: map of (value per partition column, as the
-    hive-unescaped path string) → total data bytes. One listing round,
-    no data read."""
+    hive-unescaped path string) → (n_data_files, total_bytes). One
+    listing round, no data read — and the global stats are just the
+    sums, so callers needing both never list twice."""
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
     hpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -95,7 +96,8 @@ def partition_dir_stats(
                 k, _, v = seg.partition("=")
                 values[k] = _hive_unescape(v)
         key = tuple(values.get(c, HIVE_NULL_PARTITION) for c in partition_by)
-        out[key] = out.get(key, 0) + st.getLen()
+        n, b = out.get(key, (0, 0))
+        out[key] = (n + 1, b + st.getLen())
     return out
 
 
@@ -130,29 +132,40 @@ def compact_parquet(
         hp = jvm.org.apache.hadoop.fs.Path(p)
         return hp.getFileSystem(conf).makeQualified(hp).toString().rstrip("/")
 
-    if _qualified(src) == _qualified(dst):
+    qsrc, qdst = _qualified(src), _qualified(dst)
+    if (
+        qsrc == qdst
+        or qdst.startswith(qsrc + "/")
+        or qsrc.startswith(qdst + "/")
+    ):
         # mode("overwrite") deletes dst BEFORE the lazy read of src
         # executes — in-place compaction would silently destroy the
-        # table. Require a scratch destination + rename outside.
+        # table, and NESTED paths are just as fatal: dst containing
+        # src recursively deletes the input at job start; src
+        # containing dst intermixes output files into the source tree
+        # (duplicate rows for every later reader). Require disjoint
+        # paths; write to a scratch dir and swap.
         raise ValueError(
-            f"compact_parquet: src and dst resolve to the same path "
-            f"({_qualified(src)}); in-place compaction would delete the "
-            f"input before reading it — write to a scratch dir and swap"
+            f"compact_parquet: src ({qsrc}) and dst ({qdst}) overlap; "
+            "in-place or nested compaction destroys or corrupts the "
+            "input — write to a disjoint scratch dir and swap"
         )
 
-    n_before, total = directory_stats(spark, src)
-    n_target = target_file_count(total, target_file_bytes)
     df: DataFrame = spark.read.parquet(src)
     if partition_by:
         # Size the salt modulus from each dynamic partition's OWN byte
         # total (census grouped by partition directory), not the global
         # one: with a global modulus a small partition's rows scatter
         # across up to n_target salts → tiny files, the exact problem
-        # this operator exists to fix.
+        # this operator exists to fix. The global before-stats are the
+        # sums of the same census — one listing round, not two.
         per_part = partition_dir_stats(spark, src, partition_by)
+        n_before = sum(n for n, _ in per_part.values())
+        total = sum(b for _, b in per_part.values())
+        n_target = target_file_count(total, target_file_bytes)
         moduli = [
             (*key, target_file_count(bytes_, target_file_bytes))
-            for key, bytes_ in per_part.items()
+            for key, (_, bytes_) in per_part.items()
         ]
         mod_df = spark.createDataFrame(
             moduli, [f"__pv_{c}" for c in partition_by] + ["__mod"]
@@ -194,6 +207,8 @@ def compact_parquet(
             .parquet(dst)
         )
     else:
+        n_before, total = directory_stats(spark, src)
+        n_target = target_file_count(total, target_file_bytes)
         df.repartition(n_target).write.mode("overwrite").parquet(dst)
     n_after, total_after = directory_stats(spark, dst)
     return {

@@ -246,11 +246,6 @@ def converge_dense(
             sum((y_vals[p] - colsums[p] * factors[p]) ** 2 for p in range(n))
             ** 0.5
         )
-        # Inject the factors as broadcast DATA, not literals: the plan
-        # (and the generated whole-stage code) is then byte-identical
-        # across sweeps, so Janino compiles the sweep stage once and
-        # every later sweep hits the codegen cache. With literal
-        # factors each sweep paid a fresh ~0.5 s compile.
         # Inject the factors as ONE array<double> LITERAL, consumed by
         # a zip_with lambda. Three earlier shapes all lose to this:
         # (a) broadcast-DF crossJoin — a fresh BroadcastExchange every

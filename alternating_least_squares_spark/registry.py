@@ -111,6 +111,32 @@ VH_SQL = (
 )
 
 
+def _hex4(col: Column) -> Column:
+    """First 4 hex digits of md5(col) as a long in [0, 65536): the
+    deterministic content-hash bucket shared by x02/x03/x06. A content
+    hash (unlike a seeded RNG) survives repartitioning, engine swaps,
+    and reruns unchanged, which is what makes these samplers
+    oracle-checkable."""
+    return F.conv(F.md5(col.cast("string")).substr(1, 4), 16, 10).cast("long")
+
+
+def _hex4_sql(col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`_hex4` (DuckDB lacks conv(); strpos over
+    the hex alphabet decodes digit-by-digit)."""
+    digit = (
+        "CAST(strpos('0123456789abcdef', "
+        "substr(md5(CAST({col} AS VARCHAR)), {i}, 1)) - 1 AS BIGINT)"
+    )
+    return "\n         + ".join(
+        f"{digit.format(col=col, i=i + 1)} * {16 ** (3 - i)}"
+        if i < 3
+        else digit.format(col=col, i=i + 1)
+        for i in range(4)
+    )
+
+
+
+
 def _round(df: DataFrame, cols: list[str], n: int) -> DataFrame:
     for c in cols:
         df = df.withColumn(c, F.round(F.col(c), n))
@@ -1925,12 +1951,9 @@ def q_x06_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0), F.lit(float(DOMAIN_CAP)) / F.count("*")
         ).alias("_rate")
     )
-    hex4 = F.conv(
-        F.md5(F.col("doc_id").cast("string")).substr(1, 4), 16, 10
-    ).cast("long")
     return (
         docs.join(F.broadcast(rates), "source")
-        .filter(hex4 < F.floor(F.col("_rate") * 65536))
+        .filter(_hex4(F.col("doc_id")) < F.floor(F.col("_rate") * 65536))
         .select("doc_id", "source")
     )
 
@@ -1941,10 +1964,7 @@ WITH rates AS (
   FROM documents GROUP BY 1
 ), b AS (
   SELECT doc_id, source,
-         CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 4096
-         + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT) * 256
-         + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1 AS BIGINT) * 16
-         + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1 AS BIGINT)
+         {_hex4_sql()}
          AS hex4
   FROM documents
 )
@@ -3552,11 +3572,7 @@ def q_x02_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Engine-independent (md5 + integer arithmetic), hence fully
     oracle-checked."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.md5(F.col("doc_id").cast("string")).substr(1, 4), 16, 10)
-        .cast("long")
-        % 10
-    )
+    bucket = _hex4(F.col("doc_id")) % 10
     return docs.select(
         "doc_id",
         bucket.alias("bucket"),
@@ -3567,13 +3583,10 @@ def q_x02_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_X02 = """
+SQL_X02 = f"""
 WITH b AS (
   SELECT doc_id,
-         CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 4096
-         + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT) * 256
-         + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1 AS BIGINT) * 16
-         + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1 AS BIGINT)
+         {_hex4_sql()}
          AS hex4
   FROM documents
 )
@@ -3597,25 +3610,27 @@ def q_x03_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes it fully oracle-checkable.  The engine-native ``sampleBy``
     path is exercised in tests/test_sampling.py."""
     docs = load_table(spark, sf_dir, "documents")
-    hex4 = F.conv(
-        F.md5(F.col("doc_id").cast("string")).substr(1, 4), 16, 10
-    ).cast("long")
-    keep = F.when(F.col("lang") == "en", hex4 < 32768).otherwise(F.lit(True))
+    # NULL-lang rows are explicitly "not the en stratum" on BOTH
+    # engines: when(lang == 'en', ...) evaluates a NULL lang to NULL ->
+    # otherwise-kept on Spark, while SQL's lang <> 'en' is NULL -> row
+    # dropped unless the hash half saves it. Spell the three-way out.
+    keep = (
+        F.col("lang").isNull()
+        | (F.col("lang") != "en")
+        | (_hex4(F.col("doc_id")) < 32768)
+    )
     return docs.filter(keep).select("doc_id", "lang")
 
 
-SQL_X03 = """
+SQL_X03 = f"""
 WITH b AS (
   SELECT doc_id, lang,
-         CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 4096
-         + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT) * 256
-         + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1 AS BIGINT) * 16
-         + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1 AS BIGINT)
+         {_hex4_sql()}
          AS hex4
   FROM documents
 )
 SELECT doc_id, lang FROM b
-WHERE lang <> 'en' OR hex4 < 32768
+WHERE lang IS NULL OR lang <> 'en' OR hex4 < 32768
 """
 
 

@@ -86,7 +86,6 @@ def test_chunk_query_matches_helper_shapes(spark):
         assert 1 <= r["chunk_len"] <= CHUNK_LEN
         counts[r["doc_id"]] = counts.get(r["doc_id"], 0) + 1
     for doc_id, text in docs.items():
-        expect = max(1, math.ceil(max(len(text), 1) / CHUNK_STRIDE))
         # last window starts at floor((len-1)/stride)*stride
         expect = (max(len(text), 1) - 1) // CHUNK_STRIDE + 1
         assert counts[doc_id] == expect, (doc_id, len(text))

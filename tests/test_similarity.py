@@ -213,3 +213,26 @@ def test_int8_quantization_roundtrip_error_bound(spark):
         step = s / 127.0
         for xi, qi in zip(x, q):
             assert abs(xi - qi * step) <= step / 2 + 1e-9, (r["vec_id"], xi, qi)
+
+
+def test_lsh_buckets_wide_dims_and_short_vectors(spark):
+    """The bit-packed plane path holds ≤64 dims; >64 must fall back to
+    sign-array planes (same math), and vectors SHORTER than dim must
+    read as zero-padded on both paths instead of raising ANSI
+    INVALID_ARRAY_INDEX."""
+    from alternating_least_squares_spark.functions.similarity import (
+        with_lsh_buckets,
+    )
+
+    rows = [(1, [float(i % 7) - 3.0 for i in range(80)]), (2, [1.0, -2.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    wide = with_lsh_buckets(df, dim=80, n_tables=2, n_planes=4)
+    assert wide.count() == 4  # 2 rows x 2 tables, nothing raises
+    narrow = with_lsh_buckets(df, dim=64, n_tables=2, n_planes=4)
+    assert narrow.count() == 4
+    # zero-padding means a short vector buckets identically whether the
+    # family is declared at its own length or wider (projections equal)
+    short = spark.createDataFrame(rows[1:], "vec_id long, embedding array<double>")
+    a = {r["table"]: r["bucket"] for r in with_lsh_buckets(short, dim=2).collect()}
+    b = {r["table"]: r["bucket"] for r in with_lsh_buckets(short, dim=2, n_tables=3).collect()}
+    assert a[0] == b[0]

@@ -169,8 +169,9 @@ def test_compaction_per_partition_salt_sizing(spark, tmpdir):
 
     per_part = partition_dir_stats(spark, frag, ["grp"])
     assert set(per_part) == {("big",), ("tiny",)}
+    assert all(n > 0 for n, _ in per_part.values())
     # target sized so 'big' needs several files but 'tiny' needs one
-    target = max(per_part[("big",)] // 4, per_part[("tiny",)] + 1)
+    target = max(per_part[("big",)][1] // 4, per_part[("tiny",)][1] + 1)
     compact_parquet(
         spark, frag, out, target_file_bytes=target, partition_by=["grp"]
     )
@@ -182,7 +183,7 @@ def test_compaction_per_partition_salt_sizing(spark, tmpdir):
             if not f.startswith(("_", ".")) and f.endswith(".parquet")
         ]
 
-    want_big = target_file_count(per_part[("big",)], target)
+    want_big = target_file_count(per_part[("big",)][1], target)
     assert want_big >= 2
     # hash collisions can only MERGE salts, never split them
     assert 2 <= len(files_in("big")) <= want_big
@@ -201,7 +202,14 @@ def test_compaction_refuses_in_place(spark, tmpdir):
 
     src = os.path.join(tmpdir, "inplace")
     load_table(spark, SF_SMALL, "region").write.parquet(src)
-    with pytest.raises(ValueError, match="same path"):
+    with pytest.raises(ValueError, match="overlap"):
         compact_parquet(spark, src, src)
+    # nested either way is just as destructive: dst inside src
+    # intermixes output into the source tree, src inside dst gets
+    # deleted by the overwrite before the read runs
+    with pytest.raises(ValueError, match="overlap"):
+        compact_parquet(spark, src, os.path.join(src, "sub"))
+    with pytest.raises(ValueError, match="overlap"):
+        compact_parquet(spark, src, tmpdir)
     # table survives untouched
     assert spark.read.parquet(src).count() == 5

@@ -375,18 +375,28 @@ def test_transform_with_state_agrees_with_apply_in_pandas(spark):
         stream = read_events_stream(spark, SF_SMALL).select(
             "user_id", "value", F.expr("ts_ns DIV 1000").alias("ts_us")
         )
+        def profile(r):
+            # EVERY output field — a max_value sentinel leak or a
+            # last_ts_us off-by-one must fail this, not just the sums
+            return (
+                r["n_events"],
+                round(r["total_value"], 6),
+                round(r["max_value"], 6),
+                r["last_ts_us"],
+            )
+
         a = {
-            r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+            r["user_id"]: profile(r)
             for r in run_stream_to_batch(
                 user_profile_stream_tws(stream), output_mode="update"
             ).collect()
         }
         b = {
-            r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+            r["user_id"]: profile(r)
             for r in run_stream_to_batch(
                 user_profile_stream(stream), output_mode="update"
             ).collect()
         }
-        assert a == b
+        assert a == b and a
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
