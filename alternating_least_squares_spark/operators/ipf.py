@@ -106,6 +106,13 @@ def converge(
     """
     x_total = x_marginal.agg(F.sum(M.V)).first()[0]
     y_total = y_marginal.agg(F.sum(M.V)).first()[0]
+    if x_total is None or y_total is None:
+        # sum over zero rows is NULL — surface the real problem
+        # instead of a TypeError from abs(None) below
+        raise ValueError(
+            "empty marginal: IPF needs non-empty x and y marginals "
+            f"(x_total={x_total}, y_total={y_total})"
+        )
     scale = max(abs(x_total), abs(y_total), 1.0)
     if abs(x_total - y_total) / scale > 1e-6:
         raise ValueError(

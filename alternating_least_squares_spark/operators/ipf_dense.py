@@ -67,6 +67,12 @@ def to_row_arrays(
     )
     return (
         matrix.withColumn("_p", F.try_element_at(pos, F.col(M.C).cast("long")))
+        # cells whose column id is outside col_ids are IGNORED (the
+        # documented contract): without this filter the NULL position
+        # reaches map_from_entries and the job dies with NULL_MAP_KEY
+        # — e.g. the flagship's y-marginal can be missing an hour the
+        # visit seed still has (zero-value hours are filtered out)
+        .filter(F.col("_p").isNotNull())
         .groupBy(M.R)
         .agg(
             F.map_from_entries(
@@ -141,6 +147,11 @@ def converge_dense(
 
     if x_total is None:
         x_total = x_marginal.agg(F.sum(M.V)).first()[0]
+    if x_total is None or not y_rows:
+        raise ValueError(
+            "empty marginal: IPF needs non-empty x and y marginals "
+            f"(x_total={x_total}, |y|={len(y_rows)})"
+        )
     y_total = sum(y_vals)
     scale = max(abs(x_total), abs(y_total), 1.0)
     if abs(x_total - y_total) / scale > 1e-6:

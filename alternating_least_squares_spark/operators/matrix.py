@@ -88,7 +88,11 @@ def densify(matrix: DataFrame, fill: float = 0.0) -> DataFrame:
     """
     rows = matrix.select(R).distinct()
     cols = matrix.select(C).distinct()
-    dense_keys = rows.crossJoin(F.broadcast(cols))
+    # no forced broadcast: the column domain is bounded for the
+    # flagship (24 hours) but UNBOUNDED for a generic matrix — at
+    # coordinate scale a forced hint OOMs the driver. AQE broadcasts
+    # at runtime when the domain is actually small.
+    dense_keys = rows.crossJoin(cols)
     return dense_keys.join(matrix, [R, C], "left").select(
         R, C, F.coalesce(F.col(V), F.lit(float(fill))).alias(V)
     )
@@ -195,12 +199,20 @@ def weight_matrix(matrix: DataFrame) -> DataFrame:
     DoubleType).
 
     Spark shape: a window sum partitioned by ``r`` — ONE shuffle on
-    ``r``, no join, no second pass over the data. Rows with sum 0
-    yield NULL (guarded upstream by laplace smoothing, as in the
-    reference).
+    ``r``, no join, no second pass over the data. Rows with sum 0 get
+    weight 0 (a zero-information row can receive no mass — the same
+    convention as the dense loop's ``_rowsum_guard``); the division
+    must be guarded because Spark 4's default ANSI mode makes /0 an
+    ERROR, not NULL. Normal pipelines never hit it (laplace smoothing
+    guards upstream, as in the reference).
     """
     w = Window.partitionBy(R)
-    return matrix.select(R, C, (F.col(V) / F.sum(V).over(w)).alias(V))
+    rowsum = F.sum(V).over(w)
+    return matrix.select(
+        R,
+        C,
+        F.when(rowsum != 0, F.col(V) / rowsum).otherwise(F.lit(0.0)).alias(V),
+    )
 
 
 def apply_weights(row_sums: DataFrame, weights: DataFrame) -> DataFrame:
@@ -240,8 +252,16 @@ def optimize_marginal(marginal: DataFrame, seed: DataFrame) -> DataFrame:
     """
     w = Window.partitionBy(R)
     m = marginal.select(F.col(ID).alias(R), F.col(V).alias("_m"))
+    rowsum = F.sum(V).over(w)
+    # rowsum-0 guard: the row keeps its (all-zero) cells instead of
+    # raising ANSI DIVIDE_BY_ZERO — identical to ipf_dense's
+    # _rowsum_guard, so the coordinate and dense loops stay twins.
     return seed.join(m, R).select(
-        R, C, (F.col(V) / F.sum(V).over(w) * F.col("_m")).alias(V)
+        R,
+        C,
+        F.when(rowsum != 0, F.col(V) / rowsum * F.col("_m"))
+        .otherwise(F.col(V))
+        .alias(V),
     )
 
 
@@ -331,12 +351,17 @@ def add_labels(
     ``(row_label, col_label, v)``.
 
     ``row_labels``/``col_labels``: DataFrames ``(id, label)``.
+
+    LEFT joins: a cell whose id has no label keeps the cell with a
+    NULL label — the reference decorates positionally and never drops
+    data, so neither may we (an inner join would silently lose every
+    cell of an unlabeled row).
     """
     rl = row_labels.select(F.col(ID).alias(R), F.col("label").alias("row_label"))
     cl = col_labels.select(F.col(ID).alias(C), F.col("label").alias("col_label"))
     return (
-        matrix.join(F.broadcast(rl), R)
-        .join(F.broadcast(cl), C)
+        matrix.join(F.broadcast(rl), R, "left")
+        .join(F.broadcast(cl), C, "left")
         .select("row_label", "col_label", V)
     )
 

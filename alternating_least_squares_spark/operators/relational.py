@@ -63,9 +63,23 @@ def zero_pad_union(
     pass, no driver-side row construction.
     """
     value_cols = [c for c in matrix_wide.columns if c != key]
-    return (
-        matrix_wide.join(all_keys.select(key).distinct(), key, "right_outer")
-        .na.fill(0, subset=value_cols)
+    types = {f.name: f.dataType for f in matrix_wide.schema.fields}
+    # zero-fill ONLY the padded rows (marked absent via the sentinel):
+    # a blanket na.fill would also clobber genuine NULL cells in rows
+    # that were already present, which the reference never does (it
+    # only conjures zero rows for MISSING keys, core.clj:169-172)
+    marked = matrix_wide.withColumn("_present", F.lit(True))
+    joined = marked.join(all_keys.select(key).distinct(), key, "right_outer")
+    return joined.select(
+        key,
+        *[
+            F.when(
+                F.col("_present").isNull(), F.lit(0).cast(types[c])
+            )
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in value_cols
+        ],
     )
 
 
@@ -147,7 +161,9 @@ def upsert(
             f"upsert requires matching schemas (base {base.schema.simpleString()}, "
             f"updates {updates.schema.simpleString()})"
         )
-    reserved = [c for c in base.columns if c == "_hit" or c.startswith("_u_")]
+    reserved = [
+        c for c in base.columns if c in ("_hit", "_u_key") or c.startswith("_u_")
+    ]
     if reserved:
         raise ValueError(
             f"upsert reserves column names '_hit' and '_u_*'; rename {reserved}"
@@ -159,14 +175,18 @@ def upsert(
         if dup:
             raise ValueError(f"updates has duplicate values of key '{key}'")
     u = updates.select(
-        F.col(key),
+        F.col(key).alias("_u_key"),
         F.lit(True).alias("_hit"),
         *[F.col(c).alias(f"_u_{c}") for c in updates.columns if c != key],
     )
-    merged = base.join(u, key, "full_outer")
+    # null-safe key equality: a plain equi-join never matches NULL
+    # keys, so an update for base's NULL-key row would INSERT a
+    # duplicate instead of replacing it — violating the replace
+    # contract above
+    merged = base.join(u, F.col(key).eqNullSafe(F.col("_u_key")), "full_outer")
     return merged.select(
         *[
-            F.col(key).alias(key)
+            F.coalesce(F.col(key), F.col("_u_key")).alias(key)
             if c == key
             else F.when(F.col("_hit").isNotNull(), F.col(f"_u_{c}"))
             .otherwise(F.col(c))

@@ -185,6 +185,10 @@ def allocate_costs(
         .localCheckpoint(eager=True)  # 4 downstream actions read it
     )
     x_total = x.agg(F.sum(M.V)).first()[0]
+    if x_total is None:
+        raise ValueError(
+            "no revenue rows in lineitem — cannot build the x marginal"
+        )
     y = hour_cost_marginal(spark, sf_dir, rescale_to=x_total).localCheckpoint(
         eager=True
     )

@@ -251,7 +251,10 @@ def q_a10_weight_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_A10 = f"""
 WITH m AS ({M_SQL})
-SELECT r, c, round(v / SUM(v) OVER (PARTITION BY r), 9) AS v FROM m
+SELECT r, c,
+       round(CASE WHEN SUM(v) OVER (PARTITION BY r) = 0 THEN 0.0
+                  ELSE v / SUM(v) OVER (PARTITION BY r) END, 9) AS v
+FROM m
 """
 
 
@@ -285,7 +288,7 @@ def q_a12_add_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_A12 = f"""
 WITH m AS ({M_SQL})
 SELECT p.p_name AS row_label, CAST(m.c AS VARCHAR) AS col_label, m.v AS v
-FROM m JOIN part p ON p.p_partkey = m.r
+FROM m LEFT JOIN part p ON p.p_partkey = m.r
 """
 
 
@@ -320,7 +323,9 @@ def q_a15_optimize_marginal(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_A15 = f"""
 WITH m AS ({M_SQL}), g AS ({VC_SQL})
 SELECT m.r, m.c,
-       round(m.v / SUM(m.v) OVER (PARTITION BY m.r) * g.v, 9) AS v
+       round(CASE WHEN SUM(m.v) OVER (PARTITION BY m.r) = 0 THEN m.v
+                  ELSE m.v / SUM(m.v) OVER (PARTITION BY m.r) * g.v END,
+             9) AS v
 FROM m JOIN g ON g.id = m.r
 """
 

@@ -177,3 +177,39 @@ def test_converge_dense_result_plan_is_shuffle_free(make_matrix, make_vector):
     res = converge_dense(x, y, seed, threshold=1e-12, max_iterations=20)
     plan = res.matrix._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_converge_dense_ignores_out_of_domain_seed_columns(spark):
+    """Seed cells whose column id is absent from the y-marginal are
+    IGNORED per the documented contract — previously the NULL map
+    position crashed the whole flagship with NULL_MAP_KEY whenever an
+    hour had no event value (zero-value hours are filtered from y)."""
+    from alternating_least_squares_spark.operators.ipf_dense import converge_dense
+
+    x = spark.createDataFrame([(1, 6.0), (2, 6.0)], "id long, v double")
+    y = spark.createDataFrame([(0, 8.0), (1, 4.0)], "id long, v double")
+    # column 23 exists in the seed but not in y — must be dropped
+    seed = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 1, 1.0), (1, 23, 99.0), (2, 0, 1.0), (2, 1, 1.0)],
+        "r long, c long, v double",
+    )
+    res = converge_dense(x, y, seed, threshold=1e-12, max_iterations=50)
+    cells = {(r["r"], r["c"]): r["v"] for r in res.matrix.collect()}
+    assert set(c for _, c in cells) == {0, 1}
+    assert abs(sum(cells.values()) - 12.0) < 1e-9
+
+
+def test_converge_empty_marginal_raises_value_error(spark):
+    """An empty marginal must raise the precondition ValueError, not
+    TypeError from abs(None)."""
+    import pytest
+    from alternating_least_squares_spark.operators.ipf import converge
+    from alternating_least_squares_spark.operators.ipf_dense import converge_dense
+
+    empty = spark.createDataFrame([], "id long, v double")
+    x = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    seed = spark.createDataFrame([(1, 0, 1.0)], "r long, c long, v double")
+    with pytest.raises(ValueError, match="empty marginal"):
+        converge(x, empty, seed)
+    with pytest.raises(ValueError, match="empty marginal"):
+        converge_dense(x, empty, seed)

@@ -171,3 +171,40 @@ def test_safe_divide_zero_guard(make_matrix):
 
 def test_matrix_total(make_matrix):
     assert M.matrix_total(make_matrix([[1, 2], [3, 4]])).first()["total"] == 10.0
+
+
+def test_weight_matrix_zero_row_gets_zero_weights(spark):
+    """A zero-sum row must yield weight 0 (not ANSI DIVIDE_BY_ZERO —
+    Spark 4 makes /0 an error, which killed unsmoothed sparse
+    pipelines)."""
+    m = spark.createDataFrame(
+        [(1, 0, 0.0), (1, 1, 0.0), (2, 0, 2.0), (2, 1, 6.0)],
+        "r long, c long, v double",
+    )
+    got = {(r["r"], r["c"]): r["v"] for r in M.weight_matrix(m).collect()}
+    assert got[(1, 0)] == 0.0 and got[(1, 1)] == 0.0
+    assert got[(2, 0)] == 0.25 and got[(2, 1)] == 0.75
+
+
+def test_optimize_marginal_zero_row_keeps_cells(spark):
+    """Zero-sum rows pass through unchanged — the same stays-zero
+    convention as ipf_dense._rowsum_guard, so the coordinate and dense
+    loops remain twins on degenerate seeds."""
+    seed = spark.createDataFrame(
+        [(1, 0, 0.0), (2, 0, 4.0)], "r long, c long, v double"
+    )
+    marg = spark.createDataFrame([(1, 9.0), (2, 8.0)], "id long, v double")
+    got = {(r["r"], r["c"]): r["v"] for r in M.optimize_marginal(marg, seed).collect()}
+    assert got[(1, 0)] == 0.0  # not NaN, not an error
+    assert got[(2, 0)] == 8.0
+
+
+def test_add_labels_keeps_unlabeled_cells(spark):
+    """Cells whose id is missing from a label dimension keep the cell
+    (NULL label) — an inner join would silently drop the row, which
+    the reference's positional decoration never does."""
+    m = spark.createDataFrame([(1, 0, 5.0), (2, 0, 7.0)], "r long, c long, v double")
+    rl = spark.createDataFrame([(1, "one")], "id long, label string")
+    cl = spark.createDataFrame([(0, "zero")], "id long, label string")
+    rows = {r["v"]: r["row_label"] for r in M.add_labels(m, rl, cl).collect()}
+    assert rows == {5.0: "one", 7.0: None}

@@ -158,3 +158,32 @@ def test_quality_observed_rides_the_callers_action(spark):
         for r in Q.check(df, constraints).collect()
     }
     assert got == want == {"not_null(id)": 1, "in_range(v,0.0,10.0)": 2}
+
+
+def test_zero_pad_union_preserves_existing_nulls(spark):
+    """Only PADDED rows get zero-filled; a genuine NULL cell in an
+    existing row must survive (na.fill over the whole frame used to
+    clobber it to 0)."""
+    from alternating_least_squares_spark.operators.relational import zero_pad_union
+
+    wide = spark.createDataFrame(
+        [(1, None), (2, 5.0)], "k long, h double"
+    )
+    keys = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    got = {r["k"]: r["h"] for r in zero_pad_union(wide, keys, "k").collect()}
+    assert got == {1: None, 2: 5.0, 3: 0.0}
+
+
+def test_upsert_replaces_null_key_row(spark):
+    """A NULL-key update must REPLACE base's NULL-key row (null-safe
+    join), not insert a duplicate — plain equi-joins never match NULL
+    keys."""
+    from alternating_least_squares_spark.operators.relational import upsert
+
+    base = spark.createDataFrame([(None, 1.0), (7, 2.0)], "k int, v double")
+    upd = spark.createDataFrame([(None, 9.0)], "k int, v double")
+    rows = sorted(
+        [(r["k"], r["v"]) for r in upsert(base, upd, "k").collect()],
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    assert rows == [(7, 2.0), (None, 9.0)]
