@@ -88,7 +88,11 @@ def extract_media_features(
         import pandas as pd
 
         for pdf in it:
-            blobs = pdf[blob_col]
+            # NULL payloads (e.g. NULL document text upstream of
+            # attach_blob) read as empty bytes instead of killing the
+            # task inside hashlib — every other text path coalesces
+            # NULL the same way
+            blobs = pdf[blob_col].map(lambda b: b if b is not None else b"")
             # hash each payload ONCE; per-byte work dominates this path
             digests = blobs.map(lambda b: hashlib.md5(b).hexdigest())
             yield pd.DataFrame(

@@ -29,8 +29,11 @@ def in_range(col: str, lo: float, hi: float) -> tuple[str, Column]:
 
 
 def matches(col: str, regex: str) -> tuple[str, Column]:
+    # the regex is part of the name: two regex constraints on the same
+    # column must not collide on the agg alias (the report is keyed by
+    # name, and a collision silently repeats the first count)
     return (
-        f"matches({col})",
+        f"matches({col},{regex})",
         F.col(col).isNotNull() & F.col(col).rlike(regex),
     )
 
@@ -56,8 +59,15 @@ def check(
         for name, cond in constraints
     ]
     for key in unique_keys or []:
+        # count over a struct: count()/count_distinct() on the bare
+        # column both SKIP NULLs, so a table of duplicate NULL keys
+        # would pass. struct(NULL) is itself non-NULL, so every row is
+        # counted and NULL keys deduplicate like any other value.
         aggs.append(
-            (F.count(key) - F.count_distinct(F.col(key)))
+            (
+                F.count(F.struct(F.col(key)))
+                - F.count_distinct(F.struct(F.col(key)))
+            )
             .cast("long")
             .alias(f"unique({key})")
         )

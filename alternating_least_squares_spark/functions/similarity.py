@@ -57,8 +57,17 @@ def vec_norm(a: Column) -> Column:
     )
 
 
+def _safe_ratio(num: Column, den: Column) -> Column:
+    """num/den, NULL when den == 0. Spark 4's default ANSI mode makes
+    /0 a runtime ERROR — one all-zero embedding would otherwise abort
+    every scoring query that touches it (cosine of a zero vector is
+    undefined; NULL sorts last under desc and fails >= filters, which
+    is exactly the drop-it behavior a scorer wants)."""
+    return F.when(den != 0, num / den)
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+    return _safe_ratio(vec_dot(a, b), vec_norm(a) * vec_norm(b))
 
 
 def rademacher_planes(
@@ -242,8 +251,10 @@ def lsh_topk(
         "query_id",
         "neighbor_id",
         F.round(
-            vec_dot(F.col("_eq"), F.col("_en"))
-            / (F.col("_nq") * F.col("_nn")),
+            _safe_ratio(
+                vec_dot(F.col("_eq"), F.col("_en")),
+                F.col("_nq") * F.col("_nn"),
+            ),
             6,
         ).alias("cosine"),
     )
@@ -344,7 +355,10 @@ def embedding_near_dup_pairs(
         "id_a",
         "id_b",
         F.round(
-            vec_dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb")),
+            _safe_ratio(
+                vec_dot(F.col("_ea"), F.col("_eb")),
+                F.col("_na") * F.col("_nb"),
+            ),
             6,
         ).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)

@@ -28,6 +28,13 @@ def ratings_from_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The join shuffles on o_orderkey; the aggregate is a map-side
     partial + final on (user, item). Ratings are integral doubles.
+
+    MLlib ALS requires int32 user/item ids, so the casts below are a
+    hard 2^31 bound on the key domain (ANSI mode turns an overflow
+    into a loud CAST_OVERFLOW, never a silent wrap). The driver
+    testdata never approaches it; a deployment with wider keys must
+    remap ids first (dense_rank over the distinct keys — one extra
+    shuffle, done once), which is MLlib's documented pattern.
     """
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select(

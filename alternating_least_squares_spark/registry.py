@@ -3536,7 +3536,7 @@ SELECT 'not_null(o_custkey)' AS constraint, CAST(c1 AS BIGINT) AS n_violations, 
 UNION ALL
 SELECT 'in_range(o_totalprice,0.0,10000000.0)', CAST(c2 AS BIGINT), c2 = 0 FROM agg
 UNION ALL
-SELECT 'matches(o_orderpriority)', CAST(c3 AS BIGINT), c3 = 0 FROM agg
+SELECT 'matches(o_orderpriority,^[1-5]-)', CAST(c3 AS BIGINT), c3 = 0 FROM agg
 UNION ALL
 SELECT 'unique(o_orderkey)', CAST(c4 AS BIGINT), c4 = 0 FROM agg
 """

@@ -46,10 +46,18 @@ class RangeGenReader(DataSourceReader):
     def __init__(self, options) -> None:
         self.n = int(options.get("n", 1000))
         self.n_partitions = int(options.get("partitions", 8))
+        if self.n_partitions < 1:
+            raise ValueError(
+                f"rangegen: partitions must be >= 1 (got {self.n_partitions})"
+            )
 
     def partitions(self) -> Sequence[InputPartition]:
         # Contiguous id ranges: each executor materializes only its
         # slice; adding partitions scales the source horizontally.
+        if self.n <= 0:
+            # an empty range is a valid (empty) source, not a planning
+            # crash: step would be 0 and range(0, 0, 0) raises
+            return [InputPartition((0, 0))]
         step = -(-self.n // self.n_partitions)
         return [
             InputPartition((lo, min(lo + step, self.n)))

@@ -101,6 +101,12 @@ def user_profile_stream_tws(events: DataFrame) -> DataFrame:
     be installed and ``spark.sql.streaming.stateStore.providerClass``
     must be the RocksDB provider. Callers can check
     :func:`tws_available` first."""
+    if ProfileProcessor is None:
+        raise RuntimeError(
+            "transformWithStateInPandas is unavailable on this runtime "
+            "(pyspark>=4 with the protobuf package required); check "
+            "tws_available() before calling user_profile_stream_tws"
+        )
     return events.groupBy("user_id").transformWithStateInPandas(
         ProfileProcessor(),
         outputStructType=PROFILE_SCHEMA,

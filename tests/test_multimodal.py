@@ -100,3 +100,20 @@ def test_sample_frames_boundaries_and_expansion(spark):
     # the sampled 5th frame of doc 3 is the last 64 bytes
     assert rows[(3, 4)]["n_bytes"] == 64
     assert rows[(1, 0)]["frame_md5"] == hashlib.md5(b"a" * 64).hexdigest()
+
+
+def test_media_features_null_blob_reads_as_empty(spark):
+    """A NULL payload (NULL document text upstream) hashes as empty
+    bytes instead of killing the task inside hashlib."""
+    import hashlib
+
+    from alternating_least_squares_spark.functions.multimodal import (
+        extract_media_features,
+    )
+
+    d = spark.createDataFrame(
+        [(1, None), (2, bytearray(b"xy"))], "doc_id long, blob binary"
+    )
+    got = {r["doc_id"]: (r["n_bytes"], r["md5"]) for r in extract_media_features(d).collect()}
+    assert got[1] == (0, hashlib.md5(b"").hexdigest())
+    assert got[2][0] == 2

@@ -117,7 +117,7 @@ def test_quality_check_flags_violations(spark):
     }
     assert rep["not_null(v)"] == (1, False)
     assert rep["in_range(v,0.0,10.0)"] == (2, False)  # -1.0 and NULL
-    assert rep["matches(s)"] == (2, False)  # "bad!" and NULL
+    assert rep["matches(s,^ok$)"] == (2, False)  # "bad!" and NULL
     assert rep["unique(k)"] == (1, False)  # k=2 twice
 
 
@@ -187,3 +187,38 @@ def test_upsert_replaces_null_key_row(spark):
         key=lambda t: (t[0] is None, t[0]),
     )
     assert rows == [(7, 2.0), (None, 9.0)]
+
+
+def test_quality_gate_null_keys_and_regex_names(spark):
+    """(a) duplicate NULL keys are a uniqueness violation — bare
+    count/count_distinct both skip NULLs and used to report a clean
+    pass; (b) two regex constraints on one column keep distinct report
+    rows — the alias used to collide and silently repeat the first
+    count."""
+    from alternating_least_squares_spark.functions.quality import check, matches
+
+    d = spark.createDataFrame(
+        [(None, "a"), (None, "b"), ("k1", "a")], "doc_id string, t string"
+    )
+    rep = {
+        r["constraint"]: r["n_violations"]
+        for r in check(d, [], unique_keys=["doc_id"]).collect()
+    }
+    assert rep["unique(doc_id)"] == 1
+    rep2 = {
+        r["constraint"]: r["n_violations"]
+        for r in check(d, [matches("t", "^a$"), matches("t", "^b$")]).collect()
+    }
+    assert rep2 == {"matches(t,^a$)": 1, "matches(t,^b$)": 2}
+
+
+def test_rangegen_empty_and_bad_partitions(spark):
+    """n=0 is a valid EMPTY source (step used to become 0 and range()
+    raised inside partition planning); partitions<1 fails loudly at
+    construction."""
+    from alternating_least_squares_spark.sources.pysource import register
+
+    register(spark)
+    assert (
+        spark.read.format("rangegen").option("n", "0").load().count() == 0
+    )

@@ -236,3 +236,26 @@ def test_lsh_buckets_wide_dims_and_short_vectors(spark):
     a = {r["table"]: r["bucket"] for r in with_lsh_buckets(short, dim=2).collect()}
     b = {r["table"]: r["bucket"] for r in with_lsh_buckets(short, dim=2, n_tables=3).collect()}
     assert a[0] == b[0]
+
+
+def test_zero_norm_vectors_score_null_not_crash(spark):
+    """One all-zero embedding must not abort scoring queries with ANSI
+    DIVIDE_BY_ZERO: its cosine is NULL (undefined), it sorts last, and
+    threshold filters drop it."""
+    from pyspark.sql import functions as F
+
+    from alternating_least_squares_spark.functions.similarity import (
+        cosine,
+        lsh_topk,
+    )
+
+    rows = [(1, [0.0] * 64), (2, [1.0] * 64), (3, [0.5] * 64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = lsh_topk(df, df.filter("vec_id = 2"), k=2)
+    assert got.count() >= 1  # no SparkArithmeticException
+    assert (
+        df.select(
+            cosine(F.lit([0.0] * 3), F.lit([1.0, 2.0, 3.0])).alias("c")
+        ).first()["c"]
+        is None
+    )
