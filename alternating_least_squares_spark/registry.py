@@ -111,6 +111,17 @@ VH_SQL = (
 )
 
 
+def _scratch_path(*segments: str) -> str:
+    """Fixed scratch location for sink round-trip queries
+    (/tmp/alternating_ls_<name>/...): a fresh mkdtemp per invocation
+    would leak a table copy into /tmp every verify round, so these
+    paths are STABLE and the writes use mode=overwrite."""
+    import os
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), *segments)
+
+
 def _hex4(col: Column) -> Column:
     """First 4 hex digits of md5(col) as a long in [0, 65536): the
     deterministic content-hash bucket shared by x02/x03/x06. A content
@@ -331,13 +342,20 @@ FROM m JOIN g ON g.id = m.r
 
 
 def q_a16_ipf_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One IPF sweep with a deterministic mid-round: the row-fitted
-    matrix is rounded to 6 dp before the column pass so the column
-    sums are order-independent on both engines."""
+    """One IPF sweep with a deterministic mid-quantize: the row-fitted
+    matrix is FLOORED to integer micro-units before the column pass
+    (the a17 pattern). floor of identical doubles is identical on both
+    engines (round() is not: half-up vs half-even can flip on exact
+    .5s like 1e6/2^7), and the column pass then window-sums INTEGRAL
+    doubles — exact in any order below 2^53, so the sum needs no
+    decimal cast to be order-independent. The micro scale cancels in
+    the column normalization (v_us/colsum_us is scale-free)."""
     mat = _qty_matrix(spark, sf_dir)
     x = _qty_vector(spark, sf_dir)  # row marginal (Σ = total qty)
     y = _hour_vector(spark, sf_dir)  # col marginal (Σ = total qty)
-    row_fit = _round(M.optimize_marginal(x, mat), [M.V], 6)
+    row_fit = M.optimize_marginal(x, mat).withColumn(
+        M.V, F.floor(F.col(M.V) * F.lit(1e6)).cast("double")
+    )
     col_fit = M.transpose(
         M.optimize_marginal(y, M.transpose(row_fit))
     )
@@ -348,13 +366,12 @@ SQL_A16 = f"""
 WITH m AS ({M_SQL}), x AS ({VQ_SQL}), y AS ({VH_SQL}),
      rf AS (
        SELECT m.r, m.c,
-              round(m.v / SUM(m.v) OVER (PARTITION BY m.r) * x.v, 6) AS v
+              CAST(floor(m.v / SUM(m.v) OVER (PARTITION BY m.r)
+                         * x.v * 1000000) AS DOUBLE) AS v
        FROM m JOIN x ON x.id = m.r
      )
 SELECT rf.r, rf.c,
-       round(CAST(rf.v AS DOUBLE)
-             / CAST(SUM(CAST(rf.v AS DECIMAL(38,10))) OVER (PARTITION BY rf.c) AS DOUBLE)
-             * y.v, 6) AS v
+       round(rf.v / SUM(rf.v) OVER (PARTITION BY rf.c) * y.v, 6) AS v
 FROM rf JOIN y ON y.id = rf.c
 """
 
@@ -580,17 +597,10 @@ def q_b01_b02_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     table to CSV with an explicit schema, read it back, return the
     rows. The oracle is the source table itself, so a hash match
     proves the CSV sink+source round-trip is lossless."""
-    import os
-    import tempfile
-
     from alternating_least_squares_spark.sources import catalog
 
     nation = load_table(spark, sf_dir, "nation")
-    # fixed path + overwrite mode: a fresh mkdtemp per invocation
-    # would leak a table copy into /tmp every verify round
-    path = os.path.join(
-        tempfile.gettempdir(), "alternating_ls_csv_roundtrip", "nation"
-    )
+    path = _scratch_path("alternating_ls_csv_roundtrip", "nation")
     catalog.write_csv(nation, path)
     return catalog.read_csv(spark, path, schema=catalog.TABLES["nation"])
 
@@ -605,17 +615,12 @@ def q_b04_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (includes a double column, so binary-columnar losslessness
     is what the hash match proves). Same fixed-path/overwrite pattern
     as the CSV round-trip."""
-    import os
-    import tempfile
-
     from alternating_least_squares_spark.sources import catalog
 
     supplier = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
     )
-    path = os.path.join(
-        tempfile.gettempdir(), "alternating_ls_orc_roundtrip", "supplier"
-    )
+    path = _scratch_path("alternating_ls_orc_roundtrip", "supplier")
     catalog.write_orc(supplier, path)
     return catalog.read_orc(spark, path)
 
@@ -631,15 +636,10 @@ def q_b05_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     risk deliberately excluded; doubles belong in the binary formats).
     Explicit read schema, per the catalog contract: no inference scan,
     drift fails at plan time."""
-    import os
-    import tempfile
-
     from alternating_least_squares_spark.sources import catalog
 
     nation = load_table(spark, sf_dir, "nation")
-    path = os.path.join(
-        tempfile.gettempdir(), "alternating_ls_jsonl_roundtrip", "nation"
-    )
+    path = _scratch_path("alternating_ls_jsonl_roundtrip", "nation")
     catalog.write_json(nation, path)
     out = catalog.read_json(spark, path, schema=catalog.TABLES["nation"])
     return out.select("n_nationkey", "n_name", "n_regionkey")
@@ -736,9 +736,8 @@ def q_x09_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the same join from the raw tables — bucketing must never
     change results, only movement."""
     import os
-    import tempfile
 
-    base = os.path.join(tempfile.gettempdir(), "alternating_ls_bucketed")
+    base = _scratch_path("alternating_ls_bucketed")
     for name, df, key in (
         (
             "x09_li_bucketed",
@@ -805,17 +804,12 @@ def q_x10_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the same aggregate over the unpartitioned source — the
     layout must change IO, never results. (value is re-read from the
     partitioned copy, proving the roundtrip too.)"""
-    import os
-    import tempfile
-
     from alternating_least_squares_spark.sources import catalog
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts_ns", "user_id", "event_type", "value"
     )
-    path = os.path.join(
-        tempfile.gettempdir(), "alternating_ls_partitioned", "events"
-    )
+    path = _scratch_path("alternating_ls_partitioned", "events")
     catalog.write_parquet(ev, path, partition_by=["event_type"])
     back = spark.read.parquet(path)
     return (
@@ -1032,12 +1026,19 @@ def q_c13_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gated to k > 0 IN BOTH ENGINES (non-positive k → NULL, same as
     # the zero case) rather than trusting the generator's sign.
     v_us = (F.col("value").cast("decimal(38,10)") * 1_000_000).cast("long")
+    # Spark has no integer FLOOR division (`div` truncates toward
+    # zero; DuckDB `//` floors) — emulate floor so a NEGATIVE value
+    # also matches: subtract 1 when the division is inexact and the
+    # numerator is negative (k is gated positive). NULL k propagates
+    # through both terms.
     return ev.select(
         "event_id", k.alias("k"), v_us.alias("v_us")
     ).selectExpr(
         "event_id",
         "k",
-        "v_us div (CASE WHEN k > 0 THEN k END) AS value_per_k_us",
+        "v_us div (CASE WHEN k > 0 THEN k END)"
+        " - (CASE WHEN v_us % (CASE WHEN k > 0 THEN k END) != 0"
+        "          AND v_us < 0 THEN 1 ELSE 0 END) AS value_per_k_us",
     )
 
 
@@ -1241,8 +1242,11 @@ FROM tk
 
 def q_t05_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # coalesce mirrors the oracle: md5(NULL) is NULL on Spark but the
+    # SQL twin hashes '', so a NULL-text doc would land in a different
+    # group than an empty-text doc on exactly one engine
     return (
-        docs.groupBy(F.md5(F.col("text")).alias("h"))
+        docs.groupBy(F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h"))
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
     )
 
@@ -2959,12 +2963,22 @@ def q_h14_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_custkey")
     )
+    # threshold as (exact decimal sum, count) instead of a double avg:
+    # a distributed double avg is partition-order-dependent, and a
+    # customer whose balance lands within an ulp of it would flap the
+    # filter between engines/runs. Cross-multiplying against the exact
+    # sum keeps the comparison bit-deterministic (decimal * long is
+    # exact; both engines evaluate identically).
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("_avg")
+        F.sum(F.col("c_acctbal").cast("decimal(38,10)")).alias("_tot"),
+        F.count("*").alias("_n"),
     )
     return (
         cust.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .filter(
+            F.col("c_acctbal").cast("decimal(38,10)") * F.col("_n")
+            > F.col("_tot")
+        )
         .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(
@@ -2984,7 +2998,10 @@ SELECT c_mktsegment, count(*) AS n_customers,
        round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE), 6)
          AS total_balance
 FROM customer
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+WHERE CAST(c_acctbal AS DECIMAL(38,10))
+        * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+      > (SELECT sum(CAST(c_acctbal AS DECIMAL(38,10)))
+         FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
                     AND o_orderpriority = '1-URGENT')
@@ -3529,7 +3546,11 @@ WITH agg AS (
                                 AND o_totalprice <= 1e7)) AS c2,
     count(*) FILTER (WHERE NOT (o_orderpriority IS NOT NULL
                                 AND regexp_matches(o_orderpriority, '^[1-5]-'))) AS c3,
-    count(o_orderkey) - count(DISTINCT o_orderkey) AS c4
+    -- struct-count semantics: NULL keys participate (a table of
+    -- duplicate NULL keys must fail); DuckDB's count(col)/count(DISTINCT
+    -- col) both skip NULLs, so add the NULL-group surplus explicitly
+    count(*) - count(DISTINCT o_orderkey)
+      - (CASE WHEN count(*) > count(o_orderkey) THEN 1 ELSE 0 END) AS c4
   FROM orders
 )
 SELECT 'not_null(o_custkey)' AS constraint, CAST(c1 AS BIGINT) AS n_violations, c1 = 0 AS passed FROM agg
@@ -3941,7 +3962,8 @@ def q_st03_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ST03 = """
 SELECT user_id,
        count(*) AS n_events,
-       round(sum(value), 6) AS total_value,
+       round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+         AS total_value,
        max(value) AS max_value,
        max(epoch_us(ts)) AS last_ts_us
 FROM events GROUP BY 1

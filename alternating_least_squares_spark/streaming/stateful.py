@@ -37,7 +37,28 @@ PROFILE_SCHEMA = (
     "user_id long, n_events long, total_value double, max_value double, "
     "last_ts_us long"
 )
-STATE_SCHEMA = "n long, total double, mx double, last_us long"
+STATE_SCHEMA = "n long, total double, comp double, mx double, last_us long"
+
+
+def _add_chunk_sum(total: float, comp: float, chunk) -> tuple[float, float]:
+    """Fold one pandas chunk into the (total, compensation) pair.
+
+    The chunk itself is summed with ``math.fsum`` (exactly rounded)
+    and folded in with Neumaier compensation, so the running double
+    total stays within ~1 ulp of the true sum REGARDLESS of chunk and
+    batch boundaries. The DuckDB oracle computes the exact decimal sum
+    cast to double — the correctly-rounded true value — so plain
+    float accumulation (error growing with chunk count and dependent
+    on arrival order) would flap round(·, 6) at boundaries."""
+    import math
+
+    x = math.fsum(chunk)
+    t = total + x
+    if abs(total) >= abs(x):
+        comp += (total - t) + x
+    else:
+        comp += (x - t) + total
+    return t, comp
 
 
 def _update_profile(
@@ -47,24 +68,24 @@ def _update_profile(
 
     (user_id,) = key
     if state.exists:
-        n, total, mx, last_us = state.get
+        n, total, comp, mx, last_us = state.get
     else:
-        n, total, mx, last_us = 0, 0.0, float("-inf"), 0
+        n, total, comp, mx, last_us = 0, 0.0, 0.0, float("-inf"), 0
 
     for pdf in pdfs:  # may arrive as several chunks per batch
         if len(pdf) == 0:
             continue
         n += int(len(pdf))
-        total += float(pdf["value"].sum())
+        total, comp = _add_chunk_sum(total, comp, pdf["value"])
         mx = max(mx, float(pdf["value"].max()))
         last_us = max(last_us, int(pdf["ts_us"].max()))
 
-    state.update((n, total, mx, last_us))
+    state.update((n, total, comp, mx, last_us))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
             "n_events": [n],
-            "total_value": [total],
+            "total_value": [total + comp],
             "max_value": [mx],
             "last_ts_us": [last_us],
         }
@@ -114,6 +135,7 @@ def user_profile_stream_tws(events: DataFrame) -> DataFrame:
         timeMode="none",
     )
 
+
 def tws_available() -> bool:
     """True when the runtime can actually execute
     ``transformWithStateInPandas``: the Spark 4 API is present AND the
@@ -145,20 +167,22 @@ try:  # Spark 4 only; the module stays importable on older runtimes
 
             (user_id,) = key
             prior = self._profile.get() if self._profile.exists() else None
-            n, total, mx, last_us = prior or (0, 0.0, float("-inf"), 0)
+            n, total, comp, mx, last_us = prior or (
+                0, 0.0, 0.0, float("-inf"), 0,
+            )
             for pdf in rows:
                 if len(pdf) == 0:
                     continue
                 n += int(len(pdf))
-                total += float(pdf["value"].sum())
+                total, comp = _add_chunk_sum(total, comp, pdf["value"])
                 mx = max(mx, float(pdf["value"].max()))
                 last_us = max(last_us, int(pdf["ts_us"].max()))
-            self._profile.update((n, total, mx, last_us))
+            self._profile.update((n, total, comp, mx, last_us))
             yield pd.DataFrame(
                 {
                     "user_id": [user_id],
                     "n_events": [n],
-                    "total_value": [total],
+                    "total_value": [total + comp],
                     "max_value": [mx],
                     "last_ts_us": [last_us],
                 }
