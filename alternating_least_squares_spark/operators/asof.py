@@ -43,6 +43,18 @@ def asof_join(
     precedes the left row)."""
     if payload_cols is None:
         payload_cols = [c for c in right.columns if c not in (key, ts)]
+    reserved = {"_pack", "_side"} & (set(left.columns) | set(right.columns))
+    if reserved:
+        raise ValueError(
+            f"asof_join reserves column names {sorted(reserved)}; rename them"
+        )
+
+    # SQL join semantics for NULLs, matching the DuckDB ASOF oracle:
+    # a right row with a NULL key can never be matched by key equality,
+    # and one with a NULL timestamp can never satisfy ts <= left.ts —
+    # but NULLS-FIRST window ordering would otherwise sort it before
+    # everything and carry its payload into every left row.
+    right = right.filter(F.col(key).isNotNull() & F.col(ts).isNotNull())
 
     # The whole right payload travels as ONE struct: last(ignorenulls)
     # then carries the entire matched row atomically. Filling each
@@ -59,15 +71,27 @@ def asof_join(
     l_tag = left.withColumn(
         "_pack", F.lit(None).cast(r_tag.schema["_pack"].dataType)
     ).withColumn("_side", F.lit(1))
-    r_full = r_tag
-    for c in left.columns:
-        if c not in (key, ts):
-            r_full = r_full.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    # one select, not a withColumn-per-column loop: each withColumn is
+    # a full analysis pass over a growing plan (O(n^2) driver cost on
+    # wide left tables)
+    r_full = r_tag.select(
+        "*",
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in (key, ts)
+        ],
+    )
     unioned = l_tag.unionByName(r_full.select(l_tag.columns))
 
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        # _pack as the final key: among right rows sharing (key, ts)
+        # the winner is otherwise arbitrary (partition-order-
+        # dependent), which would make hash-compared results flaky.
+        # Struct ordering is total over the payload, so the pick is
+        # deterministic: the greatest payload tuple wins.
+        .orderBy(F.col(ts).asc(), F.col("_side").asc(), F.col("_pack").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.withColumn(

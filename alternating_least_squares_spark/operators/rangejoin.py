@@ -44,6 +44,17 @@ def range_join(
     if how != "inner":
         raise ValueError("range_join supports inner only; compose left "
                          "from inner + left_anti on the points side")
+    if bin_width < 1:
+        raise ValueError(
+            f"bin_width must be >= 1 (got {bin_width}): DIV 0 is a "
+            "runtime DIVIDE_BY_ZERO under ANSI, silent row loss without"
+        )
+    for df, cols in ((points, {"_bin"}), (intervals, {"_bin"})):
+        clash = cols & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"range_join reserves column names {sorted(clash)}; rename"
+            )
     # integer DIV, not `/`: double division + cast truncates AFTER fp
     # rounding and can land in the wrong bin. DIV is monotone, so
     # start ≤ ts ≤ end ⟹ the point's bin is inside the interval's

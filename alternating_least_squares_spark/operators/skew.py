@@ -53,6 +53,10 @@ def salted_agg(
     Salt = ``pmod(monotonically_increasing_id(), n_salts)``: stable
     within a job, spreads each partition's rows round-robin. The salt
     distribution affects only load balance, never correctness."""
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1 (got {n_salts})")
+    if "_salt" in df.columns:
+        raise ValueError("salted_agg reserves the column name '_salt'; rename")
     salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).alias("_salt")
     phase1 = (
         df.withColumn("_salt", salt)
@@ -80,6 +84,10 @@ def salted_join(
     semantics (each big row still matches each small row exactly
     once). Only ``inner`` and ``left`` make sense here; the replicated
     side must be the lookup side."""
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1 (got {n_salts})")
+    if "_salt" in set(big.columns) | set(small.columns):
+        raise ValueError("salted_join reserves the column name '_salt'; rename")
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     on = list(on)

@@ -69,9 +69,15 @@ def curate(
         (F.col("quality") >= quality_floor) & en_wins
     )
 
-    # 4. contamination screen
-    for probe in probes:
-        kept = kept.filter(~F.contains(F.lower("text"), F.lit(probe)))
+    # 4. contamination screen — ONE filter over one lowered copy so
+    # the lower(text) subtree is not re-inflated per probe by
+    # filter pushdown (the lang_scores expression-size lesson)
+    if probes:
+        low = F.lower(F.col("text"))
+        clean = F.lit(True)
+        for probe in probes:
+            clean = clean & ~F.contains(low, F.lit(probe))
+        kept = kept.filter(clean)
 
     # 5. projection for accounting
     return kept.select(

@@ -94,3 +94,57 @@ def test_dedup_components_raises_when_budget_too_small(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup_components(chain, max_iterations=2)
+
+
+def test_asof_null_ts_and_null_key_rows_never_match(spark):
+    """SQL semantics (and the DuckDB ASOF oracle): a right row with a
+    NULL timestamp can't satisfy ts <= left.ts, and NULL keys never
+    equality-match — but NULLS-FIRST window ordering used to carry
+    both into every left row."""
+    from alternating_least_squares_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10), (None, 10)], "k int, t int")
+    right = spark.createDataFrame(
+        [(1, None, 5.0), (None, 5, 7.0)], "k int, t int, v double"
+    )
+    got = {r["k"]: (r["t_asof"], r["v_asof"]) for r in
+           asof_join(left, right, "k", "t").collect()}
+    assert got[1] == (None, None)      # NULL-ts right row ignored
+    assert got[None] == (None, None)   # NULL keys don't match
+
+
+def test_asof_duplicate_ts_right_rows_pick_deterministic_winner(spark):
+    """Right rows tied on (key, ts) must yield a stable winner (the
+    greatest payload struct), not a partition-order lottery."""
+    from alternating_least_squares_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k int, t int")
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 10, "z"), (1, 10, "m")], "k int, t int, v string"
+    )
+    for _ in range(3):
+        r = asof_join(left, right, "k", "t").first()
+        assert (r["t_asof"], r["v_asof"]) == (10, "z")
+
+
+def test_range_join_and_salts_validate_inputs(spark):
+    """bin_width=0 / n_salts=0 fail fast with ValueError instead of a
+    mid-job DIVIDE_BY_ZERO (ANSI) or silent empty results (non-ANSI)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from alternating_least_squares_spark.operators.rangejoin import range_join
+    from alternating_least_squares_spark.operators.skew import (
+        salted_agg,
+        salted_join,
+    )
+
+    pts = spark.createDataFrame([(1, 5)], "k int, t long")
+    iv = spark.createDataFrame([(1, 0, 10)], "k int, s long, e long")
+    with pytest.raises(ValueError, match="bin_width"):
+        range_join(pts, iv, "k", "t", "s", "e", bin_width=0)
+    df = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    with pytest.raises(ValueError, match="n_salts"):
+        salted_agg(df, ["k"], {"s": F.sum("v")}, n_salts=0)
+    with pytest.raises(ValueError, match="n_salts"):
+        salted_join(df, df, ["k"], n_salts=0)
