@@ -792,6 +792,63 @@ GROUP BY 1
 """
 
 
+def q_x11_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling pass (the ANALYZE TABLE / data-catalog stats
+    every ingestion pipeline runs before anything else): one scan of
+    orders producing per-column row count, null count, distinct count,
+    and min/max rendered as strings. ONE wide aggregate — count,
+    count_distinct, min, max are all partial-aggregable, so the scan
+    is a single map-side-combined pass regardless of table width; the
+    per-column rows are unpivoted from the 1-row aggregate with a
+    stack() over literals (no second scan).
+
+    Exact count_distinct (not approx_count_distinct) for oracle
+    parity; the approximate path is g04's HLL sketch query."""
+    cols = ["o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column, n_rows, n_nulls, n_distinct, min_value, max_value)"
+    )
+
+
+SQL_X11 = """
+WITH a AS (
+  SELECT count(*) AS n,
+         count(o_orderkey) AS k1, count(DISTINCT o_orderkey) AS d1,
+         CAST(min(o_orderkey) AS VARCHAR) AS mn1, CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+         count(o_custkey) AS k2, count(DISTINCT o_custkey) AS d2,
+         CAST(min(o_custkey) AS VARCHAR) AS mn2, CAST(max(o_custkey) AS VARCHAR) AS mx2,
+         count(o_orderpriority) AS k3, count(DISTINCT o_orderpriority) AS d3,
+         CAST(min(o_orderpriority) AS VARCHAR) AS mn3, CAST(max(o_orderpriority) AS VARCHAR) AS mx3,
+         count(o_totalprice) AS k4, count(DISTINCT o_totalprice) AS d4,
+         CAST(min(o_totalprice) AS VARCHAR) AS mn4, CAST(max(o_totalprice) AS VARCHAR) AS mx4
+  FROM orders
+)
+SELECT 'o_orderkey' AS column, n AS n_rows, n - k1 AS n_nulls, d1 AS n_distinct, mn1 AS min_value, mx1 AS max_value FROM a
+UNION ALL
+SELECT 'o_custkey', n, n - k2, d2, mn2, mx2 FROM a
+UNION ALL
+SELECT 'o_orderpriority', n, n - k3, d3, mn3, mx3 FROM a
+UNION ALL
+SELECT 'o_totalprice', n, n - k4, d4, mn4, mx4 FROM a
+"""
+
+
 def q_x10_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-style partitioned layout + partition-pruned read: events
     written `partitionBy(event_type)`, then aggregated for ONE type.
@@ -4289,6 +4346,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "x08_salted_agg": (q_x08_salted_agg, SQL_X08),
     "x09_bucketed_join": (q_x09_bucketed_join, SQL_X09),
     "x10_partition_pruning": (q_x10_partition_pruning, SQL_X10),
+    "x11_table_profile": (q_x11_table_profile, SQL_X11),
     "t13_sequence_packing": (q_t13_sequence_packing, SQL_T13),
     "x04_pandas_udaf_geomean": (q_x04_pandas_udaf_geomean, SQL_X04),
     "q01_data_quality": (q_q01_data_quality, SQL_Q01),
