@@ -1760,6 +1760,88 @@ FROM sess GROUP BY 1, 2
 """
 
 
+def q_e06_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-funnel analysis (view → click → purchase), the
+    product-analytics staple: a user reaches stage k only via an event
+    AFTER their stage-k-1 time. Expressed as chained conditional MINs —
+    three narrow aggregates over the same scan, each joined back on
+    user_id (broadcast-sized: one row per user) — rather than a
+    per-user sorted-array scan, so both engines state it identically
+    and nothing is order-dependent. Timestamps are epoch micros
+    (ts_ns DIV 1000) for exact parity.
+
+    At 100 TB: three shuffles on user_id over progressively smaller
+    slices (stage-2 scans only click events, stage-3 only purchases);
+    a match_recognize-style single-pass NFA would be one shuffle but
+    per-row stateful — this shape stays whole-stage codegen."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts_ns DIV 1000").alias("ts_us")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_view"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts_us") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts_us").alias("t_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts_us") > F.col("t_click"))
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(F.min("ts_us").alias("t_purchase"))
+    )
+    return (
+        s1.join(s2.select("user_id", "t_click"), "user_id", "left")
+        .join(s3.select("user_id", "t_purchase"), "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("funnel_depth"),
+        )
+    )
+
+
+SQL_E06 = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+s1 AS (
+  SELECT user_id, min(ts_us) AS t_view FROM ev
+  WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT ev.user_id, min(ts_us) AS t_click
+  FROM ev JOIN s1 ON ev.user_id = s1.user_id
+  WHERE event_type = 'click' AND ts_us > t_view
+  GROUP BY 1
+),
+s3 AS (
+  SELECT ev.user_id, min(ts_us) AS t_purchase
+  FROM ev JOIN s2 ON ev.user_id = s2.user_id
+  WHERE event_type = 'purchase' AND ts_us > t_click
+  GROUP BY 1
+)
+SELECT s1.user_id, t_view, t_click, t_purchase,
+       CAST(1 + (t_click IS NOT NULL)::int + (t_purchase IS NOT NULL)::int
+            AS BIGINT) AS funnel_depth
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
 def q_e05_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VariantType path: ``parse_json`` once into a variant,
     then typed ``variant_get`` extractions — the open-schema
@@ -4295,6 +4377,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "e03_sessionize": (q_e03_sessionize, SQL_E03),
     "e04_resample_gapfill": (q_e04_resample_gapfill, SQL_E04),
     "e05_variant_json": (q_e05_variant_json, SQL_E05),
+    "e06_funnel": (q_e06_funnel, SQL_E06),
     "x05_python_udtf": (q_x05_python_udtf, SQL_X05),
     "h01_pricing_summary": (q_h01_pricing_summary, SQL_H01),
     "h02_revenue_by_nation": (q_h02_revenue_by_nation, SQL_H02),
