@@ -1842,6 +1842,48 @@ LEFT JOIN s3 ON s1.user_id = s3.user_id
 """
 
 
+def q_e07_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — users grouped by first-activity day, then
+    distinct active users per (cohort_day, days_since): the
+    activation/retention matrix every growth dashboard draws. Two
+    aggregates over one scan (first-seen per user, then distinct
+    users per cohort cell); day arithmetic in integer epoch-days
+    (ts_ns over 86.4e12) so both engines bucket identically with no
+    timezone or calendar dependence.
+
+    At 100 TB: the first-seen aggregate shuffles on user_id once and
+    is broadcast back against the (much wider) activity stream; the
+    cell aggregate is a partial+final count_distinct on a key space
+    of |cohorts| x |horizon| — tiny."""
+    day_ns = 86_400 * 1_000_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"ts_ns DIV {day_ns}").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("days_since"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+SQL_E07 = """
+WITH ev AS (
+  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+),
+first AS (
+  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1
+)
+SELECT cohort_day, day - cohort_day AS days_since,
+       count(DISTINCT ev.user_id) AS n_active
+FROM ev JOIN first ON ev.user_id = first.user_id
+GROUP BY 1, 2
+"""
+
+
 def q_e05_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VariantType path: ``parse_json`` once into a variant,
     then typed ``variant_get`` extractions — the open-schema
@@ -4378,6 +4420,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "e04_resample_gapfill": (q_e04_resample_gapfill, SQL_E04),
     "e05_variant_json": (q_e05_variant_json, SQL_E05),
     "e06_funnel": (q_e06_funnel, SQL_E06),
+    "e07_cohort_retention": (q_e07_cohort_retention, SQL_E07),
     "x05_python_udtf": (q_x05_python_udtf, SQL_X05),
     "h01_pricing_summary": (q_h01_pricing_summary, SQL_H01),
     "h02_revenue_by_nation": (q_h02_revenue_by_nation, SQL_H02),
