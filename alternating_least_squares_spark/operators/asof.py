@@ -25,6 +25,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _orderable(dt: T.DataType) -> bool:
+    """Whether Spark can sort on this type (maps and variants cannot
+    appear anywhere inside a sort key)."""
+    if isinstance(dt, T.MapType) or dt.typeName() == "variant":
+        return False
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    return True
 
 
 def asof_join(
@@ -84,14 +97,20 @@ def asof_join(
     )
     unioned = l_tag.unionByName(r_full.select(l_tag.columns))
 
+    # _pack as the final sort key: among right rows sharing (key, ts)
+    # the winner is otherwise arbitrary (partition-order-dependent),
+    # which would make hash-compared results flaky. Struct ordering is
+    # total over the payload, so the pick is deterministic: the
+    # greatest payload tuple wins. Maps/variants cannot be sort keys —
+    # for such payloads fall back to (ts, side) ordering and accept
+    # the arbitrary tie winner (pre-dedupe the right side per
+    # (key, ts) to pin it, as q_j01 does).
+    order_keys = [F.col(ts).asc(), F.col("_side").asc()]
+    if _orderable(r_tag.schema["_pack"].dataType):
+        order_keys.append(F.col("_pack").asc())
     w = (
         Window.partitionBy(key)
-        # _pack as the final key: among right rows sharing (key, ts)
-        # the winner is otherwise arbitrary (partition-order-
-        # dependent), which would make hash-compared results flaky.
-        # Struct ordering is total over the payload, so the pick is
-        # deterministic: the greatest payload tuple wins.
-        .orderBy(F.col(ts).asc(), F.col("_side").asc(), F.col("_pack").asc())
+        .orderBy(*order_keys)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.withColumn(

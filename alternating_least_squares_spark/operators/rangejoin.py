@@ -49,11 +49,11 @@ def range_join(
             f"bin_width must be >= 1 (got {bin_width}): DIV 0 is a "
             "runtime DIVIDE_BY_ZERO under ANSI, silent row loss without"
         )
-    for df, cols in ((points, {"_bin"}), (intervals, {"_bin"})):
-        clash = cols & set(df.columns)
-        if clash:
+    for side, df in (("points", points), ("intervals", intervals)):
+        if "_bin" in df.columns:
             raise ValueError(
-                f"range_join reserves column names {sorted(clash)}; rename"
+                f"range_join reserves the column name '_bin' "
+                f"(present in {side}); rename it"
             )
     # integer DIV, not `/`: double division + cast truncates AFTER fp
     # rounding and can land in the wrong bin. DIV is monotone, so

@@ -1848,7 +1848,7 @@ def q_e07_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     activation/retention matrix every growth dashboard draws. Two
     aggregates over one scan (first-seen per user, then distinct
     users per cohort cell); day arithmetic in integer epoch-days
-    (ts_ns over 86.4e12) so both engines bucket identically with no
+    (ts_ns over 8.64e13 ns/day) so both engines bucket identically with no
     timezone or calendar dependence.
 
     At 100 TB: the first-seen aggregate shuffles on user_id once and
@@ -3575,8 +3575,15 @@ def q_j01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts_us"
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts_us", "value"
+    # one purchase per (user, microsecond) on BOTH engines: ties in
+    # the right table would otherwise make the as-of winner engine-
+    # dependent (DuckDB's ASOF picks an arbitrary tied row; the Spark
+    # operator picks the greatest payload). max(value) pins the same
+    # representative everywhere.
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("value").alias("value"))
     )
     return asof_join(clicks, purchases, key="user_id", ts="ts_us")
 

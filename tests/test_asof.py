@@ -148,3 +148,17 @@ def test_range_join_and_salts_validate_inputs(spark):
         salted_agg(df, ["k"], {"s": F.sum("v")}, n_salts=0)
     with pytest.raises(ValueError, match="n_salts"):
         salted_join(df, df, ["k"], n_salts=0)
+
+
+def test_asof_map_payload_still_joins(spark):
+    """Map payloads can't be sort keys; the deterministic tie-break
+    must degrade gracefully (ts, side ordering) instead of failing
+    analysis with INVALID_ORDERING_TYPE."""
+    left = spark.createDataFrame([(1, 10)], "k int, t int")
+    right = spark.createDataFrame(
+        [(1, 5, {"a": 1})], "k int, t int, m map<string,int>"
+    )
+    from alternating_least_squares_spark.operators.asof import asof_join
+
+    r = asof_join(left, right, "k", "t").first()
+    assert r["t_asof"] == 5 and r["m_asof"] == {"a": 1}
