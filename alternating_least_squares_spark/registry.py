@@ -1462,6 +1462,44 @@ def q_s02_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.4)
 
 
+def q_d06_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup as a FILTER (functions/dedup.keep_one_filter): the corpus
+    with the higher-id member of every exact-duplicate pair dropped —
+    the operator a pipeline actually applies after pair generation.
+    Pairs here are the exact-dup pairs (same md5), so the oracle is a
+    pure SQL anti-join; the LSH near-dup variant of the same filter is
+    exercised rows-only through d03's pair output in tests."""
+    from alternating_least_squares_spark.functions.dedup import keep_one_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    hashed = docs.select("doc_id", h.alias("_h"))
+    pairs = (
+        hashed.alias("a")
+        .join(hashed.alias("b"), "_h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+    return keep_one_filter(
+        docs.select("doc_id", "source", "n_chars"), pairs
+    )
+
+
+SQL_D06 = """
+WITH h AS (
+  SELECT doc_id, md5(coalesce(text, '')) AS _h FROM documents
+),
+losers AS (
+  SELECT DISTINCT b.doc_id
+  FROM h a JOIN h b ON a._h = b._h AND a.doc_id < b.doc_id
+)
+SELECT doc_id, source, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
 def q_d05_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib MinHashLSH.approxSimilarityJoin near-dup path (the API
     users migrating from MLlib pipelines hold); coexists with the
@@ -4499,6 +4537,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "d03_minhash_near_dup": (q_d03_minhash_near_dup, None),
     "d04_dedup_components": (q_d04_dedup_components, SQL_D04),
     "d05_mllib_minhash": (q_d05_mllib_minhash, None),
+    "d06_keep_one": (q_d06_keep_one, SQL_D06),
     "s01_lsh_topk": (q_s01_lsh_topk, None),
     "s02_embedding_near_dup": (q_s02_embedding_near_dup, None),
     "s03_ivf_topk": (q_s03_ivf_topk, None),
