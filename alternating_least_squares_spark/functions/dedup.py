@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from alternating_least_squares_spark.functions.textfns import shingles, tokens
+from alternating_least_squares_spark.functions.width import spread_if_narrow
 
 HEX_DIGITS = "0123456789abcdef"
 
@@ -180,12 +181,11 @@ def near_dup_pairs(
             "band slice empty and the bucket join all-pairs"
         )
     rows_per_band = n_hashes // bands
-    # The signature pass is narrow but compute-heavy; a small parquet
-    # source arrives as one input split, which would serialize it on a
-    # single core. Spread by id first (at scale the scan already has
-    # thousands of splits and AQE keeps this exchange local-cheap).
-    sc = docs.sparkSession.sparkContext
-    docs = docs.repartition(sc.defaultParallelism, id_col)
+    # The signature pass is narrow but compute-heavy; spread a narrow
+    # input (small source read as one split) before it — but ONLY
+    # then: see functions.width.spread_if_narrow for why an
+    # unconditional repartition is a scale bug.
+    docs = spread_if_narrow(docs, id_col)
     sig = (
         docs.select(
             F.col(id_col).alias("_id"),

@@ -25,18 +25,13 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from alternating_least_squares_spark.functions.width import spread_if_narrow
+
 
 def _spread_if_narrow(df: DataFrame) -> DataFrame:
-    """Re-spread a DataFrame that arrived narrower than the cluster
-    (e.g. a small parquet source read as ONE split), so interpreted
-    bucket-projection lambdas don't run single-threaded. No-op — no
-    added shuffle — when the plan already has the width, which is the
-    normal case at real scale. The partition-count probe reads the
-    RDD's metadata only (the conversion is lazy; nothing executes)."""
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n_parts:
-        df = df.repartition(n_parts)
-    return df
+    """Re-spread a DataFrame that arrived narrower than the cluster —
+    see :func:`..width.spread_if_narrow` (shared with dedup)."""
+    return spread_if_narrow(df)
 
 
 def _vec_double(a: Column) -> Column:
@@ -160,7 +155,15 @@ def with_lsh_buckets(
             planes_lit,
             lambda pl: F.aggregate(
                 F.zip_with(
-                    pl, F.col("_ed"), lambda s, x: s * F.coalesce(x, F.lit(0.0))
+                    # zip_with pads the SHORTER side with NULL: a short
+                    # vector pads x (→ zero-pad), a LONG vector pads the
+                    # plane s (coalesce keeps the ≤64-dim path's
+                    # ignore-extra-dims contract instead of a NULL bucket
+                    # that silently drops the row from every bucket join)
+                    pl,
+                    F.col("_ed"),
+                    lambda s, x: F.coalesce(s, F.lit(0.0))
+                    * F.coalesce(x, F.lit(0.0)),
                 ),
                 F.lit(0.0),
                 lambda acc, x: acc + x,

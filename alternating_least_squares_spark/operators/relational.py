@@ -62,6 +62,10 @@ def zero_pad_union(
     right join against the full key dimension + null→0 fill — one
     pass, no driver-side row construction.
     """
+    if "_present" in matrix_wide.columns:
+        raise ValueError(
+            "zero_pad_union reserves the column name '_present'; rename it"
+        )
     value_cols = [c for c in matrix_wide.columns if c != key]
     types = {f.name: f.dataType for f in matrix_wide.schema.fields}
     # zero-fill ONLY the padded rows (marked absent via the sentinel):

@@ -47,6 +47,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 HOURS = 24
 NS_PER_HOUR = 3_600_000_000_000
 
+
+def _floor_div(expr: str, d: int) -> str:
+    """SQL fragment for FLOOR division of a long by a positive literal.
+
+    Spark's ``DIV`` truncates toward zero while the DuckDB oracles'
+    ``//`` floors, so pre-1970 timestamps would land in different
+    buckets. ``expr - pmod(expr, d)`` is an exact multiple of ``d``
+    (pmod is the nonnegative remainder), so the DIV that follows is
+    exact floor division in long arithmetic — no double rounding."""
+    return f"((({expr}) - pmod(({expr}), {d})) DIV {d})"
+
 # ---------------------------------------------------------------------------
 # shared fixtures — Spark side
 
@@ -366,12 +377,17 @@ SQL_A16 = f"""
 WITH m AS ({M_SQL}), x AS ({VQ_SQL}), y AS ({VH_SQL}),
      rf AS (
        SELECT m.r, m.c,
-              CAST(floor(m.v / SUM(m.v) OVER (PARTITION BY m.r)
-                         * x.v * 1000000) AS DOUBLE) AS v
+              CAST(floor(CASE WHEN SUM(m.v) OVER (PARTITION BY m.r) = 0
+                              THEN m.v
+                              ELSE m.v / SUM(m.v) OVER (PARTITION BY m.r)
+                                   * x.v END
+                         * 1000000) AS DOUBLE) AS v
        FROM m JOIN x ON x.id = m.r
      )
 SELECT rf.r, rf.c,
-       round(rf.v / SUM(rf.v) OVER (PARTITION BY rf.c) * y.v, 6) AS v
+       round(CASE WHEN SUM(rf.v) OVER (PARTITION BY rf.c) = 0 THEN rf.v
+                  ELSE rf.v / SUM(rf.v) OVER (PARTITION BY rf.c) * y.v END,
+             6) AS v
 FROM rf JOIN y ON y.id = rf.c
 """
 
@@ -1706,7 +1722,7 @@ def q_e01_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
-            F.expr(f"(ts_ns DIV {NS_PER_HOUR}) % 24").alias("hour"),
+            F.expr(f"{_floor_div('ts_ns', NS_PER_HOUR)} % 24").alias("hour"),
             "event_type",
         )
         .agg(
@@ -1895,7 +1911,7 @@ def q_e07_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     of |cohorts| x |horizon| — tiny."""
     day_ns = 86_400 * 1_000_000_000
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.expr(f"ts_ns DIV {day_ns}").alias("day")
+        "user_id", F.expr(_floor_div("ts_ns", day_ns)).alias("day")
     )
     first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
@@ -2212,7 +2228,8 @@ def q_e04_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB parity."""
     bucket_us = 6 * 3600 * 1_000_000
     ev = load_table(spark, sf_dir, "events").withColumn(
-        "_b", F.expr(f"(ts_ns DIV 1000) DIV {bucket_us} * {bucket_us}")
+        "_b",
+        F.expr(f"{_floor_div('ts_ns DIV 1000', bucket_us)} * {bucket_us}"),
     )
     # ONE raw-events scan: the bucket aggregate. Spans re-aggregate
     # the (much smaller) bucket table, not the raw events.

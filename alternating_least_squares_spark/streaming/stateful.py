@@ -23,6 +23,13 @@ At scale this shuffles once per batch on the key and holds
 O(distinct keys) state — the watermark/timeout knobs (here:
 ``NoTimeout`` since profiles are permanent) bound it for expiring
 semantics.
+
+Checkpoint compatibility: ``STATE_SCHEMA`` gained the ``comp``
+(Neumaier compensation) field after the first release, so a stream
+restarted from a checkpoint written BEFORE that change fails Spark's
+state-schema compatibility check at startup. Fine for the ephemeral
+bench/test checkpoints used here; a persistent deployment must either
+drop the old checkpoint or run a state migration before upgrading.
 """
 
 from __future__ import annotations

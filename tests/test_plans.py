@@ -133,6 +133,29 @@ def test_bucketed_join_has_no_exchange_or_sort(spark):
     assert "Bucketed: true" in plan
 
 
+def test_spread_gate_is_noop_on_wide_input(spark):
+    """The dedup/LSH narrow-pass spread must not touch an input that
+    is already as wide as the cluster: an unconditional repartition
+    would be a full shuffle of document text at 100 TB (and would
+    coalesce a wider scan DOWN). Wide → the very same DataFrame object
+    (no plan change); narrow → repartitioned to cluster width."""
+    from alternating_least_squares_spark.functions.width import (
+        spread_if_narrow,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000, 1, numPartitions=par).withColumnRenamed(
+        "id", "doc_id"
+    )
+    assert spread_if_narrow(wide, "doc_id") is wide
+    narrow = spark.range(0, 1000, 1, numPartitions=1).withColumnRenamed(
+        "id", "doc_id"
+    )
+    spread = spread_if_narrow(narrow, "doc_id")
+    assert spread is not narrow
+    assert spread.rdd.getNumPartitions() == par
+
+
 def test_salted_agg_is_two_phase(spark):
     """x08 must contain TWO hash-aggregate levels over the salt then
     the key — a single-phase rewrite would reintroduce the hot-key
