@@ -274,17 +274,30 @@ def pca_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_components: int = 16,
+    exhaustive: bool = False,
+    n_tables: int = 8,
+    n_planes: int = 2,
+    seed: int = 42,
 ) -> DataFrame:
-    """Dimensionality-reduced exact rerank: MLlib PCA projects the
-    corpus and the queries into ``n_components`` dims, then brute-force
-    cosine top-k runs in the reduced space — the per-pair dot cost
-    drops dim/n_components× (64→16 = 4×) at a small recall cost.
+    """Dimensionality-reduced cosine top-k: MLlib PCA projects the
+    corpus and the queries into ``n_components`` dims, then top-k runs
+    in the reduced space — the per-pair dot cost drops
+    dim/n_components× (64→16 = 4×) at a small recall cost.
+
+    Candidate generation is LSH-bucketed **in the reduced space** by
+    default (shallow buckets: few planes, many tables — the generic
+    top-k tuning from :func:`lsh_topk`), so the default path is a
+    bucket equi-join and never Q×N, even if a caller hands the whole
+    corpus as the query set. ``exhaustive=True`` opts into the
+    crossJoin rerank — exact in the reduced space, affordable only for
+    explicit bounded query sets.
 
     Scale posture: ``PCA.fit`` reduces to a d×d Gramian (d = original
     dim, 64 here) built in one distributed pass — independent of row
-    count, so fitting is cheap even at 100 TB (or fit on a sample).
-    The rerank is still Q×N for an explicit query set; for
-    corpus-scale matching compose with the LSH bucketing above.
+    count, so fitting is cheap even at 100 TB (or fit on a sample);
+    bucketing the reduced vectors makes the plane projections
+    n_components-wide too, so candidate generation is cheaper than
+    LSH on the raw vectors.
     Rows-only check: eigenvector sign/rotation is
     implementation-defined, so scores are not oracle-comparable."""
     from pyspark.ml.feature import PCA
@@ -304,14 +317,30 @@ def pca_topk(
             array_to_vector(_vec_double(F.col(vec_col))).alias("_f"),
         )
     ).select("query_id", vector_to_array(F.col("_p")).alias("_eq"))
-    scored = (
-        red_q.crossJoin(red_c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("_eq"), F.col("_en")), 6).alias("cosine"),
+    if exhaustive:
+        cand = (
+            red_q.crossJoin(red_c)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", "_eq", "_en")
         )
+    else:
+        qb = with_lsh_buckets(
+            red_q, "_eq", n_tables, n_planes, n_components, seed
+        )
+        cb = with_lsh_buckets(
+            _spread_if_narrow(red_c), "_en", n_tables, n_planes,
+            n_components, seed,
+        )
+        cand = (
+            qb.join(cb, ["table", "bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", "_eq", "_en")
+            .distinct()
+        )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("_eq"), F.col("_en")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return scored.withColumn(

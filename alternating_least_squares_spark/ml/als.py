@@ -118,6 +118,46 @@ def recommend_top_k(model: ALSModel, k: int = 5) -> DataFrame:
     )
 
 
+def train_als_implicit(
+    ratings: DataFrame,
+    rank: int = 8,
+    max_iter: int = 8,
+    reg_param: float = 0.1,
+    alpha: float = 1.0,
+    seed: int = 42,
+    num_blocks: int | None = None,
+) -> ALSModel:
+    """Implicit-feedback ALS (Hu/Koren/Volinsky 2008, "Collaborative
+    Filtering for Implicit Feedback Datasets") — the model the ratings
+    projection actually calls for: Σ quantity is a *confidence* signal
+    (how much was bought), not a rating on a preference scale.
+
+    MLlib reformulates each rating r as preference p = [r > 0] with
+    confidence 1 + alpha·r, and factorizes the preference matrix — so
+    predictions live in [0, 1]-ish preference space, and the quality
+    metric is a RANKING metric over held-out positives, not RMSE
+    against the raw quantities (tests pin a recall floor; see
+    tests/test_als.py)."""
+    if num_blocks is None:
+        num_blocks = adaptive_num_blocks(ratings)
+    als = ALS(
+        rank=rank,
+        maxIter=max_iter,
+        regParam=reg_param,
+        implicitPrefs=True,
+        alpha=alpha,
+        seed=seed,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+        nonnegative=True,
+        numUserBlocks=num_blocks,
+        numItemBlocks=num_blocks,
+    )
+    return als.fit(ratings)
+
+
 def train_and_recommend(
     spark: SparkSession, sf_dir: str, rank: int = 8, max_iter: int = 8, k: int = 5
 ) -> DataFrame:
@@ -128,4 +168,15 @@ def train_and_recommend(
     orders join."""
     ratings = ratings_from_testdata(spark, sf_dir).localCheckpoint(eager=True)
     model = train_als(ratings, rank=rank, max_iter=max_iter)
+    return recommend_top_k(model, k)
+
+
+def train_and_recommend_implicit(
+    spark: SparkSession, sf_dir: str, rank: int = 8, max_iter: int = 8, k: int = 5
+) -> DataFrame:
+    """Implicit-feedback twin of :func:`train_and_recommend` for the
+    driver registry (rows-only: iterative ML). Same plan shape — one
+    ratings checkpoint feeds block sizing, training, and recommend."""
+    ratings = ratings_from_testdata(spark, sf_dir).localCheckpoint(eager=True)
+    model = train_als_implicit(ratings, rank=rank, max_iter=max_iter)
     return recommend_top_k(model, k)

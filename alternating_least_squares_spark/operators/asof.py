@@ -19,6 +19,14 @@ Ties (equal ts): the right row sorts FIRST (side ordering), so a
 same-timestamp right row IS visible to the left row — the standard
 inclusive as-of. Cost is sort-within-partition, exactly what a range
 join in a native engine pays.
+
+Hot keys: the window puts every row of one key into ONE reducer's
+sort, so a single hot key serializes that partition (results stay
+exact — pinned by tests/test_skew.py's 99%-hot fixture). If a real
+deployment hits one, sub-partition the window by a coarse time bucket
+and stitch the bucket boundaries, or pre-aggregate the right side;
+see :mod:`.skew` for the general salting recipe and when AQE covers
+it instead.
 """
 
 from __future__ import annotations

@@ -4,6 +4,7 @@ extension surface over the driver's ``events`` stream table)."""
 
 from alternating_least_squares_spark.streaming.events import (  # noqa: F401
     attribution_join_stream,
+    hopping_value_stream,
     hourly_value_stream,
     read_events_stream,
     run_stream_to_batch,

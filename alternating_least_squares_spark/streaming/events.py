@@ -113,6 +113,42 @@ def hourly_value_stream(
     )
 
 
+def hopping_value_stream(
+    events: DataFrame,
+    watermark: str = "1 hour",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+) -> DataFrame:
+    """Hopping (sliding) event-time windows: per (window, event_type)
+    totals where windows of length ``window`` start every ``slide`` —
+    the rolling-metrics shape every dashboard pipeline hits (e.g. a
+    1-hour metric refreshed every 30 minutes).
+
+    Each event belongs to ``window/slide`` overlapping windows;
+    ``F.window`` with a slide expands them ONCE per event before the
+    aggregation (a narrow generator — the shuffle stays one exchange
+    keyed by (window, event_type), and state is bounded by the
+    watermark exactly as in the tumbling case, just ×(window/slide)
+    active windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,10)")).cast("double"), 6
+            ).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def sessionize_stream(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:

@@ -99,24 +99,39 @@ def main() -> None:
             if table.name.startswith("stream_replay_"):
                 spark.catalog.dropTempView(table.name)
 
+    # N_RUNS passes per query, report the MEDIAN: this box throttles
+    # under sustained load (BASELINE.md documents same-code totals
+    # drifting 65 -> 133 s), so a single pass regularly produces false
+    # 2x "regressions". The raw runs ride along so a reader can see
+    # the throttle pattern (monotonically increasing runs = VM heat,
+    # not plan change).
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    raw_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.1f}s", file=sys.stderr)
-        release_leftovers()
+        runs: list[float] = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(round(time.time() - t0, 3))
+            release_leftovers()
+        raw_runs[name] = runs
+        timings[name] = sorted(runs)[len(runs) // 2]
+        print(f"# {name}: median {timings[name]:.1f}s {runs}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
+                "aggregation": "median_of_runs",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": raw_runs,
+                "n_runs": n_runs,
                 "sf": sf_from_dir(SF_DIR),
             }
         )

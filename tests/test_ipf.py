@@ -213,3 +213,40 @@ def test_converge_empty_marginal_raises_value_error(spark):
         converge(x, empty, seed)
     with pytest.raises(ValueError, match="empty marginal"):
         converge_dense(x, empty, seed)
+
+
+def test_converge_threshold_zero_runs_exact_iteration_count(spark):
+    """threshold=0 disables both data-dependent stop criteria (loss <
+    threshold and plateau), so the loop runs exactly max_iterations —
+    the determinism contract the a21 oracle entry relies on."""
+    from alternating_least_squares_spark.operators.ipf import converge
+
+    x = spark.createDataFrame([(0, 4.0), (1, 8.0)], "id long, v double")
+    y = spark.createDataFrame([(0, 9.0), (1, 3.0)], "id long, v double")
+    seed = spark.createDataFrame(
+        [(0, 0, 1.0), (0, 1, 1.0), (1, 0, 2.0), (1, 1, 1.0)],
+        "r long, c long, v double",
+    )
+    res = converge(x, y, seed, threshold=0.0, max_iterations=3)
+    assert res.iterations == 3
+
+
+def test_converge_single_cell_rows_fixed_point(spark):
+    """The a21 fixture shape — one cell per row key — reaches its fixed
+    point after one sweep: the row pass is (v/v)*x = x exactly, so
+    sweep 2 reproduces sweep 1's output bit-for-bit."""
+    from alternating_least_squares_spark.operators.ipf import converge
+
+    x = spark.createDataFrame(
+        [(1, 4.0), (2, 8.0), (3, 6.0)], "id long, v double"
+    )
+    y = spark.createDataFrame([(0, 11.0), (1, 7.0)], "id long, v double")
+    # c = r % 2: one cell per row key
+    seed = spark.createDataFrame(
+        [(1, 1, 3.0), (2, 0, 5.0), (3, 1, 2.0)], "r long, c long, v double"
+    )
+    one = converge(x, y, seed, threshold=0.0, max_iterations=1)
+    two = converge(x, y, seed, threshold=0.0, max_iterations=2)
+    c1 = {(r["r"], r["c"]): r["v"] for r in one.matrix.collect()}
+    c2 = {(r["r"], r["c"]): r["v"] for r in two.matrix.collect()}
+    assert c1 == c2  # exact equality, not approx

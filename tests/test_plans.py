@@ -18,7 +18,12 @@ def _plan(spark, name: str) -> str:
 
 @pytest.mark.parametrize(
     "name",
-    ["s01_lsh_topk", "s02_embedding_near_dup", "d03_minhash_near_dup"],
+    [
+        "s01_lsh_topk",
+        "s02_embedding_near_dup",
+        "s05_pca_topk",
+        "d03_minhash_near_dup",
+    ],
 )
 def test_candidate_generation_is_never_all_pairs(spark, name):
     """LSH/MinHash candidate joins must be bucket equi-joins — a

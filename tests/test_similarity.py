@@ -168,7 +168,9 @@ def test_pca_full_rank_reproduces_exact_ranking(spark):
     }
     full = {
         (r["query_id"], r["neighbor_id"])
-        for r in pca_topk(emb, queries, k=5, n_components=64).collect()
+        for r in pca_topk(
+            emb, queries, k=5, n_components=64, exhaustive=True
+        ).collect()
     }
     assert full == exact
 
