@@ -317,11 +317,17 @@ def pca_topk(
             array_to_vector(_vec_double(F.col(vec_col))).alias("_f"),
         )
     ).select("query_id", vector_to_array(F.col("_p")).alias("_eq"))
+    # norms ride as per-ROW scalars (the lsh_topk pattern): candidate
+    # pairs outnumber rows by orders of magnitude, so per-pair scoring
+    # must be ONE dot traversal, not dot + two norm aggregates
+    red_q = red_q.withColumn("_nq", vec_norm(F.col("_eq")))
+    red_c = red_c.withColumn("_nn", vec_norm(F.col("_en")))
+    cols = ["query_id", "neighbor_id", "_eq", "_en", "_nq", "_nn"]
     if exhaustive:
         cand = (
             red_q.crossJoin(red_c)
             .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id", "_eq", "_en")
+            .select(*cols)
         )
     else:
         qb = with_lsh_buckets(
@@ -334,13 +340,19 @@ def pca_topk(
         cand = (
             qb.join(cb, ["table", "bucket"])
             .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id", "_eq", "_en")
+            .select(*cols)
             .distinct()
         )
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("_eq"), F.col("_en")), 6).alias("cosine"),
+        F.round(
+            _safe_ratio(
+                vec_dot(F.col("_eq"), F.col("_en")),
+                F.col("_nq") * F.col("_nn"),
+            ),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return scored.withColumn(

@@ -50,14 +50,23 @@ NS_PER_HOUR = 3_600_000_000_000
 
 
 def _floor_div(expr: str, d: int) -> str:
-    """SQL fragment for FLOOR division of a long by a positive literal.
-
-    Spark's ``DIV`` truncates toward zero while the DuckDB oracles'
-    ``//`` floors, so pre-1970 timestamps would land in different
-    buckets. ``expr - pmod(expr, d)`` is an exact multiple of ``d``
-    (pmod is the nonnegative remainder), so the DIV that follows is
-    exact floor division in long arithmetic — no double rounding."""
+    """Spark SQL fragment for FLOOR division of a long by a positive
+    literal. Spark's ``DIV`` truncates toward zero — wrong bucketing
+    for pre-1970 timestamps (and ``F.window`` floors internally, so
+    window twins MUST floor to match). ``expr - pmod(expr, d)`` is an
+    exact multiple of ``d`` (pmod is the nonnegative remainder), so
+    the DIV that follows is exact floor division in long arithmetic —
+    no double rounding."""
     return f"((({expr}) - pmod(({expr}), {d})) DIV {d})"
+
+
+def _floor_div_duck(expr: str, d: int) -> str:
+    """DuckDB twin of :func:`_floor_div`. DuckDB's integer ``//`` also
+    TRUNCATES toward zero (verified on the installed 1.0.0:
+    ``-7 // 2 = -3``), so oracles must emulate floor the same way:
+    ``(x % d + d) % d`` is the nonnegative remainder, subtracting it
+    makes the ``//`` exact."""
+    return f"((({expr}) - ((({expr}) % {d}) + {d}) % {d}) // {d})"
 
 # ---------------------------------------------------------------------------
 # shared fixtures — Spark side
@@ -1033,6 +1042,74 @@ FROM customer c LEFT JOIN u USING (c_custkey)
 """
 
 
+def _snapshot_table_for(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """(Re)build the versioned demo table for the ac* queries from
+    orders: v0 = keys with o_orderkey % 4 != 0 · v1 = MERGE of doubled
+    prices for keys with o_orderkey % 8 in {0, 1} (%8==1 updates
+    existing rows, %8==0 inserts new keys) · v2 = DELETE of keys with
+    o_orderkey % 8 == 2. Rebuilt from scratch each run (snapshot
+    versions are append-only, so a stable path would grow per verify
+    round)."""
+    import shutil
+
+    from alternating_least_squares_spark.sources import snapshot as SN
+
+    path = _scratch_path(f"alternating_ls_snapshot_{name}", sf_dir.strip("/").replace("/", "_"))
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 6).alias("price")
+    )
+    SN.create_table(
+        orders.filter(F.col("o_orderkey") % 4 != 0), path, key="o_orderkey"
+    )
+    updates = orders.filter(F.col("o_orderkey") % 8 <= 1).select(
+        "o_orderkey", "o_custkey", F.round(F.col("price") * 2, 6).alias("price")
+    )
+    SN.merge_upsert(updates, path)
+    SN.delete_where(path, "o_orderkey % 8 = 2", spark)
+    return path
+
+
+def q_ac01_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned snapshot table (sources/snapshot.py — copy-on-write
+    parquet + manifest log, Delta/Iceberg pattern): read LATEST after
+    create → MERGE (file-pruned by manifest key stats) → DELETE. The
+    oracle recomputes the surviving row set with plain SQL over
+    orders, so a hash match proves the whole commit/prune/rewrite
+    machinery preserves exact row semantics."""
+    from alternating_least_squares_spark.sources import snapshot as SN
+
+    path = _snapshot_table_for(spark, sf_dir, "ac01")
+    return SN.read_snapshot(spark, path)
+
+
+SQL_AC01 = """
+SELECT o_orderkey, o_custkey,
+       round(CASE WHEN o_orderkey % 8 <= 1 THEN round(o_totalprice, 6) * 2
+                  ELSE o_totalprice END, 6) AS price
+FROM orders
+WHERE (o_orderkey % 4 != 0 OR o_orderkey % 8 <= 1)
+  AND o_orderkey % 8 != 2
+"""
+
+
+def q_ac02_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on the same snapshot table: after the MERGE and
+    DELETE commits, version 0 must still read EXACTLY as created —
+    old versions reference immutable files, so mutation history never
+    rewrites them. Oracle = the v0 construction query."""
+    from alternating_least_squares_spark.sources import snapshot as SN
+
+    path = _snapshot_table_for(spark, sf_dir, "ac02")
+    return SN.read_snapshot(spark, path, version=0)
+
+
+SQL_AC02 = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS price
+FROM orders WHERE o_orderkey % 4 != 0
+"""
+
+
 def q_c02_filter_nonzero(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return Rel.filter_nonzero(li, "l_discount").select(
@@ -1802,7 +1879,10 @@ def q_e01_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
-            F.expr(f"{_floor_div('ts_ns', NS_PER_HOUR)} % 24").alias("hour"),
+            # pmod, not %: hour-of-day stays in [0, 24) pre-1970 too
+            F.expr(f"pmod({_floor_div('ts_ns', NS_PER_HOUR)}, 24)").alias(
+                "hour"
+            ),
             "event_type",
         )
         .agg(
@@ -1815,7 +1895,8 @@ def q_e01_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_E01 = f"""
-SELECT (epoch_ns(ts) // {NS_PER_HOUR}) % 24 AS hour, event_type,
+SELECT (({_floor_div_duck('epoch_ns(ts)', NS_PER_HOUR)} % 24) + 24) % 24
+         AS hour, event_type,
        COUNT(*) AS n_events,
        round(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6) AS total_value
 FROM events GROUP BY 1, 2
@@ -2010,7 +2091,10 @@ def q_e07_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_E07 = """
 WITH ev AS (
-  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+  SELECT user_id,
+         ((epoch_ns(ts) - ((epoch_ns(ts) % 86400000000000) + 86400000000000)
+           % 86400000000000) // 86400000000000) AS day
+  FROM events
 ),
 first AS (
   SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1
@@ -2345,7 +2429,9 @@ def q_e04_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_E04 = """
 WITH ev AS (
-  SELECT user_id, epoch_us(ts) // 21600000000 * 21600000000 AS b, value
+  SELECT user_id,
+         ((epoch_us(ts) - ((epoch_us(ts) % 21600000000) + 21600000000)
+           % 21600000000) // 21600000000) * 21600000000 AS b, value
   FROM events
 ),
 spans AS (
@@ -2779,9 +2865,16 @@ def q_w05_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# floor-div emulation ((x - nonneg_mod) // d): F.window assigns
+# floor-based windows; DuckDB's // truncates toward zero (see
+# _floor_div_duck) — without it pre-1970 events land in windows that
+# do not contain them
 SQL_W05 = """
-SELECT epoch_us(ts) // 3600000000 * 3600000000 AS win_start_us,
-       epoch_us(ts) // 3600000000 * 3600000000 + 3600000000 AS win_end_us,
+SELECT ((epoch_us(ts) - ((epoch_us(ts) % 3600000000) + 3600000000)
+         % 3600000000) // 3600000000) * 3600000000 AS win_start_us,
+       ((epoch_us(ts) - ((epoch_us(ts) % 3600000000) + 3600000000)
+         % 3600000000) // 3600000000) * 3600000000 + 3600000000
+         AS win_end_us,
        event_type, count(*) AS n_events,
        round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
          AS total_value
@@ -2822,8 +2915,10 @@ def q_w06_hopping_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # start + window > ts always holds since window − k·slide ≥ slide >
 # ts mod slide) — so a bare cross join against k, no containment filter
 SQL_W06 = """
-SELECT (epoch_us(ts) // 1800000000 - g.k) * 1800000000 AS win_start_us,
-       (epoch_us(ts) // 1800000000 - g.k) * 1800000000 + 3600000000
+SELECT (((epoch_us(ts) - ((epoch_us(ts) % 1800000000) + 1800000000)
+          % 1800000000) // 1800000000) - g.k) * 1800000000 AS win_start_us,
+       (((epoch_us(ts) - ((epoch_us(ts) % 1800000000) + 1800000000)
+          % 1800000000) // 1800000000) - g.k) * 1800000000 + 3600000000
          AS win_end_us,
        event_type, count(*) AS n_events,
        round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
@@ -4620,6 +4715,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "c09_ones_matrix": (q_c09_ones, SQL_C09),
     "c10_safe_divide": (q_c10_safe_divide, SQL_C10),
     "c11_upsert": (q_c11_upsert, SQL_C11),
+    "ac01_snapshot_merge": (q_ac01_snapshot_merge, SQL_AC01),
+    "ac02_time_travel": (q_ac02_time_travel, SQL_AC02),
     "c12_set_ops": (q_c12_set_ops, SQL_C12),
     "c13_try_arithmetic": (q_c13_try_arithmetic, SQL_C13),
     "c14_nullsafe_join": (q_c14_nullsafe_join, SQL_C14),
@@ -4749,9 +4846,11 @@ _PREFIX = [
     "g01_rollup", "g02_cube", "g03_percentiles",
     # shared SQL dialect + range join
     "sql01_shared_dialect", "j02_range_join",
-    # TPC-H analog tails (first slice; h06-h22 rotate in round 5)
+    # TPC-H analog tails (first slice; h04-h22 rotate in round 5)
     "h02_revenue_by_nation", "h03_shipping_priority",
-    "h04_local_supplier_volume", "h05_returned_revenue",
+    # snapshot table format (new this round — commit/prune/rewrite
+    # machinery wants an official row more than two more h-analogs)
+    "ac01_snapshot_merge", "ac02_time_travel",
     # text analysis tails
     "t07_top_bigrams", "t08_contamination", "t09_bpe_tokens",
     "t10_chunk_windows", "t11_pii_redact", "t12_repetition_stats",

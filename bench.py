@@ -105,7 +105,7 @@ def main() -> None:
     # 2x "regressions". The raw runs ride along so a reader can see
     # the throttle pattern (monotonically increasing runs = VM heat,
     # not plan change).
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
@@ -118,7 +118,14 @@ def main() -> None:
             runs.append(round(time.time() - t0, 3))
             release_leftovers()
         raw_runs[name] = runs
-        timings[name] = sorted(runs)[len(runs) // 2]
+        # true median (even n averages the middle pair — the
+        # upper-middle element would bias HIGH on this throttling box,
+        # where later runs are monotonically slower)
+        s = sorted(runs)
+        mid = len(s) // 2
+        timings[name] = round(
+            s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2, 3
+        )
         print(f"# {name}: median {timings[name]:.1f}s {runs}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

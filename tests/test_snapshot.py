@@ -1,0 +1,145 @@
+"""Snapshot table (sources/snapshot.py): versioned commits, time
+travel, file-pruned MERGE, copy-on-write DELETE, and the
+optimistic-concurrency commit protocol."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from alternating_least_squares_spark.sources import snapshot as SN
+
+
+@pytest.fixture
+def base(spark):
+    # 4 range-partitioned files with disjoint key ranges 0-24 / 25-49 /
+    # 50-74 / 75-99 -> manifest stats enable real file pruning
+    return (
+        spark.range(100)
+        .select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+        .repartitionByRange(4, "k")
+    )
+
+
+def test_create_read_roundtrip_and_history(spark, base, tmp_path):
+    path = str(tmp_path / "t")
+    assert SN.create_table(base, path, key="k") == 0
+    got = {(r["k"], r["v"]) for r in SN.read_snapshot(spark, path).collect()}
+    assert got == {(i, i * 10) for i in range(100)}
+    h = SN.history(path)
+    assert [x["version"] for x in h] == [0]
+    assert h[0]["rows"] == 100 and h[0]["operation"] == "create"
+
+
+def test_merge_upserts_and_inserts(spark, base, tmp_path):
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    updates = spark.createDataFrame(
+        [(10, -1), (20, -2), (200, -3)], "k long, v long"
+    )
+    v = SN.merge_upsert(updates, path)
+    assert v == 1
+    got = {r["k"]: r["v"] for r in SN.read_snapshot(spark, path).collect()}
+    assert len(got) == 101  # 100 originals, 10/20 replaced, 200 new
+    assert got[10] == -1 and got[20] == -2 and got[200] == -3
+    assert got[11] == 110  # untouched neighbor
+
+
+def test_merge_prunes_non_overlapping_files(spark, base, tmp_path):
+    """Updates touching only keys 10/20 overlap only the 0-24 file:
+    the other three files must carry into v1 by REFERENCE (identical
+    path entries), and the manifest must say so."""
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    m0 = SN._read_manifest(path, 0)
+    assert len(m0["files"]) == 4
+    SN.merge_upsert(
+        spark.createDataFrame([(10, -1), (20, -2)], "k long, v long"), path
+    )
+    m1 = SN._read_manifest(path, 1)
+    carried = {f["path"] for f in m0["files"]} & {f["path"] for f in m1["files"]}
+    assert len(carried) == 3
+    assert m1["pruning"] == {"rewritten": 1, "carried": 3}
+
+
+def test_time_travel_is_stable_across_mutations(spark, base, tmp_path):
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    v0 = {(r["k"], r["v"]) for r in SN.read_snapshot(spark, path, 0).collect()}
+    SN.merge_upsert(
+        spark.createDataFrame([(10, -1)], "k long, v long"), path
+    )
+    SN.delete_where(path, "k >= 90", spark)
+    # latest reflects both mutations
+    latest = {r["k"]: r["v"] for r in SN.read_snapshot(spark, path).collect()}
+    assert latest[10] == -1 and max(latest) == 89
+    # v0 is untouched; v1 sees the merge but not the delete
+    again = {(r["k"], r["v"]) for r in SN.read_snapshot(spark, path, 0).collect()}
+    assert again == v0
+    v1 = {r["k"]: r["v"] for r in SN.read_snapshot(spark, path, 1).collect()}
+    assert v1[10] == -1 and max(v1) == 99
+
+
+def test_delete_carries_untouched_files(spark, base, tmp_path):
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    SN.delete_where(path, "k = 30", spark)
+    m1 = SN._read_manifest(path, 1)
+    assert m1["pruning"]["carried"] == 3 and m1["pruning"]["rewritten"] == 1
+    got = {r["k"] for r in SN.read_snapshot(spark, path).collect()}
+    assert got == set(range(100)) - {30}
+
+
+def test_append_adds_without_rewrite(spark, base, tmp_path):
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    m0_paths = {f["path"] for f in SN._read_manifest(path, 0)["files"]}
+    SN.append(
+        spark.createDataFrame([(500, 1), (501, 2)], "k long, v long"), path
+    )
+    m1 = SN._read_manifest(path, 1)
+    assert m0_paths <= {f["path"] for f in m1["files"]}
+    assert SN.read_snapshot(spark, path).count() == 102
+
+
+def test_concurrent_commit_conflict_raises(spark, base, tmp_path, monkeypatch):
+    """Two writers based on the same version: the second publish of
+    the same version number must fail loudly (atomic 'x' create), and
+    the table must still read as the FIRST winner's commit."""
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    manifest = SN._read_manifest(path, 0)
+    SN._commit(path, 1, dict(manifest, version=1, operation="merge"))
+    with pytest.raises(FileExistsError):
+        SN._commit(path, 1, dict(manifest, version=1, operation="merge"))
+    # end-to-end: a merge whose racing twin lands between its log read
+    # and its publish loses with the same error
+    real_write = SN._write_data_files
+
+    def race_then_write(df, p, key):
+        files = real_write(df, p, key)
+        SN._commit(p, 2, dict(manifest, version=2, operation="merge"))
+        return files
+
+    monkeypatch.setattr(SN, "_write_data_files", race_then_write)
+    with pytest.raises(FileExistsError):
+        SN.merge_upsert(
+            spark.createDataFrame([(1, -1)], "k long, v long"), path
+        )
+
+
+def test_create_refuses_existing_table(spark, base, tmp_path):
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    with pytest.raises(FileExistsError, match="already exists"):
+        SN.create_table(base, path, key="k")
+
+
+def test_empty_updates_is_noop_version(spark, base, tmp_path):
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    v = SN.merge_upsert(
+        spark.createDataFrame([], "k long, v long"), path
+    )
+    assert v == 1
+    assert SN.read_snapshot(spark, path).count() == 100
