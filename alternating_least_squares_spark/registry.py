@@ -1110,6 +1110,37 @@ FROM orders WHERE o_orderkey % 4 != 0
 """
 
 
+def q_ac03_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey) —
+    the multi-column data-skipping layout (operators/zorder.py; the
+    public idea behind Delta OPTIMIZE ZORDER BY). The code is a fixed
+    shift/mask/or expression tree on both engines, so the layout key
+    is hash-checked exactly; the file-pruning property it buys is
+    asserted empirically in tests/test_zorder.py."""
+    from alternating_least_squares_spark.operators.zorder import morton_code
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        morton_code(F.col("l_partkey"), F.col("l_suppkey")).alias("zcode"),
+    )
+
+
+def _ac03_oracle() -> str:
+    from alternating_least_squares_spark.operators.zorder import (
+        morton_code_sql,
+    )
+
+    return (
+        "SELECT l_orderkey, l_linenumber, "
+        f"{morton_code_sql('l_partkey', 'l_suppkey')} AS zcode FROM lineitem"
+    )
+
+
+SQL_AC03 = _ac03_oracle()
+
+
 def q_c02_filter_nonzero(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return Rel.filter_nonzero(li, "l_discount").select(
@@ -4575,6 +4606,36 @@ def q_st07_stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ST07 = SQL_W06
 
 
+def q_st08_stream_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert sink into the versioned snapshot table
+    (foreachBatch incremental MERGE — one snapshot version per
+    micro-batch; see streaming/events.py). Replayed with AvailableNow;
+    the oracle is the plain per-user aggregate, so a hash match proves
+    the batch-combine arithmetic and the table's MERGE semantics
+    compose to exactly-once totals."""
+    import shutil
+
+    from alternating_least_squares_spark.streaming import (
+        read_events_stream,
+        stream_upsert_profiles_to_snapshot,
+    )
+
+    path = _scratch_path(
+        "alternating_ls_snapshot_st08", sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    stream = read_events_stream(spark, sf_dir)
+    return stream_upsert_profiles_to_snapshot(stream, path)
+
+
+SQL_ST08 = """
+SELECT user_id, COUNT(*) AS n_events,
+       round(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+         AS total_value
+FROM events GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal columns
 
@@ -4717,6 +4778,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "c11_upsert": (q_c11_upsert, SQL_C11),
     "ac01_snapshot_merge": (q_ac01_snapshot_merge, SQL_AC01),
     "ac02_time_travel": (q_ac02_time_travel, SQL_AC02),
+    "ac03_zorder_code": (q_ac03_zorder_code, SQL_AC03),
     "c12_set_ops": (q_c12_set_ops, SQL_C12),
     "c13_try_arithmetic": (q_c13_try_arithmetic, SQL_C13),
     "c14_nullsafe_join": (q_c14_nullsafe_join, SQL_C14),
@@ -4801,6 +4863,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "st05_stream_dedup": (q_st05_stream_dedup, SQL_ST05),
     "st06_stream_stream_join": (q_st06_stream_stream_join, SQL_ST06),
     "st07_stream_hopping": (q_st07_stream_hopping, SQL_ST07),
+    "st08_stream_snapshot_sink": (q_st08_stream_snapshot_sink, SQL_ST08),
     "mm01_media_features": (q_mm01_media_features, SQL_MM01),
     "mm02_frame_sample": (q_mm02_frame_sample, SQL_MM02),
     "mm03_arrow_features": (q_mm03_arrow_features, SQL_MM03),
@@ -4846,11 +4909,11 @@ _PREFIX = [
     "g01_rollup", "g02_cube", "g03_percentiles",
     # shared SQL dialect + range join
     "sql01_shared_dialect", "j02_range_join",
-    # TPC-H analog tails (first slice; h04-h22 rotate in round 5)
-    "h02_revenue_by_nation", "h03_shipping_priority",
-    # snapshot table format (new this round — commit/prune/rewrite
-    # machinery wants an official row more than two more h-analogs)
-    "ac01_snapshot_merge", "ac02_time_travel",
+    # TPC-H analog tails (first slice; h03-h22 rotate in round 5)
+    "h02_revenue_by_nation",
+    # table-format/layout machinery (new this round — commit/prune/
+    # rewrite + z-order want official rows more than more h-analogs)
+    "ac01_snapshot_merge", "ac02_time_travel", "ac03_zorder_code",
     # text analysis tails
     "t07_top_bigrams", "t08_contamination", "t09_bpe_tokens",
     "t10_chunk_windows", "t11_pii_redact", "t12_repetition_stats",

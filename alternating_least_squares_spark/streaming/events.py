@@ -219,6 +219,82 @@ def attribution_join_stream(
     )
 
 
+def stream_upsert_profiles_to_snapshot(
+    events: DataFrame, path: str
+) -> DataFrame:
+    """Stream → versioned snapshot table: per-user profile rows
+    (n_events, total_value) maintained by an incremental MERGE per
+    micro-batch — the lakehouse streaming-upsert sink (Delta's
+    ``foreachBatch`` + ``MERGE`` pattern) wired to
+    :mod:`..sources.snapshot`.
+
+    Each batch aggregates ONLY its own rows, combines them with the
+    current table state for the touched keys (sum of counts/values),
+    and commits one MERGE version — so the table history is one
+    snapshot per micro-batch, each a consistent prefix of the stream,
+    and time travel reads any batch boundary. State lives in the
+    TABLE, not the streaming state store: the aggregation inside a
+    batch is bounded by batch size, and the merge is file-pruned by
+    the snapshot manifest — O(touched files), not O(table).
+
+    Returns the final profiles (latest snapshot) after an
+    AvailableNow replay. Decimal accumulation end-to-end so the result
+    is independent of batch boundaries (replay == batch is asserted in
+    tests/test_streaming.py with a forced multi-batch run)."""
+    from ..sources import snapshot as SN
+
+    spark = events.sparkSession
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        prof = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,10)")).alias("_v"),
+        )
+        if not SN._list_versions(path):
+            SN.create_table(
+                prof.withColumnRenamed("_v", "total_value"),
+                path,
+                key="user_id",
+            )
+            return
+        cur = SN.read_snapshot(spark, path).select(
+            "user_id",
+            F.col("n_events").alias("_n0"),
+            F.col("total_value").alias("_v0"),
+        )
+        combined = (
+            prof.join(cur, "user_id", "left")
+            .select(
+                "user_id",
+                (
+                    F.col("n_events") + F.coalesce("_n0", F.lit(0))
+                ).alias("n_events"),
+                (
+                    F.col("_v")
+                    + F.coalesce(
+                        "_v0", F.lit(0).cast("decimal(38,10)")
+                    )
+                ).alias("total_value"),
+            )
+        )
+        SN.merge_upsert(combined, path)
+
+    query = (
+        events.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(path, "_stream_checkpoint"))
+        .start()
+    )
+    query.awaitTermination()
+    from ..sources.snapshot import read_snapshot
+
+    return read_snapshot(spark, path).select(
+        "user_id",
+        "n_events",
+        F.round(F.col("total_value").cast("double"), 6).alias("total_value"),
+    )
+
+
 def run_stream_to_batch(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Replay the stream to completion (``Trigger.AvailableNow``) into
     an in-memory sink and return the final result as a batch DataFrame.

@@ -400,3 +400,67 @@ def test_transform_with_state_agrees_with_apply_in_pandas(spark):
         assert a == b and a
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_snapshot_sink_incremental_merge(spark, tmp_path):
+    """foreachBatch → snapshot-table MERGE, forced through TWO
+    micro-batches (two source files, maxFilesPerTrigger=1): final
+    profiles must equal the one-shot batch aggregate (exactly-once,
+    batch-boundary independent), and the table history must show one
+    version per batch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from alternating_least_squares_spark.sources import snapshot as SN
+    from alternating_least_squares_spark.sources.catalog import (
+        normalize_events,
+    )
+    from alternating_least_squares_spark.streaming import (
+        stream_upsert_profiles_to_snapshot,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # users 1/2 span both files; user 3 only in the second
+    batches = [
+        [(0, 1_000_000, 1, "view", 1.5, "{}"), (1, 2_000_000, 2, "view", 2.0, "{}")],
+        [(2, 3_000_000, 1, "view", 0.25, "{}"), (3, 4_000_000, 3, "view", 4.0, "{}")],
+    ]
+    for i, rows in enumerate(batches):
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(t, str(src / f"events_{i}.parquet"))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(str(src / "events_0.parquet")).schema
+    stream = normalize_events(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    table_path = str(tmp_path / "profiles")
+    out = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in stream_upsert_profiles_to_snapshot(
+            stream, table_path
+        ).collect()
+    }
+    assert out == {1: (2, 1.75), 2: (1, 2.0), 3: (1, 4.0)}
+    hist = SN.history(table_path)
+    assert len(hist) == 2  # one version per micro-batch
+    assert hist[0]["operation"] == "create"
+    assert hist[1]["operation"] == "merge"
+    # time travel to the first batch boundary
+    v0 = {
+        r["user_id"]: r["n_events"]
+        for r in SN.read_snapshot(spark, table_path, 0).collect()
+    }
+    assert v0 == {1: 1, 2: 1}
