@@ -112,14 +112,19 @@ def _write_data_files(
     ]
 
 
-def create_table(df: DataFrame, path: str, key: str) -> int:
+def create_table(
+    df: DataFrame, path: str, key: str, extra: dict | None = None
+) -> int:
     """Create version 0. ``key`` is the merge/stats column (a long or
-    string with a total order). Fails if the table already exists."""
+    string with a total order). Fails if the table already exists.
+    ``extra``: caller metadata merged into the manifest (e.g. the
+    streaming sink's ``batch_id`` for redelivery idempotence)."""
     if _list_versions(path):
         raise FileExistsError(f"snapshot table already exists at {path}")
     files = _write_data_files(df, path, key)
     _commit(path, 0, {"version": 0, "operation": "create", "key": key,
-                      "files": files})
+                      "schema": df.schema.json(), "files": files,
+                      **(extra or {})})
     return 0
 
 
@@ -155,29 +160,49 @@ def read_snapshot(
     m = _read_manifest(path, version)
     paths = [f["path"] for f in m["files"]]
     if not paths:
-        raise ValueError(f"version {version} has no data files")
+        # a legitimately-empty version (delete-all, empty create):
+        # readable as an empty frame with the manifest's schema
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [], T.StructType.fromJson(json.loads(m["schema"]))
+        )
     return spark.read.parquet(*paths)
 
 
-def append(df: DataFrame, path: str, key: str | None = None) -> int:
-    """New version = previous files + newly written files (no rewrite)."""
+def append(
+    df: DataFrame, path: str, key: str | None = None,
+    extra: dict | None = None,
+) -> int:
+    """New version = previous files + newly written files (no rewrite).
+    ``key`` may only restate the table's key: carried-over files hold
+    stats computed on the ORIGINAL key, so changing it would hand
+    MERGE mismatched pruning ranges (silent wrong results)."""
     versions = _list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no snapshot table at {path}")
     prev = _read_manifest(path, versions[-1])
-    key = key or prev["key"]
+    if key is not None and key != prev["key"]:
+        raise ValueError(
+            f"append key {key!r} != table key {prev['key']!r}: carried "
+            "file stats are per-table-key; rewrite the table to re-key"
+        )
+    key = prev["key"]
     files = _write_data_files(df, path, key)
     version = versions[-1] + 1
     _commit(
         path,
         version,
         {"version": version, "operation": "append", "key": key,
-         "files": prev["files"] + files},
+         "schema": prev["schema"], "files": prev["files"] + files,
+         **(extra or {})},
     )
     return version
 
 
-def merge_upsert(updates: DataFrame, path: str) -> int:
+def merge_upsert(
+    updates: DataFrame, path: str, extra: dict | None = None
+) -> int:
     """MERGE (upsert on the table key): rows whose key exists are
     replaced, new keys are inserted — Delta/Iceberg ``MERGE WHEN
     MATCHED UPDATE WHEN NOT MATCHED INSERT`` for full-row payloads.
@@ -194,7 +219,26 @@ def merge_upsert(updates: DataFrame, path: str) -> int:
         raise FileNotFoundError(f"no snapshot table at {path}")
     prev = _read_manifest(path, versions[-1])
     key = prev["key"]
-    lo, hi = updates.agg(F.min(key), F.max(key)).first()
+    # one tiny aggregate prices key bounds AND the two MERGE
+    # preconditions: no NULL keys (an equi-upsert cannot address them
+    # — rejecting loudly beats the silent drop/insert asymmetry), and
+    # no duplicate keys (Delta/Iceberg MERGE errors on multiple
+    # matches; silently writing both rows would break the upsert
+    # invariant every reader assumes)
+    lo, hi, n_rows, n_keys, n_distinct = updates.agg(
+        F.min(key), F.max(key), F.count("*"), F.count(key),
+        F.count_distinct(key),
+    ).first()
+    if n_keys < n_rows:
+        raise ValueError(
+            f"merge_upsert: {n_rows - n_keys} update row(s) have a NULL "
+            f"{key!r} — an upsert key must be non-NULL"
+        )
+    if n_distinct < n_keys:
+        raise ValueError(
+            f"merge_upsert: updates contain duplicate {key!r} values "
+            f"({n_keys} rows, {n_distinct} distinct) — one row per key"
+        )
     if lo is None:
         # empty updates: new version with identical files (a no-op
         # commit keeps MERGE's version contract deterministic)
@@ -224,9 +268,11 @@ def merge_upsert(updates: DataFrame, path: str) -> int:
             "version": version,
             "operation": "merge",
             "key": key,
+            "schema": prev["schema"],
             "files": untouched + new_files,
             "pruning": {"rewritten": len(touched),
                         "carried": len(untouched)},
+            **(extra or {}),
         },
     )
     return version
@@ -256,9 +302,11 @@ def delete_where(path: str, predicate: str, spark: SparkSession) -> int:
     untouched = [f for f in prev["files"] if f["path"] not in hit_paths]
     new_files = []
     if touched:
-        kept = (
-            spark.read.parquet(*[f["path"] for f in touched])
-            .filter(f"NOT ({predicate})")
+        # keep rows where the predicate is NOT TRUE: SQL DELETE removes
+        # only TRUE matches, so a NULL-valued predicate must KEEP the
+        # row — a bare NOT(pred) filter would silently drop it
+        kept = spark.read.parquet(*[f["path"] for f in touched]).filter(
+            ~F.coalesce(F.expr(predicate), F.lit(False))
         )
         if kept.limit(1).count():
             new_files = _write_data_files(kept, path, prev["key"])
@@ -270,6 +318,7 @@ def delete_where(path: str, predicate: str, spark: SparkSession) -> int:
             "version": version,
             "operation": "delete",
             "key": prev["key"],
+            "schema": prev["schema"],
             "files": untouched + new_files,
             "pruning": {"rewritten": len(touched),
                         "carried": len(untouched)},

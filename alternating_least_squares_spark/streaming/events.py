@@ -244,55 +244,71 @@ def stream_upsert_profiles_to_snapshot(
     from ..sources import snapshot as SN
 
     spark = events.sparkSession
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        prof = batch_df.groupBy("user_id").agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(38,10)")).alias("_v"),
-        )
-        if not SN._list_versions(path):
-            SN.create_table(
-                prof.withColumnRenamed("_v", "total_value"),
-                path,
-                key="user_id",
-            )
-            return
-        cur = SN.read_snapshot(spark, path).select(
-            "user_id",
-            F.col("n_events").alias("_n0"),
-            F.col("total_value").alias("_v0"),
-        )
-        combined = (
-            prof.join(cur, "user_id", "left")
-            .select(
-                "user_id",
-                (
-                    F.col("n_events") + F.coalesce("_n0", F.lit(0))
-                ).alias("n_events"),
-                (
-                    F.col("_v")
-                    + F.coalesce(
-                        "_v0", F.lit(0).cast("decimal(38,10)")
-                    )
-                ).alias("total_value"),
-            )
-        )
-        SN.merge_upsert(combined, path)
-
     query = (
-        events.writeStream.foreachBatch(sink)
+        events.writeStream.foreachBatch(
+            lambda batch_df, batch_id: _apply_profile_batch(
+                batch_df, batch_id, path
+            )
+        )
         .trigger(availableNow=True)
         .option("checkpointLocation", os.path.join(path, "_stream_checkpoint"))
         .start()
     )
     query.awaitTermination()
-    from ..sources.snapshot import read_snapshot
-
-    return read_snapshot(spark, path).select(
+    return SN.read_snapshot(spark, path).select(
         "user_id",
         "n_events",
         F.round(F.col("total_value").cast("double"), 6).alias("total_value"),
     )
+
+
+def _apply_profile_batch(batch_df: DataFrame, batch_id: int, path: str) -> None:
+    """One micro-batch of the snapshot-sink MERGE (module-level so the
+    redelivery path is unit-testable).
+
+    Idempotence: foreachBatch is AT-LEAST-once — a batch whose commit
+    completed but whose checkpoint write did not is redelivered on
+    restart. The manifest therefore records ``batch_id``; a redelivered
+    batch (id ≤ last committed id) is skipped instead of double-summed.
+    This is the Delta txn-version pattern."""
+    from ..sources import snapshot as SN
+
+    spark = batch_df.sparkSession
+    # pin the decimal scale: Spark types dec(38,10)+dec(38,10) as
+    # dec(38,9), and a scale-9 file beside scale-10 files makes the
+    # table unreadable (PARQUET_COLUMN_DATA_TYPE_MISMATCH) — every
+    # write below must land at exactly dec(38,10)
+    dec = "decimal(38,10)"
+    prof = batch_df.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast(dec)).cast(dec).alias("_v"),
+    )
+    versions = SN._list_versions(path)
+    if not versions:
+        SN.create_table(
+            prof.withColumnRenamed("_v", "total_value"),
+            path,
+            key="user_id",
+            extra={"batch_id": batch_id},
+        )
+        return
+    last = SN._read_manifest(path, versions[-1])
+    last_batch = last.get("batch_id")
+    if last_batch is not None and batch_id <= last_batch:
+        return  # redelivered batch: already applied
+    cur = SN.read_snapshot(spark, path).select(
+        "user_id",
+        F.col("n_events").alias("_n0"),
+        F.col("total_value").alias("_v0"),
+    )
+    combined = prof.join(cur, "user_id", "left").select(
+        "user_id",
+        (F.col("n_events") + F.coalesce("_n0", F.lit(0))).alias("n_events"),
+        (F.col("_v") + F.coalesce("_v0", F.lit(0).cast(dec)))
+        .cast(dec)
+        .alias("total_value"),
+    )
+    SN.merge_upsert(combined, path, extra={"batch_id": batch_id})
 
 
 def run_stream_to_batch(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:

@@ -143,3 +143,93 @@ def test_empty_updates_is_noop_version(spark, base, tmp_path):
     )
     assert v == 1
     assert SN.read_snapshot(spark, path).count() == 100
+
+
+def test_delete_all_leaves_readable_empty_version(spark, base, tmp_path):
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    SN.delete_where(path, "k >= 0", spark)
+    df = SN.read_snapshot(spark, path)
+    assert df.count() == 0
+    assert df.columns == ["k", "v"]  # schema survives via the manifest
+
+
+def test_delete_null_predicate_keeps_row(spark, tmp_path):
+    """SQL DELETE removes only TRUE matches: a NULL-valued predicate
+    (here k = 30 on a NULL key) must KEEP the row, even when its file
+    is rewritten because a sibling row matched."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(25, 1), (30, 2), (None, 3)], "k long, v long"
+    ).coalesce(1)
+    SN.create_table(df, path, key="k")
+    SN.delete_where(path, "k = 30", spark)
+    got = {(r["k"], r["v"]) for r in SN.read_snapshot(spark, path).collect()}
+    assert got == {(25, 1), (None, 3)}
+
+
+def test_merge_rejects_null_and_duplicate_keys(spark, base, tmp_path):
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    with pytest.raises(ValueError, match="NULL"):
+        SN.merge_upsert(
+            spark.createDataFrame([(None, -1), (5, -2)], "k long, v long"),
+            path,
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        SN.merge_upsert(
+            spark.createDataFrame([(5, -1), (5, -2)], "k long, v long"), path
+        )
+
+
+def test_append_rejects_different_key(spark, base, tmp_path):
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    with pytest.raises(ValueError, match="table key"):
+        SN.append(base, path, key="v")
+
+
+def test_profile_batches_disjoint_keys_keep_decimal_scale(spark, tmp_path):
+    """Three micro-batches with strictly increasing user ids: batch 3
+    overlaps NO existing file, taking merge's touched==[] path — the
+    written decimals must stay at scale 10 so the table remains
+    readable (dec(38,10)+dec(38,10) types as dec(38,9) without the
+    explicit cast)."""
+    from alternating_least_squares_spark.streaming.events import (
+        _apply_profile_batch,
+    )
+
+    path = str(tmp_path / "t")
+    for i, uid in enumerate((1, 100, 10_000)):
+        batch = spark.createDataFrame(
+            [(uid, 1.25 + i)], "user_id long, value double"
+        )
+        _apply_profile_batch(batch, i, path)
+    got = {
+        r["user_id"]: r["total_value"]
+        for r in SN.read_snapshot(spark, path).collect()
+    }
+    assert {k: float(v) for k, v in got.items()} == {
+        1: 1.25, 100: 2.25, 10_000: 3.25
+    }
+
+
+def test_profile_batch_redelivery_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-applying an already-committed
+    batch id must be a no-op (no double-counted totals, no new
+    version), including a redelivered create batch."""
+    from alternating_least_squares_spark.streaming.events import (
+        _apply_profile_batch,
+    )
+
+    path = str(tmp_path / "t")
+    b0 = spark.createDataFrame([(1, 2.0)], "user_id long, value double")
+    b1 = spark.createDataFrame([(1, 3.0)], "user_id long, value double")
+    _apply_profile_batch(b0, 0, path)
+    _apply_profile_batch(b0, 0, path)  # redelivered create
+    _apply_profile_batch(b1, 1, path)
+    _apply_profile_batch(b1, 1, path)  # redelivered merge
+    rows = SN.read_snapshot(spark, path).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_events"] == 2 and float(rows[0]["total_value"]) == 5.0
+    assert len(SN.history(path)) == 2
