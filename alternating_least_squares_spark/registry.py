@@ -774,6 +774,50 @@ FROM lineitem GROUP BY 1
 """
 
 
+def q_x12_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe replicated join (operators/skew.salted_join): the
+    lineitem probe side's hot order keys are sprayed over n_salts
+    sub-keys while the orders lookup side is replicated n_salts times
+    — the remedy when the lookup side exceeds broadcast limits but a
+    hot probe key would hold one sort-merge reducer hostage (the case
+    AQE's skew split handles only partially: it splits partitions,
+    not a single giant key's sort run). Oracle is the plain UNSALTED
+    join + GROUP BY: the hash match proves salting changes movement,
+    never results (each probe row still meets each lookup row exactly
+    once; revenue rides a decimal cast so partial-agg order cannot
+    flap the sum)."""
+    from alternating_least_squares_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    ords = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, ords, ["l_orderkey"], n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,10)"
+                )
+            ).cast("double"),
+            6,
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_X12 = """
+SELECT o_orderpriority,
+       round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(38,10))) AS DOUBLE), 6) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
 # Context-window capacity for t13 sequence packing (tokens).
 PACK_CTX = 2048
 
@@ -1141,6 +1185,48 @@ def _ac03_oracle() -> str:
 SQL_AC03 = _ac03_oracle()
 
 
+def q_ac04_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction end-to-end (operators/compaction.py —
+    the OPTIMIZE half of the table-format story next to ac01's MERGE
+    and ac03's Z-order): scatter lineitem into 64 deliberately tiny
+    files, compact into ~target-sized files, read the compacted copy
+    back. The output row carries (n_rows, sum_qty) from the COMPACTED
+    data plus a ``compacted`` flag asserting the file count actually
+    shrank — so the oracle (plain aggregates over the ORIGINAL table,
+    TRUE literal for the flag) hash-proves both halves: compaction
+    preserved every row bit-exactly AND reduced file count. At 100 TB
+    this is the nightly job that keeps scan task counts sane; the
+    rewrite is one round-robin shuffle sized from a file census, never
+    a collect."""
+    import os
+
+    from alternating_least_squares_spark.operators.compaction import (
+        compact_parquet,
+    )
+
+    base = _scratch_path("alternating_ls_ac04")
+    src, dst = os.path.join(base, "src"), os.path.join(base, "dst")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    li.repartition(64).write.mode("overwrite").parquet(src)
+    stats = compact_parquet(spark, src, dst)
+    compacted = spark.read.parquet(dst)
+    return compacted.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.lit(stats["files_after"] < stats["files_before"]).alias("compacted"),
+    )
+
+
+SQL_AC04 = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+       TRUE AS compacted
+FROM lineitem
+"""
+
+
 def q_c02_filter_nonzero(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return Rel.filter_nonzero(li, "l_discount").select(
@@ -1352,6 +1438,75 @@ LEFT JOIN LATERAL (
                                 '^\\s+|\\s+$', '', 'g') AS s)
   )
 ) t ON true
+"""
+
+
+def q_c16_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history build — the lakehouse pattern that
+    turns a change feed into validity intervals: orders are read as a
+    change feed of each customer's priority tier (key=o_custkey,
+    attr=o_orderpriority, change-ts=o_orderdate), collapsed to one
+    event per (key, ts) (latest o_orderkey wins — deterministic
+    tie-break), runs of the same value are coalesced (lag), and each
+    surviving change gets [valid_from, valid_to) with valid_to=NULL on
+    the open current row (lead). Pure window algebra on both engines.
+
+    At 100 TB: the explicit repartition on o_custkey satisfies BOTH
+    windows' clustered distributions (hash on custkey co-locates every
+    (custkey, date) group too — Spark's subset rule), so the whole
+    history build is ONE exchange plus per-partition sorts (asserted
+    in tests/test_plans.py); per-key history is small by nature, so no
+    reducer hot-spots unless one key dominates the feed — then salt
+    the collapse phase (operators/skew.py) and merge boundary runs in
+    a second pass."""
+    orders = load_table(spark, sf_dir, "orders").repartition("o_custkey")
+    w_day = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey")
+    )
+    latest = (
+        orders.withColumn("_rn", F.row_number().over(w_day))
+        .filter(F.col("_rn") == 1)
+        .select("o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    w_seq = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    changes = latest.withColumn(
+        "_prev", F.lag("o_orderpriority").over(w_seq)
+    ).filter(
+        F.col("_prev").isNull()
+        | (F.col("_prev") != F.col("o_orderpriority"))
+    )
+    return changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w_seq).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+SQL_C16 = """
+WITH latest AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority,
+         row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+),
+seq AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority,
+         lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate) AS prev
+  FROM latest WHERE rn = 1
+),
+chg AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority FROM seq
+  WHERE prev IS NULL OR prev <> o_orderpriority
+)
+SELECT o_custkey AS custkey, o_orderpriority AS priority,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate) AS valid_to,
+       lead(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate) IS NULL AS is_current
+FROM chg
 """
 
 
@@ -1744,6 +1899,30 @@ def q_s05_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_topk(emb, queries_df, k=5, n_components=32)
 
 
+def q_s06_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (functions/pq.py — Jégou et al. 2011): coarse-probe
+    candidate generation, asymmetric-distance scoring over 4-byte PQ
+    codes (the candidate stream never carries vectors — the
+    memory-compression path that serves billion-vector indexes), then
+    exact-cosine rerank of the ADC survivors. Rows-only: two KMeans
+    trainings are iterative ML. Recall floor + exact-score contract
+    pinned in tests/test_pq.py."""
+    from alternating_least_squares_spark.functions.pq import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return ivf_pq_topk(
+        emb,
+        queries_df,
+        k=5,
+        n_centroids=16,
+        n_probe=4,
+        m=4,
+        k_sub=16,
+        rerank=32,
+    )
+
+
 def q_m01_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alternating_least_squares_spark.ml.als import train_and_recommend
 
@@ -2134,6 +2313,71 @@ SELECT cohort_day, day - cohort_day AS days_since,
        count(DISTINCT ev.user_id) AS n_active
 FROM ev JOIN first ON ev.user_id = first.user_id
 GROUP BY 1, 2
+"""
+
+
+def q_e08_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling — per (event_type, hour) open/high/low/close
+    /count/volume bars, the canonical time-series compaction (metrics
+    rollups, market candles). Open/close are picked by row_number over
+    (ts_ns, event_id) — a total order, so ties cannot flap engines;
+    high/low are exact min/max; volume sums through a decimal cast.
+
+    At 100 TB: both windows and the final groupBy share the
+    (event_type, hour_bucket) partitioning, so Catalyst plans ONE
+    exchange followed by per-partition sorts + a partial/final agg —
+    the bar count (|types| x |hours|) is tiny however wide the input."""
+    hour_ns = 3_600_000_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        "ts_ns",
+        F.expr(_floor_div("ts_ns", hour_ns)).alias("hour_bucket"),
+    )
+    w_open = Window.partitionBy("event_type", "hour_bucket").orderBy(
+        F.asc("ts_ns"), F.asc("event_id")
+    )
+    w_close = Window.partitionBy("event_type", "hour_bucket").orderBy(
+        F.desc("ts_ns"), F.desc("event_id")
+    )
+    ranked = ev.withColumn("_rn_o", F.row_number().over(w_open)).withColumn(
+        "_rn_c", F.row_number().over(w_close)
+    )
+    return ranked.groupBy("event_type", "hour_bucket").agg(
+        F.max(F.when(F.col("_rn_o") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("_rn_c") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,10)")).cast("double"), 6
+        ).alias("volume"),
+    )
+
+
+SQL_E08 = f"""
+WITH ev AS (
+  SELECT event_id, event_type, value, epoch_ns(ts) AS ts_ns,
+         {_floor_div_duck('epoch_ns(ts)', 3_600_000_000_000)} AS hour_bucket
+  FROM events
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, hour_bucket
+                            ORDER BY ts_ns, event_id) AS rn_o,
+         row_number() OVER (PARTITION BY event_type, hour_bucket
+                            ORDER BY ts_ns DESC, event_id DESC) AS rn_c
+  FROM ev
+)
+SELECT event_type, hour_bucket,
+       max(CASE WHEN rn_o = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_c = 1 THEN value END) AS close,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6) AS volume
+FROM r GROUP BY 1, 2
 """
 
 
@@ -4798,6 +5042,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "e05_variant_json": (q_e05_variant_json, SQL_E05),
     "e06_funnel": (q_e06_funnel, SQL_E06),
     "e07_cohort_retention": (q_e07_cohort_retention, SQL_E07),
+    "e08_ohlc_bars": (q_e08_ohlc_bars, SQL_E08),
+    "c16_scd2": (q_c16_scd2, SQL_C16),
+    "ac04_compact_files": (q_ac04_compact_files, SQL_AC04),
+    "x12_salted_join": (q_x12_salted_join, SQL_X12),
     "x05_python_udtf": (q_x05_python_udtf, SQL_X05),
     "h01_pricing_summary": (q_h01_pricing_summary, SQL_H01),
     "h02_revenue_by_nation": (q_h02_revenue_by_nation, SQL_H02),
@@ -4878,6 +5126,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "s03_ivf_topk": (q_s03_ivf_topk, None),
     "s04_mllib_euclidean": (q_s04_mllib_euclidean, None),
     "s05_pca_topk": (q_s05_pca_topk, None),
+    "s06_pq_topk": (q_s06_pq_topk, None),
     "m01_als_recommend": (q_m01_als_recommend, None),
     "m02_als_implicit": (q_m02_als_implicit, None),
     "ipf_cost_per_visit": (q_ipf_cost_per_visit, None),
@@ -4890,23 +5139,27 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # order below is chosen — not incidental.  ROTATION, round 4: rounds
 # 2+3 gave 59 unique entries official driver rows (all of core §2 +
 # one representative per family); this round's prefix packs 50 entries
-# that have NEVER had a driver row — the oracled tails (h/t/w/g/x/st/
-# mm/e/b families) plus this round's new entries (a21 generic
-# converge, w06/st07 hopping windows) — lifting cumulative official
-# coverage to 109/134.  Previously-checked entries remain covered by
+# that have NEVER had a driver row — ALL code new this round (a21
+# generic converge, w06/st07 hopping windows, ac01-04 table format,
+# c16 SCD2, e08 OHLC, x12 salted join, s06 IVF-PQ) plus the oracled
+# tails (h/t/w/g/x/st/mm/e/b families) — lifting cumulative official
+# coverage to 109/147. Entries not in any prefix yet (x04, mm03, w04,
+# g03, b05, remaining h tail) rotate in round 5; all are covered by
 # pytest + tools/oracle_check.py (the full local replica of this gate).
 _PREFIX = [
     # new this round
     "a21_converge_coordinate", "w06_hopping_batch", "st07_stream_hopping",
+    "c16_scd2", "e08_ohlc_bars", "ac04_compact_files", "x12_salted_join",
+    "s06_pq_topk",
     # IO roundtrips
-    "b04_orc_roundtrip", "b05_jsonl_roundtrip",
+    "b04_orc_roundtrip",
     # events / time-series tails
     "e06_funnel", "e07_cohort_retention",
     # window functions
     "w01_running_total", "w02_rank_dense_lag", "w03_time_range_avg",
-    "w04_distribution_funcs", "w05_tumbling_batch",
+    "w05_tumbling_batch",
     # grouping analytics
-    "g01_rollup", "g02_cube", "g03_percentiles",
+    "g01_rollup", "g02_cube",
     # shared SQL dialect + range join
     "sql01_shared_dialect", "j02_range_join",
     # TPC-H analog tails (first slice; h03-h22 rotate in round 5)
@@ -4921,7 +5174,7 @@ _PREFIX = [
     # sampling / scale machinery (x07 python datasource rotates next —
     # it is the slowest oracle entry and budget goes to breadth first)
     "x01_grouped_outliers", "x02_train_test_split", "x03_stratified_sample",
-    "x04_pandas_udaf_geomean", "x05_python_udtf", "x06_domain_mix_sample",
+    "x05_python_udtf", "x06_domain_mix_sample",
     "x08_salted_agg", "x09_bucketed_join", "x10_partition_pruning",
     "x11_table_profile",
     # quality + corpus pipelines
@@ -4930,7 +5183,7 @@ _PREFIX = [
     "st02_stream_sessionize", "st03_stateful_profiles", "st04_stream_enrich",
     "st05_stream_dedup", "st06_stream_stream_join",
     # multimodal tails
-    "mm02_frame_sample", "mm03_arrow_features",
+    "mm02_frame_sample",
     # dedup tails
     "d02_jaccard_pairs", "d06_keep_one",
 ]

@@ -167,3 +167,33 @@ def test_salted_agg_is_two_phase(spark):
     reducer the operator exists to avoid."""
     plan = _plan(spark, "x08_salted_agg")
     assert plan.count("HashAggregate") >= 4  # partial+final x 2 phases
+
+
+def test_scd2_history_build_is_one_exchange(spark):
+    """c16's three window passes (dedupe, collapse, interval close)
+    all cluster on o_custkey: the explicit repartition satisfies every
+    downstream distribution via the subset rule, so the whole history
+    build must plan exactly ONE exchange — a second exchange means the
+    windows stopped sharing the partitioning."""
+    plan = _plan(spark, "c16_scd2")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_ohlc_bars_single_exchange(spark):
+    """e08's two windows and the final agg share (event_type, hour)
+    clustering: one exchange, then sorts + partial/final agg. A
+    per-window exchange would triple the shuffle at 100 TB."""
+    plan = _plan(spark, "e08_ohlc_bars")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_pq_candidate_scoring_never_all_pairs(spark):
+    """s06's ADC scan must ride the probe equi-join (as IVF-Flat) —
+    no cartesian/nested-loop anywhere in the PQ path."""
+    plan = _plan(spark, "s06_pq_topk")
+    assert "CartesianProduct" not in plan
+    # probe_lists' centroid crossJoin is n_centroids broadcast rows —
+    # the only nested-loop allowed; corpus-sized sides must never
+    # appear under one. Count them: exactly the two query-side
+    # broadcasts (probe distance + nothing corpus-sized).
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
