@@ -127,11 +127,14 @@ def encode_pq(
     codebooks: Codebooks,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Narrow encode pass: (id, codes array<int>). ``codes[i]`` is the
-    argmin-distance centroid of subspace i — computed as
+    """Narrow encode pass: (id, *keep, codes array<int>). ``codes[i]``
+    is the argmin-distance centroid of subspace i — computed as
     ``array_position(dists, array_min(dists)) - 1`` over literal
-    centroids, ties to the lowest index (deterministic)."""
+    centroids, ties to the lowest index (deterministic). ``keep``
+    carries extra columns (e.g. an inverted-list id) through the same
+    projection so callers never need a self-join to reattach them."""
     m = len(codebooks)
     k_sub = len(codebooks[0])
     d_sub = len(codebooks[0][0])
@@ -143,7 +146,9 @@ def encode_pq(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         )
     return emb.select(
-        F.col(id_col), F.array(*code_cols).alias("codes")
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.array(*code_cols).alias("codes"),
     )
 
 
@@ -212,15 +217,18 @@ def ivf_pq_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_e")
     )
     corpus = assign_lists(full, coarse, "_e")
-    # The candidate stream carries ONLY (list_id, neighbor_id, codes):
-    # this projection is the memory win — full vectors stay behind
-    # until the rerank join.
-    corpus_codes = encode_pq(corpus, books, "neighbor_id", "_e").join(
-        corpus.select("neighbor_id", "list_id"), "neighbor_id"
+    # The candidate stream carries ONLY (list_id, neighbor_id, codes),
+    # built in ONE narrow projection over the assigned corpus: this is
+    # the memory win — full vectors stay behind until the rerank join.
+    corpus_codes = encode_pq(
+        corpus, books, "neighbor_id", "_e", keep=("list_id",)
     )
 
     probes = probe_lists(queries, coarse, id_col, vec_col, n_probe)
     luts = query_lut(queries, books, id_col, vec_col)
+    # (query_id, neighbor_id) pairs are unique by construction: each
+    # corpus vector lives in exactly ONE inverted list and probe_lists
+    # emits each (query, list) once — no dedup needed.
     cand = (
         probes.select("query_id", "list_id")
         .join(luts, "query_id")
@@ -231,7 +239,6 @@ def ivf_pq_topk(
             "neighbor_id",
             adc_score(F.col("codes"), F.col("_lut"), k_sub).alias("_adc"),
         )
-        .distinct()  # a neighbor probed via two lists scores once
     )
     w_adc = Window.partitionBy("query_id").orderBy(
         F.desc("_adc"), F.asc("neighbor_id")

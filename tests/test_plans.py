@@ -192,8 +192,8 @@ def test_pq_candidate_scoring_never_all_pairs(spark):
     no cartesian/nested-loop anywhere in the PQ path."""
     plan = _plan(spark, "s06_pq_topk")
     assert "CartesianProduct" not in plan
-    # probe_lists' centroid crossJoin is n_centroids broadcast rows —
-    # the only nested-loop allowed; corpus-sized sides must never
-    # appear under one. Count them: exactly the two query-side
-    # broadcasts (probe distance + nothing corpus-sized).
+    # The single allowed nested-loop is probe_lists' centroid
+    # crossJoin (n_centroids broadcast rows against the query side);
+    # a second one would mean a corpus-sized side slipped under a
+    # nested loop.
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan

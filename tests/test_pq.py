@@ -36,7 +36,9 @@ def test_codebook_shapes_and_encode_domain(spark):
 
 
 def test_adc_score_matches_manual_lut_sum(spark):
-    emb = load_table(spark, SF_SMALL, "embeddings").limit(20)
+    emb = load_table(spark, SF_SMALL, "embeddings").filter(
+        F.col("vec_id") < 20
+    )
     books = train_pq_codebooks(emb, dim=64, m=4, k_sub=4)
     codes = {r["vec_id"]: r["codes"] for r in encode_pq(emb, books).collect()}
     luts = {r["query_id"]: r["_lut"] for r in query_lut(emb, books).collect()}
