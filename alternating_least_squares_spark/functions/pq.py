@@ -15,9 +15,11 @@ Shape of the computation, all built-in expressions (no Python in the
 per-row path):
 
 1. **train** — split the space into ``m`` subspaces of ``dim/m``
-   dims; per subspace, KMeans (on a sample) learns ``k_sub`` code
-   centroids. Codebooks are tiny (``m*k_sub*dim/m`` floats) and ride
-   the plan as literal arrays — no broadcast exchange, no shuffle.
+   dims; per subspace, a driver-side Lloyd loop on a BOUNDED sample
+   (``MAX_TRAIN_ROWS``, FAISS-style — codebook quality needs a few
+   thousand vectors, not the corpus) learns ``k_sub`` code centroids.
+   Codebooks are tiny (``m*k_sub*dim/m`` floats) and ride the plan as
+   literal arrays — no broadcast exchange, no shuffle.
 2. **encode** — one narrow pass: each corpus vector becomes
    ``codes[m]``, the per-subspace argmin-distance centroid index.
 3. **probe** — coarse IVF (reused from :mod:`.ivf`): each query joins
@@ -79,6 +81,12 @@ def _dot(sub: Column, centroid: list[float]) -> Column:
     )
 
 
+# Codebook training sample cap: 10k rows x 64 float64 = ~5 MB on the
+# driver — two orders of magnitude below any broadcast/driver limit,
+# and far more than 16-centroid subspace quantizers need.
+MAX_TRAIN_ROWS = 10_000
+
+
 def train_pq_codebooks(
     emb: DataFrame,
     vec_col: str = "embedding",
@@ -86,39 +94,73 @@ def train_pq_codebooks(
     m: int = 4,
     k_sub: int = 16,
     seed: int = 42,
-    sample_fraction: float | None = None,
-    max_iter: int = 5,
+    id_col: str | None = None,
+    max_train_rows: int = MAX_TRAIN_ROWS,
+    max_iter: int = 15,
 ) -> Codebooks:
-    """Per-subspace KMeans codebooks, trained on a (sampled) pass per
-    subspace. Like the IVF coarse quantizer, codebooks partition
-    space — they don't need converged centroids, so Lloyd iterations
-    are capped. Returns plain nested lists (driver-side, tiny:
-    ``m*k_sub*dim/m`` floats) so encode/LUT build can inline them as
-    literals."""
+    """Per-subspace codebooks via driver-side Lloyd iterations on a
+    BOUNDED sample — the FAISS recipe (codebooks train on ~100k
+    vectors in memory regardless of corpus size). One distributed
+    top-k fetch (``max_train_rows`` rows, ordered by ``id_col`` when
+    given for a deterministic sample, arbitrary otherwise) replaces m
+    MLlib KMeans fits: each fit is a multi-job distributed program
+    with seconds of fixed overhead, absurd for a 16x16-float
+    codebook. Like the IVF coarse quantizer, codebooks only partition
+    space — capped iterations, no convergence needed. Returns plain
+    nested lists so encode/LUT build can inline them as literals."""
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
     d_sub = dim // m
-    train = emb
-    if sample_fraction is not None:
-        train = emb.sample(fraction=sample_fraction, seed=seed)
-    # One cached projection feeds all m fits: m driver loops, but each
-    # fit scans only its d_sub slice of the sample.
-    subs = train.select(
-        *[_sub(F.col(vec_col), i, d_sub).alias(f"_s{i}") for i in range(m)]
-    )
-    subs = subs.localCheckpoint(eager=False)
+    train = emb.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    if id_col is not None:
+        # TakeOrderedAndProject: per-partition top-k + driver merge,
+        # never a full sort shuffle.
+        train = (
+            emb.orderBy(id_col)
+            .limit(max_train_rows)
+            .select(F.col(vec_col).cast("array<double>").alias("_v"))
+        )
+    else:
+        train = train.limit(max_train_rows)
+    x = np.array([r["_v"] for r in train.collect()], dtype=np.float64)
+    if x.size == 0:
+        raise ValueError("train_pq_codebooks: empty training set")
+    rng = np.random.default_rng(seed)
     books: Codebooks = []
     for i in range(m):
-        feats = subs.select(array_to_vector(F.col(f"_s{i}")).alias("features"))
-        model = KMeans(
-            k=k_sub, seed=seed + i, featuresCol="features", maxIter=max_iter
-        ).fit(feats)
-        books.append(
-            [[float(x) for x in c] for c in model.clusterCenters()]
-        )
+        xs = x[:, i * d_sub : (i + 1) * d_sub]
+        k_eff = min(k_sub, xs.shape[0])
+        # k-means++ seeding: each next center drawn ∝ distance² to the
+        # nearest chosen one — the standard fix for random-init's poor
+        # quantization (Arthur & Vassilvitskii 2007). Driver-side cost
+        # is k_eff passes over ≤ max_train_rows rows: negligible.
+        first = int(rng.integers(xs.shape[0]))
+        chosen = [first]
+        d2min = ((xs - xs[first]) ** 2).sum(axis=1)
+        for _ in range(1, k_eff):
+            total = float(d2min.sum())
+            if total <= 0.0:
+                nxt = int(rng.integers(xs.shape[0]))
+            else:
+                nxt = int(rng.choice(xs.shape[0], p=d2min / total))
+            chosen.append(nxt)
+            d2min = np.minimum(d2min, ((xs - xs[nxt]) ** 2).sum(axis=1))
+        cents = xs[chosen].copy()
+        for _ in range(max_iter):
+            # squared-distance assign + mean update (plain Lloyd)
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(k_eff):
+                mask = assign == j
+                if mask.any():
+                    cents[j] = xs[mask].mean(axis=0)
+        if k_eff < k_sub:
+            # degenerate tiny corpus: pad with repeats — argmin ties
+            # resolve to the lowest index, so padding never wins
+            cents = np.vstack([cents] + [cents[:1]] * (k_sub - k_eff))
+        books.append([[float(v) for v in c] for c in cents])
     return books
 
 
@@ -211,7 +253,7 @@ def ivf_pq_topk(
     so recall is directly comparable. Reported cosines are EXACT
     (approximation only prunes candidates, never fabricates scores)."""
     coarse = train_centroids(emb, vec_col, n_centroids, seed)
-    books = train_pq_codebooks(emb, vec_col, dim, m, k_sub, seed)
+    books = train_pq_codebooks(emb, vec_col, dim, m, k_sub, seed, id_col)
 
     full = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_e")

@@ -1919,7 +1919,9 @@ def q_s06_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=4,
         m=4,
         k_sub=16,
-        rerank=32,
+        # ADC with m=4 ranks coarsely, so recall is bought with exact
+        # rerank depth — cheap (64 full vectors per query via equi-join)
+        rerank=64,
     )
 
 

@@ -58,13 +58,15 @@ def test_adc_score_matches_manual_lut_sum(spark):
 def test_ivf_pq_scores_exact_and_recall_floor(spark):
     """Reported cosines must equal exact cosines (PQ prunes, never
     scores), and recall@5 vs the exhaustive ranking must clear a
-    floor. Floor measured on this near-isotropic synthetic fixture
-    (PQ's worst case, like PCA's): observed ≈0.6+ with
-    n_probe=8/16 lists + rerank=48."""
+    floor. The near-isotropic synthetic fixture is PQ's worst case
+    (like PCA's): m=4 subspaces quantize brutally, so ADC ordering is
+    noisy and recall is bought with exact-rerank depth — measured
+    0.46 at rerank=48 vs 0.62 at rerank=96 (n_probe=8/16), 0.74 at
+    n_probe=12. Floor 0.5 with rerank=96 leaves margin."""
     emb = load_table(spark, SF_SMALL, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     got = ivf_pq_topk(
-        emb, queries, k=5, n_centroids=16, n_probe=8, m=4, k_sub=16, rerank=48
+        emb, queries, k=5, n_centroids=16, n_probe=8, m=4, k_sub=16, rerank=96
     )
 
     from alternating_least_squares_spark.functions.similarity import cosine
