@@ -44,6 +44,8 @@ HEADLINE = [
     "a16_ipf_step",
     "e03_sessionize",
     "e04_resample_gapfill",
+    "e08_ohlc_bars",
+    "c16_scd2",
     "h13_large_volume_orders",
     "st01_stream_hourly",
     "j01_asof_join",
