@@ -1,0 +1,57 @@
+"""Registry-wide physical-plan lint: NO registry entry may plan a
+CartesianProduct, and BroadcastNestedLoopJoin may appear only where a
+tiny side is deliberately broadcast (scalar subqueries, centroid
+tables, dense-domain builders, the documented brute-force baseline).
+
+This is the catch-all behind the targeted shape tests in
+test_plans.py: a new entry (or a Catalyst regression) that silently
+degenerates into an all-pairs join fails here before it ever reaches
+the driver's correctness run."""
+
+from __future__ import annotations
+
+from alternating_least_squares_spark import registry
+from tests.conftest import SF_SMALL
+
+# Construction of these entries executes side effects (table writes,
+# streaming replays, snapshot commits, ML training, Python-source
+# registration) — plan-linting them would re-run minutes of work that
+# their own tests already cover.
+SKIP_PREFIXES = (
+    "st0", "ac0", "b0", "m0", "x07", "mm0", "ipf", "a21", "x09", "x10",
+    "s06",  # trains two quantizers; covered by test_plans.py's own lint
+)
+
+# Entries allowed EXACTLY ONE BroadcastNestedLoopJoin, with the tiny
+# broadcast side documented here:
+BNLJ_ALLOWED = {
+    "a01_cmap",            # dense domain: keys x 24-hour literal range
+    "a09_laplace_smooth",  # densify: same 24-row hour domain
+    "a14_seed_matrix",     # same dense-domain builder
+    "c09_ones_matrix",     # same dense-domain builder
+    "t08_contamination",   # docs x tiny benchmark n-gram set
+    "v02_topk_cosine",     # documented brute-force baseline (<=20 queries)
+    "h14_idle_rich_customers",  # scalar avg-balance subquery (1 row)
+    "h18_important_parts",      # scalar avg-quantity subquery (1 row)
+    "s03_ivf_topk",        # centroid table broadcast (n_centroids rows)
+}
+
+
+def test_no_registry_plan_degenerates_to_all_pairs(spark):
+    bad: dict[str, str] = {}
+    for name, (fn, _) in registry.REGISTRY.items():
+        if name.startswith(SKIP_PREFIXES):
+            continue
+        plan = (
+            fn(spark, SF_SMALL)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if "CartesianProduct" in plan:
+            bad[name] = "CartesianProduct"
+            continue
+        n_bnlj = plan.count("BroadcastNestedLoopJoin")
+        if n_bnlj > 1 or (n_bnlj == 1 and name not in BNLJ_ALLOWED):
+            bad[name] = f"BroadcastNestedLoopJoin x{n_bnlj} (not allowed)"
+    assert not bad, bad
