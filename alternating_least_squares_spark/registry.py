@@ -3116,6 +3116,65 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """
 
 
+# g06 equi-width histogram: fixed literal domain so both engines bucket
+# identically with no data-dependent bounds pass. o_totalprice at every
+# SF lies in (0, 600k); out-of-domain values clamp to the edge buckets.
+HIST_LO, HIST_HI, HIST_BUCKETS = 0.0, 600_000.0, 24
+
+
+def q_g06_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals — the profiling primitive
+    behind every data-quality dashboard. One narrow bucket expression
+    + one groupBy: the histogram of 100 TB costs a single
+    partial/final count aggregation over ≤ HIST_BUCKETS keys.
+    ``width_bucket`` semantics (1-based, clamped) built from floor
+    arithmetic shared verbatim by both engines — no data-dependent
+    min/max pass, so the plan has no scalar-subquery barrier."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (HIST_HI - HIST_LO) / HIST_BUCKETS
+    bucket = F.least(
+        F.lit(HIST_BUCKETS),
+        F.greatest(
+            F.lit(1),
+            (F.floor((F.col("o_totalprice") - HIST_LO) / w) + 1).cast("int"),
+        ),
+    )
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,10)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("total_price"),
+        )
+        .withColumn("lo", (HIST_LO + (F.col("bucket") - 1) * w).cast("double"))
+        .withColumn("hi", (HIST_LO + F.col("bucket") * w).cast("double"))
+    )
+
+
+SQL_G06 = f"""
+WITH b AS (
+  SELECT least({HIST_BUCKETS}, greatest(1,
+           CAST(floor((o_totalprice - {HIST_LO})
+                      / {(HIST_HI - HIST_LO) / HIST_BUCKETS}) + 1 AS INT)
+         )) AS bucket,
+         o_totalprice
+  FROM orders
+)
+SELECT bucket, count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 6)
+         AS total_price,
+       CAST({HIST_LO} + (bucket - 1) * {(HIST_HI - HIST_LO) / HIST_BUCKETS}
+            AS DOUBLE) AS lo,
+       CAST({HIST_LO} + bucket * {(HIST_HI - HIST_LO) / HIST_BUCKETS}
+            AS DOUBLE) AS hi
+FROM b GROUP BY bucket
+"""
+
+
 def q_w05_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ``F.window`` tumbling aggregation (the same operator the
     streaming surface uses in st01, here on a static frame): 1-hour
@@ -4201,6 +4260,54 @@ FROM c JOIN p ON c.user_id = p.user_id
 """
 
 
+def q_j03_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join
+    (operators/rangejoin.interval_overlap_join): every (click,
+    purchase) pair whose 10-minute activity windows overlap — the
+    join shape with NO native Spark operator (a raw inequality join
+    plans nested-loop). Binned equi-join with the canonical-bin trick:
+    each overlapping pair survives in exactly ONE bin (the one holding
+    the overlap's first instant), so no pair-dedup shuffle. Bin width
+    = window length ⇒ each interval covers ≤ 2 bins. Oracle: DuckDB
+    plain inequality join — quadratic there, which is exactly the
+    point of the binned formulation here."""
+    from alternating_least_squares_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    win_ns = 600 * 1_000_000_000  # 10 minutes
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("a_id"),
+        F.col("ts_ns").alias("a_start"),
+        (F.col("ts_ns") + win_ns).alias("a_end"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("b_id"),
+        F.col("ts_ns").alias("b_start"),
+        (F.col("ts_ns") + win_ns).alias("b_end"),
+    )
+    pairs = interval_overlap_join(
+        clicks, purchases, "a_start", "a_end", "b_start", "b_end",
+        bin_width=win_ns,
+    )
+    return pairs.select("a_id", "b_id")
+
+
+SQL_J03 = """
+WITH a AS (
+  SELECT event_id AS a_id, epoch_ns(ts) AS s, epoch_ns(ts) + 600000000000 AS e
+  FROM events WHERE event_type = 'click'
+),
+b AS (
+  SELECT event_id AS b_id, epoch_ns(ts) AS s, epoch_ns(ts) + 600000000000 AS e
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT a.a_id, b.b_id
+FROM a JOIN b ON a.s <= b.e AND b.s <= a.e
+"""
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF (documents)
 
@@ -5066,6 +5173,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "g05_grouping_sets": (q_g05_grouping_sets, SQL_G05),
     "j01_asof_join": (q_j01_asof_join, SQL_J01),
     "j02_range_join": (q_j02_range_join, SQL_J02),
+    "j03_interval_overlap": (q_j03_interval_overlap, SQL_J03),
+    "g06_histogram": (q_g06_histogram, SQL_G06),
     "h04_local_supplier_volume": (q_h04_local_supplier_volume, SQL_H04),
     "h05_returned_revenue": (q_h05_returned_revenue, SQL_H05),
     "h06_promo_revenue": (q_h06_promo_revenue, SQL_H06),
@@ -5145,23 +5254,24 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # generic converge, w06/st07 hopping windows, ac01-04 table format,
 # c16 SCD2, e08 OHLC, x12 salted join, s06 IVF-PQ) plus the oracled
 # tails (h/t/w/g/x/st/mm/e/b families) — lifting cumulative official
-# coverage to 109/147. Entries not in any prefix yet (x04, mm03, w04,
-# g03, b05, remaining h tail) rotate in round 5; all are covered by
+# coverage to 109/149. Entries not in any prefix yet (x04, mm03, w03,
+# w04, g02, g03, b05, remaining h tail) rotate in round 5; all are
+# covered by
 # pytest + tools/oracle_check.py (the full local replica of this gate).
 _PREFIX = [
     # new this round
     "a21_converge_coordinate", "w06_hopping_batch", "st07_stream_hopping",
     "c16_scd2", "e08_ohlc_bars", "ac04_compact_files", "x12_salted_join",
-    "s06_pq_topk",
+    "s06_pq_topk", "j03_interval_overlap", "g06_histogram",
     # IO roundtrips
     "b04_orc_roundtrip",
     # events / time-series tails
     "e06_funnel", "e07_cohort_retention",
     # window functions
-    "w01_running_total", "w02_rank_dense_lag", "w03_time_range_avg",
+    "w01_running_total", "w02_rank_dense_lag",
     "w05_tumbling_batch",
     # grouping analytics
-    "g01_rollup", "g02_cube",
+    "g01_rollup",
     # shared SQL dialect + range join
     "sql01_shared_dialect", "j02_range_join",
     # TPC-H analog tails (first slice; h03-h22 rotate in round 5)
