@@ -113,17 +113,13 @@ def train_pq_codebooks(
     import numpy as np
 
     d_sub = dim // m
-    train = emb.select(F.col(vec_col).cast("array<double>").alias("_v"))
     if id_col is not None:
         # TakeOrderedAndProject: per-partition top-k + driver merge,
         # never a full sort shuffle.
-        train = (
-            emb.orderBy(id_col)
-            .limit(max_train_rows)
-            .select(F.col(vec_col).cast("array<double>").alias("_v"))
-        )
+        train = emb.orderBy(id_col).limit(max_train_rows)
     else:
-        train = train.limit(max_train_rows)
+        train = emb.limit(max_train_rows)
+    train = train.select(F.col(vec_col).cast("array<double>").alias("_v"))
     x = np.array([r["_v"] for r in train.collect()], dtype=np.float64)
     if x.size == 0:
         raise ValueError("train_pq_codebooks: empty training set")

@@ -1227,6 +1227,45 @@ FROM lineitem
 """
 
 
+def q_ac05_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM — expire history and delete orphaned data files
+    (sources/snapshot.vacuum; the Delta VACUUM / Iceberg
+    expire_snapshots lifecycle step): build the same
+    create→MERGE→DELETE table as ac01, vacuum down to the latest
+    version, then read LATEST. The oracle (same surviving-row SQL as
+    ac01, TRUE for the flag) hash-proves vacuum deleted ONLY
+    unreferenced files: any wrongly-deleted shared file would break
+    the read, any row drift would break the hash. The flag asserts
+    history actually went (2 versions expired, ≥1 orphan removed,
+    second vacuum a no-op — idempotence). Time-travel-after-vacuum
+    failure semantics are pinned in tests/test_snapshot.py."""
+    from alternating_least_squares_spark.sources import snapshot as SN
+
+    path = _snapshot_table_for(spark, sf_dir, "ac05")
+    stats = SN.vacuum(path, keep_last=1)
+    again = SN.vacuum(path, keep_last=1)
+    ok = (
+        stats["versions_removed"] == 2
+        and stats["files_removed"] >= 1
+        and again["versions_removed"] == 0
+        and again["files_removed"] == 0
+    )
+    return SN.read_snapshot(spark, path).withColumn(
+        "vacuumed", F.lit(bool(ok))
+    )
+
+
+SQL_AC05 = """
+SELECT o_orderkey, o_custkey,
+       round(CASE WHEN o_orderkey % 8 <= 1 THEN round(o_totalprice, 6) * 2
+                  ELSE o_totalprice END, 6) AS price,
+       TRUE AS vacuumed
+FROM orders
+WHERE (o_orderkey % 4 != 0 OR o_orderkey % 8 <= 1)
+  AND o_orderkey % 8 != 2
+"""
+
+
 def q_c02_filter_nonzero(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return Rel.filter_nonzero(li, "l_discount").select(
@@ -5154,6 +5193,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "e08_ohlc_bars": (q_e08_ohlc_bars, SQL_E08),
     "c16_scd2": (q_c16_scd2, SQL_C16),
     "ac04_compact_files": (q_ac04_compact_files, SQL_AC04),
+    "ac05_vacuum": (q_ac05_vacuum, SQL_AC05),
     "x12_salted_join": (q_x12_salted_join, SQL_X12),
     "x05_python_udtf": (q_x05_python_udtf, SQL_X05),
     "h01_pricing_summary": (q_h01_pricing_summary, SQL_H01),
@@ -5254,22 +5294,22 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # generic converge, w06/st07 hopping windows, ac01-04 table format,
 # c16 SCD2, e08 OHLC, x12 salted join, s06 IVF-PQ) plus the oracled
 # tails (h/t/w/g/x/st/mm/e/b families) — lifting cumulative official
-# coverage to 109/149. Entries not in any prefix yet (x04, mm03, w03,
-# w04, g02, g03, b05, remaining h tail) rotate in round 5; all are
-# covered by
+# coverage to 109/150. Entries not in any prefix yet (x04, mm03, w03,
+# w04, w05, g02, g03, b05, remaining h tail) rotate in round 5; all
+# are covered by
 # pytest + tools/oracle_check.py (the full local replica of this gate).
 _PREFIX = [
     # new this round
     "a21_converge_coordinate", "w06_hopping_batch", "st07_stream_hopping",
     "c16_scd2", "e08_ohlc_bars", "ac04_compact_files", "x12_salted_join",
-    "s06_pq_topk", "j03_interval_overlap", "g06_histogram",
+    "s06_pq_topk", "j03_interval_overlap", "g06_histogram", "ac05_vacuum",
     # IO roundtrips
     "b04_orc_roundtrip",
     # events / time-series tails
     "e06_funnel", "e07_cohort_retention",
-    # window functions
+    # window functions (w05/w06 share F.window with st01/st07 — w05
+    # rotates round 5)
     "w01_running_total", "w02_rank_dense_lag",
-    "w05_tumbling_batch",
     # grouping analytics
     "g01_rollup",
     # shared SQL dialect + range join

@@ -325,3 +325,71 @@ def delete_where(path: str, predicate: str, spark: SparkSession) -> int:
         },
     )
     return version
+
+
+def vacuum(path: str, keep_last: int = 1) -> dict:
+    """Expire old versions and delete their orphaned data files — the
+    VACUUM half of the lifecycle (Delta ``VACUUM`` / Iceberg
+    ``expire_snapshots``). Retains the newest ``keep_last`` manifests;
+    every older manifest is removed, and a data file is deleted only
+    when NO retained manifest references it (copy-on-write means files
+    are shared across versions — carried files survive as long as any
+    live version needs them).
+
+    Time travel to an expired version fails loudly afterwards
+    (``read_snapshot`` raises on a missing manifest) — that loss of
+    history is the POINT of vacuum, and why ``keep_last`` has no
+    0 value.
+
+    Returns {versions_removed, files_removed, bytes_removed,
+    versions_kept}. Idempotent: a second run removes nothing.
+
+    At 100 TB the referenced-file set is manifest metadata (thousands
+    of entries, not data), so vacuum is a driver-side listing diff +
+    bulk deletes — no Spark job at all."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1 (got {keep_last})")
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot table at {path}")
+    expire, retain = versions[:-keep_last], versions[-keep_last:]
+    referenced = {
+        f["path"]
+        for v in retain
+        for f in _read_manifest(path, v)["files"]
+    }
+    files_removed = 0
+    bytes_removed = 0
+    for v in expire:
+        for f in _read_manifest(path, v)["files"]:
+            p = f["path"]
+            if p in referenced or not os.path.exists(p):
+                continue
+            bytes_removed += os.path.getsize(p)
+            os.remove(p)
+            files_removed += 1
+    for v in expire:
+        os.remove(os.path.join(path, _LOG, f"{v}.json"))
+    # drop commit directories holding only writer markers
+    # (_SUCCESS/.crc) after their data files went — cosmetic, keeps
+    # listings sane
+    data_dir = os.path.join(path, _DATA)
+    if os.path.isdir(data_dir):
+        for d in os.listdir(data_dir):
+            full = os.path.join(data_dir, d)
+            if not os.path.isdir(full):
+                continue
+            leftover = os.listdir(full)
+            if all(
+                e.startswith("_") or e.startswith(".") or e.endswith(".crc")
+                for e in leftover
+            ):
+                for e in leftover:
+                    os.remove(os.path.join(full, e))
+                os.rmdir(full)
+    return {
+        "versions_removed": len(expire),
+        "files_removed": files_removed,
+        "bytes_removed": bytes_removed,
+        "versions_kept": len(retain),
+    }

@@ -233,3 +233,69 @@ def test_profile_batch_redelivery_is_idempotent(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["n_events"] == 2 and float(rows[0]["total_value"]) == 5.0
     assert len(SN.history(path)) == 2
+
+
+def _parquet_files_on_disk(path: str) -> set[str]:
+    import os
+
+    out = set()
+    for root, _, files in os.walk(os.path.join(path, "data")):
+        out.update(
+            os.path.join(root, f) for f in files if f.endswith(".parquet")
+        )
+    return out
+
+
+def test_vacuum_expires_history_and_removes_only_orphans(
+    spark, base, tmp_path
+):
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    updates = spark.createDataFrame([(10, -1)], "k long, v long")
+    SN.merge_upsert(updates, path)  # rewrites only the 0-24 file
+    before = _parquet_files_on_disk(path)
+    latest_rows = {
+        (r["k"], r["v"]) for r in SN.read_snapshot(spark, path).collect()
+    }
+
+    stats = SN.vacuum(path, keep_last=1)
+    assert stats["versions_removed"] == 1
+    # only v0's rewritten 0-24 file is orphaned; the three carried
+    # files are shared with v1 and MUST survive
+    assert stats["files_removed"] == 1
+    after = _parquet_files_on_disk(path)
+    assert after < before and len(before) - len(after) == 1
+
+    # latest still reads exactly as before the vacuum
+    got = {(r["k"], r["v"]) for r in SN.read_snapshot(spark, path).collect()}
+    assert got == latest_rows
+    # expired version is gone LOUDLY
+    with pytest.raises(ValueError, match="version 0"):
+        SN.read_snapshot(spark, path, version=0)
+    # idempotent
+    again = SN.vacuum(path, keep_last=1)
+    assert again["versions_removed"] == 0 and again["files_removed"] == 0
+
+
+def test_vacuum_keep_last_retains_time_travel_window(spark, base, tmp_path):
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    SN.merge_upsert(
+        spark.createDataFrame([(10, -1)], "k long, v long"), path
+    )
+    SN.delete_where(path, "k % 10 = 3", spark)
+    SN.vacuum(path, keep_last=2)
+    # v1 and v2 both readable; v0 expired
+    assert SN.read_snapshot(spark, path, version=1).count() == 100
+    assert SN.read_snapshot(spark, path, version=2).count() == 90
+    with pytest.raises(ValueError, match="version 0"):
+        SN.read_snapshot(spark, path, version=0)
+
+
+def test_vacuum_validates_inputs(spark, base, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        SN.vacuum(str(tmp_path / "missing"))
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    with pytest.raises(ValueError, match="keep_last"):
+        SN.vacuum(path, keep_last=0)
