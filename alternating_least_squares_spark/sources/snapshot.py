@@ -327,14 +327,25 @@ def delete_where(path: str, predicate: str, spark: SparkSession) -> int:
     return version
 
 
-def vacuum(path: str, keep_last: int = 1) -> dict:
-    """Expire old versions and delete their orphaned data files — the
+def vacuum(
+    path: str, keep_last: int = 1, min_age_seconds: float = 0.0
+) -> dict:
+    """Expire old versions and delete unreferenced data files — the
     VACUUM half of the lifecycle (Delta ``VACUUM`` / Iceberg
-    ``expire_snapshots``). Retains the newest ``keep_last`` manifests;
-    every older manifest is removed, and a data file is deleted only
-    when NO retained manifest references it (copy-on-write means files
-    are shared across versions — carried files survive as long as any
-    live version needs them).
+    ``expire_snapshots``). Retains the newest ``keep_last`` manifests,
+    removes every older manifest, then deletes any on-disk data file
+    NO retained manifest references. That covers both kinds of garbage
+    Delta's VACUUM covers: files only expired versions referenced, AND
+    files a LOSING concurrent writer left behind (data written, commit
+    lost the 'x'-publish race — referenced by no manifest at all).
+    Copy-on-write files shared into a live version always survive.
+
+    ``min_age_seconds`` is the retention guard (Delta's
+    ``RETAIN n HOURS``): an unreferenced file younger than this is
+    left alone, because it may belong to an IN-FLIGHT writer whose
+    commit has not published yet. The 0.0 default suits tests and
+    single-writer pipelines; any concurrent deployment must pass a
+    value comfortably above its slowest commit.
 
     Time travel to an expired version fails loudly afterwards
     (``read_snapshot`` raises on a missing manifest) — that loss of
@@ -347,6 +358,9 @@ def vacuum(path: str, keep_last: int = 1) -> dict:
     At 100 TB the referenced-file set is manifest metadata (thousands
     of entries, not data), so vacuum is a driver-side listing diff +
     bulk deletes — no Spark job at all."""
+    import shutil
+    import time
+
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1 (got {keep_last})")
     versions = _list_versions(path)
@@ -358,35 +372,50 @@ def vacuum(path: str, keep_last: int = 1) -> dict:
         for v in retain
         for f in _read_manifest(path, v)["files"]
     }
+    now = time.time()
+
+    def _old_enough(p: str) -> bool:
+        try:
+            return now - os.path.getmtime(p) >= min_age_seconds
+        except OSError:
+            return False
+
     files_removed = 0
     bytes_removed = 0
-    for v in expire:
-        for f in _read_manifest(path, v)["files"]:
-            p = f["path"]
-            if p in referenced or not os.path.exists(p):
+    data_dir = os.path.join(path, _DATA)
+    for root, _, names in os.walk(data_dir) if os.path.isdir(data_dir) else []:
+        for name in names:
+            full = os.path.join(root, name)
+            if not name.endswith(".parquet"):
                 continue
-            bytes_removed += os.path.getsize(p)
-            os.remove(p)
+            if full in referenced or not _old_enough(full):
+                continue
+            bytes_removed += os.path.getsize(full)
+            os.remove(full)
             files_removed += 1
     for v in expire:
         os.remove(os.path.join(path, _LOG, f"{v}.json"))
-    # drop commit directories holding only writer markers
-    # (_SUCCESS/.crc) after their data files went — cosmetic, keeps
-    # listings sane
-    data_dir = os.path.join(path, _DATA)
+    # drop commit directories left holding only writer debris
+    # (_SUCCESS/.crc files, _temporary dirs) after their data files
+    # went — same age guard, so an in-flight writer's scratch is never
+    # touched
     if os.path.isdir(data_dir):
         for d in os.listdir(data_dir):
             full = os.path.join(data_dir, d)
             if not os.path.isdir(full):
                 continue
-            leftover = os.listdir(full)
-            if all(
+            entries = os.listdir(full)
+            debris_only = all(
                 e.startswith("_") or e.startswith(".") or e.endswith(".crc")
-                for e in leftover
-            ):
-                for e in leftover:
-                    os.remove(os.path.join(full, e))
-                os.rmdir(full)
+                for e in entries
+            )
+            aged = all(
+                _old_enough(os.path.join(dp, f))
+                for dp, _, fs in os.walk(full)
+                for f in fs
+            )
+            if debris_only and aged:
+                shutil.rmtree(full)
     return {
         "versions_removed": len(expire),
         "files_removed": files_removed,

@@ -299,3 +299,48 @@ def test_vacuum_validates_inputs(spark, base, tmp_path):
     SN.create_table(base, path, key="k")
     with pytest.raises(ValueError, match="keep_last"):
         SN.vacuum(path, keep_last=0)
+
+
+def test_vacuum_reclaims_losing_writer_orphans(spark, base, tmp_path):
+    """Data files written by a writer that lost the commit race are
+    referenced by NO manifest — vacuum must reclaim them (the Delta
+    VACUUM contract), while the age guard protects in-flight ones."""
+    import os
+
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    orphan_dir = os.path.join(path, "data", "losingwriter")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-0000.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"not really parquet")
+
+    # young orphan + retention window -> untouched (in-flight writer)
+    guarded = SN.vacuum(path, keep_last=1, min_age_seconds=3600)
+    assert guarded["files_removed"] == 0 and os.path.exists(orphan)
+
+    # no retention window -> reclaimed, and its debris dir goes too
+    stats = SN.vacuum(path, keep_last=1)
+    assert stats["files_removed"] == 1
+    assert not os.path.exists(orphan)
+    # v0 (the only version) still reads fine
+    assert SN.read_snapshot(spark, path).count() == 100
+
+
+def test_vacuum_survives_temporary_dir_debris(spark, base, tmp_path):
+    """An aborted writer's _temporary directory must not crash vacuum
+    (directories are not os.remove-able) and gets swept once aged."""
+    import os
+
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    SN.merge_upsert(
+        spark.createDataFrame([(10, -1)], "k long, v long"), path
+    )
+    debris = os.path.join(path, "data", "aborted", "_temporary")
+    os.makedirs(debris)
+    stats = SN.vacuum(path, keep_last=1)
+    assert stats["versions_removed"] == 1
+    assert not os.path.exists(os.path.join(path, "data", "aborted"))
+    # merge replaced key 10 (already present), so count stays 100
+    assert SN.read_snapshot(spark, path).count() == 100
