@@ -1970,6 +1970,22 @@ def q_m01_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_and_recommend(spark, sf_dir, rank=8, max_iter=8, k=5)
 
 
+def q_m03_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based document filtering (ml/classifier.py — the learned
+    quality-classifier stage of LLM data recipes): codegen feature
+    assembly → content-hash split → MLlib logistic regression →
+    scan-speed holdout scoring. The label is a PLANTED linear rule
+    (this corpus's metadata is text-independent noise — documented in
+    the module), so the pipeline is graded on rule recovery, floor
+    pinned in tests/test_classifier.py. Rows-only: coefficients depend
+    on LBFGS aggregation order."""
+    from alternating_least_squares_spark.ml.classifier import (
+        train_and_score_filter,
+    )
+
+    return train_and_score_filter(spark, sf_dir)
+
+
 def q_m02_als_implicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Implicit-feedback ALS (Hu/Koren/Volinsky 2008) over the same
     ratings projection — Σ quantity is confidence, not a rating, so
@@ -5280,6 +5296,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "s06_pq_topk": (q_s06_pq_topk, None),
     "m01_als_recommend": (q_m01_als_recommend, None),
     "m02_als_implicit": (q_m02_als_implicit, None),
+    "m03_quality_filter": (q_m03_quality_filter, None),
     "ipf_cost_per_visit": (q_ipf_cost_per_visit, None),
 }
 
