@@ -32,9 +32,15 @@ Spark shape, designed for the 100 TB corpus:
   survives repartitioning and reruns, so train/holdout membership is
   reproducible — the property that makes the scored output row-stable
   enough to register as a driver query.
-* **training sees only the train slice**; scoring is
-  ``model.transform`` — a broadcast of a ~10-coefficient vector, so
-  scoring 100 TB costs exactly one pass at scan speed.
+* **training sees only the train slice**; scoring inlines the fitted
+  coefficients as LITERALS in a codegen expression — not
+  ``model.transform``, whose prediction ScalaUDF drags the model's
+  training summary (and with it a non-serializable SparkSession
+  reference — ObservationManager, populated by any ``observe`` query
+  earlier in the session) into the task closure. A linear model's
+  decision is ``dot(coef, x) + intercept > 0``: ten multiply-adds in
+  whole-stage codegen, so scoring 100 TB costs one pass at scan speed
+  with nothing broadcast at all.
 """
 
 from __future__ import annotations
@@ -118,16 +124,22 @@ def train_and_score_filter(
         .withColumn("label", planted_label())
         .withColumn("_bucket", _hash_bucket(F.col("doc_id")))
     )
-    assembled = VectorAssembler(
+    train = VectorAssembler(
         inputCols=FEATURE_COLS, outputCol="features", handleInvalid="keep"
-    ).transform(feats)
-    train = assembled.filter(F.col("_bucket") < SPLIT_AT)
-    holdout = assembled.filter(F.col("_bucket") >= SPLIT_AT)
+    ).transform(feats.filter(F.col("_bucket") < SPLIT_AT))
     model = LogisticRegression(
         maxIter=max_iter, regParam=0.01, featuresCol="features"
     ).fit(train)
-    return model.transform(holdout).select(
+
+    # score in codegen: the fitted decision boundary as a literal
+    # expression (see module docstring for why NOT model.transform)
+    coefs = [float(c) for c in model.coefficients]
+    margin = F.lit(float(model.intercept))
+    for c, name in zip(coefs, FEATURE_COLS):
+        margin = margin + F.lit(c) * F.col(name)
+    holdout = feats.filter(F.col("_bucket") >= SPLIT_AT)
+    return holdout.select(
         "doc_id",
         F.col("label").cast("long").alias("label"),
-        F.col("prediction").cast("long").alias("pred"),
+        (margin > 0).cast("long").alias("pred"),
     )

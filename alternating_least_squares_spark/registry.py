@@ -5311,9 +5311,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # generic converge, w06/st07 hopping windows, ac01-04 table format,
 # c16 SCD2, e08 OHLC, x12 salted join, s06 IVF-PQ) plus the oracled
 # tails (h/t/w/g/x/st/mm/e/b families) — lifting cumulative official
-# coverage to 109/150. Entries not in any prefix yet (x04, mm03, w03,
-# w04, w05, g02, g03, b05, remaining h tail) rotate in round 5; all
-# are covered by
+# coverage to 109/151. Entries not in any prefix yet (x04, mm03, w03,
+# w04, w05, g02, g03, b05, m02/m03, h02-h22 tail) rotate in round 5;
+# all are covered by
 # pytest + tools/oracle_check.py (the full local replica of this gate).
 _PREFIX = [
     # new this round
@@ -5331,8 +5331,9 @@ _PREFIX = [
     "g01_rollup",
     # shared SQL dialect + range join
     "sql01_shared_dialect", "j02_range_join",
-    # TPC-H analog tails (first slice; h03-h22 rotate in round 5)
-    "h02_revenue_by_nation",
+    # streaming snapshot sink — round-4 code, wants its official row
+    # more than one extra h-analog (h02-h22 rotate in round 5)
+    "st08_stream_snapshot_sink",
     # table-format/layout machinery (new this round — commit/prune/
     # rewrite + z-order want official rows more than more h-analogs)
     "ac01_snapshot_merge", "ac02_time_travel", "ac03_zorder_code",
