@@ -62,7 +62,9 @@ PLANT_THRESHOLD = 0.51
 
 
 def _hash_bucket(col):
-    return F.conv(F.md5(col.cast("string")).substr(1, 4), 16, 10).cast("long")
+    from alternating_least_squares_spark.functions.hashing import hex4_bucket
+
+    return hex4_bucket(col)
 
 
 def doc_features(docs: DataFrame) -> DataFrame:

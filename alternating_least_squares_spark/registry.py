@@ -144,12 +144,11 @@ def _scratch_path(*segments: str) -> str:
 
 
 def _hex4(col: Column) -> Column:
-    """First 4 hex digits of md5(col) as a long in [0, 65536): the
-    deterministic content-hash bucket shared by x02/x03/x06. A content
-    hash (unlike a seeded RNG) survives repartitioning, engine swaps,
-    and reruns unchanged, which is what makes these samplers
-    oracle-checkable."""
-    return F.conv(F.md5(col.cast("string")).substr(1, 4), 16, 10).cast("long")
+    """Deterministic content-hash bucket shared by x02/x03/x06 and the
+    ML split (single definition: functions/hashing.hex4_bucket)."""
+    from alternating_least_squares_spark.functions.hashing import hex4_bucket
+
+    return hex4_bucket(col)
 
 
 def _hex4_sql(col: str = "doc_id") -> str:

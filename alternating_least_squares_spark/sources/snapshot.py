@@ -112,6 +112,20 @@ def _write_data_files(
     ]
 
 
+def _require_absolute(path: str) -> None:
+    """Relative table paths are rejected up front: Spark resolves them
+    against the JVM working directory while this module's manifest IO
+    resolves them against the Python process cwd — the two silently
+    diverge (data files land in one tree, the _log in another) and no
+    later operation can reconcile them."""
+    if not os.path.isabs(path):
+        raise ValueError(
+            f"snapshot table path must be absolute (got {path!r}): "
+            "Spark and the manifest log would resolve a relative path "
+            "against different working directories"
+        )
+
+
 def create_table(
     df: DataFrame, path: str, key: str, extra: dict | None = None
 ) -> int:
@@ -119,6 +133,7 @@ def create_table(
     string with a total order). Fails if the table already exists.
     ``extra``: caller metadata merged into the manifest (e.g. the
     streaming sink's ``batch_id`` for redelivery idempotence)."""
+    _require_absolute(path)
     if _list_versions(path):
         raise FileExistsError(f"snapshot table already exists at {path}")
     files = _write_data_files(df, path, key)
@@ -367,8 +382,14 @@ def vacuum(
     if not versions:
         raise FileNotFoundError(f"no snapshot table at {path}")
     expire, retain = versions[:-keep_last], versions[-keep_last:]
+    # Path identity: manifest paths come from input_file_name() URIs
+    # (absolute, normalized by _local_path); the walk below builds
+    # paths from the CALLER's spelling of ``path`` (possibly relative,
+    # doubled slashes, ...). Compare through abspath on BOTH sides —
+    # a spelling mismatch here would make every live file look
+    # unreferenced and turn vacuum into table deletion.
     referenced = {
-        f["path"]
+        os.path.abspath(f["path"])
         for v in retain
         for f in _read_manifest(path, v)["files"]
     }
@@ -385,7 +406,7 @@ def vacuum(
     data_dir = os.path.join(path, _DATA)
     for root, _, names in os.walk(data_dir) if os.path.isdir(data_dir) else []:
         for name in names:
-            full = os.path.join(root, name)
+            full = os.path.abspath(os.path.join(root, name))
             if not name.endswith(".parquet"):
                 continue
             if full in referenced or not _old_enough(full):
@@ -397,8 +418,10 @@ def vacuum(
         os.remove(os.path.join(path, _LOG, f"{v}.json"))
     # drop commit directories left holding only writer debris
     # (_SUCCESS/.crc files, _temporary dirs) after their data files
-    # went — same age guard, so an in-flight writer's scratch is never
-    # touched
+    # went — behind the same age guard, applied to the DIRECTORIES as
+    # well as their files: a just-created commit dir holds no files
+    # yet (an in-flight writer makes _temporary/ before any part file
+    # opens), so a files-only check would be vacuously aged
     if os.path.isdir(data_dir):
         for d in os.listdir(data_dir):
             full = os.path.join(data_dir, d)
@@ -409,12 +432,11 @@ def vacuum(
                 e.startswith("_") or e.startswith(".") or e.endswith(".crc")
                 for e in entries
             )
-            aged = all(
-                _old_enough(os.path.join(dp, f))
+            if debris_only and all(
+                _old_enough(p)
                 for dp, _, fs in os.walk(full)
-                for f in fs
-            )
-            if debris_only and aged:
+                for p in [dp] + [os.path.join(dp, f) for f in fs]
+            ):
                 shutil.rmtree(full)
     return {
         "versions_removed": len(expire),

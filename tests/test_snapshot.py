@@ -344,3 +344,50 @@ def test_vacuum_survives_temporary_dir_debris(spark, base, tmp_path):
     assert not os.path.exists(os.path.join(path, "data", "aborted"))
     # merge replaced key 10 (already present), so count stays 100
     assert SN.read_snapshot(spark, path).count() == 100
+
+
+def test_vacuum_with_unnormalized_path_never_touches_live_files(
+    spark, base, tmp_path
+):
+    """Manifest paths are normalized absolute URIs (input_file_name);
+    a caller may spell the same table path differently (doubled
+    slashes here). The referenced-file comparison must identify them
+    as the SAME files — a spelling mismatch would make every live file
+    look unreferenced and vacuum would delete the table."""
+    canonical = str(tmp_path / "t")
+    SN.create_table(base, canonical, key="k")
+    SN.merge_upsert(
+        spark.createDataFrame([(10, -1)], "k long, v long"), canonical
+    )
+    sloppy = str(tmp_path) + "//t"
+    stats = SN.vacuum(sloppy, keep_last=1)
+    assert stats["files_removed"] == 1  # only v0's rewritten file
+    assert SN.read_snapshot(spark, canonical).count() == 100
+
+
+def test_create_rejects_relative_path(spark, base, tmp_path, monkeypatch):
+    """Spark resolves relative paths against the JVM cwd, the manifest
+    log against the Python cwd — the table would silently split in
+    two, so relative paths are refused up front."""
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(ValueError, match="absolute"):
+        SN.create_table(base, "reltable", key="k")
+
+
+def test_vacuum_age_guard_spares_fresh_inflight_commit_dir(
+    spark, base, tmp_path
+):
+    """A writer creates its commit dir + _temporary/ BEFORE any part
+    file opens; with a retention window that fresh, file-less dir must
+    survive (the age guard applies to directories, not only files)."""
+    import os
+
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    inflight = os.path.join(path, "data", "inflight", "_temporary")
+    os.makedirs(inflight)
+    SN.vacuum(path, keep_last=1, min_age_seconds=3600)
+    assert os.path.isdir(inflight)
+    # without the window it is debris and goes
+    SN.vacuum(path, keep_last=1)
+    assert not os.path.exists(os.path.join(path, "data", "inflight"))
