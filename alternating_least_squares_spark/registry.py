@@ -5043,6 +5043,68 @@ FROM events GROUP BY 1
 """
 
 
+def q_st09_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental file ingest (streaming/events.incremental_file_ingest
+    — the Delta Auto-Loader / availableNow pattern): events land in two
+    arrival waves; the SECOND run's checkpointed file ledger must pick
+    up ONLY the new wave, never re-scan the landing zone. The output
+    aggregates the fully-ingested sink hourly (oracle = the same
+    aggregate over all events) with an ``incremental`` flag
+    hash-asserting the run-2 row count equals exactly wave 2 — a
+    re-scan or a miss both flip it."""
+    import shutil
+
+    from alternating_least_squares_spark.streaming.events import (
+        incremental_file_ingest,
+    )
+
+    base = _scratch_path(
+        "alternating_ls_st09", sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    import os
+
+    src, sink, ckpt = (
+        os.path.join(base, d) for d in ("src", "sink", "_ckpt")
+    )
+    hour_ns = 3_600_000_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts_ns", "event_type", "value"
+    )
+    wave1 = ev.filter(F.col("event_id") % 2 == 0)
+    wave2 = ev.filter(F.col("event_id") % 2 == 1)
+    n_wave2 = wave2.count()
+    schema = wave1.schema
+
+    wave1.write.mode("overwrite").parquet(src)
+    n_run1 = incremental_file_ingest(spark, src, sink, ckpt, schema)
+    # wave 2 arrives: APPEND new files into the same landing dir
+    wave2.write.mode("append").parquet(src)
+    n_run2 = incremental_file_ingest(spark, src, sink, ckpt, schema)
+
+    ok = n_run2 == n_wave2 and n_run1 + n_run2 == n_wave2 + wave1.count()
+    ingested = spark.read.parquet(sink)
+    return ingested.groupBy(
+        F.expr(_floor_div("ts_ns", hour_ns)).alias("hour_bucket")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,10)")).cast("double"), 6
+        ).alias("total_value"),
+        F.max(F.lit(bool(ok))).alias("incremental"),
+    )
+
+
+SQL_ST09 = f"""
+SELECT {_floor_div_duck('epoch_ns(ts)', 3_600_000_000_000)} AS hour_bucket,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6)
+         AS total_value,
+       TRUE AS incremental
+FROM events GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal columns
 
@@ -5278,6 +5340,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "st06_stream_stream_join": (q_st06_stream_stream_join, SQL_ST06),
     "st07_stream_hopping": (q_st07_stream_hopping, SQL_ST07),
     "st08_stream_snapshot_sink": (q_st08_stream_snapshot_sink, SQL_ST08),
+    "st09_incremental_ingest": (q_st09_incremental_ingest, SQL_ST09),
     "mm01_media_features": (q_mm01_media_features, SQL_MM01),
     "mm02_frame_sample": (q_mm02_frame_sample, SQL_MM02),
     "mm03_arrow_features": (q_mm03_arrow_features, SQL_MM03),
@@ -5310,19 +5373,20 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # generic converge, w06/st07 hopping windows, ac01-04 table format,
 # c16 SCD2, e08 OHLC, x12 salted join, s06 IVF-PQ) plus the oracled
 # tails (h/t/w/g/x/st/mm/e/b families) — lifting cumulative official
-# coverage to 109/151. Entries not in any prefix yet (x04, mm03, w03,
-# w04, w05, g02, g03, b05, m02/m03, h02-h22 tail) rotate in round 5;
-# all are covered by
+# coverage to 109/152. Entries not in any prefix yet (x04, mm03, w03,
+# w04, w05, g02, g03, b05, e06, m02/m03, h02-h22 tail) rotate in
+# round 5; all are covered by
 # pytest + tools/oracle_check.py (the full local replica of this gate).
 _PREFIX = [
     # new this round
     "a21_converge_coordinate", "w06_hopping_batch", "st07_stream_hopping",
     "c16_scd2", "e08_ohlc_bars", "ac04_compact_files", "x12_salted_join",
     "s06_pq_topk", "j03_interval_overlap", "g06_histogram", "ac05_vacuum",
+    "st09_incremental_ingest",
     # IO roundtrips
     "b04_orc_roundtrip",
-    # events / time-series tails
-    "e06_funnel", "e07_cohort_retention",
+    # events / time-series tails (e06 rotates round 5)
+    "e07_cohort_retention",
     # window functions (w05/w06 share F.window with st01/st07 — w05
     # rotates round 5)
     "w01_running_total", "w02_rank_dense_lag",

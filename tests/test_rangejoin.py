@@ -78,3 +78,39 @@ def test_overlap_join_negative_domain(spark):
         ).collect()
     )
     assert got == [(1, 10), (2, 11)]
+
+
+from hypothesis import given, settings, strategies as st
+
+interval_set = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),
+        st.integers(min_value=0, max_value=30),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(a=interval_set, b=interval_set, w=st.integers(min_value=1, max_value=13))
+def test_overlap_join_matches_brute_force(spark, a, b, w):
+    """Any interval sets, any bin width: the binned join must produce
+    EXACTLY the brute-force overlap pairs, each exactly once."""
+    a_rows = [(i, s, s + d) for i, (s, d) in enumerate(a)]
+    b_rows = [(i, s, s + d) for i, (s, d) in enumerate(b)]
+    want = sorted(
+        (ai, bi)
+        for ai, as_, ae in a_rows
+        for bi, bs, be in b_rows
+        if as_ <= be and bs <= ae
+    )
+    adf = spark.createDataFrame(a_rows, "a_id long, a_start long, a_end long")
+    bdf = spark.createDataFrame(b_rows, "b_id long, b_start long, b_end long")
+    got = sorted(
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_join(
+            adf, bdf, "a_start", "a_end", "b_start", "b_end", bin_width=w
+        ).collect()
+    )
+    assert got == want

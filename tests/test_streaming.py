@@ -464,3 +464,28 @@ def test_stream_snapshot_sink_incremental_merge(spark, tmp_path):
         for r in SN.read_snapshot(spark, table_path, 0).collect()
     }
     assert v0 == {1: 1, 2: 1}
+
+
+def test_incremental_ingest_ledger_processes_only_new_files(spark, tmp_path):
+    """Run 1 ingests wave 1; run 2 (same checkpoint) must ingest
+    EXACTLY the newly-arrived files; run 3 with nothing new ingests 0."""
+    import os
+
+    from alternating_least_squares_spark.streaming.events import (
+        incremental_file_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    w1 = spark.range(0, 40).selectExpr("id", "id * 2 AS v")
+    w2 = spark.range(40, 65).selectExpr("id", "id * 2 AS v")
+    schema = w1.schema
+
+    w1.write.mode("overwrite").parquet(src)
+    assert incremental_file_ingest(spark, src, sink, ckpt, schema) == 40
+    w2.write.mode("append").parquet(src)
+    assert incremental_file_ingest(spark, src, sink, ckpt, schema) == 25
+    assert incremental_file_ingest(spark, src, sink, ckpt, schema) == 0
+    got = {r["id"] for r in spark.read.parquet(sink).collect()}
+    assert got == set(range(65))
