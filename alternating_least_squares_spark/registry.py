@@ -1265,6 +1265,44 @@ WHERE (o_orderkey % 4 != 0 OR o_orderkey % 8 <= 1)
 """
 
 
+def q_ac06_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution on the snapshot table (Delta
+    ``mergeSchema`` semantics): v0 is created with three columns, a
+    later append carries a new ``channel`` column with
+    ``merge_schema=True``, and the LATEST read projects the
+    pre-evolution files' missing column as NULL — the manifest schema,
+    not the file footers, defines what a version looks like. The
+    oracle reconstructs the union (old rows with NULL channel, new
+    rows with the literal), so the hash proves both the NULL
+    projection and that old files were never rewritten to evolve."""
+    import shutil
+
+    from alternating_least_squares_spark.sources import snapshot as SN
+
+    path = _scratch_path(
+        "alternating_ls_snapshot_ac06", sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 6).alias("price")
+    )
+    SN.create_table(
+        orders.filter(F.col("o_orderkey") % 4 != 0), path, key="o_orderkey"
+    )
+    newcomers = orders.filter(F.col("o_orderkey") % 4 == 0).withColumn(
+        "channel", F.lit("web")
+    )
+    SN.append(newcomers, path, merge_schema=True)
+    return SN.read_snapshot(spark, path)
+
+
+SQL_AC06 = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS price,
+       CASE WHEN o_orderkey % 4 = 0 THEN 'web' END AS channel
+FROM orders
+"""
+
+
 def q_c02_filter_nonzero(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return Rel.filter_nonzero(li, "l_discount").select(
@@ -5271,6 +5309,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "c16_scd2": (q_c16_scd2, SQL_C16),
     "ac04_compact_files": (q_ac04_compact_files, SQL_AC04),
     "ac05_vacuum": (q_ac05_vacuum, SQL_AC05),
+    "ac06_schema_evolution": (q_ac06_schema_evolution, SQL_AC06),
     "x12_salted_join": (q_x12_salted_join, SQL_X12),
     "x05_python_udtf": (q_x05_python_udtf, SQL_X05),
     "h01_pricing_summary": (q_h01_pricing_summary, SQL_H01),
@@ -5373,8 +5412,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # generic converge, w06/st07 hopping windows, ac01-04 table format,
 # c16 SCD2, e08 OHLC, x12 salted join, s06 IVF-PQ) plus the oracled
 # tails (h/t/w/g/x/st/mm/e/b families) — lifting cumulative official
-# coverage to 109/152. Entries not in any prefix yet (x04, mm03, w03,
-# w04, w05, g02, g03, b05, e06, m02/m03, h02-h22 tail) rotate in
+# coverage to 109/153. Entries not in any prefix yet (x04, mm03, w03,
+# w04, w05, g01, g02, g03, b05, e06, m02/m03, h02-h22 tail) rotate in
 # round 5; all are covered by
 # pytest + tools/oracle_check.py (the full local replica of this gate).
 _PREFIX = [
@@ -5382,7 +5421,7 @@ _PREFIX = [
     "a21_converge_coordinate", "w06_hopping_batch", "st07_stream_hopping",
     "c16_scd2", "e08_ohlc_bars", "ac04_compact_files", "x12_salted_join",
     "s06_pq_topk", "j03_interval_overlap", "g06_histogram", "ac05_vacuum",
-    "st09_incremental_ingest",
+    "st09_incremental_ingest", "ac06_schema_evolution",
     # IO roundtrips
     "b04_orc_roundtrip",
     # events / time-series tails (e06 rotates round 5)
@@ -5390,8 +5429,7 @@ _PREFIX = [
     # window functions (w05/w06 share F.window with st01/st07 — w05
     # rotates round 5)
     "w01_running_total", "w02_rank_dense_lag",
-    # grouping analytics
-    "g01_rollup",
+    # grouping analytics (g01-g03 rotate round 5; g06 covers the family)
     # shared SQL dialect + range join
     "sql01_shared_dialect", "j02_range_join",
     # streaming snapshot sink — round-4 code, wants its official row

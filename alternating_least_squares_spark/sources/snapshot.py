@@ -160,11 +160,28 @@ def history(path: str) -> list[dict]:
     return out
 
 
+def _manifest_schema(manifest: dict):
+    from pyspark.sql import types as T
+
+    return T.StructType.fromJson(json.loads(manifest["schema"]))
+
+
+def _schema_fields(schema) -> dict[str, str]:
+    return {f.name: f.dataType.simpleString() for f in schema.fields}
+
+
 def read_snapshot(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
     """Read a version (default: latest). Time travel = pass an older
-    version; its files are immutable so the result is stable forever."""
+    version; its files are immutable so the result is stable forever.
+
+    The read always applies the MANIFEST's schema, not the files'
+    merged footer schemas: after an additive schema evolution
+    (:func:`append` with ``merge_schema=True``), files written before
+    the evolution lack the new columns and project them as NULL — the
+    manifest is the single source of truth for what a version looks
+    like (the Delta/Iceberg contract)."""
     versions = _list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no snapshot table at {path}")
@@ -174,25 +191,30 @@ def read_snapshot(
         raise ValueError(f"version {version} not in {versions}")
     m = _read_manifest(path, version)
     paths = [f["path"] for f in m["files"]]
+    schema = _manifest_schema(m)
     if not paths:
         # a legitimately-empty version (delete-all, empty create):
         # readable as an empty frame with the manifest's schema
-        from pyspark.sql import types as T
-
-        return spark.createDataFrame(
-            [], T.StructType.fromJson(json.loads(m["schema"]))
-        )
-    return spark.read.parquet(*paths)
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
 
 
 def append(
     df: DataFrame, path: str, key: str | None = None,
-    extra: dict | None = None,
+    extra: dict | None = None, merge_schema: bool = False,
 ) -> int:
     """New version = previous files + newly written files (no rewrite).
     ``key`` may only restate the table's key: carried-over files hold
     stats computed on the ORIGINAL key, so changing it would hand
-    MERGE mismatched pruning ranges (silent wrong results)."""
+    MERGE mismatched pruning ranges (silent wrong results).
+
+    Schema discipline: by default ``df`` must match the table schema
+    exactly (a silent mismatch would poison every later read). With
+    ``merge_schema=True``, ADDITIVE evolution is allowed — ``df`` may
+    carry new columns on top of every existing one; the manifest's
+    schema gains them and files written before the evolution project
+    the new columns as NULL on read (Delta ``mergeSchema`` semantics).
+    Dropping or retyping columns is never allowed — rewrite the table."""
     versions = _list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no snapshot table at {path}")
@@ -203,13 +225,38 @@ def append(
             "file stats are per-table-key; rewrite the table to re-key"
         )
     key = prev["key"]
+    table_fields = _schema_fields(_manifest_schema(prev))
+    new_fields = _schema_fields(df.schema)
+    missing = {
+        n: t for n, t in table_fields.items() if new_fields.get(n) != t
+    }
+    added = {n: t for n, t in new_fields.items() if n not in table_fields}
+    if missing:
+        raise ValueError(
+            f"append: dataframe is missing/retypes table column(s) "
+            f"{sorted(missing)} — only additive evolution is supported"
+        )
+    if added and not merge_schema:
+        raise ValueError(
+            f"append: dataframe adds column(s) {sorted(added)}; pass "
+            "merge_schema=True to evolve the table schema additively"
+        )
+    schema_json = prev["schema"]
+    if added:
+        # evolve: existing fields keep their order; new ones follow in
+        # the dataframe's order
+        evolved = _manifest_schema(prev)
+        for f in df.schema.fields:
+            if f.name in added:
+                evolved = evolved.add(f)
+        schema_json = evolved.json()
     files = _write_data_files(df, path, key)
     version = versions[-1] + 1
     _commit(
         path,
         version,
         {"version": version, "operation": "append", "key": key,
-         "schema": prev["schema"], "files": prev["files"] + files,
+         "schema": schema_json, "files": prev["files"] + files,
          **(extra or {})},
     )
     return version
@@ -234,6 +281,15 @@ def merge_upsert(
         raise FileNotFoundError(f"no snapshot table at {path}")
     prev = _read_manifest(path, versions[-1])
     key = prev["key"]
+    if _schema_fields(updates.schema) != _schema_fields(
+        _manifest_schema(prev)
+    ):
+        raise ValueError(
+            "merge_upsert: updates schema "
+            f"{sorted(_schema_fields(updates.schema).items())} != table "
+            f"schema {sorted(_schema_fields(_manifest_schema(prev)).items())}"
+            " — evolve via append(merge_schema=True) first, then merge"
+        )
     # one tiny aggregate prices key bounds AND the two MERGE
     # preconditions: no NULL keys (an equi-upsert cannot address them
     # — rejecting loudly beats the silent drop/insert asymmetry), and
@@ -269,7 +325,12 @@ def merge_upsert(
         ]
         untouched = [f for f in prev["files"] if f not in touched]
         if touched:
-            old = spark.read.parquet(*[f["path"] for f in touched])
+            # manifest schema, not footer merge: pre-evolution files
+            # lack evolved columns and must project them as NULL here
+            # exactly as they do on read
+            old = spark.read.schema(_manifest_schema(prev)).parquet(
+                *[f["path"] for f in touched]
+            )
             keep = old.join(updates.select(key).distinct(), key, "left_anti")
             rewritten = keep.unionByName(updates)
         else:
@@ -305,9 +366,10 @@ def delete_where(path: str, predicate: str, spark: SparkSession) -> int:
         raise FileNotFoundError(f"no snapshot table at {path}")
     prev = _read_manifest(path, versions[-1])
     all_paths = [f["path"] for f in prev["files"]]
+    schema = _manifest_schema(prev)
     hit_paths = {
         _local_path(r["p"])
-        for r in spark.read.parquet(*all_paths)
+        for r in spark.read.schema(schema).parquet(*all_paths)
         .filter(predicate)
         .select(F.input_file_name().alias("p"))
         .distinct()
@@ -320,9 +382,9 @@ def delete_where(path: str, predicate: str, spark: SparkSession) -> int:
         # keep rows where the predicate is NOT TRUE: SQL DELETE removes
         # only TRUE matches, so a NULL-valued predicate must KEEP the
         # row — a bare NOT(pred) filter would silently drop it
-        kept = spark.read.parquet(*[f["path"] for f in touched]).filter(
-            ~F.coalesce(F.expr(predicate), F.lit(False))
-        )
+        kept = spark.read.schema(schema).parquet(
+            *[f["path"] for f in touched]
+        ).filter(~F.coalesce(F.expr(predicate), F.lit(False)))
         if kept.limit(1).count():
             new_files = _write_data_files(kept, path, prev["key"])
     version = versions[-1] + 1

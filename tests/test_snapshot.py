@@ -391,3 +391,51 @@ def test_vacuum_age_guard_spares_fresh_inflight_commit_dir(
     # without the window it is debris and goes
     SN.vacuum(path, keep_last=1)
     assert not os.path.exists(os.path.join(path, "data", "inflight"))
+
+
+def test_append_schema_discipline_and_evolution(spark, base, tmp_path):
+    """Exact-match by default; merge_schema=True allows additions only;
+    dropping/retyping always refuses; pre-evolution files project the
+    new column as NULL; time travel keeps the OLD schema."""
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    extra = spark.createDataFrame([(200, 1, "web")], "k long, v long, ch string")
+    with pytest.raises(ValueError, match="merge_schema"):
+        SN.append(extra, path)
+    with pytest.raises(ValueError, match="additive"):
+        SN.append(spark.createDataFrame([(1,)], "k long"), path,
+                  merge_schema=True)
+    v = SN.append(extra, path, merge_schema=True)
+    assert v == 1
+    latest = SN.read_snapshot(spark, path)
+    assert latest.columns == ["k", "v", "ch"]
+    got = {r["k"]: r["ch"] for r in latest.collect()}
+    assert got[200] == "web" and got[0] is None and len(got) == 101
+    # v0 still reads with its ORIGINAL 2-column schema
+    assert SN.read_snapshot(spark, path, version=0).columns == ["k", "v"]
+
+
+def test_merge_respects_evolved_schema(spark, base, tmp_path):
+    """After evolution, merges must carry the FULL evolved schema (a
+    short-schema merge is refused loudly), and rewriting a
+    pre-evolution file projects NULL for the evolved column of its
+    untouched rows."""
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    SN.append(
+        spark.createDataFrame([(200, 1, "web")], "k long, v long, ch string"),
+        path,
+        merge_schema=True,
+    )
+    with pytest.raises(ValueError, match="schema"):
+        SN.merge_upsert(
+            spark.createDataFrame([(10, -1)], "k long, v long"), path
+        )
+    SN.merge_upsert(
+        spark.createDataFrame([(10, -1, "app")], "k long, v long, ch string"),
+        path,
+    )
+    got = {r["k"]: (r["v"], r["ch"]) for r in SN.read_snapshot(spark, path).collect()}
+    assert got[10] == (-1, "app")
+    assert got[11] == (110, None)  # same file rewritten, NULL projected
+    assert got[200] == (1, "web")
