@@ -243,12 +243,17 @@ def append(
         )
     schema_json = prev["schema"]
     if added:
+        from pyspark.sql import types as T
+
         # evolve: existing fields keep their order; new ones follow in
-        # the dataframe's order
+        # the dataframe's order — and are ALWAYS nullable, whatever the
+        # appended frame claims (every pre-evolution row projects NULL
+        # for them, so a NOT NULL manifest field would assert a false
+        # invariant forever; Delta adds evolved columns nullable too)
         evolved = _manifest_schema(prev)
         for f in df.schema.fields:
             if f.name in added:
-                evolved = evolved.add(f)
+                evolved = evolved.add(T.StructField(f.name, f.dataType, True))
         schema_json = evolved.json()
     files = _write_data_files(df, path, key)
     version = versions[-1] + 1

@@ -327,31 +327,27 @@ def incremental_file_ingest(
     at 100 TB the alternative (re-scanning the landing zone and
     anti-joining against the warehouse) costs a full table read per
     run; the streaming checkpoint makes arrival tracking O(new files)
-    and survives process restarts. The plain append sink here is
-    at-least-once under a mid-batch crash; pair with the snapshot
-    MERGE sink (:func:`stream_upsert_profiles_to_snapshot`,
+    and survives process restarts. The per-run row count accumulates
+    inside the batch callback (the count re-reads only that batch's
+    files — O(new files), never a scan of the sink). The plain append
+    sink here is at-least-once under a mid-batch crash; pair with the
+    snapshot MERGE sink (:func:`stream_upsert_profiles_to_snapshot`,
     batch_id-idempotent) when exactly-once matters."""
-    before = _count_parquet_rows(spark, sink_dir)
+    ingested: list[int] = []
+
+    def _append(batch_df: DataFrame, _bid: int) -> None:
+        batch_df.write.mode("append").parquet(sink_dir)
+        ingested.append(batch_df.count())
+
     stream = spark.readStream.schema(schema).parquet(src_dir)
     query = (
-        stream.writeStream.foreachBatch(
-            lambda batch_df, _bid: batch_df.write.mode("append").parquet(
-                sink_dir
-            )
-        )
+        stream.writeStream.foreachBatch(_append)
         .trigger(availableNow=True)
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
     query.awaitTermination()
-    return _count_parquet_rows(spark, sink_dir) - before
-
-
-def _count_parquet_rows(spark: SparkSession, path: str) -> int:
-    try:
-        return spark.read.parquet(path).count()
-    except Exception:
-        return 0  # sink not created yet (first run)
+    return sum(ingested)
 
 
 def run_stream_to_batch(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:

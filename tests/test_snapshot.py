@@ -409,6 +409,9 @@ def test_append_schema_discipline_and_evolution(spark, base, tmp_path):
     assert v == 1
     latest = SN.read_snapshot(spark, path)
     assert latest.columns == ["k", "v", "ch"]
+    # evolved column must be nullable in the manifest, whatever the
+    # appended frame claimed (lit() columns come in non-nullable)
+    assert latest.schema["ch"].nullable
     got = {r["k"]: r["ch"] for r in latest.collect()}
     assert got[200] == "web" and got[0] is None and len(got) == 101
     # v0 still reads with its ORIGINAL 2-column schema
