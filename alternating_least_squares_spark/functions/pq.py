@@ -22,8 +22,12 @@ per-row path):
    literal arrays — no broadcast exchange, no shuffle.
 2. **encode** — one narrow pass: each corpus vector becomes
    ``codes[m]``, the per-subspace argmin-distance centroid index.
-3. **probe** — coarse IVF (reused from :mod:`.ivf`): each query joins
-   only its ``n_probe`` nearest inverted lists.
+3. **probe** — coarse IVF with LITERAL centroids (trained by the same
+   driver-side Lloyd loop): list assignment and query probing are
+   argmin/top-n expressions over inlined centroid arrays — pure
+   codegen, no model broadcast, no nested-loop join anywhere in the
+   plan (:mod:`.ivf` keeps the MLlib KMeans variant as the s03
+   surface).
 4. **ADC scan** — per query, a lookup table
    ``lut[i*k_sub+j] = <q_i, c_ij>`` (``m*k_sub`` doubles, built once
    per query by the same literal-codebook expressions); a candidate's
@@ -44,11 +48,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from alternating_least_squares_spark.functions.ivf import (
-    assign_lists,
-    probe_lists,
-    train_centroids,
-)
 from alternating_least_squares_spark.functions.similarity import cosine
 
 Codebooks = list[list[list[float]]]  # [m][k_sub][dim/m]
@@ -62,22 +61,39 @@ def _sub(vec: Column, i: int, d_sub: int) -> Column:
 
 
 def _lit_vec(values: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in values])
+    # ONE ArrayType Literal node, not len(values) scalar Literals
+    return F.lit([float(v) for v in values])
 
 
-def _sq_dist(sub: Column, centroid: list[float]) -> Column:
-    return F.aggregate(
-        F.zip_with(sub, _lit_vec(centroid), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _lit_mat(centroids: list[list[float]]) -> Column:
+    return F.array(*[_lit_vec(c) for c in centroids])
+
+
+def _dists_to(sub: Column, centroids: list[list[float]]) -> Column:
+    """array<double>: squared distance from ``sub`` to EVERY centroid,
+    via one ``transform`` over a 2-D centroid literal. One lambda trio
+    per call site regardless of k — building a per-centroid aggregate
+    each (k x 3 lambdas) made driver-side plan CONSTRUCTION, not
+    execution, the dominant cost of the whole query."""
+    return F.transform(
+        _lit_mat(centroids),
+        lambda c: F.aggregate(
+            F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
     )
 
 
-def _dot(sub: Column, centroid: list[float]) -> Column:
-    return F.aggregate(
-        F.zip_with(sub, _lit_vec(centroid), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _dots_to(sub: Column, centroids: list[list[float]]) -> Column:
+    """array<double>: inner product of ``sub`` with every centroid."""
+    return F.transform(
+        _lit_mat(centroids),
+        lambda c: F.aggregate(
+            F.zip_with(sub, c, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
     )
 
 
@@ -124,40 +140,122 @@ def train_pq_codebooks(
     if x.size == 0:
         raise ValueError("train_pq_codebooks: empty training set")
     rng = np.random.default_rng(seed)
-    books: Codebooks = []
-    for i in range(m):
-        xs = x[:, i * d_sub : (i + 1) * d_sub]
-        k_eff = min(k_sub, xs.shape[0])
-        # k-means++ seeding: each next center drawn ∝ distance² to the
-        # nearest chosen one — the standard fix for random-init's poor
-        # quantization (Arthur & Vassilvitskii 2007). Driver-side cost
-        # is k_eff passes over ≤ max_train_rows rows: negligible.
-        first = int(rng.integers(xs.shape[0]))
-        chosen = [first]
-        d2min = ((xs - xs[first]) ** 2).sum(axis=1)
-        for _ in range(1, k_eff):
-            total = float(d2min.sum())
-            if total <= 0.0:
-                nxt = int(rng.integers(xs.shape[0]))
-            else:
-                nxt = int(rng.choice(xs.shape[0], p=d2min / total))
-            chosen.append(nxt)
-            d2min = np.minimum(d2min, ((xs - xs[nxt]) ** 2).sum(axis=1))
-        cents = xs[chosen].copy()
-        for _ in range(max_iter):
-            # squared-distance assign + mean update (plain Lloyd)
-            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for j in range(k_eff):
-                mask = assign == j
-                if mask.any():
-                    cents[j] = xs[mask].mean(axis=0)
-        if k_eff < k_sub:
-            # degenerate tiny corpus: pad with repeats — argmin ties
-            # resolve to the lowest index, so padding never wins
-            cents = np.vstack([cents] + [cents[:1]] * (k_sub - k_eff))
-        books.append([[float(v) for v in c] for c in cents])
-    return books
+    return [
+        _lloyd(x[:, i * d_sub : (i + 1) * d_sub], k_sub, rng, max_iter)
+        for i in range(m)
+    ]
+
+
+def _lloyd(xs, k: int, rng, max_iter: int) -> list[list[float]]:
+    """Driver-side k-means++ + Lloyd on an in-memory sample.
+
+    k-means++ seeding: each next center drawn ∝ distance² to the
+    nearest chosen one — the standard fix for random-init's poor
+    quantization (Arthur & Vassilvitskii 2007). Driver-side cost is
+    k passes over ≤ MAX_TRAIN_ROWS rows: negligible. A corpus smaller
+    than k pads with repeats — argmin ties resolve to the lowest
+    index, so padding never wins."""
+    import numpy as np
+
+    k_eff = min(k, xs.shape[0])
+    first = int(rng.integers(xs.shape[0]))
+    chosen = [first]
+    d2min = ((xs - xs[first]) ** 2).sum(axis=1)
+    for _ in range(1, k_eff):
+        total = float(d2min.sum())
+        if total <= 0.0:
+            nxt = int(rng.integers(xs.shape[0]))
+        else:
+            nxt = int(rng.choice(xs.shape[0], p=d2min / total))
+        chosen.append(nxt)
+        d2min = np.minimum(d2min, ((xs - xs[nxt]) ** 2).sum(axis=1))
+    cents = xs[chosen].copy()
+    for _ in range(max_iter):
+        # squared-distance assign + mean update (plain Lloyd)
+        d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k_eff):
+            mask = assign == j
+            if mask.any():
+                cents[j] = xs[mask].mean(axis=0)
+    if k_eff < k:
+        cents = np.vstack([cents] + [cents[:1]] * (k - k_eff))
+    return [[float(v) for v in c] for c in cents]
+
+
+def train_coarse_centroids(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    id_col: str | None = None,
+    max_train_rows: int = MAX_TRAIN_ROWS,
+    max_iter: int = 15,
+) -> list[list[float]]:
+    """Full-dimension coarse-quantizer centroids via the same bounded
+    driver-side Lloyd loop as the codebooks — returned as plain lists
+    so the assign/probe expressions inline them as literals (no MLlib
+    model, no broadcast, no nested-loop join in the plan)."""
+    import numpy as np
+
+    if id_col is not None:
+        train = emb.orderBy(id_col).limit(max_train_rows)
+    else:
+        train = emb.limit(max_train_rows)
+    x = np.array(
+        [
+            r["_v"]
+            for r in train.select(
+                F.col(vec_col).cast("array<double>").alias("_v")
+            ).collect()
+        ],
+        dtype=np.float64,
+    )
+    if x.size == 0:
+        raise ValueError("train_coarse_centroids: empty training set")
+    return _lloyd(x, n_centroids, np.random.default_rng(seed), max_iter)
+
+
+def _full_dists(vec: Column, centroids: list[list[float]]) -> Column:
+    return _dists_to(F.transform(vec, lambda x: x.cast("double")), centroids)
+
+
+def assign_lists_lit(
+    df: DataFrame, centroids: list[list[float]], vec_col: str
+) -> DataFrame:
+    """Append ``list_id`` = nearest literal centroid. Narrow codegen
+    (argmin over an inlined distance array), ties to lowest index."""
+    d = _full_dists(F.col(vec_col), centroids)
+    return df.withColumn(
+        "list_id", (F.array_position(d, F.array_min(d)) - 1).cast("int")
+    )
+
+
+def probe_lists_lit(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    n_probe: int,
+) -> DataFrame:
+    """(query_id, list_id, _q) for each query's ``n_probe`` nearest
+    lists: sort an inlined (distance, id) struct array, slice, explode
+    — per-row codegen, no join against a centroid table at all."""
+    d = _full_dists(F.col(vec_col), centroids)
+    ranked = F.array_sort(
+        F.zip_with(
+            d,
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda dist, i: F.struct(
+                dist.alias("d"), i.cast("int").alias("list_id")
+            ),
+        )
+    )
+    return queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_q"),
+        F.explode(F.slice(ranked, 1, n_probe)).alias("_probe"),
+    ).select("query_id", F.col("_probe.list_id").alias("list_id"), "_q")
 
 
 def encode_pq(
@@ -178,8 +276,7 @@ def encode_pq(
     d_sub = len(codebooks[0][0])
     code_cols = []
     for i in range(m):
-        sub = _sub(F.col(vec_col), i, d_sub)
-        dists = F.array(*[_sq_dist(sub, codebooks[i][j]) for j in range(k_sub)])
+        dists = _dists_to(_sub(F.col(vec_col), i, d_sub), codebooks[i])
         code_cols.append(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         )
@@ -200,15 +297,19 @@ def query_lut(
     ``_lut[i*k_sub + j] = <q_i, c_ij>`` — the ADC lookup table, one
     flat literal-codebook expression per query row."""
     m = len(codebooks)
-    k_sub = len(codebooks[0])
     d_sub = len(codebooks[0][0])
-    entries = []
-    for i in range(m):
-        sub = _sub(F.col(vec_col), i, d_sub)
-        for j in range(k_sub):
-            entries.append(_dot(sub, codebooks[i][j]))
+    # flatten of per-subspace dot arrays lands exactly at the
+    # lut[i*k_sub + j] layout adc_score indexes into
+    lut = F.flatten(
+        F.array(
+            *[
+                _dots_to(_sub(F.col(vec_col), i, d_sub), codebooks[i])
+                for i in range(m)
+            ]
+        )
+    )
     return queries.select(
-        F.col(id_col).alias("query_id"), F.array(*entries).alias("_lut")
+        F.col(id_col).alias("query_id"), lut.alias("_lut")
     )
 
 
@@ -248,13 +349,13 @@ def ivf_pq_topk(
     :func:`~alternating_least_squares_spark.functions.ivf.ivf_topk`,
     so recall is directly comparable. Reported cosines are EXACT
     (approximation only prunes candidates, never fabricates scores)."""
-    coarse = train_centroids(emb, vec_col, n_centroids, seed)
+    coarse = train_coarse_centroids(emb, vec_col, n_centroids, seed, id_col)
     books = train_pq_codebooks(emb, vec_col, dim, m, k_sub, seed, id_col)
 
     full = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_e")
     )
-    corpus = assign_lists(full, coarse, "_e")
+    corpus = assign_lists_lit(full, coarse, "_e")
     # The candidate stream carries ONLY (list_id, neighbor_id, codes),
     # built in ONE narrow projection over the assigned corpus: this is
     # the memory win — full vectors stay behind until the rerank join.
@@ -262,7 +363,7 @@ def ivf_pq_topk(
         corpus, books, "neighbor_id", "_e", keep=("list_id",)
     )
 
-    probes = probe_lists(queries, coarse, id_col, vec_col, n_probe)
+    probes = probe_lists_lit(queries, coarse, id_col, vec_col, n_probe)
     luts = query_lut(queries, books, id_col, vec_col)
     # (query_id, neighbor_id) pairs are unique by construction: each
     # corpus vector lives in exactly ONE inverted list and probe_lists

@@ -189,11 +189,9 @@ def test_ohlc_bars_single_exchange(spark):
 
 def test_pq_candidate_scoring_never_all_pairs(spark):
     """s06's ADC scan must ride the probe equi-join (as IVF-Flat) —
-    no cartesian/nested-loop anywhere in the PQ path."""
+    no cartesian/nested-loop ANYWHERE: centroids are inlined literals
+    (assign/probe are narrow expressions, not joins), so even the
+    centroid table join s03 carries is gone here."""
     plan = _plan(spark, "s06_pq_topk")
     assert "CartesianProduct" not in plan
-    # The single allowed nested-loop is probe_lists' centroid
-    # crossJoin (n_centroids broadcast rows against the query side);
-    # a second one would mean a corpus-sized side slipped under a
-    # nested loop.
-    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
