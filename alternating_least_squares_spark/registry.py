@@ -732,6 +732,71 @@ def q_b05_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_B05 = SQL_B01
 
 
+def q_b06_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record CSV ingestion — the PERMISSIVE +
+    columnNameOfCorruptRecord contract every landing-zone reader
+    needs: corruption is PLANTED by a deterministic rule (rows with
+    l_orderkey % 97 == 0 get a non-numeric quantity), the file is
+    re-read permissively, and the output accounts every row as good
+    (parsed, aggregated) or bad (quarantined via the corrupt-record
+    column). The oracle recomputes both populations from the CLEAN
+    source table, so the hash proves the reader dropped nothing,
+    quarantined exactly the planted rows, and parsed the rest
+    losslessly. At 100 TB this is one narrow pass; FAILFAST would
+    abort the job on one bad line and DROPMALFORMED would silently
+    lose data — the quarantine column is the scalable posture."""
+    import os
+
+    path = _scratch_path("alternating_ls_b06", "lineitem_dirty")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    dirty = li.select(
+        F.concat_ws(
+            ",",
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+            F.when(F.col("l_orderkey") % 97 == 0, F.lit("oops")).otherwise(
+                F.col("l_quantity").cast("string")
+            ),
+        ).alias("value")
+    )
+    dirty.write.mode("overwrite").text(path)
+    schema = (
+        "l_orderkey long, l_linenumber int, l_quantity double, "
+        "_corrupt string"
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    return parsed.agg(
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_corrupt").isNotNull(), 1)).alias("n_bad"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("_corrupt").isNull(),
+                    F.col("l_quantity").cast("decimal(38,10)"),
+                )
+            ).cast("double"),
+            6,
+        ).alias("sum_qty_good"),
+    )
+
+
+SQL_B06 = """
+SELECT COUNT(*) FILTER (WHERE l_orderkey % 97 != 0) AS n_good,
+       COUNT(*) FILTER (WHERE l_orderkey % 97 = 0) AS n_bad,
+       round(CAST(SUM(CASE WHEN l_orderkey % 97 != 0
+                           THEN CAST(l_quantity AS DECIMAL(38,10)) END)
+                  AS DOUBLE), 6) AS sum_qty_good
+FROM lineitem
+"""
+
+
 def q_x08_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase aggregation (operators/skew.salted_agg):
     lineitem grouped by l_returnflag — 3 keys over ~600k rows at
@@ -5274,6 +5339,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "b01_b02_csv_roundtrip": (q_b01_b02_csv_roundtrip, SQL_B01),
     "b04_orc_roundtrip": (q_b04_orc_roundtrip, SQL_B04),
     "b05_jsonl_roundtrip": (q_b05_jsonl_roundtrip, SQL_B05),
+    "b06_corrupt_records": (q_b06_corrupt_records, SQL_B06),
     "c02_filter_nonzero": (q_c02_filter_nonzero, SQL_C02),
     "c04_micros_to_currency": (q_c04_micros, SQL_C04),
     "c05_anti_join": (q_c05_anti_join, SQL_C05),
@@ -5412,9 +5478,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # generic converge, w06/st07 hopping windows, ac01-04 table format,
 # c16 SCD2, e08 OHLC, x12 salted join, s06 IVF-PQ) plus the oracled
 # tails (h/t/w/g/x/st/mm/e/b families) — lifting cumulative official
-# coverage to 109/153. Entries not in any prefix yet (x04, mm03, w03,
-# w04, w05, g01, g02, g03, b05, e06, m02/m03, h02-h22 tail) rotate in
-# round 5; all are covered by
+# coverage to 109/154. Entries not in any prefix yet (x04, mm03, w03,
+# w04, w05, g01, g02, g03, b04, b05, e06, m02/m03, h02-h22 tail)
+# rotate in round 5; all are covered by
 # pytest + tools/oracle_check.py (the full local replica of this gate).
 _PREFIX = [
     # new this round
@@ -5422,8 +5488,8 @@ _PREFIX = [
     "c16_scd2", "e08_ohlc_bars", "ac04_compact_files", "x12_salted_join",
     "s06_pq_topk", "j03_interval_overlap", "g06_histogram", "ac05_vacuum",
     "st09_incremental_ingest", "ac06_schema_evolution",
-    # IO roundtrips
-    "b04_orc_roundtrip",
+    "b06_corrupt_records",
+    # IO roundtrips (b04/b05 rotate round 5; b06 is new code)
     # events / time-series tails (e06 rotates round 5)
     "e07_cohort_retention",
     # window functions (w05/w06 share F.window with st01/st07 — w05
