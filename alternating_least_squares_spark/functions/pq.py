@@ -103,6 +103,31 @@ def _dots_to(sub: Column, centroids: list[list[float]]) -> Column:
 MAX_TRAIN_ROWS = 10_000
 
 
+def collect_train_sample(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str | None = None,
+    max_train_rows: int = MAX_TRAIN_ROWS,
+):
+    """One distributed fetch of the bounded training sample as a numpy
+    array — shared by the coarse quantizer and the codebooks so a
+    combined training pass pays ONE job, not one per trainer. Ordered
+    by ``id_col`` when given (TakeOrderedAndProject: per-partition
+    top-k + driver merge, never a full sort shuffle) for a
+    deterministic sample; arbitrary otherwise."""
+    import numpy as np
+
+    if id_col is not None:
+        train = emb.orderBy(id_col).limit(max_train_rows)
+    else:
+        train = emb.limit(max_train_rows)
+    train = train.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    x = np.array([r["_v"] for r in train.collect()], dtype=np.float64)
+    if x.size == 0:
+        raise ValueError("collect_train_sample: empty training set")
+    return x
+
+
 def train_pq_codebooks(
     emb: DataFrame,
     vec_col: str = "embedding",
@@ -113,48 +138,58 @@ def train_pq_codebooks(
     id_col: str | None = None,
     max_train_rows: int = MAX_TRAIN_ROWS,
     max_iter: int = 15,
+    sample=None,
 ) -> Codebooks:
     """Per-subspace codebooks via driver-side Lloyd iterations on a
     BOUNDED sample — the FAISS recipe (codebooks train on ~100k
     vectors in memory regardless of corpus size). One distributed
-    top-k fetch (``max_train_rows`` rows, ordered by ``id_col`` when
-    given for a deterministic sample, arbitrary otherwise) replaces m
+    sample fetch (or a caller-shared ``sample`` array) replaces m
     MLlib KMeans fits: each fit is a multi-job distributed program
     with seconds of fixed overhead, absurd for a 16x16-float
     codebook. Like the IVF coarse quantizer, codebooks only partition
     space — capped iterations, no convergence needed. Returns plain
-    nested lists so encode/LUT build can inline them as literals."""
+    nested lists so encode/LUT build can inline them as literals.
+
+    Codebooks are ALWAYS ``k_sub`` entries (padded with repeats on a
+    degenerate tiny sample): the LUT layout indexes ``i*k_sub + code``
+    so the stride must be exact; encode's argmin ties to the lowest
+    index, so padding never wins a code."""
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     import numpy as np
 
     d_sub = dim // m
-    if id_col is not None:
-        # TakeOrderedAndProject: per-partition top-k + driver merge,
-        # never a full sort shuffle.
-        train = emb.orderBy(id_col).limit(max_train_rows)
-    else:
-        train = emb.limit(max_train_rows)
-    train = train.select(F.col(vec_col).cast("array<double>").alias("_v"))
-    x = np.array([r["_v"] for r in train.collect()], dtype=np.float64)
-    if x.size == 0:
-        raise ValueError("train_pq_codebooks: empty training set")
+    x = (
+        sample
+        if sample is not None
+        else collect_train_sample(emb, vec_col, id_col, max_train_rows)
+    )
     rng = np.random.default_rng(seed)
     return [
-        _lloyd(x[:, i * d_sub : (i + 1) * d_sub], k_sub, rng, max_iter)
+        _lloyd(
+            x[:, i * d_sub : (i + 1) * d_sub], k_sub, rng, max_iter,
+            pad_to=k_sub,
+        )
         for i in range(m)
     ]
 
 
-def _lloyd(xs, k: int, rng, max_iter: int) -> list[list[float]]:
+def _lloyd(
+    xs, k: int, rng, max_iter: int, pad_to: int | None = None
+) -> list[list[float]]:
     """Driver-side k-means++ + Lloyd on an in-memory sample.
 
     k-means++ seeding: each next center drawn ∝ distance² to the
     nearest chosen one — the standard fix for random-init's poor
     quantization (Arthur & Vassilvitskii 2007). Driver-side cost is
-    k passes over ≤ MAX_TRAIN_ROWS rows: negligible. A corpus smaller
-    than k pads with repeats — argmin ties resolve to the lowest
-    index, so padding never wins."""
+    k passes over ≤ MAX_TRAIN_ROWS rows: negligible.
+
+    Returns min(k, |sample|) centroids; ``pad_to`` pads with repeats
+    of the first centroid up to that count — ONLY for consumers whose
+    indexing needs a fixed stride (the codebook LUT). Never pad a
+    probed structure: a padded duplicate ties the real centroid's
+    distance and can consume a probe slot that should have gone to a
+    real list."""
     import numpy as np
 
     k_eff = min(k, xs.shape[0])
@@ -178,8 +213,8 @@ def _lloyd(xs, k: int, rng, max_iter: int) -> list[list[float]]:
             mask = assign == j
             if mask.any():
                 cents[j] = xs[mask].mean(axis=0)
-    if k_eff < k:
-        cents = np.vstack([cents] + [cents[:1]] * (k - k_eff))
+    if pad_to is not None and k_eff < pad_to:
+        cents = np.vstack([cents] + [cents[:1]] * (pad_to - k_eff))
     return [[float(v) for v in c] for c in cents]
 
 
@@ -191,28 +226,23 @@ def train_coarse_centroids(
     id_col: str | None = None,
     max_train_rows: int = MAX_TRAIN_ROWS,
     max_iter: int = 15,
+    sample=None,
 ) -> list[list[float]]:
     """Full-dimension coarse-quantizer centroids via the same bounded
     driver-side Lloyd loop as the codebooks — returned as plain lists
     so the assign/probe expressions inline them as literals (no MLlib
-    model, no broadcast, no nested-loop join in the plan)."""
+    model, no broadcast, no nested-loop join in the plan). Returns
+    min(n_centroids, |sample|) centroids, UNPADDED: a padded duplicate
+    would tie a real centroid's distance in probe_lists_lit and steal
+    a probe slot from a real inverted list (nothing downstream needs a
+    fixed list count)."""
     import numpy as np
 
-    if id_col is not None:
-        train = emb.orderBy(id_col).limit(max_train_rows)
-    else:
-        train = emb.limit(max_train_rows)
-    x = np.array(
-        [
-            r["_v"]
-            for r in train.select(
-                F.col(vec_col).cast("array<double>").alias("_v")
-            ).collect()
-        ],
-        dtype=np.float64,
+    x = (
+        sample
+        if sample is not None
+        else collect_train_sample(emb, vec_col, id_col, max_train_rows)
     )
-    if x.size == 0:
-        raise ValueError("train_coarse_centroids: empty training set")
     return _lloyd(x, n_centroids, np.random.default_rng(seed), max_iter)
 
 
@@ -349,8 +379,15 @@ def ivf_pq_topk(
     :func:`~alternating_least_squares_spark.functions.ivf.ivf_topk`,
     so recall is directly comparable. Reported cosines are EXACT
     (approximation only prunes candidates, never fabricates scores)."""
-    coarse = train_coarse_centroids(emb, vec_col, n_centroids, seed, id_col)
-    books = train_pq_codebooks(emb, vec_col, dim, m, k_sub, seed, id_col)
+    # ONE sample fetch feeds both trainers (the collects were the
+    # dominant cost of the whole query before sharing)
+    x = collect_train_sample(emb, vec_col, id_col)
+    coarse = train_coarse_centroids(
+        emb, vec_col, n_centroids, seed, sample=x
+    )
+    books = train_pq_codebooks(
+        emb, vec_col, dim, m, k_sub, seed, sample=x
+    )
 
     full = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_e")

@@ -745,8 +745,6 @@ def q_b06_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     losslessly. At 100 TB this is one narrow pass; FAILFAST would
     abort the job on one bad line and DROPMALFORMED would silently
     lose data — the quarantine column is the scalable posture."""
-    import os
-
     path = _scratch_path("alternating_ls_b06", "lineitem_dirty")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity"

@@ -102,3 +102,22 @@ def test_ivf_pq_scores_exact_and_recall_floor(spark):
     hits = sum((r["query_id"], r["neighbor_id"]) in true5 for r in rows)
     recall = hits / len(true5)
     assert recall >= 0.5, f"recall@5 {recall:.2f} below floor"
+
+
+def test_tiny_corpus_probes_all_real_lists(spark):
+    """A sample smaller than n_centroids must not pad the COARSE
+    quantizer: padded duplicates tie a real centroid's distance and
+    would steal probe slots from real inverted lists (regression for
+    the round-4 review finding). With 3 vectors and n_probe=4, every
+    query must see both other vectors as candidates."""
+    from collections import defaultdict
+
+    rows = [(i, [float(i + 1)] * 32 + [float(2 * i + 1)] * 32) for i in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = ivf_pq_topk(
+        emb, emb, k=2, n_centroids=16, n_probe=4, m=4, k_sub=16, rerank=8
+    )
+    nb = defaultdict(set)
+    for r in got.collect():
+        nb[r["query_id"]].add(r["neighbor_id"])
+    assert all(len(nb[q]) == 2 for q in (0, 1, 2)), dict(nb)
