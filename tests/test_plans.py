@@ -169,6 +169,23 @@ def test_salted_agg_is_two_phase(spark):
     assert plan.count("HashAggregate") >= 4  # partial+final x 2 phases
 
 
+def test_salted_join_spreads_the_shuffle_key(spark):
+    """x12 under forced shuffle-join (how a too-big-to-broadcast
+    lookup side behaves at 100 TB): the sort-merge join must key on
+    (l_orderkey, _salt) — the salt IN the shuffle key is the whole
+    point; without it a hot order key lands on one reducer."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = registry.queries()["x12_salted_join"](spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    join_line = plan.split("SortMergeJoin", 1)[1].split("\n", 1)[0]
+    assert "_salt" in join_line, join_line
+
+
 def test_scd2_history_build_is_one_exchange(spark):
     """c16's three window passes (dedupe, collapse, interval close)
     all cluster on o_custkey: the explicit repartition satisfies every
