@@ -2538,6 +2538,57 @@ FROM r GROUP BY 1, 2
 """
 
 
+def q_e09_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands — per-user consecutive-day activity streaks,
+    the classic sessionization-by-calendar pattern (login streaks,
+    SLA windows): distinct active days, islands identified by the
+    ``day - row_number()`` constant-per-run trick, then per-user
+    longest/count/total. Day buckets in integer epoch-days (floor
+    division) so both engines agree pre-1970 too.
+
+    At 100 TB: everything clusters on user_id — the distinct, the
+    window, and both aggregates share that partitioning after the
+    first exchange on (user_id, day) collapses into it; per-user day
+    counts are bounded by the calendar, so no reducer hot-spots."""
+    day_ns = 86_400 * 1_000_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(_floor_div("ts_ns", day_ns)).alias("day")
+    )
+    days = ev.distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "_grp", F.col("day") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("user_id", "_grp").agg(
+        F.count("*").alias("_len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("_len").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+        F.sum("_len").alias("active_days"),
+    )
+
+
+SQL_E09 = f"""
+WITH days AS (
+  SELECT DISTINCT user_id,
+         {_floor_div_duck('epoch_ns(ts)', 86_400_000_000_000)} AS day
+  FROM events
+),
+islands AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days
+),
+streaks AS (
+  SELECT user_id, grp, count(*) AS len FROM islands GROUP BY 1, 2
+)
+SELECT user_id, max(len) AS longest_streak, count(*) AS n_streaks,
+       sum(len) AS active_days
+FROM streaks GROUP BY 1
+"""
+
+
 def q_e05_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VariantType path: ``parse_json`` once into a variant,
     then typed ``variant_get`` extractions — the open-schema
@@ -5370,6 +5421,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "e06_funnel": (q_e06_funnel, SQL_E06),
     "e07_cohort_retention": (q_e07_cohort_retention, SQL_E07),
     "e08_ohlc_bars": (q_e08_ohlc_bars, SQL_E08),
+    "e09_activity_streaks": (q_e09_activity_streaks, SQL_E09),
     "c16_scd2": (q_c16_scd2, SQL_C16),
     "ac04_compact_files": (q_ac04_compact_files, SQL_AC04),
     "ac05_vacuum": (q_ac05_vacuum, SQL_AC05),
@@ -5476,8 +5528,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # generic converge, w06/st07 hopping windows, ac01-04 table format,
 # c16 SCD2, e08 OHLC, x12 salted join, s06 IVF-PQ) plus the oracled
 # tails (h/t/w/g/x/st/mm/e/b families) — lifting cumulative official
-# coverage to 109/154. Entries not in any prefix yet (x04, mm03, w03,
-# w04, w05, g01, g02, g03, b04, b05, e06, m02/m03, h02-h22 tail)
+# coverage to 109/155. Entries not in any prefix yet (x04, mm03, w03,
+# w04, w05, g01, g02, g03, b04, b05, e06, e07, m02/m03, h02-h22 tail)
 # rotate in round 5; all are covered by
 # pytest + tools/oracle_check.py (the full local replica of this gate).
 _PREFIX = [
@@ -5486,10 +5538,10 @@ _PREFIX = [
     "c16_scd2", "e08_ohlc_bars", "ac04_compact_files", "x12_salted_join",
     "s06_pq_topk", "j03_interval_overlap", "g06_histogram", "ac05_vacuum",
     "st09_incremental_ingest", "ac06_schema_evolution",
-    "b06_corrupt_records",
+    "b06_corrupt_records", "e09_activity_streaks",
     # IO roundtrips (b04/b05 rotate round 5; b06 is new code)
-    # events / time-series tails (e06 rotates round 5)
-    "e07_cohort_retention",
+    # events / time-series tails (e06/e07 rotate round 5; e08/e09 are
+    # new code above)
     # window functions (w05/w06 share F.window with st01/st07 — w05
     # rotates round 5)
     "w01_running_total", "w02_rank_dense_lag",
