@@ -2791,6 +2791,52 @@ SELECT doc_id,
 FROM tc GROUP BY 1
 """
 
+
+CTX_EXCERPT_CHARS = 80
+
+
+def q_t14_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ordered context assembly — the prompt/few-shot
+    packing aggregation (concatenate ordered member excerpts per
+    group) that any order-UNSTABLE ``collect_list`` silently breaks
+    under repartitioning: members ride a (doc_id, excerpt) struct
+    array, ``array_sort`` pins the order inside the aggregation, and
+    the assembled context is surfaced as md5 + length so the hash
+    check proves BYTE-exact assembly against SQL's
+    ``string_agg(... ORDER BY)``. At 100 TB: one shuffle on the group
+    key; per-group payload is bounded by the excerpt cap."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    excerpt = F.substring("text", 1, CTX_EXCERPT_CHARS)
+    assembled = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("doc_id").alias("i"), excerpt.alias("t"))
+                )
+            ),
+            lambda s: s["t"],
+        ),
+        "\n",
+    )
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.length(assembled).alias("context_chars"),
+        F.md5(assembled).alias("context_md5"),
+    )
+
+
+SQL_T14 = f"""
+SELECT source, count(*) AS n_docs,
+       CAST(length(string_agg(substr(text, 1, {CTX_EXCERPT_CHARS}), chr(10)
+                              ORDER BY doc_id)) AS INT) AS context_chars,
+       md5(string_agg(substr(text, 1, {CTX_EXCERPT_CHARS}), chr(10)
+                      ORDER BY doc_id)) AS context_md5
+FROM documents WHERE text IS NOT NULL
+GROUP BY 1
+"""
+
 RANGEGEN_N = 24_000
 
 
@@ -5483,6 +5529,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "x10_partition_pruning": (q_x10_partition_pruning, SQL_X10),
     "x11_table_profile": (q_x11_table_profile, SQL_X11),
     "t13_sequence_packing": (q_t13_sequence_packing, SQL_T13),
+    "t14_context_assembly": (q_t14_context_assembly, SQL_T14),
     "x04_pandas_udaf_geomean": (q_x04_pandas_udaf_geomean, SQL_X04),
     "q01_data_quality": (q_q01_data_quality, SQL_Q01),
     "p01_corpus_curation": (q_p01_corpus_curation, SQL_P01),
@@ -5528,9 +5575,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # generic converge, w06/st07 hopping windows, ac01-04 table format,
 # c16 SCD2, e08 OHLC, x12 salted join, s06 IVF-PQ) plus the oracled
 # tails (h/t/w/g/x/st/mm/e/b families) — lifting cumulative official
-# coverage to 109/155. Entries not in any prefix yet (x04, mm03, w03,
-# w04, w05, g01, g02, g03, b04, b05, e06, e07, m02/m03, h02-h22 tail)
-# rotate in round 5; all are covered by
+# coverage to 109/156. Entries not in any prefix yet (x04, mm03, w03,
+# w04, w05, g01, g02, g03, b04, b05, e06, e07, t07, m02/m03, h02-h22
+# tail) rotate in round 5; all are covered by
 # pytest + tools/oracle_check.py (the full local replica of this gate).
 _PREFIX = [
     # new this round
@@ -5538,7 +5585,7 @@ _PREFIX = [
     "c16_scd2", "e08_ohlc_bars", "ac04_compact_files", "x12_salted_join",
     "s06_pq_topk", "j03_interval_overlap", "g06_histogram", "ac05_vacuum",
     "st09_incremental_ingest", "ac06_schema_evolution",
-    "b06_corrupt_records", "e09_activity_streaks",
+    "b06_corrupt_records", "e09_activity_streaks", "t14_context_assembly",
     # IO roundtrips (b04/b05 rotate round 5; b06 is new code)
     # events / time-series tails (e06/e07 rotate round 5; e08/e09 are
     # new code above)
@@ -5554,8 +5601,8 @@ _PREFIX = [
     # table-format/layout machinery (new this round — commit/prune/
     # rewrite + z-order want official rows more than more h-analogs)
     "ac01_snapshot_merge", "ac02_time_travel", "ac03_zorder_code",
-    # text analysis tails
-    "t07_top_bigrams", "t08_contamination", "t09_bpe_tokens",
+    # text analysis tails (t07 rotates round 5)
+    "t08_contamination", "t09_bpe_tokens",
     "t10_chunk_windows", "t11_pii_redact", "t12_repetition_stats",
     "t13_sequence_packing",
     # sampling / scale machinery (x07 python datasource rotates next —
