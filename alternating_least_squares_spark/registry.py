@@ -2800,13 +2800,19 @@ def q_t14_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     packing aggregation (concatenate ordered member excerpts per
     group) that any order-UNSTABLE ``collect_list`` silently breaks
     under repartitioning: members ride a (doc_id, excerpt) struct
-    array, ``array_sort`` pins the order inside the aggregation, and
-    the assembled context is surfaced as md5 + length so the hash
-    check proves BYTE-exact assembly against SQL's
-    ``string_agg(... ORDER BY)``. At 100 TB: one shuffle on the group
-    key; per-group payload is bounded by the excerpt cap."""
+    array, ``array_sort`` pins a TOTAL order (doc_id, then excerpt —
+    the oracle's ORDER BY spells out the same tie-break) inside the
+    aggregation, and the assembled context is surfaced as md5 + length
+    so the hash check proves BYTE-exact assembly against SQL's
+    ``string_agg(... ORDER BY)``.
+
+    At 100 TB: one shuffle on the group key; per-group memory is
+    O(n_members x excerpt_cap) — the cap bounds each ELEMENT, not the
+    group. A group with unbounded membership needs a member cap (top-k
+    by doc_id via window) or the t13 sharded-packing shape instead; a
+    prompt-assembly group is small by construction (the use case)."""
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
     )
     excerpt = F.substring("text", 1, CTX_EXCERPT_CHARS)
     assembled = F.array_join(
@@ -2830,10 +2836,12 @@ def q_t14_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_T14 = f"""
 SELECT source, count(*) AS n_docs,
        CAST(length(string_agg(substr(text, 1, {CTX_EXCERPT_CHARS}), chr(10)
-                              ORDER BY doc_id)) AS INT) AS context_chars,
+               ORDER BY doc_id, substr(text, 1, {CTX_EXCERPT_CHARS})))
+            AS INT) AS context_chars,
        md5(string_agg(substr(text, 1, {CTX_EXCERPT_CHARS}), chr(10)
-                      ORDER BY doc_id)) AS context_md5
-FROM documents WHERE text IS NOT NULL
+               ORDER BY doc_id, substr(text, 1, {CTX_EXCERPT_CHARS})))
+         AS context_md5
+FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
 GROUP BY 1
 """
 

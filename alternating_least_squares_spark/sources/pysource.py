@@ -79,16 +79,31 @@ class RangeGenReader(DataSourceReader):
             for i in range(lo, hi):
                 yield (i, i % 24, (i * _MIX % 1_000_000) / 1_000_000.0)
             return
-        ids = np.arange(lo, hi, dtype=np.int64)
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(ids, type=pa.int64()),
-                pa.array(ids % 24, type=pa.int64()),
-                pa.array((ids * _MIX % 1_000_000) / 1_000_000.0,
-                         type=pa.float64()),
-            ],
-            names=["id", "bucket", "score"],
-        )
+        # bounded chunks, not one partition-sized batch: the streaming
+        # row iterator this replaces had O(1) task memory and a
+        # billion-row partition must not regress to an O(partition)
+        # buffer
+        chunk = 1_000_000
+        # (i * _MIX) % 1e6 computed in modular form: i * _MIX overflows
+        # int64 for i >= ~3.47e9 and numpy WRAPS silently, which would
+        # fork the Arrow path's scores from the pure-Python fallback
+        # (arbitrary precision) and the SQL oracle. (i % 1e6) *
+        # (_MIX % 1e6) % 1e6 is congruent and peaks at ~4.4e11.
+        mix_mod = _MIX % 1_000_000
+        for start in range(lo, hi, chunk):
+            ids = np.arange(start, min(start + chunk, hi), dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(ids % 24, type=pa.int64()),
+                    pa.array(
+                        ((ids % 1_000_000) * mix_mod % 1_000_000)
+                        / 1_000_000.0,
+                        type=pa.float64(),
+                    ),
+                ],
+                names=["id", "bucket", "score"],
+            )
 
 
 def register(spark) -> None:

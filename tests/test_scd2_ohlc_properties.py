@@ -88,7 +88,10 @@ def test_scd2_matches_brute_force(spark, rows):
 
 ticks = st.lists(
     st.tuples(
-        st.integers(min_value=0, max_value=9),   # ts
+        # negative timestamps INCLUDED: the production bucketing is
+        # _floor_div precisely because trunc-vs-floor diverges
+        # pre-1970 — the test must be able to catch a trunc regression
+        st.integers(min_value=-8, max_value=9),  # ts
         st.integers(min_value=-5, max_value=5),  # value
     ),
     min_size=1,
@@ -99,12 +102,15 @@ ticks = st.lists(
 @SETTINGS
 @given(rows=ticks, bucket=st.integers(min_value=1, max_value=4))
 def test_ohlc_matches_brute_force(spark, rows, bucket):
+    from alternating_least_squares_spark.registry import _floor_div
+
     data = [(i, ts, float(v)) for i, (ts, v) in enumerate(rows)]
     df = spark.createDataFrame(data, "event_id long, ts long, value double")
     w_open = Window.partitionBy("b").orderBy(F.asc("ts"), F.asc("event_id"))
     w_close = Window.partitionBy("b").orderBy(F.desc("ts"), F.desc("event_id"))
     ranked = (
-        df.withColumn("b", F.floor(F.col("ts") / bucket))
+        # the SAME bucketing expression q_e08_ohlc_bars uses
+        df.withColumn("b", F.expr(_floor_div("ts", bucket)))
         .withColumn("_o", F.row_number().over(w_open))
         .withColumn("_c", F.row_number().over(w_close))
     )
