@@ -1655,11 +1655,12 @@ WITH tk AS (
   FROM documents
 )
 SELECT doc_id, source, n_tokens,
-       SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                           ROWS UNBOUNDED PRECEDING) - n_tokens AS offset,
-       (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                            ROWS UNBOUNDED PRECEDING) - n_tokens)
-         // {PACK_CTX} AS bin_id
+       CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tokens
+            AS BIGINT) AS offset,
+       CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens)
+            // {PACK_CTX} AS BIGINT) AS bin_id
 FROM tk
 """
 
@@ -2584,7 +2585,7 @@ streaks AS (
   SELECT user_id, grp, count(*) AS len FROM islands GROUP BY 1, 2
 )
 SELECT user_id, max(len) AS longest_streak, count(*) AS n_streaks,
-       sum(len) AS active_days
+       CAST(sum(len) AS BIGINT) AS active_days
 FROM streaks GROUP BY 1
 """
 
@@ -3871,10 +3872,10 @@ def q_h10_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_H10 = """
 SELECT l_linestatus AS category,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_priority,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_priority
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_priority,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_priority
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'

@@ -27,6 +27,49 @@ TABLES = [
 ]
 
 
+# DuckDB type name -> acceptable Spark simpleString()s. The driver's
+# value-hash is type-sensitive (round 4 lost two rows to DuckDB
+# SUM(BIGINT) -> HUGEINT vs Spark LONG), so the local gate must reject
+# any oracle column whose type can't hash-match the Spark column.
+DUCK_TO_SPARK = {
+    "TINYINT": {"tinyint"},
+    "SMALLINT": {"smallint"},
+    "INTEGER": {"int"},
+    "BIGINT": {"bigint"},
+    "FLOAT": {"float"},
+    "DOUBLE": {"double"},
+    "VARCHAR": {"string"},
+    "BOOLEAN": {"boolean"},
+    "DATE": {"date"},
+    "TIMESTAMP": {"timestamp", "timestamp_ntz"},
+    "TIMESTAMP WITH TIME ZONE": {"timestamp"},
+    "BLOB": {"binary"},
+}
+# Types with no hash-compatible Spark twin: always a defect in the SQL.
+DUCK_FORBIDDEN = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def type_problems(duck_types: list, duck_cols: list[str],
+                  spark_schema) -> list[str]:
+    """Compare DuckDB result types against the Spark schema by column
+    name. Returns human-readable problem strings (empty = compatible).
+    Unknown DuckDB types (lists, structs) are skipped — value compare
+    still covers them."""
+    spark_by_name = {f.name: f.dataType.simpleString() for f in spark_schema}
+    out = []
+    for col, dt in zip(duck_cols, duck_types):
+        dname = str(dt).upper()
+        if any(dname.startswith(f) for f in DUCK_FORBIDDEN):
+            out.append(f"oracle col {col!r} is {dname} (no Spark twin; "
+                       f"CAST it in the SQL)")
+            continue
+        want = DUCK_TO_SPARK.get(dname)
+        got = spark_by_name.get(col)
+        if want is not None and got is not None and got not in want:
+            out.append(f"col {col!r}: oracle {dname} vs spark {got}")
+    return out
+
+
 def canon(val) -> str:
     if val is None:
         return "NULL"
@@ -85,16 +128,17 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            otypes = list(rel.types)
+            orows = rel.fetchall()
         except Exception as ex:
             print(f"FAIL  {name}: duckdb error: {str(ex)[:300]}")
             n_fail += 1
             continue
         sn, sb = frame_sig(scols, srows)
         on, ob = frame_sig(ocols, orows)
-        problems = []
+        problems = type_problems(otypes, ocols, sdf.schema)
         if len(srows) != len(orows):
             problems.append(f"rows {len(srows)} vs {len(orows)}")
         if sn != on:
