@@ -31,11 +31,15 @@ TABLES = [
 # value-hash is type-sensitive (round 4 lost two rows to DuckDB
 # SUM(BIGINT) -> HUGEINT vs Spark LONG), so the local gate must reject
 # any oracle column whose type can't hash-match the Spark column.
+_INTS = {"tinyint", "smallint", "int", "bigint"}
 DUCK_TO_SPARK = {
-    "TINYINT": {"tinyint"},
-    "SMALLINT": {"smallint"},
-    "INTEGER": {"int"},
-    "BIGINT": {"bigint"},
+    # Integer WIDTHS are cross-compatible: g06 (spark int vs oracle
+    # BIGINT) hash-matched on the real driver in round 4, so its canon
+    # folds integer widths; only HUGEINT (int128) breaks it.
+    "TINYINT": _INTS,
+    "SMALLINT": _INTS,
+    "INTEGER": _INTS,
+    "BIGINT": _INTS,
     "FLOAT": {"float"},
     "DOUBLE": {"double"},
     "VARCHAR": {"string"},
