@@ -28,7 +28,7 @@ plan per output, materialized once by the IPF loop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from alternating_least_squares_spark.operators import matrix as M
@@ -205,6 +205,137 @@ def allocate_costs(
         max_iterations=max_iterations,
         seed_fill=1e-15,
         x_total=x_total,
+    )
+
+
+NS_PER_HOUR = 3_600_000_000_000
+US = 1_000_000  # micro-unit scale for the deterministic fixed variant
+
+
+def cost_per_visit_fixed(
+    spark: SparkSession, sf_dir: str, sweeps: int = 2
+) -> DataFrame:
+    """Deterministic fixed-sweep twin of :func:`cost_per_visit` — the
+    WHOLE flagship chain (E2 seed build + marginal rescale + IPF sweeps
+    + E3 finale, ``core.clj:138-197``) made bit-exact against a DuckDB
+    oracle so the end-to-end pipeline gets a hash-checked driver row,
+    not just its loop core (a17/a21 cover the loop in isolation).
+
+    Determinism contract (the a17 integer-micro-unit pattern, extended
+    to the full chain):
+
+    * revenue is quantized PER ROW — ``floor(price·(1−disc)·1e6)`` is
+      three IEEE double ops then an exact floor, bit-identical in both
+      engines — so every aggregate over it is an exact BIGINT sum,
+      order-independent;
+    * ``events.value`` is quantized the same way; the y-rescale to the
+      x grand total is one double division + one multiply on
+      exactly-representable (or identically-rounded) BIGINT casts;
+    * the seed is ``visits·1e6 + 1`` over the dense x-parts × y-hours
+      domain (add-1µ Laplace, A9 analog), all integer arithmetic;
+    * each half-sweep is ``floor(v/rowsum·marginal)`` in micro-units —
+      one division + one multiply on deterministic doubles, re-floored
+      to BIGINT before the next half-sweep (no rounding-mode
+      ambiguity);
+    * the finale divides cost by visits with the C10 zero-guard,
+      floored to BIGINT micro-units.
+
+    Long arithmetic bounds the variant at Σrevenue·1e6 < 2^63 (~9e12
+    in currency units) — plenty for any oracle SF; the production path
+    with real convergence control remains :func:`cost_per_visit` /
+    ``ipf_dense.converge_dense``. Hour-of-day comes from the epoch-ns
+    floor-div (pre-1970-safe, matching the e-suite oracles) rather
+    than ``F.hour`` — identical for the driver's UTC testdata.
+
+    Returns ``(part, hour, cost_us, visits, cost_per_visit_us)``, all
+    integral.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    base = (
+        li.groupBy(
+            F.col("l_partkey").alias(M.R),
+            (F.col("l_orderkey") % HOURS).alias(M.C),
+        )
+        .agg(
+            F.count("*").alias("visits"),
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * F.lit(1e6)
+                )
+            ).alias("rev_us"),
+        )
+        .localCheckpoint(eager=True)  # x, seed, and finale all read it
+    )
+    x = (
+        base.groupBy(F.col(M.R).alias("id"))
+        .agg(F.sum("rev_us").alias("g_us"))
+        .filter(F.col("g_us") != 0)
+        .localCheckpoint(eager=True)
+    )
+    x_total = x.agg(F.sum("g_us")).first()[0]
+    if not x_total:
+        raise ValueError("no revenue in lineitem — empty x marginal")
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.expr(
+        f"pmod((ts_ns - pmod(ts_ns, {NS_PER_HOUR})) DIV {NS_PER_HOUR}, 24)"
+    )
+    yr = (
+        ev.groupBy(hour.alias("id"))
+        .agg(F.sum(F.floor(F.col("value") * F.lit(1e6))).alias("raw_us"))
+        .filter(F.col("raw_us") != 0)
+        .localCheckpoint(eager=True)
+    )
+    y_total = yr.agg(F.sum("raw_us")).first()[0]
+    if not y_total:
+        raise ValueError("no event value — empty y marginal")
+    # one double divide then one multiply — same association as the
+    # oracle's CAST(raw AS DOUBLE) * (CAST(xt AS DOUBLE)/CAST(yt AS DOUBLE))
+    ratio = float(x_total) / float(y_total)
+    y = yr.select(
+        "id",
+        F.floor(F.col("raw_us").cast("double") * F.lit(ratio)).alias("g_us"),
+    )
+    parts = x.select(F.col("id").alias(M.R))
+    hours = y.select(F.col("id").alias(M.C))
+    mat = (
+        parts.crossJoin(F.broadcast(hours))
+        .join(base.select(M.R, M.C, "visits"), [M.R, M.C], "left")
+        .select(
+            M.R,
+            M.C,
+            (F.coalesce(F.col("visits"), F.lit(0)) * F.lit(US) + 1).alias(
+                "v_us"
+            ),
+        )
+    )
+    wr = Window.partitionBy(M.R)
+    wc = Window.partitionBy(M.C)
+    for _ in range(sweeps):
+        for marg, key, w in ((x, M.R, wr), (y, M.C, wc)):
+            mat = (
+                mat.join(marg.withColumnRenamed("id", key), key)
+                .withColumn(
+                    "v_us",
+                    F.floor(
+                        F.col("v_us").cast("double")
+                        / F.sum("v_us").over(w).cast("double")
+                        * F.col("g_us").cast("double")
+                    ),
+                )
+                .select(M.R, M.C, "v_us")
+            )
+    return mat.join(base.select(M.R, M.C, "visits"), [M.R, M.C], "left").select(
+        F.col(M.R).alias("part"),
+        F.col(M.C).alias("hour"),
+        F.col("v_us").alias("cost_us"),
+        F.coalesce(F.col("visits"), F.lit(0)).cast("long").alias("visits"),
+        F.when(F.coalesce(F.col("visits"), F.lit(0)) == 0, F.lit(0))
+        .otherwise(
+            F.floor(F.col("v_us").cast("double") / F.col("visits").cast("double"))
+        )
+        .alias("cost_per_visit_us"),
     )
 
 

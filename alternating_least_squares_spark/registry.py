@@ -5414,6 +5414,69 @@ def q_ipf_cost_per_visit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CA.cost_per_visit(spark, sf_dir, threshold=1e-9, max_iterations=20)
 
 
+def q_ipf_cost_per_visit_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship chain (E2 seed + rescaled marginals + IPF + E3
+    finale) as a FIXED-2-sweep deterministic variant so the end-to-end
+    pipeline — not just the loop core (a17/a21) — gets a hash-checked
+    oracle row. Integer micro-unit quantization throughout; see
+    ``plans/cost_allocation.py:cost_per_visit_fixed`` for the
+    determinism contract."""
+    return CA.cost_per_visit_fixed(spark, sf_dir, sweeps=2)
+
+
+def _ipf_fixed_oracle(sweeps: int = 2) -> str:
+    hour = f"(({_floor_div_duck('epoch_ns(ts)', NS_PER_HOUR)} % 24) + 24) % 24"
+    ctes = [
+        "base AS (SELECT l_partkey AS r, l_orderkey % 24 AS c, "
+        "COUNT(*) AS visits, "
+        "CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) "
+        "* 1000000.0) AS BIGINT)) AS BIGINT) AS rev_us "
+        "FROM lineitem GROUP BY 1, 2)",
+        "x AS (SELECT r AS id, CAST(SUM(rev_us) AS BIGINT) AS g_us "
+        "FROM base GROUP BY 1 HAVING CAST(SUM(rev_us) AS BIGINT) != 0)",
+        "xt AS (SELECT CAST(SUM(g_us) AS BIGINT) AS t FROM x)",
+        f"yr AS (SELECT {hour} AS id, "
+        "CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) "
+        "AS raw_us FROM events GROUP BY 1 "
+        "HAVING CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) "
+        "AS BIGINT) != 0)",
+        "yt AS (SELECT CAST(SUM(raw_us) AS BIGINT) AS t FROM yr)",
+        "y AS (SELECT yr.id, CAST(floor(CAST(yr.raw_us AS DOUBLE) * "
+        "(CAST(xt.t AS DOUBLE) / CAST(yt.t AS DOUBLE))) AS BIGINT) AS g_us "
+        "FROM yr, xt, yt)",
+        "m0 AS (SELECT x.id AS r, y.id AS c, "
+        "COALESCE(b.visits, 0) * 1000000 + 1 AS v_us "
+        "FROM x CROSS JOIN y "
+        "LEFT JOIN base b ON b.r = x.id AND b.c = y.id)",
+    ]
+    prev = "m0"
+    for i in range(sweeps):
+        for half, (marg, key) in (("r", ("x", "r")), ("c", ("y", "c"))):
+            name = f"s{i}{half}"
+            ctes.append(
+                f"{name} AS (SELECT m.r, m.c, CAST(floor("
+                f"CAST(m.v_us AS DOUBLE) / CAST(SUM(m.v_us) OVER "
+                f"(PARTITION BY m.{key}) AS DOUBLE) * CAST(g.g_us AS DOUBLE)"
+                f") AS BIGINT) AS v_us "
+                f"FROM {prev} m JOIN {marg} g ON g.id = m.{key})"
+            )
+            prev = name
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT m.r AS part, m.c AS hour, m.v_us AS cost_us,
+       CAST(COALESCE(b.visits, 0) AS BIGINT) AS visits,
+       CASE WHEN COALESCE(b.visits, 0) = 0 THEN 0
+            ELSE CAST(floor(CAST(m.v_us AS DOUBLE) /
+                            CAST(b.visits AS DOUBLE)) AS BIGINT)
+       END AS cost_per_visit_us
+FROM {prev} m LEFT JOIN base b ON b.r = m.r AND b.c = m.c
+"""
+    )
+
+
+SQL_IPF_FIXED = _ipf_fixed_oracle()
+
+
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "a01_cmap": (q_a01_cmap, SQL_A01),
     "a02_dot": (q_a02_dot, SQL_A02),
@@ -5571,6 +5634,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "m02_als_implicit": (q_m02_als_implicit, None),
     "m03_quality_filter": (q_m03_quality_filter, None),
     "ipf_cost_per_visit": (q_ipf_cost_per_visit, None),
+    "ipf_cost_per_visit_fixed": (q_ipf_cost_per_visit_fixed, SQL_IPF_FIXED),
 }
 
 

@@ -250,3 +250,51 @@ def test_converge_single_cell_rows_fixed_point(spark):
     c1 = {(r["r"], r["c"]): r["v"] for r in one.matrix.collect()}
     c2 = {(r["r"], r["c"]): r["v"] for r in two.matrix.collect()}
     assert c1 == c2  # exact equality, not approx
+
+
+def test_cost_per_visit_fixed_chain_invariants(spark):
+    """The flagship's deterministic fixed-sweep twin (round-5 oracle
+    entry): dense domain coverage, micro-unit conservation after the
+    closing column pass, and the C10 zero-guard on the finale."""
+    from alternating_least_squares_spark.plans import cost_allocation as CA
+    from tests.conftest import SF_SMALL
+    from pyspark.sql import functions as F
+
+    df = CA.cost_per_visit_fixed(spark, SF_SMALL, sweeps=2).localCheckpoint()
+    n_parts = df.select("part").distinct().count()
+    n_hours = df.select("hour").distinct().count()
+    assert df.count() == n_parts * n_hours  # dense x-parts × y-hours grid
+
+    # conservation: the last half-sweep fits columns to the rescaled y
+    # marginal, whose total is floor-rescaled to x_total. Every floor
+    # loses < 1 µunit per cell, so Σcost is within (cells + hours) µ of
+    # the x grand total.
+    li = CA.load_table(spark, SF_SMALL, "lineitem")
+    x_total = li.select(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e6)
+            )
+        ).alias("t")
+    ).first()["t"]
+    got = df.agg(F.sum("cost_us")).first()[0]
+    slack = df.count() + n_hours + 1
+    assert abs(got - x_total) <= slack, (got, x_total, slack)
+
+    # finale zero-guard + floor-division contract, all rows
+    bad = df.filter(
+        (
+            (F.col("visits") == 0) & (F.col("cost_per_visit_us") != 0)
+        )
+        | (
+            (F.col("visits") > 0)
+            & (
+                F.col("cost_per_visit_us")
+                != F.floor(
+                    F.col("cost_us").cast("double")
+                    / F.col("visits").cast("double")
+                )
+            )
+        )
+    ).count()
+    assert bad == 0
