@@ -1,0 +1,126 @@
+"""Recursive / hierarchical queries over parent-child edge tables.
+
+The one classic warehouse shape the h-suite doesn't cover (VERDICT r4
+§next-round #6): a recursive CTE — subtree rollups and root/depth
+resolution over an arbitrary-depth hierarchy. Spark has no
+``WITH RECURSIVE``, so the closure is computed by ITERATIVE JOINS.
+
+Scale design — exponential doubling, not level-by-level walking:
+``closure_{2k} = distinct(closure_k ∪ closure_k ∘ closure_k)`` reaches
+depth d in ⌈log₂ d⌉ rounds, so a depth-1000 hierarchy costs 10 keyed
+shuffles instead of 1000. Each round is one equi-join (anc == desc
+composition) plus one distinct — both plain keyed shuffles, no
+cartesian anywhere (test_plan_lint covers the registry entries). Each
+round is pinned with ``localCheckpoint`` so the lineage (and the
+replayed join DAG) doesn't grow with depth; convergence is detected by
+row-count fixpoint and a loud ``max_rounds`` guard raises on cycles
+rather than spinning (a cycle makes the closure grow forever).
+
+In a tree each (ancestor, descendant) pair has exactly ONE connecting
+path, so ``dist`` is well-defined and ``distinct`` is exact — no
+min-aggregation needed. For DAG inputs, pairs stay correct but dist
+would need a min(); we document tree-only and assert acyclicity via
+the rounds guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ANC, DESC, DIST = "anc", "desc", "dist"
+
+
+def ancestor_closure(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """All (ancestor, descendant, distance) pairs of a forest,
+    INCLUDING the reflexive (n, n, 0) pairs.
+
+    ``nodes``: one column ``id``. ``edges``: columns ``child``,
+    ``parent`` — at most one parent per child (tree/forest).
+    ``max_rounds`` bounds the doubling loop: it supports depth
+    2^max_rounds, and hitting the bound without reaching a fixpoint
+    raises (cycle or deeper-than-declared hierarchy) instead of
+    silently truncating.
+    """
+    closure = nodes.select(
+        F.col("id").alias(ANC), F.col("id").alias(DESC), F.lit(0).alias(DIST)
+    ).unionByName(
+        edges.select(
+            F.col("parent").alias(ANC),
+            F.col("child").alias(DESC),
+            F.lit(1).alias(DIST),
+        )
+    ).localCheckpoint(eager=True)
+    n = closure.count()
+    for _ in range(max_rounds):
+        a, b = closure.alias("a"), closure.alias("b")
+        composed = (
+            a.join(b, F.col(f"a.{DESC}") == F.col(f"b.{ANC}"))
+            .select(
+                F.col(f"a.{ANC}").alias(ANC),
+                F.col(f"b.{DESC}").alias(DESC),
+                (F.col(f"a.{DIST}") + F.col(f"b.{DIST}")).alias(DIST),
+            )
+        )
+        closure = (
+            closure.unionByName(composed).distinct().localCheckpoint(eager=True)
+        )
+        m = closure.count()
+        if m == n:
+            return closure
+        n = m
+    raise ValueError(
+        f"ancestor_closure did not reach a fixpoint in {max_rounds} "
+        f"doubling rounds (supports depth {2 ** max_rounds}) — cyclic "
+        "edges or an unexpectedly deep hierarchy"
+    )
+
+
+def subtree_rollup(
+    nodes: DataFrame,
+    edges: DataFrame,
+    values: DataFrame,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Per ancestor: descendant count (self included) and the sum of an
+    integral per-node value over its whole subtree.
+
+    ``values``: columns ``id``, ``val`` (integral — the sums must be
+    order-independent for oracle parity). One closure build + one
+    keyed aggregation; the closure size is Σ depth(n) ≈ n·avg_depth
+    rows, the classic space/time trade of materialized-path rollups.
+    """
+    cl = ancestor_closure(nodes, edges, max_rounds)
+    return (
+        cl.join(values.withColumnRenamed("id", DESC), DESC)
+        .groupBy(F.col(ANC).alias("node"))
+        .agg(
+            F.count("*").alias("n_desc"),
+            F.sum("val").alias("subtree_val"),
+        )
+    )
+
+
+def node_depth(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Per node: its root ancestor and its depth (root = depth 0).
+
+    Derived from the closure: the pair whose ancestor is a root (has
+    no parent edge) is unique per node in a forest.
+    """
+    cl = ancestor_closure(nodes, edges, max_rounds)
+    roots = nodes.join(
+        edges.select(F.col("child").alias("id")), "id", "left_anti"
+    ).select(F.col("id").alias(ANC))
+    return cl.join(roots, ANC).select(
+        F.col(DESC).alias("node"),
+        F.col(ANC).alias("root"),
+        F.col(DIST).alias("depth"),
+    )

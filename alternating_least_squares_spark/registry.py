@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from alternating_least_squares_spark.operators import ipf as IPF
+from alternating_least_squares_spark.operators import hierarchy as H
 from alternating_least_squares_spark.operators import matrix as M
 from alternating_least_squares_spark.operators import relational as Rel
 from alternating_least_squares_spark.functions import textfns as TX
@@ -5414,6 +5415,68 @@ def q_ipf_cost_per_visit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CA.cost_per_visit(spark, sf_dir, threshold=1e-9, max_iterations=20)
 
 
+def _part_hierarchy(spark: SparkSession, sf_dir: str):
+    """Synthetic forest over the part table: ``parent(k) = k DIV 10``
+    for k ≥ 10, roots 0–9 (p_partkey is contiguous 0..N−1 at every SF,
+    so every parent row exists). Depth grows with log₁₀(SF·20000) —
+    deep enough to exercise >1 doubling round."""
+    part = load_table(spark, sf_dir, "part")
+    nodes = part.select(F.col("p_partkey").alias("id"))
+    edges = part.filter(F.col("p_partkey") >= 10).select(
+        F.col("p_partkey").alias("child"),
+        F.expr("p_partkey DIV 10").alias("parent"),
+    )
+    return part, nodes, edges
+
+
+def q_rc01_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive subtree rollup (the WITH RECURSIVE warehouse shape):
+    per node, descendant count and Σ p_size over its whole subtree,
+    self included. Spark has no recursive CTE — computed by the
+    exponential-doubling transitive closure in
+    ``operators/hierarchy.py`` (⌈log₂ depth⌉ keyed shuffles)."""
+    part, nodes, edges = _part_hierarchy(spark, sf_dir)
+    values = part.select(
+        F.col("p_partkey").alias("id"), F.col("p_size").alias("val")
+    )
+    return H.subtree_rollup(nodes, edges, values)
+
+
+SQL_RC01 = """
+WITH RECURSIVE cl AS (
+  SELECT p_partkey AS anc, p_partkey AS des FROM part
+  UNION ALL
+  SELECT cl.anc, p.p_partkey
+  FROM cl JOIN part p ON p.p_partkey >= 10 AND (p.p_partkey // 10) = cl.des
+)
+SELECT cl.anc AS node, CAST(COUNT(*) AS BIGINT) AS n_desc,
+       CAST(SUM(v.p_size) AS BIGINT) AS subtree_val
+FROM cl JOIN part v ON v.p_partkey = cl.des
+GROUP BY 1
+"""
+
+
+def q_rc02_node_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Root/depth resolution over the same forest: each node's root
+    ancestor (nodes 0–9) and its distance from it, via the doubling
+    closure joined to the no-incoming-edge roots."""
+    _, nodes, edges = _part_hierarchy(spark, sf_dir)
+    return H.node_depth(nodes, edges).withColumn(
+        "depth", F.col("depth").cast("long")
+    )
+
+
+SQL_RC02 = """
+WITH RECURSIVE up AS (
+  SELECT p_partkey AS node, p_partkey AS cur, 0 AS depth FROM part
+  UNION ALL
+  SELECT node, cur // 10, depth + 1 FROM up WHERE cur >= 10
+)
+SELECT node, cur AS root, CAST(depth AS BIGINT) AS depth
+FROM up WHERE cur < 10
+"""
+
+
 def q_ipf_cost_per_visit_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship chain (E2 seed + rescaled marginals + IPF + E3
     finale) as a FIXED-2-sweep deterministic variant so the end-to-end
@@ -5635,6 +5698,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "m03_quality_filter": (q_m03_quality_filter, None),
     "ipf_cost_per_visit": (q_ipf_cost_per_visit, None),
     "ipf_cost_per_visit_fixed": (q_ipf_cost_per_visit_fixed, SQL_IPF_FIXED),
+    "rc01_subtree_rollup": (q_rc01_subtree_rollup, SQL_RC01),
+    "rc02_node_depth": (q_rc02_node_depth, SQL_RC02),
 }
 
 

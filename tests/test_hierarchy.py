@@ -1,0 +1,102 @@
+"""Recursive-hierarchy operator tests (rc-family, round 5).
+
+Brute-force parity on a handmade forest, reflexive/dist semantics,
+and the loud cycle guard — independent of the DuckDB oracle, which
+covers the part-table entries (rc01/rc02).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from alternating_least_squares_spark.operators import hierarchy as H
+
+#        0        5
+#       / \        \
+#      1   2        6
+#     / \   \
+#    3   4   7
+EDGES = [(1, 0), (2, 0), (3, 1), (4, 1), (7, 2), (6, 5)]
+NODES = [0, 1, 2, 3, 4, 5, 6, 7]
+
+
+def brute_closure():
+    parent = dict(EDGES)
+    out = set()
+    for n in NODES:
+        cur, d = n, 0
+        out.add((n, n, 0))
+        while cur in parent:
+            cur, d = parent[cur], d + 1
+            out.add((cur, n, d))
+    return out
+
+
+@pytest.fixture()
+def forest(spark):
+    nodes = spark.createDataFrame([(n,) for n in NODES], "id long")
+    edges = spark.createDataFrame(EDGES, "child long, parent long")
+    return nodes, edges
+
+
+def test_closure_matches_brute_force(forest):
+    nodes, edges = forest
+    got = {
+        (r["anc"], r["desc"], r["dist"])
+        for r in H.ancestor_closure(nodes, edges).collect()
+    }
+    assert got == brute_closure()
+
+
+def test_subtree_rollup_matches_brute_force(forest, spark):
+    nodes, edges = forest
+    values = spark.createDataFrame(
+        [(n, n * 10 + 1) for n in NODES], "id long, val long"
+    )
+    got = {
+        r["node"]: (r["n_desc"], r["subtree_val"])
+        for r in H.subtree_rollup(nodes, edges, values).collect()
+    }
+    desc = {}
+    for anc, d, _ in brute_closure():
+        desc.setdefault(anc, []).append(d)
+    want = {
+        a: (len(ds), sum(d * 10 + 1 for d in ds)) for a, ds in desc.items()
+    }
+    assert got == want
+
+
+def test_node_depth_roots_and_depths(forest):
+    nodes, edges = forest
+    got = {
+        r["node"]: (r["root"], r["depth"])
+        for r in H.node_depth(nodes, edges).collect()
+    }
+    assert got == {
+        0: (0, 0), 1: (0, 1), 2: (0, 1), 3: (0, 2), 4: (0, 2),
+        7: (0, 2), 5: (5, 0), 6: (5, 1),
+    }
+
+
+def test_cycle_raises_instead_of_spinning(spark):
+    nodes = spark.createDataFrame([(1,), (2,)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1)], "child long, parent long"
+    )
+    with pytest.raises(ValueError, match="fixpoint"):
+        H.ancestor_closure(nodes, edges, max_rounds=4)
+
+
+def test_deep_chain_converges_in_log_rounds(spark):
+    # depth 40 must converge with max_rounds=7 (2^7 = 128 ≥ 40):
+    # doubling, not level-by-level walking.
+    n = 40
+    nodes = spark.createDataFrame([(i,) for i in range(n + 1)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i - 1) for i in range(1, n + 1)], "child long, parent long"
+    )
+    cl = H.ancestor_closure(nodes, edges, max_rounds=7)
+    assert cl.count() == (n + 1) * (n + 2) // 2
+    deepest = cl.agg(F.max("dist")).first()[0]
+    assert deepest == n
