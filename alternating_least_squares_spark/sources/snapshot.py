@@ -268,7 +268,8 @@ def append(
 
 
 def merge_upsert(
-    updates: DataFrame, path: str, extra: dict | None = None
+    updates: DataFrame, path: str, extra: dict | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """MERGE (upsert on the table key): rows whose key exists are
     replaced, new keys are inserted — Delta/Iceberg ``MERGE WHEN
@@ -279,22 +280,50 @@ def merge_upsert(
     rewritten (anti-join out the updated keys, union the update rows);
     non-overlapping files carry over by reference. The updates' key
     bounds cost one tiny aggregate on the updates side — never a scan
-    of the table."""
+    of the table.
+
+    Schema discipline mirrors :func:`append`: exact match by default;
+    with ``merge_schema=True`` the updates may ADD columns (Delta's
+    ``MERGE WITH SCHEMA EVOLUTION``) — the manifest schema evolves
+    additively, surviving rows from rewritten files and every
+    carried-over file project the new columns as NULL on read, and the
+    evolved columns are always nullable in the manifest (pre-evolution
+    rows make a NOT NULL claim false forever). Dropping or retyping is
+    never allowed."""
     spark = updates.sparkSession
     versions = _list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no snapshot table at {path}")
     prev = _read_manifest(path, versions[-1])
     key = prev["key"]
-    if _schema_fields(updates.schema) != _schema_fields(
-        _manifest_schema(prev)
-    ):
+    table_fields = _schema_fields(_manifest_schema(prev))
+    new_fields = _schema_fields(updates.schema)
+    missing = {
+        n: t for n, t in table_fields.items() if new_fields.get(n) != t
+    }
+    added = {n: t for n, t in new_fields.items() if n not in table_fields}
+    if missing:
         raise ValueError(
-            "merge_upsert: updates schema "
-            f"{sorted(_schema_fields(updates.schema).items())} != table "
-            f"schema {sorted(_schema_fields(_manifest_schema(prev)).items())}"
-            " — evolve via append(merge_schema=True) first, then merge"
+            f"merge_upsert: updates are missing/retype table column(s) "
+            f"{sorted(missing)} — updates must carry the full table "
+            "schema; only additive evolution is supported"
         )
+    if added and not merge_schema:
+        raise ValueError(
+            f"merge_upsert: updates add column(s) {sorted(added)}; pass "
+            "merge_schema=True to evolve the table schema under MERGE"
+        )
+    schema_json = prev["schema"]
+    read_schema = _manifest_schema(prev)
+    if added:
+        from pyspark.sql import types as T
+
+        evolved = _manifest_schema(prev)
+        for f in updates.schema.fields:
+            if f.name in added:
+                evolved = evolved.add(T.StructField(f.name, f.dataType, True))
+        schema_json = evolved.json()
+        read_schema = evolved
     # one tiny aggregate prices key bounds AND the two MERGE
     # preconditions: no NULL keys (an equi-upsert cannot address them
     # — rejecting loudly beats the silent drop/insert asymmetry), and
@@ -332,8 +361,9 @@ def merge_upsert(
         if touched:
             # manifest schema, not footer merge: pre-evolution files
             # lack evolved columns and must project them as NULL here
-            # exactly as they do on read
-            old = spark.read.schema(_manifest_schema(prev)).parquet(
+            # exactly as they do on read (read_schema is the evolved
+            # schema when this MERGE itself evolves)
+            old = spark.read.schema(read_schema).parquet(
                 *[f["path"] for f in touched]
             )
             keep = old.join(updates.select(key).distinct(), key, "left_anti")
@@ -349,7 +379,7 @@ def merge_upsert(
             "version": version,
             "operation": "merge",
             "key": key,
-            "schema": prev["schema"],
+            "schema": schema_json,
             "files": untouched + new_files,
             "pruning": {"rewritten": len(touched),
                         "carried": len(untouched)},

@@ -442,3 +442,50 @@ def test_merge_respects_evolved_schema(spark, base, tmp_path):
     assert got[10] == (-1, "app")
     assert got[11] == (110, None)  # same file rewritten, NULL projected
     assert got[200] == (1, "web")
+
+
+def test_merge_schema_evolution_under_merge(spark, base, tmp_path):
+    """MERGE WITH SCHEMA EVOLUTION (round 5): the upsert batch adds a
+    column; carried-over files and surviving pre-evolution rows project
+    NULL, updated/inserted rows carry the value, and the manifest
+    schema evolves in the same commit."""
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    updates = spark.createDataFrame(
+        [(10, -1, "a"), (200, -3, "b")], "k long, v long, tag string"
+    )
+    with pytest.raises(ValueError, match="merge_schema"):
+        SN.merge_upsert(updates, path)
+    v = SN.merge_upsert(updates, path, merge_schema=True)
+    assert v == 1
+    got = {r["k"]: (r["v"], r["tag"]) for r in
+           SN.read_snapshot(spark, path).collect()}
+    assert len(got) == 101
+    assert got[10] == (-1, "a") and got[200] == (-3, "b")
+    assert got[11] == (110, None)   # survivor in the rewritten file
+    assert got[90] == (900, None)   # carried-over file, never rewritten
+    # evolved column is nullable in the manifest whatever updates claim
+    from alternating_least_squares_spark.sources.snapshot import (
+        _manifest_schema, _read_manifest,
+    )
+    sch = _manifest_schema(_read_manifest(path, 1))
+    assert [f.name for f in sch.fields] == ["k", "v", "tag"]
+    assert sch["tag"].nullable
+    # a later plain merge with the evolved schema needs no flag
+    more = spark.createDataFrame([(11, -4, None)],
+                                 "k long, v long, tag string")
+    SN.merge_upsert(more, path)
+    got2 = {r["k"]: (r["v"], r["tag"]) for r in
+            SN.read_snapshot(spark, path).collect()}
+    assert got2[11] == (-4, None) and got2[10] == (-1, "a")
+
+
+def test_merge_schema_evolution_rejects_missing_or_retyped(spark, base, tmp_path):
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    retyped = spark.createDataFrame([(1, "x")], "k long, v string")
+    with pytest.raises(ValueError, match="additive"):
+        SN.merge_upsert(retyped, path, merge_schema=True)
+    missing = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="additive"):
+        SN.merge_upsert(missing, path, merge_schema=True)
