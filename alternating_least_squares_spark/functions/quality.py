@@ -83,6 +83,38 @@ def check(
     )
 
 
+def foreign_key(
+    child: DataFrame, child_col: str, parent: DataFrame, parent_col: str
+) -> DataFrame:
+    """Cross-table referential-integrity check — the expectation q01's
+    single-pass runner cannot express. Returns a one-row report in the
+    same ``(constraint, n_violations, passed)`` shape as :func:`check`,
+    so callers union them into one gate.
+
+    SQL FK semantics: NULL child keys never violate (they're filtered
+    before the anti-join). Plan: project both sides to the key,
+    distinct the parent, LEFT ANTI join — one keyed shuffle each side,
+    and Catalyst/AQE broadcasts the parent side when it's small (the
+    usual dim-table case). Never a collect."""
+    name = f"foreign_key({child_col}->{parent_col})"
+    orphans = (
+        child.select(F.col(child_col).alias("_fk"))
+        .filter(F.col("_fk").isNotNull())
+        .join(
+            parent.select(F.col(parent_col).alias("_fk")).distinct(),
+            "_fk",
+            "left_anti",
+        )
+    )
+    return orphans.agg(
+        F.count("*").cast("long").alias("n_violations")
+    ).select(
+        F.lit(name).alias("constraint"),
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
 def observed(
     df: DataFrame,
     constraints: list[tuple[str, Column]],

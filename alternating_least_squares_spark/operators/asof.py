@@ -55,13 +55,30 @@ def asof_join(
     ts: str,
     payload_cols: list[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
-    """Inclusive as-of join (right.ts ≤ left.ts, latest wins).
+    """Inclusive as-of join. ``direction='backward'`` (default): the
+    LATEST right row with right.ts ≤ left.ts; ``'forward'``: the
+    EARLIEST right row with right.ts ≥ left.ts (the pandas
+    ``merge_asof`` direction vocabulary). The forward pass is the same
+    one-shuffle union+window plan with the time axis reversed.
+
+    ``tolerance``: optional max distance between left.ts and the
+    matched right.ts — a match farther away is nulled out (carried
+    columns AND matched ts), like ``merge_asof(tolerance=...)``.
+    Expressed in the ts column's own arithmetic (use integer µs/ns
+    timestamps; an interval-typed tolerance works only for
+    timestamp-typed ts).
 
     ``payload_cols``: right columns to carry (default: all but key/ts).
     Carried columns are renamed ``<name><suffix>``; the matched right
     timestamp arrives as ``<ts><suffix>`` (NULL when no right row
-    precedes the left row)."""
+    qualifies)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
     if payload_cols is None:
         payload_cols = [c for c in right.columns if c not in (key, ts)]
     reserved = {"_pack", "_side"} & (set(left.columns) | set(right.columns))
@@ -113,7 +130,11 @@ def asof_join(
     # for such payloads fall back to (ts, side) ordering and accept
     # the arbitrary tie winner (pre-dedupe the right side per
     # (key, ts) to pin it, as q_j01 does).
-    order_keys = [F.col(ts).asc(), F.col("_side").asc()]
+    # forward = the same scan with the time axis reversed; _side and
+    # _pack keep their ASC order so ties stay inclusive and the
+    # greatest payload still wins deterministically in both directions
+    ts_key = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
+    order_keys = [ts_key, F.col("_side").asc()]
     if _orderable(r_tag.schema["_pack"].dataType):
         order_keys.append(F.col("_pack").asc())
     w = (
@@ -126,7 +147,17 @@ def asof_join(
     )
     out = filled.filter(F.col("_side") == 1).drop("_side")
     carried = [f"{ts}{suffix}"] + [f"{c}{suffix}" for c in payload_cols]
+    if tolerance is None:
+        return out.select(
+            *[c for c in left.columns],
+            *[F.col(f"_pack.{c}").alias(c) for c in carried],
+        )
+    matched = F.col(f"_pack.{ts}{suffix}")
+    dist = (
+        F.col(ts) - matched if direction == "backward" else matched - F.col(ts)
+    )
+    ok = matched.isNotNull() & (dist <= F.lit(tolerance))
     return out.select(
         *[c for c in left.columns],
-        *[F.col(f"_pack.{c}").alias(c) for c in carried],
+        *[F.when(ok, F.col(f"_pack.{c}")).alias(c) for c in carried],
     )

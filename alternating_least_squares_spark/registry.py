@@ -5461,6 +5461,150 @@ def q_ipf_cost_per_visit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CA.cost_per_visit(spark, sf_dir, threshold=1e-9, max_iterations=20)
 
 
+def q_j04_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance (round 5; completes the
+    merge_asof direction vocabulary next to j01's backward pass): each
+    click matched with the user's EARLIEST purchase at-or-after it,
+    nulled out when it is more than 2 hours away. Oracle: DuckDB's
+    native ASOF LEFT JOIN with the ``<=`` comparator plus a CASE
+    emulating the tolerance — two independent implementations
+    hash-compared. Purchases deduped per (user, µs) in BOTH engines so
+    ties can't flap the winner."""
+    from alternating_least_squares_spark.operators.asof import asof_join
+
+    tol_us = 2 * 3600 * 1_000_000
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns DIV 1000")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("value").alias("value"))
+    )
+    return asof_join(
+        clicks, purchases, key="user_id", ts="ts_us",
+        direction="forward", tolerance=tol_us,
+    )
+
+
+SQL_J04 = """
+WITH c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id, c.ts_us,
+       CASE WHEN p.ts_us - c.ts_us <= 7200000000 THEN p.ts_us END
+         AS ts_us_asof,
+       CASE WHEN p.ts_us - c.ts_us <= 7200000000 THEN p.value END
+         AS value_asof
+FROM c ASOF LEFT JOIN p
+  ON c.user_id = p.user_id AND c.ts_us <= p.ts_us
+"""
+
+
+def q_e10_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event-time profile: count / min / max / mean of
+    the gaps between consecutive events — the cadence feature behind
+    session modeling and bot detection. One window pass (lag over the
+    user partition) + one keyed aggregation. Deterministic: gaps are
+    exact ns longs whatever order ties land in (the sorted multiset of
+    timestamps is unique), sums are exact long sums, and the mean is
+    one double division on identically-rounded casts."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns")
+    gaps = (
+        ev.select("user_id", "ts_ns")
+        .withColumn("gap", F.col("ts_ns") - F.lag("ts_ns").over(w))
+        .filter(F.col("gap").isNotNull())
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.min("gap").alias("min_gap_ns"),
+        F.max("gap").alias("max_gap_ns"),
+        (F.sum("gap").cast("double") / F.count("*").cast("double")).alias(
+            "avg_gap_ns"
+        ),
+    )
+
+
+SQL_E10 = """
+WITH g AS (
+  SELECT user_id,
+         epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY epoch_ns(ts)) AS gap
+  FROM events
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap) AS BIGINT) AS min_gap_ns,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_ns,
+       CAST(CAST(SUM(gap) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS avg_gap_ns
+FROM g WHERE gap IS NOT NULL GROUP BY 1
+"""
+
+
+def q_q02_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity gate
+    (functions/quality.foreign_key — the expectation q01's single-pass
+    runner can't express): orphan counts for every FK edge of the
+    schema plus the events→customer edge. Each check is one anti-join
+    (NULL child keys never violate, per SQL FK semantics); the report
+    unions into the same (constraint, n_violations, passed) shape as
+    q01. Oracle: NOT EXISTS scalar counts."""
+    from alternating_least_squares_spark.functions import quality as Q
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    checks = [
+        Q.foreign_key(li, "l_orderkey", orders, "o_orderkey"),
+        Q.foreign_key(li, "l_partkey", part, "p_partkey"),
+        Q.foreign_key(li, "l_suppkey", supplier, "s_suppkey"),
+        Q.foreign_key(orders, "o_custkey", customer, "c_custkey"),
+        Q.foreign_key(ev, "user_id", customer, "c_custkey"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def _q02_oracle() -> str:
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("events", "user_id", "customer", "c_custkey"),
+    ]
+    parts = []
+    for child, ck, parent, pk in edges:
+        parts.append(
+            f"SELECT 'foreign_key({ck}->{pk})' AS constraint, "
+            f"CAST((SELECT COUNT(*) FROM {child} c "
+            f"WHERE c.{ck} IS NOT NULL AND NOT EXISTS "
+            f"(SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck})) AS BIGINT) "
+            f"AS n_violations, "
+            f"(SELECT COUNT(*) FROM {child} c WHERE c.{ck} IS NOT NULL "
+            f"AND NOT EXISTS (SELECT 1 FROM {parent} p "
+            f"WHERE p.{pk} = c.{ck})) = 0 AS passed"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+SQL_Q02 = _q02_oracle()
+
+
 def _part_hierarchy(spark: SparkSession, sf_dir: str):
     """Synthetic forest over the part table: ``parent(k) = k DIV 10``
     for k ≥ 10, roots 0–9 (p_partkey is contiguous 0..N−1 at every SF,
@@ -5747,6 +5891,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ipf_cost_per_visit_fixed": (q_ipf_cost_per_visit_fixed, SQL_IPF_FIXED),
     "rc01_subtree_rollup": (q_rc01_subtree_rollup, SQL_RC01),
     "rc02_node_depth": (q_rc02_node_depth, SQL_RC02),
+    "j04_asof_forward": (q_j04_asof_forward, SQL_J04),
+    "e10_inter_event_gaps": (q_e10_inter_event_gaps, SQL_E10),
+    "q02_referential_integrity": (q_q02_referential_integrity, SQL_Q02),
 }
 
 
@@ -5795,11 +5942,12 @@ _PREFIX = [
     # text / python-surface / multimodal tails
     "t07_top_bigrams", "x04_pandas_udaf_geomean", "x07_python_datasource",
     "mm03_arrow_features",
+    # more new round-5 code
+    "j04_asof_forward", "e10_inter_event_gaps", "q02_referential_integrity",
     # sentinels — green in earlier rounds, re-checked to catch driver
     # testdata-layout flips (events ts layout has flipped before)
     "a17_converge", "h01_pricing_summary", "d01_simhash",
     "st01_stream_hourly", "e08_ohlc_bars", "t01_token_stats",
-    "v01_cosine_pairs", "c16_scd2", "j03_interval_overlap",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+import pytest
+from pyspark.sql import functions as F
+
 from alternating_least_squares_spark.operators.asof import asof_join
 
 
@@ -162,3 +165,98 @@ def test_asof_map_payload_still_joins(spark):
 
     r = asof_join(left, right, "k", "t").first()
     assert r["t_asof"] == 5 and r["m_asof"] == {"a": 1}
+
+
+def test_asof_forward_direction_and_tolerance(spark):
+    """Forward as-of (round 5): earliest right row with r.ts >= l.ts,
+    inclusive at ties; tolerance nulls matches that are too far."""
+    from alternating_least_squares_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 35), (2, 5)], "k int, t int"
+    )
+    right = spark.createDataFrame(
+        [(1, 20, 100.0), (1, 30, 200.0), (2, 50, 300.0)],
+        "k int, t int, v double",
+    )
+    got = {
+        (r["k"], r["t"]): (r["t_asof"], r["v_asof"])
+        for r in asof_join(left, right, "k", "t",
+                           direction="forward").collect()
+    }
+    assert got == {
+        (1, 10): (20, 100.0),   # earliest at-or-after
+        (1, 20): (20, 100.0),   # inclusive tie
+        (1, 35): (None, None),  # nothing after
+        (2, 5): (50, 300.0),
+    }
+    tol = {
+        (r["k"], r["t"]): (r["t_asof"], r["v_asof"])
+        for r in asof_join(left, right, "k", "t",
+                           direction="forward", tolerance=10).collect()
+    }
+    assert tol[(1, 10)] == (20, 100.0)
+    assert tol[(2, 5)] == (None, None)  # 45 away > tolerance 10
+
+
+def test_asof_backward_tolerance(spark):
+    from alternating_least_squares_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100), (1, 9)], "k int, t int")
+    right = spark.createDataFrame([(1, 5, 1.0)], "k int, t int, v double")
+    got = {
+        r["t"]: r["v_asof"]
+        for r in asof_join(left, right, "k", "t", tolerance=10).collect()
+    }
+    assert got == {9: 1.0, 100: None}
+
+
+def test_asof_rejects_bad_direction(spark):
+    from alternating_least_squares_spark.operators.asof import asof_join
+
+    df = spark.createDataFrame([(1, 1)], "k int, t int")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(df, df, "k", "t", direction="nearest")
+
+
+def test_asof_forward_matches_brute_force(spark):
+    """Randomized parity: forward asof vs a per-row brute-force scan."""
+    import random
+
+    rng = random.Random(7)
+    lrows = [(rng.randint(0, 4), rng.randint(0, 100)) for _ in range(80)]
+    rrows = [
+        (rng.randint(0, 4), rng.randint(0, 100), float(i))
+        for i in range(60)
+    ]
+    from alternating_least_squares_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(lrows, "k int, t int").distinct()
+    right = spark.createDataFrame(rrows, "k int, t int, v double")
+    # pin tie winners like production callers: one row per (k, t)
+    right = right.groupBy("k", "t").agg(F.max("v").alias("v"))
+    rmap = {}
+    for r in right.collect():
+        rmap.setdefault(r["k"], []).append((r["t"], r["v"]))
+    got = {
+        (r["k"], r["t"]): (r["t_asof"], r["v_asof"])
+        for r in asof_join(left, right, "k", "t",
+                           direction="forward").collect()
+    }
+    for (k, t) in {(k, t) for k, t in left.collect()}:
+        cands = [(rt, rv) for rt, rv in rmap.get(k, []) if rt >= t]
+        want = min(cands) if cands else (None, None)
+        assert got[(k, t)] == want, ((k, t), got[(k, t)], want)
+
+
+def test_foreign_key_check(spark):
+    from alternating_least_squares_spark.functions import quality as Q
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (9,), (None,)], "fk int"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    row = Q.foreign_key(child, "fk", parent, "pk").first()
+    assert row["constraint"] == "foreign_key(fk->pk)"
+    assert row["n_violations"] == 1  # 9 is orphaned; NULL never violates
+    assert row["passed"] is False
