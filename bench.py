@@ -56,6 +56,13 @@ HEADLINE = [
     "s01_lsh_topk",
     "s03_ivf_topk",
     "m01_als_recommend",
+    # round-5 additions (VERDICT r4 #7): the round-4 operator families
+    # whose regressions plans alone wouldn't catch, plus the round-5
+    # recursive closure and the flagship's deterministic twin
+    "j03_interval_overlap",
+    "t14_context_assembly",
+    "rc01_subtree_rollup",
+    "ipf_cost_per_visit_fixed",
 ]
 
 
