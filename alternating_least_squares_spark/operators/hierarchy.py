@@ -28,13 +28,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-ANC, DESC, DIST = "anc", "desc", "dist"
+ANC, DESC, DIST, QTY = "anc", "desc", "dist", "qty"
 
 
 def ancestor_closure(
     nodes: DataFrame,
     edges: DataFrame,
     max_rounds: int = 20,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """All (ancestor, descendant, distance) pairs of a forest,
     INCLUDING the reflexive (n, n, 0) pairs.
@@ -45,26 +46,46 @@ def ancestor_closure(
     2^max_rounds, and hitting the bound without reaching a fixpoint
     raises (cycle or deeper-than-declared hierarchy) instead of
     silently truncating.
+
+    ``weight_col``: optional integral per-edge multiplier on ``edges``
+    (units of child per unit of parent — the BOM quantity). When set,
+    the closure carries ``qty`` = the PRODUCT of edge weights along
+    the path (1 on reflexive pairs). Multiplication is associative, so
+    the doubling composition stays exact; in a tree the path per pair
+    is unique, so ``distinct`` still deduplicates composed duplicates
+    bit-exactly. Keep weights integral and depth·log₂(max weight)
+    under 63 bits — products are exact longs, never doubles.
     """
-    closure = nodes.select(
-        F.col("id").alias(ANC), F.col("id").alias(DESC), F.lit(0).alias(DIST)
-    ).unionByName(
-        edges.select(
-            F.col("parent").alias(ANC),
-            F.col("child").alias(DESC),
-            F.lit(1).alias(DIST),
-        )
-    ).localCheckpoint(eager=True)
+    seed_cols = [
+        F.col("id").alias(ANC),
+        F.col("id").alias(DESC),
+        F.lit(0).alias(DIST),
+    ]
+    edge_cols = [
+        F.col("parent").alias(ANC),
+        F.col("child").alias(DESC),
+        F.lit(1).alias(DIST),
+    ]
+    if weight_col is not None:
+        seed_cols.append(F.lit(1).cast("long").alias(QTY))
+        edge_cols.append(F.col(weight_col).cast("long").alias(QTY))
+    closure = (
+        nodes.select(*seed_cols)
+        .unionByName(edges.select(*edge_cols))
+        .localCheckpoint(eager=True)
+    )
     n = closure.count()
     for _ in range(max_rounds):
         a, b = closure.alias("a"), closure.alias("b")
-        composed = (
-            a.join(b, F.col(f"a.{DESC}") == F.col(f"b.{ANC}"))
-            .select(
-                F.col(f"a.{ANC}").alias(ANC),
-                F.col(f"b.{DESC}").alias(DESC),
-                (F.col(f"a.{DIST}") + F.col(f"b.{DIST}")).alias(DIST),
-            )
+        out_cols = [
+            F.col(f"a.{ANC}").alias(ANC),
+            F.col(f"b.{DESC}").alias(DESC),
+            (F.col(f"a.{DIST}") + F.col(f"b.{DIST}")).alias(DIST),
+        ]
+        if weight_col is not None:
+            out_cols.append((F.col(f"a.{QTY}") * F.col(f"b.{QTY}")).alias(QTY))
+        composed = a.join(b, F.col(f"a.{DESC}") == F.col(f"b.{ANC}")).select(
+            *out_cols
         )
         closure = (
             closure.unionByName(composed).distinct().localCheckpoint(eager=True)

@@ -5667,6 +5667,64 @@ FROM up WHERE cur < 10
 """
 
 
+def q_rc03_bom_effective_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOM explosion (the multiplicative recursive shape): per node,
+    the total effective units across its subtree when each child-edge
+    carries an integral per-unit quantity — path quantities are
+    PRODUCTS of edge weights, carried exactly through the doubling
+    closure (weight_col). Oracle: recursive CTE multiplying down the
+    same synthetic quantities."""
+    _, nodes, edges = _part_hierarchy(spark, sf_dir)
+    edges = edges.withColumn("qty", F.col("child") % 5 + 1)
+    cl = H.ancestor_closure(nodes, edges, weight_col="qty")
+    return cl.groupBy(F.col(H.ANC).alias("node")).agg(
+        F.sum(H.QTY).alias("effective_units"),
+        F.count("*").alias("n_desc"),
+    )
+
+
+SQL_RC03 = """
+WITH RECURSIVE cl AS (
+  SELECT p_partkey AS anc, p_partkey AS des, CAST(1 AS BIGINT) AS qty
+  FROM part
+  UNION ALL
+  SELECT cl.anc, p.p_partkey, cl.qty * ((p.p_partkey % 5) + 1)
+  FROM cl JOIN part p ON p.p_partkey >= 10 AND (p.p_partkey // 10) = cl.des
+)
+SELECT anc AS node, CAST(SUM(qty) AS BIGINT) AS effective_units,
+       CAST(COUNT(*) AS BIGINT) AS n_desc
+FROM cl GROUP BY 1
+"""
+
+
+def q_ac08_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change feed between snapshot versions (Delta table_changes
+    analog; sources/snapshot.diff_versions): diff v0 (create) against
+    v2 (post-MERGE-and-DELETE) of the ac01 table — %8==0 keys were
+    inserted by the merge, %8==1 updated (price doubled), %8==2
+    deleted. The oracle reconstructs the exact feed from orders, so a
+    hash match proves insert/update/delete classification AND the
+    NULL-safe row comparison."""
+    from alternating_least_squares_spark.sources import snapshot as SN
+
+    path = _snapshot_table_for(spark, sf_dir, "ac08")
+    return SN.diff_versions(spark, path, 0, 2)
+
+
+SQL_AC08 = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 8 = 0 THEN 'insert'
+            WHEN o_orderkey % 8 = 2 THEN 'delete'
+            ELSE 'update' END AS change_type,
+       CASE WHEN o_orderkey % 8 = 2 THEN NULL
+            ELSE o_custkey END AS o_custkey_new,
+       CASE WHEN o_orderkey % 8 = 2 THEN NULL
+            ELSE round(round(o_totalprice, 6) * 2, 6) END AS price_new
+FROM orders
+WHERE o_orderkey % 8 IN (0, 1, 2)
+"""
+
+
 def q_ipf_cost_per_visit_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship chain (E2 seed + rescaled marginals + IPF + E3
     finale) as a FIXED-2-sweep deterministic variant so the end-to-end
@@ -5894,6 +5952,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "j04_asof_forward": (q_j04_asof_forward, SQL_J04),
     "e10_inter_event_gaps": (q_e10_inter_event_gaps, SQL_E10),
     "q02_referential_integrity": (q_q02_referential_integrity, SQL_Q02),
+    "rc03_bom_effective_qty": (q_rc03_bom_effective_qty, SQL_RC03),
+    "ac08_change_feed": (q_ac08_change_feed, SQL_AC08),
 }
 
 
@@ -5944,10 +6004,11 @@ _PREFIX = [
     "mm03_arrow_features",
     # more new round-5 code
     "j04_asof_forward", "e10_inter_event_gaps", "q02_referential_integrity",
+    "rc03_bom_effective_qty", "ac08_change_feed",
     # sentinels — green in earlier rounds, re-checked to catch driver
     # testdata-layout flips (events ts layout has flipped before)
     "a17_converge", "h01_pricing_summary", "d01_simhash",
-    "st01_stream_hourly", "e08_ohlc_bars", "t01_token_stats",
+    "st01_stream_hourly",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

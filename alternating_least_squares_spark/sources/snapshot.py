@@ -199,6 +199,61 @@ def read_snapshot(
     return spark.read.schema(schema).parquet(*paths)
 
 
+def diff_versions(
+    spark: SparkSession, path: str, v_from: int, v_to: int
+) -> DataFrame:
+    """CDC-style change feed between two committed versions (the Delta
+    ``table_changes`` / Iceberg changelog read): one row per key whose
+    state differs, classified ``insert`` / ``delete`` / ``update``.
+
+    Computed, not logged: a FULL OUTER join of the two version reads on
+    the table key (one keyed shuffle per side; both reads are plain
+    manifest-driven parquet scans, so column pruning and file stats
+    still apply). Schema evolution between the versions is handled by
+    aligning both sides to the UNION of their columns — a column absent
+    from a version projects NULL there, exactly as reads do, so
+    evolving a table never makes every row look updated unless the new
+    column actually carries values. Row equality is NULL-safe over all
+    non-key columns.
+
+    Returns ``(<key>, change_type)`` plus every non-key column of the
+    TO side as ``<col>_new`` (NULL for deletes).
+    """
+    versions = _list_versions(path)
+    if v_from not in versions or v_to not in versions:
+        raise ValueError(f"versions {v_from}->{v_to} not in {versions}")
+    key = _read_manifest(path, versions[-1])["key"]
+    old = read_snapshot(spark, path, version=v_from)
+    new = read_snapshot(spark, path, version=v_to)
+    for c, t in _schema_fields(new.schema).items():
+        if c not in old.columns:
+            old = old.withColumn(c, F.lit(None).cast(t))
+    for c, t in _schema_fields(old.schema).items():
+        if c not in new.columns:
+            new = new.withColumn(c, F.lit(None).cast(t))
+    payload = [c for c in new.columns if c != key]
+    o = old.select(key, *payload).alias("o")
+    n = new.select(key, *payload).alias("n")
+    joined = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
+    same = F.struct(*[F.col(f"o.{c}") for c in payload]).eqNullSafe(
+        F.struct(*[F.col(f"n.{c}") for c in payload])
+    )
+    change = (
+        F.when(F.col(f"o.{key}").isNull(), F.lit("insert"))
+        .when(F.col(f"n.{key}").isNull(), F.lit("delete"))
+        .when(~same, F.lit("update"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}")).alias(key),
+            "change_type",
+            *[F.col(f"n.{c}").alias(f"{c}_new") for c in payload],
+        )
+    )
+
+
 def append(
     df: DataFrame, path: str, key: str | None = None,
     extra: dict | None = None, merge_schema: bool = False,

@@ -100,3 +100,28 @@ def test_deep_chain_converges_in_log_rounds(spark):
     assert cl.count() == (n + 1) * (n + 2) // 2
     deepest = cl.agg(F.max("dist")).first()[0]
     assert deepest == n
+
+
+def test_weighted_closure_products_match_brute_force(forest, spark):
+    """BOM quantities: the closure's qty must be the PRODUCT of edge
+    weights along the unique path, exact through doubling."""
+    nodes, edges = forest
+    wts = {(c, p): c + 2 for c, p in EDGES}  # deterministic weights
+    wedges = spark.createDataFrame(
+        [(c, p, wts[(c, p)]) for c, p in EDGES],
+        "child long, parent long, qty long",
+    )
+    got = {
+        (r["anc"], r["desc"]): r["qty"]
+        for r in H.ancestor_closure(nodes, wedges, weight_col="qty").collect()
+    }
+    parent = dict(EDGES)
+    want = {}
+    for n in NODES:
+        cur, q = n, 1
+        want[(n, n)] = 1
+        while cur in parent:
+            q *= wts[(cur, parent[cur])]
+            cur = parent[cur]
+            want[(cur, n)] = q
+    assert got == want

@@ -489,3 +489,44 @@ def test_merge_schema_evolution_rejects_missing_or_retyped(spark, base, tmp_path
     missing = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError, match="additive"):
         SN.merge_upsert(missing, path, merge_schema=True)
+
+
+def test_diff_versions_change_feed(spark, base, tmp_path):
+    """CDC diff (round 5): insert/update/delete classification over a
+    create -> merge -> delete history, with _new payload columns."""
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")                      # v0: 0..99
+    SN.merge_upsert(
+        spark.createDataFrame([(10, -1), (200, -3)], "k long, v long"), path
+    )                                                          # v1
+    SN.delete_where(path, "k = 20", spark)                     # v2
+    feed = {
+        r["k"]: (r["change_type"], r["v_new"])
+        for r in SN.diff_versions(spark, path, 0, 2).collect()
+    }
+    assert feed == {
+        10: ("update", -1), 200: ("insert", -3), 20: ("delete", None)
+    }
+    # no-change diff is empty; bad version raises
+    assert SN.diff_versions(spark, path, 2, 2).count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="versions"):
+        SN.diff_versions(spark, path, 0, 9)
+
+
+def test_diff_versions_across_schema_evolution(spark, base, tmp_path):
+    """Evolving a table must NOT make every row read as updated: a
+    pre-evolution row whose values are unchanged (new column NULL on
+    both sides) stays out of the feed."""
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    SN.merge_upsert(
+        spark.createDataFrame([(10, -1, "a")], "k long, v long, tag string"),
+        path,
+        merge_schema=True,
+    )
+    feed = {
+        r["k"]: (r["change_type"], r["v_new"], r["tag_new"])
+        for r in SN.diff_versions(spark, path, 0, 1).collect()
+    }
+    assert feed == {10: ("update", -1, "a")}
