@@ -54,3 +54,15 @@ def test_no_hugeint_or_decimal_oracle_columns(con):
         "oracle SQL columns with driver-hash-incompatible types "
         "(wrap in CAST(... AS BIGINT/DOUBLE)):\n" + "\n".join(bad)
     )
+
+
+def test_driver_prefix_entries_all_have_oracles():
+    """The driver checks the first 50 registry entries; a rows-only
+    entry in that window records err:no_oracle and reads as a failure
+    in CORRECTNESS_r*.json (VERDICT r4 #4). Pin the invariant."""
+    import __spark_entry__ as e
+
+    qs, osql = e.queries(), e.oracle_sql()
+    prefix = list(qs)[:50]
+    missing = [k for k in prefix if k not in osql]
+    assert missing == [], f"rows-only entries in the driver prefix: {missing}"
