@@ -5667,6 +5667,48 @@ FROM up WHERE cur < 10
 """
 
 
+def q_d07_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup — the nightly-ingest shape d01-d06 don't
+    cover: a NEW batch is admitted against an EXISTING corpus without
+    re-deduping the corpus (at 100 TB the corpus side is touched only
+    as a fingerprint anti-join, never rescanned for pairs). Admission =
+    content hash unseen in the corpus AND first (lowest doc_id) within
+    the batch. One anti-join + one keyed window; the batch/corpus split
+    is deterministic (doc_id % 3). Oracle: NOT EXISTS + row_number."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    corpus_fp = (
+        docs.filter(F.col("doc_id") % 3 != 0).select(h.alias("fp")).distinct()
+    )
+    batch = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", h.alias("fp")
+    )
+    fresh = batch.join(corpus_fp, "fp", "left_anti")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fp")
+    )
+
+
+SQL_D07 = """
+WITH b AS (
+  SELECT doc_id, md5(coalesce(text, '')) AS fp
+  FROM documents WHERE doc_id % 3 = 0
+),
+c AS (
+  SELECT DISTINCT md5(coalesce(text, '')) AS fp
+  FROM documents WHERE doc_id % 3 <> 0
+)
+SELECT doc_id, fp FROM (
+  SELECT b.doc_id, b.fp,
+         row_number() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
+  FROM b WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.fp = b.fp)
+) WHERE rn = 1
+"""
+
+
 def q_rc03_bom_effective_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BOM explosion (the multiplicative recursive shape): per node,
     the total effective units across its subtree when each child-edge
@@ -5954,6 +5996,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q02_referential_integrity": (q_q02_referential_integrity, SQL_Q02),
     "rc03_bom_effective_qty": (q_rc03_bom_effective_qty, SQL_RC03),
     "ac08_change_feed": (q_ac08_change_feed, SQL_AC08),
+    "d07_incremental_dedup": (q_d07_incremental_dedup, SQL_D07),
 }
 
 
@@ -6004,11 +6047,11 @@ _PREFIX = [
     "mm03_arrow_features",
     # more new round-5 code
     "j04_asof_forward", "e10_inter_event_gaps", "q02_referential_integrity",
-    "rc03_bom_effective_qty", "ac08_change_feed",
+    "rc03_bom_effective_qty", "ac08_change_feed", "d07_incremental_dedup",
     # sentinels — green in earlier rounds, re-checked to catch driver
-    # testdata-layout flips (events ts layout has flipped before)
+    # testdata-layout flips (events layout is covered by the e/j/w
+    # rotation entries above; these three re-pin lineitem + documents)
     "a17_converge", "h01_pricing_summary", "d01_simhash",
-    "st01_stream_hourly",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))
