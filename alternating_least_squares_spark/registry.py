@@ -5667,6 +5667,52 @@ FROM up WHERE cur < 10
 """
 
 
+def q_gr01_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graph.py) over the part→supplier edge list,
+    2 iterations, fully INTEGER arithmetic (micro-unit ranks, DIV
+    damping) so the iterative loop hash-matches an unrolled DuckDB
+    oracle bit-for-bit — the second canonical iterative graph workload
+    next to d04's connected components."""
+    from alternating_least_squares_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    return pagerank(edges, iterations=2, damping_pct=85)
+
+
+def _gr01_oracle(iterations: int = 2, damping_pct: int = 85) -> str:
+    base = (100 - damping_pct) * 1_000_000 // 100
+    ctes = [
+        "e AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst "
+        "FROM lineitem)",
+        "n AS (SELECT src AS id FROM e UNION SELECT dst FROM e)",
+        "d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1)",
+        "p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM n)",
+    ]
+    prev = "p0"
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS id, "
+            f"CAST(SUM({prev}.pr // d.deg) AS BIGINT) AS s "
+            f"FROM e JOIN {prev} ON {prev}.id = e.src "
+            f"JOIN d ON d.src = e.src GROUP BY 1)"
+        )
+        ctes.append(
+            f"p{i} AS (SELECT n.id, CAST({base} + "
+            f"({damping_pct} * COALESCE(c{i}.s, 0)) // 100 AS BIGINT) AS pr "
+            f"FROM n LEFT JOIN c{i} ON c{i}.id = n.id)"
+        )
+        prev = f"p{i}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT id, pr AS pr_us FROM {prev}"
+    )
+
+
+SQL_GR01 = _gr01_oracle()
+
+
 def q_d07_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact dedup — the nightly-ingest shape d01-d06 don't
     cover: a NEW batch is admitted against an EXISTING corpus without
@@ -5997,6 +6043,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "rc03_bom_effective_qty": (q_rc03_bom_effective_qty, SQL_RC03),
     "ac08_change_feed": (q_ac08_change_feed, SQL_AC08),
     "d07_incremental_dedup": (q_d07_incremental_dedup, SQL_D07),
+    "gr01_pagerank_fixed": (q_gr01_pagerank_fixed, SQL_GR01),
 }
 
 
@@ -6048,10 +6095,11 @@ _PREFIX = [
     # more new round-5 code
     "j04_asof_forward", "e10_inter_event_gaps", "q02_referential_integrity",
     "rc03_bom_effective_qty", "ac08_change_feed", "d07_incremental_dedup",
+    "gr01_pagerank_fixed",
     # sentinels — green in earlier rounds, re-checked to catch driver
     # testdata-layout flips (events layout is covered by the e/j/w
-    # rotation entries above; these three re-pin lineitem + documents)
-    "a17_converge", "h01_pricing_summary", "d01_simhash",
+    # rotation entries above; these two re-pin lineitem + documents)
+    "a17_converge", "d01_simhash",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

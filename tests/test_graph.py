@@ -1,0 +1,38 @@
+"""Integer PageRank (operators/graph.py, round 5) on hand-computed
+graphs — the oracle entry (gr01) covers engine parity; these pin the
+arithmetic itself."""
+
+from __future__ import annotations
+
+import pytest
+
+from alternating_least_squares_spark.operators.graph import pagerank
+
+
+def test_pagerank_hand_computed_two_iterations(spark):
+    # 1 -> {2,3}, 2 -> 3, 3 -> 1
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1)], "src long, dst long"
+    )
+    got = {r["id"]: r["pr_us"] for r in pagerank(edges, iterations=2).collect()}
+    # iter1: sums 1:1e6, 2:5e5, 3:1.5e6 -> 1_000_000 / 575_000 / 1_425_000
+    # iter2: sums 1:1_425_000, 2:500_000, 3:1_075_000
+    assert got == {1: 1_361_250, 2: 575_000, 3: 1_063_750}
+
+
+def test_pagerank_dangling_node_and_duplicate_edges(spark):
+    # duplicate edge must not double-count; node 2 is dangling (its
+    # mass leaks, documented semantics)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 2)], "src long, dst long"
+    )
+    got = {r["id"]: r["pr_us"] for r in pagerank(edges, iterations=1).collect()}
+    assert got == {1: 150_000, 2: 1_000_000}
+
+
+def test_pagerank_validates_inputs(spark):
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="damping_pct"):
+        pagerank(edges, damping_pct=101)
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(edges, iterations=0)
