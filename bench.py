@@ -63,6 +63,8 @@ HEADLINE = [
     "t14_context_assembly",
     "rc01_subtree_rollup",
     "ipf_cost_per_visit_fixed",
+    "gr01_pagerank_fixed",
+    "d07_incremental_dedup",
 ]
 
 
