@@ -5667,6 +5667,45 @@ FROM up WHERE cur < 10
 """
 
 
+def q_e11_trailing_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day (the WAU analytics shape).
+    Scale formulation: dedupe to (user, day) FIRST, then EXPLODE each
+    pair to the ≤7 trailing days it covers and count distinct users
+    per covered day — linear with bounded fan-out 7, where the naive
+    `BETWEEN` self-join plans quadratic (the oracle does exactly that,
+    which is the point of the contrast). Only days that actually occur
+    in the data are reported (no fabricated trailing days)."""
+    day_ns = 86_400 * 1_000_000_000
+    ev = load_table(spark, sf_dir, "events")
+    ud = (
+        ev.select(
+            "user_id", F.expr(_floor_div("ts_ns", day_ns)).alias("day")
+        )
+        .distinct()
+    )
+    days = ud.select("day").distinct()
+    cover = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day"),
+    ).join(days, "day")  # report only observed days
+    return cover.groupBy("day").agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+
+
+SQL_E11 = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         {_floor_div_duck('epoch_ns(ts)', 86_400_000_000_000)} AS day
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM ud)
+SELECT d.day, CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau
+FROM days d JOIN ud ON d.day BETWEEN ud.day AND ud.day + 6
+GROUP BY 1
+"""
+
+
 def q_gr01_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (operators/graph.py) over the part→supplier edge list,
     2 iterations, fully INTEGER arithmetic (micro-unit ranks, DIV
@@ -6044,6 +6083,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ac08_change_feed": (q_ac08_change_feed, SQL_AC08),
     "d07_incremental_dedup": (q_d07_incremental_dedup, SQL_D07),
     "gr01_pagerank_fixed": (q_gr01_pagerank_fixed, SQL_GR01),
+    "e11_trailing_active_users": (q_e11_trailing_active_users, SQL_E11),
 }
 
 
