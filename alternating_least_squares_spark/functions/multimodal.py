@@ -183,6 +183,55 @@ def sample_frames(
     return df.select(id_col, text_col).mapInPandas(batches, FRAME_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id long, n_bytes long, resized_bytes long, resized_md5 string"
+
+
+def resize_stride(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stride: int = 4,
+) -> DataFrame:
+    """"Resize" over opaque payloads: keep every ``stride``-th byte —
+    the deterministic stand-in for image downsampling (a real resize
+    swaps the stride slice for an interpolating decoder; the Spark
+    plumbing — 1:1 ``mapInPandas``, Arrow batching, bounded memory —
+    is what this proves, completing the decode / feature-extract /
+    RESIZE / frame-sample checklist next to mm01/mm02).
+
+    Emits ``(doc_id, n_bytes, resized_bytes, resized_md5)``; NULL and
+    empty payloads produce no row (nothing to resize). The DuckDB
+    oracle rebuilds the strided bytes with
+    ``string_agg(substring(...), '' ORDER BY i)`` — two independent
+    constructions of the same byte string, md5-compared.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids, lens, rlens, digests = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                data = (text or "").encode("utf-8")
+                if not data:
+                    continue
+                resized = data[::stride]
+                ids.append(doc_id)
+                lens.append(len(data))
+                rlens.append(len(resized))
+                digests.append(hashlib.md5(resized).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_bytes": pd.Series(lens, dtype="int64"),
+                    "resized_bytes": pd.Series(rlens, dtype="int64"),
+                    "resized_md5": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, RESIZE_SCHEMA)
+
+
 def decode_image(blob: bytes):  # pragma: no cover - stub by design
     """Decode a real image payload. STUB: the container has no image
     libraries; gate on PIL and fail loudly rather than fake silently."""

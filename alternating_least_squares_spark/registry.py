@@ -5667,6 +5667,35 @@ FROM up WHERE cur < 10
 """
 
 
+def q_mm04_resize_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Resize" plumbing (functions/multimodal.resize_stride): keep
+    every 4th payload byte — the deterministic stand-in for image
+    downsampling, completing the multimodal checklist (decode stub /
+    features mm01 / RESIZE / frame-sample mm02). 1:1 Arrow-batched
+    mapInPandas; the oracle rebuilds the strided bytes with
+    string_agg(substring) ORDER BY and md5-compares."""
+    from alternating_least_squares_spark.functions.multimodal import (
+        resize_stride,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_stride(docs, stride=4)
+
+
+SQL_MM04 = """
+WITH px AS (
+  SELECT doc_id, length(text) AS n_bytes, i,
+         substring(text, CAST(i + 1 AS BIGINT), 1) AS ch
+  FROM documents, UNNEST(range(0, length(text), 4)) AS t(i)
+  WHERE text IS NOT NULL AND length(text) > 0
+)
+SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(COUNT(*) AS BIGINT) AS resized_bytes,
+       md5(string_agg(ch, '' ORDER BY i)) AS resized_md5
+FROM px GROUP BY 1, 2
+"""
+
+
 def q_e11_trailing_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day active users per day (the WAU analytics shape).
     Scale formulation: dedupe to (user, day) FIRST, then EXPLODE each
@@ -6084,6 +6113,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "d07_incremental_dedup": (q_d07_incremental_dedup, SQL_D07),
     "gr01_pagerank_fixed": (q_gr01_pagerank_fixed, SQL_GR01),
     "e11_trailing_active_users": (q_e11_trailing_active_users, SQL_E11),
+    "mm04_resize_stride": (q_mm04_resize_stride, SQL_MM04),
 }
 
 

@@ -117,3 +117,22 @@ def test_media_features_null_blob_reads_as_empty(spark):
     got = {r["doc_id"]: (r["n_bytes"], r["md5"]) for r in extract_media_features(d).collect()}
     assert got[1] == (0, hashlib.md5(b"").hexdigest())
     assert got[2][0] == 2
+
+
+def test_resize_stride_bytes_and_md5(spark):
+    """mm04 plumbing: every stride-th byte, empty/NULL rows dropped."""
+    from alternating_least_squares_spark.functions.multimodal import (
+        resize_stride,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, ""), (3, None), (4, "xyz")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["resized_bytes"], r["resized_md5"])
+        for r in resize_stride(d, stride=4).collect()
+    }
+    assert set(got) == {1, 4}  # empty and NULL payloads leave the pipe
+    assert got[1] == (10, 3, hashlib.md5(b"aei").hexdigest())
+    assert got[4] == (3, 1, hashlib.md5(b"x").hexdigest())
