@@ -5667,6 +5667,57 @@ FROM up WHERE cur < 10
 """
 
 
+def q_x13_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — x10's static cousin and the other
+    half of the partitioning story at 100 TB: the pruning predicate is
+    not known until runtime because it comes from a FILTERED DIM TABLE
+    (a parquet scan Catalyst cannot constant-fold through). Spark
+    plans a dynamicpruning subquery on the fact scan: the dim side
+    runs first, its day set is broadcast, and only matching partition
+    directories of the fact table are listed/read. The plan shape
+    (dynamicpruning expression in PartitionFilters) is asserted in
+    tests/test_storage.py; this entry hash-proves the result equals
+    the plain predicate the oracle runs."""
+    from alternating_least_squares_spark.sources import catalog
+
+    day_ns = 86_400 * 1_000_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.expr(_floor_div("ts_ns", day_ns)).alias("day"),
+    )
+    fact_path = _scratch_path("alternating_ls_dpp", "fact")
+    dim_path = _scratch_path("alternating_ls_dpp", "dim")
+    catalog.write_parquet(ev, fact_path, partition_by=["day"])
+    catalog.write_parquet(ev.select("day").distinct(), dim_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("day") % 3 == 0)
+    return (
+        fact.join(dim, "day")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,10)")).cast("double"),
+                6,
+            ).alias("total_value"),
+        )
+    )
+
+
+SQL_X13 = f"""
+WITH e AS (
+  SELECT event_type, value,
+         {_floor_div_duck('epoch_ns(ts)', 86_400_000_000_000)} AS day
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n,
+       round(CAST(SUM(CAST(value AS DECIMAL(38, 10))) AS DOUBLE), 6)
+         AS total_value
+FROM e WHERE day % 3 = 0
+GROUP BY 1
+"""
+
+
 def q_mm04_resize_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
     """"Resize" plumbing (functions/multimodal.resize_stride): keep
     every 4th payload byte — the deterministic stand-in for image
@@ -6114,6 +6165,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "gr01_pagerank_fixed": (q_gr01_pagerank_fixed, SQL_GR01),
     "e11_trailing_active_users": (q_e11_trailing_active_users, SQL_E11),
     "mm04_resize_stride": (q_mm04_resize_stride, SQL_MM04),
+    "x13_dynamic_partition_pruning": (q_x13_dynamic_partition_pruning, SQL_X13),
 }
 
 

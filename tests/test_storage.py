@@ -213,3 +213,28 @@ def test_compaction_refuses_in_place(spark, tmpdir):
         compact_parquet(spark, src, tmpdir)
     # table survives untouched
     assert spark.read.parquet(src).count() == 5
+
+
+def test_dynamic_partition_pruning_fires_on_dim_filtered_join(spark, tmpdir):
+    """x13: joining a day-partitioned fact against a FILTERED dim scan
+    must plan a dynamicpruning subquery on the fact's partition
+    filters — the runtime analog of test_partitioned_sink_prunes_
+    partitions, where the day set isn't known until the dim side runs."""
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "value",
+        F.expr(
+            "(ts_ns - pmod(ts_ns, 86400000000000)) DIV 86400000000000"
+        ).alias("day"),
+    )
+    fact_path = os.path.join(tmpdir, "dpp_fact")
+    dim_path = os.path.join(tmpdir, "dpp_dim")
+    catalog.write_parquet(ev, fact_path, partition_by=["day"])
+    catalog.write_parquet(ev.select("day").distinct(), dim_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("day") % 3 == 0)
+    joined = fact.join(dim, "day")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the pruned result equals the plain predicate
+    want = ev.filter(F.col("day") % 3 == 0).count()
+    assert joined.count() == want
