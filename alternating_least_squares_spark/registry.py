@@ -5667,6 +5667,54 @@ FROM up WHERE cur < 10
 """
 
 
+def q_w07_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE ``session_window`` operator in batch mode —
+    e03 builds sessions with the gaps-and-islands window algebra;
+    this entry exercises the engine's built-in merging-session
+    aggregate (the one that also powers streaming session state) and
+    hash-proves it against the islands SQL. Semantics pinned by the
+    oracle: a gap of exactly 30 min STARTS a new session (window end
+    is exclusive: last_event + gap). µs-integer session bounds for
+    cross-engine parity."""
+    gap_us = 30 * 60 * 1_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.timestamp_micros(F.expr("ts_ns DIV 1000")).alias("tts"),
+    )
+    agg = ev.groupBy(
+        "user_id", F.session_window("tts", "30 minutes").alias("w")
+    ).agg(F.count("*").alias("n_events"))
+    return agg.select(
+        "user_id",
+        F.unix_micros("w.start").alias("session_start_us"),
+        F.unix_micros("w.end").alias("session_end_us"),
+        "n_events",
+    )
+
+
+SQL_W07 = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+m AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                   >= 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+s AS (
+  SELECT user_id, us,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id, CAST(MIN(us) AS BIGINT) AS session_start_us,
+       CAST(MAX(us) + 1800000000 AS BIGINT) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_x13_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DYNAMIC partition pruning — x10's static cousin and the other
     half of the partitioning story at 100 TB: the pruning predicate is
@@ -6166,6 +6214,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "e11_trailing_active_users": (q_e11_trailing_active_users, SQL_E11),
     "mm04_resize_stride": (q_mm04_resize_stride, SQL_MM04),
     "x13_dynamic_partition_pruning": (q_x13_dynamic_partition_pruning, SQL_X13),
+    "w07_native_session_window": (q_w07_native_session_window, SQL_W07),
 }
 
 
