@@ -6266,11 +6266,11 @@ _PREFIX = [
     # more new round-5 code
     "j04_asof_forward", "e10_inter_event_gaps", "q02_referential_integrity",
     "rc03_bom_effective_qty", "ac08_change_feed", "d07_incremental_dedup",
-    "gr01_pagerank_fixed",
-    # sentinels — green in earlier rounds, re-checked to catch driver
-    # testdata-layout flips (events layout is covered by the e/j/w
-    # rotation entries above; these two re-pin lineitem + documents)
-    "a17_converge", "d01_simhash",
+    "gr01_pagerank_fixed", "e11_trailing_active_users", "mm04_resize_stride",
+    # (round-4 precedent: no sentinel slots — a testdata-layout flip
+    # shows up as a correlated family-wide failure and the local gate
+    # diagnoses it; every slot goes to a first-time official row.
+    # x13/w07 are the round-6 prefix seeds.)
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))
