@@ -5667,6 +5667,43 @@ FROM up WHERE cur < 10
 """
 
 
+def q_e12_daily_top_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax-per-group (the max_by shape) with DETERMINISTIC ties:
+    per day, the event type with the most events. Bare ``max_by`` tie
+    winners are engine/partition-order arbitrary — hash poison — so
+    the argmax rides a struct max: ``max(struct(n, event_type))``
+    compares count then type lexicographically, one aggregation, no
+    window. Oracle: row_number ORDER BY n DESC, type DESC."""
+    day_ns = 86_400 * 1_000_000_000
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy(
+        F.expr(_floor_div("ts_ns", day_ns)).alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    top = cnt.groupBy("day").agg(
+        F.max(F.struct(F.col("n"), F.col("event_type"))).alias("m")
+    )
+    return top.select(
+        "day", F.col("m.n").alias("n"), F.col("m.event_type").alias("top_type")
+    )
+
+
+SQL_E12 = f"""
+WITH c AS (
+  SELECT {_floor_div_duck('epoch_ns(ts)', 86_400_000_000_000)} AS day,
+         event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT day, event_type, n,
+         row_number() OVER (PARTITION BY day
+                            ORDER BY n DESC, event_type DESC) AS rn
+  FROM c
+)
+SELECT day, CAST(n AS BIGINT) AS n, event_type AS top_type
+FROM r WHERE rn = 1
+"""
+
+
 def q_w07_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's NATIVE ``session_window`` operator in batch mode —
     e03 builds sessions with the gaps-and-islands window algebra;
@@ -6215,6 +6252,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "mm04_resize_stride": (q_mm04_resize_stride, SQL_MM04),
     "x13_dynamic_partition_pruning": (q_x13_dynamic_partition_pruning, SQL_X13),
     "w07_native_session_window": (q_w07_native_session_window, SQL_W07),
+    "e12_daily_top_type": (q_e12_daily_top_type, SQL_E12),
 }
 
 
