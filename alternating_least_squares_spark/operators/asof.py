@@ -60,9 +60,14 @@ def asof_join(
 ) -> DataFrame:
     """Inclusive as-of join. ``direction='backward'`` (default): the
     LATEST right row with right.ts ≤ left.ts; ``'forward'``: the
-    EARLIEST right row with right.ts ≥ left.ts (the pandas
-    ``merge_asof`` direction vocabulary). The forward pass is the same
-    one-shuffle union+window plan with the time axis reversed.
+    EARLIEST right row with right.ts ≥ left.ts; ``'nearest'``: the
+    closer of the two, ties resolved BACKWARD (the full pandas
+    ``merge_asof`` direction vocabulary). Backward/forward are the
+    same one-shuffle union+window plan with the time axis set
+    accordingly; nearest computes both carries over the SAME
+    partitioning (one exchange, two sorted window passes) and picks
+    per-row by distance — ``nearest`` therefore requires a numeric ts
+    column (distances are compared arithmetically).
 
     ``tolerance``: optional max distance between left.ts and the
     matched right.ts — a match farther away is nulled out (carried
@@ -75,9 +80,10 @@ def asof_join(
     Carried columns are renamed ``<name><suffix>``; the matched right
     timestamp arrives as ``<ts><suffix>`` (NULL when no right row
     qualifies)."""
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
-            f"direction must be 'backward' or 'forward', got {direction!r}"
+            f"direction must be 'backward', 'forward' or 'nearest', "
+            f"got {direction!r}"
         )
     if payload_cols is None:
         payload_cols = [c for c in right.columns if c not in (key, ts)]
@@ -132,32 +138,64 @@ def asof_join(
     # (key, ts) to pin it, as q_j01 does).
     # forward = the same scan with the time axis reversed; _side and
     # _pack keep their ASC order so ties stay inclusive and the
-    # greatest payload still wins deterministically in both directions
-    ts_key = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
-    order_keys = [ts_key, F.col("_side").asc()]
+    # greatest payload still wins deterministically in every direction
+    tail = [F.col("_side").asc()]
     if _orderable(r_tag.schema["_pack"].dataType):
-        order_keys.append(F.col("_pack").asc())
-    w = (
-        Window.partitionBy(key)
-        .orderBy(*order_keys)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = unioned.withColumn(
-        "_pack", F.last("_pack", ignorenulls=True).over(w)
-    )
-    out = filled.filter(F.col("_side") == 1).drop("_side")
+        tail.append(F.col("_pack").asc())
+
+    def carry(ts_key):
+        w = (
+            Window.partitionBy(key)
+            .orderBy(ts_key, *tail)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last("_pack", ignorenulls=True).over(w)
+
     carried = [f"{ts}{suffix}"] + [f"{c}{suffix}" for c in payload_cols]
-    if tolerance is None:
+    if direction in ("backward", "forward"):
+        ts_key = (
+            F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
+        )
+        filled = unioned.withColumn("_pack", carry(ts_key))
+        out = filled.filter(F.col("_side") == 1).drop("_side")
+        if tolerance is None:
+            return out.select(
+                *[c for c in left.columns],
+                *[F.col(f"_pack.{c}").alias(c) for c in carried],
+            )
+        matched = F.col(f"_pack.{ts}{suffix}")
+        dist = (
+            F.col(ts) - matched
+            if direction == "backward"
+            else matched - F.col(ts)
+        )
+        ok = matched.isNotNull() & (dist <= F.lit(tolerance))
         return out.select(
             *[c for c in left.columns],
-            *[F.col(f"_pack.{c}").alias(c) for c in carried],
+            *[F.when(ok, F.col(f"_pack.{c}")).alias(c) for c in carried],
         )
-    matched = F.col(f"_pack.{ts}{suffix}")
-    dist = (
-        F.col(ts) - matched if direction == "backward" else matched - F.col(ts)
+
+    # nearest: both carries over the same partition key — Catalyst
+    # plans ONE exchange with two sorted window passes; the per-row
+    # pick is pure expression work
+    filled = unioned.withColumn("_pbw", carry(F.col(ts).asc())).withColumn(
+        "_pfw", carry(F.col(ts).desc())
     )
-    ok = matched.isNotNull() & (dist <= F.lit(tolerance))
+    out = filled.filter(F.col("_side") == 1)
+    bw_ts = F.col(f"_pbw.{ts}{suffix}")
+    fw_ts = F.col(f"_pfw.{ts}{suffix}")
+    bw_dist = F.col(ts) - bw_ts
+    fw_dist = fw_ts - F.col(ts)
+    use_bw = bw_ts.isNotNull() & (fw_ts.isNull() | (bw_dist <= fw_dist))
+    pick = F.when(use_bw, F.col("_pbw")).otherwise(F.col("_pfw"))
+    dist = F.when(use_bw, bw_dist).otherwise(fw_dist)
+    ok = pick.isNotNull()
+    if tolerance is not None:
+        ok = ok & (dist <= F.lit(tolerance))
     return out.select(
         *[c for c in left.columns],
-        *[F.when(ok, F.col(f"_pack.{c}")).alias(c) for c in carried],
+        *[
+            F.when(ok, pick.getField(c)).alias(c)
+            for c in carried
+        ],
     )

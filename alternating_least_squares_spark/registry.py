@@ -5509,6 +5509,62 @@ FROM c ASOF LEFT JOIN p
 """
 
 
+def q_j05_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of (closing the merge_asof direction vocabulary
+    after j01 backward / j04 forward): each click matched with the
+    user's temporally closest purchase, ties resolved backward. One
+    exchange, two sorted window passes (plan-asserted in
+    tests/test_asof.py). Oracle: two DuckDB ASOF joins (>= and <=)
+    merged by a distance CASE — an independent construction of the
+    same pick."""
+    from alternating_least_squares_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns DIV 1000")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("value").alias("value"))
+    )
+    return asof_join(
+        clicks, purchases, key="user_id", ts="ts_us", direction="nearest"
+    )
+
+
+SQL_J05 = """
+WITH c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+bw AS (
+  SELECT c.event_id, c.user_id, c.ts_us, p.ts_us AS bts, p.value AS bv
+  FROM c ASOF LEFT JOIN p
+    ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+),
+fw AS (
+  SELECT c.event_id, p.ts_us AS fts, p.value AS fv
+  FROM c ASOF LEFT JOIN p
+    ON c.user_id = p.user_id AND c.ts_us <= p.ts_us
+)
+SELECT bw.event_id, bw.user_id, bw.ts_us,
+       CASE WHEN bts IS NOT NULL
+                  AND (fts IS NULL OR bw.ts_us - bts <= fts - bw.ts_us)
+            THEN bts ELSE fts END AS ts_us_asof,
+       CASE WHEN bts IS NOT NULL
+                  AND (fts IS NULL OR bw.ts_us - bts <= fts - bw.ts_us)
+            THEN bv ELSE fv END AS value_asof
+FROM bw JOIN fw USING (event_id)
+"""
+
+
 def q_e10_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inter-event-time profile: count / min / max / mean of
     the gaps between consecutive events — the cadence feature behind
@@ -6253,6 +6309,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "x13_dynamic_partition_pruning": (q_x13_dynamic_partition_pruning, SQL_X13),
     "w07_native_session_window": (q_w07_native_session_window, SQL_W07),
     "e12_daily_top_type": (q_e12_daily_top_type, SQL_E12),
+    "j05_asof_nearest": (q_j05_asof_nearest, SQL_J05),
 }
 
 

@@ -216,7 +216,7 @@ def test_asof_rejects_bad_direction(spark):
 
     df = spark.createDataFrame([(1, 1)], "k int, t int")
     with pytest.raises(ValueError, match="direction"):
-        asof_join(df, df, "k", "t", direction="nearest")
+        asof_join(df, df, "k", "t", direction="sideways")
 
 
 def test_asof_forward_matches_brute_force(spark):
@@ -260,3 +260,77 @@ def test_foreign_key_check(spark):
     assert row["constraint"] == "foreign_key(fk->pk)"
     assert row["n_violations"] == 1  # 9 is orphaned; NULL never violates
     assert row["passed"] is False
+
+
+def test_asof_nearest_direction(spark):
+    """Nearest as-of: closer of backward/forward, ties resolve
+    BACKWARD; tolerance nulls far matches; plan stays one exchange."""
+    left = spark.createDataFrame(
+        [(1, 10), (1, 14), (1, 16), (1, 100), (2, 5)], "k int, t int"
+    )
+    right = spark.createDataFrame(
+        [(1, 12, 1.0), (1, 18, 2.0), (2, 50, 3.0)], "k int, t int, v double"
+    )
+    got = {
+        (r["k"], r["t"]): (r["t_asof"], r["v_asof"])
+        for r in asof_join(left, right, "k", "t",
+                           direction="nearest").collect()
+    }
+    assert got == {
+        (1, 10): (12, 1.0),   # forward closer (2 vs none behind)
+        (1, 14): (12, 1.0),   # backward closer (2 vs 4)
+        (1, 16): (18, 2.0),   # forward closer... backward 4, forward 2
+        (1, 100): (18, 2.0),  # only backward exists
+        (2, 5): (50, 3.0),
+    }
+    # tie: backward wins
+    lt = spark.createDataFrame([(1, 15)], "k int, t int")
+    tie = asof_join(lt, right, "k", "t", direction="nearest").first()
+    assert (tie["t_asof"], tie["v_asof"]) == (12, 1.0)
+    # tolerance nulls the distant match
+    tol = {
+        r["t"]: r["t_asof"]
+        for r in asof_join(left, right, "k", "t", direction="nearest",
+                           tolerance=10).collect()
+    }
+    assert tol[100] is None and tol[10] == 12
+    # one exchange only (both window passes share the partition key)
+    plan = (
+        asof_join(left, right, "k", "t", direction="nearest")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+    n_exchange = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchange == 1, plan[:1500]
+
+
+def test_asof_nearest_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(11)
+    lrows = [(rng.randint(0, 3), rng.randint(0, 60)) for _ in range(60)]
+    rrows = [
+        (rng.randint(0, 3), rng.randint(0, 60), float(i)) for i in range(40)
+    ]
+    left = spark.createDataFrame(lrows, "k int, t int").distinct()
+    right = spark.createDataFrame(rrows, "k int, t int, v double")
+    right = right.groupBy("k", "t").agg(F.max("v").alias("v"))
+    rmap = {}
+    for r in right.collect():
+        rmap.setdefault(r["k"], []).append((r["t"], r["v"]))
+    got = {
+        (r["k"], r["t"]): (r["t_asof"], r["v_asof"])
+        for r in asof_join(left, right, "k", "t",
+                           direction="nearest").collect()
+    }
+    for (k, t) in {(k, t) for k, t in left.collect()}:
+        cands = rmap.get(k, [])
+        bw = max(((rt, rv) for rt, rv in cands if rt <= t), default=None)
+        fw = min(((rt, rv) for rt, rv in cands if rt >= t), default=None)
+        if bw is None and fw is None:
+            want = (None, None)
+        elif fw is None or (bw is not None and t - bw[0] <= fw[0] - t):
+            want = bw
+        else:
+            want = fw
+        assert got[(k, t)] == want, ((k, t), got[(k, t)], want)
