@@ -5927,6 +5927,48 @@ GROUP BY 1
 """
 
 
+def q_b07_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source — the ingestion path real multimodal
+    pipelines use for image/audio blobs (one file per asset, content
+    as an opaque binary column + path/length metadata). Eight payloads
+    are materialized as individual files (bounded driver loop — 8
+    rows by contract, not data-sized), read back through the
+    binaryFile reader, and reduced to (doc_id, n_bytes, md5) parsed
+    from the file NAME — proving path metadata, length, and content
+    all survive the round trip. Oracle recomputes from the source
+    table."""
+    import os
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 8)
+        .select("doc_id", "text")
+    )
+    base = _scratch_path("alternating_ls_binaryfile", "blobs")
+    os.makedirs(base, exist_ok=True)
+    for old in os.listdir(base):
+        os.remove(os.path.join(base, old))
+    for r in docs.collect():  # bounded: 8 rows by the filter above
+        with open(os.path.join(base, f"{r['doc_id']}.bin"), "wb") as f:
+            f.write((r["text"] or "").encode("utf-8"))
+    blobs = spark.read.format("binaryFile").load(base)
+    return blobs.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("md5"),
+    )
+
+
+SQL_B07 = """
+SELECT doc_id,
+       CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+       md5(coalesce(text, '')) AS md5
+FROM documents WHERE doc_id < 8
+"""
+
+
 def q_gr01_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (operators/graph.py) over the part→supplier edge list,
     2 iterations, fully INTEGER arithmetic (micro-unit ranks, DIV
@@ -6310,6 +6352,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "w07_native_session_window": (q_w07_native_session_window, SQL_W07),
     "e12_daily_top_type": (q_e12_daily_top_type, SQL_E12),
     "j05_asof_nearest": (q_j05_asof_nearest, SQL_J05),
+    "b07_binaryfile_source": (q_b07_binaryfile_source, SQL_B07),
 }
 
 
