@@ -5927,6 +5927,52 @@ GROUP BY 1
 """
 
 
+def q_ac09_replicate_via_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY — replicate a table by change feed, the downstream
+    half of ac08: clone the source at v0, compute the v0→v2 feed
+    (snapshot.diff_versions), apply inserts+updates as one MERGE and
+    deletes as one key-set DELETE (snapshot.delete_keys — the key set
+    stays distributed, never collected), then read the replica. A hash
+    match against the source's surviving-row SQL proves feed-based
+    replication reconstructs the table row-exactly — the pattern that
+    syncs a 100 TB table across regions without full copies."""
+    import shutil
+
+    from alternating_least_squares_spark.sources import snapshot as SN
+
+    src = _snapshot_table_for(spark, sf_dir, "ac09src")
+    dst = _scratch_path(
+        "alternating_ls_snapshot_ac09dst",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    shutil.rmtree(dst, ignore_errors=True)
+    SN.create_table(
+        SN.read_snapshot(spark, src, version=0), dst, key="o_orderkey"
+    )
+    feed = SN.diff_versions(spark, src, 0, 2).localCheckpoint(eager=True)
+    upserts = feed.filter(F.col("change_type") != "delete").select(
+        "o_orderkey",
+        F.col("o_custkey_new").alias("o_custkey"),
+        F.col("price_new").alias("price"),
+    )
+    SN.merge_upsert(upserts, dst)
+    SN.delete_keys(
+        dst, feed.filter(F.col("change_type") == "delete").select("o_orderkey")
+    )
+    return SN.read_snapshot(spark, dst)
+
+
+# replica content == the source's surviving rows (same SQL as ac01)
+SQL_AC09 = """
+SELECT o_orderkey, o_custkey,
+       round(CASE WHEN o_orderkey % 8 <= 1 THEN round(o_totalprice, 6) * 2
+                  ELSE o_totalprice END, 6) AS price
+FROM orders
+WHERE (o_orderkey % 4 != 0 OR o_orderkey % 8 <= 1)
+  AND o_orderkey % 8 != 2
+"""
+
+
 def q_b07_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``binaryFile`` source — the ingestion path real multimodal
     pipelines use for image/audio blobs (one file per asset, content
@@ -6353,6 +6399,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "e12_daily_top_type": (q_e12_daily_top_type, SQL_E12),
     "j05_asof_nearest": (q_j05_asof_nearest, SQL_J05),
     "b07_binaryfile_source": (q_b07_binaryfile_source, SQL_B07),
+    "ac09_replicate_via_feed": (q_ac09_replicate_via_feed, SQL_AC09),
 }
 
 

@@ -444,6 +444,64 @@ def merge_upsert(
     return version
 
 
+def delete_keys(path: str, keys: DataFrame) -> int:
+    """DELETE by key SET — the CDC-apply shape (`WHERE key IN
+    (subquery)`): remove every row whose table key appears in ``keys``
+    (a DataFrame with the table's key column). The key set stays
+    DISTRIBUTED end-to-end: file pruning uses one tiny min/max/count
+    aggregate over it, and touched files are rewritten via a LEFT ANTI
+    join — keys are never collected to the driver, so a 100 M-key
+    delete costs the same plan shape as a 10-key one.
+
+    NULL keys in the set are ignored (an equi-delete cannot address
+    them, same contract as :func:`merge_upsert`)."""
+    spark = keys.sparkSession
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot table at {path}")
+    prev = _read_manifest(path, versions[-1])
+    key = prev["key"]
+    if key not in keys.columns:
+        raise ValueError(
+            f"delete_keys: key frame must carry the table key {key!r}; "
+            f"got columns {keys.columns}"
+        )
+    kset = keys.select(key).filter(F.col(key).isNotNull()).distinct()
+    lo, hi = kset.agg(F.min(key), F.max(key)).first()
+    if lo is None:
+        touched, untouched, new_files = [], prev["files"], []
+    else:
+        touched = [
+            f
+            for f in prev["files"]
+            if f["min_key"] is not None
+            and not (f["max_key"] < lo or f["min_key"] > hi)
+        ]
+        untouched = [f for f in prev["files"] if f not in touched]
+        new_files = []
+        if touched:
+            old = spark.read.schema(_manifest_schema(prev)).parquet(
+                *[f["path"] for f in touched]
+            )
+            keep = old.join(kset, key, "left_anti")
+            new_files = _write_data_files(keep, path, key)
+    version = versions[-1] + 1
+    _commit(
+        path,
+        version,
+        {
+            "version": version,
+            "operation": "delete",
+            "key": key,
+            "schema": prev["schema"],
+            "files": untouched + new_files,
+            "pruning": {"rewritten": len(touched),
+                        "carried": len(untouched)},
+        },
+    )
+    return version
+
+
 def delete_where(path: str, predicate: str, spark: SparkSession) -> int:
     """Copy-on-write DELETE: files containing matching rows are
     rewritten without them; files with no match carry over by

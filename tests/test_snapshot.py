@@ -530,3 +530,25 @@ def test_diff_versions_across_schema_evolution(spark, base, tmp_path):
         for r in SN.diff_versions(spark, path, 0, 1).collect()
     }
     assert feed == {10: ("update", -1, "a")}
+
+
+def test_delete_keys_prunes_and_never_collects(spark, base, tmp_path):
+    """delete_keys: distributed key-set delete with the merge-style
+    file pruning (non-overlapping files carry over by reference)."""
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")  # 4 files: 0-24/25-49/50-74/75-99
+    keys = spark.createDataFrame([(10,), (11,), (None,)], "k long")
+    v = SN.delete_keys(path, keys)
+    assert v == 1
+    got = {r["k"] for r in SN.read_snapshot(spark, path).collect()}
+    assert got == set(range(100)) - {10, 11}
+    assert SN.history(path)[-1]["operation"] == "delete"
+    from alternating_least_squares_spark.sources.snapshot import _read_manifest
+    m = _read_manifest(path, 1)
+    assert m["pruning"] == {"rewritten": 1, "carried": 3}
+    # empty key set = no-op version; wrong column loud
+    v2 = SN.delete_keys(path, spark.createDataFrame([], "k long"))
+    assert SN.read_snapshot(spark, path).count() == 98 and v2 == 2
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="table key"):
+        SN.delete_keys(path, spark.createDataFrame([(1,)], "wrong long"))
