@@ -5927,6 +5927,87 @@ GROUP BY 1
 """
 
 
+def q_e13_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary) —
+    the classic CRM warehouse rollup. One orders aggregation; fixed
+    thresholds instead of ntile (quantile-bucket ties are
+    partition-order-dependent — hash poison; fixed cutoffs are the
+    reproducible production choice anyway). Monetary uses the
+    decimal-cast-sum-then-round pattern for order-independence;
+    recency is whole days against a fixed anchor (midnight-aligned
+    timestamps, so datediff is exact on both engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2001-12-31").cast("date"),
+            F.max("o_orderdate").cast("date"),
+        ).cast("long").alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)")).cast(
+                "double"
+            ),
+            6,
+        ).alias("monetary"),
+    )
+    seg = (
+        F.when(
+            (F.col("recency_days") <= 365) & (F.col("frequency") >= 10),
+            F.lit("champion"),
+        )
+        .when(F.col("recency_days") <= 365, F.lit("recent"))
+        .when(F.col("frequency") >= 10, F.lit("loyal"))
+        .otherwise(F.lit("dormant"))
+    )
+    return per_cust.withColumn("segment", seg)
+
+
+SQL_E13 = """
+SELECT o_custkey,
+       CAST(datediff('day', CAST(max(o_orderdate) AS DATE),
+                     DATE '2001-12-31') AS BIGINT) AS recency_days,
+       CAST(COUNT(*) AS BIGINT) AS frequency,
+       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 6)
+         AS monetary,
+       CASE WHEN datediff('day', CAST(max(o_orderdate) AS DATE),
+                          DATE '2001-12-31') <= 365 AND COUNT(*) >= 10
+            THEN 'champion'
+            WHEN datediff('day', CAST(max(o_orderdate) AS DATE),
+                          DATE '2001-12-31') <= 365
+            THEN 'recent'
+            WHEN COUNT(*) >= 10 THEN 'loyal'
+            ELSE 'dormant' END AS segment
+FROM orders GROUP BY 1
+"""
+
+
+def q_g07_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mean — the aggregate SQL has no builtin for:
+    revenue-weighted average discount per return flag, as
+    Σ(w·x)/Σ(w) with decimal-cast sums (exact, order-independent)
+    and one double division at the end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wx = (F.col("l_discount") * F.col("l_extendedprice")).cast(
+        "decimal(38,10)"
+    )
+    w = F.col("l_extendedprice").cast("decimal(38,10)")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            (F.sum(wx).cast("double") / F.sum(w).cast("double")), 9
+        ).alias("weighted_avg_discount")
+    )
+
+
+SQL_G07 = """
+SELECT l_returnflag,
+       round(CAST(SUM(CAST(l_discount * l_extendedprice AS DECIMAL(38,10)))
+                  AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE),
+             9) AS weighted_avg_discount
+FROM lineitem GROUP BY 1
+"""
+
+
 def q_ac09_replicate_via_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC APPLY — replicate a table by change feed, the downstream
     half of ac08: clone the source at v0, compute the v0→v2 feed
@@ -6400,6 +6481,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "j05_asof_nearest": (q_j05_asof_nearest, SQL_J05),
     "b07_binaryfile_source": (q_b07_binaryfile_source, SQL_B07),
     "ac09_replicate_via_feed": (q_ac09_replicate_via_feed, SQL_AC09),
+    "e13_rfm_segments": (q_e13_rfm_segments, SQL_E13),
+    "g07_weighted_mean": (q_g07_weighted_mean, SQL_G07),
 }
 
 
