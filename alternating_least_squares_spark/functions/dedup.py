@@ -111,6 +111,18 @@ def jaccard(a: Column, b: Column) -> Column:
     )
 
 
+def containment(a: Column, b: Column) -> Column:
+    """Exact containment C(A,B) = |A∩B| / |A| — Broder's asymmetric
+    companion to Jaccard: high when A is an EXCERPT of B even though
+    Jaccard is tiny (the quote/subset case near-dup misses). Empty A
+    yields 0.0 by convention."""
+    inter = F.size(F.array_intersect(a, b))
+    na = F.size(a)
+    return F.when(na == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / na.cast("double")
+    )
+
+
 def simhash(text: Column, bits: int = 16) -> Column:
     """Charikar 2002 SimHash over word tokens → long in [0, 2^bits).
 

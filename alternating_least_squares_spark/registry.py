@@ -1919,6 +1919,57 @@ FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
 """
 
 
+def q_d08_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle CONTAINMENT (Broder): |A∩B|/|A| and |A∩B|/|B| per
+    adjacent-id pair — the asymmetric measure that catches an EXCERPT
+    of a longer document where Jaccard (d02) stays tiny. Same
+    shingle-set machinery, both directions emitted."""
+    from alternating_least_squares_spark.functions.dedup import containment
+    from alternating_least_squares_spark.functions.textfns import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.array_distinct(shingles(F.col("text"), 3)).alias("sh_a"),
+    )
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        F.array_distinct(shingles(F.col("text"), 3)).alias("sh_b"),
+    )
+    return a.join(b, "id_a").select(
+        "id_a",
+        "id_b",
+        F.round(containment(F.col("sh_a"), F.col("sh_b")), 6).alias(
+            "cont_ab"
+        ),
+        F.round(containment(F.col("sh_b"), F.col("sh_a")), 6).alias(
+            "cont_ba"
+        ),
+    )
+
+
+SQL_D08 = f"""
+WITH tk AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+     sh AS (
+       SELECT doc_id,
+              CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                   ELSE list_distinct(list_transform(range(len(toks) - 2),
+                          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+              END AS s
+       FROM tk
+     )
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CASE WHEN len(a.s) = 0 THEN 0.0
+             ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(a.s) END, 6) AS cont_ab,
+       round(CASE WHEN len(b.s) = 0 THEN 0.0
+             ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(b.s) END, 6) AS cont_ba
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+""".format(toks=_toks_sql())
+
+
 def q_d03_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash LSH near-dup pairs (rows-only: the band-join
     pipeline is not one SQL statement; exact Jaccard verification is
@@ -6483,6 +6534,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ac09_replicate_via_feed": (q_ac09_replicate_via_feed, SQL_AC09),
     "e13_rfm_segments": (q_e13_rfm_segments, SQL_E13),
     "g07_weighted_mean": (q_g07_weighted_mean, SQL_G07),
+    "d08_containment_pairs": (q_d08_containment_pairs, SQL_D08),
 }
 
 
