@@ -6293,6 +6293,52 @@ WHERE o_orderkey % 8 IN (0, 1, 2)
 """
 
 
+def q_rc04_materialized_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized path per node ("root/…/node", the ltree /
+    dirname-style encoding that powers prefix-filter subtree queries):
+    the doubling closure's (anc, dist) pairs per node, sorted INSIDE
+    the aggregation (array_sort over structs — repartitioning can't
+    flip the order, the t14 lesson) and joined with '/'. Oracle:
+    string_agg ORDER BY depth DESC over the recursive walk."""
+    _, nodes, edges = _part_hierarchy(spark, sf_dir)
+    cl = H.ancestor_closure(nodes, edges)
+    return (
+        cl.groupBy(F.col(H.DESC).alias("node"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.reverse(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col(H.DIST).alias("d"),
+                                    F.col(H.ANC).alias("a"),
+                                )
+                            )
+                        )
+                    ),
+                    lambda x: x["a"].cast("string"),
+                ),
+                "/",
+            ).alias("path"),
+            F.max(H.DIST).cast("long").alias("depth"),
+        )
+    )
+
+
+SQL_RC04 = """
+WITH RECURSIVE up AS (
+  SELECT p_partkey AS node, p_partkey AS cur, 0 AS depth FROM part
+  UNION ALL
+  SELECT node, cur // 10, depth + 1 FROM up WHERE cur >= 10
+)
+SELECT node,
+       string_agg(CAST(cur AS VARCHAR), '/' ORDER BY depth DESC) AS path,
+       CAST(max(depth) AS BIGINT) AS depth
+FROM up GROUP BY 1
+"""
+
+
 def q_ipf_cost_per_visit_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship chain (E2 seed + rescaled marginals + IPF + E3
     finale) as a FIXED-2-sweep deterministic variant so the end-to-end
@@ -6535,6 +6581,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "e13_rfm_segments": (q_e13_rfm_segments, SQL_E13),
     "g07_weighted_mean": (q_g07_weighted_mean, SQL_G07),
     "d08_containment_pairs": (q_d08_containment_pairs, SQL_D08),
+    "rc04_materialized_path": (q_rc04_materialized_path, SQL_RC04),
 }
 
 
