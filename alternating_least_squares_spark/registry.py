@@ -6293,6 +6293,118 @@ WHERE o_orderkey % 8 IN (0, 1, 2)
 """
 
 
+def q_m04_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket item-item co-occurrence with LIFT — the
+    oracle-checkable face of recommendation (m01-m03 are model-based,
+    rows-only by nature; co-occurrence statistics are exact). Pairs
+    come from a self-equi-join on the order key — fan-out is bounded
+    by basket size (TPC-H baskets ≤ 7; cap baskets before pairing at
+    real scale), never corpus×corpus. ``n_ab >= 3`` bounds the output
+    to statistically meaningful pairs. lift = P(a,b)/(P(a)·P(b)) via
+    one baked scalar (order count) and exact integer counts."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)  # pairs + margins + total reuse it
+    )
+    n_orders = li.select("l_orderkey").distinct().count()
+    margins = li.groupBy(F.col("l_partkey")).agg(F.count("*").alias("n"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    na = margins.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))
+    nb = margins.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(na, "part_a")
+        .join(nb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.lit(float(n_orders))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                9,
+            ).alias("lift"),
+        )
+    )
+
+
+SQL_M04 = """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT l_partkey, COUNT(*) AS n FROM b GROUP BY 1),
+t AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM b),
+p AS (
+  SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM b x JOIN b y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+)
+SELECT p.part_a, p.part_b, p.n_ab,
+       round(CAST(p.n_ab AS DOUBLE) * t.n_orders
+             / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)), 9) AS lift
+FROM p, t
+JOIN n na ON na.l_partkey = p.part_a
+JOIN n nb ON nb.l_partkey = p.part_b
+"""
+
+
+def q_t15_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation — the preprocessing step between raw text
+    and t10's token chunks: split on terminal punctuation runs,
+    whitespace-trim with an explicit regex (engine trim() builtins
+    disagree on what counts as whitespace), drop empties, renumber.
+    One generator explode, no shuffle until the (implicit) none —
+    pure row expansion at scan speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    parts = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"[.!?]+")).alias("pos", "raw"),
+    ).withColumn(
+        "sent", F.regexp_replace(F.col("raw"), r"^\s+|\s+$", "")
+    ).filter(F.col("sent") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return parts.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("long").alias("sent_idx"),
+        F.length("sent").cast("long").alias("n_chars"),
+        F.md5(F.col("sent")).alias("sent_md5"),
+    )
+
+
+SQL_T15 = """
+WITH s AS (
+  SELECT doc_id, string_split_regex(text, '[.!?]+') AS parts
+  FROM documents WHERE text IS NOT NULL
+),
+x AS (
+  SELECT doc_id, i AS pos,
+         regexp_replace(parts[i + 1], '^\\s+|\\s+$', '', 'g') AS sent
+  FROM s, UNNEST(range(len(parts))) t(i)
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+            AS BIGINT) AS sent_idx,
+       CAST(length(sent) AS BIGINT) AS n_chars,
+       md5(sent) AS sent_md5
+FROM x WHERE sent != ''
+"""
+
+
 def q_rc04_materialized_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized path per node ("root/…/node", the ltree /
     dirname-style encoding that powers prefix-filter subtree queries):
@@ -6582,6 +6694,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "g07_weighted_mean": (q_g07_weighted_mean, SQL_G07),
     "d08_containment_pairs": (q_d08_containment_pairs, SQL_D08),
     "rc04_materialized_path": (q_rc04_materialized_path, SQL_RC04),
+    "m04_market_basket": (q_m04_market_basket, SQL_M04),
+    "t15_sentence_split": (q_t15_sentence_split, SQL_T15),
 }
 
 
