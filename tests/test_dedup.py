@@ -55,3 +55,23 @@ def test_exact_dup_groups_counts(spark):
     }
     assert groups[0] == 2  # docs 0 and 1 identical
     assert groups[2] == 1 and groups[3] == 1
+
+
+def test_containment_literals_and_empty_convention(spark):
+    """Containment is asymmetric (excerpt detection) and empty-A
+    yields 0.0 by convention, mirroring the d08 oracle's CASE."""
+    from alternating_least_squares_spark.functions.dedup import containment
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(["a", "b"], ["a", "b", "c", "d"]), ([], ["a"]), (["x"], [])],
+        "a array<string>, b array<string>",
+    )
+    got = [
+        (r["ab"], r["ba"])
+        for r in df.select(
+            F.round(containment(F.col("a"), F.col("b")), 6).alias("ab"),
+            F.round(containment(F.col("b"), F.col("a")), 6).alias("ba"),
+        ).collect()
+    ]
+    assert got == [(1.0, 0.5), (0.0, 0.0), (0.0, 0.0)]
