@@ -3271,6 +3271,38 @@ def q_sql01_shared_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_SHARED_SQL01)
 
 
+# Second shared-dialect statement (round 5): windows + join + CTEs in
+# ONE portable ANSI text — proves the raw-SQL surface covers analytic
+# functions, not just scan-agg. Deterministic ranking: revenue is
+# rounded first and ties break on the supplier key (a total order).
+SQL_SHARED_SQL02 = """
+WITH rev AS (
+  SELECT s.s_nationkey AS nation, l.l_suppkey AS supp,
+         round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(38,10))) AS DOUBLE), 6) AS revenue
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT nation, supp, revenue,
+         row_number() OVER (PARTITION BY nation
+                            ORDER BY revenue DESC, supp) AS rnk
+  FROM rev
+)
+SELECT nation, supp, revenue, CAST(rnk AS BIGINT) AS rnk
+FROM rk WHERE rnk <= 3
+"""
+
+
+def q_sql02_shared_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sql01's analytic sibling: the SAME SQL text — CTEs, a join, a
+    decimal-cast aggregate, and a window rank — runs verbatim on
+    spark.sql() and on DuckDB."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(SQL_SHARED_SQL02)
+
+
 def q_g03_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (Spark ``percentile``
     == DuckDB ``quantile_cont``, both linear interpolation). Exact
@@ -6696,6 +6728,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "rc04_materialized_path": (q_rc04_materialized_path, SQL_RC04),
     "m04_market_basket": (q_m04_market_basket, SQL_M04),
     "t15_sentence_split": (q_t15_sentence_split, SQL_T15),
+    "sql02_shared_windows": (q_sql02_shared_windows, SQL_SHARED_SQL02),
 }
 
 
