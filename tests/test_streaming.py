@@ -489,3 +489,54 @@ def test_incremental_ingest_ledger_processes_only_new_files(spark, tmp_path):
     assert incremental_file_ingest(spark, src, sink, ckpt, schema) == 0
     got = {r["id"] for r in spark.read.parquet(sink).collect()}
     assert got == set(range(65))
+
+
+def test_late_data_beyond_watermark_is_dropped(spark, tmp_path):
+    """The NEGATIVE watermark property (replay==batch only proves the
+    happy path): an event arriving in a later micro-batch, older than
+    the watermark, must be DROPPED — its already-finalized window is
+    not re-opened and its value appears nowhere. At 100 TB this is
+    what bounds state; without it every straggler reopens history."""
+    from datetime import datetime
+
+    path = str(tmp_path / "late_src")
+    batch1 = [
+        (datetime(2024, 1, 1, 10, 15), 1.0),
+        (datetime(2024, 1, 1, 12, 0), 1.0),
+    ]
+    spark.createDataFrame(batch1, "ts timestamp, v double").coalesce(
+        1
+    ).write.mode("append").parquet(path)
+
+    stream = spark.readStream.schema("ts timestamp, v double").parquet(path)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("v").alias("total"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_drop_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark is now 11:00 (max 12:00 - 1h); the 09:30 event's
+        # window closed an hour ago — it must be dropped, not re-emitted
+        batch2 = [
+            (datetime(2024, 1, 1, 9, 30), 100.0),
+            (datetime(2024, 1, 1, 13, 0), 1.0),
+        ]
+        spark.createDataFrame(batch2, "ts timestamp, v double").coalesce(
+            1
+        ).write.mode("append").parquet(path)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM late_drop_test").collect()
+    emitted = {r["w"]["start"].hour: (r["n"], r["total"]) for r in rows}
+    assert emitted.get(10) == (1, 1.0)     # on-time window finalized once
+    assert 9 not in emitted                # late event never reopens 09:00
+    assert all(r["total"] < 100.0 for r in rows)  # 100.0 appears nowhere
+    spark.catalog.dropTempView("late_drop_test")
