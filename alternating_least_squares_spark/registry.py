@@ -5592,6 +5592,52 @@ FROM c ASOF LEFT JOIN p
 """
 
 
+def q_e14_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day (the growth-accounting
+    counterpart to e11's trailing window). Exact cumulative distinct
+    needs no distinct-over-window: reduce each user to their FIRST
+    day (one keyed agg), count arrivals per day, then one running sum
+    over the DAY-GRAIN frame — the global window is fine at any scale
+    because it runs over #days rows, not #events (the reduction
+    happened before the unpartitioned window, never after)."""
+    day_ns = 86_400 * 1_000_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(_floor_div("ts_ns", day_ns)).alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    arrivals = first.groupBy("day").agg(F.count("*").alias("new_users"))
+    days = ev.select("day").distinct()
+    j = days.join(arrivals, "day", "left").select(
+        "day", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return j.select(
+        "day",
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )
+
+
+SQL_E14 = f"""
+WITH e AS (
+  SELECT user_id,
+         {_floor_div_duck('epoch_ns(ts)', 86_400_000_000_000)} AS day
+  FROM events
+),
+f AS (SELECT user_id, MIN(day) AS day FROM e GROUP BY 1),
+a AS (SELECT day, COUNT(*) AS new_users FROM f GROUP BY 1),
+d AS (SELECT DISTINCT day FROM e),
+j AS (SELECT d.day, COALESCE(a.new_users, 0) AS new_users
+      FROM d LEFT JOIN a ON a.day = d.day)
+SELECT day, CAST(new_users AS BIGINT) AS new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cumulative_users
+FROM j
+"""
+
+
 def q_j05_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAREST as-of (closing the merge_asof direction vocabulary
     after j01 backward / j04 forward): each click matched with the
@@ -6729,6 +6775,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "m04_market_basket": (q_m04_market_basket, SQL_M04),
     "t15_sentence_split": (q_t15_sentence_split, SQL_T15),
     "sql02_shared_windows": (q_sql02_shared_windows, SQL_SHARED_SQL02),
+    "e14_cumulative_users": (q_e14_cumulative_users, SQL_E14),
 }
 
 
