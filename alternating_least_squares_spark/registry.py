@@ -6483,6 +6483,48 @@ FROM x WHERE sent != ''
 """
 
 
+def q_t16_normalized_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-THEN-dedup — the knob between t05's byte-exact
+    groups and d-suite near-dup: casefold, strip non-alphanumerics,
+    collapse whitespace, then group by the normalized hash. Catches
+    "same text, different casing/punctuation" duplicates that are
+    byte-distinct but LSH-overkill. Pure codegen normalization (three
+    regexp/lower steps shared verbatim with the oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                             "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    hashed = docs.select("doc_id", F.md5(norm).alias("norm_md5"))
+    return (
+        hashed.groupBy("norm_md5")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+SQL_T16 = """
+WITH n AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(
+               regexp_replace(lower(coalesce(text, '')),
+                              '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g'))) AS norm_md5
+  FROM documents
+)
+SELECT norm_md5, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS keeper
+FROM n GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
 def q_rc04_materialized_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized path per node ("root/…/node", the ltree /
     dirname-style encoding that powers prefix-filter subtree queries):
@@ -6776,6 +6818,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "t15_sentence_split": (q_t15_sentence_split, SQL_T15),
     "sql02_shared_windows": (q_sql02_shared_windows, SQL_SHARED_SQL02),
     "e14_cumulative_users": (q_e14_cumulative_users, SQL_E14),
+    "t16_normalized_dupes": (q_t16_normalized_dupes, SQL_T16),
 }
 
 
