@@ -158,3 +158,97 @@ def test_domain_mix_caps_every_source(spark):
             rate = DOMAIN_CAP / n
             sigma = math.sqrt(n * rate * (1 - rate))
             assert k <= DOMAIN_CAP + 3 * sigma + 1, (src, k)
+
+
+def test_sentence_split_matches_python_reference(spark):
+    """t15 brute force: random punctuation-heavy strings, the Spark
+    split/trim/renumber pipeline must equal a plain-Python reference."""
+    import hashlib
+    import random
+    import re
+
+    rng = random.Random(23)
+    words = ["alpha", "beta", "gamma", "", " ", "x1"]
+    puncts = [".", "!", "?", "...", "?!", ""]
+    docs = []
+    for i in range(40):
+        s = "".join(
+            rng.choice(words) + rng.choice([" ", "  ", ""]) + rng.choice(puncts)
+            for _ in range(rng.randint(0, 8))
+        )
+        docs.append((i, s))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # same expressions as the t16 registry entry (kept in lockstep with
+    # its oracle), brute-forced here on adversarial literals
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    got = {}
+    parts = df.select(
+        "doc_id",
+        F.posexplode(F.split(df.text, r"[.!?]+")).alias("pos", "raw"),
+    )
+    sent = parts.withColumn(
+        "sent", F.regexp_replace(F.col("raw"), r"^\s+|\s+$", "")
+    ).filter(F.col("sent") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    out = sent.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).alias("sent_idx"),
+        F.md5("sent").alias("m"),
+    )
+    for r in out.collect():
+        got[(r["doc_id"], r["sent_idx"])] = r["m"]
+
+    want = {}
+    for i, s in docs:
+        idx = 0
+        for piece in re.split(r"[.!?]+", s):
+            piece = re.sub(r"^\s+|\s+$", "", piece)
+            if piece:
+                want[(i, idx)] = hashlib.md5(piece.encode()).hexdigest()
+                idx += 1
+    assert got == want
+
+
+def test_market_basket_lift_matches_brute_force(spark):
+    """m04 shape on a hand-built basket set: exact pair counts and
+    lift against itertools-computed truth."""
+    import itertools
+
+    baskets = {
+        1: [10, 20, 30],
+        2: [10, 20],
+        3: [10, 20, 40],
+        4: [20, 30],
+        5: [10],
+    }
+    rows = [(o, p) for o, ps in baskets.items() for p in ps]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    from pyspark.sql import functions as F
+
+    n_orders = len(baskets)
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    margins = {p: sum(1 for ps in baskets.values() if p in ps)
+               for p in {10, 20, 30, 40}}
+    got = {(r["pa"], r["pb"]): r["n_ab"] for r in pairs.collect()}
+    want = {}
+    for ps in baskets.values():
+        for x, y in itertools.combinations(sorted(ps), 2):
+            want[(x, y)] = want.get((x, y), 0) + 1
+    assert got == want
+    # lift spot check: (10,20) appears 3x; n_10=4, n_20=4, N=5
+    lift = 3 * n_orders / (margins[10] * margins[20])
+    assert abs(lift - 0.9375) < 1e-12
