@@ -179,7 +179,7 @@ def test_sentence_split_matches_python_reference(spark):
         docs.append((i, s))
     df = spark.createDataFrame(docs, "doc_id long, text string")
 
-    # same expressions as the t16 registry entry (kept in lockstep with
+    # same expressions as the t15 registry entry (kept in lockstep with
     # its oracle), brute-forced here on adversarial literals
     from pyspark.sql import Window
     from pyspark.sql import functions as F
