@@ -125,3 +125,25 @@ def test_weighted_closure_products_match_brute_force(forest, spark):
             cur = parent[cur]
             want[(cur, n)] = q
     assert got == want
+
+
+def test_star_forest_hot_ancestor_key(spark):
+    """Skew shape: one root with 3000 direct children (the closure's
+    compose join concentrates on the root's key). Results stay exact
+    and the fixpoint lands in one compose round (depth 1)."""
+    n = 3000
+    nodes = spark.createDataFrame([(i,) for i in range(n + 1)], "id long")
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, n + 1)], "child long, parent long"
+    )
+    cl = H.ancestor_closure(nodes, edges, max_rounds=3)
+    assert cl.count() == (n + 1) + n  # reflexive pairs + one edge each
+    got = H.subtree_rollup(
+        nodes,
+        edges,
+        spark.createDataFrame([(i, 1) for i in range(n + 1)],
+                              "id long, val long"),
+    )
+    root = {r["node"]: (r["n_desc"], r["subtree_val"]) for r in got.collect()}
+    assert root[0] == (n + 1, n + 1)
+    assert root[1] == (1, 1)
