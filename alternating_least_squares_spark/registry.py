@@ -6017,6 +6017,41 @@ FROM px GROUP BY 1, 2
 """
 
 
+def q_gr02_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part→supplier graph — the first
+    diagnostic run on any graph before committing to an algorithm
+    (hub detection, skew planning for gr01's joins). Two keyed
+    aggregations per side; exact counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")
+    ).distinct()
+    out_p = (
+        e.groupBy("src").agg(F.count("*").alias("degree"))
+        .groupBy("degree").agg(F.count("*").alias("n_nodes"))
+        .select(F.lit("out").alias("side"), "degree", "n_nodes")
+    )
+    in_p = (
+        e.groupBy("dst").agg(F.count("*").alias("degree"))
+        .groupBy("degree").agg(F.count("*").alias("n_nodes"))
+        .select(F.lit("in").alias("side"), "degree", "n_nodes")
+    )
+    return out_p.unionByName(in_p)
+
+
+SQL_GR02 = """
+WITH e AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+o AS (SELECT src, COUNT(*) AS degree FROM e GROUP BY 1),
+i AS (SELECT dst, COUNT(*) AS degree FROM e GROUP BY 1)
+SELECT 'out' AS side, CAST(degree AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM o GROUP BY 2
+UNION ALL
+SELECT 'in', CAST(degree AS BIGINT), CAST(COUNT(*) AS BIGINT)
+FROM i GROUP BY 2
+"""
+
+
 def q_e11_trailing_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day active users per day (the WAU analytics shape).
     Scale formulation: dedupe to (user, day) FIRST, then EXPLODE each
@@ -6819,6 +6854,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sql02_shared_windows": (q_sql02_shared_windows, SQL_SHARED_SQL02),
     "e14_cumulative_users": (q_e14_cumulative_users, SQL_E14),
     "t16_normalized_dupes": (q_t16_normalized_dupes, SQL_T16),
+    "gr02_degree_profile": (q_gr02_degree_profile, SQL_GR02),
 }
 
 
