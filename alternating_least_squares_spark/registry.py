@@ -6017,6 +6017,52 @@ FROM px GROUP BY 1, 2
 """
 
 
+def q_x14_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance — the batch analog of
+    st09's incremental ingest: the MV is maintained by MERGING partial
+    aggregates from independent batches (n = Σnᵢ, sum = Σsumᵢ — the
+    algebraic decomposition every distributive agg admits) instead of
+    recomputing from all history. Two deterministic half-batches
+    (event_id parity) are aggregated separately and merged; the oracle
+    aggregates the full table directly, so the hash proves
+    partial-merge == full recompute. Values ride integer micros so the
+    merge is exact in any order. At 100 TB this is the nightly-refresh
+    pattern: touch only the new partition's partials."""
+    day_ns = 86_400 * 1_000_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr(_floor_div("ts_ns", day_ns)).alias("day"),
+        F.floor(F.col("value") * F.lit(1e6)).alias("v_us"),
+    )
+
+    def partial(batch):
+        return batch.groupBy("day", "event_type").agg(
+            F.count("*").alias("n"), F.sum("v_us").alias("sum_us")
+        )
+
+    p1 = partial(ev.filter(F.col("event_id") % 2 == 0))
+    p2 = partial(ev.filter(F.col("event_id") % 2 == 1))
+    return (
+        p1.unionByName(p2)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_us").alias("sum_us"),
+        )
+    )
+
+
+SQL_X14 = f"""
+SELECT {_floor_div_duck('epoch_ns(ts)', 86_400_000_000_000)} AS day,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_us
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_gr02_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the part→supplier graph — the first
     diagnostic run on any graph before committing to an algorithm
@@ -6855,6 +6901,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "e14_cumulative_users": (q_e14_cumulative_users, SQL_E14),
     "t16_normalized_dupes": (q_t16_normalized_dupes, SQL_T16),
     "gr02_degree_profile": (q_gr02_degree_profile, SQL_GR02),
+    "x14_incremental_mv": (q_x14_incremental_mv, SQL_X14),
 }
 
 
