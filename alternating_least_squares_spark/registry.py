@@ -6017,6 +6017,67 @@ FROM px GROUP BY 1, 2
 """
 
 
+def q_j06_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME-correct dimension join — the feature-store
+    pattern that keeps training data leak-free: each fact (order)
+    joined to the dimension state VALID AT its own timestamp, never
+    the current state. Composition of two registered operators: the
+    c16 SCD2 history ∘ a backward as-of join on interval starts
+    (the latest ``valid_from ≤ fact_ts`` IS the containing interval,
+    since intervals partition each key's timeline). The oracle joins
+    the same history by explicit interval containment — two different
+    formulations of PIT, hash-compared."""
+    from alternating_least_squares_spark.operators.asof import asof_join
+
+    hist = q_c16_scd2(spark, sf_dir).select(
+        F.col("custkey"),
+        F.col("valid_from").alias("ts"),
+        "priority",
+    )
+    facts = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    out = asof_join(facts, hist, key="custkey", ts="ts")
+    return out.select(
+        "o_orderkey",
+        F.col("custkey").alias("o_custkey"),
+        F.col("priority_asof").alias("priority_at_order"),
+    )
+
+
+SQL_J06 = """
+WITH latest AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority,
+         row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+),
+seq AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority,
+         lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate) AS prev
+  FROM latest WHERE rn = 1
+),
+chg AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority FROM seq
+  WHERE prev IS NULL OR prev <> o_orderpriority
+),
+h AS (
+  SELECT o_custkey AS custkey, o_orderpriority AS priority,
+         o_orderdate AS valid_from,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate) AS valid_to
+  FROM chg
+)
+SELECT f.o_orderkey, f.o_custkey, h.priority AS priority_at_order
+FROM orders f JOIN h ON h.custkey = f.o_custkey
+ AND f.o_orderdate >= h.valid_from
+ AND (h.valid_to IS NULL OR f.o_orderdate < h.valid_to)
+"""
+
+
 def q_x14_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance — the batch analog of
     st09's incremental ingest: the MV is maintained by MERGING partial
@@ -6902,6 +6963,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "t16_normalized_dupes": (q_t16_normalized_dupes, SQL_T16),
     "gr02_degree_profile": (q_gr02_degree_profile, SQL_GR02),
     "x14_incremental_mv": (q_x14_incremental_mv, SQL_X14),
+    "j06_point_in_time": (q_j06_point_in_time, SQL_J06),
 }
 
 
