@@ -7021,7 +7021,7 @@ _PREFIX = [
     # diagnoses it; every slot goes to a first-time official row.
     # Round-6 prefix seeds = the oracled tail entries added after this
     # prefix froze: x13, x14, w07, e12, e13, e14, j05, b07, ac09, g07,
-    # gr02, d08, rc04, m04, t15, t16, sql02.)
+    # gr02, d08, rc04, m04, t15, t16, sql02, j06.)
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))
