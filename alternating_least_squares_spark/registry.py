@@ -6625,6 +6625,41 @@ FROM x WHERE sent != ''
 """
 
 
+def q_t17_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level edit distance between adjacent-id documents —
+    the third similarity axis next to set-based (Jaccard/containment)
+    and vector-based (cosine): catches single-character edits that
+    shift every shingle. Levenshtein is O(n·m), so production use is
+    always post-candidate-generation verification on BOUNDED prefixes
+    (40 chars here — the same contract as the LSH verify stage);
+    both engines implement the classic DP, so the integers match
+    exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    head = F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40)
+    a = docs.select(F.col("doc_id").alias("id_a"), head.alias("h_a"))
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        head.alias("h_b"),
+    )
+    return a.join(b, "id_a").select(
+        "id_a",
+        "id_b",
+        F.levenshtein("h_a", "h_b").cast("long").alias("edit_distance"),
+    )
+
+
+SQL_T17 = """
+WITH h AS (
+  SELECT doc_id, substring(coalesce(text, ''), 1, 40) AS head
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_distance
+FROM h a JOIN h b ON b.doc_id = a.doc_id + 1
+"""
+
+
 def q_t16_normalized_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalization-THEN-dedup — the knob between t05's byte-exact
     groups and d-suite near-dup: casefold, strip non-alphanumerics,
@@ -6964,6 +6999,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "gr02_degree_profile": (q_gr02_degree_profile, SQL_GR02),
     "x14_incremental_mv": (q_x14_incremental_mv, SQL_X14),
     "j06_point_in_time": (q_j06_point_in_time, SQL_J06),
+    "t17_edit_distance_pairs": (q_t17_edit_distance_pairs, SQL_T17),
 }
 
 
@@ -7021,7 +7057,7 @@ _PREFIX = [
     # diagnoses it; every slot goes to a first-time official row.
     # Round-6 prefix seeds = the oracled tail entries added after this
     # prefix froze: x13, x14, w07, e12, e13, e14, j05, b07, ac09, g07,
-    # gr02, d08, rc04, m04, t15, t16, sql02, j06.)
+    # gr02, d08, rc04, m04, t15, t16, t17, sql02, j06.)
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))
