@@ -137,3 +137,38 @@ def test_punct_count_matches_regexp(spark, batch):
         F.regexp_count("text", F.lit(TX.PUNCT_CLASS)).alias("def_"),
     ).collect()
     assert all(r["fast"] == r["def_"] for r in rows), rows
+
+
+@given(
+    sets=st.lists(
+        st.tuples(
+            st.lists(st.sampled_from("abcdefg"), max_size=6),
+            st.lists(st.sampled_from("abcdefg"), max_size=6),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_containment_dominates_jaccard(spark, sets):
+    """∀ A,B: J(A,B) ≤ C(A,B) (|∪| ≥ |A|) and C is 1.0 exactly when
+    A ⊆ B (non-empty) — the algebra d08's excerpt detection relies on."""
+    from pyspark.sql import functions as F
+
+    from alternating_least_squares_spark.functions.dedup import (
+        containment,
+        jaccard,
+    )
+
+    rows = [(list(set(a)), list(set(b))) for a, b in sets]
+    df = spark.createDataFrame(rows, "a array<string>, b array<string>")
+    got = df.select(
+        jaccard(F.col("a"), F.col("b")).alias("j"),
+        containment(F.col("a"), F.col("b")).alias("c"),
+        F.size(F.array_except(F.col("a"), F.col("b"))).alias("a_minus_b"),
+        F.size("a").alias("na"),
+    ).collect()
+    for r in got:
+        assert r["j"] <= r["c"] + 1e-12
+        if r["na"] > 0:
+            assert (r["c"] == 1.0) == (r["a_minus_b"] == 0)
