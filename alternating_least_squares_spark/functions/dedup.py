@@ -123,6 +123,24 @@ def containment(a: Column, b: Column) -> Column:
     )
 
 
+def normalize_text(text: Column) -> Column:
+    """Canonical text normalization for normalize-then-dedup (registry
+    t16): casefold, replace non-alphanumerics with spaces, collapse
+    runs of spaces, trim. Pure codegen (lower + two regexp_replace +
+    trim) and intentionally simple enough that an ANSI-SQL oracle
+    reproduces it verbatim. NULL → '' so null and empty text group
+    together deterministically."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.coalesce(text, F.lit(""))), "[^a-z0-9 ]", " "
+            ),
+            " +",
+            " ",
+        )
+    )
+
+
 def simhash(text: Column, bits: int = 16) -> Column:
     """Charikar 2002 SimHash over word tokens → long in [0, 2^bits).
 

@@ -111,17 +111,21 @@ def subtree_rollup(
     integral per-node value over its whole subtree.
 
     ``values``: columns ``id``, ``val`` (integral — the sums must be
-    order-independent for oracle parity). One closure build + one
+    order-independent for oracle parity). A descendant MISSING from
+    ``values`` still counts toward ``n_desc`` and contributes 0 to
+    ``subtree_val`` (left join + coalesce) — an inner join would
+    silently shrink the "descendant count (self included)" contract
+    whenever coverage is partial (ADVICE r5). One closure build + one
     keyed aggregation; the closure size is Σ depth(n) ≈ n·avg_depth
     rows, the classic space/time trade of materialized-path rollups.
     """
     cl = ancestor_closure(nodes, edges, max_rounds)
     return (
-        cl.join(values.withColumnRenamed("id", DESC), DESC)
+        cl.join(values.withColumnRenamed("id", DESC), DESC, "left")
         .groupBy(F.col(ANC).alias("node"))
         .agg(
             F.count("*").alias("n_desc"),
-            F.sum("val").alias("subtree_val"),
+            F.sum(F.coalesce(F.col("val"), F.lit(0))).alias("subtree_val"),
         )
     )
 

@@ -5955,8 +5955,12 @@ def q_x13_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFra
         "event_id", "user_id", "event_type", "value",
         F.expr(_floor_div("ts_ns", day_ns)).alias("day"),
     )
-    fact_path = _scratch_path("alternating_ls_dpp", "fact")
-    dim_path = _scratch_path("alternating_ls_dpp", "dim")
+    # keyed by sf_dir like the ac* scratch builders (ADVICE r5): a
+    # lazily-held DataFrame from one SF must not read files
+    # overwritten by a later invocation at another SF
+    sf_key = sf_dir.strip("/").replace("/", "_")
+    fact_path = _scratch_path("alternating_ls_dpp", sf_key, "fact")
+    dim_path = _scratch_path("alternating_ls_dpp", sf_key, "dim")
     catalog.write_parquet(ev, fact_path, partition_by=["day"])
     catalog.write_parquet(ev.select("day").distinct(), dim_path)
     fact = spark.read.parquet(fact_path)
@@ -6663,20 +6667,33 @@ FROM h a JOIN h b ON b.doc_id = a.doc_id + 1
 def q_t16_normalized_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalization-THEN-dedup — the knob between t05's byte-exact
     groups and d-suite near-dup: casefold, strip non-alphanumerics,
-    collapse whitespace, then group by the normalized hash. Catches
+    collapse whitespace (functions/dedup.normalize_text, shared with
+    the pytest fixture), then group by the normalized hash. Catches
     "same text, different casing/punctuation" duplicates that are
-    byte-distinct but LSH-overkill. Pure codegen normalization (three
-    regexp/lower steps shared verbatim with the oracle)."""
-    docs = load_table(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))),
-                             "[^a-z0-9 ]", " "),
-            " +",
-            " ",
-        )
+    byte-distinct but LSH-overkill.
+
+    The testdata has no such duplicates at any sf, so the raw query
+    would pass its oracle on 0 rows — vacuously (ADVICE r5). To make
+    the row evidential at every sf, the input unions in a
+    deterministic casing/punctuation VARIANT of each ``doc_id < 50``
+    document (uppercased, '!!' appended, id offset by 10M): every
+    variant must land in its original's group, so the result has ≥50
+    rows whose keeper/count the hash actually checks. The oracle
+    builds the identical union."""
+    from alternating_least_squares_spark.functions.dedup import (
+        normalize_text,
     )
-    hashed = docs.select("doc_id", F.md5(norm).alias("norm_md5"))
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(
+            F.upper(F.coalesce(F.col("text"), F.lit(""))), F.lit("!!")
+        ).alias("text"),
+    )
+    hashed = docs.unionByName(variants).select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("norm_md5")
+    )
     return (
         hashed.groupBy("norm_md5")
         .agg(
@@ -6688,13 +6705,19 @@ def q_t16_normalized_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_T16 = """
-WITH n AS (
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, upper(coalesce(text, '')) || '!!'
+  FROM documents WHERE doc_id < 50
+),
+n AS (
   SELECT doc_id,
          md5(trim(regexp_replace(
                regexp_replace(lower(coalesce(text, '')),
                               '[^a-z0-9 ]', ' ', 'g'),
                ' +', ' ', 'g'))) AS norm_md5
-  FROM documents
+  FROM d
 )
 SELECT norm_md5, CAST(COUNT(*) AS BIGINT) AS n_docs,
        MIN(doc_id) AS keeper

@@ -75,3 +75,51 @@ def test_containment_literals_and_empty_convention(spark):
         ).collect()
     ]
     assert got == [(1.0, 0.5), (0.0, 0.0), (0.0, 0.0)]
+
+
+def test_normalize_text_groups_planted_variants(spark):
+    """t16's normalization chain on PLANTED casing/punctuation
+    variants (ADVICE r5: the registry row alone was vacuous at sfs
+    with no duplicate docs). Asserts the exact groups AND keepers:
+    variants that differ only in case/punct/whitespace collapse to one
+    normalized hash; genuinely different text does not."""
+    from alternating_least_squares_spark.functions.dedup import (
+        normalize_text,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "Hello, World!  This is FINE."),
+            (1, "hello world this is fine"),         # punct/case-stripped twin
+            (2, "HELLO---world...this+++is###fine"), # separators → spaces
+            (3, "hello world this is fine2"),        # real difference survives
+            (4, None),                                # NULL folds to ''
+            (5, "!!!"),                               # pure punct folds to ''
+        ],
+        "doc_id long, text string",
+    )
+    hashed = docs.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("h")
+    )
+    groups = {
+        r["keeper"]: r["n_docs"]
+        for r in hashed.groupBy("h")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .collect()
+    }
+    assert groups == {0: 3, 3: 1, 4: 2}
+
+
+def test_t16_registry_row_is_not_vacuous(spark):
+    """The driver row must check real groups at ANY sf: the planted
+    uppercase variants guarantee ≥50 result rows, each keeping the
+    original (lower) doc_id with its variant counted."""
+    from alternating_least_squares_spark.registry import queries
+
+    out = queries()["t16_normalized_dupes"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) >= 50
+    by_keeper = {r["keeper"]: r["n_docs"] for r in rows}
+    # every group's keeper is an original id (< 10M) and counts ≥ 2
+    assert all(k < 10_000_000 for k in by_keeper)
+    assert all(n >= 2 for n in by_keeper.values())

@@ -67,6 +67,28 @@ def test_subtree_rollup_matches_brute_force(forest, spark):
     assert got == want
 
 
+def test_subtree_rollup_partial_value_coverage(forest, spark):
+    """A descendant missing from ``values`` still counts in n_desc and
+    adds 0 to subtree_val (ADVICE r5: the old inner join dropped it
+    from BOTH, breaking the 'self included' contract)."""
+    nodes, edges = forest
+    # no rows for nodes 3 and 4 (leaves under 1)
+    values = spark.createDataFrame(
+        [(n, n * 10 + 1) for n in NODES if n not in (3, 4)],
+        "id long, val long",
+    )
+    got = {
+        r["node"]: (r["n_desc"], r["subtree_val"])
+        for r in H.subtree_rollup(nodes, edges, values).collect()
+    }
+    # node 1's subtree = {1, 3, 4}: count stays 3, sum = only val(1)
+    assert got[1] == (3, 11)
+    # root 0's subtree = {0,1,2,3,4,7}: count 6, sum skips 3 and 4
+    assert got[0] == (6, 1 + 11 + 21 + 71)
+    # missing leaves still appear as their own (reflexive) subtree
+    assert got[3] == (1, 0) and got[4] == (1, 0)
+
+
 def test_node_depth_roots_and_depths(forest):
     nodes, edges = forest
     got = {
