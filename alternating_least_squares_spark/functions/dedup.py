@@ -185,38 +185,31 @@ def exact_dup_groups(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def near_dup_pairs(
+def lsh_signatures(
     docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+    id_col: str,
+    text_col: str,
     n_hashes: int = 32,
     bands: int = 8,
     k: int = 3,
-    threshold: float = 0.5,
+    keep: str = "_hs",
 ) -> DataFrame:
-    """Near-duplicate pairs via banded MinHash LSH + exact Jaccard
-    verification. Returns (id_a, id_b, jaccard) with id_a < id_b and
-    jaccard ≥ threshold.
-
-    Plan shape (scales to 100 TB):
-      1. one narrow pass computing signature + band hashes per doc
-      2. explode bands → equi-join on band hash (THE shuffle; never
-         an all-pairs crossJoin)
-      3. distinct candidate pairs → exact Jaccard on the shingle sets
-    """
-    if bands <= 0 or bands > n_hashes or n_hashes % bands:
-        raise ValueError(
-            f"bands must divide n_hashes (got bands={bands}, "
-            f"n_hashes={n_hashes}); bands > n_hashes would make every "
-            "band slice empty and the bucket join all-pairs"
-        )
+    """One narrow pass per doc → ``(_id, <keep>, _bands)``: distinct
+    k-shingles, xxhash64 them once, MinHash over the longs, LSH band
+    hashes. ``keep`` chooses the verify payload carried forward:
+    ``"_hs"`` (the shingle-hash longs — the scale path) or ``"_sh"``
+    (the raw shingle strings — the oracle-friendly twin). Shared by
+    :func:`near_dup_pairs` (self-dedup) and
+    :func:`incremental_near_dup_admission` (batch-vs-corpus)."""
+    if keep not in ("_hs", "_sh"):
+        raise ValueError(f"keep must be '_hs' or '_sh': {keep}")
     rows_per_band = n_hashes // bands
     # The signature pass is narrow but compute-heavy; spread a narrow
     # input (small source read as one split) before it — but ONLY
     # then: see functions.width.spread_if_narrow for why an
     # unconditional repartition is a scale bug.
     docs = spread_if_narrow(docs, id_col)
-    sig = (
+    return (
         docs.select(
             F.col(id_col).alias("_id"),
             F.array_distinct(shingles(F.col(text_col), k)).alias("_sh"),
@@ -228,8 +221,54 @@ def near_dup_pairs(
             "_sig", minhash_signature(F.col("_hs"), n_hashes, prehashed=True)
         )
         .select(
-            "_id", "_sh", band_hashes(F.col("_sig"), bands, rows_per_band).alias("_bands")
+            "_id",
+            keep,
+            band_hashes(F.col("_sig"), bands, rows_per_band).alias("_bands"),
         )
+    )
+
+
+def near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.5,
+    verify_on: str = "hash",
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH + exact Jaccard
+    verification. Returns (id_a, id_b, jaccard) with id_a < id_b and
+    jaccard ≥ threshold.
+
+    Plan shape (scales to 100 TB):
+      1. one narrow pass computing signature + band hashes per doc
+      2. explode bands → equi-join on band hash (THE shuffle; never
+         an all-pairs crossJoin)
+      3. distinct candidate pairs → exact Jaccard on the shingle sets
+
+    ``verify_on`` picks the Jaccard verify payload: ``"hash"``
+    (default) carries the ``xxhash64`` shingle longs already computed
+    for the signature through the two verify joins — ~8 bytes per
+    shingle instead of a k-word string, a several-fold shuffle cut at
+    scale; set-identical to the string path unless two distinct
+    shingles collide in 64 bits (≈ n²/2⁶⁵ — negligible against LSH's
+    own false-negative rate). ``"string"`` verifies on the raw shingle
+    sets — the oracle-friendly twin an ANSI-SQL reimplementation can
+    reproduce without xxhash64.
+    """
+    if bands <= 0 or bands > n_hashes or n_hashes % bands:
+        raise ValueError(
+            f"bands must divide n_hashes (got bands={bands}, "
+            f"n_hashes={n_hashes}); bands > n_hashes would make every "
+            "band slice empty and the bucket join all-pairs"
+        )
+    if verify_on not in ("hash", "string"):
+        raise ValueError(f"verify_on must be 'hash' or 'string': {verify_on}")
+    verify_col = "_hs" if verify_on == "hash" else "_sh"
+    sig = lsh_signatures(
+        docs, id_col, text_col, n_hashes, bands, k, keep=verify_col
     )
     # Materialize once: three consumers below (bucket join build side,
     # probe side, and the Jaccard verification) would otherwise each
@@ -245,18 +284,91 @@ def near_dup_pairs(
         )
         .distinct()
     )
-    left = sig.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
-    right = sig.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
+    left = sig.select(
+        F.col("_id").alias("id_a"), F.col(verify_col).alias("_v_a")
+    )
+    right = sig.select(
+        F.col("_id").alias("id_b"), F.col(verify_col).alias("_v_b")
+    )
     return (
         cand.join(left, "id_a")
         .join(right, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(jaccard(F.col("_sh_a"), F.col("_sh_b")), 6).alias("jaccard"),
+            F.round(jaccard(F.col("_v_a"), F.col("_v_b")), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def batch_corpus_candidates(
+    batch_sig: DataFrame, corpus_sig: DataFrame
+) -> DataFrame:
+    """Candidate (batch_id, corpus_id) pairs: batch band hashes probe
+    the corpus band index with ONE equi-join. The corpus side appears
+    exactly once and is never self-joined — corpus×corpus pairs are
+    structurally impossible, which is the whole point of incremental
+    admission (the corpus was already deduped when it was admitted)."""
+    b = batch_sig.select("_id", F.explode("_bands").alias("_bh"))
+    c = corpus_sig.select("_id", F.explode("_bands").alias("_bh"))
+    return (
+        b.alias("b")
+        .join(c.alias("c"), "_bh")
+        .select(
+            F.col("b._id").alias("batch_id"),
+            F.col("c._id").alias("corpus_id"),
+        )
+        .distinct()
+    )
+
+
+def incremental_near_dup_admission(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Nightly-ingest NEAR-dup admission (the LSH extension of the
+    exact-fingerprint d07 shape): admit each ``batch`` doc unless some
+    ``corpus`` doc is an LSH candidate (shares ≥1 band) AND verifies
+    at exact Jaccard ≥ ``threshold``. Returns the admitted batch rows
+    (all original columns).
+
+    Plan shape at 100 TB: the corpus is touched exactly twice — once
+    to build its band index (in production this is a MATERIALIZED
+    index, appended to as batches are admitted) and once as the
+    verify-payload lookup for candidate ids — and NEVER paired with
+    itself; candidate generation is a single batch→corpus band
+    equi-join whose fan-out is bounded by (bands, rows/band). The
+    batch side (small) drives every join. Batch-internal near-dups
+    are deliberately out of scope here: run :func:`near_dup_pairs` +
+    :func:`keep_one_filter` on the (small) batch first if the feed can
+    contain them."""
+    bsig = lsh_signatures(batch, id_col, text_col, n_hashes, bands, k)
+    csig = lsh_signatures(corpus, id_col, text_col, n_hashes, bands, k)
+    # Materialize both: each feeds the bucket join AND a verify join.
+    bsig = bsig.localCheckpoint(eager=True)
+    csig = csig.localCheckpoint(eager=True)
+    cand = batch_corpus_candidates(bsig, csig)
+    rejected = (
+        cand.join(
+            bsig.select(F.col("_id").alias("batch_id"), F.col("_hs").alias("_v_b")),
+            "batch_id",
+        )
+        .join(
+            csig.select(F.col("_id").alias("corpus_id"), F.col("_hs").alias("_v_c")),
+            "corpus_id",
+        )
+        .filter(jaccard(F.col("_v_b"), F.col("_v_c")) >= threshold)
+        .select(F.col("batch_id").alias(id_col))
+        .distinct()
+    )
+    return batch.join(rejected, id_col, "left_anti")
 
 
 def keep_one_filter(

@@ -6459,6 +6459,73 @@ SELECT doc_id, fp FROM (
 """
 
 
+def q_d09_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup admission (d07's LSH extension, VERDICT r5
+    #3 — the real nightly-ingest shape for an LLM corpus): a new batch
+    is admitted against the existing corpus via
+    dedup.incremental_near_dup_admission — batch band hashes probe the
+    corpus band index (ONE batch→corpus equi-join; the corpus is never
+    re-paired with itself), exact Jaccard ≥ 0.5 verifies candidates.
+
+    The full LSH pipeline isn't one SQL statement, so the batch is
+    CONSTRUCTED to make the admission decision oracle-exact: (a)
+    whitespace-doubled variants of doc_id%10==0 docs have the
+    IDENTICAL token sequence → shingle-set Jaccard exactly 1.0 →
+    identical MinHash signature → candidate + rejection guaranteed;
+    (b) fresh docs built from unique per-doc tokens share ZERO
+    shingles with anything → Jaccard 0 → admitted no matter what the
+    bands do. Every batch doc's Jaccard-vs-corpus is exactly 1 or 0 —
+    never in the probabilistic recall zone — so "rejected iff an exact
+    token-sequence match exists in the corpus" is ground truth, and
+    that IS expressible in SQL (NOT EXISTS on the whitespace-collapsed
+    token key). Probabilistic-recall behavior on true near-dups is
+    pinned by tests/test_dedup.py's planted-pair fixtures instead."""
+    from alternating_least_squares_spark.functions.dedup import (
+        incremental_near_dup_admission,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dstr = F.col("doc_id").cast("string")
+    variants = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")), " ", "  "
+        ).alias("text"),
+    )
+    fresh = docs.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 30_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("zq"), dstr, F.lit("a zq"), dstr, F.lit("b zq"),
+            dstr, F.lit("c zq"), dstr, F.lit("d"),
+        ).alias("text"),
+    )
+    admitted = incremental_near_dup_admission(
+        docs, variants.unionByName(fresh), threshold=0.5
+    )
+    return admitted.select("doc_id")
+
+
+SQL_D09 = f"""
+WITH ck AS (
+  SELECT array_to_string({_toks_sql()}, ' ') AS key FROM documents
+),
+b AS (
+  SELECT doc_id + 20000000 AS doc_id,
+         array_to_string(
+           {_toks_sql("regexp_replace(coalesce(text, ''), ' ', '  ', 'g')")},
+           ' ') AS key
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 30000000,
+         'zq' || doc_id || 'a zq' || doc_id || 'b zq' || doc_id || 'c zq'
+              || doc_id || 'd'
+  FROM documents WHERE doc_id % 10 = 5
+)
+SELECT b.doc_id FROM b
+WHERE NOT EXISTS (SELECT 1 FROM ck WHERE ck.key = b.key)
+"""
+
+
 def q_rc03_bom_effective_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BOM explosion (the multiplicative recursive shape): per node,
     the total effective units across its subtree when each child-edge
@@ -7001,6 +7068,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "rc03_bom_effective_qty": (q_rc03_bom_effective_qty, SQL_RC03),
     "ac08_change_feed": (q_ac08_change_feed, SQL_AC08),
     "d07_incremental_dedup": (q_d07_incremental_dedup, SQL_D07),
+    "d09_incremental_near_dup": (q_d09_incremental_near_dup, SQL_D09),
     "gr01_pagerank_fixed": (q_gr01_pagerank_fixed, SQL_GR01),
     "e11_trailing_active_users": (q_e11_trailing_active_users, SQL_E11),
     "mm04_resize_stride": (q_mm04_resize_stride, SQL_MM04),

@@ -123,3 +123,77 @@ def test_t16_registry_row_is_not_vacuous(spark):
     # every group's keeper is an original id (< 10M) and counts ≥ 2
     assert all(k < 10_000_000 for k in by_keeper)
     assert all(n >= 2 for n in by_keeper.values())
+
+
+def test_verify_on_hash_matches_string_pairs(spark):
+    """The scale path (Jaccard on xxhash64 shingle longs) must return
+    a byte-identical (id_a, id_b, jaccard) set to the oracle-friendly
+    string path — distinct shingles map to distinct longs, so the set
+    algebra is unchanged."""
+    base = " ".join(f"tok{i}" for i in range(100))
+    near = " ".join(f"tok{i}" if i % 7 else f"alt{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, near), (3, "one two three")],
+        "doc_id long, text string",
+    )
+    def pairs(mode):
+        return sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in near_dup_pairs(
+                docs, threshold=0.0, verify_on=mode
+            ).collect()
+        )
+    got_h, got_s = pairs("hash"), pairs("string")
+    assert got_h == got_s and len(got_h) >= 3
+
+
+def _incr_corpus_batch(spark):
+    from alternating_least_squares_spark.functions.dedup import (
+        incremental_near_dup_admission,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(100))
+    near = " ".join(f"tok{i}" if i % 20 else f"alt{i}" for i in range(100))
+    corpus = spark.createDataFrame(
+        [(10, base), (11, base), (12, "mud pie recipe collection")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (0, base),                       # exact dup of corpus → reject
+            (1, near),                       # J≈0.73 near-dup → reject
+            (2, " ".join(f"new{i}" for i in range(50))),  # fresh → admit
+        ],
+        "doc_id long, text string",
+    )
+    return corpus, batch, incremental_near_dup_admission
+
+
+def test_incremental_admission_rejects_corpus_near_dups(spark):
+    corpus, batch, admit = _incr_corpus_batch(spark)
+    got = sorted(r["doc_id"] for r in admit(corpus, batch).collect())
+    assert got == [2]
+
+
+def test_incremental_admission_never_pairs_corpus(spark):
+    """The corpus-internal dup pair (10, 11) must generate ZERO
+    candidates when the batch is unrelated — corpus×corpus pairing is
+    structurally impossible (one batch→corpus band join; exactly one
+    Join in the optimized candidate plan)."""
+    from alternating_least_squares_spark.functions.dedup import (
+        batch_corpus_candidates,
+        lsh_signatures,
+    )
+
+    corpus, _, _ = _incr_corpus_batch(spark)
+    batch = spark.createDataFrame(
+        [(0, " ".join(f"other{i}" for i in range(50)))],
+        "doc_id long, text string",
+    )
+    cand = batch_corpus_candidates(
+        lsh_signatures(batch, "doc_id", "text"),
+        lsh_signatures(corpus, "doc_id", "text"),
+    )
+    assert cand.collect() == []
+    plan = cand._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") == 1 and "Cartesian" not in plan
