@@ -1,0 +1,143 @@
+"""SemDeDup-style semantic deduplication (Abbas et al. 2023,
+arXiv:2303.09540): k-means-cluster the embedding space, then prune
+near-identical pairs INSIDE each cluster by exact cosine — the top
+rung of the dedup ladder (byte-exact t05 → normalized t16 → shingle
+LSH d03 → semantic).
+
+Scale shape at 100 TB:
+
+* clustering bounds candidate generation — the only pair join is an
+  equi-join on ``cluster``; there is never an all-pairs comparison
+  across clusters. Fan-out per cluster is (cluster size)², so
+  ``n_centroids`` must grow with the corpus (the SemDeDup paper uses
+  ~110k clusters for LAION-440M; the default here is sized for the
+  test tables).
+* centroid TRAINING is MLlib KMeans on a driver-bounded sample
+  (:func:`..ivf.train_centroids`); centroid ASSIGNMENT is a literal
+  argmin codegen expression, not ``model.transform`` — the prediction
+  ScalaUDF drags the session's ObservationManager into the closure
+  after any observe() query has run (see ml/classifier.py for the
+  same fix pattern), and the literal form keeps the scoring path
+  whole-stage-codegen with a deterministic (dist, index) tie-break.
+* vectors are unit-normalized ONCE before the pair join, so the
+  verify payload is one normalized array per row and cosine is a
+  plain dot product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from alternating_least_squares_spark.functions.similarity import (
+    _safe_ratio,
+    vec_dot,
+    vec_norm,
+)
+
+
+def assign_clusters(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append ``cluster`` = argmin-distance centroid index. Pure
+    codegen: per row, an array of (dist², index) structs and one
+    ``array_min`` (lexicographic struct ordering = nearest centroid,
+    lowest index on ties — deterministic at any parallelism). The
+    centroid literals are k×dim doubles in the plan; keep k modest or
+    pre-reduce dim (pca_topk) if the expression tree grows hot."""
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec_d,
+                        F.array(*[F.lit(float(v)) for v in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(j).alias("j"),
+            )
+            for j, c in enumerate(centroids)
+        ]
+    )
+    return emb.withColumn("cluster", F.array_min(dists)["j"])
+
+
+def semantic_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    threshold: float = 0.95,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Intra-cluster semantic duplicate pairs:
+    ``(id_a, id_b, cluster, cosine)`` with ``id_a < id_b`` and
+    cosine ≥ ``threshold``. Zero-norm vectors have undefined cosine
+    and can never appear in a pair (NULL fails the ≥ filter) — they
+    are never flagged as duplicates of anything.
+
+    Pass ``centroids`` to reuse/pin a vocabulary (tests plant them);
+    otherwise MLlib KMeans trains one on ``emb``.
+    """
+    if centroids is None:
+        from alternating_least_squares_spark.functions.ivf import (
+            train_centroids,
+        )
+
+        model = train_centroids(
+            emb, vec_col, n_centroids=n_centroids, seed=seed
+        )
+        centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    unit = F.transform(vec_d, lambda x: _safe_ratio(x, vec_norm(vec_d)))
+    assigned = (
+        assign_clusters(emb, centroids, vec_col)
+        .select(F.col(id_col).alias("_id"), "cluster", unit.alias("_u"))
+        # one materialization: the self-join below reads it twice
+        .localCheckpoint(eager=True)
+    )
+    a = assigned.select(
+        F.col("_id").alias("id_a"), "cluster", F.col("_u").alias("_ua")
+    )
+    b = assigned.select(
+        F.col("_id").alias("id_b"), "cluster", F.col("_u").alias("_ub")
+    )
+    return (
+        a.join(b, "cluster")  # THE bounded shuffle: intra-cluster only
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "cluster",
+            F.round(vec_dot(F.col("_ua"), F.col("_ub")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    threshold: float = 0.95,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Keep-one semantic dedup: drop every row that semantically
+    duplicates (cosine ≥ threshold, same cluster) a lower-id row.
+    Returns the kept rows with all original columns. One anti-join on
+    the pair set — same survivor convention as dedup.keep_one_filter.
+    """
+    pairs = semantic_dup_pairs(
+        emb, id_col, vec_col, n_centroids, threshold, seed, centroids
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return emb.join(losers, id_col, "left_anti")

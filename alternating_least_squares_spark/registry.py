@@ -6459,6 +6459,34 @@ SELECT doc_id, fp FROM (
 """
 
 
+def q_sm01_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings table
+    (functions/semdedup: MLlib-KMeans clusters + intra-cluster exact
+    cosine pruning — the only pair join is an equi-join on cluster,
+    never all-pairs). Rows-only by design, like the other
+    model-assisted entries (d03/s0x): a k-means vocabulary is not one
+    SQL statement; the keep/drop semantics are pinned by
+    tests/test_semdedup.py's planted-cluster fixtures. The input
+    unions in exact-embedding copies of vec_id%20==0 (id +1M), which
+    any correct run MUST drop (identical vectors share a cluster under
+    any argmin assignment and have cosine 1.0), so the admitted row
+    count is sensitive to the whole pipeline at every sf."""
+    from alternating_least_squares_spark.functions.semdedup import (
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    copies = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    kept = semantic_dedup(
+        emb.unionByName(copies), n_centroids=8, threshold=0.99
+    )
+    return kept.select("vec_id")
+
+
 def q_d09_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dup admission (d07's LSH extension, VERDICT r5
     #3 — the real nightly-ingest shape for an LLM corpus): a new batch
@@ -7069,6 +7097,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ac08_change_feed": (q_ac08_change_feed, SQL_AC08),
     "d07_incremental_dedup": (q_d07_incremental_dedup, SQL_D07),
     "d09_incremental_near_dup": (q_d09_incremental_near_dup, SQL_D09),
+    "sm01_semantic_dedup": (q_sm01_semantic_dedup, None),
     "gr01_pagerank_fixed": (q_gr01_pagerank_fixed, SQL_GR01),
     "e11_trailing_active_users": (q_e11_trailing_active_users, SQL_E11),
     "mm04_resize_stride": (q_mm04_resize_stride, SQL_MM04),
