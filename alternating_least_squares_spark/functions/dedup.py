@@ -19,7 +19,7 @@ never all-pairs:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from alternating_least_squares_spark.functions.textfns import shingles, tokens
@@ -237,10 +237,16 @@ def near_dup_pairs(
     k: int = 3,
     threshold: float = 0.5,
     verify_on: str = "hash",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH + exact Jaccard
     verification. Returns (id_a, id_b, jaccard) with id_a < id_b and
     jaccard ≥ threshold.
+
+    ``max_bucket_size`` is the hot-bucket skew guard (opt-in): band
+    buckets holding more than this many docs are DROPPED from
+    candidate generation before the self-join — see :func:`_cap_buckets`
+    for why that is the standard trade at corpus scale.
 
     Plan shape (scales to 100 TB):
       1. one narrow pass computing signature + band hashes per doc
@@ -275,6 +281,7 @@ def near_dup_pairs(
     # recompute the full shingle+signature pipeline.
     sig = sig.localCheckpoint(eager=True)
     buckets = sig.select("_id", F.explode("_bands").alias("_bh"))
+    buckets = _cap_buckets(buckets, max_bucket_size)
     cand = (
         buckets.alias("a")
         .join(buckets.alias("b"), "_bh")
@@ -302,16 +309,55 @@ def near_dup_pairs(
     )
 
 
+def _cap_buckets(
+    buckets: DataFrame, max_bucket_size: int | None
+) -> DataFrame:
+    """Hot-bucket skew guard for LSH candidate generation: drop band
+    buckets holding more than ``max_bucket_size`` docs (None = no
+    cap). At corpus scale a single degenerate bucket — boilerplate
+    shingles, empty-ish docs sharing the sentinel shingle — fans a
+    self-join into |bucket|² pairs; one 1M-doc bucket is 10¹² pairs
+    and dominates the whole job. Dropping it is the standard trade
+    (cf. suffix-array/MinHash dedup pipelines): members of a bucket
+    that hot are either exact-level duplicates (catch them FIRST with
+    the cheap md5 groupBy, t05 — run before LSH in the curation
+    pipeline) or spuriously share boilerplate the near-dup definition
+    shouldn't fire on anyway. The lost pairs are only those whose
+    EVERY shared band is hot, so true near-dups (which share many
+    bands) survive a cap that kills degenerate buckets. One extra
+    keyed count over the exploded bands, grouped on the same key the
+    join shuffles on — no new shuffle shape."""
+    if max_bucket_size is None:
+        return buckets
+    if max_bucket_size < 2:
+        raise ValueError(
+            f"max_bucket_size must be >= 2 (got {max_bucket_size}); a "
+            "1-doc bucket can never produce a pair, so capping below 2 "
+            "silently disables candidate generation"
+        )
+    w = Window.partitionBy("_bh")
+    return (
+        buckets.withColumn("_n", F.count("*").over(w))
+        .filter(F.col("_n") <= max_bucket_size)
+        .drop("_n")
+    )
+
+
 def batch_corpus_candidates(
-    batch_sig: DataFrame, corpus_sig: DataFrame
+    batch_sig: DataFrame,
+    corpus_sig: DataFrame,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate (batch_id, corpus_id) pairs: batch band hashes probe
     the corpus band index with ONE equi-join. The corpus side appears
     exactly once and is never self-joined — corpus×corpus pairs are
     structurally impossible, which is the whole point of incremental
-    admission (the corpus was already deduped when it was admitted)."""
+    admission (the corpus was already deduped when it was admitted).
+    ``max_bucket_size`` caps CORPUS bucket sizes (the skew guard —
+    the batch side is small by construction)."""
     b = batch_sig.select("_id", F.explode("_bands").alias("_bh"))
     c = corpus_sig.select("_id", F.explode("_bands").alias("_bh"))
+    c = _cap_buckets(c, max_bucket_size)
     return (
         b.alias("b")
         .join(c.alias("c"), "_bh")
@@ -332,6 +378,7 @@ def incremental_near_dup_admission(
     bands: int = 8,
     k: int = 3,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Nightly-ingest NEAR-dup admission (the LSH extension of the
     exact-fingerprint d07 shape): admit each ``batch`` doc unless some
@@ -354,7 +401,7 @@ def incremental_near_dup_admission(
     # Materialize both: each feeds the bucket join AND a verify join.
     bsig = bsig.localCheckpoint(eager=True)
     csig = csig.localCheckpoint(eager=True)
-    cand = batch_corpus_candidates(bsig, csig)
+    cand = batch_corpus_candidates(bsig, csig, max_bucket_size)
     rejected = (
         cand.join(
             bsig.select(F.col("_id").alias("batch_id"), F.col("_hs").alias("_v_b")),

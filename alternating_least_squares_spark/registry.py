@@ -5442,6 +5442,114 @@ FROM events GROUP BY 1
 """
 
 
+def q_st10_stream_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus admission (streaming/admission.py — the
+    streaming face of d09): document files land in TWO waves; each
+    availableNow run picks up only the unseen files and near-dup-gates
+    each micro-batch against the base corpus PLUS everything admitted
+    earlier. Wave 2 contains whitespace-variants of docs admitted in
+    wave 1 — rejecting them proves the corpus GROWS between runs, the
+    property a static-corpus gate misses.
+
+    Oracle-exact by the d09 construction (every admission decision is
+    shingle-Jaccard exactly 1 or 0, so token-sequence NOT EXISTS is
+    ground truth): wave 1 = whitespace-doubled variants of %10==0
+    (reject vs base) + fresh zq-token docs for %10==5 (admit); wave 2
+    = whitespace-doubled variants of THOSE admitted docs (reject vs
+    grown corpus) + fresh qx-token docs for %10==7 (admit). The
+    ``incremental`` flag hash-asserts each run admitted exactly its
+    fresh set."""
+    import os
+    import shutil
+
+    from alternating_least_squares_spark.streaming.admission import (
+        DOCS_SCHEMA,
+        admit_stream_run,
+    )
+
+    base = _scratch_path(
+        "alternating_ls_st10", sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src, sink, ckpt = (os.path.join(base, d) for d in ("src", "sink", "_ckpt"))
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dstr = F.col("doc_id").cast("string")
+    double_sp = lambda c: F.regexp_replace(F.coalesce(c, F.lit("")), " ", "  ")
+    fresh_text = lambda tag: F.concat(
+        F.lit(tag), dstr, F.lit("a " + tag), dstr, F.lit("b " + tag),
+        dstr, F.lit("c " + tag), dstr, F.lit("d"),
+    )
+    v1 = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        double_sp(F.col("text")).alias("text"),
+    )
+    f1 = docs.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 30_000_000).alias("doc_id"),
+        fresh_text("zq").alias("text"),
+    )
+    v2 = docs.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 40_000_000).alias("doc_id"),
+        double_sp(fresh_text("zq")).alias("text"),
+    )
+    f2 = docs.filter(F.col("doc_id") % 10 == 7).select(
+        (F.col("doc_id") + 50_000_000).alias("doc_id"),
+        fresh_text("qx").alias("text"),
+    )
+
+    v1.unionByName(f1).write.parquet(src)
+    n1 = admit_stream_run(spark, docs, src, sink, ckpt)
+    v2.unionByName(f2).write.mode("append").parquet(src)
+    n2 = admit_stream_run(spark, docs, src, sink, ckpt)
+
+    ok = n1 == f1.count() and n2 == f2.count()
+    admitted = spark.read.schema(DOCS_SCHEMA).parquet(sink)
+    return admitted.select(
+        "doc_id", F.lit(bool(ok)).alias("incremental")
+    )
+
+
+SQL_ST10 = f"""
+WITH ck AS (
+  SELECT array_to_string({_toks_sql()}, ' ') AS key FROM documents
+),
+f1 AS (
+  SELECT doc_id + 30000000 AS doc_id,
+         'zq' || doc_id || 'a zq' || doc_id || 'b zq' || doc_id || 'c zq'
+              || doc_id || 'd' AS key
+  FROM documents WHERE doc_id % 10 = 5
+),
+v1 AS (
+  SELECT doc_id + 20000000 AS doc_id,
+         array_to_string(
+           {_toks_sql("regexp_replace(coalesce(text, ''), ' ', '  ', 'g')")},
+           ' ') AS key
+  FROM documents WHERE doc_id % 10 = 0
+),
+a1 AS (
+  SELECT * FROM (SELECT * FROM v1 UNION ALL SELECT * FROM f1) w1
+  WHERE NOT EXISTS (SELECT 1 FROM ck WHERE ck.key = w1.key)
+),
+v2 AS (
+  SELECT doc_id + 10000000 AS doc_id, key FROM f1
+),
+f2 AS (
+  SELECT doc_id + 50000000 AS doc_id,
+         'qx' || doc_id || 'a qx' || doc_id || 'b qx' || doc_id || 'c qx'
+              || doc_id || 'd' AS key
+  FROM documents WHERE doc_id % 10 = 7
+),
+a2 AS (
+  SELECT * FROM (SELECT * FROM v2 UNION ALL SELECT * FROM f2) w2
+  WHERE NOT EXISTS (SELECT 1 FROM ck WHERE ck.key = w2.key)
+    AND NOT EXISTS (SELECT 1 FROM a1 WHERE a1.key = w2.key)
+)
+SELECT doc_id, TRUE AS incremental FROM a1
+UNION ALL
+SELECT doc_id, TRUE AS incremental FROM a2
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal columns
 
@@ -7068,6 +7176,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "st07_stream_hopping": (q_st07_stream_hopping, SQL_ST07),
     "st08_stream_snapshot_sink": (q_st08_stream_snapshot_sink, SQL_ST08),
     "st09_incremental_ingest": (q_st09_incremental_ingest, SQL_ST09),
+    "st10_stream_admission": (q_st10_stream_admission, SQL_ST10),
     "mm01_media_features": (q_mm01_media_features, SQL_MM01),
     "mm02_frame_sample": (q_mm02_frame_sample, SQL_MM02),
     "mm03_arrow_features": (q_mm03_arrow_features, SQL_MM03),
@@ -7125,59 +7234,45 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 
 # ---------------------------------------------------------------------------
 # Ordering: the driver's correctness run checks a bounded PREFIX of the
-# registry (50 entries, verified rounds 2-4), so the order below is
-# chosen — not incidental.  ROTATION, round 5: rounds 2-4 gave 109
-# distinct entries official driver rows. This prefix closes the
-# official-coverage gap (VERDICT r4 #3): every oracled entry that has
-# NEVER had a driver row (h02-h22, g01-g03, w03-w05, b04/b05, e06/e07,
-# t07, x04, x07, mm03), the two round-4 red rows re-seated with their
-# HUGEINT oracle casts fixed (e09, t13 — h10 sits in the h-block), all
-# round-5 new code (ipf_cost_per_visit_fixed, rc01/rc02, ac07; later
-# round-5 entries swap in for sentinels), and sentinels from prior
-# green rounds guarding testdata-layout flips. After this round every oracled entry has ≥1
-# official row; the 12 rows-only-by-design entries (d03/d05, s01-s05,
-# m01-m03, g04, ipf_cost_per_visit) stay out of the prefix — their
-# slots would record err:no_oracle (VERDICT r4 #4) and their evidence
-# is the pytest floors.
+# registry (50 entries, verified rounds 2-5), so the order below is
+# chosen — not incidental.  ROTATION, round 6: rounds 2-5 gave every
+# oracled entry an official driver row EXCEPT the 19 added after the
+# round-5 prefix froze — those 19 seeds lead this prefix, followed by
+# the round-6 new code (d09; sm01 is rows-only and stays out), then 30
+# sentinels re-checking the flagship chain, every entry whose CODE was
+# touched this round (t16 seed, rc01 via the subtree_rollup left-join,
+# x13 seed via the scratch keying, d07 via the lsh refactor), the
+# round-4/5 HUGEINT-history rows (e09/t13/g06), the j01 watch item
+# (VERDICT r5 #5), and one representative per family against
+# testdata-layout flips. A green round closes official coverage at
+# 176/176 oracled entries. The 14 rows-only-by-design entries (d03/d05,
+# s01-s06, m01-m03, g04, sm01, ipf_cost_per_visit) stay out of the
+# prefix — their slots would record err:no_oracle and their evidence is
+# the pytest floors.
 _PREFIX = [
-    # round-4 red rows, re-seated with CAST(... AS BIGINT) oracle fixes
-    "e09_activity_streaks", "t13_sequence_packing",
-    # new round-5 code
-    "ipf_cost_per_visit_fixed", "rc01_subtree_rollup", "rc02_node_depth",
-    "ac07_merge_schema_evolution",
-    # TPC-H analog tail — never driver-checked before (h10 carries the
-    # third HUGEINT cast fix)
-    "h02_revenue_by_nation", "h03_shipping_priority",
-    "h04_local_supplier_volume", "h05_returned_revenue",
-    "h06_promo_revenue", "h07_order_priority", "h08_volume_shipping",
-    "h09_product_profit", "h10_shipmode_priority",
-    "h11_order_distribution", "h12_disjunctive_revenue",
-    "h13_large_volume_orders", "h14_idle_rich_customers",
-    "h15_top_supplier", "h16_supplier_part_counts",
-    "h17_small_qty_revenue", "h18_important_parts",
-    "h19_min_cost_supplier", "h20_forecast_revenue",
-    "h21_sole_returning_supplier", "h22_market_share",
-    # grouping analytics tail
-    "g01_rollup", "g02_cube", "g03_percentiles",
-    # window-function tail
-    "w03_time_range_avg", "w04_distribution_funcs", "w05_tumbling_batch",
-    # IO roundtrip tail
-    "b04_orc_roundtrip", "b05_jsonl_roundtrip",
-    # events/time-series tail
-    "e06_funnel", "e07_cohort_retention",
-    # text / python-surface / multimodal tails
-    "t07_top_bigrams", "x04_pandas_udaf_geomean", "x07_python_datasource",
-    "mm03_arrow_features",
-    # more new round-5 code
-    "j04_asof_forward", "e10_inter_event_gaps", "q02_referential_integrity",
-    "rc03_bom_effective_qty", "ac08_change_feed", "d07_incremental_dedup",
-    "gr01_pagerank_fixed", "e11_trailing_active_users", "mm04_resize_stride",
-    # (round-4 precedent: no sentinel slots — a testdata-layout flip
-    # shows up as a correlated family-wide failure and the local gate
-    # diagnoses it; every slot goes to a first-time official row.
-    # Round-6 prefix seeds = the oracled tail entries added after this
-    # prefix froze: x13, x14, w07, e12, e13, e14, j05, b07, ac09, g07,
-    # gr02, d08, rc04, m04, t15, t16, t17, sql02, j06.)
+    # round-6 seeds: the 19 entries with no official row yet
+    "x13_dynamic_partition_pruning", "x14_incremental_mv",
+    "w07_native_session_window", "e12_daily_top_type", "e13_rfm_segments",
+    "e14_cumulative_users", "j05_asof_nearest", "b07_binaryfile_source",
+    "ac09_replicate_via_feed", "g07_weighted_mean", "gr02_degree_profile",
+    "d08_containment_pairs", "rc04_materialized_path", "m04_market_basket",
+    "t15_sentence_split", "t16_normalized_dupes", "t17_edit_distance_pairs",
+    "sql02_shared_windows", "j06_point_in_time",
+    # new round-6 code
+    "d09_incremental_near_dup", "st10_stream_admission",
+    # flagship + this-round-touched sentinels
+    "ipf_cost_per_visit_fixed", "a17_converge", "c16_scd2",
+    "rc01_subtree_rollup", "d07_incremental_dedup", "j01_asof_join",
+    # family sentinels (all green in prior rounds)
+    "a13_mmult", "a16_ipf_step",
+    "h01_pricing_summary", "h06_promo_revenue", "h22_market_share",
+    "j02_range_join", "w01_running_total", "w06_hopping_batch",
+    "g05_grouping_sets", "g06_histogram",
+    "e03_sessionize", "e08_ohlc_bars", "e09_activity_streaks",
+    "t01_token_stats", "t05_exact_dup_groups", "t13_sequence_packing",
+    "d01_simhash", "d02_jaccard_pairs", "d04_dedup_components",
+    "q02_referential_integrity", "st01_stream_hourly",
+    "ac08_change_feed", "x10_partition_pruning",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

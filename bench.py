@@ -65,6 +65,16 @@ HEADLINE = [
     "ipf_cost_per_visit_fixed",
     "gr01_pagerank_fixed",
     "d07_incremental_dedup",
+    # round-6 additions (VERDICT r5 #6): the round-5 shuffle shapes the
+    # headline didn't cover — PIT join, dynamic partition pruning,
+    # native session windows, basket lift — plus the round-6 LSH
+    # corpus-admission and semantic dedup paths
+    "j06_point_in_time",
+    "x13_dynamic_partition_pruning",
+    "w07_native_session_window",
+    "m04_market_basket",
+    "d09_incremental_near_dup",
+    "sm01_semantic_dedup",
 ]
 
 

@@ -197,3 +197,62 @@ def test_incremental_admission_never_pairs_corpus(spark):
     assert cand.collect() == []
     plan = cand._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Join") == 1 and "Cartesian" not in plan
+
+
+def test_hot_bucket_cap_drops_degenerate_bucket_keeps_true_dups(spark):
+    """Skew guard: 6 boilerplate-only docs (identical text → every
+    band bucket holds all 6) vanish from candidate generation under a
+    cap of 4, while a planted true near-dup pair among normal docs
+    survives. Uncapped, the boilerplate pairs come back."""
+    base = " ".join(f"tok{i}" for i in range(100))
+    near = " ".join(f"tok{i}" if i % 20 else f"alt{i}" for i in range(100))
+    boiler = "copyright notice all rights reserved " * 10
+    rows = [(0, base), (1, near)] + [(10 + i, boiler) for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_pairs(
+            docs, threshold=0.5, max_bucket_size=4
+        ).collect()
+    }
+    assert capped == {(0, 1)}
+
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_pairs(docs, threshold=0.5).collect()
+    }
+    assert (0, 1) in uncapped and (10, 11) in uncapped
+
+
+def test_hot_bucket_cap_rejects_degenerate_value(spark):
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="max_bucket_size"):
+        near_dup_pairs(docs, max_bucket_size=1).collect()
+
+
+def test_incremental_admission_corpus_bucket_cap(spark):
+    """With every corpus bucket hot (identical corpus docs) and the
+    cap below corpus size, candidates vanish and the whole batch is
+    admitted — the documented recall trade, loudly visible."""
+    from alternating_least_squares_spark.functions.dedup import (
+        incremental_near_dup_admission,
+    )
+
+    boiler = "copyright notice all rights reserved " * 10
+    corpus = spark.createDataFrame(
+        [(10 + i, boiler) for i in range(6)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(0, boiler)], "doc_id long, text string"
+    )
+    admitted = lambda **kw: sorted(
+        r["doc_id"]
+        for r in incremental_near_dup_admission(
+            corpus, batch, **kw
+        ).collect()
+    )
+    assert admitted() == []                       # uncapped: rejected
+    assert admitted(max_bucket_size=4) == [0]     # capped: bucket dropped

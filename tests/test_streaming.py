@@ -540,3 +540,43 @@ def test_late_data_beyond_watermark_is_dropped(spark, tmp_path):
     assert 9 not in emitted                # late event never reopens 09:00
     assert all(r["total"] < 100.0 for r in rows)  # 100.0 appears nowhere
     spark.catalog.dropTempView("late_drop_test")
+
+
+def test_stream_admission_corpus_grows_between_runs(spark, tmp_path):
+    """streaming/admission.py: a wave-2 doc that near-duplicates a doc
+    ADMITTED in wave 1 (but absent from the base corpus) must be
+    rejected — the admitted sink is part of the corpus state for later
+    runs. Fresh wave-2 docs still land."""
+    from alternating_least_squares_spark.streaming.admission import (
+        admit_stream_run,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(100))
+    newdoc = " ".join(f"new{i}" for i in range(100))
+    newdoc_var = " ".join(f"new{i}" for i in range(100)).replace(" ", "  ")
+    corpus = spark.createDataFrame(
+        [(1000, base)], "doc_id long, text string"
+    )
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    wave1 = spark.createDataFrame(
+        [(0, base), (1, newdoc)], "doc_id long, text string"
+    )
+    wave1.write.parquet(src)
+    n1 = admit_stream_run(spark, corpus, src, sink, ckpt)
+    assert n1 == 1  # 0 duplicates the corpus; 1 is new
+
+    wave2 = spark.createDataFrame(
+        [(2, newdoc_var), (3, "entirely different text here okay")],
+        "doc_id long, text string",
+    )
+    wave2.write.mode("append").parquet(src)
+    n2 = admit_stream_run(spark, corpus, src, sink, ckpt)
+    assert n2 == 1  # 2 duplicates wave-1-admitted doc 1; 3 is new
+
+    admitted = sorted(
+        r["doc_id"] for r in spark.read.parquet(sink).collect()
+    )
+    assert admitted == [1, 3]
