@@ -6867,6 +6867,83 @@ FROM h a JOIN h b ON b.doc_id = a.doc_id + 1
 """
 
 
+def q_t18_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality scoring: a corpus-trained
+    add-one-smoothed UNIGRAM LM scores each document by average token
+    log-probability (the perplexity filter of LLM curation — docs of
+    rare/garbled tokens score low, boilerplate scores high).
+
+    Fully distributed: one explode → keyed count builds the LM (term
+    → count); scoring is a broadcast join of the token stream against
+    the LM and one keyed aggregation per doc. N (total tokens) and V
+    (vocab) are two scalar driver-side aggregates, same pattern as
+    t06's corpus count — never a global window.
+
+    Float discipline for oracle parity: per-term log-probs are
+    FLOORED to integer MICRO-NATS (floor, not round — both engines
+    floor toward −∞, while their double round-half rules could
+    disagree on negative values), so the per-doc sum is an exact
+    BIGINT — order-independent at any parallelism — and the single
+    division at the end is deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("term")
+    )
+    lm = terms.groupBy("term").agg(F.count("*").alias("c"))
+    n_total, vocab = lm.agg(
+        F.sum("c").cast("long"), F.count("*")
+    ).first()
+    lm = lm.select(
+        "term",
+        F.floor(
+            F.log(
+                (F.col("c") + F.lit(1)).cast("double")
+                / F.lit(float(n_total + vocab))
+            )
+            * 1_000_000
+        ).alias("lp_us"),
+    )
+    return (
+        terms.join(F.broadcast(lm), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lp_us").alias("sum_lp_us"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_lp_us",
+            F.round(
+                F.col("sum_lp_us").cast("double")
+                / F.col("n_tokens")
+                / 1_000_000,
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+SQL_T18 = f"""
+WITH tk AS (SELECT doc_id, {_toks_sql()} AS toks FROM documents),
+     terms AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+     lm AS (SELECT term, count(*) AS c FROM terms GROUP BY 1),
+     scale AS (SELECT sum(c) + count(*) AS nv FROM lm),
+     lp AS (
+       SELECT term,
+              CAST(floor(ln(CAST(c + 1 AS DOUBLE) / nv) * 1000000)
+                   AS BIGINT) AS lp_us
+       FROM lm CROSS JOIN scale
+     )
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(lp_us) AS BIGINT) AS sum_lp_us,
+       round(CAST(sum(lp_us) AS DOUBLE) / count(*) / 1000000, 6)
+         AS avg_logprob
+FROM terms JOIN lp USING (term)
+GROUP BY 1
+"""
+
+
 def q_t16_normalized_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalization-THEN-dedup — the knob between t05's byte-exact
     groups and d-suite near-dup: casefold, strip non-alphanumerics,
@@ -7229,6 +7306,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "x14_incremental_mv": (q_x14_incremental_mv, SQL_X14),
     "j06_point_in_time": (q_j06_point_in_time, SQL_J06),
     "t17_edit_distance_pairs": (q_t17_edit_distance_pairs, SQL_T17),
+    "t18_unigram_logprob": (q_t18_unigram_logprob, SQL_T18),
 }
 
 
@@ -7260,13 +7338,14 @@ _PREFIX = [
     "sql02_shared_windows", "j06_point_in_time",
     # new round-6 code
     "d09_incremental_near_dup", "st10_stream_admission",
+    "t18_unigram_logprob",
     # flagship + this-round-touched sentinels
     "ipf_cost_per_visit_fixed", "a17_converge", "c16_scd2",
     "rc01_subtree_rollup", "d07_incremental_dedup", "j01_asof_join",
     # family sentinels (all green in prior rounds)
     "a13_mmult", "a16_ipf_step",
     "h01_pricing_summary", "h06_promo_revenue", "h22_market_share",
-    "j02_range_join", "w01_running_total", "w06_hopping_batch",
+    "j02_range_join", "w01_running_total",
     "g05_grouping_sets", "g06_histogram",
     "e03_sessionize", "e08_ohlc_bars", "e09_activity_streaks",
     "t01_token_stats", "t05_exact_dup_groups", "t13_sequence_packing",

@@ -252,3 +252,40 @@ def test_market_basket_lift_matches_brute_force(spark):
     # lift spot check: (10,20) appears 3x; n_10=4, n_20=4, N=5
     lift = 3 * n_orders / (margins[10] * margins[20])
     assert abs(lift - 0.9375) < 1e-12
+
+
+def test_unigram_logprob_hand_computed(spark, tmp_path, monkeypatch):
+    """t18 on a 2-doc corpus where the LM is computable by hand:
+    corpus = 'a a b' + 'a c' → counts a:3,b:1,c:1; N=5, V=3, N+V=8.
+    lp(a)=ln(4/8), lp(b)=lp(c)=ln(2/8), floored to micro-nats; doc
+    sums are exact integers."""
+    import math
+
+    from alternating_least_squares_spark.registry import queries
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c")], "doc_id long, text string"
+    )
+    import alternating_least_squares_spark.registry as R
+
+    real_load = R.load_table
+    monkeypatch.setattr(
+        R, "load_table",
+        lambda sp, sf, name: docs if name == "documents"
+        else real_load(sp, sf, name),
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["sum_lp_us"], r["avg_logprob"])
+        for r in queries()["t18_unigram_logprob"](spark, "ignored").collect()
+    }
+    lp_a = math.floor(math.log(4 / 8) * 1_000_000)
+    lp_bc = math.floor(math.log(2 / 8) * 1_000_000)
+    # the integer micro-nat sums are the exact pins; the avg is their
+    # division rounded HALF-AWAY-FROM-ZERO (Spark round == DuckDB
+    # round; Python's round() is banker's and lands one ulp off at
+    # exact .5 boundaries like doc 1's -1.0397215, so compare within
+    # half an output ulp instead)
+    assert (out[0][0], out[0][1]) == (3, 2 * lp_a + lp_bc)
+    assert (out[1][0], out[1][1]) == (2, lp_a + lp_bc)
+    assert abs(out[0][2] - (2 * lp_a + lp_bc) / 3 / 1e6) <= 5.1e-7
+    assert abs(out[1][2] - (lp_a + lp_bc) / 2 / 1e6) <= 5.1e-7
