@@ -415,7 +415,149 @@ def incremental_near_dup_admission(
         .select(F.col("batch_id").alias(id_col))
         .distinct()
     )
-    return batch.join(rejected, id_col, "left_anti")
+    # rejected ⊆ batch ids — always the small side; broadcast keeps the
+    # final anti-join shuffle-free at any corpus size
+    return batch.join(F.broadcast(rejected), id_col, "left_anti")
+
+
+def write_band_index(
+    docs: DataFrame,
+    name: str,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    n_buckets: int = 8,
+) -> None:
+    """Materialize the corpus LSH index as TWO bucketed tables — the
+    production layout d09's in-memory path re-derives per run:
+
+    * ``<name>_bands`` ``(_bh, _cid)`` bucketed+sorted by ``_bh`` —
+      the inverted band index the batch probes;
+    * ``<name>_payload`` ``(_cid, _chs)`` bucketed+sorted by ``_cid``
+      — the per-doc shingle-hash payload the verify stage reads.
+
+    Signatures are computed ONCE here (and once per admitted batch in
+    :func:`append_to_band_index`), never re-derived at probe time; at
+    100 TB that one-time bucketed write amortizes across every nightly
+    admission run, and bucketing on the join keys means the corpus
+    side of BOTH the probe join and the verify join ships zero bytes
+    (the small batch broadcasts / shuffles to the buckets)."""
+    spark = docs.sparkSession
+    sig = lsh_signatures(docs, id_col, text_col, n_hashes, bands, k)
+    sig = sig.localCheckpoint(eager=True)  # one signature pass, two sinks
+    import os
+
+    for tbl, df, key in (
+        (
+            f"{name}_bands",
+            sig.select(
+                F.explode("_bands").alias("_bh"), F.col("_id").alias("_cid")
+            ),
+            "_bh",
+        ),
+        (
+            f"{name}_payload",
+            sig.select(F.col("_id").alias("_cid"), F.col("_hs").alias("_chs")),
+            "_cid",
+        ),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            df.write.format("parquet")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .option("path", os.path.join(path, tbl))
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+
+
+def append_to_band_index(
+    admitted: DataFrame,
+    name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+) -> None:
+    """Grow the persisted index with an admitted batch: one signature
+    pass, two bucketed appends (``insertInto`` preserves the tables'
+    bucket spec). This is the O(batch) maintenance step that keeps
+    nightly admission from ever re-signing the corpus."""
+    sig = lsh_signatures(admitted, id_col, text_col, n_hashes, bands, k)
+    sig = sig.localCheckpoint(eager=True)
+    sig.select(
+        F.explode("_bands").alias("_bh"), F.col("_id").alias("_cid")
+    ).write.insertInto(f"{name}_bands")
+    sig.select(
+        F.col("_id").alias("_cid"), F.col("_hs").alias("_chs")
+    ).write.insertInto(f"{name}_payload")
+
+
+def admit_with_band_index(
+    spark,
+    name: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Admission against the PERSISTED index (semantics identical to
+    :func:`incremental_near_dup_admission` — pinned by a parity test):
+    admit each batch doc unless some indexed doc shares ≥1 band AND
+    verifies at exact Jaccard ≥ threshold.
+
+    The batch side is explicitly broadcast in both joins — a batch is
+    small relative to the corpus by the definition of incremental
+    admission — so the executed plan reads the bucketed corpus tables
+    with NO Exchange on the corpus side at all: the only data that
+    moves is the batch."""
+    bands_tbl = spark.table(f"{name}_bands")
+    payload_tbl = spark.table(f"{name}_payload")
+    bsig = lsh_signatures(
+        batch, id_col, text_col, n_hashes, bands, k
+    ).localCheckpoint(eager=True)
+    bb = bsig.select("_id", F.explode("_bands").alias("_bh"))
+    idx = _cap_buckets(bands_tbl, max_bucket_size)
+    cand = (
+        F.broadcast(bb.withColumnRenamed("_id", "batch_id"))
+        .join(idx, "_bh")
+        .select("batch_id", F.col("_cid").alias("corpus_id"))
+        .distinct()
+    )
+    rejected = (
+        F.broadcast(
+            cand.join(
+                # every join the persisted-index path plans carries an
+                # explicit batch-side broadcast hint: all three joined
+                # inputs here are O(batch), and hints (not stats, which
+                # checkpointed RDDs lack) are what make the
+                # zero-corpus-shuffle plan deterministic
+                F.broadcast(
+                    bsig.select(
+                        F.col("_id").alias("batch_id"),
+                        F.col("_hs").alias("_v_b"),
+                    )
+                ),
+                "batch_id",
+            )
+        )
+        .join(payload_tbl, F.col("corpus_id") == F.col("_cid"))
+        .filter(jaccard(F.col("_v_b"), F.col("_chs")) >= threshold)
+        .select(F.col("batch_id").alias(id_col))
+        .distinct()
+    )
+    # rejected ⊆ batch ids — always the small side; broadcast keeps the
+    # final anti-join shuffle-free at any corpus size
+    return batch.join(F.broadcast(rejected), id_col, "left_anti")
 
 
 def keep_one_filter(

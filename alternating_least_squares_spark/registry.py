@@ -6567,6 +6567,47 @@ SELECT doc_id, fp FROM (
 """
 
 
+def q_d10_indexed_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d09's admission decision computed against the PERSISTED corpus
+    band index (dedup.write_band_index / admit_with_band_index): the
+    corpus signatures are materialized ONCE as two bucketed tables
+    (inverted band index + per-doc payload, each bucketed on its join
+    key) and the small batch explicitly broadcasts — the executed plan
+    moves zero corpus bytes (no Exchange above either bucketed scan;
+    asserted in tests/test_dedup.py). Same planted construction and
+    the SAME oracle text as d09, so the two implementations are
+    independently hash-proved equal to the same ground truth."""
+    from alternating_least_squares_spark.functions.dedup import (
+        admit_with_band_index,
+        write_band_index,
+    )
+
+    sf_key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    name = f"d10_idx_{sf_key}"
+    write_band_index(
+        docs, name, _scratch_path("alternating_ls_d10", sf_key)
+    )
+    dstr = F.col("doc_id").cast("string")
+    variants = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")), " ", "  "
+        ).alias("text"),
+    )
+    fresh = docs.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 30_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("zq"), dstr, F.lit("a zq"), dstr, F.lit("b zq"),
+            dstr, F.lit("c zq"), dstr, F.lit("d"),
+        ).alias("text"),
+    )
+    admitted = admit_with_band_index(
+        spark, name, variants.unionByName(fresh), threshold=0.5
+    )
+    return admitted.select("doc_id")
+
+
 def q_sm01_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup over the embeddings table
     (functions/semdedup: MLlib-KMeans clusters + intra-cluster exact
@@ -7283,6 +7324,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ac08_change_feed": (q_ac08_change_feed, SQL_AC08),
     "d07_incremental_dedup": (q_d07_incremental_dedup, SQL_D07),
     "d09_incremental_near_dup": (q_d09_incremental_near_dup, SQL_D09),
+    "d10_indexed_admission": (q_d10_indexed_admission, SQL_D09),
     "sm01_semantic_dedup": (q_sm01_semantic_dedup, None),
     "gr01_pagerank_fixed": (q_gr01_pagerank_fixed, SQL_GR01),
     "e11_trailing_active_users": (q_e11_trailing_active_users, SQL_E11),
@@ -7338,15 +7380,14 @@ _PREFIX = [
     "sql02_shared_windows", "j06_point_in_time",
     # new round-6 code
     "d09_incremental_near_dup", "st10_stream_admission",
-    "t18_unigram_logprob",
+    "t18_unigram_logprob", "d10_indexed_admission",
     # flagship + this-round-touched sentinels
     "ipf_cost_per_visit_fixed", "a17_converge", "c16_scd2",
     "rc01_subtree_rollup", "d07_incremental_dedup", "j01_asof_join",
     # family sentinels (all green in prior rounds)
     "a13_mmult", "a16_ipf_step",
     "h01_pricing_summary", "h06_promo_revenue", "h22_market_share",
-    "j02_range_join", "w01_running_total",
-    "g05_grouping_sets", "g06_histogram",
+    "j02_range_join", "w01_running_total", "g06_histogram",
     "e03_sessionize", "e08_ohlc_bars", "e09_activity_streaks",
     "t01_token_stats", "t05_exact_dup_groups", "t13_sequence_packing",
     "d01_simhash", "d02_jaccard_pairs", "d04_dedup_components",

@@ -256,3 +256,51 @@ def test_incremental_admission_corpus_bucket_cap(spark):
     )
     assert admitted() == []                       # uncapped: rejected
     assert admitted(max_bucket_size=4) == [0]     # capped: bucket dropped
+
+
+def test_indexed_admission_matches_inmemory_and_moves_no_corpus(spark, tmp_path):
+    """The persisted-band-index path (write_band_index /
+    admit_with_band_index) must (a) admit exactly the same set as
+    incremental_near_dup_admission, including after append_to_band_index
+    grows the index, and (b) never shuffle the corpus: both bucketed
+    scans join via BroadcastHashJoin (batch side broadcast), no
+    SortMergeJoin anywhere in the rejected-set plan."""
+    from alternating_least_squares_spark.functions.dedup import (
+        admit_with_band_index,
+        append_to_band_index,
+        incremental_near_dup_admission,
+        write_band_index,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(100))
+    near = " ".join(f"tok{i}" if i % 20 else f"alt{i}" for i in range(100))
+    newdoc = " ".join(f"new{i}" for i in range(80))
+    corpus = spark.createDataFrame(
+        [(10, base), (12, "mud pie recipe collection")],
+        "doc_id long, text string",
+    )
+    batch1 = spark.createDataFrame(
+        [(0, base), (1, near), (2, newdoc)], "doc_id long, text string"
+    )
+    name = "t_dedup_idx"
+    write_band_index(corpus, name, str(tmp_path / "idx"))
+
+    got = admit_with_band_index(spark, name, batch1)
+    want = incremental_near_dup_admission(corpus, batch1)
+    ids = lambda df: sorted(r["doc_id"] for r in df.collect())
+    assert ids(got) == ids(want) == [2]
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+    # both corpus scans read bucketed (AQE's plan string repeats the
+    # scans in its initial-plan section, hence >=)
+    assert plan.count("Bucketed: true") >= 2
+
+    # grow the index with the admitted doc; its near-dup now rejects
+    append_to_band_index(got, name)
+    batch2 = spark.createDataFrame(
+        [(5, newdoc.replace(" ", "  ")), (6, "totally other words")],
+        "doc_id long, text string",
+    )
+    assert ids(admit_with_band_index(spark, name, batch2)) == [6]

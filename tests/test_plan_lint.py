@@ -20,6 +20,10 @@ from tests.conftest import SF_SMALL
 SKIP_PREFIXES = (
     "st0", "ac0", "b0", "m0", "x07", "mm0", "ipf", "a21", "x09", "x10",
     "s06",  # trains two quantizers; covered by test_plans.py's own lint
+    "d10",  # writes bucketed catalog tables; its own plan test asserts
+            # the no-corpus-shuffle shape (test_dedup.py)
+    "sm01",  # trains KMeans per construction; one-Join shape asserted
+             # in test_semdedup.py
 )
 
 # Entries allowed EXACTLY ONE BroadcastNestedLoopJoin, with the tiny
