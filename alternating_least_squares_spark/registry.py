@@ -6985,6 +6985,106 @@ GROUP BY 1
 """
 
 
+def q_t19_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional-LM scoring — t18's context-aware upgrade
+    (the KenLM-shaped filter of CCNet-style curation): docs scored by
+    average ln p(w₂|w₁) with add-one smoothing,
+    p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V). Word salad with plausible
+    unigrams scores low here because its TRANSITIONS are rare — the
+    failure mode a unigram LM can't see.
+
+    Same distributed shape as t18 (explode → keyed counts → broadcast
+    LM join → per-doc agg) plus one broadcast join attaching the
+    context count c(w₁·) = bigrams starting with w₁. Docs with < 2
+    tokens have no bigrams and drop out on both engines (shingles'
+    short-doc sentinel is filtered, not scored). Same integer
+    micro-nat floor discipline: per-doc sums are exact BIGINTs."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.size(TX.tokens(F.col("text"))) >= 2
+    )
+    bg = docs.select(
+        "doc_id", F.explode(TX.shingles(F.col("text"), 2)).alias("bg")
+    )
+    c2 = bg.groupBy("bg").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy(
+        F.substring_index("bg", " ", 1).alias("w1")
+    ).agg(F.count("*").alias("c1"))
+    # V over the FULL token stream (vocab incl. final-position-only
+    # and short-doc tokens), one scalar driver-side aggregate
+    vocab = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(TX.tokens(F.col("text"))).alias("term"))
+        .agg(F.count_distinct("term"))
+        .first()[0]
+    )
+    lm = (
+        c2.withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(F.broadcast(c1), "w1")
+        .select(
+            "bg",
+            F.floor(
+                F.log(
+                    (F.col("c2") + F.lit(1)).cast("double")
+                    / (F.col("c1") + F.lit(int(vocab))).cast("double")
+                )
+                * 1_000_000
+            ).alias("lp_us"),
+        )
+    )
+    return (
+        bg.join(F.broadcast(lm), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("lp_us").alias("sum_lp_us"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_lp_us",
+            F.round(
+                F.col("sum_lp_us").cast("double")
+                / F.col("n_bigrams")
+                / 1_000_000,
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+SQL_T19 = f"""
+WITH tk AS (SELECT doc_id, {_toks_sql()} AS toks FROM documents),
+     bg AS (
+       SELECT doc_id,
+              unnest(list_transform(range(len(toks) - 1),
+                     i -> toks[i+1] || ' ' || toks[i+2])) AS bg
+       FROM tk WHERE len(toks) >= 2
+     ),
+     c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
+     c1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
+            FROM bg GROUP BY 1),
+     v AS (
+       SELECT count(DISTINCT term) AS vocab
+       FROM (SELECT unnest(toks) AS term FROM tk)
+     ),
+     lm AS (
+       SELECT c2.bg,
+              CAST(floor(ln(CAST(c2.c2 + 1 AS DOUBLE)
+                            / (c1.c1 + v.vocab)) * 1000000)
+                   AS BIGINT) AS lp_us
+       FROM c2
+       JOIN c1 ON c1.w1 = split_part(c2.bg, ' ', 1)
+       CROSS JOIN v
+     )
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(sum(lp_us) AS BIGINT) AS sum_lp_us,
+       round(CAST(sum(lp_us) AS DOUBLE) / count(*) / 1000000, 6)
+         AS avg_logprob
+FROM bg JOIN lm USING (bg)
+GROUP BY 1
+"""
+
+
 def q_t16_normalized_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalization-THEN-dedup — the knob between t05's byte-exact
     groups and d-suite near-dup: casefold, strip non-alphanumerics,
@@ -7349,6 +7449,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "j06_point_in_time": (q_j06_point_in_time, SQL_J06),
     "t17_edit_distance_pairs": (q_t17_edit_distance_pairs, SQL_T17),
     "t18_unigram_logprob": (q_t18_unigram_logprob, SQL_T18),
+    "t19_bigram_logprob": (q_t19_bigram_logprob, SQL_T19),
 }
 
 
@@ -7380,7 +7481,7 @@ _PREFIX = [
     "sql02_shared_windows", "j06_point_in_time",
     # new round-6 code
     "d09_incremental_near_dup", "st10_stream_admission",
-    "t18_unigram_logprob", "d10_indexed_admission",
+    "t18_unigram_logprob", "d10_indexed_admission", "t19_bigram_logprob",
     # flagship + this-round-touched sentinels
     "ipf_cost_per_visit_fixed", "a17_converge", "c16_scd2",
     "rc01_subtree_rollup", "d07_incremental_dedup", "j01_asof_join",
@@ -7388,7 +7489,7 @@ _PREFIX = [
     "a13_mmult", "a16_ipf_step",
     "h01_pricing_summary", "h06_promo_revenue", "h22_market_share",
     "j02_range_join", "w01_running_total", "g06_histogram",
-    "e03_sessionize", "e08_ohlc_bars", "e09_activity_streaks",
+    "e03_sessionize", "e09_activity_streaks",
     "t01_token_stats", "t05_exact_dup_groups", "t13_sequence_packing",
     "d01_simhash", "d02_jaccard_pairs", "d04_dedup_components",
     "q02_referential_integrity", "st01_stream_hourly",

@@ -289,3 +289,34 @@ def test_unigram_logprob_hand_computed(spark, tmp_path, monkeypatch):
     assert (out[1][0], out[1][1]) == (2, lp_a + lp_bc)
     assert abs(out[0][2] - (2 * lp_a + lp_bc) / 3 / 1e6) <= 5.1e-7
     assert abs(out[1][2] - (lp_a + lp_bc) / 2 / 1e6) <= 5.1e-7
+
+
+def test_bigram_logprob_hand_computed(spark, monkeypatch):
+    """t19 on a corpus computable by hand: docs 'a b a b' + 'a b' +
+    'x' (no bigrams → absent). Bigram stream: (a b)x3, (b a)x1.
+    c1: a·=3, b·=1. V = 3 (a, b, x — the full token vocab).
+    lp(a b)=ln(4/6), lp(b a)=ln(2/4)."""
+    import math
+
+    from alternating_least_squares_spark.registry import queries
+    import alternating_least_squares_spark.registry as R
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b"), (2, "x")],
+        "doc_id long, text string",
+    )
+    real_load = R.load_table
+    monkeypatch.setattr(
+        R, "load_table",
+        lambda sp, sf, name: docs if name == "documents"
+        else real_load(sp, sf, name),
+    )
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_lp_us"])
+        for r in queries()["t19_bigram_logprob"](spark, "ignored").collect()
+    }
+    lp_ab = math.floor(math.log(4 / 6) * 1_000_000)
+    lp_ba = math.floor(math.log(2 / 4) * 1_000_000)
+    assert out[0] == (3, 2 * lp_ab + lp_ba)
+    assert out[1] == (1, lp_ab)
+    assert 2 not in out  # single-token doc has no bigrams
