@@ -387,8 +387,9 @@ def incremental_near_dup_admission(
     (all original columns).
 
     Plan shape at 100 TB: the corpus is touched exactly twice — once
-    to build its band index (in production this is a MATERIALIZED
-    index, appended to as batches are admitted) and once as the
+    to build its band index (the production path persists it instead:
+    :func:`write_band_index` / :func:`admit_with_band_index`, which
+    move zero corpus bytes per run) and once as the
     verify-payload lookup for candidate ids — and NEVER paired with
     itself; candidate generation is a single batch→corpus band
     equi-join whose fan-out is bounded by (bands, rows/band). The
