@@ -37,6 +37,7 @@ def train_centroids(
     seed: int = 42,
     sample_fraction: float | None = None,
     max_iter: int = 5,
+    init_mode: str = "k-means||",
 ) -> KMeansModel:
     """Learn the coarse quantizer. ``sample_fraction`` caps the
     training set — at corpus scale KMeans needs a sample, not a full
@@ -48,6 +49,12 @@ def train_centroids(
     Lloyd iteration is a full distributed pass over the training set.
     Recall is governed by ``n_probe``/``n_centroids``, not by late
     centroid drift; tests/test_similarity.py pins the recall floor.
+
+    ``init_mode``: ``"k-means||"`` (MLlib default — extra distributed
+    init passes, better seeds) or ``"random"`` — for vocabularies that
+    only PARTITION space (semantic-dedup clustering, where pair
+    generation is bounded per cluster and planted-duplicate recall is
+    assignment-invariant) random init skips the init passes entirely.
     """
     train = emb
     if sample_fraction is not None:
@@ -56,7 +63,11 @@ def train_centroids(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
     return KMeans(
-        k=n_centroids, seed=seed, featuresCol="features", maxIter=max_iter
+        k=n_centroids,
+        seed=seed,
+        featuresCol="features",
+        maxIter=max_iter,
+        initMode=init_mode,
     ).fit(feats)
 
 

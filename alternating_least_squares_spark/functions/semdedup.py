@@ -91,23 +91,38 @@ def semantic_dup_pairs(
             train_centroids,
         )
 
+        # random init: a dedup vocabulary only partitions space, and
+        # k-means||'s distributed init passes were ~40% of sm01's
+        # bench cost; planted-duplicate recall is assignment-invariant
         model = train_centroids(
-            emb, vec_col, n_centroids=n_centroids, seed=seed
+            emb, vec_col, n_centroids=n_centroids, seed=seed,
+            init_mode="random",
         )
         centroids = [[float(x) for x in c] for c in model.clusterCenters()]
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    unit = F.transform(vec_d, lambda x: _safe_ratio(x, vec_norm(vec_d)))
+    # carry the RAW double vector plus its norm as a SCALAR column and
+    # divide in the pair join — element-wise unit normalization
+    # (transform(v, x -> x / norm(v))) re-evaluates the O(d) norm
+    # aggregate per ELEMENT on the interpreted HOF path, an O(d²)
+    # per-row blowup that measured ~2× on sm01's bench entry
     assigned = (
         assign_clusters(emb, centroids, vec_col)
-        .select(F.col(id_col).alias("_id"), "cluster", unit.alias("_u"))
+        .select(
+            F.col(id_col).alias("_id"),
+            "cluster",
+            vec_d.alias("_v"),
+            vec_norm(F.col(vec_col)).alias("_n"),
+        )
         # one materialization: the self-join below reads it twice
         .localCheckpoint(eager=True)
     )
     a = assigned.select(
-        F.col("_id").alias("id_a"), "cluster", F.col("_u").alias("_ua")
+        F.col("_id").alias("id_a"), "cluster",
+        F.col("_v").alias("_va"), F.col("_n").alias("_na"),
     )
     b = assigned.select(
-        F.col("_id").alias("id_b"), "cluster", F.col("_u").alias("_ub")
+        F.col("_id").alias("id_b"), "cluster",
+        F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
     )
     return (
         a.join(b, "cluster")  # THE bounded shuffle: intra-cluster only
@@ -116,7 +131,13 @@ def semantic_dup_pairs(
             "id_a",
             "id_b",
             "cluster",
-            F.round(vec_dot(F.col("_ua"), F.col("_ub")), 6).alias("cosine"),
+            F.round(
+                _safe_ratio(
+                    vec_dot(F.col("_va"), F.col("_vb")),
+                    F.col("_na") * F.col("_nb"),
+                ),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -6391,6 +6391,81 @@ FROM lineitem GROUP BY 1
 """
 
 
+def q_g08_exact_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + OLS slope/intercept of quantity vs
+    extended price per return flag, computed EXACTLY in distributed
+    fashion: builtin ``corr``/``covar`` accumulate doubles whose last
+    ulps depend on partition order (un-hash-comparable and
+    irreproducible across cluster sizes), so instead the five moment
+    sums Σx, Σy, Σx², Σy², Σxy are taken over integer CENTI-UNITS in
+    decimal(38,0) — exact and order-independent at any parallelism —
+    and the classic closed forms divide once in double at the end.
+    Headroom: with x ≤ 5e3 and y ≤ 1.1e7 centi-units, n·Σy² stays
+    under 10³⁸ up to ~10¹² rows per group. Oracle runs the same
+    integer sums in HUGEINT (int128) — the final doubles agree
+    bit-for-bit because int→double conversion and the IEEE ops after
+    it are engine-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity") * 100, 0).cast("decimal(38,0)")
+    y = F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(38,0)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / dx
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("corr_qty_price"),
+        F.round(slope, 6).alias("slope_cents_per_cent"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n")
+            / 100,
+            6,
+        ).alias("intercept_price"),
+    )
+
+
+SQL_G08 = """
+WITH m AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         SUM(CAST(round(l_quantity * 100) AS HUGEINT)) AS sx,
+         SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sy,
+         SUM(CAST(round(l_quantity * 100) AS HUGEINT)
+             * CAST(round(l_quantity * 100) AS HUGEINT)) AS sxx,
+         SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS syy,
+         SUM(CAST(round(l_quantity * 100) AS HUGEINT)
+             * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sxy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+         AS corr_qty_price,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+         AS slope_cents_per_cent,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / n / 100, 6)
+         AS intercept_price
+FROM m
+"""
+
+
 def q_ac09_replicate_via_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC APPLY — replicate a table by change feed, the downstream
     half of ac08: clone the source at v0, compute the v0→v2 feed
@@ -7437,6 +7512,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ac09_replicate_via_feed": (q_ac09_replicate_via_feed, SQL_AC09),
     "e13_rfm_segments": (q_e13_rfm_segments, SQL_E13),
     "g07_weighted_mean": (q_g07_weighted_mean, SQL_G07),
+    "g08_exact_corr": (q_g08_exact_corr, SQL_G08),
     "d08_containment_pairs": (q_d08_containment_pairs, SQL_D08),
     "rc04_materialized_path": (q_rc04_materialized_path, SQL_RC04),
     "m04_market_basket": (q_m04_market_basket, SQL_M04),
@@ -7482,12 +7558,13 @@ _PREFIX = [
     # new round-6 code
     "d09_incremental_near_dup", "st10_stream_admission",
     "t18_unigram_logprob", "d10_indexed_admission", "t19_bigram_logprob",
+    "g08_exact_corr",
     # flagship + this-round-touched sentinels
     "ipf_cost_per_visit_fixed", "a17_converge", "c16_scd2",
     "rc01_subtree_rollup", "d07_incremental_dedup", "j01_asof_join",
     # family sentinels (all green in prior rounds)
     "a13_mmult", "a16_ipf_step",
-    "h01_pricing_summary", "h06_promo_revenue", "h22_market_share",
+    "h01_pricing_summary", "h22_market_share",
     "j02_range_join", "w01_running_total", "g06_histogram",
     "e03_sessionize", "e09_activity_streaks",
     "t01_token_stats", "t05_exact_dup_groups", "t13_sequence_packing",
