@@ -6991,9 +6991,10 @@ def q_t18_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Fully distributed: one explode → keyed count builds the LM (term
     → count); scoring is a broadcast join of the token stream against
-    the LM and one keyed aggregation per doc. N (total tokens) and V
-    (vocab) are two scalar driver-side aggregates, same pattern as
-    t06's corpus count — never a global window.
+    the LM and one keyed aggregation per doc. Corpus-scan economics
+    at 100 TB: exactly TWO corpus reads (LM pass, scoring pass) — the
+    scalars N and V are one aggregate over the CHECKPOINTED vocab-
+    sized counts, not another corpus pass, and never a global window.
 
     Float discipline for oracle parity: per-term log-probs are
     FLOORED to integer MICRO-NATS (floor, not round — both engines
@@ -7005,7 +7006,11 @@ def q_t18_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = docs.select(
         "doc_id", F.explode(TX.tokens(F.col("text"))).alias("term")
     )
-    lm = terms.groupBy("term").agg(F.count("*").alias("c"))
+    lm = (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     n_total, vocab = lm.agg(
         F.sum("c").cast("long"), F.count("*")
     ).first()
@@ -7069,31 +7074,39 @@ def q_t19_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     failure mode a unigram LM can't see.
 
     Same distributed shape as t18 (explode → keyed counts → broadcast
-    LM join → per-doc agg) plus one broadcast join attaching the
-    context count c(w₁·) = bigrams starting with w₁. Docs with < 2
-    tokens have no bigrams and drop out on both engines (shingles'
-    short-doc sentinel is filtered, not scored). Same integer
-    micro-nat floor discipline: per-doc sums are exact BIGINTs."""
+    LM join → per-doc agg). Corpus-scan economics at 100 TB: the
+    corpus is read exactly TWICE (the bigram-count pass and the
+    scoring pass) — the context counts c(w₁·), the vocabulary V
+    (= distinct tokens appearing in any bigram, the consistent
+    smoothing base both engines share), and the broadcast LM are all
+    DERIVED from the checkpointed vocab-sized bigram counts, never
+    from another corpus pass. Docs with < 2 tokens have no bigrams
+    and drop out on both engines (shingles' short-doc sentinel is
+    filtered, not scored). Same integer micro-nat floor discipline:
+    per-doc sums are exact BIGINTs."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.size(TX.tokens(F.col("text"))) >= 2
     )
     bg = docs.select(
         "doc_id", F.explode(TX.shingles(F.col("text"), 2)).alias("bg")
     )
-    c2 = bg.groupBy("bg").agg(F.count("*").alias("c2"))
-    c1 = bg.groupBy(
-        F.substring_index("bg", " ", 1).alias("w1")
-    ).agg(F.count("*").alias("c1"))
-    # V over the FULL token stream (vocab incl. final-position-only
-    # and short-doc tokens), one scalar driver-side aggregate
+    # vocab-sized; feeds c1, V, and the LM join without re-reading docs
+    c2 = (
+        bg.groupBy("bg")
+        .agg(F.count("*").alias("c2"))
+        .localCheckpoint(eager=True)
+    )
+    w1 = F.substring_index("bg", " ", 1)
+    w2 = F.substring_index("bg", " ", -1)
+    c1 = c2.groupBy(w1.alias("w1")).agg(F.sum("c2").alias("c1"))
     vocab = (
-        load_table(spark, sf_dir, "documents")
-        .select(F.explode(TX.tokens(F.col("text"))).alias("term"))
-        .agg(F.count_distinct("term"))
+        c2.select(w1.alias("t"))
+        .unionByName(c2.select(w2.alias("t")))
+        .agg(F.count_distinct("t"))
         .first()[0]
     )
     lm = (
-        c2.withColumn("w1", F.substring_index("bg", " ", 1))
+        c2.withColumn("w1", w1)
         .join(F.broadcast(c1), "w1")
         .select(
             "bg",
@@ -7136,11 +7149,13 @@ WITH tk AS (SELECT doc_id, {_toks_sql()} AS toks FROM documents),
        FROM tk WHERE len(toks) >= 2
      ),
      c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
-     c1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
-            FROM bg GROUP BY 1),
+     c1 AS (SELECT split_part(bg, ' ', 1) AS w1,
+            CAST(sum(c2) AS BIGINT) AS c1
+            FROM c2 GROUP BY 1),
      v AS (
-       SELECT count(DISTINCT term) AS vocab
-       FROM (SELECT unnest(toks) AS term FROM tk)
+       SELECT count(DISTINCT t) AS vocab
+       FROM (SELECT split_part(bg, ' ', 1) AS t FROM c2
+             UNION SELECT split_part(bg, ' ', 2) FROM c2)
      ),
      lm AS (
        SELECT c2.bg,

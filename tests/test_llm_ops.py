@@ -294,8 +294,9 @@ def test_unigram_logprob_hand_computed(spark, tmp_path, monkeypatch):
 def test_bigram_logprob_hand_computed(spark, monkeypatch):
     """t19 on a corpus computable by hand: docs 'a b a b' + 'a b' +
     'x' (no bigrams → absent). Bigram stream: (a b)x3, (b a)x1.
-    c1: a·=3, b·=1. V = 3 (a, b, x — the full token vocab).
-    lp(a b)=ln(4/6), lp(b a)=ln(2/4)."""
+    c1: a·=3, b·=1. V = 2 (a, b — the bigram-participating vocab;
+    'x' never enters a bigram so it is outside the smoothing base).
+    lp(a b)=ln(4/5), lp(b a)=ln(2/3)."""
     import math
 
     from alternating_least_squares_spark.registry import queries
@@ -315,8 +316,8 @@ def test_bigram_logprob_hand_computed(spark, monkeypatch):
         r["doc_id"]: (r["n_bigrams"], r["sum_lp_us"])
         for r in queries()["t19_bigram_logprob"](spark, "ignored").collect()
     }
-    lp_ab = math.floor(math.log(4 / 6) * 1_000_000)
-    lp_ba = math.floor(math.log(2 / 4) * 1_000_000)
+    lp_ab = math.floor(math.log(4 / 5) * 1_000_000)
+    lp_ba = math.floor(math.log(2 / 3) * 1_000_000)
     assert out[0] == (3, 2 * lp_ab + lp_ba)
     assert out[1] == (1, lp_ab)
     assert 2 not in out  # single-token doc has no bigrams
