@@ -6271,6 +6271,71 @@ FROM i GROUP BY 2
 """
 
 
+def q_gr03_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts on the part co-purchase graph
+    (parts appearing in the same order) — the graph staple behind
+    clustering coefficients and community seeds. Distributed shape:
+    edges ORIENTED low-id→high-id, so every triangle a<b<c is
+    enumerated exactly once as path (a→b→c) ∩ edge (a→c) — two
+    equi-joins, no pair dedup, no CartesianProduct; the path join's
+    fan-out is Σ_b out(b)·in(b), the quantity degree-orientation
+    minimizes in the classic algorithm. Each triangle then credits
+    its three vertices via one explode + keyed count. Edge building
+    is the order-bounded self-join (≤ order size per key, same bound
+    as m04's baskets). Oracle: identical 3-way join in SQL."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    e = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # three consumers below
+    )
+    paths = (
+        e.alias("e1")
+        .join(
+            e.alias("e2").select(
+                F.col("a").alias("b"), F.col("b").alias("c")
+            ),
+            "b",
+        )
+        .select("a", "b", "c")
+    )
+    tris = paths.join(
+        e.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
+    ).select("a", "b", "c")
+    verts = tris.select(F.explode(F.array("a", "b", "c")).alias("part"))
+    return verts.groupBy("part").agg(F.count("*").alias("n_triangles"))
+
+
+SQL_GR03 = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_partkey < y.l_partkey
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+v AS (
+  SELECT a AS part FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT part, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM v GROUP BY 1
+"""
+
+
 def q_e11_trailing_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day active users per day (the WAU analytics shape).
     Scale formulation: dedupe to (user, day) FIRST, then EXPLODE each
@@ -7528,6 +7593,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "e13_rfm_segments": (q_e13_rfm_segments, SQL_E13),
     "g07_weighted_mean": (q_g07_weighted_mean, SQL_G07),
     "g08_exact_corr": (q_g08_exact_corr, SQL_G08),
+    "gr03_triangles": (q_gr03_triangles, SQL_GR03),
     "d08_containment_pairs": (q_d08_containment_pairs, SQL_D08),
     "rc04_materialized_path": (q_rc04_materialized_path, SQL_RC04),
     "m04_market_basket": (q_m04_market_basket, SQL_M04),
@@ -7573,7 +7639,7 @@ _PREFIX = [
     # new round-6 code
     "d09_incremental_near_dup", "st10_stream_admission",
     "t18_unigram_logprob", "d10_indexed_admission", "t19_bigram_logprob",
-    "g08_exact_corr",
+    "g08_exact_corr", "gr03_triangles",
     # flagship + this-round-touched sentinels
     "ipf_cost_per_visit_fixed", "a17_converge", "c16_scd2",
     "rc01_subtree_rollup", "d07_incremental_dedup", "j01_asof_join",
@@ -7583,7 +7649,7 @@ _PREFIX = [
     "j02_range_join", "w01_running_total", "g06_histogram",
     "e03_sessionize", "e09_activity_streaks",
     "t01_token_stats", "t05_exact_dup_groups", "t13_sequence_packing",
-    "d01_simhash", "d02_jaccard_pairs", "d04_dedup_components",
+    "d01_simhash", "d02_jaccard_pairs",
     "q02_referential_integrity", "st01_stream_hourly",
     "ac08_change_feed", "x10_partition_pruning",
 ]

@@ -36,3 +36,30 @@ def test_pagerank_validates_inputs(spark):
         pagerank(edges, damping_pct=101)
     with pytest.raises(ValueError, match="iterations"):
         pagerank(edges, iterations=0)
+
+
+def test_triangle_counts_hand_computed(spark, monkeypatch):
+    """gr03 on a planted graph: one order holding parts {1,2,3,4}
+    builds K4 (4 triangles, each vertex in 3); a 2-part order adds an
+    edge but no triangle; overlapping orders must not double-count
+    (order 3 repeats the {1,2} edge)."""
+    import alternating_least_squares_spark.registry as R
+    from alternating_least_squares_spark.registry import queries
+
+    li = spark.createDataFrame(
+        [(1, p) for p in (1, 2, 3, 4)]
+        + [(2, 10), (2, 11)]
+        + [(3, 1), (3, 2)],
+        "l_orderkey long, l_partkey long",
+    )
+    real_load = R.load_table
+    monkeypatch.setattr(
+        R, "load_table",
+        lambda sp, sf, name: li if name == "lineitem"
+        else real_load(sp, sf, name),
+    )
+    got = {
+        r["part"]: r["n_triangles"]
+        for r in queries()["gr03_triangles"](spark, "ignored").collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
