@@ -6271,6 +6271,125 @@ FROM i GROUP BY 2
 """
 
 
+def q_t20_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level LINE dedup (the RefinedWeb/CCNet boilerplate
+    remover, distinct from whole-doc dedup): sentences appearing in
+    ≥ 10 DISTINCT documents are dropped from every document, and each
+    document is REASSEMBLED from its surviving sentences in original
+    order. Two corpus passes: sentence counts (vocab-sized result,
+    broadcast back) and the rebuild; reassembly sorts INSIDE the
+    aggregation (array_sort over (pos, …) structs — the t14/rc04
+    repartition-can't-flip-order lesson) so the output md5 is
+    deterministic at any parallelism.
+
+    The synthetic corpus has no cross-doc boilerplate, so a fixed
+    disclaimer sentence is planted onto doc_id < 100 (period-joined,
+    both engines): those 100 docs MUST lose exactly that sentence —
+    n_kept, n_dropped, and the reassembled md5 all hash-check the
+    filter AND the order-stable rebuild at every sf."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") < 100,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(". Standard disclaimer applies to document."),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    parts = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), r"[.!?]+")).alias(
+                "pos", "raw"
+            ),
+        )
+        .withColumn("sent", F.regexp_replace("raw", r"^\s+|\s+$", ""))
+        .filter(F.col("sent") != "")
+        .select("doc_id", "pos", "sent")
+    )
+    common = (
+        parts.groupBy("sent")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 10)
+        .select("sent")
+    )
+    # keep flag via one broadcast left join (a semi+anti pair would
+    # scan/shuffle the sentence stream twice)
+    joined = parts.join(
+        F.broadcast(common.withColumn("_drop", F.lit(True))), "sent", "left"
+    ).select(
+        "doc_id", "pos", "sent",
+        F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
+    )
+    agg = joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_sents"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("pos").alias("p"),
+                    F.col("keep").alias("k"),
+                    F.col("sent").alias("s"),
+                )
+            )
+        ).alias("arr"),
+    )
+    clean = F.array_join(
+        F.transform(
+            F.filter("arr", lambda x: x["k"]), lambda x: x["s"]
+        ),
+        ". ",
+    )
+    return agg.select(
+        "doc_id",
+        "n_sents",
+        "n_kept",
+        (F.col("n_sents") - F.col("n_kept")).alias("n_dropped"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+SQL_T20 = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < 100
+              THEN coalesce(text, '')
+                   || '. Standard disclaimer applies to document.'
+              ELSE text END AS text
+  FROM documents
+),
+s AS (
+  SELECT doc_id, string_split_regex(text, '[.!?]+') AS parts
+  FROM d WHERE text IS NOT NULL
+),
+x AS (
+  SELECT doc_id, i AS pos,
+         regexp_replace(parts[i + 1], '^\\s+|\\s+$', '', 'g') AS sent
+  FROM s, UNNEST(range(len(parts))) t(i)
+),
+xx AS (SELECT * FROM x WHERE sent <> ''),
+c AS (
+  SELECT sent FROM xx GROUP BY 1 HAVING count(DISTINCT doc_id) >= 10
+)
+SELECT xx.doc_id,
+       count(*) AS n_sents,
+       CAST(sum(CASE WHEN c.sent IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN c.sent IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_dropped,
+       md5(coalesce(string_agg(CASE WHEN c.sent IS NULL THEN xx.sent END,
+                               '. ' ORDER BY xx.pos), ''))
+         AS clean_md5
+FROM xx LEFT JOIN c ON c.sent = xx.sent
+GROUP BY 1
+"""
+
+
 def q_gr03_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex triangle counts on the part co-purchase graph
     (parts appearing in the same order) — the graph staple behind
@@ -7594,6 +7713,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "g07_weighted_mean": (q_g07_weighted_mean, SQL_G07),
     "g08_exact_corr": (q_g08_exact_corr, SQL_G08),
     "gr03_triangles": (q_gr03_triangles, SQL_GR03),
+    "t20_line_dedup": (q_t20_line_dedup, SQL_T20),
     "d08_containment_pairs": (q_d08_containment_pairs, SQL_D08),
     "rc04_materialized_path": (q_rc04_materialized_path, SQL_RC04),
     "m04_market_basket": (q_m04_market_basket, SQL_M04),
@@ -7639,7 +7759,7 @@ _PREFIX = [
     # new round-6 code
     "d09_incremental_near_dup", "st10_stream_admission",
     "t18_unigram_logprob", "d10_indexed_admission", "t19_bigram_logprob",
-    "g08_exact_corr", "gr03_triangles",
+    "g08_exact_corr", "gr03_triangles", "t20_line_dedup",
     # flagship + this-round-touched sentinels
     "ipf_cost_per_visit_fixed", "a17_converge", "c16_scd2",
     "rc01_subtree_rollup", "d07_incremental_dedup", "j01_asof_join",
@@ -7648,7 +7768,7 @@ _PREFIX = [
     "h01_pricing_summary", "h22_market_share",
     "j02_range_join", "w01_running_total", "g06_histogram",
     "e03_sessionize", "e09_activity_streaks",
-    "t01_token_stats", "t05_exact_dup_groups", "t13_sequence_packing",
+    "t01_token_stats", "t13_sequence_packing",
     "d01_simhash", "d02_jaccard_pairs",
     "q02_referential_integrity", "st01_stream_hourly",
     "ac08_change_feed", "x10_partition_pruning",

@@ -321,3 +321,39 @@ def test_bigram_logprob_hand_computed(spark, monkeypatch):
     assert out[0] == (3, 2 * lp_ab + lp_ba)
     assert out[1] == (1, lp_ab)
     assert 2 not in out  # single-token doc has no bigrams
+
+
+def test_line_dedup_drops_boilerplate_and_reassembles_in_order(
+    spark, monkeypatch
+):
+    """t20 on a planted corpus: a sentence shared by 12 docs (>= the
+    10-doc threshold) is dropped everywhere; unique sentences survive
+    in original order (the md5 checks the exact reassembled string)."""
+    import hashlib
+
+    import alternating_least_squares_spark.registry as R
+    from alternating_least_squares_spark.registry import queries
+
+    rows = [
+        # doc 200+i: unique head, boilerplate middle, unique tail
+        (200 + i, f"alpha{i} one. COMMON BOILER LINE. omega{i} two.")
+        for i in range(12)
+    ] + [(300, "standalone text with no boiler. second bit.")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    real_load = R.load_table
+    monkeypatch.setattr(
+        R, "load_table",
+        lambda sp, sf, name: docs if name == "documents"
+        else real_load(sp, sf, name),
+    )
+    out = {
+        r["doc_id"]: (r["n_sents"], r["n_kept"], r["n_dropped"], r["clean_md5"])
+        for r in queries()["t20_line_dedup"](spark, "ignored").collect()
+    }
+    for i in range(12):
+        exp = f"alpha{i} one. omega{i} two"
+        assert out[200 + i] == (
+            3, 2, 1, hashlib.md5(exp.encode()).hexdigest()
+        ), i
+    exp300 = "standalone text with no boiler. second bit"
+    assert out[300] == (2, 2, 0, hashlib.md5(exp300.encode()).hexdigest())
