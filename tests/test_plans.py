@@ -212,3 +212,34 @@ def test_pq_candidate_scoring_never_all_pairs(spark):
     plan = _plan(spark, "s06_pq_topk")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_line_dedup_broadcasts_common_sentences(spark):
+    """t20's keep-flag join must broadcast the (tiny) common-sentence
+    set — shuffling the full sentence stream to mark boilerplate would
+    be a second corpus-sized exchange at 100 TB."""
+    df = registry.queries()["t20_line_dedup"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+
+
+def test_exact_corr_is_one_aggregation_pass(spark):
+    """g08's five moment sums ride ONE partial+final aggregation over
+    one lineitem scan — a second scan or join would mean the moments
+    were split across passes."""
+    df = registry.queries()["g08_exact_corr"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1 or plan.count("FileScan") == 1
+    assert "Join" not in plan
+
+
+def test_lm_scorers_broadcast_the_model(spark):
+    """t18/t19: the LM rides a broadcast join back onto the token /
+    bigram stream; if it ever shuffles the stream against the model
+    the scoring pass doubles its exchanges."""
+    for name in ("t18_unigram_logprob", "t19_bigram_logprob"):
+        df = registry.queries()[name](spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
