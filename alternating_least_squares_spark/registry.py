@@ -6190,6 +6190,67 @@ FROM orders f JOIN h ON h.custkey = f.o_custkey
 """
 
 
+def q_j07_abandoned_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal ANTI-join — the absence detector the j-family's
+    presence joins can't express: clicks with NO purchase by the same
+    user within the following hour (cart abandonment / churn-signal
+    shape). Scale formulation: purchases explode to the ≤2 hour bins
+    a click's horizon can span, the bin+user equi-join finds candidate
+    follow-ups (never a full interval nested-loop), the exact interval
+    predicate filters, and one distinct+broadcast anti-join removes
+    answered clicks. The oracle states the same thing declaratively
+    as NOT EXISTS over the raw interval."""
+    hour_ns = 3_600_000_000_000
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts_ns").alias("cts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_ns").alias("pts")
+    )
+    pbins = purchases.select(
+        "user_id",
+        "pts",
+        F.explode(
+            F.array(
+                F.expr(_floor_div("pts", hour_ns)),
+                F.expr(_floor_div("pts", hour_ns)) - 1,
+            )
+        ).alias("bin"),
+    )
+    answered = (
+        clicks.withColumn("bin", F.expr(_floor_div("cts", hour_ns)))
+        .join(pbins, ["user_id", "bin"])
+        .filter(
+            (F.col("pts") > F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + hour_ns)
+        )
+        .select("event_id")
+        .distinct()
+    )
+    # answered is O(clicks) — corpus-sized, so the anti-join shuffles
+    # on event_id (no broadcast; contrast d09's batch-bounded rejected)
+    return clicks.join(answered, "event_id", "left_anti").select(
+        "event_id",
+        "user_id",
+        F.expr(_floor_div("cts", 1000)).alias("click_ts_us"),
+    )
+
+
+SQL_J07 = """
+SELECT c.event_id, c.user_id,
+       CAST(epoch_ns(c.ts) // 1000 AS BIGINT) AS click_ts_us
+FROM events c
+WHERE c.event_type = 'click'
+  AND NOT EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+      AND epoch_ns(p.ts) > epoch_ns(c.ts)
+      AND epoch_ns(p.ts) <= epoch_ns(c.ts) + 3600000000000
+  )
+"""
+
+
 def q_x14_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance — the batch analog of
     st09's incremental ingest: the MV is maintained by MERGING partial
@@ -7724,6 +7785,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "gr02_degree_profile": (q_gr02_degree_profile, SQL_GR02),
     "x14_incremental_mv": (q_x14_incremental_mv, SQL_X14),
     "j06_point_in_time": (q_j06_point_in_time, SQL_J06),
+    "j07_abandoned_clicks": (q_j07_abandoned_clicks, SQL_J07),
     "t17_edit_distance_pairs": (q_t17_edit_distance_pairs, SQL_T17),
     "t18_unigram_logprob": (q_t18_unigram_logprob, SQL_T18),
     "t19_bigram_logprob": (q_t19_bigram_logprob, SQL_T19),
@@ -7760,13 +7822,14 @@ _PREFIX = [
     "d09_incremental_near_dup", "st10_stream_admission",
     "t18_unigram_logprob", "d10_indexed_admission", "t19_bigram_logprob",
     "g08_exact_corr", "gr03_triangles", "t20_line_dedup",
+    "j07_abandoned_clicks",
     # flagship + this-round-touched sentinels
     "ipf_cost_per_visit_fixed", "a17_converge", "c16_scd2",
     "rc01_subtree_rollup", "d07_incremental_dedup", "j01_asof_join",
     # family sentinels (all green in prior rounds)
     "a13_mmult", "a16_ipf_step",
     "h01_pricing_summary", "h22_market_share",
-    "j02_range_join", "w01_running_total", "g06_histogram",
+    "w01_running_total", "g06_histogram",
     "e03_sessionize", "e09_activity_streaks",
     "t01_token_stats", "t13_sequence_packing",
     "d01_simhash", "d02_jaccard_pairs",
