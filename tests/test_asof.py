@@ -334,3 +334,40 @@ def test_asof_nearest_matches_brute_force(spark):
         else:
             want = fw
         assert got[(k, t)] == want, ((k, t), got[(k, t)], want)
+
+
+def test_abandoned_clicks_horizon_boundaries(spark, monkeypatch):
+    """j07's horizon is (t, t+1h]: a purchase AT the click instant
+    does not answer it (strict >), a purchase exactly at t+1h does
+    (inclusive <=), one nanosecond later does not; and the binning
+    must catch follow-ups that cross an hour-bucket edge."""
+    import alternating_least_squares_spark.registry as R
+    from alternating_least_squares_spark.registry import queries
+
+    H = 3_600_000_000_000
+    # clicks at various offsets; purchase times picked per case
+    rows = [
+        # (event_id, user, type, ts_ns)
+        (1, 1, "click", 100),        (101, 1, "purchase", 100),      # same instant → abandoned
+        (2, 2, "click", 100),        (102, 2, "purchase", 100 + H),  # exactly t+1h → answered
+        (3, 3, "click", 100),        (103, 3, "purchase", 101 + H),  # 1ns past → abandoned
+        # click near the end of hour bucket 0; purchase early in bucket 1
+        (4, 4, "click", H - 5),      (104, 4, "purchase", H + 5),    # answered (cross-bin)
+        (5, 5, "click", 100),                                         # no purchase at all
+        (6, 6, "click", 100),        (106, 6, "purchase", 50),       # earlier only → abandoned
+    ]
+    ev = spark.createDataFrame(
+        [(e, u, t, ts) for (e, u, t, ts) in rows],
+        "event_id long, user_id long, event_type string, ts_ns long",
+    )
+    real_load = R.load_table
+    monkeypatch.setattr(
+        R, "load_table",
+        lambda sp, sf, name: ev if name == "events"
+        else real_load(sp, sf, name),
+    )
+    got = sorted(
+        r["event_id"]
+        for r in queries()["j07_abandoned_clicks"](spark, "ignored").collect()
+    )
+    assert got == [1, 3, 5, 6]
