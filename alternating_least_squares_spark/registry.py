@@ -6360,8 +6360,12 @@ def q_t20_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
+    from alternating_least_squares_spark.functions.width import (
+        spread_if_narrow,
+    )
+
     parts = (
-        docs.select(
+        spread_if_narrow(docs, "doc_id").select(
             "doc_id",
             F.posexplode(F.split(F.col("text"), r"[.!?]+")).alias(
                 "pos", "raw"
@@ -7247,7 +7251,16 @@ def q_t18_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     disagree on negative values), so the per-doc sum is an exact
     BIGINT — order-independent at any parallelism — and the single
     division at the end is deterministic."""
-    docs = load_table(spark, sf_dir, "documents")
+    from alternating_least_squares_spark.functions.width import (
+        spread_if_narrow,
+    )
+
+    # the small-file documents scan arrives as one split: re-widen
+    # before the explode so the tokenize pass uses the whole cluster
+    docs = spread_if_narrow(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
     terms = docs.select(
         "doc_id", F.explode(TX.tokens(F.col("text"))).alias("term")
     )
@@ -7328,10 +7341,21 @@ def q_t19_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from another corpus pass. Docs with < 2 tokens have no bigrams
     and drop out on both engines (shingles' short-doc sentinel is
     filtered, not scored). Same integer micro-nat floor discipline:
-    per-doc sums are exact BIGINTs."""
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.size(TX.tokens(F.col("text"))) >= 2
+    per-doc sums are exact BIGINTs.
+
+    The documents scan ships as ONE split at bench scale, which
+    serialized the HOF-interpreted shingle explode onto one core —
+    25 s of a 26 s query; spread_if_narrow re-widens narrow inputs
+    before both passes, and the ≥2-token filter uses token_count (the
+    array-free twin) so tokenization isn't paid twice per row."""
+    from alternating_least_squares_spark.functions.width import (
+        spread_if_narrow,
     )
+
+    docs = spread_if_narrow(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    ).filter(TX.token_count(F.col("text")) >= 2)
     bg = docs.select(
         "doc_id", F.explode(TX.shingles(F.col("text"), 2)).alias("bg")
     )

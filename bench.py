@@ -75,6 +75,15 @@ HEADLINE = [
     "m04_market_basket",
     "d09_incremental_near_dup",
     "sm01_semantic_dedup",
+    # late round-6 additions: LM scorers, persisted-index admission,
+    # exact moments, triangles, line dedup, temporal anti-join
+    "t18_unigram_logprob",
+    "t19_bigram_logprob",
+    "d10_indexed_admission",
+    "g08_exact_corr",
+    "gr03_triangles",
+    "t20_line_dedup",
+    "j07_abandoned_clicks",
 ]
 
 
