@@ -4901,6 +4901,78 @@ WHERE lang IS NULL OR lang <> 'en' OR hex4 < 32768
 """
 
 
+def q_x15_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing (α = 0.5, the multilingual /
+    multi-domain training-mix staple): per-source keep rate
+    (N_min/N_s)^(1-α) = √(N_min/N_s), so the smallest source survives
+    whole and larger sources downsample toward equal representation —
+    the knob between proportional (α=1, x06's cap is its hard-limit
+    cousin) and uniform (α=0). Keep decisions are md5-hash
+    thresholded (the x02/x03 discipline): reproducible across runs,
+    engines, partitionings — and therefore oracle-checkable row by
+    row, not just in expectation. The per-source thresholds are
+    integers both engines derive from the same counts with one sqrt
+    each, so no float-boundary drift.
+
+    The testdata's sources are perfectly uniform (every N_s equal →
+    every threshold 65536 → the filter never fires), so the entry
+    derives a deterministically SKEWED domain instead:
+    bucket = floor(√(doc_id mod 100)) gives 10 domains with sizes
+    5:15:25:…:95 per 500 docs at any sf — the smallest survives
+    whole, the largest keeps ≈ √(5/95) ≈ 23%, and the hash-selected
+    row set is fully evidential (same construction in the oracle)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("b"),
+            F.floor(F.sqrt((F.col("doc_id") % 100).cast("double")))
+            .cast("int")
+            .cast("string"),
+        ).alias("source"),
+    )
+    cnt = docs.groupBy("source").agg(F.count("*").alias("n"))
+    nmin = cnt.agg(F.min("n").alias("nmin"))
+    rates = cnt.crossJoin(F.broadcast(nmin)).select(
+        "source",
+        F.floor(
+            F.sqrt(F.col("nmin").cast("double") / F.col("n").cast("double"))
+            * 65536
+        )
+        .cast("long")
+        .alias("thr"),
+    )
+    return docs.join(F.broadcast(rates), "source").filter(
+        _hex4(F.col("doc_id")) < F.col("thr")
+    ).select("doc_id", "source")
+
+
+SQL_X15 = f"""
+WITH d AS (
+  SELECT doc_id,
+         'b' || CAST(CAST(floor(sqrt(CAST(doc_id % 100 AS DOUBLE)))
+                          AS INTEGER) AS VARCHAR) AS source
+  FROM documents
+),
+c AS (SELECT source, count(*) AS n FROM d GROUP BY 1),
+m AS (SELECT min(n) AS nmin FROM c),
+r AS (
+  SELECT source,
+         CAST(floor(sqrt(CAST(m.nmin AS DOUBLE) / CAST(c.n AS DOUBLE))
+                    * 65536) AS BIGINT) AS thr
+  FROM c CROSS JOIN m
+),
+b AS (
+  SELECT doc_id, source,
+         {_hex4_sql()}
+         AS hex4
+  FROM d
+)
+SELECT b.doc_id, b.source
+FROM b JOIN r ON r.source = b.source
+WHERE b.hex4 < r.thr
+"""
+
+
 def q_p01_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LLM-data flagship plan (plans/corpus_curation.py): exact
     dedup → quality floor → language filter → contamination screen →
@@ -7810,6 +7882,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "x14_incremental_mv": (q_x14_incremental_mv, SQL_X14),
     "j06_point_in_time": (q_j06_point_in_time, SQL_J06),
     "j07_abandoned_clicks": (q_j07_abandoned_clicks, SQL_J07),
+    "x15_temperature_mix": (q_x15_temperature_mix, SQL_X15),
     "t17_edit_distance_pairs": (q_t17_edit_distance_pairs, SQL_T17),
     "t18_unigram_logprob": (q_t18_unigram_logprob, SQL_T18),
     "t19_bigram_logprob": (q_t19_bigram_logprob, SQL_T19),
@@ -7846,14 +7919,14 @@ _PREFIX = [
     "d09_incremental_near_dup", "st10_stream_admission",
     "t18_unigram_logprob", "d10_indexed_admission", "t19_bigram_logprob",
     "g08_exact_corr", "gr03_triangles", "t20_line_dedup",
-    "j07_abandoned_clicks",
+    "j07_abandoned_clicks", "x15_temperature_mix",
     # flagship + this-round-touched sentinels
     "ipf_cost_per_visit_fixed", "a17_converge", "c16_scd2",
     "rc01_subtree_rollup", "d07_incremental_dedup", "j01_asof_join",
     # family sentinels (all green in prior rounds)
     "a13_mmult", "a16_ipf_step",
     "h01_pricing_summary", "h22_market_share",
-    "w01_running_total", "g06_histogram",
+    "g06_histogram",
     "e03_sessionize", "e09_activity_streaks",
     "t01_token_stats", "t13_sequence_packing",
     "d01_simhash", "d02_jaccard_pairs",
