@@ -7686,6 +7686,253 @@ FROM {prev} m LEFT JOIN base b ON b.r = m.r AND b.c = m.c
 SQL_IPF_FIXED = _ipf_fixed_oracle()
 
 
+# Eleven tokens, so the planted span yields windows of its own even on
+# NULL-text documents; the SQL twin repeats the literal verbatim.
+_T21_SPAN = (
+    "shared canonical span alpha bravo charlie delta echo foxtrot golf hotel"
+)
+
+
+def q_t21_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated k-token span detection — the
+    SUBSTRING-level rung of the dedup ladder (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    whole-doc dedup (t05/d03) and line dedup (t20) miss long spans
+    duplicated MID-document, the signal substring dedup trains on.
+    Per document: every 8-token window, how many of those windows
+    recur in ≥ 2 distinct documents, and the earliest repeated
+    position — exactly the per-doc statistics a span-removal pass
+    keys on.
+
+    Distributed shape (the t20 two-pass economics, with two measured
+    rewrites): the token stream is exploded once and grams assembled
+    by lead() windows over (doc_id, pos) — COMPILED expressions
+    reusing the doc_id partitioning (no new exchange, one local
+    sort), measured 4x faster than the transform-over-index-sequence
+    generator, whose lambda runs interpreted (the t19 HOF lesson
+    rediscovered per-window). The window stream is localCheckpoint'd
+    once for its two consumers (repeated-set groupBy + membership
+    join) so the explode is never computed twice. Gram text never
+    reaches the output, so only equality classes matter: grams ride
+    as a 128-bit hash PAIR (two salted xxhash64s, 16 bytes/window in
+    the shuffle instead of ~60-byte text) — at 128 bits the birthday
+    bound stays ≪ 2⁻⁶⁰ even at 10¹² distinct grams, where 64 bits
+    alone would already have expected collisions (n²/2⁶⁵ > 1). The
+    membership join is broadcast here (repeated grams are rare in
+    the synthetic corpus); on a real web corpus the repeated set is
+    large — drop the hint and let AQE choose the shuffled join.
+
+    The synthetic corpus shares no natural 8-gram across documents,
+    so a fixed span is planted at DIFFERENT positions (prefix on
+    doc_id%7==1, suffix on %7==2) — position-independence is the
+    property that distinguishes span detection from line/doc dedup,
+    and min_rep_pos hash-checks it at every sf."""
+    from alternating_least_squares_spark.functions.width import (
+        spread_if_narrow,
+    )
+
+    k = 8
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 1,
+            F.concat(
+                F.lit(_T21_SPAN + " "), F.coalesce(F.col("text"), F.lit(""))
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 2,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")), F.lit(" " + _T21_SPAN)
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("ptext"),
+    )
+    toks = TX.tokens(F.col("ptext"))
+    tokrows = spread_if_narrow(docs, "doc_id").select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("tok")] + [
+        F.lead("tok", j).over(w) for j in range(1, k)
+    ]
+    gram = F.concat_ws(" ", *leads)
+    win = (
+        tokrows.select(
+            "doc_id", "pos", gram.alias("gram"), leads[-1].alias("_last")
+        )
+        # lead(k-1) NULL ⇔ the window would run past the doc's end
+        .filter(F.col("_last").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.xxhash64(F.lit(1), "gram").alias("h1"),
+            F.xxhash64(F.lit(2), "gram").alias("h2"),
+        )
+        .localCheckpoint(eager=True)  # two consumers below
+    )
+    rep = (
+        win.groupBy("h1", "h2")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h1", "h2", F.lit(True).alias("_r"))
+    )
+    return (
+        win.join(F.broadcast(rep), ["h1", "h2"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("_r"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_rep"),
+            F.min(F.when(F.col("_r"), F.col("pos")))
+            .cast("long")
+            .alias("min_rep_pos"),
+        )
+    )
+
+
+SQL_T21 = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 1
+              THEN '{_T21_SPAN} ' || coalesce(text, '')
+              WHEN doc_id % 7 = 2
+              THEN coalesce(text, '') || ' {_T21_SPAN}'
+              ELSE text END AS ptext
+  FROM documents
+),
+tk AS (SELECT doc_id, {_toks_sql("ptext")} AS toks FROM d),
+w AS (
+  SELECT doc_id, i AS pos, array_to_string(toks[i+1:i+8], ' ') AS gram
+  FROM tk, UNNEST(range(len(toks) - 7)) t(i)
+),
+r AS (SELECT gram FROM w GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
+SELECT w.doc_id,
+       count(*) AS n_windows,
+       CAST(sum(CASE WHEN r.gram IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_rep,
+       CAST(min(CASE WHEN r.gram IS NOT NULL THEN pos END) AS BIGINT)
+         AS min_rep_pos
+FROM w LEFT JOIN r USING (gram)
+GROUP BY 1
+"""
+
+
+def q_t22_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus statistic that drives a BPE tokenizer-training merge
+    step (Sennrich 2016): adjacent-character-pair frequencies weighted
+    by word frequency — the argmax of this table IS the first merge.
+    t09 counts pretokens with a trained tokenizer's regex; this is the
+    other direction, the statistic you TRAIN the tokenizer from.
+
+    Distributed shape — the classic "work on the vocabulary, not the
+    corpus" reduction: one corpus-scan groupBy builds word counts
+    (map-side combine collapses each partition to its local vocab
+    before the only corpus-sized shuffle), then the pair explode runs
+    over DISTINCT words — at 100 TB the vocab is millions of rows
+    where the corpus is trillions, so the quadratic-ish per-word char
+    work costs nothing. The pair table itself is ≤ 26² rows; the
+    final top-50 rank is a window over a tiny aggregate."""
+    from alternating_least_squares_spark.functions.width import (
+        spread_if_narrow,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = spread_if_narrow(docs, "doc_id").select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                F.lit("[a-z]+"),
+                F.lit(0),
+            )
+        ).alias("w")
+    )
+    wc = words.groupBy("w").agg(F.count("*").alias("n"))
+    pairs = wc.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "n",
+    )
+    pc = pairs.groupBy("pair").agg(F.sum("n").cast("long").alias("freq"))
+    rnk = F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("pair")))
+    return (
+        pc.select("pair", "freq", rnk.cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= 50)
+    )
+
+
+SQL_T22 = """
+WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS w
+  FROM documents
+),
+wc AS (SELECT w, count(*) AS n FROM w GROUP BY 1),
+p AS (
+  SELECT substr(w, CAST(i + 1 AS INTEGER), 2) AS pair, n
+  FROM wc, UNNEST(range(len(w) - 1)) t(i)
+),
+pc AS (SELECT pair, CAST(sum(n) AS BIGINT) AS freq FROM p GROUP BY 1)
+SELECT pair, freq,
+       CAST(row_number() OVER (ORDER BY freq DESC, pair) AS BIGINT) AS rnk
+FROM pc
+QUALIFY rnk <= 50
+"""
+
+
+def q_x16_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-data ordering — the
+    last pipeline stage before a trainer reads the corpus: every doc
+    gets a content-independent pseudo-random position, reproducible
+    across engines, partitionings, and reruns (no rand(), no
+    zipWithIndex). Key = md5 over a salted doc_id; shard = first hex
+    nibble (16 shards); position = rank of the key inside the shard.
+
+    Scale shape: there is never a GLOBAL row_number — a trainer needs
+    per-shard files in deterministic order, not one sequence, so the
+    window partitions by shard and the only exchange is the hash
+    partition on shard. At 100 TB widen the shard key to 3-4 hex
+    chars (4k-65k shards ≈ cluster parallelism × a small factor) and
+    write with partitionBy(shard) + sortWithinPartitions(key): same
+    plan, no new shuffle. The md5-keyed ORDER is the shuffle quality
+    guarantee — any subset of shards is itself an unbiased sample
+    (the x02/x06 hash-split property, applied to ordering)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    key = F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    a = F.ascii(F.substring(key, 1, 1))
+    shard = F.when(a >= 97, a - 87).otherwise(a - 48)
+    keyed = docs.select(
+        "doc_id", key.alias("skey"), shard.cast("long").alias("shard")
+    )
+    pos = F.row_number().over(
+        Window.partitionBy("shard").orderBy("skey", "doc_id")
+    )
+    return keyed.select(
+        "doc_id", "shard", pos.cast("long").alias("pos")
+    )
+
+
+SQL_X16 = """
+WITH k AS (
+  SELECT doc_id, md5('shuf:' || doc_id) AS skey,
+         CAST(CASE WHEN ascii(substr(md5('shuf:' || doc_id), 1, 1)) >= 97
+                   THEN ascii(substr(md5('shuf:' || doc_id), 1, 1)) - 87
+                   ELSE ascii(substr(md5('shuf:' || doc_id), 1, 1)) - 48
+              END AS BIGINT) AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+            AS BIGINT) AS pos
+FROM k
+"""
+
+
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "a01_cmap": (q_a01_cmap, SQL_A01),
     "a02_dot": (q_a02_dot, SQL_A02),
@@ -7886,6 +8133,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "t17_edit_distance_pairs": (q_t17_edit_distance_pairs, SQL_T17),
     "t18_unigram_logprob": (q_t18_unigram_logprob, SQL_T18),
     "t19_bigram_logprob": (q_t19_bigram_logprob, SQL_T19),
+    "t21_repeated_spans": (q_t21_repeated_spans, SQL_T21),
+    "t22_bpe_merge_pairs": (q_t22_bpe_merge_pairs, SQL_T22),
+    "x16_training_shuffle": (q_x16_training_shuffle, SQL_X16),
 }
 
 
@@ -7920,16 +8170,19 @@ _PREFIX = [
     "t18_unigram_logprob", "d10_indexed_admission", "t19_bigram_logprob",
     "g08_exact_corr", "gr03_triangles", "t20_line_dedup",
     "j07_abandoned_clicks", "x15_temperature_mix",
+    "t21_repeated_spans", "t22_bpe_merge_pairs", "x16_training_shuffle",
     # flagship + this-round-touched sentinels
     "ipf_cost_per_visit_fixed", "a17_converge", "c16_scd2",
     "rc01_subtree_rollup", "d07_incremental_dedup", "j01_asof_join",
-    # family sentinels (all green in prior rounds)
-    "a13_mmult", "a16_ipf_step",
-    "h01_pricing_summary", "h22_market_share",
+    # family sentinels (all green in prior rounds; a13/h22/d02 ceded
+    # their slots to the three late-round-6 entries above — their
+    # families keep a16+a17 / h01 / d01+d07 coverage)
+    "a16_ipf_step",
+    "h01_pricing_summary",
     "g06_histogram",
     "e03_sessionize", "e09_activity_streaks",
     "t01_token_stats", "t13_sequence_packing",
-    "d01_simhash", "d02_jaccard_pairs",
+    "d01_simhash",
     "q02_referential_integrity", "st01_stream_hourly",
     "ac08_change_feed", "x10_partition_pruning",
 ]

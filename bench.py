@@ -84,6 +84,11 @@ HEADLINE = [
     "gr03_triangles",
     "t20_line_dedup",
     "j07_abandoned_clicks",
+    # restart-session additions: span-level dedup, tokenizer-training
+    # pair counts, training-order shuffle
+    "t21_repeated_spans",
+    "t22_bpe_merge_pairs",
+    "x16_training_shuffle",
 ]
 
 

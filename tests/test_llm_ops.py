@@ -357,3 +357,111 @@ def test_line_dedup_drops_boilerplate_and_reassembles_in_order(
         ), i
     exp300 = "standalone text with no boiler. second bit"
     assert out[300] == (2, 2, 0, hashlib.md5(exp300.encode()).hexdigest())
+
+
+def test_repeated_spans_hand_computed(spark, monkeypatch):
+    """t21 on a corpus computable by hand. doc ids are ≡ 0 (mod 7) so
+    the registry's own planting branch stays inert and the fixture
+    controls every token. An 8-token span shared MID-doc (doc 0, after
+    3 unique tokens) and at position 0 (doc 7) must be found at BOTH
+    positions — the property that separates span detection from
+    line/doc dedup; a doc of 14 unique tokens (doc 14) has windows
+    but zero repeats; a 7-token doc (doc 21) has no windows at all."""
+    from alternating_least_squares_spark.registry import queries
+    import alternating_least_squares_spark.registry as R
+
+    span = " ".join(f"s{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (0, f"u0a u0b u0c {span} u0d u0e u0f"),
+            (7, f"{span} u7a u7b u7c u7d u7e u7f"),
+            (14, " ".join(f"v{i}" for i in range(14))),
+            (21, " ".join(f"w{i}" for i in range(7))),
+        ],
+        "doc_id long, text string",
+    )
+    real_load = R.load_table
+    monkeypatch.setattr(
+        R, "load_table",
+        lambda sp, sf, name: docs if name == "documents"
+        else real_load(sp, sf, name),
+    )
+    out = {
+        r["doc_id"]: (r["n_windows"], r["n_rep"], r["min_rep_pos"])
+        for r in queries()["t21_repeated_spans"](spark, "ignored").collect()
+    }
+    assert out[0] == (7, 1, 3)
+    assert out[7] == (7, 1, 0)
+    assert out[14] == (7, 0, None)
+    assert 21 not in out  # < 8 tokens: no windows, no row
+
+
+def test_t21_registry_row_is_not_vacuous(spark):
+    """The driver row must detect the planted span at every sf: every
+    %7==1 doc carries it as a PREFIX (min_rep_pos must be 0 with ≥4
+    repeated windows — the 11-token span spans windows 0..3), and
+    %7==2 docs carry it as a suffix (repeated windows exist, at a
+    doc-dependent position)."""
+    from alternating_least_squares_spark.registry import queries
+
+    rows = queries()["t21_repeated_spans"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    pre = [r for r in rows if r["doc_id"] % 7 == 1]
+    suf = [r for r in rows if r["doc_id"] % 7 == 2]
+    assert pre and suf, "planted-span doc classes missing at sf0.001"
+    assert all(r["min_rep_pos"] == 0 and r["n_rep"] >= 4 for r in pre)
+    assert all(r["n_rep"] >= 4 for r in suf)
+
+
+def test_bpe_merge_pairs_hand_computed(spark, monkeypatch):
+    """t22 on a corpus computable by hand: words abab×2, cd×2, xy×1
+    (case-folded, punctuation splits words). Pair table: ab=4 (two per
+    'abab' occurrence), ba=2, cd=2, xy=1; the freq-desc/pair-asc rank
+    breaks the ba/cd tie lexically."""
+    from alternating_least_squares_spark.registry import queries
+    import alternating_least_squares_spark.registry as R
+
+    docs = spark.createDataFrame(
+        [(0, "Abab abab, cd!"), (1, "CD xy9")],
+        "doc_id long, text string",
+    )
+    real_load = R.load_table
+    monkeypatch.setattr(
+        R, "load_table",
+        lambda sp, sf, name: docs if name == "documents"
+        else real_load(sp, sf, name),
+    )
+    got = [
+        (r["pair"], r["freq"], r["rnk"])
+        for r in queries()["t22_bpe_merge_pairs"](spark, "ignored")
+        .orderBy("rnk")
+        .collect()
+    ]
+    assert got == [("ab", 4, 1), ("ba", 2, 2), ("cd", 2, 3), ("xy", 1, 4)]
+
+
+def test_training_shuffle_is_a_deterministic_permutation(spark):
+    """x16: every doc appears exactly once; shards are the 16 hex
+    nibbles; positions are dense 1..n within each shard; and the
+    mapping is the pinned md5 — spot-checked against hashlib so an
+    engine-side hash change cannot slip through."""
+    import hashlib
+
+    from alternating_least_squares_spark.registry import queries
+    from alternating_least_squares_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = queries()["x16_training_shuffle"](spark, sf).collect()
+    n_docs = load_table(spark, sf, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+    by_shard: dict = {}
+    for r in rows:
+        assert 0 <= r["shard"] <= 15
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    some = rows[0]
+    digest = hashlib.md5(f"shuf:{some['doc_id']}".encode()).hexdigest()
+    assert some["shard"] == int(digest[0], 16)
