@@ -7885,6 +7885,72 @@ QUALIFY rnk <= 50
 """
 
 
+def q_d11_neardup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END near-dup collapse — the pipeline stage the d-suite
+    rungs compose into: MinHash/LSH pairs (near_dup_pairs) → exact
+    connected components (dedup_components, hash-min propagation) →
+    canonical keep-one (the component label IS the minimum reachable
+    id, so survivors need no extra pass) + cluster sizes. d04 runs
+    components on the exact-dup clique graph and d06 keeps one per
+    PAIR; this is the full graph-collapse over an LSH pair graph.
+
+    Oracle-exactness by the d09 construction: the input unions in
+    whitespace-doubled variants (doc_id%10==0, +20M offset) whose
+    token sequences are IDENTICAL to their sources — shingle-set
+    Jaccard exactly 1, identical signatures, all bands collide, so
+    candidate generation and the threshold=1.0 verify are both
+    deterministic, never in LSH's probabilistic recall zone. At
+    threshold 1.0 the pair graph is exactly "same shingle set", so
+    clusters are the identical-token-key groups and SQL can state
+    ground truth: GROUP BY token key, keeper = min(doc_id), size =
+    count. Probabilistic-recall behavior on true near-dups stays
+    pinned by tests/test_dedup.py's planted-pair fixtures.
+
+    Scale posture: inherits near_dup_pairs' banded-join-only shape
+    and dedup_components' per-round one-join+one-agg loop (clusters
+    are near-cliques → 2-3 rounds); the singleton pass is one
+    anti-join. Nothing here is all-pairs."""
+    from alternating_least_squares_spark.functions.dedup import (
+        dedup_components,
+        near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")), " ", "  "
+        ).alias("text"),
+    )
+    full = docs.unionByName(variants)
+    pairs = near_dup_pairs(full, threshold=1.0)
+    comp = dedup_components(pairs)
+    clustered = comp.groupBy(F.col("component").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("n_merged")
+    )
+    singletons = (
+        full.join(comp, full.doc_id == comp.id, "left_anti")
+        .select("doc_id", F.lit(1).cast("long").alias("n_merged"))
+    )
+    return clustered.unionByName(singletons)
+
+
+SQL_D11 = f"""
+WITH all_docs AS (
+  SELECT doc_id, array_to_string({_toks_sql()}, ' ') AS key
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 20000000,
+         array_to_string(
+           {_toks_sql("regexp_replace(coalesce(text, ''), ' ', '  ', 'g')")},
+           ' ')
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_merged
+FROM all_docs GROUP BY key
+"""
+
+
 def q_x16_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle for training-data ordering — the
     last pipeline stage before a trainer reads the corpus: every doc
@@ -8136,6 +8202,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "t21_repeated_spans": (q_t21_repeated_spans, SQL_T21),
     "t22_bpe_merge_pairs": (q_t22_bpe_merge_pairs, SQL_T22),
     "x16_training_shuffle": (q_x16_training_shuffle, SQL_X16),
+    "d11_neardup_keep_one": (q_d11_neardup_keep_one, SQL_D11),
 }
 
 
@@ -8184,7 +8251,8 @@ _PREFIX = [
     "t01_token_stats", "t13_sequence_packing",
     "d01_simhash",
     "q02_referential_integrity", "st01_stream_hourly",
-    "ac08_change_feed", "x10_partition_pruning",
+    "ac08_change_feed",
+    "d11_neardup_keep_one",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

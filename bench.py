@@ -89,6 +89,7 @@ HEADLINE = [
     "t21_repeated_spans",
     "t22_bpe_merge_pairs",
     "x16_training_shuffle",
+    "d11_neardup_keep_one",
 ]
 
 

@@ -465,3 +465,37 @@ def test_training_shuffle_is_a_deterministic_permutation(spark):
     some = rows[0]
     digest = hashlib.md5(f"shuf:{some['doc_id']}".encode()).hexdigest()
     assert some["shard"] == int(digest[0], 16)
+
+
+def test_neardup_keep_one_collapses_transitively(spark, monkeypatch):
+    """d11 on a planted graph: three byte-distinct docs with the SAME
+    token sequence (whitespace variants) must collapse into ONE
+    cluster of 3 via pairs→components→keep-one — the transitive case
+    a pairwise keep-one (d06) can get wrong; a unique doc stays a
+    singleton; a %10==0 doc gains the registry's own planted variant
+    as a cluster of 2."""
+    from alternating_least_squares_spark.registry import queries
+    import alternating_least_squares_spark.registry as R
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace(" ", "  ")),
+            (3, base.replace(" ", "   ")),
+            (4, " ".join(f"uniq{i}" for i in range(30))),
+            (10, " ".join(f"ten{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    real_load = R.load_table
+    monkeypatch.setattr(
+        R, "load_table",
+        lambda sp, sf, name: docs if name == "documents"
+        else real_load(sp, sf, name),
+    )
+    out = {
+        r["doc_id"]: r["n_merged"]
+        for r in queries()["d11_neardup_keep_one"](spark, "ignored").collect()
+    }
+    assert out == {1: 3, 4: 1, 10: 2}
