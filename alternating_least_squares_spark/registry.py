@@ -7885,6 +7885,120 @@ QUALIFY rnk <= 50
 """
 
 
+def q_x17_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by ln p_target(doc) − ln p_raw(doc) under two
+    add-one-smoothed unigram LMs — the target LM trained on the
+    in-domain slice (lang='en' here), the raw LM on the whole corpus.
+    Positive weight ⇒ the doc looks more like the target domain than
+    like the corpus at large; DSIR then samples by these weights to
+    recompose the training mix.
+
+    Both LMs come from ONE corpus pass: the token stream carries an
+    is-target flag, so a single keyed count yields (c_raw, c_target)
+    per term; the weight table is vocab-sized, broadcast back to the
+    token stream for the per-doc sum (t18's two-scan economics,
+    unchanged at two LMs). The t18 float discipline makes the weight
+    an exact BIGINT: each per-term log-prob is floored to integer
+    micro-nats SEPARATELY, then differenced — so the per-doc sum is
+    order-independent and both engines agree bit-for-bit."""
+    from alternating_least_squares_spark.functions.width import (
+        spread_if_narrow,
+    )
+
+    docs = spread_if_narrow(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang"
+        ),
+        "doc_id",
+    )
+    terms = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_t"),
+        F.explode(TX.tokens(F.col("text"))).alias("term"),
+    )
+    lm = (
+        terms.groupBy("term")
+        .agg(
+            F.count("*").alias("cc"),
+            F.sum(F.when(F.col("is_t"), 1).otherwise(0))
+            .cast("long")
+            .alias("ct"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_raw, n_tgt, vocab = lm.agg(
+        F.sum("cc").cast("long"), F.sum("ct").cast("long"), F.count("*")
+    ).first()
+
+    def _lp_us(cnt, denom):
+        return F.floor(
+            F.log((cnt + F.lit(1)).cast("double") / F.lit(float(denom)))
+            * 1_000_000
+        )
+
+    lp = lm.select(
+        "term",
+        (
+            _lp_us(F.col("ct"), n_tgt + vocab)
+            - _lp_us(F.col("cc"), n_raw + vocab)
+        ).alias("dw_us"),
+    )
+    return (
+        terms.join(F.broadcast(lp), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("dw_us").alias("w_us"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "w_us",
+            F.round(
+                F.col("w_us").cast("double") / F.col("n_tokens") / 1_000_000,
+                6,
+            ).alias("avg_logratio"),
+            (F.col("w_us") > 0).alias("keep"),
+        )
+    )
+
+
+SQL_X17 = f"""
+WITH tk AS (SELECT doc_id, lang, {_toks_sql()} AS toks FROM documents),
+     terms AS (
+       SELECT doc_id, (lang = 'en') AS is_t, unnest(toks) AS term
+       FROM tk
+     ),
+     lm AS (
+       SELECT term, count(*) AS cc,
+              CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+       FROM terms GROUP BY 1
+     ),
+     scale AS (
+       SELECT CAST(sum(cc) + count(*) AS BIGINT) AS nvc,
+              CAST(sum(ct) + count(*) AS BIGINT) AS nvt
+       FROM lm
+     ),
+     lp AS (
+       SELECT term,
+              CAST(floor(ln(CAST(ct + 1 AS DOUBLE) / nvt) * 1000000)
+                   AS BIGINT)
+            - CAST(floor(ln(CAST(cc + 1 AS DOUBLE) / nvc) * 1000000)
+                   AS BIGINT) AS dw_us
+       FROM lm CROSS JOIN scale
+     )
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(dw_us) AS BIGINT) AS w_us,
+       round(CAST(sum(dw_us) AS DOUBLE) / count(*) / 1000000, 6)
+         AS avg_logratio,
+       (CAST(sum(dw_us) AS BIGINT) > 0) AS keep
+FROM terms JOIN lp USING (term)
+GROUP BY 1
+"""
+
+
 def q_d11_neardup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END near-dup collapse — the pipeline stage the d-suite
     rungs compose into: MinHash/LSH pairs (near_dup_pairs) → exact
@@ -8203,6 +8317,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "t22_bpe_merge_pairs": (q_t22_bpe_merge_pairs, SQL_T22),
     "x16_training_shuffle": (q_x16_training_shuffle, SQL_X16),
     "d11_neardup_keep_one": (q_d11_neardup_keep_one, SQL_D11),
+    "x17_dsir_weights": (q_x17_dsir_weights, SQL_X17),
 }
 
 
@@ -8212,17 +8327,20 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # chosen — not incidental.  ROTATION, round 6: rounds 2-5 gave every
 # oracled entry an official driver row EXCEPT the 19 added after the
 # round-5 prefix froze — those 19 seeds lead this prefix, followed by
-# the round-6 new code (d09; sm01 is rows-only and stays out), then 30
-# sentinels re-checking the flagship chain, every entry whose CODE was
+# ALL 15 round-6 oracled additions (d09..x15 from the main session,
+# t21/t22/x16/d11/x17 from the restart session; sm01 is rows-only and
+# stays out), then the flagship chain + every entry whose CODE was
 # touched this round (t16 seed, rc01 via the subtree_rollup left-join,
 # x13 seed via the scratch keying, d07 via the lsh refactor), the
 # round-4/5 HUGEINT-history rows (e09/t13/g06), the j01 watch item
 # (VERDICT r5 #5), and one representative per family against
-# testdata-layout flips. A green round closes official coverage at
-# 176/176 oracled entries. The 14 rows-only-by-design entries (d03/d05,
-# s01-s06, m01-m03, g04, sm01, ipf_cost_per_visit) stay out of the
-# prefix — their slots would record err:no_oracle and their evidence is
-# the pytest floors.
+# testdata-layout flips (a13/h22/d02/ac08/x10 ceded their sentinel
+# slots to the restart-session entries; their families keep
+# a16+a17 / h01 / d01+d07 / ac09 / x13 coverage). A green round
+# closes official coverage at 181/181 checked oracled entries. The 14
+# rows-only-by-design entries (d03/d05, s01-s06, m01-m03, g04, sm01,
+# ipf_cost_per_visit) stay out of the prefix — their slots would
+# record err:no_oracle and their evidence is the pytest floors.
 _PREFIX = [
     # round-6 seeds: the 19 entries with no official row yet
     "x13_dynamic_partition_pruning", "x14_incremental_mv",
@@ -8251,8 +8369,7 @@ _PREFIX = [
     "t01_token_stats", "t13_sequence_packing",
     "d01_simhash",
     "q02_referential_integrity", "st01_stream_hourly",
-    "ac08_change_feed",
-    "d11_neardup_keep_one",
+    "d11_neardup_keep_one", "x17_dsir_weights",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

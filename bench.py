@@ -90,6 +90,7 @@ HEADLINE = [
     "t22_bpe_merge_pairs",
     "x16_training_shuffle",
     "d11_neardup_keep_one",
+    "x17_dsir_weights",
 ]
 
 

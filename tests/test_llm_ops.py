@@ -499,3 +499,39 @@ def test_neardup_keep_one_collapses_transitively(spark, monkeypatch):
         for r in queries()["d11_neardup_keep_one"](spark, "ignored").collect()
     }
     assert out == {1: 3, 4: 1, 10: 2}
+
+
+def test_dsir_weights_hand_computed(spark, monkeypatch):
+    """x17 on a corpus computable by hand: target slice (en) = 'a a b',
+    raw adds 'b c' (de). Per-term counts (raw, target): a=(2,2),
+    b=(2,1), c=(1,0); N_raw=5, N_tgt=3, V=3 → denominators 8 and 6.
+    Every per-term weight is the DIFFERENCE of separately-floored
+    micro-nat log-probs — pinned against python math.floor."""
+    import math
+
+    from alternating_least_squares_spark.registry import queries
+    import alternating_least_squares_spark.registry as R
+
+    docs = spark.createDataFrame(
+        [(0, "a a b", "en"), (1, "b c", "de")],
+        "doc_id long, text string, lang string",
+    )
+    real_load = R.load_table
+    monkeypatch.setattr(
+        R, "load_table",
+        lambda sp, sf, name: docs if name == "documents"
+        else real_load(sp, sf, name),
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["w_us"], r["keep"])
+        for r in queries()["x17_dsir_weights"](spark, "ignored").collect()
+    }
+
+    def dw(ct, cc):
+        return math.floor(math.log((ct + 1) / 6) * 1_000_000) - math.floor(
+            math.log((cc + 1) / 8) * 1_000_000
+        )
+
+    dwa, dwb, dwc = dw(2, 2), dw(1, 2), dw(0, 1)
+    assert out[0] == (3, 2 * dwa + dwb, 2 * dwa + dwb > 0)
+    assert out[1] == (2, dwb + dwc, dwb + dwc > 0)
