@@ -7704,6 +7704,70 @@ _T21_SPAN = (
 )
 
 
+def _t21_stream(
+    spark: SparkSession, sf_dir: str, pin_tokens: bool = False
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared t21/t23 stream builder: planted documents → token
+    stream → hashed 8-gram windows (checkpointed — both entries read
+    them twice) → repeated-window key set. ``pin_tokens`` checkpoints
+    the token stream too, for t23's reconstruction pass (t21 never
+    re-reads it, so it skips that materialization)."""
+    from alternating_least_squares_spark.functions.width import (
+        spread_if_narrow,
+    )
+
+    k = 8
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 1,
+            F.concat(
+                F.lit(_T21_SPAN + " "), F.coalesce(F.col("text"), F.lit(""))
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 2,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")), F.lit(" " + _T21_SPAN)
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("ptext"),
+    )
+    toks = TX.tokens(F.col("ptext"))
+    tokrows = spread_if_narrow(docs, "doc_id").select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    )
+    if pin_tokens:
+        tokrows = tokrows.localCheckpoint(eager=True)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("tok")] + [
+        F.lead("tok", j).over(w) for j in range(1, k)
+    ]
+    gram = F.concat_ws(" ", *leads)
+    win = (
+        tokrows.select(
+            "doc_id", "pos", gram.alias("gram"), leads[-1].alias("_last")
+        )
+        # lead(k-1) NULL ⇔ the window would run past the doc's end
+        .filter(F.col("_last").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.xxhash64(F.lit(1), "gram").alias("h1"),
+            F.xxhash64(F.lit(2), "gram").alias("h2"),
+        )
+        .localCheckpoint(eager=True)  # two consumers in both entries
+    )
+    rep = (
+        win.groupBy("h1", "h2")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h1", "h2", F.lit(True).alias("_r"))
+    )
+    return tokrows, win, rep
+
+
 def q_t21_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated k-token span detection — the
     SUBSTRING-level rung of the dedup ladder (Lee et al. 2022,
@@ -7738,57 +7802,7 @@ def q_t21_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id%7==1, suffix on %7==2) — position-independence is the
     property that distinguishes span detection from line/doc dedup,
     and min_rep_pos hash-checks it at every sf."""
-    from alternating_least_squares_spark.functions.width import (
-        spread_if_narrow,
-    )
-
-    k = 8
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 7 == 1,
-            F.concat(
-                F.lit(_T21_SPAN + " "), F.coalesce(F.col("text"), F.lit(""))
-            ),
-        )
-        .when(
-            F.col("doc_id") % 7 == 2,
-            F.concat(
-                F.coalesce(F.col("text"), F.lit("")), F.lit(" " + _T21_SPAN)
-            ),
-        )
-        .otherwise(F.col("text"))
-        .alias("ptext"),
-    )
-    toks = TX.tokens(F.col("ptext"))
-    tokrows = spread_if_narrow(docs, "doc_id").select(
-        "doc_id", F.posexplode(toks).alias("pos", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.col("tok")] + [
-        F.lead("tok", j).over(w) for j in range(1, k)
-    ]
-    gram = F.concat_ws(" ", *leads)
-    win = (
-        tokrows.select(
-            "doc_id", "pos", gram.alias("gram"), leads[-1].alias("_last")
-        )
-        # lead(k-1) NULL ⇔ the window would run past the doc's end
-        .filter(F.col("_last").isNotNull())
-        .select(
-            "doc_id",
-            "pos",
-            F.xxhash64(F.lit(1), "gram").alias("h1"),
-            F.xxhash64(F.lit(2), "gram").alias("h2"),
-        )
-        .localCheckpoint(eager=True)  # two consumers below
-    )
-    rep = (
-        win.groupBy("h1", "h2")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h1", "h2", F.lit(True).alias("_r"))
-    )
+    _, win, rep = _t21_stream(spark, sf_dir)
     return (
         win.join(F.broadcast(rep), ["h1", "h2"], "left")
         .groupBy("doc_id")
@@ -7827,6 +7841,104 @@ SELECT w.doc_id,
        CAST(min(CASE WHEN r.gram IS NOT NULL THEN pos END) AS BIGINT)
          AS min_rep_pos
 FROM w LEFT JOIN r USING (gram)
+GROUP BY 1
+"""
+
+
+def q_t23_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL action on top of t21's detection — what substring
+    dedup actually does to the corpus (Lee et al. 2022): every token
+    covered by ANY cross-document repeated 8-token window is dropped,
+    and each document is REASSEMBLED from its surviving tokens in
+    original order (t20's array_sort-inside-agg discipline, so the
+    output md5 is stable at any parallelism). On the planted corpus
+    the scrub must remove EXACTLY the planted boilerplate span —
+    boundary windows mixing doc text with the span are unique per
+    doc, so coverage stops at the span edge and clean_md5 proves
+    byte-exact surgical removal at every sf.
+
+    Distributed shape: shares t21's checkpointed window stream; the
+    covered-position set explodes ONLY repeated windows (8× a tiny
+    set, not the corpus), distincts on (doc_id, pos), and removal is
+    one keyed left join against the checkpointed token stream — no
+    pass ever rescans text."""
+    tokrows, win, rep = _t21_stream(spark, sf_dir, pin_tokens=True)
+    covered = (
+        win.join(F.broadcast(rep), ["h1", "h2"])
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(7))
+            ).alias("pos"),
+        )
+        .distinct()
+        .withColumn("_c", F.lit(True))
+    )
+    joined = tokrows.join(covered, ["doc_id", "pos"], "left").select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.coalesce(~F.col("_c"), F.lit(True)).alias("keep"),
+    )
+    agg = joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("pos").alias("p"),
+                    F.col("keep").alias("k"),
+                    F.col("tok").alias("s"),
+                )
+            )
+        ).alias("arr"),
+    )
+    clean = F.array_join(
+        F.transform(F.filter("arr", lambda x: x["k"]), lambda x: x["s"]),
+        " ",
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_kept",
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+SQL_T23 = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 1
+              THEN '{_T21_SPAN} ' || coalesce(text, '')
+              WHEN doc_id % 7 = 2
+              THEN coalesce(text, '') || ' {_T21_SPAN}'
+              ELSE text END AS ptext
+  FROM documents
+),
+tk AS (SELECT doc_id, {_toks_sql("ptext")} AS toks FROM d),
+w AS (
+  SELECT doc_id, i AS pos, array_to_string(toks[i+1:i+8], ' ') AS gram
+  FROM tk, UNNEST(range(len(toks) - 7)) t(i)
+),
+r AS (SELECT gram FROM w GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT w.doc_id, w.pos + j AS pos
+  FROM w JOIN r USING (gram), UNNEST(range(8)) t2(j)
+),
+toks2 AS (
+  SELECT doc_id, i AS pos, toks[i + 1] AS tok
+  FROM tk, UNNEST(range(len(toks))) t(i)
+)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN c.pos IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       md5(coalesce(string_agg(CASE WHEN c.pos IS NULL THEN t.tok END,
+                               ' ' ORDER BY t.pos), ''))
+         AS clean_md5
+FROM toks2 t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
 GROUP BY 1
 """
 
@@ -8329,6 +8441,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "x16_training_shuffle": (q_x16_training_shuffle, SQL_X16),
     "d11_neardup_keep_one": (q_d11_neardup_keep_one, SQL_D11),
     "x17_dsir_weights": (q_x17_dsir_weights, SQL_X17),
+    "t23_span_scrub": (q_t23_span_scrub, SQL_T23),
 }
 
 
@@ -8377,7 +8490,7 @@ _PREFIX = [
     "h01_pricing_summary",
     "g06_histogram",
     "e03_sessionize", "e09_activity_streaks",
-    "t01_token_stats", "t13_sequence_packing",
+    "t13_sequence_packing", "t23_span_scrub",
     "d01_simhash",
     "q02_referential_integrity", "st01_stream_hourly",
     "d11_neardup_keep_one", "x17_dsir_weights",

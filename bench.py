@@ -91,6 +91,7 @@ HEADLINE = [
     "x16_training_shuffle",
     "d11_neardup_keep_one",
     "x17_dsir_weights",
+    "t23_span_scrub",
 ]
 
 

@@ -535,3 +535,102 @@ def test_dsir_weights_hand_computed(spark, monkeypatch):
     dwa, dwb, dwc = dw(2, 2), dw(1, 2), dw(0, 1)
     assert out[0] == (3, 2 * dwa + dwb, 2 * dwa + dwb > 0)
     assert out[1] == (2, dwb + dwc, dwb + dwc > 0)
+
+
+def test_span_scrub_removes_exactly_the_shared_span(spark, monkeypatch):
+    """t23 on the t21 fixture: the 8-token span shared by docs 0 and 7
+    is scrubbed from BOTH — mid-doc and prefix positions — leaving
+    exactly the surrounding unique tokens; untouched docs keep their
+    full token stream byte-for-byte (boundary windows are unique, so
+    coverage must stop at the span edge)."""
+    import hashlib
+
+    from alternating_least_squares_spark.registry import queries
+    import alternating_least_squares_spark.registry as R
+
+    span = " ".join(f"s{i}" for i in range(8))
+    doc14 = " ".join(f"v{i}" for i in range(14))
+    doc21 = " ".join(f"w{i}" for i in range(7))
+    docs = spark.createDataFrame(
+        [
+            (0, f"u0a u0b u0c {span} u0d u0e u0f"),
+            (7, f"{span} u7a u7b u7c u7d u7e u7f"),
+            (14, doc14),
+            (21, doc21),
+        ],
+        "doc_id long, text string",
+    )
+    real_load = R.load_table
+    monkeypatch.setattr(
+        R, "load_table",
+        lambda sp, sf, name: docs if name == "documents"
+        else real_load(sp, sf, name),
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["clean_md5"])
+        for r in queries()["t23_span_scrub"](spark, "ignored").collect()
+    }
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert out[0] == (14, 6, h("u0a u0b u0c u0d u0e u0f"))
+    assert out[7] == (14, 6, h("u7a u7b u7c u7d u7e u7f"))
+    assert out[14] == (14, 14, h(doc14))
+    assert out[21] == (7, 7, h(doc21))
+
+
+def test_span_scrub_matches_python_reference(spark):
+    """t23 against a from-scratch python reimplementation over the
+    WHOLE sf0.001 corpus (planting, repeated-window set, coverage,
+    reconstruction): every doc's (n_tokens, n_kept, clean_md5) must
+    match exactly. This also documents a real property of the planted
+    construction: %7==1 docs share the 11-token prefix, so a boundary
+    window (span tail + first text tokens) repeats whenever two docs
+    share their leading text tokens — coverage then legitimately
+    extends past the span, which a naive "exactly 11 scrubbed"
+    expectation gets wrong."""
+    import hashlib
+    from collections import defaultdict
+
+    from alternating_least_squares_spark.registry import _T21_SPAN, queries
+    from alternating_least_squares_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    raw = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf, "documents").collect()
+    }
+    toks = {}
+    for did, text in raw.items():
+        if did % 7 == 1:
+            p = _T21_SPAN + " " + (text or "")
+        elif did % 7 == 2:
+            p = (text or "") + " " + _T21_SPAN
+        else:
+            p = text
+        toks[did] = (p or "").split()
+    gram_docs = defaultdict(set)
+    for did, ts in toks.items():
+        for i in range(len(ts) - 7):
+            gram_docs[tuple(ts[i:i + 8])].add(did)
+    rep = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    expected = {}
+    for did, ts in toks.items():
+        if not ts:
+            continue
+        cov = set()
+        for i in range(len(ts) - 7):
+            if tuple(ts[i:i + 8]) in rep:
+                cov.update(range(i, i + 8))
+        kept = [t for i, t in enumerate(ts) if i not in cov]
+        expected[did] = (
+            len(ts),
+            len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["clean_md5"])
+        for r in queries()["t23_span_scrub"](spark, sf).collect()
+    }
+    assert got == expected
