@@ -243,3 +243,44 @@ def test_lm_scorers_broadcast_the_model(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_span_entries_broadcast_the_repeated_set(spark):
+    """t21/t23: the repeated-window membership returns via a broadcast
+    join on the 16-byte hash pair — shuffling the full window stream
+    to mark repeats would add a corpus-sized exchange; and nothing in
+    either plan is a cartesian."""
+    for name in ("t21_repeated_spans", "t23_span_scrub"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "Cartesian" not in plan, name
+
+
+def test_bpe_pairs_shuffles_words_once(spark):
+    """t22: the corpus-sized shuffle is the word groupBy (one
+    exchange); the pair explode + pair agg + top-50 window all run
+    over vocab-sized data. Two corpus-sized exchanges would mean the
+    pair explode leaked onto the token stream."""
+    plan = _plan(spark, "t22_bpe_merge_pairs")
+    # word agg + pair agg + rank window = 3 hash exchanges max; the
+    # load-bearing assertion is that pair rows aggregate AFTER the
+    # word count (vocab-sized), which the explode-over-aggregate
+    # structure guarantees; no join should appear at all
+    assert "Join" not in plan, plan
+
+
+def test_training_shuffle_has_single_shard_exchange(spark):
+    """x16: ONE hash exchange (the shard partition) and a per-shard
+    sort — a global row_number would show a SinglePartition exchange,
+    the scale bug this entry exists to avoid."""
+    plan = _plan(spark, "x16_training_shuffle")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_dsir_broadcasts_the_weight_table(spark):
+    """x17: the vocab-sized weight table broadcasts back onto the
+    token stream (t18's shape, two LMs in one count)."""
+    plan = _plan(spark, "x17_dsir_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan
