@@ -7943,6 +7943,163 @@ GROUP BY 1
 """
 
 
+def q_p03_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-6 curation stack as ONE flagship chain — what a
+    training-data refresh actually runs, end-to-end, hash-checked as
+    a single query: (1) cross-doc repeated-span SCRUB (t23) cleans
+    the token stream; (2) a unigram LM TRAINED ON THE CLEANED STREAM
+    (t18's discipline — the LM must not learn from the boilerplate it
+    just removed) scores every doc; (3) a quality gate keeps docs
+    above a fixed literal threshold, decided in EXACT integer
+    arithmetic (sum_lp_us > n_kept × −3402000 — no division, no
+    float compare; −3.402 nats/token sits mid-distribution on the
+    synthetic corpus so the gate is non-degenerate at any sf); (4)
+    survivors get the deterministic md5 training order (x16): hex-
+    nibble shard + per-shard dense position.
+
+    One pipeline, four stages, zero re-reads: the cleaned token
+    stream is checkpointed ONCE and feeds both the LM count and the
+    scoring join; the LM broadcasts back; the gate is a rowwise
+    integer predicate; the order stage's only exchange is the shard
+    hash partition. Fully-scrubbed docs (no surviving tokens) drop
+    out, by construction on both engines."""
+    tokrows, win, rep = _t21_stream(spark, sf_dir, pin_tokens=True)
+    covered = (
+        win.join(F.broadcast(rep), ["h1", "h2"])
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(7))
+            ).alias("pos"),
+        )
+        .distinct()
+        .withColumn("_c", F.lit(True))
+    )
+    kept = (
+        tokrows.join(covered, ["doc_id", "pos"], "left")
+        .filter(F.col("_c").isNull())
+        .select("doc_id", "tok")
+        .localCheckpoint(eager=True)  # LM count + scoring join
+    )
+    lm = (
+        kept.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    n_total, vocab = lm.agg(F.sum("c").cast("long"), F.count("*")).first()
+    lp = lm.select(
+        "tok",
+        F.floor(
+            F.log(
+                (F.col("c") + F.lit(1)).cast("double")
+                / F.lit(float(n_total + vocab))
+            )
+            * 1_000_000
+        ).alias("lp_us"),
+    )
+    scored = (
+        kept.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("lp_us").alias("sum_lp_us"),
+        )
+    )
+    sel = scored.filter(
+        F.col("sum_lp_us") > F.col("n_kept") * F.lit(-3_402_000)
+    )
+    skey = F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    a = F.ascii(F.substring(skey, 1, 1))
+    shard = F.when(a >= 97, a - 87).otherwise(a - 48)
+    keyed = sel.select(
+        "doc_id",
+        "n_kept",
+        "sum_lp_us",
+        skey.alias("skey"),
+        shard.cast("long").alias("shard"),
+    )
+    pos = F.row_number().over(
+        Window.partitionBy("shard").orderBy("skey", "doc_id")
+    )
+    return keyed.select(
+        "doc_id",
+        "n_kept",
+        "sum_lp_us",
+        F.round(
+            F.col("sum_lp_us").cast("double") / F.col("n_kept") / 1_000_000,
+            6,
+        ).alias("avg_logprob"),
+        "shard",
+        pos.cast("long").alias("pos"),
+    )
+
+
+SQL_P03 = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 1
+              THEN '{_T21_SPAN} ' || coalesce(text, '')
+              WHEN doc_id % 7 = 2
+              THEN coalesce(text, '') || ' {_T21_SPAN}'
+              ELSE text END AS ptext
+  FROM documents
+),
+tk AS (SELECT doc_id, {_toks_sql("ptext")} AS toks FROM d),
+w AS (
+  SELECT doc_id, i AS pos, array_to_string(toks[i+1:i+8], ' ') AS gram
+  FROM tk, UNNEST(range(len(toks) - 7)) t(i)
+),
+r AS (SELECT gram FROM w GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT w.doc_id, w.pos + j AS pos
+  FROM w JOIN r USING (gram), UNNEST(range(8)) t2(j)
+),
+toks2 AS (
+  SELECT doc_id, i AS pos, toks[i + 1] AS tok
+  FROM tk, UNNEST(range(len(toks))) t(i)
+),
+kept AS (
+  SELECT t.doc_id, t.tok
+  FROM toks2 t
+  LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+  WHERE c.pos IS NULL
+),
+lm AS (SELECT tok, count(*) AS c FROM kept GROUP BY 1),
+scale AS (SELECT CAST(sum(c) + count(*) AS BIGINT) AS nv FROM lm),
+lp AS (
+  SELECT tok,
+         CAST(floor(ln(CAST(c + 1 AS DOUBLE) / nv) * 1000000) AS BIGINT)
+           AS lp_us
+  FROM lm CROSS JOIN scale
+),
+scored AS (
+  SELECT doc_id, count(*) AS n_kept,
+         CAST(sum(lp_us) AS BIGINT) AS sum_lp_us
+  FROM kept JOIN lp USING (tok)
+  GROUP BY 1
+),
+sel AS (
+  SELECT * FROM scored WHERE sum_lp_us > n_kept * (-3402000)
+),
+k AS (
+  SELECT doc_id, n_kept, sum_lp_us,
+         md5('mix:' || doc_id) AS skey,
+         CAST(CASE WHEN ascii(substr(md5('mix:' || doc_id), 1, 1)) >= 97
+                   THEN ascii(substr(md5('mix:' || doc_id), 1, 1)) - 87
+                   ELSE ascii(substr(md5('mix:' || doc_id), 1, 1)) - 48
+              END AS BIGINT) AS shard
+  FROM sel
+)
+SELECT doc_id, n_kept, sum_lp_us,
+       round(CAST(sum_lp_us AS DOUBLE) / n_kept / 1000000, 6)
+         AS avg_logprob,
+       shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+            AS BIGINT) AS pos
+FROM k
+"""
+
+
 def q_t22_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus statistic that drives a BPE tokenizer-training merge
     step (Sennrich 2016): adjacent-character-pair frequencies weighted
@@ -8442,6 +8599,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "d11_neardup_keep_one": (q_d11_neardup_keep_one, SQL_D11),
     "x17_dsir_weights": (q_x17_dsir_weights, SQL_X17),
     "t23_span_scrub": (q_t23_span_scrub, SQL_T23),
+    "p03_training_pipeline": (q_p03_training_pipeline, SQL_P03),
 }
 
 
@@ -8491,7 +8649,7 @@ _PREFIX = [
     "g06_histogram",
     "e03_sessionize", "e09_activity_streaks",
     "t13_sequence_packing", "t23_span_scrub",
-    "d01_simhash",
+    "p03_training_pipeline",
     "q02_referential_integrity", "st01_stream_hourly",
     "d11_neardup_keep_one", "x17_dsir_weights",
 ]

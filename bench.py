@@ -92,6 +92,7 @@ HEADLINE = [
     "d11_neardup_keep_one",
     "x17_dsir_weights",
     "t23_span_scrub",
+    "p03_training_pipeline",
 ]
 
 

@@ -634,3 +634,26 @@ def test_span_scrub_matches_python_reference(spark):
         for r in queries()["t23_span_scrub"](spark, sf).collect()
     }
     assert got == expected
+
+
+def test_training_pipeline_gate_and_order_are_sane(spark):
+    """p03 at sf0.001: the quality gate must be NON-degenerate (some
+    docs pass, some fail — a 0% or 100% gate would make the driver
+    row vacuous about the threshold), every survivor's avg exceeds
+    the −3.402 threshold, and the shard/pos order is a dense
+    per-shard permutation (the x16 contract carried through the
+    chain)."""
+    from alternating_least_squares_spark.registry import queries
+    from alternating_least_squares_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = queries()["p03_training_pipeline"](spark, sf).collect()
+    n_docs = load_table(spark, sf, "documents").count()
+    assert 0 < len(rows) < n_docs
+    by_shard: dict = {}
+    for r in rows:
+        assert r["sum_lp_us"] > r["n_kept"] * -3_402_000
+        assert 0 <= r["shard"] <= 15
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))

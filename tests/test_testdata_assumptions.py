@@ -58,3 +58,45 @@ def test_events_users_and_types_present(sf):
         f"event_type mix changed in {sf}: {rows} — asof/funnel entries "
         "would go vacuous"
     )
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_no_shingle_set_collisions_across_distinct_token_keys(sf):
+    """d09/d10/d11 oracles state ground truth as "identical token
+    key"; the Spark side decides on shingle-SET equality (Jaccard
+    1.0). The two agree unless the corpus holds two docs with the
+    SAME 3-shingle set but DIFFERENT token sequences (pathological —
+    e.g. rotations). This guard proves the equivalence holds on the
+    actual testdata, so the oracle texts stay ground truth."""
+    bad = duckdb.sql(f"""
+        WITH tk AS (
+          SELECT doc_id,
+                 CASE WHEN regexp_replace(coalesce(text, ''),
+                                          '^\\s+|\\s+$', '', 'g') = ''
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(
+                             regexp_replace(coalesce(text, ''),
+                                            '^\\s+|\\s+$', '', 'g'),
+                             '\\s+') END AS toks
+          FROM '{sf}/documents.parquet'
+        ),
+        sh AS (
+          SELECT doc_id,
+                 array_to_string(toks, ' ') AS key,
+                 md5(array_to_string(list_sort(list_distinct(
+                   CASE WHEN len(toks) < 3
+                        THEN [array_to_string(toks, ' ')]
+                        ELSE list_transform(range(len(toks) - 2),
+                             i -> toks[i+1] || ' ' || toks[i+2]
+                                  || ' ' || toks[i+3]) END)), chr(10)))
+                   AS shset
+          FROM tk
+        )
+        SELECT shset, count(DISTINCT key) AS nk
+        FROM sh GROUP BY 1 HAVING count(DISTINCT key) > 1
+    """).fetchall()
+    assert bad == [], (
+        f"{sf}: {len(bad)} shingle-set groups span distinct token "
+        "keys — the d09/d10/d11 'token key == ground truth' oracle "
+        "argument no longer holds on this corpus"
+    )
