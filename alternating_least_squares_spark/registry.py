@@ -7943,6 +7943,81 @@ GROUP BY 1
 """
 
 
+def q_w08_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-horizon EWMA smoothing per user (α=0.5 over the last 8
+    observations, weights renormalized over available history) — the
+    linear-filter window op the w-suite lacked. A true infinite-
+    horizon EWMA is an order-dependent RECURSION no engine-parallel
+    aggregation can express exactly; the bounded filter is the
+    distributed-correct form: each row is a FIXED scalar expression
+    over lag(1..7) — one window, one exchange, and float-DETERMINISTIC
+    because (a) the α(1−α)^k coefficients are powers of two (exactly
+    representable; multiplying only shifts the exponent), (b) the sum
+    is a fixed left-to-right chain, not an aggregation whose order
+    the partitioning picks, so both engines produce bit-identical
+    doubles before the final round. Ordering is the (ts_ns, event_id)
+    total order (the e08 discipline) so ties cannot flap engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "ts_ns"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    lags = [F.col("value")] + [
+        F.lag("value", k).over(w) for k in range(1, 8)
+    ]
+    coefs = [0.5 ** (k + 1) for k in range(8)]
+    num = F.lit(None).cast("double")
+    num = F.coalesce(lags[0], F.lit(0.0)) * F.lit(coefs[0])
+    den = F.when(lags[0].isNotNull(), F.lit(coefs[0])).otherwise(F.lit(0.0))
+    n_hist = F.when(lags[0].isNotNull(), 1).otherwise(0)
+    for k in range(1, 8):
+        num = num + F.coalesce(lags[k], F.lit(0.0)) * F.lit(coefs[k])
+        den = den + F.when(
+            lags[k].isNotNull(), F.lit(coefs[k])
+        ).otherwise(F.lit(0.0))
+        n_hist = n_hist + F.when(lags[k].isNotNull(), 1).otherwise(0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        n_hist.cast("long").alias("n_hist"),
+        F.when(den > 0, F.round(num / den, 6)).alias("ewma"),
+    )
+
+
+def _w08_sql() -> str:
+    lag_cols = ", ".join(
+        f"lag(value, {k}) OVER w AS v{k}" for k in range(1, 8)
+    )
+    coefs = [0.5 ** (k + 1) for k in range(8)]
+    vs = ["value"] + [f"v{k}" for k in range(1, 8)]
+    num = " + ".join(
+        f"coalesce({v}, 0) * {c!r}" for v, c in zip(vs, coefs)
+    )
+    den = " + ".join(
+        f"CASE WHEN {v} IS NULL THEN 0 ELSE {c!r} END"
+        for v, c in zip(vs, coefs)
+    )
+    nh = " + ".join(
+        f"CASE WHEN {v} IS NULL THEN 0 ELSE 1 END" for v in vs
+    )
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, value, epoch_ns(ts) AS ts_ns FROM events
+),
+l AS (
+  SELECT event_id, user_id, value, {lag_cols}
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)
+)
+SELECT event_id, user_id,
+       CAST({nh} AS BIGINT) AS n_hist,
+       CASE WHEN ({den}) > 0
+            THEN round(({num}) / ({den}), 6) END AS ewma
+FROM l
+"""
+
+
+SQL_W08 = _w08_sql()
+
+
 def q_p03_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-6 curation stack as ONE flagship chain — what a
     training-data refresh actually runs, end-to-end, hash-checked as
