@@ -7965,7 +7965,6 @@ def q_w08_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("value", k).over(w) for k in range(1, 8)
     ]
     coefs = [0.5 ** (k + 1) for k in range(8)]
-    num = F.lit(None).cast("double")
     num = F.coalesce(lags[0], F.lit(0.0)) * F.lit(coefs[0])
     den = F.when(lags[0].isNotNull(), F.lit(coefs[0])).otherwise(F.lit(0.0))
     n_hist = F.when(lags[0].isNotNull(), 1).otherwise(0)
@@ -8675,58 +8674,46 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "x17_dsir_weights": (q_x17_dsir_weights, SQL_X17),
     "t23_span_scrub": (q_t23_span_scrub, SQL_T23),
     "p03_training_pipeline": (q_p03_training_pipeline, SQL_P03),
+    "w08_ewma": (q_w08_ewma, SQL_W08),
 }
 
 
 # ---------------------------------------------------------------------------
 # Ordering: the driver's correctness run checks a bounded PREFIX of the
-# registry (50 entries, verified rounds 2-5), so the order below is
-# chosen — not incidental.  ROTATION, round 6: rounds 2-5 gave every
-# oracled entry an official driver row EXCEPT the 19 added after the
-# round-5 prefix froze — those 19 seeds lead this prefix, followed by
-# ALL 15 round-6 oracled additions (d09..x15 from the main session,
-# t21/t22/x16/d11/x17 from the restart session; sm01 is rows-only and
-# stays out), then the flagship chain + every entry whose CODE was
-# touched this round (t16 seed, rc01 via the subtree_rollup left-join,
-# x13 seed via the scratch keying, d07 via the lsh refactor), the
-# round-4/5 HUGEINT-history rows (e09/t13/g06), the j01 watch item
-# (VERDICT r5 #5), and one representative per family against
-# testdata-layout flips (a13/h22/d02/ac08/x10 ceded their sentinel
-# slots to the restart-session entries; their families keep
-# a16+a17 / h01 / d01+d07 / ac09 / x13 coverage). A green round
-# closes official coverage at 181/181 checked oracled entries. The 14
-# rows-only-by-design entries (d03/d05, s01-s06, m01-m03, g04, sm01,
+# registry (50 entries, verified rounds 2-6), so the order below is
+# chosen — not incidental.  ROTATION, round 7 (VERDICT r6 #3): every
+# oracled entry is cumulatively green, so this round re-validates the
+# STALEST rows against the current testdata generation — the 8 entries
+# whose newest official row is round 2 (e01/e02/e05/t02/t03/t04/v01/
+# v03), then new round-7 code (w08_ewma, previously dead —
+# VERDICT r6 #2), then the round-3-vintage cohort oldest-first (41 of
+# 45; a12/c03/c07/c09 defer to round 8 — trivial projections whose
+# families keep a01-a11/c01-c02 coverage here). The 14 rows-only-by-
+# design entries (d03/d05, s01-s06, m01-m03, g04, sm01,
 # ipf_cost_per_visit) stay out of the prefix — their slots would
 # record err:no_oracle and their evidence is the pytest floors.
 _PREFIX = [
-    # round-6 seeds: the 19 entries with no official row yet
-    "x13_dynamic_partition_pruning", "x14_incremental_mv",
-    "w07_native_session_window", "e12_daily_top_type", "e13_rfm_segments",
-    "e14_cumulative_users", "j05_asof_nearest", "b07_binaryfile_source",
-    "ac09_replicate_via_feed", "g07_weighted_mean", "gr02_degree_profile",
-    "d08_containment_pairs", "rc04_materialized_path", "m04_market_basket",
-    "t15_sentence_split", "t16_normalized_dupes", "t17_edit_distance_pairs",
-    "sql02_shared_windows", "j06_point_in_time",
-    # new round-6 code
-    "d09_incremental_near_dup", "st10_stream_admission",
-    "t18_unigram_logprob", "d10_indexed_admission", "t19_bigram_logprob",
-    "g08_exact_corr", "gr03_triangles", "t20_line_dedup",
-    "j07_abandoned_clicks", "x15_temperature_mix",
-    "t21_repeated_spans", "t22_bpe_merge_pairs", "x16_training_shuffle",
-    # flagship + this-round-touched sentinels
-    "ipf_cost_per_visit_fixed", "a17_converge", "c16_scd2",
-    "rc01_subtree_rollup", "d07_incremental_dedup", "j01_asof_join",
-    # family sentinels (all green in prior rounds; a13/h22/d02 ceded
-    # their slots to the three late-round-6 entries above — their
-    # families keep a16+a17 / h01 / d01+d07 coverage)
-    "a16_ipf_step",
-    "h01_pricing_summary",
-    "g06_histogram",
-    "e03_sessionize", "e09_activity_streaks",
-    "t13_sequence_packing", "t23_span_scrub",
-    "p03_training_pipeline",
-    "q02_referential_integrity", "st01_stream_hourly",
-    "d11_neardup_keep_one", "x17_dsir_weights",
+    # stalest: newest official row is round 2
+    "e01_hourly_value", "e02_json_extract", "e05_variant_json",
+    "t02_quality_score", "t03_lang_id", "t04_fingerprint",
+    "v01_cosine_pairs", "v03_quantize_int8",
+    # new round-7 code
+    "w08_ewma",
+    # round-3-vintage cohort (41 of 45)
+    "a01_cmap", "a02_dot", "a03_diff_vector", "a04_l2_norm", "a05_rmse",
+    "a06_transpose", "a07_sum_rows", "a08_sum_cols", "a09_laplace_smooth",
+    "a10_weight_matrix", "a11_apply_weights", "a13_mmult",
+    "a14_seed_matrix", "a15_optimize_marginal", "a18_normalize_matrix",
+    "a19_error_matrix", "a20_matrix_norm",
+    "b01_b02_csv_roundtrip", "b03_symmetric_diff",
+    "c01_sorted_scan", "c02_filter_nonzero", "c04_micros_to_currency",
+    "c05_anti_join", "c06_zero_pad", "c08_pivot", "c08_unpivot",
+    "c10_safe_divide", "c11_upsert", "c12_set_ops", "c13_try_arithmetic",
+    "c14_nullsafe_join", "c15_explode_outer",
+    "d01_simhash", "d04_dedup_components",
+    "e04_resample_gapfill", "g05_grouping_sets", "mm01_media_features",
+    "t01_token_stats", "t05_exact_dup_groups", "t06_tfidf",
+    "v02_topk_cosine",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

@@ -168,20 +168,47 @@ def main() -> None:
         print(f"# {name}: median {timings[name]:.1f}s {runs}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "aggregation": "median_of_runs",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs": raw_runs,
-                "n_runs": n_runs,
-                "sf": sf_from_dir(SF_DIR),
-            }
-        )
+    # The driver captures only a ~2000-char stdout TAIL; round 6's
+    # final line (~3.4 KB with raw runs inline) overflowed it and
+    # BENCH_r06.json recorded parsed:null.  The machine-readable line
+    # therefore stays compact (medians only, 2 decimals) with a hard
+    # length guard; the full record including raw runs goes to a
+    # sidecar file + stderr where humans read the throttle pattern.
+    full_record = {
+        "metric": "headline_queries_total",
+        "aggregation": "median_of_runs",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs": raw_runs,
+        "n_runs": n_runs,
+        "sf": sf_from_dir(SF_DIR),
+    }
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_last_full.json"
     )
+    try:
+        with open(sidecar, "w") as f:
+            json.dump(full_record, f, indent=1)
+        print(f"# full record (raw runs): {sidecar}", file=sys.stderr)
+    except OSError as exc:  # read-only checkout: stderr still has medians
+        print(f"# sidecar write failed: {exc}", file=sys.stderr)
+    compact = {
+        "metric": "headline_queries_total",
+        "aggregation": "median_of_runs",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "n_runs": n_runs,
+        "sf": sf_from_dir(SF_DIR),
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # still over: drop per-query detail, keep total
+        compact.pop("queries")
+        compact["queries_in_sidecar"] = len(timings)
+        line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= 1900, len(line)
+    print(line)
 
 
 if __name__ == "__main__":
