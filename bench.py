@@ -202,12 +202,30 @@ def main() -> None:
         "n_runs": n_runs,
         "sf": sf_from_dir(SF_DIR),
     }
+    # NOTE: sum(queries) in the emitted line won't exactly equal
+    # `value` — per-query medians are rounded to 2 decimals for length
+    # while `value` is the 3-decimal sum of the unrounded medians.
+    # Intentional: `value` is the accurate headline, the per-query
+    # map is the compact detail; the sidecar has full precision.
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # still over: drop per-query detail, keep total
         compact.pop("queries")
         compact["queries_in_sidecar"] = len(timings)
         line = json.dumps(compact, separators=(",", ":"))
-    assert len(line) <= 1900, len(line)
+    if len(line) > 1900:  # never assert after the timed runs: the
+        # minimal record below is bounded by construction, and losing
+        # the machine-readable line over a length guard would discard
+        # the whole (already completed) bench.
+        line = json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "n_runs": n_runs,
+                "sf": sf_from_dir(SF_DIR),
+            },
+            separators=(",", ":"),
+        )
     print(line)
 
 

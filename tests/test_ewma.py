@@ -5,6 +5,7 @@ unregistered state."""
 from __future__ import annotations
 
 import datetime
+import inspect
 import re
 
 import pytest
@@ -69,7 +70,7 @@ def test_registry_has_no_dead_query_functions():
     """Every module-level ``q_*`` in registry.py must be reachable via
     REGISTRY — w08_ewma shipped unregistered in round 6 (dead code,
     zero coverage) and this lint makes that state a test failure."""
-    src = open(registry.__file__).read()
+    src = inspect.getsource(registry)
     defined = set(re.findall(r"^def (q_\w+)", src, re.M))
     registered = {fn.__name__ for fn, _ in registry.REGISTRY.values()}
     assert defined <= registered, sorted(defined - registered)
