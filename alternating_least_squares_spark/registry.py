@@ -7019,20 +7019,30 @@ def q_sm01_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup over the embeddings table
     (functions/semdedup: MLlib-KMeans clusters + intra-cluster exact
     cosine pruning — the only pair join is an equi-join on cluster,
-    never all-pairs). Rows-only by design, like the other
-    model-assisted entries (d03/s0x): a k-means vocabulary is not one
-    SQL statement; the keep/drop semantics are pinned by
-    tests/test_semdedup.py's planted-cluster fixtures. The input
-    unions in exact-embedding copies of vec_id%20==0 (id +1M), which
-    any correct run MUST drop (identical vectors share a cluster under
-    any argmin assignment and have cosine 1.0), so the admitted row
-    count is sensitive to the whole pipeline at every sf."""
+    never all-pairs). Oracle-EXACT via the d09 playbook (VERDICT r6
+    #5/r7 #3): the input vectors are sign-quantized (every component
+    → ±1.0), so any two DISTINCT vectors differ in ≥1 of the 64
+    components and have cosine ≤ (64−2)/64 = 0.96875 — strictly below
+    the 0.99 threshold — while identical sign patterns give cosine
+    exactly 64/(8·8) = 1.0. Identical vectors share a cluster under
+    any argmin assignment (identical distance arrays, deterministic
+    tie-break), so every keep/drop decision is forced regardless of
+    what KMeans does: keep iff vec_id is the group minimum of its
+    sign-pattern key. That IS one SQL statement (GROUP-BY-min over the
+    pattern string), which is the oracle below. The planted
+    exact-copies (vec_id%20==0, id +1M) exercise the drop path at
+    every sf; probabilistic behavior on real-valued near-dups stays
+    pinned by tests/test_semdedup.py's planted-cluster fixtures."""
     from alternating_least_squares_spark.functions.semdedup import (
         semantic_dedup,
     )
 
+    sgn = F.transform(
+        F.col("embedding"),
+        lambda x: F.when(x >= 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
+    )
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
+        "vec_id", sgn.alias("embedding")
     )
     copies = emb.filter(F.col("vec_id") % 20 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
@@ -7041,6 +7051,26 @@ def q_sm01_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.unionByName(copies), n_centroids=8, threshold=0.99
     )
     return kept.select("vec_id")
+
+
+SQL_SM01 = """
+WITH inp AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 20 = 0
+),
+k AS (
+  SELECT vec_id,
+         list_aggr(
+           list_transform(embedding,
+                          x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+           'string_agg', '') AS key
+  FROM inp
+)
+SELECT vec_id FROM (
+  SELECT vec_id, min(vec_id) OVER (PARTITION BY key) AS m FROM k
+) WHERE vec_id = m
+"""
 
 
 def q_d09_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8637,7 +8667,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "d07_incremental_dedup": (q_d07_incremental_dedup, SQL_D07),
     "d09_incremental_near_dup": (q_d09_incremental_near_dup, SQL_D09),
     "d10_indexed_admission": (q_d10_indexed_admission, SQL_D09),
-    "sm01_semantic_dedup": (q_sm01_semantic_dedup, None),
+    "sm01_semantic_dedup": (q_sm01_semantic_dedup, SQL_SM01),
     "gr01_pagerank_fixed": (q_gr01_pagerank_fixed, SQL_GR01),
     "e11_trailing_active_users": (q_e11_trailing_active_users, SQL_E11),
     "mm04_resize_stride": (q_mm04_resize_stride, SQL_MM04),
