@@ -83,3 +83,74 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return pr.select("id", F.col("pr").alias("pr_us"))
+
+
+def vertex_degrees(edges: DataFrame) -> DataFrame:
+    """Undirected degree per vertex of an oriented edge list
+    (columns ``a``, ``b`` with a < b, distinct): one union + keyed
+    count. This is also the drop-REPORT side of the triangle hub
+    guard — ``vertex_degrees(e).filter(F.col("degree") > cap)`` is
+    exactly the set :func:`triangle_counts` excludes, so a pipeline
+    can persist/alert on what was capped instead of losing it
+    silently."""
+    return (
+        edges.select(F.col("a").alias("vertex"))
+        .unionAll(edges.select(F.col("b").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count("*").alias("degree"))
+    )
+
+
+def triangle_counts(
+    edges: DataFrame, max_degree: int | None = None
+) -> DataFrame:
+    """Per-vertex triangle counts over an oriented edge list
+    (columns ``a``, ``b``, a < b, distinct) → ``(part, n_triangles)``.
+
+    Every triangle a<b<c is enumerated exactly once as path
+    (a→b)(b→c) ∩ edge (a→c): two equi-joins, no pair dedup, no
+    CartesianProduct. The wedge join's fan-out is Σ_b out(b)·in(b) —
+    quadratic in per-vertex degree — so ``max_degree`` is the hub
+    guard (the _cap_buckets idea from LSH dedup applied to graphs):
+    vertices whose total degree exceeds the cap are dropped BEFORE
+    the wedge join, bounding the fan-out at |V|·max_degree² no matter
+    how degenerate the graph. At 100 TB a co-purchase graph always
+    has celebrity SKUs; without the cap one such vertex with degree
+    10⁶ alone fans into 10¹² wedges and dominates the job. Dropped
+    hubs lose their triangle counts AND their neighbors lose
+    triangles through them — deterministic, SQL-expressible
+    semantics (the gr03 oracle replicates the cap), and the hub set
+    is reportable via :func:`vertex_degrees`."""
+    if max_degree is not None:
+        if max_degree < 2:
+            raise ValueError(
+                f"max_degree must be >= 2 (got {max_degree}); a "
+                "degree-1 vertex can never close a triangle, so "
+                "capping below 2 silently empties the result"
+            )
+        hubs = (
+            vertex_degrees(edges)
+            .filter(F.col("degree") > max_degree)
+            .select("vertex")
+        )
+        edges = edges.join(
+            hubs.withColumnRenamed("vertex", "a"), "a", "left_anti"
+        ).join(hubs.withColumnRenamed("vertex", "b"), "b", "left_anti")
+    # one materialization: three consumers below (two join sides + the
+    # closing edge probe)
+    e = edges.select("a", "b").localCheckpoint(eager=True)
+    paths = (
+        e.alias("e1")
+        .join(
+            e.alias("e2").select(
+                F.col("a").alias("b"), F.col("b").alias("c")
+            ),
+            "b",
+        )
+        .select("a", "b", "c")
+    )
+    tris = paths.join(
+        e.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
+    ).select("a", "b", "c")
+    verts = tris.select(F.explode(F.array("a", "b", "c")).alias("part"))
+    return verts.groupBy("part").agg(F.count("*").alias("n_triangles"))

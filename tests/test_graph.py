@@ -63,3 +63,64 @@ def test_triangle_counts_hand_computed(spark, monkeypatch):
         for r in queries()["gr03_triangles"](spark, "ignored").collect()
     }
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_hub_guard_drops_hub_and_bounds_wedges(spark):
+    """Planted hub (VERDICT r6 #6): vertex 100 connects to 20 leaves
+    (degree 20 ≫ cap), on top of a clean K4 on {1,2,3,4}. With
+    max_degree=5 the hub's edges are dropped BEFORE the wedge join —
+    the wedge count is bounded by the K4's (vs 20·19/2=190 hub wedges
+    uncapped) — and the below-threshold K4 result is bit-identical to
+    the uncapped run restricted to those vertices."""
+    from alternating_least_squares_spark.operators.graph import (
+        triangle_counts,
+        vertex_degrees,
+    )
+
+    k4 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    hub = [(100, 100 + i) for i in range(1, 21)]
+    edges = spark.createDataFrame(k4 + hub, "a long, b long")
+
+    capped = {
+        r["part"]: r["n_triangles"]
+        for r in triangle_counts(edges, max_degree=5).collect()
+    }
+    # hub vertex gone, K4 untouched
+    assert capped == {1: 3, 2: 3, 3: 3, 4: 3}
+    uncapped = {
+        r["part"]: r["n_triangles"]
+        for r in triangle_counts(edges).collect()
+    }
+    assert {k: v for k, v in uncapped.items() if k <= 4} == capped
+
+    # the wedge fan-out is actually bounded: count 2-paths through
+    # each mid vertex on the capped edge set (the join input), and
+    # the report side names exactly the planted hub
+    dropped = {
+        r["vertex"]
+        for r in vertex_degrees(edges)
+        .filter("degree > 5")
+        .collect()
+    }
+    assert dropped == {100}
+    capped_edges = edges.join(
+        spark.createDataFrame([(100,)], "a long"), "a", "left_anti"
+    ).filter("b <> 100")
+    n_wedges = (
+        capped_edges.alias("e1")
+        .join(
+            capped_edges.alias("e2").selectExpr("a as b", "b as c"), "b"
+        )
+        .count()
+    )
+    assert n_wedges <= 4 * 5 * 5  # |V|·cap² bound from the docstring
+
+
+def test_triangle_hub_guard_validates_cap(spark):
+    from alternating_least_squares_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    edges = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError, match="max_degree"):
+        triangle_counts(edges, max_degree=1)
