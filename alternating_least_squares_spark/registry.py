@@ -2035,12 +2035,55 @@ def q_s01_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_s02_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH + exact
+    cosine verify (functions/similarity.embedding_near_dup_pairs).
+    Oracle-EXACT via the sm01 sign-quantization trick (VERDICT r6
+    #8): inputs are sign vectors (±1 per component), so identical
+    sign patterns hash into the SAME bucket in every LSH table
+    (recall is structurally 1.0, not probabilistic) and have cosine
+    exactly 64/(8·8) = 1.0, while distinct patterns have cosine ≤
+    62/64 = 0.96875 < the 0.99 threshold and can never pass the
+    verify even when buckets collide. Ground truth is therefore all
+    intra-group ordered pairs of the sign-pattern key — one SQL
+    self-join. Planted copies (vec_id%20==0, id +1M) guarantee dup
+    pairs exist at every sf; probabilistic recall on real-valued
+    vectors stays pinned by tests/test_similarity fixtures."""
     from alternating_least_squares_spark.functions.similarity import (
         embedding_near_dup_pairs,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.4)
+    sgn = F.transform(
+        F.col("embedding"),
+        lambda x: F.when(x >= 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", sgn.alias("embedding")
+    )
+    copies = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    return embedding_near_dup_pairs(
+        emb.unionByName(copies), threshold=0.99
+    )
+
+
+SQL_S02 = """
+WITH inp AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 20 = 0
+),
+k AS (
+  SELECT vec_id,
+         list_aggr(
+           list_transform(embedding,
+                          x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+           'string_agg', '') AS key
+  FROM inp
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(1.0 AS DOUBLE) AS cosine
+FROM k a JOIN k b ON a.key = b.key AND a.vec_id < b.vec_id
+"""
 
 
 def q_d06_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3341,6 +3384,50 @@ def q_g04_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)), 2
         ).alias("approx_median_price"),
     )
+
+
+def q_g04b_sketch_exact_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g04's sketch aggregates FORCED into their exact regime so the
+    same API surface gets a hash-checked row (VERDICT r6 #8): (a)
+    HLL++ over a planted 8-value domain (``l_partkey % 8``) — 8
+    values hash to 8 distinct registers of the 4096-register (rsd
+    0.02) sketch, and linear counting over fixed register constants
+    rounds to exactly 8 on any partitioning of any data that
+    contains all residues (the register set depends only on the
+    VALUES 0..7, pinned forever); (b) percentile_approx over a
+    planted two-value column with a 90/10 split — the rank error
+    n/(2·accuracy) ≤ 3 rows at sf0.01 can never cross the ~40%-of-n
+    margin between the p50/p95 targets and the value boundary, so
+    both quantiles are exact order statistics. g04 proper stays
+    rows-only on the real high-cardinality columns (estimates are
+    engine-internal); accuracy bounds vs exact remain pytest-pinned
+    (test_sampling.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    spiky = F.when(F.col("l_partkey") % 10 == 0, 999).otherwise(1)
+    return li.select(
+        "l_returnflag",
+        (F.col("l_partkey") % 8).alias("_lc"),
+        spiky.alias("_sp"),
+    ).groupBy("l_returnflag").agg(
+        F.approx_count_distinct("_lc", rsd=0.02).alias("acd_lowcard"),
+        F.percentile_approx("_sp", F.lit(0.5), F.lit(10000))
+        .cast("long")
+        .alias("p50_spiky"),
+        F.percentile_approx("_sp", F.lit(0.95), F.lit(10000))
+        .cast("long")
+        .alias("p95_spiky"),
+    )
+
+
+SQL_G04B = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey % 8) AS BIGINT) AS acd_lowcard,
+       CAST(quantile_disc(CASE WHEN l_partkey % 10 = 0 THEN 999 ELSE 1 END,
+                          0.5) AS BIGINT) AS p50_spiky,
+       CAST(quantile_disc(CASE WHEN l_partkey % 10 = 0 THEN 999 ELSE 1 END,
+                          0.95) AS BIGINT) AS p95_spiky
+FROM lineitem GROUP BY 1
+"""
 
 
 def q_w01_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8584,6 +8671,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "g02_cube": (q_g02_cube, SQL_G02),
     "g03_percentiles": (q_g03_percentiles, SQL_G03),
     "g04_sketches": (q_g04_sketches, None),
+    "g04b_sketch_exact_regime": (q_g04b_sketch_exact_regime, SQL_G04B),
     "sql01_shared_dialect": (q_sql01_shared_dialect, SQL_SHARED_SQL01),
     "w01_running_total": (q_w01_running_total, SQL_W01),
     "w02_rank_dense_lag": (q_w02_rank_dense_lag, SQL_W02),
@@ -8657,7 +8745,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "d05_mllib_minhash": (q_d05_mllib_minhash, None),
     "d06_keep_one": (q_d06_keep_one, SQL_D06),
     "s01_lsh_topk": (q_s01_lsh_topk, None),
-    "s02_embedding_near_dup": (q_s02_embedding_near_dup, None),
+    "s02_embedding_near_dup": (q_s02_embedding_near_dup, SQL_S02),
     "s03_ivf_topk": (q_s03_ivf_topk, None),
     "s04_mllib_euclidean": (q_s04_mllib_euclidean, None),
     "s05_pca_topk": (q_s05_pca_topk, None),
@@ -8729,31 +8817,36 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # VERDICT r6 #2), then the round-3-vintage cohort oldest-first (41 of
 # 45; a12/c03/c07/c09 defer to round 8 — trivial projections whose
 # families keep a01-a11/c01-c02 coverage here). The 14 rows-only-by-
-# design entries (d03/d05, s01-s06, m01-m03, g04, sm01,
+# rows-only-by-design entries (d03/d05, s01/s03–s06, m01–m03, g04,
 # ipf_cost_per_visit) stay out of the prefix — their slots would
 # record err:no_oracle and their evidence is the pytest floors.
+# (sm01/s02/g04b graduated to oracle rows in round 8.)
 _PREFIX = [
-    # stalest: newest official row is round 2
-    "e01_hourly_value", "e02_json_extract", "e05_variant_json",
-    "t02_quality_score", "t03_lang_id", "t04_fingerprint",
-    "v01_cosine_pairs", "v03_quantize_int8",
-    # new round-7 code
-    "w08_ewma",
-    # round-3-vintage cohort (41 of 45)
-    "a01_cmap", "a02_dot", "a03_diff_vector", "a04_l2_norm", "a05_rmse",
-    "a06_transpose", "a07_sum_rows", "a08_sum_cols", "a09_laplace_smooth",
-    "a10_weight_matrix", "a11_apply_weights", "a13_mmult",
-    "a14_seed_matrix", "a15_optimize_marginal", "a18_normalize_matrix",
-    "a19_error_matrix", "a20_matrix_norm",
-    "b01_b02_csv_roundtrip", "b03_symmetric_diff",
-    "c01_sorted_scan", "c02_filter_nonzero", "c04_micros_to_currency",
-    "c05_anti_join", "c06_zero_pad", "c08_pivot", "c08_unpivot",
-    "c10_safe_divide", "c11_upsert", "c12_set_ops", "c13_try_arithmetic",
-    "c14_nullsafe_join", "c15_explode_outer",
-    "d01_simhash", "d04_dedup_components",
-    "e04_resample_gapfill", "g05_grouping_sets", "mm01_media_features",
-    "t01_token_stats", "t05_exact_dup_groups", "t06_tfidf",
-    "v02_topk_cosine",
+    # r3-vintage stale rows, self-deferred from the r7 prefix
+    "a12_add_labels", "c03_projection", "c07_sort_by_key",
+    "c09_ones_matrix",
+    # round-8 oracle conversions (sm01/s02/g04b) + gr03, whose result
+    # CHANGED this round (live max_degree hub cap) so its cumulative
+    # r6 row no longer certifies the current code
+    "sm01_semantic_dedup", "s02_embedding_near_dup",
+    "g04b_sketch_exact_regime", "gr03_triangles",
+    # oldest remaining cohort: newest official row is round 4
+    # (42 of 45; x10/x11/x12 self-deferred to the r9 prefix)
+    "a21_converge_coordinate", "ac01_snapshot_merge", "ac02_time_travel",
+    "ac03_zorder_code", "ac04_compact_files", "ac05_vacuum",
+    "ac06_schema_evolution", "b06_corrupt_records", "d02_jaccard_pairs",
+    "d06_keep_one", "e08_ohlc_bars", "j02_range_join",
+    "j03_interval_overlap", "mm02_frame_sample", "p01_corpus_curation",
+    "p02_corpus_stats", "q01_data_quality", "sql01_shared_dialect",
+    "st02_stream_sessionize", "st03_stateful_profiles",
+    "st04_stream_enrich", "st05_stream_dedup", "st06_stream_stream_join",
+    "st07_stream_hopping", "st08_stream_snapshot_sink",
+    "st09_incremental_ingest", "t08_contamination", "t09_bpe_tokens",
+    "t10_chunk_windows", "t11_pii_redact", "t12_repetition_stats",
+    "t14_context_assembly", "w01_running_total", "w02_rank_dense_lag",
+    "w06_hopping_batch", "x01_grouped_outliers", "x02_train_test_split",
+    "x03_stratified_sample", "x05_python_udtf", "x06_domain_mix_sample",
+    "x08_salted_agg", "x09_bucketed_join",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))
