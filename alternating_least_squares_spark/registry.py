@@ -8144,6 +8144,42 @@ FROM l
 SQL_W08 = _w08_sql()
 
 
+def q_st11_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of w08 (streaming/stateful.ewma_stream): the
+    bounded-horizon EWMA as a custom stateful operator — one emitted
+    row PER EVENT in append semantics (the per-row emission shape
+    st01–st10 don't cover; st03's profiles emit per-batch updates),
+    keyed state = the last-7 observation deque, O(7) per key forever
+    with no watermark needed. The Python operator replicates w08's
+    coefficient chain operation-for-operation in C doubles (the
+    α(1−α)^k coefficients are powers of two, so the unrounded double
+    is bit-identical to the JVM's) and emits ewma RAW; rounding
+    happens HERE, Spark-side, after replay, so stream and batch
+    round identically. Oracle: the SAME SQL as w08 — replay to
+    completion must equal the batch window op exactly.
+
+    VERDICT r7 #8 named this on transformWithState; that API still
+    needs the protobuf wire dep absent from this runtime
+    (stateful.tws_available() == False), so the twin rides
+    applyInPandasWithState — same state-store execution model."""
+    from alternating_least_squares_spark.streaming import (
+        ewma_stream,
+        read_events_stream,
+        run_stream_to_batch,
+    )
+
+    stream = read_events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "value", "ts_ns"
+    )
+    out = run_stream_to_batch(ewma_stream(stream), output_mode="append")
+    return out.select(
+        "event_id",
+        "user_id",
+        "n_hist",
+        F.round("ewma_raw", 6).alias("ewma"),
+    )
+
+
 def q_p03_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-6 curation stack as ONE flagship chain — what a
     training-data refresh actually runs, end-to-end, hash-checked as
@@ -8803,6 +8839,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "t23_span_scrub": (q_t23_span_scrub, SQL_T23),
     "p03_training_pipeline": (q_p03_training_pipeline, SQL_P03),
     "w08_ewma": (q_w08_ewma, SQL_W08),
+    "st11_stream_ewma": (q_st11_stream_ewma, SQL_W08),
 }
 
 

@@ -12,6 +12,7 @@ from alternating_least_squares_spark.streaming.events import (  # noqa: F401
     stream_upsert_profiles_to_snapshot,
 )
 from alternating_least_squares_spark.streaming.stateful import (  # noqa: F401
+    ewma_stream,
     user_profile_stream,
     user_profile_stream_tws,
 )

@@ -199,3 +199,116 @@ try:  # Spark 4 only; the module stays importable on older runtimes
             pass
 except ImportError:  # pragma: no cover
     ProfileProcessor = None  # type: ignore[assignment]
+
+
+# --- streaming EWMA twin of the batch w08 window op -----------------
+
+EWMA_OUT_SCHEMA = (
+    "event_id long, user_id long, n_hist long, ewma_raw double"
+)
+# the last-7 observation deque, newest LAST; parallel arrays because
+# the state row is one Arrow struct (no nested struct-array state)
+EWMA_STATE_SCHEMA = (
+    "ts array<long>, eid array<long>, val array<double>"
+)
+_EWMA_COEFS = [0.5 ** (k + 1) for k in range(8)]  # powers of two
+
+
+def _ewma_over(history: list[float | None]) -> tuple[int, float | None]:
+    """w08's fixed scalar expression, replicated OPERATION FOR
+    OPERATION in C doubles: ``history`` is [current, prev1, ..] (≤8,
+    None where the batch lag is NULL); num/den accumulate left-to-
+    right exactly like the Column chain in registry.q_w08_ewma, and
+    the α(1−α)^k coefficients are powers of two (multiplying only
+    shifts the exponent), so the unrounded double is bit-identical to
+    the JVM's and the final Spark-side round(·, 6) cannot flap."""
+    num = 0.0
+    den = 0.0
+    n_hist = 0
+    for k, v in enumerate(history[:8]):
+        if v is not None and v == v:  # NaN-as-null, like F.coalesce
+            num = num + v * _EWMA_COEFS[k]
+            den = den + _EWMA_COEFS[k]
+            n_hist += 1
+        else:
+            num = num + 0.0
+    return n_hist, (num / den if den > 0 else None)
+
+
+def _update_ewma(
+    key: tuple[Any, ...], pdfs: Iterator, state: GroupState
+) -> Iterator:
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        ts_hist, eid_hist, val_hist = (list(c) for c in state.get)
+    else:
+        ts_hist, eid_hist, val_hist = [], [], []
+
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        state.update((ts_hist, eid_hist, val_hist))
+        return
+    rows = pd.concat(chunks, ignore_index=True).sort_values(
+        ["ts_ns", "event_id"], kind="mergesort"
+    )
+    out_eid: list[int] = []
+    out_n: list[int] = []
+    out_ewma: list[float | None] = []
+    for ts_ns, event_id, value in zip(
+        rows["ts_ns"], rows["event_id"], rows["value"]
+    ):
+        v = float(value) if value == value else None
+        # newest-first view for the lag-indexed coefficient walk
+        hist = [v] + val_hist[::-1]
+        n_hist, ewma = _ewma_over(hist)
+        out_eid.append(int(event_id))
+        out_n.append(n_hist)
+        out_ewma.append(ewma)
+        ts_hist.append(int(ts_ns))
+        eid_hist.append(int(event_id))
+        val_hist.append(v)
+        if len(val_hist) > 7:
+            ts_hist, eid_hist, val_hist = (
+                ts_hist[-7:], eid_hist[-7:], val_hist[-7:]
+            )
+    state.update((ts_hist, eid_hist, val_hist))
+    yield pd.DataFrame(
+        {
+            "event_id": out_eid,
+            "user_id": user_id,
+            "n_hist": out_n,
+            "ewma_raw": out_ewma,
+        }
+    )
+
+
+def ewma_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch w08 bounded-horizon EWMA (α=0.5
+    over the last 8 observations, weights renormalized): one emitted
+    row PER EVENT (append semantics — the per-row shape st03's
+    per-batch ``update`` profiles don't cover), keyed state = the
+    last-7 observation deque, O(7) per key forever.
+
+    Input needs (user_id, event_id, value, ts_ns). Within a
+    micro-batch rows are sorted by (ts_ns, event_id) — Spark hands
+    the operator unordered Arrow chunks; across micro-batches the
+    file-source replay delivers per-key rows in nondecreasing time
+    order when source files are time-partitioned (the st-suite
+    replay contract; tests exercise a 2-batch split). Emitted
+    ``ewma_raw`` is the UNROUNDED double — round Spark-side
+    (F.round, JVM half-up) so batch and stream round identically.
+
+    VERDICT r7 #8 asked for this on ``transformWithState``; that API
+    still needs the protobuf wire dep this runtime lacks
+    (tws_available() == False), so the twin rides
+    ``applyInPandasWithState`` — same state-store execution model,
+    GA wire path."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_ewma,
+        outputStructType=EWMA_OUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -9,6 +9,7 @@ import inspect
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from alternating_least_squares_spark import registry
 
@@ -74,3 +75,89 @@ def test_registry_has_no_dead_query_functions():
     defined = set(re.findall(r"^def (q_\w+)", src, re.M))
     registered = {fn.__name__ for fn, _ in registry.REGISTRY.values()}
     assert defined <= registered, sorted(defined - registered)
+
+
+def test_st11_stream_ewma_matches_batch_across_two_microbatches(
+    spark, tmp_path, monkeypatch
+):
+    """The streaming EWMA twin with state carried ACROSS a micro-batch
+    boundary: 12 events for user 1 split 6/6 into two time-ordered
+    source files (so the last-7 deque must survive the batch seam and
+    trim correctly), plus a user only in file 2. maxFilesPerTrigger=1
+    forces two batches; the replay must equal batch w08 exactly."""
+    import os
+
+    import alternating_least_squares_spark.registry as R
+    from alternating_least_squares_spark.streaming import (
+        ewma_stream,
+        run_stream_to_batch,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    vals = [1.0, 3.0, 2.0, 7.0, 5.0, 0.5, 4.0, 6.0, 2.5, 8.0, 1.25, 9.0]
+    all_rows = [
+        (k, t0 + datetime.timedelta(seconds=k), 1, "view", vals[k], "{}")
+        for k in range(12)
+    ] + [
+        (100 + k, t0 + datetime.timedelta(seconds=6 + k), 2, "view",
+         float(2 ** k), "{}")
+        for k in range(3)
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    first = [r for r in all_rows if r[1] < t0 + datetime.timedelta(seconds=6)]
+    second = [r for r in all_rows if r not in first]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for i, rows in enumerate([first, second]):
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        )
+        path = str(src / f"wave_{i}.parquet")
+        pq.write_table(t, path)
+        # distinct mtimes pin the file-source processing order
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(spark.createDataFrame([], schema).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .select(
+            "event_id", "user_id", "value",
+            (F.unix_micros("ts") * 1000).alias("ts_ns"),
+        )
+    )
+    out = run_stream_to_batch(ewma_stream(stream), output_mode="append")
+    got = {
+        r["event_id"]: (r["n_hist"], r["ewma"])
+        for r in out.select(
+            "event_id", "n_hist", F.round("ewma_raw", 6).alias("ewma")
+        ).collect()
+    }
+
+    batch = spark.createDataFrame(all_rows, schema)
+    real_load = R.load_table
+    monkeypatch.setattr(
+        R, "load_table",
+        lambda sp, sf, name: batch.withColumn(
+            "ts_ns", F.unix_micros("ts") * 1000
+        ) if name == "events" else real_load(sp, sf, name),
+    )
+    want = {
+        r["event_id"]: (r["n_hist"], r["ewma"])
+        for r in R.q_w08_ewma(spark, "ignored").collect()
+    }
+    assert got == want
+    assert len(got) == 15 and got[11][0] == 8  # deque saturated past seam
