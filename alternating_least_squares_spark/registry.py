@@ -8181,6 +8181,75 @@ def q_st11_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x18_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime BLOOM-FILTER semi-join reduction — the ROW-level
+    runtime filter that completes x13's partition-level DPP story at
+    100 TB: when a fact⋈dim join survives into a shuffle join (dim too
+    big to broadcast) and the dim side carries a selective predicate,
+    Spark's InjectRuntimeFilter builds a bloom filter over the dim
+    join keys (``bloom_filter_agg``) and pushes ``might_contain`` onto
+    the fact SCAN, so non-matching fact rows die at scan speed instead
+    of riding the shuffle. On a 1000-executor cluster this is the
+    difference between shuffling 100 TB and shuffling the ~1% that can
+    actually join.
+
+    The injection heuristics are sized for production (application
+    side ≥ 10 GB scan by default), so on the test tables the entry
+    FORCES the shape the same way a perf test would: application-side
+    threshold 0 + broadcast disabled, WITH the confs restored in a
+    ``finally`` (the result is materialized under the forced confs —
+    Spark re-optimizes at action time, so set-then-return would leak
+    session state). The bloom-filtered plan (might_contain on the
+    fact side, verified in tests/test_storage.py) is hash-proved
+    equal to the plain declarative join the oracle runs."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    sel = orders.filter(F.col("o_totalprice") > 400_000).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = (
+        li.join(sel, li.l_orderkey == sel.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(38,10)")
+                ).cast("double"),
+                6,
+            ).alias("revenue"),
+        )
+    )
+    sf_key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    out_path = _scratch_path("alternating_ls_bloom", sf_key)
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined.write.mode("overwrite").parquet(out_path)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return spark.read.parquet(out_path)
+
+
+SQL_X18 = """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,10))) AS DOUBLE),
+             6) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 400000
+GROUP BY 1
+"""
+
+
 def q_p03_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-6 curation stack as ONE flagship chain — what a
     training-data refresh actually runs, end-to-end, hash-checked as
@@ -8841,6 +8910,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "p03_training_pipeline": (q_p03_training_pipeline, SQL_P03),
     "w08_ewma": (q_w08_ewma, SQL_W08),
     "st11_stream_ewma": (q_st11_stream_ewma, SQL_W08),
+    "x18_runtime_bloom_filter": (q_x18_runtime_bloom_filter, SQL_X18),
 }
 
 

@@ -284,3 +284,18 @@ def test_dsir_broadcasts_the_weight_table(spark):
     plan = _plan(spark, "x17_dsir_weights")
     assert "BroadcastHashJoin" in plan
     assert "Cartesian" not in plan
+
+
+def test_triangle_adjacency_joins_broadcast(spark):
+    """gr03's two adjacency attachments MUST plan as broadcast hash
+    joins: the rows between them carry a ≤cap-element neighbor array
+    each, and a sort-merge fallback shuffles |E|·cap longs (measured
+    22 s vs 6 s at sf0.1 depending on which strategy AQE picked —
+    operators/graph.py documents the hint as load-bearing)."""
+    plan = _plan(spark, "gr03_triangles")
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+    assert "array_intersect" in plan, plan[:3000]
+    # the arrays must never ride a sort for a merge join
+    assert "SortMergeJoin" not in plan.split("array_intersect")[0], (
+        plan[:3000]
+    )

@@ -238,3 +238,45 @@ def test_dynamic_partition_pruning_fires_on_dim_filtered_join(spark, tmpdir):
     # and the pruned result equals the plain predicate
     want = ev.filter(F.col("day") % 3 == 0).count()
     assert joined.count() == want
+
+
+def test_runtime_bloom_filter_fires_and_confs_restore(spark):
+    """x18: under the forced confs (application-side threshold 0,
+    broadcast off) the shuffle join must carry an injected bloom
+    filter — bloom_filter_agg on the dim side, might_contain pushed
+    onto the fact side — and q_x18 must restore both confs after
+    materializing (a leaked -1 autoBroadcastJoinThreshold would
+    silently de-broadcast every later query in the session)."""
+    from alternating_least_squares_spark.registry import (
+        q_x18_runtime_bloom_filter,
+    )
+
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    sel = (
+        load_table(spark, SF_SMALL, "orders")
+        .filter(F.col("o_totalprice") > 400_000)
+        .select("o_orderkey")
+    )
+    keys = [
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set(keys[0], "0")
+        spark.conf.set(keys[1], "-1")
+        joined = li.join(sel, li.l_orderkey == sel.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+    # the registry entry restores session state after its forced write
+    q_x18_runtime_bloom_filter(spark, SF_SMALL)
+    for k, v in saved.items():
+        assert spark.conf.get(k) == v
