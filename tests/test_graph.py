@@ -124,3 +124,63 @@ def test_triangle_hub_guard_validates_cap(spark):
     edges = spark.createDataFrame([(1, 2)], "a long, b long")
     with pytest.raises(ValueError, match="max_degree"):
         triangle_counts(edges, max_degree=1)
+
+
+from hypothesis import given, settings, strategies as st
+
+edge_set = st.sets(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=9),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(raw=edge_set, cap=st.integers(min_value=2, max_value=6))
+def test_triangle_counts_match_brute_force(spark, raw, cap):
+    """Any random graph, any cap: the adjacency-intersection
+    formulation must produce exactly the brute-force per-vertex
+    triangle counts, both uncapped and with the hub guard applied
+    to the same (brute-force-filtered) vertex set."""
+    from collections import Counter
+    from itertools import combinations
+
+    from alternating_least_squares_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw})
+
+    def brute(edge_list):
+        es = set(edge_list)
+        verts = sorted({v for e in edge_list for v in e})
+        counts = Counter()
+        for x, y, z in combinations(verts, 3):
+            if {(x, y), (y, z), (x, z)} <= es:
+                counts[x] += 1
+                counts[y] += 1
+                counts[z] += 1
+        return dict(counts)
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["part"]: r["n_triangles"]
+        for r in triangle_counts(df).collect()
+    }
+    assert got == brute(edges)
+
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    capped_edges = [
+        (a, b) for a, b in edges if deg[a] <= cap and deg[b] <= cap
+    ]
+    got_capped = {
+        r["part"]: r["n_triangles"]
+        for r in triangle_counts(df, max_degree=cap).collect()
+    }
+    assert got_capped == brute(capped_edges)
