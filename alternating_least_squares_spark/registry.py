@@ -8700,6 +8700,72 @@ FROM k
 """
 
 
+def q_x19_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-EPOCH training order — x16 with the epoch number folded
+    into the hash salt, because a trainer that reuses one permutation
+    across epochs loses the regularization reshuffling exists for.
+    Each epoch's order is an independent deterministic permutation
+    (key = md5("shuf:<epoch>:<doc_id>")), reproducible per epoch in
+    isolation: epoch N's order never depends on which other epochs
+    are materialized, so a preemption-restarted job regenerates
+    exactly the epoch files it lost. Same scale shape as x16 — the
+    epoch is part of the PARTITION key, so all epochs pipeline
+    through one hash exchange on (epoch, shard) and a trainer reads
+    partitionBy(epoch, shard) output; no global row_number, no
+    cross-epoch dependency. The inter-epoch decorrelation invariant
+    (orders actually differ) is pytest-pinned in
+    tests/test_sampling.py."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # epoch fan-out is a GENERATOR (explode of a literal array), not a
+    # cross join — no join operator, nothing for the lint to whitelist
+    keyed = docs.select(
+        "doc_id",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch"),
+    ).select(
+        "doc_id",
+        "epoch",
+        F.md5(
+            F.concat(
+                F.lit("shuf:"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("skey"),
+    )
+    a = F.ascii(F.substring("skey", 1, 1))
+    keyed = keyed.withColumn(
+        "shard", F.when(a >= 97, a - 87).otherwise(a - 48).cast("long")
+    )
+    pos = F.row_number().over(
+        Window.partitionBy("epoch", "shard").orderBy("skey", "doc_id")
+    )
+    return keyed.select(
+        "doc_id", "epoch", "shard", pos.cast("long").alias("pos")
+    )
+
+
+SQL_X19 = """
+WITH k AS (
+  SELECT doc_id, epoch,
+         md5('shuf:' || epoch || ':' || doc_id) AS skey
+  FROM documents, (SELECT 0 AS epoch UNION ALL SELECT 1)
+),
+s AS (
+  SELECT doc_id, epoch, skey,
+         CAST(CASE WHEN ascii(substr(skey, 1, 1)) >= 97
+                   THEN ascii(substr(skey, 1, 1)) - 87
+                   ELSE ascii(substr(skey, 1, 1)) - 48
+              END AS BIGINT) AS shard
+  FROM k
+)
+SELECT doc_id, epoch, shard,
+       CAST(row_number() OVER (PARTITION BY epoch, shard
+                               ORDER BY skey, doc_id) AS BIGINT) AS pos
+FROM s
+"""
+
+
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "a01_cmap": (q_a01_cmap, SQL_A01),
     "a02_dot": (q_a02_dot, SQL_A02),
@@ -8911,6 +8977,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "w08_ewma": (q_w08_ewma, SQL_W08),
     "st11_stream_ewma": (q_st11_stream_ewma, SQL_W08),
     "x18_runtime_bloom_filter": (q_x18_runtime_bloom_filter, SQL_X18),
+    "x19_epoch_shuffle": (q_x19_epoch_shuffle, SQL_X19),
 }
 
 

@@ -87,3 +87,38 @@ def test_sketches_within_error_bounds(spark):
         g = got[flag]
         assert abs(g["approx_parts"] - e["parts"]) <= 0.06 * e["parts"] + 2
         assert abs(g["approx_median_price"] - e["median"]) <= 0.02 * e["median"]
+
+
+def test_epoch_shuffle_orders_decorrelate(spark):
+    """x19: each epoch must be a complete permutation of the corpus
+    (dense 1..n positions per (epoch, shard)), the two epochs' global
+    orders must actually DIFFER (the decorrelation reshuffling exists
+    for), and epoch 0's order must be independent of whether epoch 1
+    was materialized (restart reproducibility)."""
+    from alternating_least_squares_spark.registry import queries
+
+    rows = queries()["x19_epoch_shuffle"](spark, SF_SMALL).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append(
+            (r["shard"], r["pos"], r["doc_id"])
+        )
+    assert set(by_epoch) == {0, 1}
+    n_docs = len(by_epoch[0])
+    assert len(by_epoch[1]) == n_docs
+
+    def global_order(entries):
+        return [d for _, _, d in sorted((s, p, d) for s, p, d in entries)]
+
+    def dense_per_shard(entries):
+        shard_pos = {}
+        for s, p, _ in entries:
+            shard_pos.setdefault(s, set()).add(p)
+        return all(
+            ps == set(range(1, len(ps) + 1)) for ps in shard_pos.values()
+        )
+
+    assert dense_per_shard(by_epoch[0]) and dense_per_shard(by_epoch[1])
+    o0, o1 = global_order(by_epoch[0]), global_order(by_epoch[1])
+    assert sorted(o0) == sorted(o1)  # same corpus, both epochs
+    assert o0 != o1  # decorrelated permutations
