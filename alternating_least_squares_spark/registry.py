@@ -7534,6 +7534,77 @@ GROUP BY 1
 """
 
 
+def q_q03_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-quantile quality gate WITHOUT a global sort — drop the
+    bottom decile of the corpus by LM score, the thresholding step
+    that turns t18's scores into a curation decision. The naive
+    formulation (ntile/percent_rank over all docs) is a single-reducer
+    total order AND partition-order-irreproducible on ties; the scale
+    formulation here is exact BY SPEC: quantize the integer micro-nat
+    avg score to milli-nat BUCKETS (floor division — domain bounded by
+    the score RANGE, not the corpus size), build the bucket histogram
+    (one tiny shuffle), take the cumulative count over the ≤10⁴-row
+    histogram, and keep docs whose bucket ≥ the smallest bucket whose
+    cumulative count reaches k = ceil(n/10) (integer (n+9) DIV 10 —
+    no float 0.1·n). Deterministic at any parallelism, identical on
+    any engine, and the only driver-side values are two scalars (n,
+    threshold — the t18 N/V precedent). At 100 TB the histogram is
+    KBs regardless of corpus size."""
+    t18 = q_t18_unigram_logprob(spark, sf_dir)
+    b = t18.select(
+        "doc_id",
+        F.expr(
+            _floor_div(_floor_div("sum_lp_us", "n_tokens"), 1000)
+        ).alias("bucket"),
+    ).localCheckpoint(eager=True)  # three consumers: histogram,
+    # n_docs, and the final gate — without this the whole t18 LM
+    # pipeline would re-run per consumer
+    hist = b.groupBy("bucket").agg(F.count("*").alias("c"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    n_docs = b.count()
+    k = (n_docs + 9) // 10
+    thr = (
+        cum.filter(F.col("cum") >= k).agg(F.min("bucket")).first()[0]
+    )
+    return b.filter(F.col("bucket") >= thr)
+
+
+SQL_Q03 = f"""
+WITH tk AS (SELECT doc_id, {_toks_sql()} AS toks FROM documents),
+     terms AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+     lm AS (SELECT term, count(*) AS c FROM terms GROUP BY 1),
+     scale AS (SELECT sum(c) + count(*) AS nv FROM lm),
+     lp AS (
+       SELECT term,
+              CAST(floor(ln(CAST(c + 1 AS DOUBLE) / nv) * 1000000)
+                   AS BIGINT) AS lp_us
+       FROM lm CROSS JOIN scale
+     ),
+     doc AS (
+       SELECT doc_id, sum(lp_us) AS s, count(*) AS n
+       FROM terms JOIN lp USING (term) GROUP BY 1
+     ),
+     b AS (
+       SELECT doc_id,
+              {_floor_div_duck(_floor_div_duck('s', 'n'), 1000)} AS bucket
+       FROM doc
+     ),
+     h AS (SELECT bucket, count(*) AS c FROM b GROUP BY 1),
+     cum AS (
+       SELECT bucket, sum(c) OVER (ORDER BY bucket) AS cum FROM h
+     ),
+     thr AS (
+       SELECT min(bucket) AS t FROM cum
+       WHERE cum >= ((SELECT count(*) FROM b) + 9) // 10
+     )
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket
+FROM b WHERE bucket >= (SELECT t FROM thr)
+"""
+
+
 def q_t19_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram conditional-LM scoring — t18's context-aware upgrade
     (the KenLM-shaped filter of CCNet-style curation): docs scored by
@@ -8978,6 +9049,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "st11_stream_ewma": (q_st11_stream_ewma, SQL_W08),
     "x18_runtime_bloom_filter": (q_x18_runtime_bloom_filter, SQL_X18),
     "x19_epoch_shuffle": (q_x19_epoch_shuffle, SQL_X19),
+    "q03_quantile_gate": (q_q03_quantile_gate, SQL_Q03),
 }
 
 

@@ -657,3 +657,41 @@ def test_training_pipeline_gate_and_order_are_sane(spark):
         by_shard.setdefault(r["shard"], []).append(r["pos"])
     for poss in by_shard.values():
         assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_quantile_gate_decile_spec(spark):
+    """q03: the histogram-bucket decile gate must satisfy its spec
+    exactly — every kept bucket ≥ every dropped bucket (the gate is a
+    clean threshold), the dropped count is < k = ceil(n/10), and
+    adding the threshold bucket's own mass reaches k (so the
+    threshold is the MINIMAL bucket whose cumulative count covers
+    the decile)."""
+    from collections import Counter
+
+    from alternating_least_squares_spark.registry import (
+        q_q03_quantile_gate,
+        q_t18_unigram_logprob,
+    )
+    from tests.conftest import SF_SMALL
+
+    kept = {
+        r["doc_id"]: r["bucket"]
+        for r in q_q03_quantile_gate(spark, SF_SMALL).collect()
+    }
+    t18 = q_t18_unigram_logprob(spark, SF_SMALL).collect()
+    # python's // IS floor division — exactly the _floor_div chain
+    all_buckets = {
+        r["doc_id"]: r["sum_lp_us"] // r["n_tokens"] // 1000
+        for r in t18
+    }
+    n = len(all_buckets)
+    k = (n + 9) // 10
+    dropped = {d: b for d, b in all_buckets.items() if d not in kept}
+    assert kept and dropped
+    assert max(dropped.values()) <= min(kept.values())
+    thr = min(kept.values())
+    hist = Counter(all_buckets.values())
+    below = sum(c for b, c in hist.items() if b < thr)
+    assert below < k <= below + hist[thr]
+    # kept values match the t18-derived buckets exactly
+    assert kept == {d: b for d, b in all_buckets.items() if b >= thr}
