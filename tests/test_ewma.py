@@ -161,3 +161,78 @@ def test_st11_stream_ewma_matches_batch_across_two_microbatches(
     }
     assert got == want
     assert len(got) == 15 and got[11][0] == 8  # deque saturated past seam
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+event_sets = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # user
+        st.integers(min_value=0, max_value=9),      # ts second (ties!)
+        st.floats(
+            min_value=-100, max_value=100,
+            allow_nan=False, allow_infinity=False,
+        ),
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(raw=event_sets)
+def test_stream_ewma_matches_batch_on_random_inputs(spark, raw):
+    """Any users, any values, duplicate timestamps included (the
+    (ts, event_id) tie-break must agree between the pandas operator's
+    in-batch sort and the batch window's ORDER BY): the streaming
+    replay must equal the independent batch w08 implementation
+    row-for-row after identical Spark-side rounding."""
+    import shutil
+    import tempfile
+
+    from alternating_least_squares_spark.streaming import (
+        ewma_stream,
+        run_stream_to_batch,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=ts), u, "view", v, "{}")
+        for i, (u, ts, v) in enumerate(raw)
+    ]
+    d = tempfile.mkdtemp(prefix="ewma_prop_")
+    try:
+        sf_dir = d
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        df.coalesce(1).write.parquet(sf_dir + "/events.parquet")
+
+        want = {
+            r["event_id"]: (r["n_hist"], r["ewma"])
+            for r in registry.q_w08_ewma(spark, sf_dir).collect()
+        }
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(sf_dir + "/events.parquet")
+            .select(
+                "event_id", "user_id", "value",
+                (F.unix_micros("ts") * 1000).alias("ts_ns"),
+            )
+        )
+        out = run_stream_to_batch(ewma_stream(stream), output_mode="append")
+        got = {
+            r["event_id"]: (r["n_hist"], r["ewma"])
+            for r in out.select(
+                "event_id", "n_hist", F.round("ewma_raw", 6).alias("ewma")
+            ).collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
