@@ -184,3 +184,39 @@ def test_triangle_counts_match_brute_force(spark, raw, cap):
         for r in triangle_counts(df, max_degree=cap).collect()
     }
     assert got_capped == brute(capped_edges)
+
+    # the scale path (shuffled-hash joins, no adjacency broadcast)
+    # must be result-identical to the gated fast path
+    got_shuffled = {
+        r["part"]: r["n_triangles"]
+        for r in triangle_counts(df, broadcast_adjacency=False).collect()
+    }
+    assert got_shuffled == brute(edges)
+
+
+def test_triangle_scale_path_matches_broadcast_on_planted_graph(spark):
+    """Deterministic twin of the property test's scale-path check on
+    a denser planted graph (K6 ∪ K4 sharing vertex 5 + a pendant):
+    both join strategies, same counts."""
+    from alternating_least_squares_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    k6 = [(a, b) for a in range(6) for b in range(6) if a < b]
+    k4 = [(a, b) for a in (5, 10, 11, 12) for b in (5, 10, 11, 12) if a < b]
+    df = spark.createDataFrame(
+        sorted(set(k6 + k4 + [(12, 99)])), "a long, b long"
+    )
+    fast = {
+        r["part"]: r["n_triangles"]
+        for r in triangle_counts(df, broadcast_adjacency=True).collect()
+    }
+    scale = {
+        r["part"]: r["n_triangles"]
+        for r in triangle_counts(df, broadcast_adjacency=False).collect()
+    }
+    # K6: C(5,2)=10 per vertex; K4: 3 per vertex; vertex 5 is in both
+    expect = {v: 10 for v in range(6)} | {10: 3, 11: 3, 12: 3}
+    expect[5] = 13
+    assert fast == expect
+    assert scale == expect

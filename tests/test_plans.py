@@ -287,11 +287,12 @@ def test_dsir_broadcasts_the_weight_table(spark):
 
 
 def test_triangle_adjacency_joins_broadcast(spark):
-    """gr03's two adjacency attachments MUST plan as broadcast hash
-    joins: the rows between them carry a ≤cap-element neighbor array
-    each, and a sort-merge fallback shuffles |E|·cap longs (measured
-    22 s vs 6 s at sf0.1 depending on which strategy AQE picked —
-    operators/graph.py documents the hint as load-bearing)."""
+    """gr03's two adjacency attachments plan as broadcast hash joins
+    while the size gate holds (|E| ≤ BROADCAST_EDGE_LIMIT — true at
+    every local SF): the rows between them carry a neighbor array
+    each, and a sort-merge fallback shuffles |E|·√(2|E|) longs
+    (measured 22 s vs 6 s at sf0.1 depending on which strategy AQE
+    picked — operators/graph.py documents the gate as load-bearing)."""
     plan = _plan(spark, "gr03_triangles")
     assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
     assert "array_intersect" in plan, plan[:3000]
@@ -299,3 +300,27 @@ def test_triangle_adjacency_joins_broadcast(spark):
     assert "SortMergeJoin" not in plan.split("array_intersect")[0], (
         plan[:3000]
     )
+
+
+def test_triangle_scale_path_never_sorts_the_arrays(spark):
+    """gr03 beyond the broadcast gate (VERDICT r8: the unconditional
+    broadcast OOMs at 10⁸+ vertices): both adjacency probes must plan
+    as SHUFFLED hash joins — hash-partition exchanges only, no
+    broadcast of the |V|-row adjacency and NO SortMergeJoin anywhere
+    above the adjacency scan, because a sort buffers the
+    array-carrying per-edge rows."""
+    from alternating_least_squares_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(6) for b in range(6) if a < b],
+        "a long, b long",
+    )
+    plan = triangle_counts(
+        edges, broadcast_adjacency=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" not in plan, plan[:3000]
+    assert plan.count("ShuffledHashJoin") >= 2, plan[:3000]
+    assert "array_intersect" in plan, plan[:3000]
