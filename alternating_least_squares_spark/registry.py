@@ -8155,9 +8155,19 @@ def q_w08_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a fixed left-to-right chain, not an aggregation whose order
     the partitioning picks, so both engines produce bit-identical
     doubles before the final round. Ordering is the (ts_ns, event_id)
-    total order (the e08 discipline) so ties cannot flap engines."""
+    total order (the e08 discipline) so ties cannot flap engines.
+
+    NaN domain (ADVICE r8): NaN values are normalized to NULL up
+    front (``nanvl``), so batch and the st11 streaming twin share ONE
+    null domain — a NaN observation is "no observation" (skipped by
+    num, den, and n_hist) in both, instead of the batch's coalesce
+    treating NaN as present and poisoning num while the stream
+    dropped it."""
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "value", "ts_ns"
+        "event_id",
+        "user_id",
+        F.nanvl(F.col("value"), F.lit(None).cast("double")).alias("value"),
+        "ts_ns",
     )
     w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
     lags = [F.col("value")] + [
@@ -8199,7 +8209,10 @@ def _w08_sql() -> str:
     )
     return f"""
 WITH e AS (
-  SELECT event_id, user_id, value, epoch_ns(ts) AS ts_ns FROM events
+  SELECT event_id, user_id,
+         CASE WHEN isnan(value) THEN NULL ELSE value END AS value,
+         epoch_ns(ts) AS ts_ns
+  FROM events
 ),
 l AS (
   SELECT event_id, user_id, value, {lag_cols}

@@ -253,6 +253,23 @@ def _update_ewma(
     rows = pd.concat(chunks, ignore_index=True).sort_values(
         ["ts_ns", "event_id"], kind="mergesort"
     )
+    # Cross-micro-batch order CONTRACT enforcement (ADVICE r8): a
+    # late event scored against the post-newer-events deque would
+    # produce a plausible-but-wrong EWMA with no signal. Fail fast
+    # instead: the oldest incoming (ts_ns, event_id) must not precede
+    # the newest already-consumed one for this key.
+    if ts_hist:
+        first = rows.iloc[0]
+        incoming = (int(first["ts_ns"]), int(first["event_id"]))
+        if incoming < (ts_hist[-1], eid_hist[-1]):
+            raise ValueError(
+                f"out-of-order event for user_id={user_id}: incoming "
+                f"(ts_ns, event_id)={incoming} precedes the newest "
+                f"consumed ({ts_hist[-1]}, {eid_hist[-1]}); the "
+                "ewma_stream source contract requires per-key "
+                "nondecreasing event time across micro-batches "
+                "(time-partitioned source files)"
+            )
     out_eid: list[int] = []
     out_n: list[int] = []
     out_ewma: list[float | None] = []
@@ -296,7 +313,11 @@ def ewma_stream(events: DataFrame) -> DataFrame:
     the operator unordered Arrow chunks; across micro-batches the
     file-source replay delivers per-key rows in nondecreasing time
     order when source files are time-partitioned (the st-suite
-    replay contract; tests exercise a 2-batch split). Emitted
+    replay contract; tests exercise a 2-batch split). The contract is
+    ENFORCED, not assumed (ADVICE r8): an event older than the
+    newest already-consumed (ts_ns, event_id) for its key raises
+    ValueError and fails the batch, instead of silently scoring
+    against a stale deque. Emitted
     ``ewma_raw`` is the UNROUNDED double — round Spark-side
     (F.round, JVM half-up) so batch and stream round identically.
 

@@ -67,6 +67,143 @@ def test_w08_ties_broken_by_event_id(spark, tmp_path):
     assert got[2] == (2, 6.0)
 
 
+def test_w08_nan_is_a_missing_observation(spark, tmp_path):
+    """ADVICE r8: batch w08 must treat NaN exactly like NULL (one
+    null domain shared with the st11 stream twin) — a NaN value
+    contributes to neither num, den, nor n_hist."""
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 1, "view", 1.0, "{}"),
+        (1, t0 + datetime.timedelta(seconds=1), 1, "view", float("nan"), "{}"),
+        (2, t0 + datetime.timedelta(seconds=2), 1, "view", 4.0, "{}"),
+    ]
+    out = registry.q_w08_ewma(spark, _events_dir(spark, tmp_path, rows))
+    got = {r["event_id"]: (r["n_hist"], r["ewma"]) for r in out.collect()}
+    assert got[0] == (1, 1.0)
+    # NaN row: only the lag-2 observation exists -> ewma = 1.0
+    assert got[1] == (1, 1.0)
+    # (4*0.5 + 1*0.125) / 0.625 = 3.4 — NaN slot skipped in num AND den
+    assert got[2] == (2, 3.4)
+
+
+def test_stream_ewma_nan_parity_with_batch(spark, tmp_path, monkeypatch):
+    """The stream twin on the same NaN-bearing input must emit the
+    identical (n_hist, ewma) rows as batch w08."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import alternating_least_squares_spark.registry as R
+    from alternating_least_squares_spark.streaming import (
+        ewma_stream,
+        run_stream_to_batch,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    vals = [1.0, float("nan"), 4.0, float("nan"), 2.0]
+    rows = [
+        (k, t0 + datetime.timedelta(seconds=k), 1, "view", vals[k], "{}")
+        for k in range(5)
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        str(src / "wave_0.parquet"),
+    )
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(spark.createDataFrame([], schema).schema)
+        .parquet(str(src))
+        .select(
+            "event_id", "user_id", "value",
+            (F.unix_micros("ts") * 1000).alias("ts_ns"),
+        )
+    )
+    out = run_stream_to_batch(ewma_stream(stream), output_mode="append")
+    got = {
+        r["event_id"]: (r["n_hist"], r["ewma"])
+        for r in out.select(
+            "event_id", "n_hist", F.round("ewma_raw", 6).alias("ewma")
+        ).collect()
+    }
+    batch = spark.createDataFrame(rows, schema)
+    real_load = R.load_table
+    monkeypatch.setattr(
+        R, "load_table",
+        lambda sp, sf, name: batch.withColumn(
+            "ts_ns", F.unix_micros("ts") * 1000
+        ) if name == "events" else real_load(sp, sf, name),
+    )
+    want = {
+        r["event_id"]: (r["n_hist"], r["ewma"])
+        for r in R.q_w08_ewma(spark, "ignored").collect()
+    }
+    assert got == want
+    assert got[1] == (1, 1.0)  # NaN row scored on history only
+
+
+def test_stream_ewma_rejects_out_of_order_across_batches(spark, tmp_path):
+    """ADVICE r8: a later micro-batch delivering an event OLDER than
+    the newest consumed one for its key must fail the query loudly
+    (ValueError inside the state function), never score it against
+    the stale deque."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from alternating_least_squares_spark.streaming import (
+        ewma_stream,
+        run_stream_to_batch,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    waves = [
+        [(0, t0 + datetime.timedelta(seconds=10), 1, 1.0)],
+        [(1, t0 + datetime.timedelta(seconds=1), 1, 2.0)],  # late!
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(waves):
+        path = str(src / f"wave_{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "value": pa.array([r[3] for r in rows], pa.float64()),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    stream = (
+        spark.readStream.schema(spark.createDataFrame([], schema).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .select(
+            "event_id", "user_id", "value",
+            (F.unix_micros("ts") * 1000).alias("ts_ns"),
+        )
+    )
+    with pytest.raises(Exception, match="out-of-order"):
+        run_stream_to_batch(ewma_stream(stream), output_mode="append")
+
+
 def test_registry_has_no_dead_query_functions():
     """Every module-level ``q_*`` in registry.py must be reachable via
     REGISTRY — w08_ewma shipped unregistered in round 6 (dead code,
