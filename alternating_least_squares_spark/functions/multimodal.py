@@ -33,6 +33,7 @@ metadata) is exposed as native exprs too.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 from pyspark.sql import Column, DataFrame
