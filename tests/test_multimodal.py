@@ -136,3 +136,90 @@ def test_resize_stride_bytes_and_md5(spark):
     assert set(got) == {1, 4}  # empty and NULL payloads leave the pipe
     assert got[1] == (10, 3, hashlib.md5(b"aei").hexdigest())
     assert got[4] == (3, 1, hashlib.md5(b"x").hexdigest())
+
+
+def test_bmp_round_trip_all_padding_widths():
+    """encode_bmp → decode_bmp is the identity on pixels for every
+    row-padding case (w=2..5 → pad 2,3,0,1) and multiple heights."""
+    from alternating_least_squares_spark.functions.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    for w in (2, 3, 4, 5):
+        for h in (1, 2, 3):
+            px = bytes(range(w * h * 3))
+            blob = decode_bmp(encode_bmp(px, w, h))
+            assert blob == (w, h, px)
+
+
+def test_bmp_decode_is_a_real_parser():
+    """The decoder reads the FORMAT, not our encoder's habits: a
+    hand-built top-down BMP (negative height) with an oversized
+    pixel-array offset decodes to the same pixels."""
+    import struct
+
+    from alternating_least_squares_spark.functions.multimodal import (
+        decode_bmp,
+    )
+
+    w, h = 3, 2
+    px = bytes(range(w * h * 3))
+    row = w * 3
+    pad = (-row) % 4
+    # top-down: rows in natural order; 6 junk bytes before the array
+    body = b"".join(
+        px[r * row : (r + 1) * row] + b"\x00" * pad for r in range(h)
+    )
+    offset = 54 + 6
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(body), 0, 0, 0, 0
+    )
+    head = struct.pack("<2sIHHI", b"BM", offset + len(body), 0, 0, offset)
+    blob = head + info + b"junk42" + body
+    assert decode_bmp(blob) == (w, h, px)
+
+
+def test_bmp_decode_rejects_garbage():
+    import pytest
+
+    from alternating_least_squares_spark.functions.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(b"BM123")
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"PN" + b"\x00" * 60)
+    good = encode_bmp(b"\x01" * 12, 2, 2)
+    with pytest.raises(ValueError, match="truncated BMP pixel"):
+        decode_bmp(good[:-4])
+    with pytest.raises(ValueError, match="pixel buffer"):
+        encode_bmp(b"\x01" * 11, 2, 2)
+
+
+def test_mm01_decodes_planted_bmps(spark):
+    """mm01 end to end on a tiny frame: dims parsed from the header,
+    pixel md5 equals the text padded to the frame — computed
+    independently here, not by re-running the decoder."""
+    import hashlib
+
+    from alternating_least_squares_spark.functions.multimodal import (
+        attach_bmp_blob,
+        decode_bmp_features,
+    )
+
+    # doc_id 7: w = 7%4+2 = 5, h = 7%3+1 = 2 -> 30 pixel bytes
+    d = spark.createDataFrame(
+        [(7, "hello bmp"), (12, None)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["width"], r["height"], r["pixel_md5"])
+        for r in decode_bmp_features(attach_bmp_blob(d)).collect()
+    }
+    exp7 = hashlib.md5(b"hello bmp" + b"x" * 21).hexdigest()
+    # w=5 -> row 15 bytes + 1 pad = 16; 54 + 2*16 = 86
+    assert got[7] == (86, 5, 2, exp7)
+    # doc 12: w=2, h=1, NULL text -> all-'x' pixels; row 6+2 pad
+    assert got[12] == (62, 2, 1, hashlib.md5(b"x" * 6).hexdigest())
