@@ -111,6 +111,79 @@ def vertex_degrees(edges: DataFrame) -> DataFrame:
 BROADCAST_EDGE_LIMIT = 8_000_000
 
 
+def _oriented_intersections(
+    edges: DataFrame,
+    max_degree: int | None,
+    broadcast_adjacency: bool | None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared core of :func:`triangle_counts` and
+    :func:`edge_neighborhood_scores`: hub-cap → degree-ordered
+    orientation → out-adjacency arrays → per-base-edge common
+    out-neighbor intersection. Returns ``(capped_edges, degrees,
+    per_edge)`` where ``per_edge`` is ``(u, v, _ws)`` for every
+    oriented edge whose endpoints share ≥1 common out-neighbor — each
+    triangle {x ≺ y ≺ z} appears exactly once, at base edge (x, y)
+    with z ∈ ``_ws``. See :func:`triangle_counts` for the scale
+    contract (array width ≤ √(2|E|); size-gated broadcast vs
+    shuffled-hash joins)."""
+    if max_degree is not None:
+        if max_degree < 2:
+            raise ValueError(
+                f"max_degree must be >= 2 (got {max_degree}); a "
+                "degree-1 vertex can never close a triangle, so "
+                "capping below 2 silently empties the result"
+            )
+        hubs = (
+            vertex_degrees(edges)
+            .filter(F.col("degree") > max_degree)
+            .select("vertex")
+        )
+        edges = edges.join(
+            hubs.withColumnRenamed("vertex", "a"), "a", "left_anti"
+        ).join(hubs.withColumnRenamed("vertex", "b"), "b", "left_anti")
+    # two consumers (degree count + orientation join) → materialize
+    e = edges.select("a", "b").localCheckpoint(eager=True)
+    if broadcast_adjacency is None:
+        # count is ~free on the eager checkpoint; |E| == total
+        # out-array elements, exactly the thing being shipped
+        broadcast_adjacency = e.count() <= BROADCAST_EDGE_LIMIT
+    deg = vertex_degrees(e)
+
+    def _attach_deg(df: DataFrame, side: str) -> DataFrame:
+        d = deg.select(
+            F.col("vertex").alias(side), F.col("degree").alias(f"_d{side}")
+        )
+        d = F.broadcast(d) if broadcast_adjacency else d.hint("SHUFFLE_HASH")
+        return df.join(d, side)
+
+    # orient low-(degree, id) → high; a < b already, so ties keep a→b
+    oriented = (
+        _attach_deg(_attach_deg(e, "a"), "b")
+        .select(
+            F.when(F.col("_db") < F.col("_da"), F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("u"),
+            F.when(F.col("_db") < F.col("_da"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("v"),
+        )
+        .localCheckpoint(eager=True)  # consumers: adj build + stream
+    )
+    adj = oriented.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+
+    def _probe(side: str, out: str) -> DataFrame:
+        a = adj.select(F.col("u").alias(side), F.col("nbrs").alias(out))
+        return F.broadcast(a) if broadcast_adjacency else a.hint("SHUFFLE_HASH")
+
+    per_edge = (
+        oriented.join(_probe("u", "_nu"), "u")
+        .join(_probe("v", "_nv"), "v")
+        .select("u", "v", F.array_intersect("_nu", "_nv").alias("_ws"))
+        .filter(F.size("_ws") > 0)
+    )
+    return e, deg, per_edge
+
+
 def triangle_counts(
     edges: DataFrame,
     max_degree: int | None = None,
@@ -162,62 +235,10 @@ def triangle_counts(
     deterministic, SQL-expressible semantics (the gr03 oracle
     replicates the cap), and the hub set is reportable via
     :func:`vertex_degrees`."""
-    if max_degree is not None:
-        if max_degree < 2:
-            raise ValueError(
-                f"max_degree must be >= 2 (got {max_degree}); a "
-                "degree-1 vertex can never close a triangle, so "
-                "capping below 2 silently empties the result"
-            )
-        hubs = (
-            vertex_degrees(edges)
-            .filter(F.col("degree") > max_degree)
-            .select("vertex")
-        )
-        edges = edges.join(
-            hubs.withColumnRenamed("vertex", "a"), "a", "left_anti"
-        ).join(hubs.withColumnRenamed("vertex", "b"), "b", "left_anti")
-    # two consumers (degree count + orientation join) → materialize
-    e = edges.select("a", "b").localCheckpoint(eager=True)
-    if broadcast_adjacency is None:
-        # count is ~free on the eager checkpoint; |E| == total
-        # out-array elements, exactly the thing being shipped
-        broadcast_adjacency = e.count() <= BROADCAST_EDGE_LIMIT
-    deg = vertex_degrees(e)
-
-    def _attach_deg(df: DataFrame, side: str) -> DataFrame:
-        d = deg.select(
-            F.col("vertex").alias(side), F.col("degree").alias(f"_d{side}")
-        )
-        d = F.broadcast(d) if broadcast_adjacency else d.hint("SHUFFLE_HASH")
-        return df.join(d, side)
-
-    # orient low-(degree, id) → high; a < b already, so ties keep a→b
-    oriented = (
-        _attach_deg(_attach_deg(e, "a"), "b")
-        .select(
-            F.when(F.col("_db") < F.col("_da"), F.col("b"))
-            .otherwise(F.col("a"))
-            .alias("u"),
-            F.when(F.col("_db") < F.col("_da"), F.col("a"))
-            .otherwise(F.col("b"))
-            .alias("v"),
-        )
-        .localCheckpoint(eager=True)  # consumers: adj build + stream
+    e, _deg, per_edge = _oriented_intersections(
+        edges, max_degree, broadcast_adjacency
     )
-    adj = oriented.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
-
-    def _probe(side: str, out: str) -> DataFrame:
-        a = adj.select(F.col("u").alias(side), F.col("nbrs").alias(out))
-        return F.broadcast(a) if broadcast_adjacency else a.hint("SHUFFLE_HASH")
-
     one = F.lit(1).cast("long")
-    per_edge = (
-        oriented.join(_probe("u", "_nu"), "u")
-        .join(_probe("v", "_nv"), "v")
-        .select("u", "v", F.array_intersect("_nu", "_nv").alias("_ws"))
-        .filter(F.size("_ws") > 0)
-    )
     contrib = per_edge.select(
         F.explode(
             F.concat(
@@ -242,4 +263,88 @@ def triangle_counts(
         contrib.select("_c.part", "_c.n")
         .groupBy("part")
         .agg(F.sum("n").alias("n_triangles"))
+    )
+
+
+def edge_neighborhood_scores(
+    edges: DataFrame,
+    max_degree: int | None = None,
+    broadcast_adjacency: bool | None = None,
+) -> DataFrame:
+    """Per-EDGE neighborhood similarity over an oriented edge list
+    (columns ``a``, ``b``, a < b, distinct) → ``(a, b, common,
+    jaccard)`` for every edge: ``common = |N(a) ∩ N(b)|`` (the edge's
+    embeddedness — how many triangles contain it) and ``jaccard =
+    common / |N(a) ∪ N(b)|`` with ``|N(a) ∪ N(b)| = deg(a) + deg(b) −
+    common`` (≥ 2 always: each endpoint is in the other's
+    neighborhood, so the division is safe). This is the
+    common-neighbors / Jaccard link score of the link-prediction and
+    community-detection literature, scored on existing edges — tie
+    strength for edge-pruning and cluster seeding.
+
+    Shares :func:`triangle_counts`'s degree-ordered machinery (same
+    √(2|E|) array bound, same size-gated broadcast / shuffled-hash
+    strategy): each triangle found once at its base edge contributes
+    +1 embeddedness to all THREE of its edges — the base edge gains
+    |ws| and the two (endpoint, w) edges gain 1 — so common-neighbor
+    counts come from the bounded out-arrays without ever joining full
+    undirected neighborhoods. Edges in no triangle report common = 0
+    via the left join back to the edge list. ``max_degree`` is the
+    same hub-cap semantics as gr03 (dropped hubs vanish from edges,
+    degrees, and neighborhoods alike)."""
+    e, deg, per_edge = _oriented_intersections(
+        edges, max_degree, broadcast_adjacency
+    )
+    one = F.lit(1).cast("long")
+
+    def _key(x, y):  # canonical (a, b) = (min, max) edge key
+        return [
+            F.least(x, y).alias("a"),
+            F.greatest(x, y).alias("b"),
+        ]
+
+    contrib = per_edge.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(
+                        *_key(F.col("u"), F.col("v")),
+                        F.size("_ws").cast("long").alias("n"),
+                    )
+                ),
+                F.transform(
+                    "_ws",
+                    lambda w: F.struct(*_key(F.col("u"), w), one.alias("n")),
+                ),
+                F.transform(
+                    "_ws",
+                    lambda w: F.struct(*_key(F.col("v"), w), one.alias("n")),
+                ),
+            )
+        ).alias("_c")
+    )
+    cn = (
+        contrib.select("_c.a", "_c.b", "_c.n")
+        .groupBy("a", "b")
+        .agg(F.sum("n").alias("common"))
+    )
+    da = deg.select(F.col("vertex").alias("a"), F.col("degree").alias("_da"))
+    db = deg.select(F.col("vertex").alias("b"), F.col("degree").alias("_db"))
+    return (
+        e.join(cn, ["a", "b"], "left")
+        .join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            F.coalesce("common", F.lit(0)).cast("long").alias("common"),
+            F.round(
+                F.coalesce("common", F.lit(0))
+                / (
+                    F.col("_da") + F.col("_db")
+                    - F.coalesce("common", F.lit(0))
+                ),
+                6,
+            ).alias("jaccard"),
+        )
     )

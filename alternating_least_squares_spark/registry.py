@@ -6004,6 +6004,91 @@ FROM j
 """
 
 
+def q_e15_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel per user (view → click → purchase,
+    each step strictly AFTER the previous one's first occurrence) —
+    the sequential-pattern analytics staple product teams run on
+    event streams. Distributed shape: chained conditional
+    aggregations — t1 = min(view ts); t2 = min(click ts > t1);
+    t3 = min(purchase ts > t2) — every stage a groupBy + equi-join on
+    the SAME user_id key, so at cluster scale the exchanges reuse one
+    hash partitioning and no window buffers whole user histories
+    (the e-suite discipline). Emits each user's step timestamps
+    (NULL where the funnel stalled) and the reached stage 0–3."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_ns"
+    )
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t_view_ns"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts_ns") > F.col("t_view_ns"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t_click_ns"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts_ns") > F.col("t_click_ns"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t_purchase_ns"))
+    )
+    stage = (
+        F.when(F.col("t_purchase_ns").isNotNull(), 3)
+        .when(F.col("t_click_ns").isNotNull(), 2)
+        .when(F.col("t_view_ns").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        ev.select("user_id")
+        .distinct()
+        .join(t1, "user_id", "left")
+        .join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view_ns",
+            "t_click_ns",
+            "t_purchase_ns",
+            stage.cast("integer").alias("stage"),
+        )
+    )
+
+
+SQL_E15 = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ns(ts) AS ts_ns FROM events
+),
+t1 AS (
+  SELECT user_id, min(ts_ns) AS t_view_ns
+  FROM e WHERE event_type = 'view' GROUP BY 1
+),
+t2 AS (
+  SELECT e.user_id, min(ts_ns) AS t_click_ns
+  FROM e JOIN t1 USING (user_id)
+  WHERE event_type = 'click' AND ts_ns > t_view_ns GROUP BY 1
+),
+t3 AS (
+  SELECT e.user_id, min(ts_ns) AS t_purchase_ns
+  FROM e JOIN t2 USING (user_id)
+  WHERE event_type = 'purchase' AND ts_ns > t_click_ns GROUP BY 1
+)
+SELECT u.user_id, t_view_ns, t_click_ns, t_purchase_ns,
+       CAST(CASE WHEN t_purchase_ns IS NOT NULL THEN 3
+                 WHEN t_click_ns IS NOT NULL THEN 2
+                 WHEN t_view_ns IS NOT NULL THEN 1
+                 ELSE 0 END AS INTEGER) AS stage
+FROM (SELECT DISTINCT user_id FROM e) u
+LEFT JOIN t1 USING (user_id)
+LEFT JOIN t2 USING (user_id)
+LEFT JOIN t3 USING (user_id)
+"""
+
+
 def q_j05_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAREST as-of (closing the merge_asof direction vocabulary
     after j01 backward / j04 forward): each click matched with the
@@ -6740,10 +6825,20 @@ def q_gr03_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         triangle_counts,
     )
 
+    return triangle_counts(
+        _copurchase_edges(spark, sf_dir), max_degree=GR03_MAX_DEGREE
+    )
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct oriented part co-purchase edges (a < b): parts
+    appearing in the same order, via the order-bounded self-join
+    (≤ order size per key, same bound as m04's baskets). Shared by
+    gr03 and gr04."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     ).distinct()
-    e = (
+    return (
         li.alias("x")
         .join(li.alias("y"), "l_orderkey")
         .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
@@ -6752,7 +6847,6 @@ def q_gr03_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return triangle_counts(e, max_degree=GR03_MAX_DEGREE)
 
 
 SQL_GR03 = f"""
@@ -6786,6 +6880,71 @@ v AS (
 )
 SELECT part, CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM v GROUP BY 1
+"""
+
+
+def q_gr04_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge neighborhood similarity on the part co-purchase graph
+    (operators/graph.edge_neighborhood_scores): embeddedness
+    ``common = |N(a)∩N(b)|`` and neighborhood Jaccard per edge — the
+    common-neighbors link score behind tie-strength pruning and
+    link prediction. Rides gr03's degree-ordered machinery (√(2|E|)
+    array bound, size-gated broadcast), attributing each
+    once-found triangle to all three of its edges, so common-neighbor
+    counts never touch full undirected neighborhoods; the oracle
+    recomputes them from the three-way wedge join plus degree
+    arithmetic."""
+    from alternating_least_squares_spark.operators.graph import (
+        edge_neighborhood_scores,
+    )
+
+    return edge_neighborhood_scores(
+        _copurchase_edges(spark, sf_dir), max_degree=GR03_MAX_DEGREE
+    )
+
+
+SQL_GR04 = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_partkey < y.l_partkey
+),
+hub AS (
+  SELECT v FROM (
+    SELECT v, count(*) AS deg
+    FROM (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0)
+    GROUP BY 1
+  ) WHERE deg > {GR03_MAX_DEGREE}
+),
+e AS (
+  SELECT a, b FROM e0
+  WHERE a NOT IN (SELECT v FROM hub) AND b NOT IN (SELECT v FROM hub)
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+cnt AS (
+  SELECT a, b, count(*) AS c FROM (
+    SELECT a, b FROM tri
+    UNION ALL SELECT a, c FROM tri
+    UNION ALL SELECT b, c FROM tri
+  ) GROUP BY 1, 2
+),
+deg AS (
+  SELECT v, count(*) AS d
+  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1
+)
+SELECT e.a, e.b, CAST(coalesce(cnt.c, 0) AS BIGINT) AS common,
+       round(coalesce(cnt.c, 0) / (da.d + db.d - coalesce(cnt.c, 0)), 6)
+         AS jaccard
+FROM e
+LEFT JOIN cnt ON cnt.a = e.a AND cnt.b = e.b
+JOIN deg da ON da.v = e.a
+JOIN deg db ON db.v = e.b
 """
 
 
@@ -9162,6 +9321,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "x18_runtime_bloom_filter": (q_x18_runtime_bloom_filter, SQL_X18),
     "x19_epoch_shuffle": (q_x19_epoch_shuffle, SQL_X19),
     "q03_quantile_gate": (q_q03_quantile_gate, SQL_Q03),
+    "gr04_edge_embeddedness": (q_gr04_edge_embeddedness, SQL_GR04),
+    "e15_funnel_stages": (q_e15_funnel_stages, SQL_E15),
 }
 
 

@@ -220,3 +220,58 @@ def test_triangle_scale_path_matches_broadcast_on_planted_graph(spark):
     expect[5] = 13
     assert fast == expect
     assert scale == expect
+
+
+def test_edge_neighborhood_scores_hand_computed(spark):
+    """gr04's operator on K4 + pendant: every K4 edge has the 2 other
+    vertices in common (union = 3+3-2=4 ... with endpoints in each
+    other's neighborhoods); the pendant edge shares nothing."""
+    from alternating_least_squares_spark.operators.graph import (
+        edge_neighborhood_scores,
+    )
+
+    k4 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    df = spark.createDataFrame(k4 + [(4, 9)], "a long, b long")
+    got = {
+        (r["a"], r["b"]): (r["common"], r["jaccard"])
+        for r in edge_neighborhood_scores(df).collect()
+    }
+    # K4 edge (1,2): N(1)={2,3,4}, N(2)={1,3,4} -> common {3,4}=2,
+    # union = 3+3-2 = 4 -> 0.5. Edges at vertex 4 (deg 4): e.g. (1,4):
+    # N(1)={2,3,4} (3), N(4)={1,2,3,9} (4) -> common {2,3}=2 / 5 = 0.4
+    assert got[(1, 2)] == (2, 0.5)
+    assert got[(1, 4)] == (2, 0.4)
+    assert got[(4, 9)] == (0, 0.0)
+    assert len(got) == 7
+
+    scale = {
+        (r["a"], r["b"]): (r["common"], r["jaccard"])
+        for r in edge_neighborhood_scores(
+            df, broadcast_adjacency=False
+        ).collect()
+    }
+    assert scale == got
+
+
+def test_edge_neighborhood_scores_hub_cap(spark):
+    """max_degree drops the hub from edges, degrees, and
+    neighborhoods alike (same semantics as gr03)."""
+    from alternating_least_squares_spark.operators.graph import (
+        edge_neighborhood_scores,
+    )
+
+    k3 = [(1, 2), (1, 3), (2, 3)]
+    hub = [(4, 100 + i) for i in range(10)] + [(1, 4)]
+    df = spark.createDataFrame(k3 + hub, "a long, b long")
+    got = {
+        (r["a"], r["b"]): (r["common"], r["jaccard"])
+        for r in edge_neighborhood_scores(df, max_degree=3).collect()
+    }
+    # vertex 4 (degree 11) is gone entirely; clean K3 remains:
+    # each edge: common 1, union 2+2-1 = 3... N(1)={2,3}, N(2)={1,3}
+    # -> common {3} = 1, union = 2+2-1 = 3 -> 0.333333
+    assert got == {
+        (1, 2): (1, 0.333333),
+        (1, 3): (1, 0.333333),
+        (2, 3): (1, 0.333333),
+    }
