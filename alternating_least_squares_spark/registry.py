@@ -6004,91 +6004,6 @@ FROM j
 """
 
 
-def q_e15_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered conversion funnel per user (view → click → purchase,
-    each step strictly AFTER the previous one's first occurrence) —
-    the sequential-pattern analytics staple product teams run on
-    event streams. Distributed shape: chained conditional
-    aggregations — t1 = min(view ts); t2 = min(click ts > t1);
-    t3 = min(purchase ts > t2) — every stage a groupBy + equi-join on
-    the SAME user_id key, so at cluster scale the exchanges reuse one
-    hash partitioning and no window buffers whole user histories
-    (the e-suite discipline). Emits each user's step timestamps
-    (NULL where the funnel stalled) and the reached stage 0–3."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts_ns"
-    )
-    t1 = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts_ns").alias("t_view_ns"))
-    )
-    t2 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(t1, "user_id")
-        .filter(F.col("ts_ns") > F.col("t_view_ns"))
-        .groupBy("user_id")
-        .agg(F.min("ts_ns").alias("t_click_ns"))
-    )
-    t3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(t2, "user_id")
-        .filter(F.col("ts_ns") > F.col("t_click_ns"))
-        .groupBy("user_id")
-        .agg(F.min("ts_ns").alias("t_purchase_ns"))
-    )
-    stage = (
-        F.when(F.col("t_purchase_ns").isNotNull(), 3)
-        .when(F.col("t_click_ns").isNotNull(), 2)
-        .when(F.col("t_view_ns").isNotNull(), 1)
-        .otherwise(0)
-    )
-    return (
-        ev.select("user_id")
-        .distinct()
-        .join(t1, "user_id", "left")
-        .join(t2, "user_id", "left")
-        .join(t3, "user_id", "left")
-        .select(
-            "user_id",
-            "t_view_ns",
-            "t_click_ns",
-            "t_purchase_ns",
-            stage.cast("integer").alias("stage"),
-        )
-    )
-
-
-SQL_E15 = """
-WITH e AS (
-  SELECT user_id, event_type, epoch_ns(ts) AS ts_ns FROM events
-),
-t1 AS (
-  SELECT user_id, min(ts_ns) AS t_view_ns
-  FROM e WHERE event_type = 'view' GROUP BY 1
-),
-t2 AS (
-  SELECT e.user_id, min(ts_ns) AS t_click_ns
-  FROM e JOIN t1 USING (user_id)
-  WHERE event_type = 'click' AND ts_ns > t_view_ns GROUP BY 1
-),
-t3 AS (
-  SELECT e.user_id, min(ts_ns) AS t_purchase_ns
-  FROM e JOIN t2 USING (user_id)
-  WHERE event_type = 'purchase' AND ts_ns > t_click_ns GROUP BY 1
-)
-SELECT u.user_id, t_view_ns, t_click_ns, t_purchase_ns,
-       CAST(CASE WHEN t_purchase_ns IS NOT NULL THEN 3
-                 WHEN t_click_ns IS NOT NULL THEN 2
-                 WHEN t_view_ns IS NOT NULL THEN 1
-                 ELSE 0 END AS INTEGER) AS stage
-FROM (SELECT DISTINCT user_id FROM e) u
-LEFT JOIN t1 USING (user_id)
-LEFT JOIN t2 USING (user_id)
-LEFT JOIN t3 USING (user_id)
-"""
-
-
 def q_j05_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAREST as-of (closing the merge_asof direction vocabulary
     after j01 backward / j04 forward): each click matched with the
@@ -9322,51 +9237,58 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "x19_epoch_shuffle": (q_x19_epoch_shuffle, SQL_X19),
     "q03_quantile_gate": (q_q03_quantile_gate, SQL_Q03),
     "gr04_edge_embeddedness": (q_gr04_edge_embeddedness, SQL_GR04),
-    "e15_funnel_stages": (q_e15_funnel_stages, SQL_E15),
 }
 
 
 # ---------------------------------------------------------------------------
 # Ordering: the driver's correctness run checks a bounded PREFIX of the
-# registry (50 entries, verified rounds 2-6), so the order below is
-# chosen — not incidental.  ROTATION, round 7 (VERDICT r6 #3): every
-# oracled entry is cumulatively green, so this round re-validates the
-# STALEST rows against the current testdata generation — the 8 entries
-# whose newest official row is round 2 (e01/e02/e05/t02/t03/t04/v01/
-# v03), then new round-7 code (w08_ewma, previously dead —
-# VERDICT r6 #2), then the round-3-vintage cohort oldest-first (41 of
-# 45; a12/c03/c07/c09 defer to round 8 — trivial projections whose
-# families keep a01-a11/c01-c02 coverage here). The 14 rows-only-by-
-# rows-only-by-design entries (d03/d05, s01/s03–s06, m01–m03, g04,
-# ipf_cost_per_visit) stay out of the prefix — their slots would
-# record err:no_oracle and their evidence is the pytest floors.
-# (sm01/s02/g04b graduated to oracle rows in round 8.)
+# registry (50 entries, verified rounds 2-8), so the order below is
+# chosen — not incidental.  ROTATION, round 9 (VERDICT r8 #1 /
+# ADVICE r8): lead with the four entries the driver has NEVER seen
+# (st11/x18/x19/q03 — landed after the r8 prefix rotation; their only
+# rows so far are this repo's local oracle runs), then everything
+# added or semantically touched THIS round (gr04 new; s01/d03
+# newly oracle-backed; mm01 result changed to the BMP decode; gr03
+# re-certified after the degree-ordered-orientation plan change; w08
+# re-certified after the NaN→NULL domain change), then the r8
+# self-deferral (x10/x11/x12), then the oldest cohort — newest
+# official row round 5 — oldest-first (37 of 44; deferred to r10
+# because their families have fresher green rows: mm03/mm04 (mm01/
+# mm02 here), x04/x07 (x01/x05/x06/x08/x09 r8-green + five x-entries
+# here), t07 (t08–t14 r8-green), e07 (e06/e10/e11 here),
+# w03 (w06 r8-green, w04/w05 here)). Rows-only-by-design
+# entries (d05, s03–s06, m01–m03, g04, ipf_cost_per_visit) stay out
+# of the prefix — their slots would record err:no_oracle and their
+# evidence is the pytest floors. (s01/d03 graduated to oracle rows
+# in round 9.)
 _PREFIX = [
-    # r3-vintage stale rows, self-deferred from the r7 prefix
-    "a12_add_labels", "c03_projection", "c07_sort_by_key",
-    "c09_ones_matrix",
-    # round-8 oracle conversions (sm01/s02/g04b) + gr03, whose result
-    # CHANGED this round (live max_degree hub cap) so its cumulative
-    # r6 row no longer certifies the current code
-    "sm01_semantic_dedup", "s02_embedding_near_dup",
-    "g04b_sketch_exact_regime", "gr03_triangles",
-    # oldest remaining cohort: newest official row is round 4
-    # (42 of 45; x10/x11/x12 self-deferred to the r9 prefix)
-    "a21_converge_coordinate", "ac01_snapshot_merge", "ac02_time_travel",
-    "ac03_zorder_code", "ac04_compact_files", "ac05_vacuum",
-    "ac06_schema_evolution", "b06_corrupt_records", "d02_jaccard_pairs",
-    "d06_keep_one", "e08_ohlc_bars", "j02_range_join",
-    "j03_interval_overlap", "mm02_frame_sample", "p01_corpus_curation",
-    "p02_corpus_stats", "q01_data_quality", "sql01_shared_dialect",
-    "st02_stream_sessionize", "st03_stateful_profiles",
-    "st04_stream_enrich", "st05_stream_dedup", "st06_stream_stream_join",
-    "st07_stream_hopping", "st08_stream_snapshot_sink",
-    "st09_incremental_ingest", "t08_contamination", "t09_bpe_tokens",
-    "t10_chunk_windows", "t11_pii_redact", "t12_repetition_stats",
-    "t14_context_assembly", "w01_running_total", "w02_rank_dense_lag",
-    "w06_hopping_batch", "x01_grouped_outliers", "x02_train_test_split",
-    "x03_stratified_sample", "x05_python_udtf", "x06_domain_mix_sample",
-    "x08_salted_agg", "x09_bucketed_join",
+    # never driver-checked (post-r8-rotation landings)
+    "st11_stream_ewma", "x18_runtime_bloom_filter",
+    "x19_epoch_shuffle", "q03_quantile_gate",
+    # new or semantically changed in round 9
+    "gr04_edge_embeddedness", "s01_lsh_topk",
+    "d03_minhash_near_dup", "mm01_media_features", "gr03_triangles",
+    "w08_ewma",
+    # r8 self-deferral
+    "x10_partition_pruning", "x11_table_profile", "x12_salted_join",
+    # oldest remaining cohort: newest official row is round 5
+    "h02_revenue_by_nation", "h03_shipping_priority",
+    "h04_local_supplier_volume", "h05_returned_revenue",
+    "h06_promo_revenue", "h07_order_priority", "h08_volume_shipping",
+    "h09_product_profit", "h10_shipmode_priority",
+    "h11_order_distribution", "h12_disjunctive_revenue",
+    "h13_large_volume_orders", "h14_idle_rich_customers",
+    "h15_top_supplier", "h16_supplier_part_counts",
+    "h17_small_qty_revenue", "h18_important_parts",
+    "h19_min_cost_supplier", "h20_forecast_revenue",
+    "h21_sole_returning_supplier", "h22_market_share",
+    "g01_rollup", "g02_cube", "g03_percentiles",
+    "w04_distribution_funcs", "w05_tumbling_batch",
+    "b04_orc_roundtrip", "b05_jsonl_roundtrip",
+    "e06_funnel", "e10_inter_event_gaps", "e11_trailing_active_users",
+    "ac07_merge_schema_evolution", "ac08_change_feed",
+    "rc02_node_depth", "rc03_bom_effective_qty",
+    "j04_asof_forward", "gr01_pagerank_fixed",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

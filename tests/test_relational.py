@@ -223,46 +223,3 @@ def test_rangegen_empty_and_bad_partitions(spark):
         spark.read.format("rangegen").option("n", "0").load().count() == 0
     )
 
-
-def test_e15_funnel_stages_hand_computed(spark, monkeypatch):
-    """Funnel ordering is strict: a click BEFORE the first view does
-    not advance the funnel; each step keys off the previous step's
-    first occurrence."""
-    import datetime
-
-    import alternating_least_squares_spark.registry as R
-    from pyspark.sql import functions as F
-
-    t0 = datetime.datetime(2024, 1, 1)
-
-    def ev(eid, sec, uid, etype):
-        return (eid, t0 + datetime.timedelta(seconds=sec), uid, etype,
-                1.0, "{}")
-
-    rows = [
-        # user 1: full funnel in order
-        ev(1, 0, 1, "view"), ev(2, 5, 1, "click"), ev(3, 9, 1, "purchase"),
-        # user 2: click precedes the first view -> stalls at stage 1
-        ev(4, 0, 2, "click"), ev(5, 5, 2, "view"),
-        # user 3: purchase before click -> stage 2 only
-        ev(6, 0, 3, "view"), ev(7, 2, 3, "purchase"), ev(8, 4, 3, "click"),
-        # user 4: never views -> stage 0
-        ev(9, 0, 4, "signup"),
-        # user 5: view+click same ts (not strictly after) -> stage 1
-        ev(10, 0, 5, "view"), ev(11, 0, 5, "click"),
-    ]
-    batch = spark.createDataFrame(
-        rows, "event_id long, ts timestamp, user_id long, "
-        "event_type string, value double, props string"
-    ).withColumn("ts_ns", F.unix_micros("ts") * 1000)
-    real_load = R.load_table
-    monkeypatch.setattr(
-        R, "load_table",
-        lambda sp, sf, name: batch if name == "events"
-        else real_load(sp, sf, name),
-    )
-    got = {
-        r["user_id"]: r["stage"]
-        for r in R.q_e15_funnel_stages(spark, "ignored").collect()
-    }
-    assert got == {1: 3, 2: 1, 3: 2, 4: 0, 5: 1}
