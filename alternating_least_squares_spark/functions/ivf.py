@@ -6,14 +6,24 @@ random-hyperplane LSH in :mod:`.similarity`:
 1. **train** — KMeans (``pyspark.ml.clustering``) learns
    ``n_centroids`` coarse centroids (the "inverted file" vocabulary).
 2. **index** — one narrow pass assigns every corpus vector to its
-   nearest centroid (the model's own transform).
-3. **probe** — each query computes distances to all centroids (a
-   broadcast of ``n_centroids`` rows), keeps the ``n_probe`` nearest
-   lists, and joins the corpus on the centroid id — an equi-join whose
-   fan-in is ``n_probe / n_centroids`` of the corpus, never all-pairs.
+   nearest centroid, as a literal-argmin codegen expression over the
+   EXTRACTED centroid arrays (never ``model.transform``: MLlib
+   prediction UDFs serialize the model's trainingSummary → session →
+   ObservationManager, which breaks in any session that has run an
+   ``observe()`` query — the ml/classifier.py fix pattern).
+3. **probe** — each query ranks the same literal centroid distances
+   and keeps the ``n_probe`` nearest lists, then joins the corpus on
+   the list id — an equi-join whose fan-in is
+   ``n_probe / n_centroids`` of the corpus, never all-pairs.
 4. **rerank** — exact cosine inside the probed lists, window top-k.
 
-At 100 TB: the index pass is embarrassingly parallel; the probe join
+Assignment and probing share ONE distance expression
+(:func:`.pq.assign_lists_lit` / :func:`.pq.probe_lists_lit`, both
+lowest-index on ties), so a query's own inverted list is always its
+first probe — the property the s03 sign-construction oracle rests on.
+
+At 100 TB: the index pass is embarrassingly parallel (no model
+broadcast — centroids ride the plan as literals); the probe join
 shuffles only the probed fraction; recall/cost is tuned by
 (``n_centroids``, ``n_probe``) exactly as in FAISS-style IVF-Flat.
 KMeans itself trains on a sample — centroid quality needs no full
@@ -71,64 +81,11 @@ def train_centroids(
     ).fit(feats)
 
 
-def assign_lists(
-    emb: DataFrame, model: KMeansModel, vec_col: str = "embedding"
-) -> DataFrame:
-    """Index pass: append the owning centroid id as ``list_id``.
-    Narrow (model broadcast by MLlib), no shuffle."""
-    feats = emb.withColumn(
-        "features", array_to_vector(F.col(vec_col).cast("array<double>"))
-    )
-    return (
-        model.transform(feats)
-        .withColumnRenamed("prediction", "list_id")
-        .drop("features")
-    )
-
-
-def _centroids_df(spark, model: KMeansModel) -> DataFrame:
-    rows = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
-    return spark.createDataFrame(rows, "list_id int, centroid array<double>")
-
-
-def probe_lists(
-    queries: DataFrame,
-    model: KMeansModel,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_probe: int = 4,
-) -> DataFrame:
-    """(query_id, list_id) pairs for the n_probe nearest lists per
-    query. Centroids are a broadcast crossJoin (n_centroids rows);
-    distance ranking is a per-query window."""
-    spark = queries.sparkSession
-    cents = _centroids_df(spark, model)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q")
-    )
-    dist = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn(
-            "_d2",
-            F.aggregate(
-                F.zip_with(
-                    F.col("_q").cast("array<double>"),
-                    F.col("centroid"),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("_d2"), F.asc("list_id"))
-    return (
-        dist.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= n_probe)
-        .select("query_id", "list_id", "_q")
-    )
+def extract_centroids(model: KMeansModel) -> list[list[float]]:
+    """The trained centroids as plain nested lists, ready to inline as
+    plan literals — the only thing downstream stages need from the
+    model (never ship the model itself into an expression)."""
+    return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
 def ivf_topk(
@@ -145,14 +102,22 @@ def ivf_topk(
     """IVF-Flat top-k: probe the n_probe nearest lists, exact-cosine
     rerank, per-query window top-k. Returns
     (query_id, neighbor_id, cosine, rank)."""
+    from alternating_least_squares_spark.functions.pq import (
+        assign_lists_lit,
+        probe_lists_lit,
+    )
+
     if model is None:
         model = train_centroids(emb, vec_col, n_centroids, seed)
-    corpus = assign_lists(
-        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_e")),
-        model,
+    cents = extract_centroids(model)
+    corpus = assign_lists_lit(
+        emb.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_e")
+        ),
+        cents,
         "_e",
     )
-    probes = probe_lists(queries, model, id_col, vec_col, n_probe)
+    probes = probe_lists_lit(queries, cents, id_col, vec_col, n_probe)
     cand = probes.join(corpus, "list_id").filter(
         F.col("query_id") != F.col("neighbor_id")
     )

@@ -2059,22 +2059,21 @@ FROM documents
 # similarity search / ALS (rows-only: iterative or multi-stage plans)
 
 
-def q_s01_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH top-k (functions/similarity.lsh_topk),
-    oracle-EXACT via the sign-quantization construction (VERDICT r8
-    #3, the sm01/s02 playbook): each vector is replaced by the signs
-    of its first 3 components TILED across all 64 dims, so the corpus
-    holds exactly 8 distinct ±1 patterns. Identical patterns have
-    identical hyperplane projections — same bucket in EVERY hash
-    table, recall structurally 1.0 — and cosine exactly 1.0; distinct
-    patterns differ in ≥21 of 64 dims, cosine ≤ 22/64 ≈ 0.344. Every
-    pattern group holds ≥52 members at every SF (checked), so each
-    query's top-5 is FORCED: the 5 smallest same-pattern neighbor ids
-    at cosine 1.0, which one SQL self-join + row_number states.
-    Probabilistic recall on real-valued vectors stays pinned by
-    tests/test_similarity.py's planted fixtures."""
-    from alternating_least_squares_spark.functions.similarity import lsh_topk
-
+def _sgn3_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sign-quantization ANN fixture (VERDICT r8 #3, the sm01/s02
+    playbook): every vector replaced by the signs of its first 3
+    components TILED across all 64 dims, so the corpus holds exactly
+    8 distinct ±1 patterns. Identical patterns behave identically
+    under ANY hashing/clustering/projection (same LSH buckets, same
+    KMeans/IVF list, same PQ codes, same PCA image) and have cosine
+    exactly 1.0; distinct patterns differ in ≥21 of 64 dims (cosine
+    ≤ 22/64 ≈ 0.344, L2² ≥ 84). Every pattern group holds ≥52
+    members at every SF (checked), so a k=5 top-k over any
+    candidate-generation strategy that finds same-pattern members is
+    FORCED: the 5 smallest same-pattern neighbor ids at cosine 1.0 —
+    which one SQL self-join + row_number states (SQL_SIGN_TOPK,
+    shared by s01/s03/s05/s06 exactly like d09/d10 share one oracle
+    text: four implementations against one ground truth)."""
     sgn3 = F.transform(
         F.sequence(F.lit(0), F.lit(63)),
         lambda d: F.when(
@@ -2088,14 +2087,26 @@ def q_s01_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0),
         ).otherwise(F.lit(-1.0)),
     )
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    return load_table(spark, sf_dir, "embeddings").select(
         "vec_id", sgn3.alias("embedding")
     )
+
+
+def q_s01_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH top-k (functions/similarity.lsh_topk),
+    oracle-EXACT via the sign-quantization construction
+    (_sgn3_embeddings): identical patterns have identical hyperplane
+    projections — same bucket in EVERY hash table, recall
+    structurally 1.0. Probabilistic recall on real-valued vectors
+    stays pinned by tests/test_similarity.py's planted fixtures."""
+    from alternating_least_squares_spark.functions.similarity import lsh_topk
+
+    emb = _sgn3_embeddings(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 20)
     return lsh_topk(emb, queries_df, k=5)
 
 
-SQL_S01 = """
+SQL_SIGN_TOPK = """
 WITH k AS (
   SELECT vec_id,
          concat(
@@ -2114,6 +2125,7 @@ SELECT * FROM (
   WHERE q.vec_id < 20
 ) WHERE rank <= 5
 """
+SQL_S01 = SQL_SIGN_TOPK
 
 
 def q_s02_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2235,31 +2247,48 @@ def q_s04_mllib_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_s03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN (KMeans coarse quantizer + probed-list exact
     rerank) — the second scale path next to s01's hyperplane LSH.
-    Rows-only: KMeans training is iterative ML."""
+    Oracle-EXACT on the sign fixture (round 9, extending VERDICT r8
+    #3 past s01): KMeans assignment is a deterministic argmin, so
+    identical patterns land in the SAME inverted list no matter where
+    the 16 centroids converge on 8 distinct points; the probe window
+    (asc _d2, asc list_id — ivf.py:126) ranks the query's own
+    assignment first (same distances, same lowest-index tie-break as
+    MLlib's findClosest), so every same-pattern member is a candidate
+    and the exact-cosine rerank forces the top-5. Real-valued recall
+    stays pinned by tests/test_similarity.py."""
     from alternating_least_squares_spark.functions.ivf import ivf_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _sgn3_embeddings(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 20)
     return ivf_topk(emb, queries_df, k=5, n_centroids=16, n_probe=4)
+
+
+SQL_S03 = SQL_SIGN_TOPK
 
 
 def q_s05_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA 64→32 (MLlib, one Gramian pass) + cosine top-k in the
     reduced space, with LSH-bucketed candidate generation (default
     path — a bucket equi-join, never Q×N even for corpus-sized query
-    sets; measured recall identical to the exhaustive rerank on this
-    data). Rows-only: eigenvector signs are implementation-defined.
-    tests/test_similarity.py asserts (a) the full-rank exhaustive
-    projection reproduces the exact v02 ranking bit-for-bit (rotation
-    invariance of cosine) and (b) a recall floor at 32 components on
-    the default bucketed path — modest here because the synthetic
-    corpus is near-isotropic, the worst case for PCA; real embedding
-    spectra decay fast."""
+    sets). Oracle-EXACT on the sign fixture (round 9): the 8 sign
+    patterns span ≤ 9 dims (8 centered directions + the uncentered
+    mean), so 32 components hold the whole corpus — projection
+    preserves pairwise DIFFERENCES exactly (x_p − x_q lies in the
+    centered span), identical patterns project identically (reduced
+    cosine exactly 1.0, same reduced-space LSH buckets in every
+    table), and distinct projections stay ≥ √84 apart, bounding their
+    cosine ≤ 0.85 < 1. Eigenvector sign/rotation ambiguity — the
+    reason this was rows-only — cancels: cosine and bucket membership
+    are basis-invariant. Real-valued recall + the full-rank
+    rotation-invariance contract stay in tests/test_similarity.py."""
     from alternating_least_squares_spark.functions.similarity import pca_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _sgn3_embeddings(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 20)
     return pca_topk(emb, queries_df, k=5, n_components=32)
+
+
+SQL_S05 = SQL_SIGN_TOPK
 
 
 def q_s06_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2267,12 +2296,19 @@ def q_s06_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generation, asymmetric-distance scoring over 4-byte PQ
     codes (the candidate stream never carries vectors — the
     memory-compression path that serves billion-vector indexes), then
-    exact-cosine rerank of the ADC survivors. Rows-only: two KMeans
-    trainings are iterative ML. Recall floor + exact-score contract
-    pinned in tests/test_pq.py."""
+    exact-cosine rerank of the ADC survivors. Oracle-EXACT on the
+    sign fixture (round 9): driver-side Lloyd on ≤8 distinct points
+    (resp. ≤8 distinct 16-dim subvectors) converges to exact pattern
+    points in one iteration — duplicate centroids get no mass under
+    the lowest-index argmin — so PQ encoding is LOSSLESS here: the
+    ADC score of a same-pattern candidate is exactly Σ‖q_i‖² = 64.0
+    while any cross-pattern candidate scores ≤ 22.0 (≥21 of 64 sign
+    flips), so all ≥51 same-pattern members survive the rerank=64
+    ADC cut and the exact-cosine rerank forces the top-5. Real-valued
+    recall + exact-score contract pinned in tests/test_pq.py."""
     from alternating_least_squares_spark.functions.pq import ivf_pq_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _sgn3_embeddings(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 20)
     return ivf_pq_topk(
         emb,
@@ -2286,6 +2322,9 @@ def q_s06_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # rerank depth — cheap (64 full vectors per query via equi-join)
         rerank=64,
     )
+
+
+SQL_S06 = SQL_SIGN_TOPK
 
 
 def q_m01_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9175,10 +9214,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "d06_keep_one": (q_d06_keep_one, SQL_D06),
     "s01_lsh_topk": (q_s01_lsh_topk, SQL_S01),
     "s02_embedding_near_dup": (q_s02_embedding_near_dup, SQL_S02),
-    "s03_ivf_topk": (q_s03_ivf_topk, None),
+    "s03_ivf_topk": (q_s03_ivf_topk, SQL_S03),
     "s04_mllib_euclidean": (q_s04_mllib_euclidean, None),
-    "s05_pca_topk": (q_s05_pca_topk, None),
-    "s06_pq_topk": (q_s06_pq_topk, None),
+    "s05_pca_topk": (q_s05_pca_topk, SQL_S05),
+    "s06_pq_topk": (q_s06_pq_topk, SQL_S06),
     "m01_als_recommend": (q_m01_als_recommend, None),
     "m02_als_implicit": (q_m02_als_implicit, None),
     "m03_quality_filter": (q_m03_quality_filter, None),
@@ -9256,11 +9295,16 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # because their families have fresher green rows: mm03/mm04 (mm01/
 # mm02 here), x04/x07 (x01/x05/x06/x08/x09 r8-green + five x-entries
 # here), t07 (t08–t14 r8-green), e07 (e06/e10/e11 here),
-# w03 (w06 r8-green, w04/w05 here)). Rows-only-by-design
-# entries (d05, s03–s06, m01–m03, g04, ipf_cost_per_visit) stay out
+# w03 (w06 r8-green, w04/w05 here), and h16/h17/h21 (18 h-suite
+# slots remain here — they yielded to the round-9 ANN graduations
+# s03/s05/s06, which like every new oracle conversion must be
+# driver-certified the round they land). Rows-only-by-design
+# entries (d05, s04, m01–m03, g04, ipf_cost_per_visit) stay out
 # of the prefix — their slots would record err:no_oracle and their
 # evidence is the pytest floors. (s01/d03 graduated to oracle rows
-# in round 9.)
+# in round 9; s03/s05/s06 followed via the same sign-quantization
+# fixture, with ivf.py moved off model.transform first — the
+# observe()/ObservationManager serialization pitfall.)
 _PREFIX = [
     # never driver-checked (post-r8-rotation landings)
     "st11_stream_ewma", "x18_runtime_bloom_filter",
@@ -9268,7 +9312,7 @@ _PREFIX = [
     # new or semantically changed in round 9
     "gr04_edge_embeddedness", "s01_lsh_topk",
     "d03_minhash_near_dup", "mm01_media_features", "gr03_triangles",
-    "w08_ewma",
+    "w08_ewma", "s03_ivf_topk", "s05_pca_topk", "s06_pq_topk",
     # r8 self-deferral
     "x10_partition_pruning", "x11_table_profile", "x12_salted_join",
     # oldest remaining cohort: newest official row is round 5
@@ -9278,10 +9322,9 @@ _PREFIX = [
     "h09_product_profit", "h10_shipmode_priority",
     "h11_order_distribution", "h12_disjunctive_revenue",
     "h13_large_volume_orders", "h14_idle_rich_customers",
-    "h15_top_supplier", "h16_supplier_part_counts",
-    "h17_small_qty_revenue", "h18_important_parts",
+    "h15_top_supplier", "h18_important_parts",
     "h19_min_cost_supplier", "h20_forecast_revenue",
-    "h21_sole_returning_supplier", "h22_market_share",
+    "h22_market_share",
     "g01_rollup", "g02_cube", "g03_percentiles",
     "w04_distribution_funcs", "w05_tumbling_batch",
     "b04_orc_roundtrip", "b05_jsonl_roundtrip",

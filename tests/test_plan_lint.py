@@ -37,7 +37,6 @@ BNLJ_ALLOWED = {
     "v02_topk_cosine",     # documented brute-force baseline (<=20 queries)
     "h14_idle_rich_customers",  # scalar avg-balance subquery (1 row)
     "h18_important_parts",      # scalar avg-quantity subquery (1 row)
-    "s03_ivf_topk",        # centroid table broadcast (n_centroids rows)
     "x15_temperature_mix",  # scalar N_min crossJoin (1 row) onto the
                             # tiny per-source count table
 }
