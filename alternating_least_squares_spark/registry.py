@@ -2221,27 +2221,110 @@ WHERE doc_id NOT IN (SELECT doc_id FROM losers)
 def q_d05_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib MinHashLSH.approxSimilarityJoin near-dup path (the API
     users migrating from MLlib pipelines hold); coexists with the
-    hand-rolled d03 and agrees with it (tests). Rows-only: MLlib's
-    hash family is internal."""
+    hand-rolled d03 and agrees with it (tests). Oracle-EXACT (round
+    9) although MLlib's hash family is internal: each document's text
+    is replaced by 5 md5-derived tokens (md5(i‖text), i=0..4), so two
+    documents share a 3-shingle ONLY when their full texts are
+    identical — shingle-set Jaccard is structurally ∈ {0, 1}, robust
+    to testdata regeneration (raw-text constructions can grow
+    borderline (0, 0.5] pairs; md5 token overlap cannot). Identical
+    texts ⇒ identical HashingTF vectors ⇒ identical MinHash
+    signatures under ANY hash family ⇒ co-bucketed in every table,
+    so recall of the distance-0 pairs is structural, and no other
+    pair can pass the distance < 0.5 join filter (nonzero hashed
+    Jaccard needs an md5 sub-collision). Ground truth: all ordered
+    pairs of the exact-text key. Probabilistic behavior on real
+    near-dups stays pinned by tests/test_dedup.py's agreement
+    fixtures against d03."""
     from alternating_least_squares_spark.functions.mllib_lsh import (
         mllib_minhash_near_dup,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    return mllib_minhash_near_dup(docs, max_jaccard_distance=0.5)
+    canon = F.concat_ws(
+        " ",
+        *[
+            F.md5(
+                F.concat(F.lit(str(i)), F.coalesce(F.col("text"), F.lit("")))
+            )
+            for i in range(5)
+        ],
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", canon.alias("text")
+    )
+    # planted exact copies (doc_id%10==0, +20M — the d11 offset
+    # convention) guarantee distance-0 pairs at every SF; the corpus
+    # itself holds few or no exact-text dups
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+    )
+    return mllib_minhash_near_dup(
+        docs.unionByName(copies), max_jaccard_distance=0.5
+    )
+
+
+SQL_D05 = """
+WITH inp AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+  UNION ALL
+  SELECT doc_id + 20000000, coalesce(text, '')
+  FROM documents WHERE doc_id % 10 = 0
+),
+k AS (
+  SELECT doc_id, md5(t) AS key FROM inp
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(0.0 AS DOUBLE) AS jaccard_distance
+FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id
+"""
 
 
 def q_s04_mllib_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BucketedRandomProjectionLSH near-neighbor pairs on the chord
-    scale (unit vectors). Rows-only."""
+    scale. Oracle-EXACT (round 9) via the s02 construction: full-sign
+    vectors + planted copies (vec_id%20==0, +1M). Identical sign
+    patterns hash into the SAME bucket in every projection table
+    (recall structurally 1.0 whatever the internal random vectors)
+    at Euclidean distance exactly 0.0; distinct patterns differ in
+    ≥1 of 64 ±1 components, distance ≥ 2 > the 1.0 join threshold —
+    so the pair set is exactly "same sign pattern". Real-valued
+    behavior stays pinned by tests/test_similarity.py."""
     from alternating_least_squares_spark.functions.mllib_lsh import (
         mllib_euclidean_neighbors,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    # chord 1.1 ⇔ cosine ≥ ~0.4 — matched to the synthetic corpus,
-    # which holds no true near-dups (max pairwise cosine ≈ 0.4)
-    return mllib_euclidean_neighbors(emb, max_distance=1.1)
+    sgn = F.transform(
+        F.col("embedding"),
+        lambda x: F.when(x >= 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", sgn.alias("embedding")
+    )
+    copies = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    return mllib_euclidean_neighbors(
+        emb.unionByName(copies), max_distance=1.0
+    )
+
+
+SQL_S04 = """
+WITH inp AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 20 = 0
+),
+k AS (
+  SELECT vec_id,
+         list_aggr(
+           list_transform(embedding,
+                          x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+           'string_agg', '') AS key
+  FROM inp
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(0.0 AS DOUBLE) AS euclidean
+FROM k a JOIN k b ON a.key = b.key AND a.vec_id < b.vec_id
+"""
 
 
 def q_s03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9210,12 +9293,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "d02_jaccard_pairs": (q_d02_jaccard_pairs, SQL_D02),
     "d03_minhash_near_dup": (q_d03_minhash_near_dup, SQL_D03),
     "d04_dedup_components": (q_d04_dedup_components, SQL_D04),
-    "d05_mllib_minhash": (q_d05_mllib_minhash, None),
+    "d05_mllib_minhash": (q_d05_mllib_minhash, SQL_D05),
     "d06_keep_one": (q_d06_keep_one, SQL_D06),
     "s01_lsh_topk": (q_s01_lsh_topk, SQL_S01),
     "s02_embedding_near_dup": (q_s02_embedding_near_dup, SQL_S02),
     "s03_ivf_topk": (q_s03_ivf_topk, SQL_S03),
-    "s04_mllib_euclidean": (q_s04_mllib_euclidean, None),
+    "s04_mllib_euclidean": (q_s04_mllib_euclidean, SQL_S04),
     "s05_pca_topk": (q_s05_pca_topk, SQL_S05),
     "s06_pq_topk": (q_s06_pq_topk, SQL_S06),
     "m01_als_recommend": (q_m01_als_recommend, None),
@@ -9295,16 +9378,20 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # because their families have fresher green rows: mm03/mm04 (mm01/
 # mm02 here), x04/x07 (x01/x05/x06/x08/x09 r8-green + five x-entries
 # here), t07 (t08–t14 r8-green), e07 (e06/e10/e11 here),
-# w03 (w06 r8-green, w04/w05 here), and h16/h17/h21 (18 h-suite
-# slots remain here — they yielded to the round-9 ANN graduations
-# s03/s05/s06, which like every new oracle conversion must be
-# driver-certified the round they land). Rows-only-by-design
-# entries (d05, s04, m01–m03, g04, ipf_cost_per_visit) stay out
-# of the prefix — their slots would record err:no_oracle and their
-# evidence is the pytest floors. (s01/d03 graduated to oracle rows
-# in round 9; s03/s05/s06 followed via the same sign-quantization
-# fixture, with ivf.py moved off model.transform first — the
-# observe()/ObservationManager serialization pitfall.)
+# w03 (w06 r8-green, w04/w05 here), and h15/h16/h17/h19/h21 (16
+# h-suite slots remain here — they yielded to the round-9
+# graduations s03/s05/s06/d05/s04, which like every new oracle
+# conversion must be driver-certified the round they land).
+# Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
+# stay out of the prefix — their slots would record err:no_oracle
+# and their evidence is the pytest floors. (Round 9 graduated the
+# WHOLE remaining dedup/ANN surface to oracle rows: s01/d03 by the
+# r8 verdict's ask, then s03/s05/s06 via the same sign-quantization
+# fixture — ivf.py moved off model.transform first, the observe()/
+# ObservationManager serialization pitfall — and d05/s04, whose
+# internal MLlib hash families don't matter when identical inputs
+# must collide and all distinct inputs are structurally outside the
+# join threshold.)
 _PREFIX = [
     # never driver-checked (post-r8-rotation landings)
     "st11_stream_ewma", "x18_runtime_bloom_filter",
@@ -9313,6 +9400,7 @@ _PREFIX = [
     "gr04_edge_embeddedness", "s01_lsh_topk",
     "d03_minhash_near_dup", "mm01_media_features", "gr03_triangles",
     "w08_ewma", "s03_ivf_topk", "s05_pca_topk", "s06_pq_topk",
+    "d05_mllib_minhash", "s04_mllib_euclidean",
     # r8 self-deferral
     "x10_partition_pruning", "x11_table_profile", "x12_salted_join",
     # oldest remaining cohort: newest official row is round 5
@@ -9322,8 +9410,7 @@ _PREFIX = [
     "h09_product_profit", "h10_shipmode_priority",
     "h11_order_distribution", "h12_disjunctive_revenue",
     "h13_large_volume_orders", "h14_idle_rich_customers",
-    "h15_top_supplier", "h18_important_parts",
-    "h19_min_cost_supplier", "h20_forecast_revenue",
+    "h18_important_parts", "h20_forecast_revenue",
     "h22_market_share",
     "g01_rollup", "g02_cube", "g03_percentiles",
     "w04_distribution_funcs", "w05_tumbling_batch",
