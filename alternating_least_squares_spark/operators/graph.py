@@ -348,3 +348,73 @@ def edge_neighborhood_scores(
             ).alias("jaccard"),
         )
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int | None = None,
+    max_rounds: int = 60,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983 /
+    Batagelj–Zaveršnik, the degeneracy workhorse behind community
+    cores, fraud-ring triage, and graph sparsification): repeatedly
+    drop every vertex whose current degree is < ``k`` until the
+    survivor set is stable. Input is an oriented undirected edge list
+    (columns ``a``, ``b``, a < b; deduplicated here). Returns
+    ``(vertex, core_degree)`` — the surviving vertices with their
+    degree inside the surviving edge set.
+
+    Two modes, the gr01/ipf twin discipline:
+
+    - ``rounds=None`` (live): peel to the FIXPOINT, detected by the
+      edge count not shrinking (no edge lost ⇔ every surviving vertex
+      already has degree ≥ k). One ``count()`` action per round — the
+      rc01 fixpoint pattern — and a loud ``max_rounds`` RuntimeError
+      instead of spinning when given an adversarial input (each true
+      peel round removes ≥ 1 vertex, so rounds are bounded by |V|,
+      but the guard keeps a driver-side bug from looping forever).
+    - ``rounds=R`` (fixed sweep): exactly R peels, NO count actions —
+      the result is well-defined whether or not the fixpoint was
+      reached, so an unrolled-SQL oracle can state it exactly (and
+      when R ≥ the data's peel depth it IS the k-core).
+
+    Distributed shape: each round is one union-degree aggregation
+    plus two semi-joins on the vertex key — all hash-partitioned on
+    vertex/edge keys, linear in |E|, no adjacency arrays, nothing
+    broadcast, nothing quadratic (peeling needs no neighbor
+    intersection, unlike gr03). Per-round ``localCheckpoint`` keeps
+    lineage flat so round N never replays rounds 1..N-1 — at 100 TB
+    the work is R bounded shuffles of a shrinking edge set.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = edges.select("a", "b").distinct().localCheckpoint(eager=True)
+    n_prev = e.count() if rounds is None else None
+    r = 0
+    while True:
+        if rounds is not None and r >= rounds:
+            break
+        if rounds is None and r >= max_rounds:
+            raise RuntimeError(
+                f"kcore: no fixpoint after {max_rounds} rounds "
+                f"(edges remaining: {n_prev})"
+            )
+        deg = vertex_degrees(e)
+        keep = deg.filter(F.col("degree") >= k).select("vertex")
+        e = (
+            e.join(
+                keep.withColumnRenamed("vertex", "a"), "a", "left_semi"
+            )
+            .join(keep.withColumnRenamed("vertex", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        r += 1
+        if rounds is None:
+            n_new = e.count()
+            if n_new == n_prev:
+                break
+            n_prev = n_new
+    return vertex_degrees(e).select(
+        "vertex", F.col("degree").cast("long").alias("core_degree")
+    )

@@ -6985,6 +6985,93 @@ JOIN deg db ON db.v = e.b
 """
 
 
+GR05_K = 3
+GR05_ROUNDS = 12
+GR05_MIN_SUPPORT = 2
+
+
+def q_gr05_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the SUPPORT-THRESHOLDED part co-purchase graph
+    (operators/graph.kcore, fixed sweep): edges are part pairs
+    co-purchased in ≥ 2 distinct orders (the m04 support idea as a
+    graph sparsifier — the raw co-purchase graph is near-regular with
+    min degree ≈ 90, so its k-core transition is all-or-nothing,
+    while the support graph has the skewed degrees real co-purchase
+    data shows and peels in earnest: 10 changing rounds to the
+    3-core fixpoint at sf0.01). Exactly GR05_ROUNDS peel rounds on
+    both sides — the gr01/ipf fixed-sweep discipline, well-defined
+    whether or not the fixpoint has been reached, and ≥ the measured
+    peel depth at both test SFs so the result here IS the 3-core.
+    The live fixpoint mode (rounds=None, edge-count early exit, loud
+    max_rounds guard) is exercised by tests/test_graph.py, which
+    pins fixed-sweep == fixpoint on this data and brute-force parity
+    on random graphs."""
+    from alternating_least_squares_spark.operators.graph import kcore
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(
+            F.col("x.l_partkey").alias("a"),
+            F.col("y.l_partkey").alias("b"),
+        )
+        .agg(F.count("*").alias("_support"))
+        .filter(F.col("_support") >= GR05_MIN_SUPPORT)
+        .select("a", "b")
+    )
+    return kcore(edges, k=GR05_K, rounds=GR05_ROUNDS).select(
+        F.col("vertex").alias("part"), "core_degree"
+    )
+
+
+def _gr05_oracle(k: int, rounds: int, min_support: int) -> str:
+    """Unrolled peel: one (keep_i, e_i) CTE pair per round — the
+    gr01 unrolled-CTE pattern for iterative operators. Every round
+    CTE is ``AS MATERIALIZED``: DuckDB inlines plain CTEs, and each
+    round references its predecessor three times, so un-materialized
+    unrolling expands the scan tree ~4^rounds-fold (measured: 12
+    rounds exhausts the fd limit on the parquet alone)."""
+    parts = [
+        "WITH li AS MATERIALIZED "
+        "(SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),",
+        "e0 AS MATERIALIZED (",
+        "  SELECT x.l_partkey AS a, y.l_partkey AS b",
+        "  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey",
+        "  WHERE x.l_partkey < y.l_partkey",
+        f"  GROUP BY 1, 2 HAVING count(*) >= {min_support}",
+        ")",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""", k{r} AS MATERIALIZED (
+  SELECT v FROM (
+    SELECT v, count(*) AS deg
+    FROM (SELECT a AS v FROM e{p} UNION ALL SELECT b FROM e{p})
+    GROUP BY 1
+  ) WHERE deg >= {k}
+), e{r} AS MATERIALIZED (
+  SELECT a, b FROM e{p}
+  WHERE a IN (SELECT v FROM k{r}) AND b IN (SELECT v FROM k{r})
+)"""
+        )
+    parts.append(
+        f"""SELECT v AS part, CAST(count(*) AS BIGINT) AS core_degree
+FROM (SELECT a AS v FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+GROUP BY 1"""
+    )
+    return "\n".join(parts)
+
+
+SQL_GR05 = _gr05_oracle(GR05_K, GR05_ROUNDS, GR05_MIN_SUPPORT)
+
+
 def q_e11_trailing_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day active users per day (the WAU analytics shape).
     Scale formulation: dedupe to (user, day) FIRST, then EXPLODE each
@@ -9359,6 +9446,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "x19_epoch_shuffle": (q_x19_epoch_shuffle, SQL_X19),
     "q03_quantile_gate": (q_q03_quantile_gate, SQL_Q03),
     "gr04_edge_embeddedness": (q_gr04_edge_embeddedness, SQL_GR04),
+    "gr05_kcore": (q_gr05_kcore, SQL_GR05),
 }
 
 
@@ -9378,10 +9466,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # because their families have fresher green rows: mm03/mm04 (mm01/
 # mm02 here), x04/x07 (x01/x05/x06/x08/x09 r8-green + five x-entries
 # here), t07 (t08–t14 r8-green), e07 (e06/e10/e11 here),
-# w03 (w06 r8-green, w04/w05 here), and h15/h16/h17/h19/h21 (16
-# h-suite slots remain here — they yielded to the round-9
-# graduations s03/s05/s06/d05/s04, which like every new oracle
-# conversion must be driver-certified the round they land).
+# w03 (w06 r8-green, w04/w05 here), and h15/h16/h17/h18/h19/h21
+# (15 h-suite slots remain here — they yielded to the round-9
+# graduations s03/s05/s06/d05/s04 and the new gr05, which like
+# every new entry must be driver-certified the round they land).
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors. (Round 9 graduated the
@@ -9400,7 +9488,7 @@ _PREFIX = [
     "gr04_edge_embeddedness", "s01_lsh_topk",
     "d03_minhash_near_dup", "mm01_media_features", "gr03_triangles",
     "w08_ewma", "s03_ivf_topk", "s05_pca_topk", "s06_pq_topk",
-    "d05_mllib_minhash", "s04_mllib_euclidean",
+    "d05_mllib_minhash", "s04_mllib_euclidean", "gr05_kcore",
     # r8 self-deferral
     "x10_partition_pruning", "x11_table_profile", "x12_salted_join",
     # oldest remaining cohort: newest official row is round 5
@@ -9410,8 +9498,7 @@ _PREFIX = [
     "h09_product_profit", "h10_shipmode_priority",
     "h11_order_distribution", "h12_disjunctive_revenue",
     "h13_large_volume_orders", "h14_idle_rich_customers",
-    "h18_important_parts", "h20_forecast_revenue",
-    "h22_market_share",
+    "h20_forecast_revenue", "h22_market_share",
     "g01_rollup", "g02_cube", "g03_percentiles",
     "w04_distribution_funcs", "w05_tumbling_batch",
     "b04_orc_roundtrip", "b05_jsonl_roundtrip",

@@ -275,3 +275,84 @@ def test_edge_neighborhood_scores_hub_cap(spark):
         (1, 3): (1, 0.333333),
         (2, 3): (1, 0.333333),
     }
+
+
+def test_kcore_hand_computed(spark):
+    """A 4-clique with a pendant chain: the 3-core is exactly the
+    clique (peeling the chain cascades), and every survivor reports
+    its in-core degree."""
+    from alternating_least_squares_spark.operators.graph import kcore
+
+    # clique {1,2,3,4} + chain 4-5-6
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["vertex"]: r["core_degree"]
+           for r in kcore(df, k=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_fixed_sweep_matches_fixpoint_once_deep_enough(spark):
+    """The fixed-sweep twin equals the live fixpoint as soon as
+    rounds >= the peel depth — and a too-shallow sweep is the
+    documented mid-peel snapshot, not an error."""
+    from alternating_least_squares_spark.operators.graph import kcore
+
+    # chain 0-1-2-3-4-5 plus a triangle 10,11,12: 2-core = triangle,
+    # and the chain needs multiple cascading rounds to vanish
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5),
+             (10, 11), (10, 12), (11, 12)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    live = {(r["vertex"], r["core_degree"])
+            for r in kcore(df, k=2).collect()}
+    assert live == {(10, 2), (11, 2), (12, 2)}
+    deep = {(r["vertex"], r["core_degree"])
+            for r in kcore(df, k=2, rounds=6).collect()}
+    assert deep == live
+    shallow = {(r["vertex"], r["core_degree"])
+               for r in kcore(df, k=2, rounds=1).collect()}
+    # one peel only removes the chain ENDS (0 and 5)
+    assert (1, 1) in shallow and (10, 2) in shallow
+
+
+def test_kcore_validates_and_guards(spark):
+    from alternating_least_squares_spark.operators.graph import kcore
+
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError):
+        kcore(df, k=0)
+    with pytest.raises(RuntimeError):
+        # max_rounds=0 trips the loud guard before any peel
+        kcore(df, k=2, max_rounds=0)
+
+
+@settings(max_examples=8, deadline=None)
+@given(raw=edge_set, k=st.integers(min_value=1, max_value=4))
+def test_kcore_matches_brute_force(spark, raw, k):
+    """Any random graph, any k: the distributed peel must equal the
+    sequential reference peel (vertex set AND in-core degrees)."""
+    from collections import Counter
+
+    from alternating_least_squares_spark.operators.graph import kcore
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw})
+
+    def brute(edge_list, kk):
+        es = set(edge_list)
+        while True:
+            deg = Counter()
+            for a, b in es:
+                deg[a] += 1
+                deg[b] += 1
+            drop = {v for v, d in deg.items() if d < kk}
+            if not drop:
+                return {(v, d) for v, d in deg.items()}
+            es = {(a, b) for a, b in es
+                  if a not in drop and b not in drop}
+            if not es:
+                return set()
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {(r["vertex"], r["core_degree"])
+           for r in kcore(df, k=k).collect()}
+    assert got == brute(edges, k)
