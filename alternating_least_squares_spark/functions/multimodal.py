@@ -399,3 +399,72 @@ def decode_image(blob: bytes):  # pragma: no cover - stub by design
     from PIL import Image
 
     return Image.open(io.BytesIO(blob))
+
+
+RESIZE_NN_SCHEMA = (
+    "doc_id long, src_width int, src_height int, width int, height int, "
+    "resized_md5 string, resized_bmp_bytes long"
+)
+
+
+def resize_bmp_nearest(
+    df: DataFrame,
+    out_w: int = 2,
+    out_h: int = 2,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """REAL image resize with zero third-party deps (completes the
+    decode → feature → RESIZE → frame-sample media ladder with an
+    actual pixel operation — mm04's ``resize_stride`` remains the
+    byte-level stand-in for formats the container can't decode):
+    parse the BMP (:func:`decode_bmp`), nearest-neighbor sample the
+    pixel grid (``src_x = x·src_w DIV out_w``, ``src_y = y·src_h DIV
+    out_h`` — the classic integer mapping, deterministic, no
+    float), then RE-ENCODE through :func:`encode_bmp` so the output
+    is a valid BMP container again (its size is emitted as proof the
+    round trip ran). Emits the md5 of the resized top-down pixel
+    bytes, which a SQL oracle can restate with substring arithmetic
+    when the planted pixels are document text. Arrow-batched 1:1
+    ``mapInPandas``; corrupt payloads raise (b06 is the quarantine
+    pattern)."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(f"bad target dimensions {out_w}x{out_h}")
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids, sws, shs, digests, blens = [], [], [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                data = bytes(blob) if blob is not None else b""
+                w, h, px = decode_bmp(data)
+                out = []
+                for y in range(out_h):
+                    sy = y * h // out_h
+                    for x in range(out_w):
+                        sx = x * w // out_w
+                        off = (sy * w + sx) * 3
+                        out.append(px[off : off + 3])
+                rpx = b"".join(out)
+                bmp = encode_bmp(rpx, out_w, out_h)
+                ids.append(doc_id)
+                sws.append(w)
+                shs.append(h)
+                digests.append(hashlib.md5(rpx).hexdigest())
+                blens.append(len(bmp))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "src_width": pd.Series(sws, dtype="int32"),
+                    "src_height": pd.Series(shs, dtype="int32"),
+                    "width": pd.Series([out_w] * len(ids), dtype="int32"),
+                    "height": pd.Series([out_h] * len(ids), dtype="int32"),
+                    "resized_md5": pd.Series(digests, dtype="object"),
+                    "resized_bmp_bytes": pd.Series(blens, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        batches, RESIZE_NN_SCHEMA
+    )

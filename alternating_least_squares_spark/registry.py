@@ -5957,6 +5957,55 @@ FROM dim
 """
 
 
+def q_mm05_resize_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize, end to end (round 9 — completes decode →
+    features → resize → frame-sample with an actual pixel op; mm04's
+    stride resize stays as the byte-level stand-in for undecodable
+    formats): plant the mm01 BMPs, decode them, nearest-neighbor
+    sample to 2×2 (integer ``src = out·src_dim DIV out_dim`` mapping),
+    re-encode to a valid BMP container. The oracle restates the four
+    sampled pixels with substring arithmetic on the padded text (the
+    planted pixels ARE the text) and the re-encoded container size as
+    the 54 + stride·2 constant — a hash match proves the resize
+    sampled exactly the right pixels, not that two Python stages
+    agreed."""
+    from alternating_least_squares_spark.functions.multimodal import (
+        attach_bmp_blob,
+        resize_bmp_nearest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_bmp_nearest(attach_bmp_blob(docs), out_w=2, out_h=2)
+
+
+SQL_MM05 = """
+WITH dim AS (
+  SELECT doc_id,
+         doc_id % 4 + 2 AS w,
+         doc_id % 3 + 1 AS h,
+         rpad(substring(coalesce(text, ''), 1,
+                        CAST((doc_id % 4 + 2) * (doc_id % 3 + 1) * 3
+                             AS INTEGER)),
+              CAST((doc_id % 4 + 2) * (doc_id % 3 + 1) * 3 AS INTEGER),
+              'x') AS px
+  FROM documents
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS src_width,
+       CAST(h AS INTEGER) AS src_height,
+       CAST(2 AS INTEGER) AS width,
+       CAST(2 AS INTEGER) AS height,
+       md5(concat(
+         substring(px, 1, 3),
+         substring(px, CAST((w // 2) * 3 + 1 AS INTEGER), 3),
+         substring(px, CAST(((h // 2) * w) * 3 + 1 AS INTEGER), 3),
+         substring(px, CAST(((h // 2) * w + (w // 2)) * 3 + 1 AS INTEGER), 3)
+       )) AS resized_md5,
+       CAST(70 AS BIGINT) AS resized_bmp_bytes
+FROM dim
+"""
+
+
 def q_mm02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-EXPANDING mapInPandas plumbing proof (the video-keyframe
     access pattern): every 4th 64-byte frame of each payload, one
@@ -9407,6 +9456,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "gr01_pagerank_fixed": (q_gr01_pagerank_fixed, SQL_GR01),
     "e11_trailing_active_users": (q_e11_trailing_active_users, SQL_E11),
     "mm04_resize_stride": (q_mm04_resize_stride, SQL_MM04),
+    "mm05_resize_nearest": (q_mm05_resize_nearest, SQL_MM05),
     "x13_dynamic_partition_pruning": (q_x13_dynamic_partition_pruning, SQL_X13),
     "w07_native_session_window": (q_w07_native_session_window, SQL_W07),
     "e12_daily_top_type": (q_e12_daily_top_type, SQL_E12),
@@ -9489,6 +9539,7 @@ _PREFIX = [
     "d03_minhash_near_dup", "mm01_media_features", "gr03_triangles",
     "w08_ewma", "s03_ivf_topk", "s05_pca_topk", "s06_pq_topk",
     "d05_mllib_minhash", "s04_mllib_euclidean", "gr05_kcore",
+    "mm05_resize_nearest",
     # r8 self-deferral
     "x10_partition_pruning", "x11_table_profile", "x12_salted_join",
     # oldest remaining cohort: newest official row is round 5
@@ -9499,7 +9550,7 @@ _PREFIX = [
     "h11_order_distribution", "h12_disjunctive_revenue",
     "h13_large_volume_orders", "h14_idle_rich_customers",
     "h20_forecast_revenue", "h22_market_share",
-    "g01_rollup", "g02_cube", "g03_percentiles",
+    "g01_rollup", "g03_percentiles",
     "w04_distribution_funcs", "w05_tumbling_batch",
     "b04_orc_roundtrip", "b05_jsonl_roundtrip",
     "e06_funnel", "e10_inter_event_gaps", "e11_trailing_active_users",

@@ -223,3 +223,48 @@ def test_mm01_decodes_planted_bmps(spark):
     assert got[7] == (86, 5, 2, exp7)
     # doc 12: w=2, h=1, NULL text -> all-'x' pixels; row 6+2 pad
     assert got[12] == (62, 2, 1, hashlib.md5(b"x" * 6).hexdigest())
+
+
+def test_resize_bmp_nearest_hand_computed(spark):
+    """3x2 -> 2x2 nearest-neighbor: sampled sources are (0,0), (1,0),
+    (0,1), (1,1) = pixels at grid (sx, sy) with sx in {0, 3//2=1} and
+    sy in {0, 2//2=1} - verified against the hand-picked bytes, and
+    the re-encoded container is a decodable BMP of the right size."""
+    import hashlib
+
+    from alternating_least_squares_spark.functions.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        resize_bmp_nearest,
+    )
+
+    # 3x2 image: pixel (x,y) = bytes (3 chars) from 'abcdefghijklmnopqr'
+    px = b"abcdefghijklmnopqr"  # rows: [abc def ghi], [jkl mno pqr]
+    blob = encode_bmp(px, 3, 2)
+    df = spark.createDataFrame([(7, bytearray(blob))],
+                               "doc_id long, blob binary")
+    row = resize_bmp_nearest(df, out_w=2, out_h=2).collect()[0]
+    assert (row["src_width"], row["src_height"]) == (3, 2)
+    assert (row["width"], row["height"]) == (2, 2)
+    # (0,0)->'abc'  (1,0)->sx=1*3//2=1 -> 'def'
+    # (0,1)->sy=1*2//2=1 -> 'jkl'  (1,1)->'mno'
+    expect = b"abcdefjklmno"
+    assert row["resized_md5"] == hashlib.md5(expect).hexdigest()
+    # re-encoded container: 54 header + 2 rows of stride 8
+    assert row["resized_bmp_bytes"] == 70
+    # and the emitted size matches what a fresh encode round-trips to
+    w2, h2, rpx = decode_bmp(encode_bmp(expect, 2, 2))
+    assert (w2, h2, rpx) == (2, 2, expect)
+
+
+def test_resize_bmp_nearest_validates_target(spark):
+    import pytest as _pytest
+
+    from alternating_least_squares_spark.functions.multimodal import (
+        resize_bmp_nearest,
+    )
+
+    df = spark.createDataFrame([(1, bytearray(b""))],
+                               "doc_id long, blob binary")
+    with _pytest.raises(ValueError):
+        resize_bmp_nearest(df, out_w=0, out_h=2)
