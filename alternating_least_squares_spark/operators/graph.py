@@ -418,3 +418,74 @@ def kcore(
     return vertex_degrees(e).select(
         "vertex", F.col("degree").cast("long").alias("core_degree")
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int | None = None,
+    max_rounds: int = 60,
+) -> DataFrame:
+    """Multi-source BFS hop distances — "distance to the nearest
+    seed", the level-synchronous frontier expansion behind
+    reachability, influence radius, and distance-to-POI features.
+    ``edges`` is an oriented undirected edge list (``a``, ``b``;
+    symmetrized here), ``sources`` a DataFrame with a ``vertex``
+    column. Returns ``(vertex, hops)`` for every vertex reached —
+    unreached vertices are absent, not NULL-padded.
+
+    Modes (the gr05/gr01/ipf twin discipline): ``rounds=None`` runs
+    to frontier exhaustion (one count per round, loud ``max_rounds``
+    guard); ``rounds=R`` expands exactly R levels with NO driver
+    actions — well-defined at any R, equal to the fixpoint once R ≥
+    the graph's seed eccentricity, and exactly what an unrolled-SQL
+    oracle states.
+
+    Distributed shape: each level is ONE frontier→edges equi-join +
+    distinct + ONE anti-join against the visited set — all
+    hash-partitioned on the vertex key, linear in the touched edges
+    per level (never |V|·|E|); per-round ``localCheckpoint`` keeps
+    lineage flat. Level-synchronous BFS is the standard scale
+    formulation (Pregel/GraphX do exactly this); hop counts are
+    integers, so results are bit-identical at any parallelism.
+    """
+    sym = (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(
+            edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        sources.select("vertex")
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("vertex")
+    r = 0
+    while True:
+        if rounds is not None and r >= rounds:
+            break
+        if rounds is None and r >= max_rounds:
+            raise RuntimeError(
+                f"bfs_distances: frontier alive after {max_rounds} rounds"
+            )
+        nxt = (
+            sym.join(
+                frontier.withColumnRenamed("vertex", "u"), "u"
+            )
+            .select(F.col("v").alias("vertex"))
+            .distinct()
+            .join(dist.select("vertex"), "vertex", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        r += 1
+        if rounds is None and nxt.count() == 0:
+            break
+        dist = dist.unionByName(
+            nxt.withColumn("hops", F.lit(r).cast("long"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist

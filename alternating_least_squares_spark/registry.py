@@ -7121,6 +7121,93 @@ GROUP BY 1"""
 SQL_GR05 = _gr05_oracle(GR05_K, GR05_ROUNDS, GR05_MIN_SUPPORT)
 
 
+GR06_ROUNDS = 8
+GR06_SEED_MOD = 97
+
+
+def q_gr06_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance on the support-thresholded
+    co-purchase graph (operators/graph.bfs_distances, fixed sweep):
+    every vertex's hop count to the nearest seed (part % 97 == 0) —
+    the distance-to-POI / influence-radius feature. Exactly
+    GR06_ROUNDS=8 levels on both sides, ≥ the measured 7-level seed
+    eccentricity at sf0.01, so the hash-checked result is the true
+    distance table there; fragmentary graphs (sf0.1's support graph
+    is mostly small components) simply reach fewer vertices — absent,
+    never NULL-padded — and the fixed sweep keeps both sides agreeing
+    at ANY regeneration. Live frontier-exhaustion mode is exercised
+    by tests/test_graph.py (brute-force parity on random graphs)."""
+    from alternating_least_squares_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(
+            F.col("x.l_partkey").alias("a"),
+            F.col("y.l_partkey").alias("b"),
+        )
+        .agg(F.count("*").alias("_support"))
+        .filter(F.col("_support") >= GR05_MIN_SUPPORT)
+        .select("a", "b")
+    )
+    seeds = (
+        edges.select(F.col("a").alias("vertex"))
+        .unionAll(edges.select(F.col("b").alias("vertex")))
+        .distinct()
+        .filter(F.col("vertex") % GR06_SEED_MOD == 0)
+    )
+    return bfs_distances(edges, seeds, rounds=GR06_ROUNDS).select(
+        F.col("vertex").alias("part"), "hops"
+    )
+
+
+def _gr06_oracle(rounds: int, seed_mod: int, min_support: int) -> str:
+    """Unrolled level expansion — one (f_i, d_i) MATERIALIZED CTE
+    pair per level (the gr05 materialization lesson applies: d_i
+    references d_{i-1} twice, so plain CTEs inline exponentially)."""
+    parts = [
+        "WITH li AS MATERIALIZED "
+        "(SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),",
+        "e0 AS MATERIALIZED (",
+        "  SELECT x.l_partkey AS a, y.l_partkey AS b",
+        "  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey",
+        "  WHERE x.l_partkey < y.l_partkey",
+        f"  GROUP BY 1, 2 HAVING count(*) >= {min_support}",
+        "),",
+        "e AS MATERIALIZED (SELECT a, b FROM e0 "
+        "UNION ALL SELECT b, a FROM e0),",
+        "f0 AS MATERIALIZED (SELECT DISTINCT a AS v FROM e "
+        f"WHERE a % {seed_mod} = 0),",
+        "d0 AS MATERIALIZED (SELECT v, 0 AS hops FROM f0)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""", f{r} AS MATERIALIZED (
+  SELECT DISTINCT e.b AS v FROM e JOIN f{p} ON e.a = f{p}.v
+  WHERE e.b NOT IN (SELECT v FROM d{p})
+), d{r} AS MATERIALIZED (
+  SELECT v, hops FROM d{p}
+  UNION ALL SELECT v, {r} AS hops FROM f{r}
+)"""
+        )
+    parts.append(
+        f"SELECT v AS part, CAST(hops AS BIGINT) AS hops FROM d{rounds}"
+    )
+    return "\n".join(parts)
+
+
+SQL_GR06 = _gr06_oracle(GR06_ROUNDS, GR06_SEED_MOD, GR05_MIN_SUPPORT)
+
+
 def q_e11_trailing_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day active users per day (the WAU analytics shape).
     Scale formulation: dedupe to (user, day) FIRST, then EXPLODE each
@@ -9497,6 +9584,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q03_quantile_gate": (q_q03_quantile_gate, SQL_Q03),
     "gr04_edge_embeddedness": (q_gr04_edge_embeddedness, SQL_GR04),
     "gr05_kcore": (q_gr05_kcore, SQL_GR05),
+    "gr06_bfs_distance": (q_gr06_bfs_distance, SQL_GR06),
 }
 
 
@@ -9539,7 +9627,7 @@ _PREFIX = [
     "d03_minhash_near_dup", "mm01_media_features", "gr03_triangles",
     "w08_ewma", "s03_ivf_topk", "s05_pca_topk", "s06_pq_topk",
     "d05_mllib_minhash", "s04_mllib_euclidean", "gr05_kcore",
-    "mm05_resize_nearest",
+    "mm05_resize_nearest", "gr06_bfs_distance",
     # r8 self-deferral
     "x10_partition_pruning", "x11_table_profile", "x12_salted_join",
     # oldest remaining cohort: newest official row is round 5
@@ -9552,7 +9640,7 @@ _PREFIX = [
     "h20_forecast_revenue", "h22_market_share",
     "g01_rollup", "g03_percentiles",
     "w04_distribution_funcs", "w05_tumbling_batch",
-    "b04_orc_roundtrip", "b05_jsonl_roundtrip",
+    "b05_jsonl_roundtrip",
     "e06_funnel", "e10_inter_event_gaps", "e11_trailing_active_users",
     "ac07_merge_schema_evolution", "ac08_change_feed",
     "rc02_node_depth", "rc03_bom_effective_qty",

@@ -356,3 +356,83 @@ def test_kcore_matches_brute_force(spark, raw, k):
     got = {(r["vertex"], r["core_degree"])
            for r in kcore(df, k=k).collect()}
     assert got == brute(edges, k)
+
+
+def test_bfs_distances_hand_computed(spark):
+    """Chain 1-2-3-4 with seed {1}: hops are positional; vertex 6 in a
+    separate component is absent from the output (never NULL-padded)."""
+    from alternating_least_squares_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "a long, b long"
+    )
+    seeds = spark.createDataFrame([(1,)], "vertex long")
+    got = {r["vertex"]: r["hops"]
+           for r in bfs_distances(edges, seeds).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_fixed_sweep_truncates_then_matches(spark):
+    from alternating_least_squares_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "a long, b long"
+    )
+    seeds = spark.createDataFrame([(1,)], "vertex long")
+    two = {r["vertex"]: r["hops"]
+           for r in bfs_distances(edges, seeds, rounds=2).collect()}
+    assert two == {1: 0, 2: 1, 3: 2}  # level 3 not expanded yet
+    five = {r["vertex"]: r["hops"]
+            for r in bfs_distances(edges, seeds, rounds=5).collect()}
+    assert five == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_guard_raises(spark):
+    from alternating_least_squares_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    edges = spark.createDataFrame([(1, 2)], "a long, b long")
+    seeds = spark.createDataFrame([(1,)], "vertex long")
+    with pytest.raises(RuntimeError):
+        bfs_distances(edges, seeds, max_rounds=0)
+
+
+@settings(max_examples=8, deadline=None)
+@given(raw=edge_set, smod=st.integers(min_value=2, max_value=4))
+def test_bfs_matches_brute_force(spark, raw, smod):
+    from collections import deque
+
+    from alternating_least_squares_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw})
+    verts = sorted({v for e in edges for v in e})
+    seed_list = [v for v in verts if v % smod == 0]
+
+    def brute():
+        adj = {v: set() for v in verts}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        dist = {v: 0 for v in seed_list}
+        q = deque(seed_list)
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        return dist
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    seeds = spark.createDataFrame([(v,) for v in seed_list] or [(None,)],
+                                  "vertex long").filter("vertex IS NOT NULL")
+    got = {r["vertex"]: r["hops"]
+           for r in bfs_distances(df, seeds).collect()}
+    assert got == brute()
