@@ -436,3 +436,41 @@ def test_bfs_matches_brute_force(spark, raw, smod):
     got = {r["vertex"]: r["hops"]
            for r in bfs_distances(df, seeds).collect()}
     assert got == brute()
+
+
+def test_iterative_graph_ops_keep_lineage_flat(spark):
+    """The scale contract of every iterative graph operator: after R
+    rounds the RETURNED frame's plan hangs off a checkpointed RDD scan
+    (round N never replays rounds 1..N-1). Losing a localCheckpoint
+    turns the lineage into an R-deep join tree — this asserts the
+    final optimized plan contains NO Join at all (the last round's
+    joins are materialized behind the checkpoint) for kcore and
+    bfs_distances, and exactly the final rank projection for
+    pagerank."""
+    from alternating_least_squares_spark.operators.graph import (
+        bfs_distances,
+        kcore,
+        pagerank,
+    )
+
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3)], "a long, b long"
+    )
+    seeds = spark.createDataFrame([(1,)], "vertex long")
+
+    def optimized(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    core_plan = optimized(kcore(edges, k=2, rounds=3))
+    assert "Join" not in core_plan, core_plan
+    bfs_plan = optimized(bfs_distances(edges, seeds, rounds=3))
+    assert "Join" not in bfs_plan, bfs_plan
+    pr_plan = optimized(
+        pagerank(
+            edges.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+            iterations=3,
+        )
+    )
+    assert "Join" not in pr_plan, pr_plan
