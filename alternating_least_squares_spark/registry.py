@@ -2339,11 +2339,23 @@ def q_s03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     MLlib's findClosest), so every same-pattern member is a candidate
     and the exact-cosine rerank forces the top-5. Real-valued recall
     stays pinned by tests/test_similarity.py."""
-    from alternating_least_squares_spark.functions.ivf import ivf_topk
+    from alternating_least_squares_spark.functions.ivf import (
+        ivf_topk,
+        train_centroids,
+    )
 
     emb = _sgn3_embeddings(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 20)
-    return ivf_topk(emb, queries_df, k=5, n_centroids=16, n_probe=4)
+    # random init: the oracle argument is assignment-invariant (any
+    # centroid set puts identical patterns in one list), so the
+    # k-means|| init passes buy nothing here — the sm01 rationale in
+    # train_centroids' docstring
+    model = train_centroids(
+        emb, n_centroids=16, init_mode="random"
+    )
+    return ivf_topk(
+        emb, queries_df, k=5, n_centroids=16, n_probe=4, model=model
+    )
 
 
 SQL_S03 = SQL_SIGN_TOPK
