@@ -8864,6 +8864,96 @@ GROUP BY 1
 """
 
 
+def _x20_skewed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The x20 plan, pre-materialization: an 80%-hot-key fact joined
+    to a uniform dim, the shape AQE's OptimizeSkewedJoin splits at
+    runtime. Shared by the registry entry and the plan pytest."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 10 < 8, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 100_000)
+        .alias("k"),
+        F.md5(
+            F.concat_ws(":", "l_orderkey", "l_linenumber")
+        ).alias("payload"),
+    ).repartition(8)
+    dim = spark.range(100_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("tag")
+    )
+    return (
+        fact.join(dim, "k")
+        .groupBy("tag")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("payload").alias("max_payload"),
+        )
+    )
+
+
+X20_CONFS = {
+    # force the shuffle join (dim must not broadcast) and size the
+    # skew detector for test-scale data; production defaults are
+    # 256MB/5x — the MECHANISM is identical
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+    "spark.sql.adaptive.coalescePartitions.enabled": "false",
+}
+
+
+def q_x20_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE runtime skew-join splitting — the RUNTIME complement to
+    x12's manual salting: OptimizeSkewedJoin reads the materialized
+    shuffle's per-partition byte sizes, marks partitions over
+    max(threshold, factor·median) as skewed, and replaces each with
+    mapper-range splits (replicating the other side) — no key
+    engineering, no plan rewrite, the skew handled where it is
+    MEASURED. At 1000 executors this is what saves the job when one
+    celebrity key would otherwise pin a single reducer for hours.
+
+    Three hard-won constructions make the demo real (each cost a
+    debugging round): (1) the hot rows carry an md5 payload — a
+    constant-key low-entropy partition COMPRESSES ~50× better than
+    the uniform ones and the byte-based detector sees no skew at
+    all; (2) the aggregate consumes the payload (max), else column
+    pruning drops it below the shuffle and (1) returns; (3) the fact
+    side is round-robin repartitioned first — a single parquet row
+    group is ONE map task, and skew splits are mapper RANGES, so a
+    one-mapper hot partition is unsplittable. Confs are forced with
+    the x18 materialize-then-restore discipline; the skew markers
+    (SortMergeJoin(skew=true), AQEShuffleRead skewed) are asserted
+    on the executed plan in tests/test_storage.py. The oracle runs
+    the same join declaratively — splitting never changes results."""
+    joined = _x20_skewed_join(spark, sf_dir)
+    sf_key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    out_path = _scratch_path("alternating_ls_skewjoin", sf_key)
+    saved = {k: spark.conf.get(k) for k in X20_CONFS}
+    try:
+        for k, v in X20_CONFS.items():
+            spark.conf.set(k, v)
+        joined.write.mode("overwrite").parquet(out_path)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return spark.read.parquet(out_path)
+
+
+SQL_X20 = """
+WITH fact AS (
+  SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0
+              ELSE l_orderkey % 100000 END AS k,
+         md5(l_orderkey || ':' || l_linenumber) AS payload
+  FROM lineitem
+),
+dim AS (SELECT range AS k, range % 7 AS tag FROM range(100000))
+SELECT tag, CAST(count(*) AS BIGINT) AS n, max(payload) AS max_payload
+FROM fact JOIN dim USING (k)
+GROUP BY 1
+"""
+
+
 def q_p03_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-6 curation stack as ONE flagship chain — what a
     training-data refresh actually runs, end-to-end, hash-checked as
@@ -9593,6 +9683,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "st11_stream_ewma": (q_st11_stream_ewma, SQL_W08),
     "x18_runtime_bloom_filter": (q_x18_runtime_bloom_filter, SQL_X18),
     "x19_epoch_shuffle": (q_x19_epoch_shuffle, SQL_X19),
+    "x20_aqe_skew_join": (q_x20_aqe_skew_join, SQL_X20),
     "q03_quantile_gate": (q_q03_quantile_gate, SQL_Q03),
     "gr04_edge_embeddedness": (q_gr04_edge_embeddedness, SQL_GR04),
     "gr05_kcore": (q_gr05_kcore, SQL_GR05),
@@ -9641,7 +9732,7 @@ _PREFIX = [
     "d03_minhash_near_dup", "mm01_media_features", "gr03_triangles",
     "w08_ewma", "s03_ivf_topk", "s05_pca_topk", "s06_pq_topk",
     "d05_mllib_minhash", "s04_mllib_euclidean", "gr05_kcore",
-    "mm05_resize_nearest", "gr06_bfs_distance",
+    "mm05_resize_nearest", "gr06_bfs_distance", "x20_aqe_skew_join",
     # r8 self-deferral
     "x10_partition_pruning", "x11_table_profile", "x12_salted_join",
     # oldest remaining cohort: newest official row is round 5
@@ -9653,7 +9744,7 @@ _PREFIX = [
     "h13_large_volume_orders", "h14_idle_rich_customers",
     "h20_forecast_revenue", "h22_market_share",
     "g01_rollup", "g03_percentiles",
-    "w04_distribution_funcs", "w05_tumbling_batch",
+    "w04_distribution_funcs",
     "b05_jsonl_roundtrip",
     "e06_funnel", "e10_inter_event_gaps", "e11_trailing_active_users",
     "ac07_merge_schema_evolution", "ac08_change_feed",

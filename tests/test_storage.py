@@ -280,3 +280,38 @@ def test_runtime_bloom_filter_fires_and_confs_restore(spark):
     q_x18_runtime_bloom_filter(spark, SF_SMALL)
     for k, v in saved.items():
         assert spark.conf.get(k) == v
+
+
+def test_aqe_skew_join_splits_and_confs_restore(spark):
+    """x20: under the forced detector sizes the executed plan must
+    show runtime skew handling — SortMergeJoin(skew=true) with an
+    AQEShuffleRead marked skewed on the hot side — and q_x20 must
+    restore every forced conf after materializing. Executed (not
+    initial) plan: AQE only marks skew after the shuffle's map stats
+    exist. Uses sf0.01 — at sf0.001 the hot partition can sit under
+    the 64KB detector threshold."""
+    from alternating_least_squares_spark.registry import (
+        X20_CONFS,
+        _x20_skewed_join,
+        q_x20_aqe_skew_join,
+    )
+
+    sf = SF_SMALL.replace("0.001", "0.01")
+    saved = {k: spark.conf.get(k) for k in X20_CONFS}
+    try:
+        for k, v in X20_CONFS.items():
+            spark.conf.set(k, v)
+        j = _x20_skewed_join(spark, sf)
+        rows = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert "AQEShuffleRead skewed" in plan, plan[:2000]
+        assert len(rows) == 7
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+    # the registry entry restores session state after its forced write
+    q_x20_aqe_skew_join(spark, sf)
+    for k, v in saved.items():
+        assert spark.conf.get(k) == v
