@@ -8954,6 +8954,99 @@ GROUP BY 1
 """
 
 
+X21_CONFS = {
+    # CBO reads ANALYZE stats; the 64KB broadcast threshold sits
+    # between the table's raw size estimate (MBs — too big) and the
+    # column-stats filtered estimate (tens of KB — broadcastable)
+    "spark.sql.cbo.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": "65536",
+}
+
+
+def _x21_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The x21 query against the ANALYZEd catalog table: a selective
+    filter whose STATS-estimated output is small enough to broadcast.
+    Shared by the registry entry and the plan pytest."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    t = spark.table("x21_li").filter(F.col("l_quantity") == 1)
+    return (
+        t.join(orders, t.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(38,10)")
+                ).cast("double"),
+                6,
+            ).alias("revenue"),
+        )
+    )
+
+
+def q_x21_cbo_stats_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based optimization driven by ANALYZE TABLE statistics —
+    the warehouse discipline that turns table metadata into better
+    physical plans: without stats, a filter's size estimate is just
+    its child's (Spark cannot know `l_quantity = 1` keeps ~2% of
+    rows), so the join stays a two-sided shuffle; with `ANALYZE TABLE
+    ... COMPUTE STATISTICS FOR COLUMNS` + `spark.sql.cbo.enabled`,
+    FilterEstimation shrinks the estimate below the broadcast
+    threshold and the SAME query plans a BroadcastHashJoin — at
+    1000 executors the difference between shuffling the fact table
+    and shipping a few KB. The flip (SortMergeJoin without stats →
+    BroadcastHashJoin with) is asserted on executed plans in
+    tests/test_storage.py; confs follow the x18/x20
+    materialize-then-restore discipline. At 100 TB the ANALYZE pass
+    is a one-time scan amortized across every downstream query, and
+    partition-level stats keep it incremental. Oracle: the same
+    filtered join declaratively — statistics change PLANS, never
+    results."""
+    import os
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    base = _scratch_path("alternating_ls_cbo")
+    spark.sql("DROP TABLE IF EXISTS x21_li")
+    (
+        li.write.format("parquet")
+        .option("path", os.path.join(base, "x21_li"))
+        .mode("overwrite")
+        .saveAsTable("x21_li")
+    )
+    spark.sql(
+        "ANALYZE TABLE x21_li COMPUTE STATISTICS "
+        "FOR COLUMNS l_quantity, l_orderkey"
+    )
+    sf_key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    out_path = _scratch_path("alternating_ls_cbo_out", sf_key)
+    saved = {k: spark.conf.get(k) for k in X21_CONFS}
+    try:
+        for k, v in X21_CONFS.items():
+            spark.conf.set(k, v)
+        _x21_filtered_join(spark, sf_dir).write.mode(
+            "overwrite"
+        ).parquet(out_path)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return spark.read.parquet(out_path)
+
+
+SQL_X21 = """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,10))) AS DOUBLE),
+             6) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_quantity = 1
+GROUP BY 1
+"""
+
+
 def q_p03_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-6 curation stack as ONE flagship chain — what a
     training-data refresh actually runs, end-to-end, hash-checked as
@@ -9684,6 +9777,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "x18_runtime_bloom_filter": (q_x18_runtime_bloom_filter, SQL_X18),
     "x19_epoch_shuffle": (q_x19_epoch_shuffle, SQL_X19),
     "x20_aqe_skew_join": (q_x20_aqe_skew_join, SQL_X20),
+    "x21_cbo_stats_broadcast": (q_x21_cbo_stats_broadcast, SQL_X21),
     "q03_quantile_gate": (q_q03_quantile_gate, SQL_Q03),
     "gr04_edge_embeddedness": (q_gr04_edge_embeddedness, SQL_GR04),
     "gr05_kcore": (q_gr05_kcore, SQL_GR05),
@@ -9733,6 +9827,7 @@ _PREFIX = [
     "w08_ewma", "s03_ivf_topk", "s05_pca_topk", "s06_pq_topk",
     "d05_mllib_minhash", "s04_mllib_euclidean", "gr05_kcore",
     "mm05_resize_nearest", "gr06_bfs_distance", "x20_aqe_skew_join",
+    "x21_cbo_stats_broadcast",
     # r8 self-deferral
     "x10_partition_pruning", "x11_table_profile", "x12_salted_join",
     # oldest remaining cohort: newest official row is round 5
@@ -9746,7 +9841,7 @@ _PREFIX = [
     "g01_rollup", "g03_percentiles",
     "w04_distribution_funcs",
     "b05_jsonl_roundtrip",
-    "e06_funnel", "e10_inter_event_gaps", "e11_trailing_active_users",
+    "e06_funnel", "e11_trailing_active_users",
     "ac07_merge_schema_evolution", "ac08_change_feed",
     "rc02_node_depth", "rc03_bom_effective_qty",
     "j04_asof_forward", "gr01_pagerank_fixed",

@@ -315,3 +315,67 @@ def test_aqe_skew_join_splits_and_confs_restore(spark):
     q_x20_aqe_skew_join(spark, sf)
     for k, v in saved.items():
         assert spark.conf.get(k) == v
+
+
+def test_cbo_stats_flip_join_strategy_and_confs_restore(spark):
+    """x21: the SAME filtered join must plan SortMergeJoin without
+    column stats + CBO and BroadcastHashJoin with them (ANALYZE makes
+    the 2%-selectivity filter's estimate broadcastable), and q_x21
+    must restore every forced conf. Uses sf0.01 so the unfiltered
+    table estimate genuinely exceeds the 64KB threshold."""
+    import os
+
+    from alternating_least_squares_spark.registry import (
+        X21_CONFS,
+        _scratch_path,
+        _x21_filtered_join,
+        q_x21_cbo_stats_broadcast,
+    )
+
+    sf = SF_SMALL.replace("0.001", "0.01")
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    base = _scratch_path("alternating_ls_cbo")
+    spark.sql("DROP TABLE IF EXISTS x21_li")
+    (
+        li.write.format("parquet")
+        .option("path", os.path.join(base, "x21_li"))
+        .mode("overwrite")
+        .saveAsTable("x21_li")
+    )
+    saved = {k: spark.conf.get(k) for k in X21_CONFS}
+    try:
+        # no column stats yet: even with the forced threshold the
+        # filter estimate equals the table estimate -> shuffle join
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        p0 = (
+            _x21_filtered_join(spark, sf)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SortMergeJoin" in p0 and "BroadcastHashJoin" not in p0, (
+            p0[:2000]
+        )
+        spark.sql(
+            "ANALYZE TABLE x21_li COMPUTE STATISTICS "
+            "FOR COLUMNS l_quantity, l_orderkey"
+        )
+        for k, v in X21_CONFS.items():
+            spark.conf.set(k, v)
+        p1 = (
+            _x21_filtered_join(spark, sf)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in p1, p1[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+    q_x21_cbo_stats_broadcast(spark, sf)
+    for k, v in saved.items():
+        assert spark.conf.get(k) == v
