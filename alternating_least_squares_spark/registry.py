@@ -9801,10 +9801,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # because their families have fresher green rows: mm03/mm04 (mm01/
 # mm02 here), x04/x07 (x01/x05/x06/x08/x09 r8-green + five x-entries
 # here), t07 (t08–t14 r8-green), e07 (e06/e10/e11 here),
-# w03 (w06 r8-green, w04/w05 here), and h15/h16/h17/h18/h19/h21 +
-# g02_cube (g01/g03 here) + b04_orc (b05 here) — 15 h-suite slots
-# remain; all yielded to the round-9 graduations s03/s05/s06/d05/
-# s04 and the NEW gr05/gr06/mm05, which like every new entry must
+# w03 (w06 r8-green, w04 here), and h15/h16/h17/h18/h19/h21 +
+# g02_cube (g01/g03 here) + b04_orc (b05 here) + w05_tumbling +
+# e10_inter_event_gaps (e06/e11 here) — 15 h-suite slots remain;
+# all yielded to the round-9 graduations s03/s05/s06/d05/s04 and
+# the NEW gr05/gr06/mm05/x20/x21, which like every new entry must
 # be driver-certified the round they land. r10 prefix should lead
 # with the r9 defer list above, then the r6 cohort.
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
