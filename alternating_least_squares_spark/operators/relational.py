@@ -198,3 +198,68 @@ def upsert(
             for c in base.columns
         ],
     )
+
+
+def scd2_intersect_join(
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Bitemporal SCD2 × SCD2 join — the warehouse conformance op
+    that answers "which attribute COMBINATIONS were true, and when":
+    equi-join two validity-interval histories on the business key and
+    emit each pair of overlapping slices with the INTERSECTED
+    validity window. ``valid_to`` NULL means the slice is still open
+    (+∞): intersected bounds are NULL-aware — from = greatest of the
+    froms, to = least of the tos with NULL as +∞ (NULL only when
+    both sides are open) — and empty intersections are dropped.
+
+    Columns: ``key``, ``valid_from``/``valid_to`` get the intersected
+    window; every other column of ``a`` and ``b`` rides through (they
+    must not collide — rename upstream, as any conformance pipeline
+    does).
+
+    Scale shape: ONE equi-join on the business key — per-key
+    histories are short by nature (slices per key, not events per
+    key), so the fan-out is bounded and no range-binning is needed
+    (contrast j03, where intervals join WITHOUT an equi-key and the
+    bins carry the selectivity). Skewed keys inherit the x12 salting
+    remedy unchanged."""
+    ac = [c for c in a.columns if c not in (key, valid_from, valid_to)]
+    bc = [c for c in b.columns if c not in (key, valid_from, valid_to)]
+    dup = set(ac) & set(bc)
+    if dup:
+        raise ValueError(f"colliding attribute columns: {sorted(dup)}")
+    left = a.select(
+        key,
+        *ac,
+        F.col(valid_from).alias("_fa"),
+        F.col(valid_to).alias("_ta"),
+    )
+    right = b.select(
+        key,
+        *bc,
+        F.col(valid_from).alias("_fb"),
+        F.col(valid_to).alias("_tb"),
+    )
+    new_from = F.greatest("_fa", "_fb")
+    new_to = (
+        F.when(F.col("_ta").isNull(), F.col("_tb"))
+        .when(F.col("_tb").isNull(), F.col("_ta"))
+        .otherwise(F.least("_ta", "_tb"))
+    )
+    return (
+        left.join(right, key)
+        .withColumn("_from", new_from)
+        .withColumn("_to", new_to)
+        .filter(F.col("_to").isNull() | (F.col("_from") < F.col("_to")))
+        .select(
+            key,
+            *ac,
+            *bc,
+            F.col("_from").alias(valid_from),
+            F.col("_to").alias(valid_to),
+        )
+    )

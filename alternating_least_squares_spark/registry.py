@@ -6692,6 +6692,115 @@ WHERE c.event_type = 'click'
 """
 
 
+def _scd2_history(
+    orders: DataFrame, attr: str, out: str
+) -> DataFrame:
+    """The c16 SCD2 build, parameterized by attribute: latest value
+    per (custkey, orderdate), runs coalesced, [valid_from, valid_to)
+    with NULL on the open row. Used by j08 to derive two independent
+    histories from one change feed."""
+    w_day = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey")
+    )
+    latest = (
+        orders.withColumn("_rn", F.row_number().over(w_day))
+        .filter(F.col("_rn") == 1)
+        .select("o_custkey", "o_orderdate", attr)
+    )
+    w_seq = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    changes = latest.withColumn(
+        "_prev", F.lag(attr).over(w_seq)
+    ).filter(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col(attr))
+    )
+    return changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col(attr).alias(out),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w_seq).alias("valid_to"),
+    )
+
+
+def q_j08_scd2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal SCD2 × SCD2 validity-intersection join
+    (operators/relational.scd2_intersect_join) — the warehouse
+    conformance question c16 sets up: two independently-maintained
+    histories of the same business key (here a customer's priority
+    tier and order status, both derived from the orders change feed
+    by the c16 build) joined into "which (priority, status)
+    COMBINATION was true, and over exactly which window". One
+    equi-join on the key with NULL-aware interval intersection
+    (valid_to NULL = still open; intersected bounds via
+    greatest/least with NULL as +∞); empty intersections dropped.
+    Per-key histories are short by construction (slices, not
+    events), so the join fan-out is bounded without range binning —
+    contrast j03, where no equi-key exists and bins must carry the
+    selectivity."""
+    from alternating_least_squares_spark.operators.relational import (
+        scd2_intersect_join,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").repartition("o_custkey")
+    pr = _scd2_history(orders, "o_orderpriority", "priority")
+    st = _scd2_history(orders, "o_orderstatus", "status")
+    return scd2_intersect_join(pr, st, "custkey")
+
+
+SQL_J08 = """
+WITH latest_p AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority,
+         row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+),
+seq_p AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority,
+         lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate) AS prev
+  FROM latest_p WHERE rn = 1
+),
+hist_p AS (
+  SELECT o_custkey AS custkey, o_orderpriority AS priority,
+         o_orderdate AS valid_from,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate) AS valid_to
+  FROM seq_p WHERE prev IS NULL OR prev <> o_orderpriority
+),
+latest_s AS (
+  SELECT o_custkey, o_orderdate, o_orderstatus,
+         row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+),
+seq_s AS (
+  SELECT o_custkey, o_orderdate, o_orderstatus,
+         lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate) AS prev
+  FROM latest_s WHERE rn = 1
+),
+hist_s AS (
+  SELECT o_custkey AS custkey, o_orderstatus AS status,
+         o_orderdate AS valid_from,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate) AS valid_to
+  FROM seq_s WHERE prev IS NULL OR prev <> o_orderstatus
+)
+SELECT p.custkey, p.priority, s.status,
+       greatest(p.valid_from, s.valid_from) AS valid_from,
+       CASE WHEN p.valid_to IS NULL THEN s.valid_to
+            WHEN s.valid_to IS NULL THEN p.valid_to
+            ELSE least(p.valid_to, s.valid_to) END AS valid_to
+FROM hist_p p JOIN hist_s s USING (custkey)
+WHERE (CASE WHEN p.valid_to IS NULL THEN s.valid_to
+            WHEN s.valid_to IS NULL THEN p.valid_to
+            ELSE least(p.valid_to, s.valid_to) END) IS NULL
+   OR greatest(p.valid_from, s.valid_from) <
+      (CASE WHEN p.valid_to IS NULL THEN s.valid_to
+            WHEN s.valid_to IS NULL THEN p.valid_to
+            ELSE least(p.valid_to, s.valid_to) END)
+"""
+
+
 def q_x14_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance — the batch analog of
     st09's incremental ingest: the MV is maintained by MERGING partial
@@ -9761,6 +9870,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "x14_incremental_mv": (q_x14_incremental_mv, SQL_X14),
     "j06_point_in_time": (q_j06_point_in_time, SQL_J06),
     "j07_abandoned_clicks": (q_j07_abandoned_clicks, SQL_J07),
+    "j08_scd2_intersect": (q_j08_scd2_intersect, SQL_J08),
     "x15_temperature_mix": (q_x15_temperature_mix, SQL_X15),
     "t17_edit_distance_pairs": (q_t17_edit_distance_pairs, SQL_T17),
     "t18_unigram_logprob": (q_t18_unigram_logprob, SQL_T18),
@@ -9803,11 +9913,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # here), t07 (t08–t14 r8-green), e07 (e06/e10/e11 here),
 # w03 (w06 r8-green, w04 here), and h15/h16/h17/h18/h19/h21 +
 # g02_cube (g01/g03 here) + b04_orc (b05 here) + w05_tumbling +
-# e10_inter_event_gaps (e06/e11 here) — 15 h-suite slots remain;
-# all yielded to the round-9 graduations s03/s05/s06/d05/s04 and
-# the NEW gr05/gr06/mm05/x20/x21, which like every new entry must
-# be driver-certified the round they land. r10 prefix should lead
-# with the r9 defer list above, then the r6 cohort.
+# e10_inter_event_gaps (e06/e11 here) + rc03_bom (rc02 here) — 15
+# h-suite slots remain; all yielded to the round-9 graduations
+# s03/s05/s06/d05/s04 and the NEW gr05/gr06/mm05/x20/x21/j08,
+# which like every new entry must be driver-certified the round
+# they land. r10 prefix should lead with the r9 defer list above,
+# then the r6 cohort.
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors. (Round 9 graduated the
@@ -9828,7 +9939,7 @@ _PREFIX = [
     "w08_ewma", "s03_ivf_topk", "s05_pca_topk", "s06_pq_topk",
     "d05_mllib_minhash", "s04_mllib_euclidean", "gr05_kcore",
     "mm05_resize_nearest", "gr06_bfs_distance", "x20_aqe_skew_join",
-    "x21_cbo_stats_broadcast",
+    "x21_cbo_stats_broadcast", "j08_scd2_intersect",
     # r8 self-deferral
     "x10_partition_pruning", "x11_table_profile", "x12_salted_join",
     # oldest remaining cohort: newest official row is round 5
@@ -9844,7 +9955,7 @@ _PREFIX = [
     "b05_jsonl_roundtrip",
     "e06_funnel", "e11_trailing_active_users",
     "ac07_merge_schema_evolution", "ac08_change_feed",
-    "rc02_node_depth", "rc03_bom_effective_qty",
+    "rc02_node_depth",
     "j04_asof_forward", "gr01_pagerank_fixed",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50

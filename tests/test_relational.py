@@ -223,3 +223,49 @@ def test_rangegen_empty_and_bad_partitions(spark):
         spark.read.format("rangegen").option("n", "0").load().count() == 0
     )
 
+
+
+def test_scd2_intersect_join_hand_computed(spark):
+    """NULL-aware interval intersection: open (NULL) valid_to acts as
+    +inf, empty intersections drop, both-open stays open, and
+    colliding attribute columns raise."""
+    import datetime
+
+    import pytest as _pytest
+
+    from alternating_least_squares_spark.operators.relational import (
+        scd2_intersect_join,
+    )
+
+    d = lambda s: datetime.date.fromisoformat(s)  # noqa: E731
+    a = spark.createDataFrame(
+        [
+            (1, "LOW", d("2024-01-01"), d("2024-03-01")),
+            (1, "HIGH", d("2024-03-01"), None),
+            (2, "LOW", d("2024-01-01"), d("2024-02-01")),
+        ],
+        "custkey long, priority string, valid_from date, valid_to date",
+    )
+    b = spark.createDataFrame(
+        [
+            (1, "O", d("2024-02-01"), d("2024-04-01")),
+            (1, "F", d("2024-04-01"), None),
+            # key 2: interval strictly AFTER a's -> empty intersection
+            (2, "O", d("2024-02-01"), None),
+        ],
+        "custkey long, status string, valid_from date, valid_to date",
+    )
+    got = {
+        (r["custkey"], r["priority"], r["status"],
+         str(r["valid_from"]), str(r["valid_to"]))
+        for r in scd2_intersect_join(a, b, "custkey").collect()
+    }
+    assert got == {
+        (1, "LOW", "O", "2024-02-01", "2024-03-01"),
+        (1, "HIGH", "O", "2024-03-01", "2024-04-01"),
+        (1, "HIGH", "F", "2024-04-01", "None"),
+    }
+    with _pytest.raises(ValueError):
+        scd2_intersect_join(
+            a, a.withColumnRenamed("custkey", "custkey"), "custkey"
+        )
