@@ -6187,6 +6187,77 @@ FROM j
 """
 
 
+def q_e16_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP — the metrics/
+    finance aggregate where a reading HOLDS until the next one, so
+    means must weight by holding duration, not by event count): each
+    event's value is held for ``lead(ts) − ts`` nanoseconds; the last
+    event per user has no holding window and drops (documented, both
+    sides). Exactness discipline: value floors to integer
+    micro-units, the (v_us · duration_ns) products and their sums run
+    in DECIMAL(38,0) — exact integers at any parallelism (a double
+    Σ(v·w) is partition-order dependent and would flap the hash;
+    BIGINT overflows at v_us·ns ≈ 10²³) — and only the final
+    twap = Σ(v·w)/Σ(w) touches floating point, one deterministic
+    division rounded to 6. Plan: one window (lead) + one keyed agg,
+    BOTH clustered on user_id — Spark's subset rule collapses them
+    onto a single exchange (the e-suite discipline)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts_ns",
+        F.floor(F.col("value") * F.lit(1e6)).alias("v_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "v_us")
+    held = ev.withColumn(
+        "_dur", F.lead("ts_ns").over(w) - F.col("ts_ns")
+    ).filter(F.col("_dur").isNotNull())
+    dec = "decimal(38,0)"
+    return (
+        held.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.col("v_us").cast(dec) * F.col("_dur").cast(dec)
+            ).alias("_wv"),
+            F.sum(F.col("_dur").cast(dec)).alias("_w"),
+            F.count("*").alias("n_held"),
+        )
+        .filter(F.col("_w") > 0)  # all-zero holds → no defined TWAP
+        .select(
+            "user_id",
+            "n_held",
+            F.round(
+                F.col("_wv").cast("double") / F.col("_w").cast("double"),
+                6,
+            ).alias("twap_us"),
+        )
+    )
+
+
+SQL_E16 = """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) AS ts_ns,
+         CAST(floor(value * 1e6) AS BIGINT) AS v_us
+  FROM events
+),
+held AS (
+  SELECT user_id, v_us,
+         lead(ts_ns) OVER (PARTITION BY user_id
+                           ORDER BY ts_ns, v_us) - ts_ns AS dur
+  FROM e
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_held,
+       round(CAST(sum(CAST(v_us AS DECIMAL(38,0)) *
+                      CAST(dur AS DECIMAL(38,0))) AS DOUBLE)
+             / CAST(sum(CAST(dur AS DECIMAL(38,0))) AS DOUBLE),
+             6) AS twap_us
+FROM held
+WHERE dur IS NOT NULL
+GROUP BY 1
+HAVING sum(CAST(dur AS DECIMAL(38,0))) > 0
+"""
+
+
 def q_j05_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAREST as-of (closing the merge_asof direction vocabulary
     after j01 backward / j04 forward): each click matched with the
@@ -9871,6 +9942,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "j06_point_in_time": (q_j06_point_in_time, SQL_J06),
     "j07_abandoned_clicks": (q_j07_abandoned_clicks, SQL_J07),
     "j08_scd2_intersect": (q_j08_scd2_intersect, SQL_J08),
+    "e16_twap": (q_e16_twap, SQL_E16),
     "x15_temperature_mix": (q_x15_temperature_mix, SQL_X15),
     "t17_edit_distance_pairs": (q_t17_edit_distance_pairs, SQL_T17),
     "t18_unigram_logprob": (q_t18_unigram_logprob, SQL_T18),
@@ -9913,12 +9985,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # here), t07 (t08–t14 r8-green), e07 (e06/e10/e11 here),
 # w03 (w06 r8-green, w04 here), and h15/h16/h17/h18/h19/h21 +
 # g02_cube (g01/g03 here) + b04_orc (b05 here) + w05_tumbling +
-# e10_inter_event_gaps (e06/e11 here) + rc03_bom (rc02 here) — 15
-# h-suite slots remain; all yielded to the round-9 graduations
-# s03/s05/s06/d05/s04 and the NEW gr05/gr06/mm05/x20/x21/j08,
-# which like every new entry must be driver-certified the round
-# they land. r10 prefix should lead with the r9 defer list above,
-# then the r6 cohort.
+# e10_inter_event_gaps (e06/e11 here) + rc03_bom (rc02 here) +
+# ac08_change_feed (ac07 here) — 15 h-suite slots remain; all
+# yielded to the round-9 graduations s03/s05/s06/d05/s04 and the
+# NEW gr05/gr06/mm05/x20/x21/j08/e16, which like every new entry
+# must be driver-certified the round they land. r10 prefix should
+# lead with the r9 defer list above, then the r6 cohort.
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors. (Round 9 graduated the
@@ -9939,7 +10011,7 @@ _PREFIX = [
     "w08_ewma", "s03_ivf_topk", "s05_pca_topk", "s06_pq_topk",
     "d05_mllib_minhash", "s04_mllib_euclidean", "gr05_kcore",
     "mm05_resize_nearest", "gr06_bfs_distance", "x20_aqe_skew_join",
-    "x21_cbo_stats_broadcast", "j08_scd2_intersect",
+    "x21_cbo_stats_broadcast", "j08_scd2_intersect", "e16_twap",
     # r8 self-deferral
     "x10_partition_pruning", "x11_table_profile", "x12_salted_join",
     # oldest remaining cohort: newest official row is round 5
@@ -9954,7 +10026,7 @@ _PREFIX = [
     "w04_distribution_funcs",
     "b05_jsonl_roundtrip",
     "e06_funnel", "e11_trailing_active_users",
-    "ac07_merge_schema_evolution", "ac08_change_feed",
+    "ac07_merge_schema_evolution",
     "rc02_node_depth",
     "j04_asof_forward", "gr01_pagerank_fixed",
 ]

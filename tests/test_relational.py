@@ -269,3 +269,43 @@ def test_scd2_intersect_join_hand_computed(spark):
         scd2_intersect_join(
             a, a.withColumnRenamed("custkey", "custkey"), "custkey"
         )
+
+
+def test_e16_twap_hand_computed(spark, monkeypatch):
+    """TWAP semantics: values weight by holding duration, the last
+    event per user drops (no window), zero-duration ties contribute
+    zero weight, and a user whose events all share one timestamp is
+    absent (no defined TWAP)."""
+    import datetime
+
+    import alternating_least_squares_spark.registry as R
+    from pyspark.sql import functions as F
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, sec, uid, val):
+        return (eid, t0 + datetime.timedelta(seconds=sec), uid,
+                "view", float(val), "{}")
+
+    rows = [
+        # user 1: value 2.0 held 10s, value 4.0 held 30s -> twap
+        # (2e6*10 + 4e6*30) / 40 = 3.5e6 micro-units
+        ev(1, 0, 1, 2.0), ev(2, 10, 1, 4.0), ev(3, 40, 1, 99.0),
+        # user 2: single event -> no holding window -> absent
+        ev(4, 0, 2, 7.0),
+        # user 3: two events at the SAME ts -> all-zero holds -> absent
+        ev(5, 0, 3, 1.0), ev(6, 0, 3, 2.0),
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).withColumn("ts_ns", F.unix_micros("ts") * 1000)
+    real_load = R.load_table
+    monkeypatch.setattr(
+        R, "load_table",
+        lambda sp, sf, name: batch if name == "events"
+        else real_load(sp, sf, name),
+    )
+    got = {r["user_id"]: (r["n_held"], r["twap_us"])
+           for r in R.q_e16_twap(spark, "ignored").collect()}
+    assert got == {1: (2, 3500000.0)}
