@@ -489,3 +489,69 @@ def bfs_distances(
         ).localCheckpoint(eager=True)
         frontier = nxt
     return dist
+
+
+def clustering_coefficients(
+    edges: DataFrame,
+    max_degree: int | None = None,
+    broadcast_adjacency: bool | None = None,
+) -> DataFrame:
+    """Local clustering coefficient per vertex — the triangle
+    statistic communities are screened by: ``cc(v) = 2·tri(v) /
+    (deg(v)·(deg(v)−1))`` for every vertex with degree ≥ 2 (cc is
+    undefined below that), 0.0 for triangle-free vertices. Returns
+    ``(vertex, degree, n_triangles, clustering_coeff)``.
+
+    Rides :func:`_oriented_intersections` unchanged — same degree-
+    ordered √(2|E|) array bound, same size-gated broadcast /
+    shuffled-hash strategy, same ``max_degree`` hub-drop semantics
+    (degrees here are POST-cap degrees, so the ratio stays
+    consistent with the triangles that survived the cap) — plus one
+    left join of the per-vertex triangle credits back onto the
+    degree table."""
+    e, deg, per_edge = _oriented_intersections(
+        edges, max_degree, broadcast_adjacency
+    )
+    one = F.lit(1).cast("long")
+    contrib = per_edge.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.col("u").alias("vertex"),
+                        F.size("_ws").cast("long").alias("n"),
+                    ),
+                    F.struct(
+                        F.col("v").alias("vertex"),
+                        F.size("_ws").cast("long").alias("n"),
+                    ),
+                ),
+                F.transform(
+                    "_ws",
+                    lambda w: F.struct(w.alias("vertex"), one.alias("n")),
+                ),
+            )
+        ).alias("_c")
+    )
+    tri = (
+        contrib.select("_c.vertex", "_c.n")
+        .groupBy("vertex")
+        .agg(F.sum("n").alias("n_triangles"))
+    )
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri, "vertex", "left")
+        .select(
+            "vertex",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+            F.round(
+                2.0
+                * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - F.lit(1))),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )

@@ -7226,6 +7226,75 @@ JOIN deg db ON db.v = e.b
 """
 
 
+def q_gr07_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient on the part co-purchase graph
+    (operators/graph.clustering_coefficients) — cc(v) = 2·tri(v) /
+    (deg(v)·(deg(v)−1)) for every vertex with post-cap degree ≥ 2,
+    0.0 when triangle-free. Completes the gr03/gr04 triangle
+    statistics (per-vertex counts, per-edge embeddedness, per-vertex
+    density) on the same degree-ordered machinery and the same
+    max_degree hub semantics; one extra left join over gr03's plan.
+    The oracle recomputes triangles from the three-way wedge join
+    and the coefficient from post-cap degree arithmetic."""
+    from alternating_least_squares_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    return clustering_coefficients(
+        _copurchase_edges(spark, sf_dir), max_degree=GR03_MAX_DEGREE
+    ).select(
+        F.col("vertex").alias("part"),
+        "degree",
+        "n_triangles",
+        "clustering_coeff",
+    )
+
+
+SQL_GR07 = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_partkey < y.l_partkey
+),
+hub AS (
+  SELECT v FROM (
+    SELECT v, count(*) AS deg
+    FROM (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0)
+    GROUP BY 1
+  ) WHERE deg > {GR03_MAX_DEGREE}
+),
+e AS (
+  SELECT a, b FROM e0
+  WHERE a NOT IN (SELECT v FROM hub) AND b NOT IN (SELECT v FROM hub)
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+cnt AS (
+  SELECT part, count(*) AS n FROM (
+    SELECT a AS part FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY 1
+),
+deg AS (
+  SELECT v, count(*) AS d
+  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1
+)
+SELECT deg.v AS part,
+       CAST(deg.d AS BIGINT) AS degree,
+       CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_triangles,
+       round(2.0 * coalesce(cnt.n, 0) / (deg.d * (deg.d - 1)), 6)
+         AS clustering_coeff
+FROM deg LEFT JOIN cnt ON cnt.part = deg.v
+WHERE deg.d >= 2
+"""
+
+
 GR05_K = 3
 GR05_ROUNDS = 12
 GR05_MIN_SUPPORT = 2
@@ -9964,6 +10033,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "gr04_edge_embeddedness": (q_gr04_edge_embeddedness, SQL_GR04),
     "gr05_kcore": (q_gr05_kcore, SQL_GR05),
     "gr06_bfs_distance": (q_gr06_bfs_distance, SQL_GR06),
+    "gr07_clustering_coeff": (q_gr07_clustering_coeff, SQL_GR07),
 }
 
 
@@ -9986,11 +10056,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # w03 (w06 r8-green, w04 here), and h15/h16/h17/h18/h19/h21 +
 # g02_cube (g01/g03 here) + b04_orc (b05 here) + w05_tumbling +
 # e10_inter_event_gaps (e06/e11 here) + rc03_bom (rc02 here) +
-# ac08_change_feed (ac07 here) — 15 h-suite slots remain; all
-# yielded to the round-9 graduations s03/s05/s06/d05/s04 and the
-# NEW gr05/gr06/mm05/x20/x21/j08/e16, which like every new entry
-# must be driver-certified the round they land. r10 prefix should
-# lead with the r9 defer list above, then the r6 cohort.
+# ac08_change_feed (ac07 here) + w04_distribution_funcs (w08 here)
+# — 15 h-suite slots remain; all yielded to the round-9 graduations
+# s03/s05/s06/d05/s04 and the NEW gr05/gr06/gr07/mm05/x20/x21/j08/
+# e16, which like every new entry must be driver-certified the
+# round they land. r10 prefix should lead with the r9 defer list
+# above, then the r6 cohort.
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors. (Round 9 graduated the
@@ -10012,6 +10083,7 @@ _PREFIX = [
     "d05_mllib_minhash", "s04_mllib_euclidean", "gr05_kcore",
     "mm05_resize_nearest", "gr06_bfs_distance", "x20_aqe_skew_join",
     "x21_cbo_stats_broadcast", "j08_scd2_intersect", "e16_twap",
+    "gr07_clustering_coeff",
     # r8 self-deferral
     "x10_partition_pruning", "x11_table_profile", "x12_salted_join",
     # oldest remaining cohort: newest official row is round 5
@@ -10023,7 +10095,6 @@ _PREFIX = [
     "h13_large_volume_orders", "h14_idle_rich_customers",
     "h20_forecast_revenue", "h22_market_share",
     "g01_rollup", "g03_percentiles",
-    "w04_distribution_funcs",
     "b05_jsonl_roundtrip",
     "e06_funnel", "e11_trailing_active_users",
     "ac07_merge_schema_evolution",

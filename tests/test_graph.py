@@ -474,3 +474,25 @@ def test_iterative_graph_ops_keep_lineage_flat(spark):
         )
     )
     assert "Join" not in pr_plan, pr_plan
+
+
+def test_clustering_coefficients_hand_computed(spark):
+    """K4 with a pendant: clique members have cc=1 over their three
+    clique neighbors... except vertex 4, whose pendant edge dilutes
+    it to 2*3/(4*3)=0.5; the pendant itself (degree 1) is absent and
+    a triangle-free degree-2 vertex reports 0.0."""
+    from alternating_least_squares_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5),          # pendant on 4
+             (6, 7), (7, 8)]  # triangle-free path
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["vertex"]: (r["degree"], r["n_triangles"],
+                         r["clustering_coeff"])
+           for r in clustering_coefficients(df).collect()}
+    assert got == {
+        1: (3, 3, 1.0), 2: (3, 3, 1.0), 3: (3, 3, 1.0),
+        4: (4, 3, 0.5), 7: (2, 0, 0.0),
+    }
