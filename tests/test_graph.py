@@ -496,3 +496,78 @@ def test_clustering_coefficients_hand_computed(spark):
         1: (3, 3, 1.0), 2: (3, 3, 1.0), 3: (3, 3, 1.0),
         4: (4, 3, 0.5), 7: (2, 0, 0.0),
     }
+
+
+@settings(max_examples=8, deadline=None)
+@given(raw=edge_set)
+def test_edge_neighborhood_scores_match_brute_force(spark, raw):
+    """Any random graph: per-edge common-neighbor counts and Jaccard
+    from the oriented-credit formulation must equal the brute-force
+    neighborhood intersection, on BOTH join strategies."""
+    from alternating_least_squares_spark.operators.graph import (
+        edge_neighborhood_scores,
+    )
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw})
+
+    def brute():
+        nbrs: dict[int, set[int]] = {}
+        for a, b in edges:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        out = {}
+        for a, b in edges:
+            common = len(nbrs[a] & nbrs[b])
+            union = len(nbrs[a]) + len(nbrs[b]) - common
+            out[(a, b)] = (common, round(common / union, 6))
+        return out
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    for strategy in (True, False):
+        got = {
+            (r["a"], r["b"]): (r["common"], r["jaccard"])
+            for r in edge_neighborhood_scores(
+                df, broadcast_adjacency=strategy
+            ).collect()
+        }
+        assert got == brute(), f"broadcast_adjacency={strategy}"
+
+
+@settings(max_examples=6, deadline=None)
+@given(raw=edge_set)
+def test_clustering_coefficients_match_brute_force(spark, raw):
+    from collections import Counter
+    from itertools import combinations
+
+    from alternating_least_squares_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw})
+
+    def brute():
+        es = set(edges)
+        verts = sorted({v for e in edges for v in e})
+        tri = Counter()
+        for x, y, z in combinations(verts, 3):
+            if {(x, y), (y, z), (x, z)} <= es:
+                tri[x] += 1
+                tri[y] += 1
+                tri[z] += 1
+        deg = Counter()
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        return {
+            v: (d, tri[v], round(2.0 * tri[v] / (d * (d - 1)), 6))
+            for v, d in deg.items()
+            if d >= 2
+        }
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["vertex"]: (r["degree"], r["n_triangles"],
+                      r["clustering_coeff"])
+        for r in clustering_coefficients(df).collect()
+    }
+    assert got == brute()
