@@ -2230,12 +2230,17 @@ def q_d05_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     borderline (0, 0.5] pairs; md5 token overlap cannot). Identical
     texts ⇒ identical HashingTF vectors ⇒ identical MinHash
     signatures under ANY hash family ⇒ co-bucketed in every table,
-    so recall of the distance-0 pairs is structural, and no other
-    pair can pass the distance < 0.5 join filter (nonzero hashed
-    Jaccard needs an md5 sub-collision). Ground truth: all ordered
-    pairs of the exact-text key. Probabilistic behavior on real
-    near-dups stays pinned by tests/test_dedup.py's agreement
-    fixtures against d03."""
+    so recall of the distance-0 pairs is structural. A distinct-text
+    pair passing the distance < 0.5 filter needs hashed-set Jaccard
+    > 0.5, and with 3 shingles per side that means ALL THREE of its
+    md5-random shingles landing in the same HashingTF buckets as the
+    other side's — three simultaneous 2^18-bucket collisions,
+    ~(2^-18)^3 ≈ 2^-54 per pair (ADVICE r9: this is the honest
+    bound — HashingTF buckets the shingles, so the binding collision
+    space is its 2^18 features, not md5's 128 bits). Ground truth:
+    all ordered pairs of the exact-text key. Probabilistic behavior
+    on real near-dups stays pinned by tests/test_dedup.py's
+    agreement fixtures against d03."""
     from alternating_least_squares_spark.functions.mllib_lsh import (
         mllib_minhash_near_dup,
     )
@@ -10039,67 +10044,56 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 
 # ---------------------------------------------------------------------------
 # Ordering: the driver's correctness run checks a bounded PREFIX of the
-# registry (50 entries, verified rounds 2-8), so the order below is
-# chosen — not incidental.  ROTATION, round 9 (VERDICT r8 #1 /
-# ADVICE r8): lead with the four entries the driver has NEVER seen
-# (st11/x18/x19/q03 — landed after the r8 prefix rotation; their only
-# rows so far are this repo's local oracle runs), then everything
-# added or semantically touched THIS round (gr04 new; s01/d03
-# newly oracle-backed; mm01 result changed to the BMP decode; gr03
-# re-certified after the degree-ordered-orientation plan change; w08
-# re-certified after the NaN→NULL domain change), then the r8
-# self-deferral (x10/x11/x12), then the oldest cohort — newest
-# official row round 5 — oldest-first (37 of 44; deferred to r10
-# because their families have fresher green rows: mm03/mm04 (mm01/
-# mm02 here), x04/x07 (x01/x05/x06/x08/x09 r8-green + five x-entries
-# here), t07 (t08–t14 r8-green), e07 (e06/e10/e11 here),
-# w03 (w06 r8-green, w04 here), and h15/h16/h17/h18/h19/h21 +
-# g02_cube (g01/g03 here) + b04_orc (b05 here) + w05_tumbling +
-# e10_inter_event_gaps (e06/e11 here) + rc03_bom (rc02 here) +
-# ac08_change_feed (ac07 here) + w04_distribution_funcs (w08 here)
-# — 15 h-suite slots remain; all yielded to the round-9 graduations
-# s03/s05/s06/d05/s04 and the NEW gr05/gr06/gr07/mm05/x20/x21/j08/
-# e16, which like every new entry must be driver-certified the
-# round they land. r10 prefix should lead with the r9 defer list
-# above, then the r6 cohort.
+# registry (50 entries, verified rounds 2-10), so the order below is
+# chosen — not incidental.  ROTATION, round 11 (VERDICT r10 #1: the
+# planned r10 rotation never landed because round 10 produced zero
+# commits, so the 20 entries whose newest official row is still round
+# 5 have gone five rounds without driver re-certification): lead with
+# that whole r5 cohort (h15–h19, h21, g02_cube, b04_orc, w03/w04/w05,
+# e07, e10, t07, x04/x07, mm03/mm04, rc03, ac08), then anything new or
+# semantically changed this round, then fill the remaining slots from
+# the round-6 cohort (49 entries whose newest official row is r6) —
+# 30 fit here; the 19 left over (rc04, st01, st10, t13, t15–t23,
+# w07, x13–x17) are the planned core of the r12 prefix, after which
+# every entry's newest official row is r7+ and the rotation has
+# caught the tail up.  New entries landed later this round displace
+# r6-cohort fill entries (pushed to r12) — new code must be
+# driver-certified the round it lands.
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
-# and their evidence is the pytest floors. (Round 9 graduated the
-# WHOLE remaining dedup/ANN surface to oracle rows: s01/d03 by the
-# r8 verdict's ask, then s03/s05/s06 via the same sign-quantization
-# fixture — ivf.py moved off model.transform first, the observe()/
-# ObservationManager serialization pitfall — and d05/s04, whose
-# internal MLlib hash families don't matter when identical inputs
-# must collide and all distinct inputs are structurally outside the
-# join threshold.)
+# and their evidence is the pytest floors (each has a hash-green
+# oracle-adjacent twin where one is possible: ipf_fixed, g04b, m04).
 _PREFIX = [
-    # never driver-checked (post-r8-rotation landings)
-    "st11_stream_ewma", "x18_runtime_bloom_filter",
-    "x19_epoch_shuffle", "q03_quantile_gate",
-    # new or semantically changed in round 9
-    "gr04_edge_embeddedness", "s01_lsh_topk",
-    "d03_minhash_near_dup", "mm01_media_features", "gr03_triangles",
-    "w08_ewma", "s03_ivf_topk", "s05_pca_topk", "s06_pq_topk",
-    "d05_mllib_minhash", "s04_mllib_euclidean", "gr05_kcore",
-    "mm05_resize_nearest", "gr06_bfs_distance", "x20_aqe_skew_join",
-    "x21_cbo_stats_broadcast", "j08_scd2_intersect", "e16_twap",
-    "gr07_clustering_coeff",
-    # r8 self-deferral
-    "x10_partition_pruning", "x11_table_profile", "x12_salted_join",
-    # oldest remaining cohort: newest official row is round 5
-    "h02_revenue_by_nation", "h03_shipping_priority",
-    "h04_local_supplier_volume", "h05_returned_revenue",
-    "h06_promo_revenue", "h07_order_priority", "h08_volume_shipping",
-    "h09_product_profit", "h10_shipmode_priority",
-    "h11_order_distribution", "h12_disjunctive_revenue",
-    "h13_large_volume_orders", "h14_idle_rich_customers",
-    "h20_forecast_revenue", "h22_market_share",
-    "g01_rollup", "g03_percentiles",
-    "b05_jsonl_roundtrip",
-    "e06_funnel", "e11_trailing_active_users",
-    "ac07_merge_schema_evolution",
-    "rc02_node_depth",
-    "j04_asof_forward", "gr01_pagerank_fixed",
+    # r5 cohort: newest official row is round 5 (stale since the
+    # r10 zero-commit stall; VERDICT r10 residual-gap #1)
+    "h15_top_supplier", "h16_supplier_part_counts",
+    "h17_small_qty_revenue", "h18_important_parts",
+    "h19_min_cost_supplier", "h21_sole_returning_supplier",
+    "g02_cube", "b04_orc_roundtrip",
+    "w03_time_range_avg", "w04_distribution_funcs",
+    "w05_tumbling_batch",
+    "e07_cohort_retention", "e10_inter_event_gaps",
+    "t07_top_bigrams",
+    "x04_pandas_udaf_geomean", "x07_python_datasource",
+    "mm03_arrow_features", "mm04_resize_stride",
+    "rc03_bom_effective_qty", "ac08_change_feed",
+    # r6 cohort fill (newest official row is round 6), 30 of 49
+    "sql02_shared_windows",
+    "a16_ipf_step", "a17_converge", "ipf_cost_per_visit_fixed",
+    "ac09_replicate_via_feed", "b07_binaryfile_source",
+    "c16_scd2",
+    "d07_incremental_dedup", "d08_containment_pairs",
+    "d09_incremental_near_dup", "d10_indexed_admission",
+    "d11_neardup_keep_one",
+    "e03_sessionize", "e09_activity_streaks", "e12_daily_top_type",
+    "e13_rfm_segments", "e14_cumulative_users",
+    "g06_histogram", "g07_weighted_mean", "g08_exact_corr",
+    "gr02_degree_profile", "h01_pricing_summary",
+    "j01_asof_join", "j05_asof_nearest", "j06_point_in_time",
+    "j07_abandoned_clicks",
+    "m04_market_basket", "p03_training_pipeline",
+    "q02_referential_integrity",
+    "rc01_subtree_rollup",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))
