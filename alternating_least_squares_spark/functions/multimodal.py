@@ -296,6 +296,14 @@ def decode_bmp(blob: bytes) -> tuple[int, int, bytes]:
             f"only 24-bit uncompressed BMP is supported (bpp={bpp}, "
             f"compression={comp})"
         )
+    # ADVICE r9: width is a SIGNED header field — a corrupt width ≤ 0
+    # makes ``row`` negative, the truncation check below vacuously
+    # true, and the return a silent (negative_width, h, b'') instead
+    # of the fail-loud contract. Height 0 is equally malformed.
+    if width <= 0 or height == 0:
+        raise ValueError(
+            f"malformed BMP dimensions: width={width}, height={height}"
+        )
     top_down = height < 0
     h = abs(height)
     row = width * 3
@@ -317,7 +325,12 @@ def attach_bmp_blob(
     (id%3+1)`` 24-bit BMP whose pixel bytes are the doc's text
     truncated/right-padded with ``'x'`` to exactly fill the frame
     (testdata text is ASCII, so the DuckDB oracle can restate the
-    pixel buffer with substring+rpad). Arrow-batched 1:1
+    pixel buffer with substring+rpad — and that contract is CHECKED,
+    not assumed: the consumed prefix is encoded with the ``ascii``
+    codec, so a regenerated testdata file carrying non-ASCII text
+    fails loudly here instead of overflowing the pixel buffer or
+    silently diverging from the oracle's char-based substring
+    arithmetic; ADVICE r9). Arrow-batched 1:1
     ``mapInPandas`` emitting a true ``binary`` column — the content
     then crosses an Arrow boundary again before decoding, so
     encode and decode never share a Python process state."""
@@ -331,7 +344,16 @@ def attach_bmp_blob(
                 w = int(doc_id) % 4 + 2
                 h = int(doc_id) % 3 + 1
                 n = w * h * 3
-                px = (text or "")[:n].ljust(n, "x").encode("utf-8")
+                try:
+                    px = (text or "")[:n].ljust(n, "x").encode("ascii")
+                except UnicodeEncodeError as ex:
+                    raise ValueError(
+                        f"attach_bmp_blob requires ASCII text in the "
+                        f"consumed prefix (doc_id={doc_id}): {ex}; the "
+                        "oracle restates pixels with char-based "
+                        "substring+rpad, which only equals byte "
+                        "arithmetic on ASCII"
+                    ) from ex
                 blobs.append(encode_bmp(px, w, h))
             yield pd.DataFrame(
                 {

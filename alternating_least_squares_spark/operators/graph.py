@@ -354,7 +354,7 @@ def kcore(
     edges: DataFrame,
     k: int,
     rounds: int | None = None,
-    max_rounds: int = 60,
+    max_rounds: int | None = None,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling (Seidman 1983 /
     Batagelj–Zaveršnik, the degeneracy workhorse behind community
@@ -370,10 +370,15 @@ def kcore(
     - ``rounds=None`` (live): peel to the FIXPOINT, detected by the
       edge count not shrinking (no edge lost ⇔ every surviving vertex
       already has degree ≥ k). One ``count()`` action per round — the
-      rc01 fixpoint pattern — and a loud ``max_rounds`` RuntimeError
-      instead of spinning when given an adversarial input (each true
-      peel round removes ≥ 1 vertex, so rounds are bounded by |V|,
-      but the guard keeps a driver-side bug from looping forever).
+      rc01 fixpoint pattern — and a loud RuntimeError instead of
+      spinning when given an adversarial input. ``max_rounds=None``
+      (the default) derives the guard from the DATA: every
+      non-terminal peel round removes ≥ 1 vertex, so |V|+1 rounds is
+      a structural upper bound and any overrun is a driver-side bug,
+      never a legitimate deep graph (ADVICE r9: the old fixed default
+      of 60 rejected e.g. a ~130-vertex path at k=2, which peels from
+      both ends and legitimately needs >60 rounds). Pass an int to
+      cap cheaper when the peel depth is known.
     - ``rounds=R`` (fixed sweep): exactly R peels, NO count actions —
       the result is well-defined whether or not the fixpoint was
       reached, so an unrolled-SQL oracle can state it exactly (and
@@ -391,13 +396,17 @@ def kcore(
         raise ValueError(f"k must be >= 1, got {k}")
     e = edges.select("a", "b").distinct().localCheckpoint(eager=True)
     n_prev = e.count() if rounds is None else None
+    limit = max_rounds
+    if rounds is None and limit is None:
+        # structural bound: a non-terminal peel removes >= 1 vertex
+        limit = vertex_degrees(e).count() + 1
     r = 0
     while True:
         if rounds is not None and r >= rounds:
             break
-        if rounds is None and r >= max_rounds:
+        if rounds is None and r >= limit:
             raise RuntimeError(
-                f"kcore: no fixpoint after {max_rounds} rounds "
+                f"kcore: no fixpoint after {limit} rounds "
                 f"(edges remaining: {n_prev})"
             )
         deg = vertex_degrees(e)
@@ -424,7 +433,7 @@ def bfs_distances(
     edges: DataFrame,
     sources: DataFrame,
     rounds: int | None = None,
-    max_rounds: int = 60,
+    max_rounds: int | None = None,
 ) -> DataFrame:
     """Multi-source BFS hop distances — "distance to the nearest
     seed", the level-synchronous frontier expansion behind
@@ -435,8 +444,13 @@ def bfs_distances(
     unreached vertices are absent, not NULL-padded.
 
     Modes (the gr05/gr01/ipf twin discipline): ``rounds=None`` runs
-    to frontier exhaustion (one count per round, loud ``max_rounds``
-    guard); ``rounds=R`` expands exactly R levels with NO driver
+    to frontier exhaustion (one count per round), with a loud
+    runaway guard: ``max_rounds=None`` (default) derives the bound
+    from the DATA — every continuing level reaches ≥ 1 new vertex,
+    so |V|+1 levels is structural and any overrun is a driver bug,
+    never a legitimately deep graph (ADVICE r9: the old fixed 60
+    rejected seed eccentricity > 60, which is normal in large sparse
+    graphs); ``rounds=R`` expands exactly R levels with NO driver
     actions — well-defined at any R, equal to the fixpoint once R ≥
     the graph's seed eccentricity, and exactly what an unrolled-SQL
     oracle states.
@@ -464,13 +478,17 @@ def bfs_distances(
         .localCheckpoint(eager=True)
     )
     frontier = dist.select("vertex")
+    limit = max_rounds
+    if rounds is None and limit is None:
+        # structural bound: a continuing level reaches >= 1 new vertex
+        limit = sym.select("u").distinct().count() + 1
     r = 0
     while True:
         if rounds is not None and r >= rounds:
             break
-        if rounds is None and r >= max_rounds:
+        if rounds is None and r >= limit:
             raise RuntimeError(
-                f"bfs_distances: frontier alive after {max_rounds} rounds"
+                f"bfs_distances: frontier alive after {limit} rounds"
             )
         nxt = (
             sym.join(

@@ -322,8 +322,34 @@ def test_kcore_validates_and_guards(spark):
     with pytest.raises(ValueError):
         kcore(df, k=0)
     with pytest.raises(RuntimeError):
-        # max_rounds=0 trips the loud guard before any peel
+        # an explicit max_rounds=0 trips the loud guard before any peel
         kcore(df, k=2, max_rounds=0)
+
+
+def test_deep_graphs_pass_the_default_runaway_guard(spark):
+    """ADVICE r9: the old fixed ``max_rounds=60`` default rejected
+    LEGITIMATE deep graphs — a long path at k=2 peels one vertex off
+    each end per round, and a far seed has eccentricity > 60 in any
+    large sparse graph. The default guard is now the structural
+    |V|+1 bound derived from the input, so both must complete."""
+    from alternating_least_squares_spark.operators.graph import (
+        bfs_distances,
+        kcore,
+    )
+
+    # 124-vertex path: k=2 peels both ends -> 62 live rounds (> 60)
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(123)], "a long, b long"
+    )
+    assert kcore(path, k=2).count() == 0  # a path has no 2-core
+    # seed at one end of a 63-vertex path: eccentricity 62 (> 60)
+    seeds = spark.createDataFrame([(0,)], "vertex long")
+    sub = spark.createDataFrame(
+        [(i, i + 1) for i in range(62)], "a long, b long"
+    )
+    got = {r["vertex"]: r["hops"] for r in
+           bfs_distances(sub, seeds).collect()}
+    assert len(got) == 63 and got[62] == 62
 
 
 @settings(max_examples=8, deadline=None)

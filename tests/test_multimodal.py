@@ -199,6 +199,60 @@ def test_bmp_decode_rejects_garbage():
         encode_bmp(b"\x01" * 11, 2, 2)
 
 
+def test_bmp_decode_rejects_nonpositive_dimensions():
+    """ADVICE r9: a corrupt header with width ≤ 0 used to make the
+    row size negative, the truncation check vacuously true, and the
+    return a silent (negative_width, h, b'') — the decoder must
+    raise instead. Height 0 is equally malformed (negative height
+    is the legitimate top-down layout and stays accepted)."""
+    import struct
+
+    import pytest
+
+    from alternating_least_squares_spark.functions.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    good = encode_bmp(b"\x01" * 12, 2, 2)
+
+    def with_dims(w: int, h: int) -> bytes:
+        # rewrite the DIB width/height fields at offsets 18/22
+        return (
+            good[:18] + struct.pack("<ii", w, h) + good[26:]
+        )
+
+    for w, h in [(0, 2), (-2, 2), (2, 0), (0, 0), (-1, -1)]:
+        with pytest.raises(ValueError, match="malformed BMP dimensions"):
+            decode_bmp(with_dims(w, h))
+    # sanity: the unmodified blob still decodes
+    assert decode_bmp(good) == (2, 2, b"\x01" * 12)
+
+
+def test_attach_bmp_blob_rejects_non_ascii_text(spark):
+    """ADVICE r9: the BMP-planting contract (oracle restates pixels
+    via char-based substring+rpad) only holds for ASCII text. A
+    non-ASCII char inside the consumed prefix must fail loudly, not
+    overflow the pixel buffer after UTF-8 expansion."""
+    import pytest
+
+    from alternating_least_squares_spark.functions.multimodal import (
+        attach_bmp_blob,
+    )
+
+    d = spark.createDataFrame(
+        [(7, "héllo bmp")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="requires ASCII text"):
+        attach_bmp_blob(d).collect()
+    # a non-ASCII char BEYOND the consumed prefix is harmless:
+    # doc_id 0 -> w=2, h=1 -> 6 pixel bytes; the é sits at index 6
+    d2 = spark.createDataFrame(
+        [(0, "abcdefé tail")], "doc_id long, text string"
+    )
+    assert attach_bmp_blob(d2).count() == 1
+
+
 def test_mm01_decodes_planted_bmps(spark):
     """mm01 end to end on a tiny frame: dims parsed from the header,
     pixel md5 equals the text padded to the frame — computed
