@@ -103,6 +103,65 @@ def planted_label() -> F.Column:
     return (score > PLANT_THRESHOLD).cast("double")
 
 
+def score_margin(coefs: dict[str, float], intercept: float) -> "F.Column":
+    """The linear decision margin as ONE codegen expression over the
+    :func:`doc_features` columns: ``intercept + Σ coef·feature``,
+    accumulated left-to-right in ``FEATURE_COLS`` order. Shared by the
+    fitted (m03) and pinned (m05) scoring paths so the driver-hashed
+    m05 certifies byte-for-byte the expression shape m03 executes —
+    IEEE addition is order-sensitive, so the oracle SQL spells out the
+    same left-associated chain."""
+    margin = F.lit(float(intercept))
+    for name in FEATURE_COLS:
+        margin = margin + F.lit(float(coefs[name])) * F.col(name)
+    return margin
+
+
+# m05's pinned model: coefficients over FEATURE_COLS chosen
+# exactly-representable in binary (sums/differences of powers of two)
+# so the Spark literals and the DuckDB SQL literals parse to the SAME
+# double bit pattern; the intercept (-67/64) sits at the measured
+# sf0.01 median of the un-intercepted score, so pred splits the
+# holdout near 50/50 and the hash is sensitive to every feature.
+PINNED_COEFS = {
+    "punct_ratio": -3.0,
+    "avg_tok_len": 0.125,
+    "quality": 0.5,
+    "m_en": 2.0,
+    "m_de": -0.5,
+    "m_es": -0.5,
+    "m_fr": -0.5,
+}
+PINNED_INTERCEPT = -1.046875
+
+
+def pinned_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m03's scoring path with the ONE nondeterministic stage removed
+    (VERDICT r10 #3): identical feature assembly, content-hash
+    holdout split, and literal-margin codegen scoring, but the
+    coefficients are the PINNED constants above instead of an LBFGS
+    fit — so the output is exactly SQL-expressible and the driver can
+    hash-certify everything m03 owns except the MLlib optimizer
+    (whose rule-recovery floor stays pinned in
+    tests/test_classifier.py). The ipf_cost_per_visit_fixed /
+    ipf_cost_per_visit twin discipline, applied to ML scoring."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    feats = (
+        doc_features(docs)
+        .withColumn("label", planted_label())
+        .withColumn("_bucket", _hash_bucket(F.col("doc_id")))
+    )
+    holdout = feats.filter(F.col("_bucket") >= SPLIT_AT)
+    margin = score_margin(PINNED_COEFS, PINNED_INTERCEPT)
+    return holdout.select(
+        "doc_id",
+        F.col("label").cast("long").alias("label"),
+        (margin > 0).cast("long").alias("pred"),
+    )
+
+
 def train_and_score_filter(
     spark: SparkSession,
     sf_dir: str,
@@ -135,10 +194,10 @@ def train_and_score_filter(
 
     # score in codegen: the fitted decision boundary as a literal
     # expression (see module docstring for why NOT model.transform)
-    coefs = [float(c) for c in model.coefficients]
-    margin = F.lit(float(model.intercept))
-    for c, name in zip(coefs, FEATURE_COLS):
-        margin = margin + F.lit(c) * F.col(name)
+    margin = score_margin(
+        dict(zip(FEATURE_COLS, (float(c) for c in model.coefficients))),
+        float(model.intercept),
+    )
     holdout = feats.filter(F.col("_bucket") >= SPLIT_AT)
     return holdout.select(
         "doc_id",

@@ -2449,6 +2449,93 @@ def q_m03_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_and_score_filter(spark, sf_dir)
 
 
+def q_m05_pinned_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-certified twin of m03's scoring path (VERDICT r10 #3 — the
+    last cheap rows-only→oracle conversion): identical feature
+    assembly, content-hash holdout split, and left-associated
+    literal-margin codegen, with the LBFGS coefficients replaced by
+    the pinned exactly-representable constants in ml/classifier.py.
+    Every double the comparison touches is integer-derived (one IEEE
+    division of exact ints) or round(·,6)'d identically on both
+    engines, so label/pred booleans are bit-stable cross-engine. The
+    ipf_cost_per_visit_fixed twin discipline applied to ML scoring;
+    m03's optimizer itself stays rows-only with its pytest recovery
+    floor."""
+    from alternating_least_squares_spark.ml.classifier import (
+        pinned_score_filter,
+    )
+
+    return pinned_score_filter(spark, sf_dir)
+
+
+def _m05_sql() -> str:
+    from alternating_least_squares_spark.ml.classifier import (
+        PINNED_COEFS,
+        PINNED_INTERCEPT,
+        SPLIT_AT,
+    )
+
+    en = _marker_sql(TX.LANG_MARKERS["en"])
+    de = _marker_sql(TX.LANG_MARKERS["de"])
+    es = _marker_sql(TX.LANG_MARKERS["es"])
+    fr = _marker_sql(TX.LANG_MARKERS["fr"])
+    c = PINNED_COEFS
+    # the margin chain mirrors score_margin's left-associated
+    # FEATURE_COLS order exactly — IEEE addition is order-sensitive
+    margin = (
+        f"{PINNED_INTERCEPT!r} + ({c['punct_ratio']!r}) * punct_ratio "
+        f"+ ({c['avg_tok_len']!r}) * avg_tok_len "
+        f"+ ({c['quality']!r}) * quality "
+        f"+ ({c['m_en']!r}) * m_en + ({c['m_de']!r}) * m_de "
+        f"+ ({c['m_es']!r}) * m_es + ({c['m_fr']!r}) * m_fr"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+tk AS (
+  SELECT doc_id, text, {_toks_sql()} AS toks,
+         ' ' || lower(text) || ' ' AS p
+  FROM d
+),
+f AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+              / len(toks) END AS avg_tok_len,
+    CAST(len(toks) AS DOUBLE) AS n_tok,
+    CAST({en} AS DOUBLE)
+      / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS m_en,
+    CAST({de} AS DOUBLE)
+      / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS m_de,
+    CAST({es} AS DOUBLE)
+      / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS m_es,
+    CAST({fr} AS DOUBLE)
+      / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS m_fr,
+    {_hex4_sql()} AS hex4
+  FROM tk
+),
+q AS (
+  SELECT *,
+    round(greatest(0.0,
+      least(n_tok / 64.0, 1.0) * 0.5
+      + (CASE WHEN avg_tok_len <= 0 THEN 0.0
+              ELSE least(avg_tok_len / 5.0, 1.0) END) * 0.5
+      - punct_ratio * 2.0), 6) AS quality
+  FROM f
+)
+SELECT doc_id,
+  CAST(2.0 * m_en + 0.1 * avg_tok_len - 3.0 * punct_ratio > 0.51
+       AS BIGINT) AS label,
+  CAST({margin} > 0 AS BIGINT) AS pred
+FROM q
+WHERE hex4 >= {SPLIT_AT}
+"""
+
+
+SQL_M05 = _m05_sql()
+
+
 def q_m02_als_implicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Implicit-feedback ALS (Hu/Koren/Volinsky 2008) over the same
     ratings projection — Σ quantity is confidence, not a rating, so
@@ -9976,6 +10063,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "m01_als_recommend": (q_m01_als_recommend, None),
     "m02_als_implicit": (q_m02_als_implicit, None),
     "m03_quality_filter": (q_m03_quality_filter, None),
+    "m05_pinned_scoring": (q_m05_pinned_scoring, SQL_M05),
     "ipf_cost_per_visit": (q_ipf_cost_per_visit, None),
     "ipf_cost_per_visit_fixed": (q_ipf_cost_per_visit_fixed, SQL_IPF_FIXED),
     "rc01_subtree_rollup": (q_rc01_subtree_rollup, SQL_RC01),
@@ -10053,8 +10141,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # e07, e10, t07, x04/x07, mm03/mm04, rc03, ac08), then anything new or
 # semantically changed this round, then fill the remaining slots from
 # the round-6 cohort (49 entries whose newest official row is r6) —
-# 30 fit here; the 19 left over (rc04, st01, st10, t13, t15–t23,
-# w07, x13–x17) are the planned core of the r12 prefix, after which
+# 29 fit here; the 20 left over (rc04, sql02, st01, st10, t13,
+# t15–t23, w07, x13–x17) are the planned core of the r12 prefix, after which
 # every entry's newest official row is r7+ and the rotation has
 # caught the tail up.  New entries landed later this round displace
 # r6-cohort fill entries (pushed to r12) — new code must be
@@ -10077,8 +10165,9 @@ _PREFIX = [
     "x04_pandas_udaf_geomean", "x07_python_datasource",
     "mm03_arrow_features", "mm04_resize_stride",
     "rc03_bom_effective_qty", "ac08_change_feed",
-    # r6 cohort fill (newest official row is round 6), 30 of 49
-    "sql02_shared_windows",
+    # new in round 11: the m03 scoring twin (VERDICT r10 #3)
+    "m05_pinned_scoring",
+    # r6 cohort fill (newest official row is round 6), 29 of 49
     "a16_ipf_step", "a17_converge", "ipf_cost_per_visit_fixed",
     "ac09_replicate_via_feed", "b07_binaryfile_source",
     "c16_scd2",

@@ -50,6 +50,42 @@ def test_split_is_disjoint_and_deterministic(spark):
     assert 0 < n_train < len(b1)  # both slices non-empty
 
 
+def test_pinned_scoring_matches_python_reference(spark):
+    """m05 (the hash-certified twin of m03's scoring path): the
+    codegen literal margin must equal a plain-Python dot product over
+    the collected features, row for row — and the pinned intercept
+    must split the holdout into BOTH pred classes, else the driver
+    hash would be insensitive to the margin arithmetic."""
+    from alternating_least_squares_spark.ml.classifier import (
+        FEATURE_COLS,
+        PINNED_COEFS,
+        PINNED_INTERCEPT,
+        pinned_score_filter,
+    )
+
+    scored = {r["doc_id"]: (r["label"], r["pred"])
+              for r in pinned_score_filter(spark, SF_SMALL).collect()}
+    assert scored
+    docs = load_table(spark, SF_SMALL, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    feats = (
+        doc_features(docs)
+        .withColumn("label", planted_label())
+        .withColumn("_bucket", _hash_bucket(F.col("doc_id")))
+        .filter(F.col("_bucket") >= SPLIT_AT)
+    ).collect()
+    assert len(feats) == len(scored)
+    for r in feats:
+        margin = PINNED_INTERCEPT
+        for name in FEATURE_COLS:
+            margin += PINNED_COEFS[name] * r[name]
+        assert scored[r["doc_id"]] == (int(r["label"]), int(margin > 0))
+    preds = {p for _, p in scored.values()}
+    labels = {l for l, _ in scored.values()}
+    assert preds == {0, 1} and labels == {0, 1}
+
+
 def test_features_are_finite(spark):
     docs = load_table(spark, SF_SMALL, "documents")
     feats = doc_features(docs)
