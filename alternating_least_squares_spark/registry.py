@@ -6519,9 +6519,11 @@ def _part_hierarchy(spark: SparkSession, sf_dir: str):
 def q_rc01_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive subtree rollup (the WITH RECURSIVE warehouse shape):
     per node, descendant count and Σ p_size over its whole subtree,
-    self included. Spark has no recursive CTE — computed by the
-    exponential-doubling transitive closure in
-    ``operators/hierarchy.py`` (⌈log₂ depth⌉ keyed shuffles)."""
+    self included. Computed by the exponential-doubling transitive
+    closure in ``operators/hierarchy.py`` (⌈log₂ depth⌉ keyed
+    shuffles) — Spark 4 does have a native recursive CTE now (one
+    round per LEVEL; certified separately by rc05), but the doubling
+    closure stays the scale path for deep chains."""
     part, nodes, edges = _part_hierarchy(spark, sf_dir)
     values = part.select(
         F.col("p_partkey").alias("id"), F.col("p_size").alias("val")
@@ -6561,6 +6563,58 @@ WITH RECURSIVE up AS (
 )
 SELECT node, cur AS root, CAST(depth AS BIGINT) AS depth
 FROM up WHERE cur < 10
+"""
+
+
+def q_rc05_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE recursive CTE (SPARK-24497, GA since 4.0 — the
+    UnionLoop physical operator) over the same part forest as
+    rc01–rc04: walk every node to its root, then profile each tree
+    (node count, max depth, Σ p_size). rc01/rc02 deliberately keep the
+    exponential-doubling closure from ``operators/hierarchy.py`` —
+    ⌈log₂ depth⌉ keyed shuffles, the right shape for DEEP chains —
+    while this entry certifies the engine-native path: one union
+    round per LEVEL, linear in depth, the simpler plan for shallow
+    warehouse forests like this one (depth ≈ log₁₀|part|). Guarded by
+    ``spark.sql.cteRecursionLevelLimit`` (default 100 ≫ the ~6 levels
+    here). Oracle: the identical WITH RECURSIVE in DuckDB (dialect
+    delta: ``DIV`` vs ``//``). tests pin rc05's per-root profile
+    against an aggregation of rc02's doubling-closure output, so the
+    two recursion strategies certify each other."""
+    part = load_table(spark, sf_dir, "part")
+    part.select("p_partkey", "p_size").createOrReplaceTempView(
+        "_rc05_part"
+    )
+    return spark.sql("""
+WITH RECURSIVE up AS (
+  SELECT p_partkey AS node, p_partkey AS cur, 0 AS depth
+  FROM _rc05_part
+  UNION ALL
+  SELECT node, cur DIV 10, depth + 1 FROM up WHERE cur >= 10
+)
+SELECT up.cur AS root,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MAX(up.depth) AS BIGINT) AS max_depth,
+       CAST(SUM(v.p_size) AS BIGINT) AS tree_size
+FROM up JOIN _rc05_part v ON v.p_partkey = up.node
+WHERE up.cur < 10
+GROUP BY up.cur
+""")
+
+
+SQL_RC05 = """
+WITH RECURSIVE up AS (
+  SELECT p_partkey AS node, p_partkey AS cur, 0 AS depth FROM part
+  UNION ALL
+  SELECT node, cur // 10, depth + 1 FROM up WHERE cur >= 10
+)
+SELECT up.cur AS root,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MAX(up.depth) AS BIGINT) AS max_depth,
+       CAST(SUM(v.p_size) AS BIGINT) AS tree_size
+FROM up JOIN part v ON v.p_partkey = up.node
+WHERE up.cur < 10
+GROUP BY up.cur
 """
 
 
@@ -10068,6 +10122,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ipf_cost_per_visit_fixed": (q_ipf_cost_per_visit_fixed, SQL_IPF_FIXED),
     "rc01_subtree_rollup": (q_rc01_subtree_rollup, SQL_RC01),
     "rc02_node_depth": (q_rc02_node_depth, SQL_RC02),
+    "rc05_recursive_cte": (q_rc05_recursive_cte, SQL_RC05),
     "j04_asof_forward": (q_j04_asof_forward, SQL_J04),
     "e10_inter_event_gaps": (q_e10_inter_event_gaps, SQL_E10),
     "q02_referential_integrity": (q_q02_referential_integrity, SQL_Q02),
@@ -10141,7 +10196,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # e07, e10, t07, x04/x07, mm03/mm04, rc03, ac08), then anything new or
 # semantically changed this round, then fill the remaining slots from
 # the round-6 cohort (49 entries whose newest official row is r6) —
-# 29 fit here; the 20 left over (rc04, sql02, st01, st10, t13,
+# 28 fit here; the 21 left over (e14, rc04, sql02, st01, st10, t13,
 # t15–t23, w07, x13–x17) are the planned core of the r12 prefix, after which
 # every entry's newest official row is r7+ and the rotation has
 # caught the tail up.  New entries landed later this round displace
@@ -10165,9 +10220,10 @@ _PREFIX = [
     "x04_pandas_udaf_geomean", "x07_python_datasource",
     "mm03_arrow_features", "mm04_resize_stride",
     "rc03_bom_effective_qty", "ac08_change_feed",
-    # new in round 11: the m03 scoring twin (VERDICT r10 #3)
-    "m05_pinned_scoring",
-    # r6 cohort fill (newest official row is round 6), 29 of 49
+    # new in round 11: the m03 scoring twin (VERDICT r10 #3) and the
+    # native-recursive-CTE entry
+    "m05_pinned_scoring", "rc05_recursive_cte",
+    # r6 cohort fill (newest official row is round 6), 28 of 49
     "a16_ipf_step", "a17_converge", "ipf_cost_per_visit_fixed",
     "ac09_replicate_via_feed", "b07_binaryfile_source",
     "c16_scd2",
@@ -10175,7 +10231,7 @@ _PREFIX = [
     "d09_incremental_near_dup", "d10_indexed_admission",
     "d11_neardup_keep_one",
     "e03_sessionize", "e09_activity_streaks", "e12_daily_top_type",
-    "e13_rfm_segments", "e14_cumulative_users",
+    "e13_rfm_segments",
     "g06_histogram", "g07_weighted_mean", "g08_exact_corr",
     "gr02_degree_profile", "h01_pricing_summary",
     "j01_asof_join", "j05_asof_nearest", "j06_point_in_time",

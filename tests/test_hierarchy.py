@@ -169,3 +169,39 @@ def test_star_forest_hot_ancestor_key(spark):
     root = {r["node"]: (r["n_desc"], r["subtree_val"]) for r in got.collect()}
     assert root[0] == (n + 1, n + 1)
     assert root[1] == (1, 1)
+
+
+def test_native_recursive_cte_agrees_with_doubling_closure(spark):
+    """rc05 (Spark's native WITH RECURSIVE / UnionLoop) and rc02 (the
+    doubling closure in operators/hierarchy.py) are two recursion
+    strategies over the same forest — aggregating rc02's per-node
+    (root, depth) rows must reproduce rc05's per-root tree profile
+    exactly, and the executed rc05 plan must actually contain the
+    native recursion operator."""
+    from alternating_least_squares_spark import registry as R
+    from tests.conftest import SF_SMALL
+
+    rc05 = R.q_rc05_recursive_cte(spark, SF_SMALL)
+    got = {
+        r["root"]: (r["n_nodes"], r["max_depth"], r["tree_size"])
+        for r in rc05.collect()
+    }
+    plan = rc05._jdf.queryExecution().executedPlan().toString()
+    assert "UnionLoop" in plan, plan[:2000]
+
+    part = R.load_table(spark, SF_SMALL, "part").select(
+        F.col("p_partkey").alias("node"), "p_size"
+    )
+    want = {
+        r["root"]: (r["n_nodes"], r["max_depth"], r["tree_size"])
+        for r in R.q_rc02_node_depth(spark, SF_SMALL)
+        .join(part, "node")
+        .groupBy("root")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.max("depth").alias("max_depth"),
+            F.sum("p_size").alias("tree_size"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) == 10
