@@ -8530,6 +8530,142 @@ FROM b WHERE bucket >= (SELECT t FROM thr)
 """
 
 
+def q_q04_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor — the distribution-
+    shift check a training-data pipeline runs per ingest source /
+    snapshot (did src7's quality profile drift from the corpus?):
+    quality scores bucketed into 10 fixed-width bins, each source's
+    smoothed bin share compared to the whole corpus's, PSI term
+    ``(p_src − p_corpus)·ln(p_src/p_corpus)`` emitted PER BUCKET
+    (the analyst sums them; emitting terms keeps the result free of
+    any cross-bucket float-sum ordering). Laplace add-one smoothing
+    keeps empty bins defined, and the dense source×bucket grid comes
+    from a generator explode — no cross join.
+
+    Float discipline (the t18 micro-nat pattern): shares are single
+    IEEE divisions of exact integers (bit-identical cross-engine),
+    the log ratio is FLOORED to integer micro-nats, and the final
+    per-row product is round(·,6) — nothing order-dependent anywhere.
+
+    Scale shape: everything after the one corpus scan is aggregated
+    data bounded by |sources|·10 rows — source-keyed equi-joins plus
+    one ≤10-row broadcast; the corpus total rides the same bounded
+    aggregate (t18's scalar-first() discipline), never a second scan."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    qb = docs.select(
+        "source",
+        F.least(
+            F.floor(TX.quality_score(F.col("text")) * 10), F.lit(9)
+        ).cast("long").alias("bucket"),
+    )
+    per_sb = qb.groupBy("source", "bucket").agg(F.count("*").alias("c_sb"))
+    per_s = qb.groupBy("source").agg(F.count("*").alias("n_s"))
+    per_b = qb.groupBy("bucket").agg(F.count("*").alias("c_b"))
+    n = qb.count()
+    grid = per_s.select(
+        "source",
+        "n_s",
+        F.explode(
+            F.array(*[F.lit(i).cast("long") for i in range(10)])
+        ).alias("bucket"),
+    )
+    joined = (
+        grid.join(per_sb, ["source", "bucket"], "left")
+        .join(F.broadcast(per_b), "bucket", "left")
+        .select(
+            "source",
+            "bucket",
+            F.coalesce("c_sb", F.lit(0)).cast("long").alias("c_src"),
+            F.coalesce("c_b", F.lit(0)).cast("long").alias("c_corpus"),
+            "n_s",
+        )
+    )
+    p_src = (F.col("c_src") + 1).cast("double") / (
+        F.col("n_s") + 10
+    ).cast("double")
+    p_corp = (F.col("c_corpus") + 1).cast("double") / F.lit(
+        float(n + 10)
+    )
+    out = joined.withColumn(
+        "lp_us", F.floor(F.log(p_src / p_corp) * 1_000_000).cast("long")
+    )
+    return out.select(
+        "source",
+        "bucket",
+        "c_src",
+        "c_corpus",
+        "lp_us",
+        F.round(
+            (p_src - p_corp) * F.col("lp_us") / F.lit(1_000_000.0), 6
+        ).alias("psi_term"),
+    )
+
+
+SQL_Q04 = f"""
+WITH d AS (SELECT doc_id, source, text FROM documents
+           WHERE text IS NOT NULL),
+tk AS (SELECT doc_id, source, text, {_toks_sql()} AS toks FROM d),
+b0 AS (
+  SELECT doc_id, source,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+           AS n_punct,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(toks, x -> length(x)))
+                        AS DOUBLE) / len(toks) END AS avg_len
+  FROM tk
+),
+q AS (
+  SELECT source,
+         round(greatest(0.0,
+           least(n_tok / 64.0, 1.0) * 0.5
+           + (CASE WHEN avg_len <= 0 THEN 0.0
+                   ELSE least(avg_len / 5.0, 1.0) END) * 0.5
+           - (n_punct / greatest(n_chars, 1.0)) * 2.0
+         ), 6) AS quality
+  FROM b0
+),
+qb AS (
+  SELECT source,
+         least(CAST(floor(quality * 10) AS BIGINT), 9) AS bucket
+  FROM q
+),
+per_sb AS (SELECT source, bucket, count(*) AS c_sb FROM qb GROUP BY 1, 2),
+per_s AS (SELECT source, count(*) AS n_s FROM qb GROUP BY 1),
+per_b AS (SELECT bucket, count(*) AS c_b FROM qb GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM qb),
+grid AS (
+  SELECT s.source, s.n_s, r.range AS bucket
+  FROM per_s s CROSS JOIN range(10) r
+),
+j AS (
+  SELECT g.source, g.bucket,
+         CAST(coalesce(sb.c_sb, 0) AS BIGINT) AS c_src,
+         CAST(coalesce(pb.c_b, 0) AS BIGINT) AS c_corpus,
+         g.n_s,
+         (SELECT n FROM tot) AS n
+  FROM grid g
+  LEFT JOIN per_sb sb ON sb.source = g.source AND sb.bucket = g.bucket
+  LEFT JOIN per_b pb ON pb.bucket = g.bucket
+),
+p AS (
+  SELECT source, bucket, c_src, c_corpus,
+         CAST(c_src + 1 AS DOUBLE) / CAST(n_s + 10 AS DOUBLE) AS p_src,
+         CAST(c_corpus + 1 AS DOUBLE) / CAST(n + 10 AS DOUBLE) AS p_corp
+  FROM j
+)
+SELECT source, bucket, c_src, c_corpus,
+       CAST(floor(ln(p_src / p_corp) * 1000000) AS BIGINT) AS lp_us,
+       round((p_src - p_corp)
+             * CAST(floor(ln(p_src / p_corp) * 1000000) AS BIGINT)
+             / 1000000.0, 6) AS psi_term
+FROM p
+"""
+
+
 def q_t19_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram conditional-LM scoring — t18's context-aware upgrade
     (the KenLM-shaped filter of CCNet-style curation): docs scored by
@@ -10178,6 +10314,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "x20_aqe_skew_join": (q_x20_aqe_skew_join, SQL_X20),
     "x21_cbo_stats_broadcast": (q_x21_cbo_stats_broadcast, SQL_X21),
     "q03_quantile_gate": (q_q03_quantile_gate, SQL_Q03),
+    "q04_psi_drift": (q_q04_psi_drift, SQL_Q04),
     "gr04_edge_embeddedness": (q_gr04_edge_embeddedness, SQL_GR04),
     "gr05_kcore": (q_gr05_kcore, SQL_GR05),
     "gr06_bfs_distance": (q_gr06_bfs_distance, SQL_GR06),
@@ -10196,8 +10333,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # e07, e10, t07, x04/x07, mm03/mm04, rc03, ac08), then anything new or
 # semantically changed this round, then fill the remaining slots from
 # the round-6 cohort (49 entries whose newest official row is r6) —
-# 28 fit here; the 21 left over (e14, rc04, sql02, st01, st10, t13,
-# t15–t23, w07, x13–x17) are the planned core of the r12 prefix, after which
+# 27 fit here; the 22 left over (e13, e14, rc04, sql02, st01, st10,
+# t13, t15–t23, w07, x13–x17) are the planned core of the r12 prefix, after which
 # every entry's newest official row is r7+ and the rotation has
 # caught the tail up.  New entries landed later this round displace
 # r6-cohort fill entries (pushed to r12) — new code must be
@@ -10220,10 +10357,10 @@ _PREFIX = [
     "x04_pandas_udaf_geomean", "x07_python_datasource",
     "mm03_arrow_features", "mm04_resize_stride",
     "rc03_bom_effective_qty", "ac08_change_feed",
-    # new in round 11: the m03 scoring twin (VERDICT r10 #3) and the
-    # native-recursive-CTE entry
-    "m05_pinned_scoring", "rc05_recursive_cte",
-    # r6 cohort fill (newest official row is round 6), 28 of 49
+    # new in round 11: the m03 scoring twin (VERDICT r10 #3), the
+    # native-recursive-CTE entry, and the PSI drift monitor
+    "m05_pinned_scoring", "rc05_recursive_cte", "q04_psi_drift",
+    # r6 cohort fill (newest official row is round 6), 27 of 49
     "a16_ipf_step", "a17_converge", "ipf_cost_per_visit_fixed",
     "ac09_replicate_via_feed", "b07_binaryfile_source",
     "c16_scd2",
@@ -10231,7 +10368,6 @@ _PREFIX = [
     "d09_incremental_near_dup", "d10_indexed_admission",
     "d11_neardup_keep_one",
     "e03_sessionize", "e09_activity_streaks", "e12_daily_top_type",
-    "e13_rfm_segments",
     "g06_histogram", "g07_weighted_mean", "g08_exact_corr",
     "gr02_degree_profile", "h01_pricing_summary",
     "j01_asof_join", "j05_asof_nearest", "j06_point_in_time",

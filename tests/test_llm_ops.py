@@ -695,3 +695,54 @@ def test_quantile_gate_decile_spec(spark):
     assert below < k <= below + hist[thr]
     # kept values match the t18-derived buckets exactly
     assert kept == {d: b for d, b in all_buckets.items() if b >= thr}
+
+
+def test_psi_drift_matches_python_reference(spark):
+    """q04: the per-(source, bucket) PSI terms must equal a plain
+    Python recomputation from the same (source, bucket) assignments
+    — exercising the dense grid (empty bins present), Laplace
+    smoothing, the micro-nat floor, and the scalar corpus total. PSI
+    terms are also individually non-negative ((p−q) and ln(p/q)
+    always share a sign, and flooring the log toward −∞ preserves
+    it)."""
+    import math
+    from collections import Counter
+
+    from alternating_least_squares_spark.functions import textfns as TX
+
+    qb = [
+        (r["source"], r["bucket"])
+        for r in load_table(spark, SF_SMALL, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.least(
+                F.floor(TX.quality_score(F.col("text")) * 10), F.lit(9)
+            ).cast("long").alias("bucket"),
+        )
+        .collect()
+    ]
+    n = len(qb)
+    c_sb = Counter(qb)
+    n_s = Counter(s for s, _ in qb)
+    c_b = Counter(b for _, b in qb)
+    want = {}
+    for s in n_s:
+        for b in range(10):
+            p_src = (c_sb[(s, b)] + 1) / (n_s[s] + 10)
+            p_corp = (c_b[b] + 1) / (n + 10)
+            lp_us = math.floor(math.log(p_src / p_corp) * 1_000_000)
+            want[(s, b)] = (
+                c_sb[(s, b)], c_b[b], lp_us,
+                round((p_src - p_corp) * lp_us / 1_000_000.0, 6),
+            )
+    got = {
+        (r["source"], r["bucket"]):
+            (r["c_src"], r["c_corpus"], r["lp_us"], r["psi_term"])
+        for r in registry.queries()["q04_psi_drift"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == len(n_s) * 10  # dense grid, empty bins included
+    assert all(v[3] >= 0 for v in got.values())
