@@ -3654,6 +3654,56 @@ def q_sql02_shared_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_SHARED_SQL02)
 
 
+def q_sql03_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative SQL UDFs (SPARK-51086 family, GA in Spark 4):
+    ``CREATE FUNCTION ... RETURNS DOUBLE RETURN <expr>`` — the
+    catalog-managed way to share business expressions across queries
+    without leaving Catalyst. Two functions, one COMPOSED of the
+    other, used in both the WHERE clause and the aggregate; the
+    optimizer INLINES them (tests assert the executed plan is plain
+    whole-stage-codegen expressions — no UDF boundary, no Python
+    worker), so at 100 TB this costs exactly what the hand-inlined
+    h01 expression costs. Oracle: the same query with the bodies
+    inlined by hand — which is also precisely what certifies the
+    inlining semantics."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "_sql03_li"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION _sql03_disc(p DOUBLE,"
+        " d DOUBLE) RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION _sql03_charge(p DOUBLE,"
+        " d DOUBLE, t DOUBLE) RETURNS DOUBLE"
+        " RETURN _sql03_disc(p, d) * (1.0 + t)"
+    )
+    return spark.sql("""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       round(CAST(SUM(CAST(_sql03_charge(l_extendedprice, l_discount,
+                                         l_tax)
+                           AS DECIMAL(38,10))) AS DOUBLE), 4)
+         AS sum_charge
+FROM _sql03_li
+WHERE _sql03_disc(l_extendedprice, l_discount) > 1000.0
+GROUP BY l_returnflag, l_linestatus
+""")
+
+
+SQL_SQL03 = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                           * (1.0 + l_tax)
+                           AS DECIMAL(38,10))) AS DOUBLE), 4)
+         AS sum_charge
+FROM lineitem
+WHERE l_extendedprice * (1.0 - l_discount) > 1000.0
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 def q_g03_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (Spark ``percentile``
     == DuckDB ``quantile_cont``, both linear interpolation). Exact
@@ -10288,6 +10338,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "m04_market_basket": (q_m04_market_basket, SQL_M04),
     "t15_sentence_split": (q_t15_sentence_split, SQL_T15),
     "sql02_shared_windows": (q_sql02_shared_windows, SQL_SHARED_SQL02),
+    "sql03_sql_udf": (q_sql03_sql_udf, SQL_SQL03),
     "e14_cumulative_users": (q_e14_cumulative_users, SQL_E14),
     "t16_normalized_dupes": (q_t16_normalized_dupes, SQL_T16),
     "gr02_degree_profile": (q_gr02_degree_profile, SQL_GR02),
@@ -10333,8 +10384,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # e07, e10, t07, x04/x07, mm03/mm04, rc03, ac08), then anything new or
 # semantically changed this round, then fill the remaining slots from
 # the round-6 cohort (49 entries whose newest official row is r6) —
-# 27 fit here; the 22 left over (e13, e14, rc04, sql02, st01, st10,
-# t13, t15–t23, w07, x13–x17) are the planned core of the r12 prefix, after which
+# 26 fit here; the 23 left over (e12, e13, e14, rc04, sql02, st01,
+# st10, t13, t15–t23, w07, x13–x17) are the planned core of the r12 prefix, after which
 # every entry's newest official row is r7+ and the rotation has
 # caught the tail up.  New entries landed later this round displace
 # r6-cohort fill entries (pushed to r12) — new code must be
@@ -10358,16 +10409,18 @@ _PREFIX = [
     "mm03_arrow_features", "mm04_resize_stride",
     "rc03_bom_effective_qty", "ac08_change_feed",
     # new in round 11: the m03 scoring twin (VERDICT r10 #3), the
-    # native-recursive-CTE entry, and the PSI drift monitor
+    # native-recursive-CTE entry, the PSI drift monitor, and the
+    # Spark-4 SQL-UDF entry
     "m05_pinned_scoring", "rc05_recursive_cte", "q04_psi_drift",
-    # r6 cohort fill (newest official row is round 6), 27 of 49
+    "sql03_sql_udf",
+    # r6 cohort fill (newest official row is round 6), 26 of 49
     "a16_ipf_step", "a17_converge", "ipf_cost_per_visit_fixed",
     "ac09_replicate_via_feed", "b07_binaryfile_source",
     "c16_scd2",
     "d07_incremental_dedup", "d08_containment_pairs",
     "d09_incremental_near_dup", "d10_indexed_admission",
     "d11_neardup_keep_one",
-    "e03_sessionize", "e09_activity_streaks", "e12_daily_top_type",
+    "e03_sessionize", "e09_activity_streaks",
     "g06_histogram", "g07_weighted_mean", "g08_exact_corr",
     "gr02_degree_profile", "h01_pricing_summary",
     "j01_asof_join", "j05_asof_nearest", "j06_point_in_time",

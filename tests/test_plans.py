@@ -324,3 +324,20 @@ def test_triangle_scale_path_never_sorts_the_arrays(spark):
     assert "BroadcastHashJoin" not in plan, plan[:3000]
     assert plan.count("ShuffledHashJoin") >= 2, plan[:3000]
     assert "array_intersect" in plan, plan[:3000]
+
+
+def test_sql_udfs_are_inlined_into_codegen(spark):
+    """sql03: declarative SQL UDFs (one composed of the other, used
+    in WHERE and in the aggregate) must be INLINED by Catalyst — the
+    executed plan carries plain arithmetic inside WholeStageCodegen,
+    with no UDF evaluation boundary and no Python worker."""
+    plan = _plan(spark, "sql03_sql_udf")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "SQLFunction",
+                   "Invoke"):
+        assert marker not in plan, f"{marker} in plan:\n{plan[:2000]}"
+    # the composed body reached the FILTER as plain arithmetic (the
+    # plan mentions columns and literals, never the UDF names) and
+    # the aggregate consumes the composed expression directly
+    assert "_sql03_disc" not in plan and "_sql03_charge" not in plan
+    assert "* (1.0 - l_discount" in plan  # inlined WHERE body
+    assert "HashAggregate" in plan and "partial_sum" in plan
