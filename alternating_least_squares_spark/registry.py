@@ -3654,6 +3654,39 @@ def q_sql02_shared_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_SHARED_SQL02)
 
 
+SQL_SHARED_SQL04 = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c
+JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t ON TRUE
+"""
+
+
+def q_sql04_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with a per-key LIMIT — the
+    top-N-per-entity join users write naturally (each customer's two
+    priciest orders; o_orderkey breaks price ties so the result is a
+    set, not a race). The SAME text runs verbatim on spark.sql() and
+    DuckDB (``ON TRUE`` is the dialect intersection — bare
+    ``JOIN LATERAL`` parses only on Spark).
+
+    The 100 TB story is what Catalyst DECORRELATES this into: not a
+    per-customer nested loop but one ``WindowGroupLimit`` over orders
+    (map-side top-k per key BEFORE the shuffle, so the exchange
+    carries ≤ 2 rows per customer) joined back to customer on the
+    equi-key — asserted in tests/test_plans.py. A naive executor
+    would re-run the subquery |customer| times; the declarative form
+    costs one scan of each table."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(SQL_SHARED_SQL04)
+
+
 def q_sql03_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative SQL UDFs (SPARK-51086 family, GA in Spark 4):
     ``CREATE FUNCTION ... RETURNS DOUBLE RETURN <expr>`` — the
@@ -10339,6 +10372,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "t15_sentence_split": (q_t15_sentence_split, SQL_T15),
     "sql02_shared_windows": (q_sql02_shared_windows, SQL_SHARED_SQL02),
     "sql03_sql_udf": (q_sql03_sql_udf, SQL_SQL03),
+    "sql04_lateral_topk": (q_sql04_lateral_topk, SQL_SHARED_SQL04),
     "e14_cumulative_users": (q_e14_cumulative_users, SQL_E14),
     "t16_normalized_dupes": (q_t16_normalized_dupes, SQL_T16),
     "gr02_degree_profile": (q_gr02_degree_profile, SQL_GR02),
@@ -10384,8 +10418,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # e07, e10, t07, x04/x07, mm03/mm04, rc03, ac08), then anything new or
 # semantically changed this round, then fill the remaining slots from
 # the round-6 cohort (49 entries whose newest official row is r6) —
-# 26 fit here; the 23 left over (e12, e13, e14, rc04, sql02, st01,
-# st10, t13, t15–t23, w07, x13–x17) are the planned core of the r12 prefix, after which
+# 25 fit here; the 24 left over (e09, e12, e13, e14, rc04, sql02,
+# st01, st10, t13, t15–t23, w07, x13–x17) are the planned core of the r12 prefix, after which
 # every entry's newest official row is r7+ and the rotation has
 # caught the tail up.  New entries landed later this round displace
 # r6-cohort fill entries (pushed to r12) — new code must be
@@ -10412,15 +10446,15 @@ _PREFIX = [
     # native-recursive-CTE entry, the PSI drift monitor, and the
     # Spark-4 SQL-UDF entry
     "m05_pinned_scoring", "rc05_recursive_cte", "q04_psi_drift",
-    "sql03_sql_udf",
-    # r6 cohort fill (newest official row is round 6), 26 of 49
+    "sql03_sql_udf", "sql04_lateral_topk",
+    # r6 cohort fill (newest official row is round 6), 25 of 49
     "a16_ipf_step", "a17_converge", "ipf_cost_per_visit_fixed",
     "ac09_replicate_via_feed", "b07_binaryfile_source",
     "c16_scd2",
     "d07_incremental_dedup", "d08_containment_pairs",
     "d09_incremental_near_dup", "d10_indexed_admission",
     "d11_neardup_keep_one",
-    "e03_sessionize", "e09_activity_streaks",
+    "e03_sessionize",
     "g06_histogram", "g07_weighted_mean", "g08_exact_corr",
     "gr02_degree_profile", "h01_pricing_summary",
     "j01_asof_join", "j05_asof_nearest", "j06_point_in_time",

@@ -95,6 +95,12 @@ HEADLINE = [
     "p03_training_pipeline",
     # round-8 addition: the per-event stateful streaming shape
     "st11_stream_ewma",
+    # round-11 additions: pinned-coefficient ML scoring, the native
+    # recursive CTE, the PSI drift monitor, and inlined SQL UDFs
+    "m05_pinned_scoring",
+    "rc05_recursive_cte",
+    "q04_psi_drift",
+    "sql03_sql_udf",
 ]
 
 

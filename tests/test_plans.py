@@ -341,3 +341,14 @@ def test_sql_udfs_are_inlined_into_codegen(spark):
     assert "_sql03_disc" not in plan and "_sql03_charge" not in plan
     assert "* (1.0 - l_discount" in plan  # inlined WHERE body
     assert "HashAggregate" in plan and "partial_sum" in plan
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark):
+    """sql04: the correlated LATERAL LIMIT subquery must decorrelate
+    into WindowGroupLimit (map-side per-key top-k before the shuffle)
+    joined on the equi-key — never a nested-loop re-execution per
+    outer row."""
+    plan = _plan(spark, "sql04_lateral_topk")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
