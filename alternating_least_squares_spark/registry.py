@@ -474,6 +474,140 @@ def _a17_oracle() -> str:
 SQL_A17 = _a17_oracle()
 
 
+RAKE3_SWEEPS = 3
+RAKE3_AXES = ("flag", "status", "ship_month")
+
+
+def q_a22_rake3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way IPF raking — the N-dimensional generalization of the
+    reference's whole scope (``core.clj:99-119`` rakes a 2-D matrix to
+    row/col marginals; survey statisticians rake 3+ dimensions with
+    the same Deming–Stephan alternating scaling). The tensor is
+    (l_returnflag × l_linestatus × ship month); the three marginals
+    are Σ l_quantity per axis — derived from the SAME scan, so their
+    grand totals agree exactly — and the seed is the observed CELL
+    COUNT profile (a genuinely different shape, so the rake does real
+    work). Fixed sweep R=3 (9 axis passes), the a17 twin discipline:
+    exactly what an unrolled oracle can state.
+
+    Determinism contract (the a16/a17 micro-unit pattern, verbatim):
+    cells live in integer micro-units between passes; each axis pass
+    window-sums exact longs (order-independent below 2^53), does ONE
+    double division + multiply on exact inputs, and re-quantizes with
+    floor (no rounding-mode ambiguity). Distributed shape: one axis
+    pass = one window-sum keyed on that axis + one broadcast marginal
+    join — O(cells) per pass, 3 keyed exchanges per sweep, nothing
+    driver-side; identical movement to ``matrix.ipf_step`` extended
+    to a third axis."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_linestatus").alias("status"),
+        F.month("l_shipdate").cast("long").alias("ship_month"),
+        F.col("l_quantity").alias("qty"),
+    )
+    cur = base.groupBy(*RAKE3_AXES).agg(
+        (F.count("*") * F.lit(1_000_000)).cast("long").alias("v_us")
+    )
+    marginals = {
+        axis: F.broadcast(
+            base.groupBy(axis).agg(
+                F.floor(F.sum("qty") * F.lit(1e6))
+                .cast("long")
+                .alias("m_us")
+            )
+        )
+        for axis in RAKE3_AXES
+    }
+    for _ in range(RAKE3_SWEEPS):
+        for axis in RAKE3_AXES:
+            w = Window.partitionBy(axis)
+            cur = (
+                cur.withColumn("_s", F.sum("v_us").over(w))
+                .join(marginals[axis], axis)
+                .withColumn(
+                    "v_us",
+                    F.when(F.col("_s") == 0, F.lit(0).cast("long"))
+                    .otherwise(
+                        F.floor(
+                            F.col("v_us").cast("double")
+                            / F.col("_s").cast("double")
+                            * F.col("m_us").cast("double")
+                        ).cast("long")
+                    ),
+                )
+                .drop("_s", "m_us")
+            )
+    return cur.select(
+        "flag",
+        "status",
+        "ship_month",
+        "v_us",
+        F.round(
+            F.col("v_us").cast("double") / F.lit(1_000_000.0), 6
+        ).alias("alloc"),
+    )
+
+
+def _a22_sql() -> str:
+    head = """
+WITH base AS MATERIALIZED (
+  SELECT l_returnflag AS flag, l_linestatus AS status,
+         CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+         l_quantity AS qty
+  FROM lineitem
+),
+c0 AS MATERIALIZED (
+  SELECT flag, status, ship_month,
+         CAST(COUNT(*) * 1000000 AS BIGINT) AS v_us
+  FROM base GROUP BY 1, 2, 3
+),
+m_flag AS MATERIALIZED (
+  SELECT flag AS k, CAST(floor(SUM(qty) * 1000000) AS BIGINT) AS m_us
+  FROM base GROUP BY 1
+),
+m_status AS MATERIALIZED (
+  SELECT status AS k, CAST(floor(SUM(qty) * 1000000) AS BIGINT) AS m_us
+  FROM base GROUP BY 1
+),
+m_ship_month AS MATERIALIZED (
+  SELECT ship_month AS k,
+         CAST(floor(SUM(qty) * 1000000) AS BIGINT) AS m_us
+  FROM base GROUP BY 1
+)"""
+    # AS MATERIALIZED is load-bearing: each pass references its
+    # predecessor more than once and DuckDB inlines plain CTEs
+    # (the a17/gr01 unrolled-oracle lesson).
+    step = """,
+c{n} AS MATERIALIZED (
+  SELECT c.flag, c.status, c.ship_month,
+         CAST(CASE WHEN SUM(c.v_us) OVER (PARTITION BY c.{axis}) = 0
+                   THEN 0
+                   ELSE floor(CAST(c.v_us AS DOUBLE)
+                              / CAST(SUM(c.v_us)
+                                     OVER (PARTITION BY c.{axis})
+                                     AS DOUBLE)
+                              * CAST(m.m_us AS DOUBLE))
+              END AS BIGINT) AS v_us
+  FROM c{p} c JOIN m_{axis} m ON m.k = c.{axis}
+)"""
+    n = 0
+    parts = [head]
+    for _ in range(RAKE3_SWEEPS):
+        for axis in RAKE3_AXES:
+            n += 1
+            parts.append(step.format(n=n, p=n - 1, axis=axis))
+    parts.append(f"""
+SELECT flag, status, ship_month, v_us,
+       round(CAST(v_us AS DOUBLE) / 1000000.0, 6) AS alloc
+FROM c{n}
+""")
+    return "".join(parts)
+
+
+SQL_A22 = _a22_sql()
+
+
 def q_a21_converge_coordinate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A17's GENERIC driver loop (``operators/ipf.py:converge``,
     reference ``core.clj:99-119``) run for a fixed 2 iterations and
@@ -10196,6 +10330,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "a16_ipf_step": (q_a16_ipf_step, SQL_A16),
     "a17_converge": (q_a17_converge, SQL_A17),
     "a21_converge_coordinate": (q_a21_converge_coordinate, SQL_A21),
+    "a22_rake3": (q_a22_rake3, SQL_A22),
     "a18_normalize_matrix": (q_a18_normalize, SQL_A18),
     "a19_error_matrix": (q_a19_error_matrix, SQL_A19),
     "a20_matrix_norm": (q_a20_matrix_norm, SQL_A20),
@@ -10418,8 +10553,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # e07, e10, t07, x04/x07, mm03/mm04, rc03, ac08), then anything new or
 # semantically changed this round, then fill the remaining slots from
 # the round-6 cohort (49 entries whose newest official row is r6) —
-# 25 fit here; the 24 left over (e09, e12, e13, e14, rc04, sql02,
-# st01, st10, t13, t15–t23, w07, x13–x17) are the planned core of the r12 prefix, after which
+# 24 fit here; the 25 left over (e09, e12, e13, e14, g08, rc04,
+# sql02, st01, st10, t13, t15–t23, w07, x13–x17) are the planned core of the r12 prefix, after which
 # every entry's newest official row is r7+ and the rotation has
 # caught the tail up.  New entries landed later this round displace
 # r6-cohort fill entries (pushed to r12) — new code must be
@@ -10446,8 +10581,8 @@ _PREFIX = [
     # native-recursive-CTE entry, the PSI drift monitor, and the
     # Spark-4 SQL-UDF entry
     "m05_pinned_scoring", "rc05_recursive_cte", "q04_psi_drift",
-    "sql03_sql_udf", "sql04_lateral_topk",
-    # r6 cohort fill (newest official row is round 6), 25 of 49
+    "sql03_sql_udf", "sql04_lateral_topk", "a22_rake3",
+    # r6 cohort fill (newest official row is round 6), 24 of 49
     "a16_ipf_step", "a17_converge", "ipf_cost_per_visit_fixed",
     "ac09_replicate_via_feed", "b07_binaryfile_source",
     "c16_scd2",
@@ -10455,7 +10590,7 @@ _PREFIX = [
     "d09_incremental_near_dup", "d10_indexed_admission",
     "d11_neardup_keep_one",
     "e03_sessionize",
-    "g06_histogram", "g07_weighted_mean", "g08_exact_corr",
+    "g06_histogram", "g07_weighted_mean",
     "gr02_degree_profile", "h01_pricing_summary",
     "j01_asof_join", "j05_asof_nearest", "j06_point_in_time",
     "j07_abandoned_clicks",

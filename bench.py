@@ -101,6 +101,8 @@ HEADLINE = [
     "rc05_recursive_cte",
     "q04_psi_drift",
     "sql03_sql_udf",
+    "sql04_lateral_topk",
+    "a22_rake3",
 ]
 
 

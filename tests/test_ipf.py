@@ -298,3 +298,74 @@ def test_cost_per_visit_fixed_chain_invariants(spark):
         )
     ).count()
     assert bad == 0
+
+
+def test_rake3_matches_python_reference_and_converges(spark):
+    """a22 (3-way raking): the distributed fixed-sweep rake must equal
+    a sequential Python replay of the same micro-unit arithmetic cell
+    for cell, and each full sweep must shrink the total marginal
+    residual (IPF's defining property on a consistent marginal set)."""
+    import math
+    from collections import defaultdict
+
+    from alternating_least_squares_spark import registry as R
+    from alternating_least_squares_spark.registry import (
+        RAKE3_AXES,
+        RAKE3_SWEEPS,
+    )
+    from tests.conftest import SF_SMALL
+
+    base = [
+        (r["flag"], r["status"], r["ship_month"], r["qty"])
+        for r in R.load_table(spark, SF_SMALL, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_linestatus").alias("status"),
+            F.month("l_shipdate").cast("long").alias("ship_month"),
+            F.col("l_quantity").alias("qty"),
+        )
+        .collect()
+    ]
+    cells: dict = defaultdict(int)
+    marg: dict = {a: defaultdict(float) for a in RAKE3_AXES}
+    for f, s, m, q in base:
+        cells[(f, s, m)] += 1_000_000
+        marg["flag"][f] += q
+        marg["status"][s] += q
+        marg["ship_month"][m] += q
+    m_us = {
+        a: {k: math.floor(v * 1e6) for k, v in marg[a].items()}
+        for a in RAKE3_AXES
+    }
+
+    def resid(cc):
+        tot = 0.0
+        for i, a in enumerate(RAKE3_AXES):
+            sums: dict = defaultdict(int)
+            for key, v in cc.items():
+                sums[key[i]] += v
+            tot += sum(abs(sums[k] - m_us[a][k]) for k in m_us[a])
+        return tot
+
+    history = [resid(cells)]
+    for _ in range(RAKE3_SWEEPS):
+        for i, a in enumerate(RAKE3_AXES):
+            sums = defaultdict(int)
+            for key, v in cells.items():
+                sums[key[i]] += v
+            cells = {
+                key: (
+                    0 if sums[key[i]] == 0
+                    else math.floor(v / sums[key[i]] * m_us[a][key[i]])
+                )
+                for key, v in cells.items()
+            }
+        history.append(resid(cells))
+
+    got = {
+        (r["flag"], r["status"], r["ship_month"]): r["v_us"]
+        for r in R.q_a22_rake3(spark, SF_SMALL).collect()
+    }
+    assert got == dict(cells)
+    # every full sweep strictly shrinks the summed |marginal residual|
+    assert all(b < a for a, b in zip(history, history[1:])), history
