@@ -84,6 +84,61 @@ def _marginal_losses(
     return losses.get("x", 0.0), losses.get("y", 0.0)
 
 
+def rake_fixed(
+    cells: DataFrame,
+    marginals: list[tuple[str, DataFrame]],
+    sweeps: int,
+) -> DataFrame:
+    """N-way fixed-sweep IPF raking in integer micro-units — the
+    Deming–Stephan alternating scaling the 2-D ``converge`` loop runs,
+    generalized to any number of axes (survey raking, small-area
+    estimation, the a22 registry entry's 3-D case).
+
+    ``cells`` carries one column per axis plus ``v_us`` (long, the
+    cell mass in micro-units); ``marginals`` is an ORDERED list of
+    ``(axis_column, DataFrame(axis_column, m_us long))`` — order is
+    part of the result for a fixed sweep. Each axis pass window-sums
+    the exact longs over that axis (order-independent below 2^53),
+    joins the broadcast marginal, performs one double divide+multiply
+    on exact inputs, and re-quantizes with ``floor`` — the a16/a17
+    determinism contract, so an unrolled SQL oracle can state the
+    result bit for bit. A zero axis slice keeps mass 0 (safe divide).
+
+    Distributed shape: one keyed exchange per axis per sweep over
+    O(cells) rows, marginals broadcast; nothing driver-side, nothing
+    quadratic. The whole unroll stays ONE declarative plan (the a17
+    lesson: eager per-sweep materialization loses at small scale and
+    the sweep count here is a small constant)."""
+    if sweeps < 1:
+        raise ValueError(f"sweeps must be >= 1, got {sweeps}")
+    if not marginals:
+        raise ValueError("rake_fixed needs at least one marginal")
+    cur = cells
+    bcast = [(axis, F.broadcast(m)) for axis, m in marginals]
+    for _ in range(sweeps):
+        for axis, m in bcast:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(axis)
+            cur = (
+                cur.withColumn("_s", F.sum("v_us").over(w))
+                .join(m, axis)
+                .withColumn(
+                    "v_us",
+                    F.when(F.col("_s") == 0, F.lit(0).cast("long"))
+                    .otherwise(
+                        F.floor(
+                            F.col("v_us").cast("double")
+                            / F.col("_s").cast("double")
+                            * F.col("m_us").cast("double")
+                        ).cast("long")
+                    ),
+                )
+                .drop("_s", "m_us")
+            )
+    return cur
+
+
 def converge(
     x_marginal: DataFrame,
     y_marginal: DataFrame,

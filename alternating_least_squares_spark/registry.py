@@ -506,38 +506,23 @@ def q_a22_rake3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("l_shipdate").cast("long").alias("ship_month"),
         F.col("l_quantity").alias("qty"),
     )
-    cur = base.groupBy(*RAKE3_AXES).agg(
+    from alternating_least_squares_spark.operators.ipf import rake_fixed
+
+    cells = base.groupBy(*RAKE3_AXES).agg(
         (F.count("*") * F.lit(1_000_000)).cast("long").alias("v_us")
     )
-    marginals = {
-        axis: F.broadcast(
+    marginals = [
+        (
+            axis,
             base.groupBy(axis).agg(
                 F.floor(F.sum("qty") * F.lit(1e6))
                 .cast("long")
                 .alias("m_us")
-            )
+            ),
         )
         for axis in RAKE3_AXES
-    }
-    for _ in range(RAKE3_SWEEPS):
-        for axis in RAKE3_AXES:
-            w = Window.partitionBy(axis)
-            cur = (
-                cur.withColumn("_s", F.sum("v_us").over(w))
-                .join(marginals[axis], axis)
-                .withColumn(
-                    "v_us",
-                    F.when(F.col("_s") == 0, F.lit(0).cast("long"))
-                    .otherwise(
-                        F.floor(
-                            F.col("v_us").cast("double")
-                            / F.col("_s").cast("double")
-                            * F.col("m_us").cast("double")
-                        ).cast("long")
-                    ),
-                )
-                .drop("_s", "m_us")
-            )
+    ]
+    cur = rake_fixed(cells, marginals, RAKE3_SWEEPS)
     return cur.select(
         "flag",
         "status",

@@ -369,3 +369,75 @@ def test_rake3_matches_python_reference_and_converges(spark):
     assert got == dict(cells)
     # every full sweep strictly shrinks the summed |marginal residual|
     assert all(b < a for a, b in zip(history, history[1:])), history
+
+
+from hypothesis import given, settings, strategies as st
+
+_rake_cells = st.dictionaries(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=2),
+    ),
+    st.integers(min_value=0, max_value=50),
+    min_size=1,
+    max_size=12,
+)
+_rake_marg = st.lists(
+    st.integers(min_value=0, max_value=500), min_size=9, max_size=9
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(raw=_rake_cells, margs=_rake_marg, sweeps=st.integers(1, 3))
+def test_rake_fixed_matches_sequential_replay(spark, raw, margs, sweeps):
+    """Property test for the generic N-way raking operator: on ANY
+    random 3-axis tensor (zero cells, zero slices, missing keys,
+    inconsistent marginals — a fixed sweep is well-defined for all of
+    them) the distributed result equals a sequential micro-unit
+    replay, cell for cell."""
+    import math
+    from collections import defaultdict
+
+    from alternating_least_squares_spark.operators.ipf import rake_fixed
+
+    axes = ("a0", "a1", "a2")
+    cells = {k: v * 1_000_000 for k, v in raw.items()}
+    m_us = {
+        ax: {k: margs[i * 3 + k] * 1_000_000 for k in range(3)}
+        for i, ax in enumerate(axes)
+    }
+
+    want = dict(cells)
+    for _ in range(sweeps):
+        for i, ax in enumerate(axes):
+            sums: dict = defaultdict(int)
+            for key, v in want.items():
+                sums[key[i]] += v
+            want = {
+                key: (
+                    0 if sums[key[i]] == 0
+                    else math.floor(v / sums[key[i]] * m_us[ax][key[i]])
+                )
+                for key, v in want.items()
+            }
+
+    cdf = spark.createDataFrame(
+        [(k[0], k[1], k[2], v) for k, v in cells.items()],
+        "a0 long, a1 long, a2 long, v_us long",
+    )
+    mdfs = [
+        (
+            ax,
+            spark.createDataFrame(
+                [(k, m_us[ax][k]) for k in range(3)],
+                f"{ax} long, m_us long",
+            ),
+        )
+        for ax in axes
+    ]
+    got = {
+        (r["a0"], r["a1"], r["a2"]): r["v_us"]
+        for r in rake_fixed(cdf, mdfs, sweeps).collect()
+    }
+    assert got == want
