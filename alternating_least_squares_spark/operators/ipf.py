@@ -113,12 +113,12 @@ def rake_fixed(
         raise ValueError(f"sweeps must be >= 1, got {sweeps}")
     if not marginals:
         raise ValueError("rake_fixed needs at least one marginal")
+    from pyspark.sql import Window
+
     cur = cells
     bcast = [(axis, F.broadcast(m)) for axis, m in marginals]
     for _ in range(sweeps):
         for axis, m in bcast:
-            from pyspark.sql import Window
-
             w = Window.partitionBy(axis)
             cur = (
                 cur.withColumn("_s", F.sum("v_us").over(w))
