@@ -3533,6 +3533,91 @@ def q_e04_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_e17_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill resampling (LOCF — last observation carried
+    forward), the OTHER gap-fill semantics time-series users need:
+    e04 materializes empty buckets as zeros (count-like series); a
+    sensor/price series must instead HOLD the last reading through
+    the gap. Same dense per-user 6-hour grid as e04 (sequence
+    generator, no shuffle; |users|·|span buckets| rows), one left
+    join onto the observed buckets, then ONE ordered window pass with
+    ``last(value, ignorenulls=True)`` carries readings forward.
+
+    Determinism: the observed per-bucket statistic is MAX(value) —
+    exact and order-independent where a float SUM is not — with NaN
+    normalized to NULL first (the w08 null-domain discipline; the
+    engines disagree on NaN's sort position). The grid starts at each
+    user's first observed bucket, so no leading-edge NULLs exist and
+    every emitted ``locf_value`` is a real carried reading. At scale
+    this is one keyed exchange for the join plus the same exchange
+    reused by the window (both key on user)."""
+    bucket_us = 6 * 3600 * 1_000_000
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "_b",
+        F.expr(f"{_floor_div('ts_ns DIV 1000', bucket_us)} * {bucket_us}"),
+    )
+    obs = ev.groupBy("user_id", F.col("_b").alias("bucket_us")).agg(
+        F.max(
+            F.when(~F.isnan("value"), F.col("value"))
+        ).alias("_mx")
+    )
+    spans = obs.groupBy("user_id").agg(
+        F.min("bucket_us").alias("_b0"), F.max("bucket_us").alias("_b1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("_b0"), F.col("_b1"), F.lit(bucket_us))
+        ).alias("bucket_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["user_id", "bucket_us"], "left")
+        .select(
+            "user_id",
+            "bucket_us",
+            F.col("_mx").isNotNull().cast("long").alias("observed"),
+            F.round(
+                F.last("_mx", ignorenulls=True).over(w), 6
+            ).alias("locf_value"),
+        )
+    )
+
+
+SQL_E17 = """
+WITH ev AS (
+  SELECT user_id,
+         ((epoch_us(ts) - ((epoch_us(ts) % 21600000000) + 21600000000)
+           % 21600000000) // 21600000000) * 21600000000 AS b,
+         CASE WHEN isnan(value) THEN NULL ELSE value END AS value
+  FROM events
+),
+obs AS (
+  SELECT user_id, b AS bucket_us, max(value) AS mx FROM ev GROUP BY 1, 2
+),
+spans AS (
+  SELECT user_id, min(bucket_us) AS b0, max(bucket_us) AS b1
+  FROM obs GROUP BY 1
+),
+grid AS (
+  SELECT user_id, CAST(g AS BIGINT) AS bucket_us
+  FROM spans, UNNEST(range(b0, b1 + 1, 21600000000)) AS t(g)
+)
+SELECT g.user_id, g.bucket_us,
+       CAST(o.mx IS NOT NULL AS BIGINT) AS observed,
+       round(last_value(o.mx IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.bucket_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             6) AS locf_value
+FROM grid g LEFT JOIN obs o
+  ON g.user_id = o.user_id AND g.bucket_us = o.bucket_us
+"""
+
+
 SQL_E04 = """
 WITH ev AS (
   SELECT user_id,
@@ -10355,6 +10440,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "e02_json_extract": (q_e02_json_extract, SQL_E02),
     "e03_sessionize": (q_e03_sessionize, SQL_E03),
     "e04_resample_gapfill": (q_e04_resample_gapfill, SQL_E04),
+    "e17_locf_fill": (q_e17_locf_fill, SQL_E17),
     "e05_variant_json": (q_e05_variant_json, SQL_E05),
     "e06_funnel": (q_e06_funnel, SQL_E06),
     "e07_cohort_retention": (q_e07_cohort_retention, SQL_E07),
@@ -10538,7 +10624,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # e07, e10, t07, x04/x07, mm03/mm04, rc03, ac08), then anything new or
 # semantically changed this round, then fill the remaining slots from
 # the round-6 cohort (49 entries whose newest official row is r6) —
-# 24 fit here; the 25 left over (e09, e12, e13, e14, g08, rc04,
+# 23 fit here; the 26 left over (e09, e12, e13, e14, g07, g08, rc04,
 # sql02, st01, st10, t13, t15–t23, w07, x13–x17) are the planned core of the r12 prefix, after which
 # every entry's newest official row is r7+ and the rotation has
 # caught the tail up.  New entries landed later this round displace
@@ -10567,7 +10653,8 @@ _PREFIX = [
     # Spark-4 SQL-UDF entry
     "m05_pinned_scoring", "rc05_recursive_cte", "q04_psi_drift",
     "sql03_sql_udf", "sql04_lateral_topk", "a22_rake3",
-    # r6 cohort fill (newest official row is round 6), 24 of 49
+    "e17_locf_fill",
+    # r6 cohort fill (newest official row is round 6), 23 of 49
     "a16_ipf_step", "a17_converge", "ipf_cost_per_visit_fixed",
     "ac09_replicate_via_feed", "b07_binaryfile_source",
     "c16_scd2",
@@ -10575,7 +10662,7 @@ _PREFIX = [
     "d09_incremental_near_dup", "d10_indexed_admission",
     "d11_neardup_keep_one",
     "e03_sessionize",
-    "g06_histogram", "g07_weighted_mean",
+    "g06_histogram",
     "gr02_degree_profile", "h01_pricing_summary",
     "j01_asof_join", "j05_asof_nearest", "j06_point_in_time",
     "j07_abandoned_clicks",

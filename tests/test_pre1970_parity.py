@@ -49,6 +49,7 @@ def _write_epoch_straddling_events(tmp_path) -> str:
         "e01_hourly_value",
         "e04_resample_gapfill",
         "e07_cohort_retention",
+        "e17_locf_fill",
         "w05_tumbling_batch",
         "w06_hopping_batch",
     ],

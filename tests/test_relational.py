@@ -309,3 +309,46 @@ def test_e16_twap_hand_computed(spark, monkeypatch):
     got = {r["user_id"]: (r["n_held"], r["twap_us"])
            for r in R.q_e16_twap(spark, "ignored").collect()}
     assert got == {1: (2, 3500000.0)}
+
+
+def test_locf_fill_carries_readings_through_gaps(spark, tmp_path):
+    """e17: a gap bucket must carry the LAST prior reading (not zero,
+    not NULL), observed buckets report their own max, and the grid
+    starts at the first observation so no leading NULLs exist."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from alternating_least_squares_spark import registry
+
+    h = 6 * 3600 * 1_000_000  # one 6h bucket in micros
+    # user 1: readings in buckets 0 and 3 (gap at 1, 2); user 2: one
+    # reading only (degenerate single-bucket grid)
+    rows = [
+        (0, 1 * h // 6, 1, 10.0),     # bucket 0
+        (1, 3 * h + 5, 1, 7.5),       # bucket 3
+        (2, 2 * h + 9, 2, 99.0),      # user 2, single reading
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * 3, pa.string()),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * 3, pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = {
+        (r["user_id"], r["bucket_us"]): (r["observed"], r["locf_value"])
+        for r in registry.q_e17_locf_fill(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        (1, 0 * h): (1, 10.0),
+        (1, 1 * h): (0, 10.0),   # gap: carried forward
+        (1, 2 * h): (0, 10.0),   # gap: still carried
+        (1, 3 * h): (1, 7.5),    # new reading replaces the carry
+        (2, 2 * h): (1, 99.0),
+    }
