@@ -8953,6 +8953,164 @@ FROM p
 """
 
 
+# p04's alarm threshold in nano-PSI units. Small batch slices carry a
+# high smoothed-PSI baseline (Laplace +1 over ~10 docs/bucket dominates
+# at sf0.01, where per-source values measured 0.71–1.33), so the gate
+# sits at the observed median — sources above it are "this snapshot
+# shifted" alarms. At larger SFs slices are bigger, baselines drop,
+# and the same fixed gate admits everything that hasn't truly drifted.
+P04_DRIFT_GATE_NANO = 850_000_000
+
+
+def q_p04_drift_gated_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-gated incremental admission — the composite ingest gate a
+    production corpus actually runs: a new batch (doc_id % 3 == 0, the
+    d07 split) is admitted only if (a) its content hash is unseen in
+    the corpus and first within the batch (d07's exact-dedup gate) AND
+    (b) its SOURCE's quality distribution has not drifted from the
+    corpus — per-source PSI of the batch slice vs the corpus slice
+    (the q04 machinery re-pointed at the batch/corpus populations),
+    summed to one alarm number per source in EXACT integer nano-units
+    (each per-bucket term is floored to nanos before the sum, so the
+    cross-bucket total is an order-independent BIGINT and the
+    threshold compare can never flap cross-engine). Sources over
+    ``P04_DRIFT_GATE_NANO`` are rejected wholesale — admitting
+    individually-clean documents from a shifted snapshot is how
+    quality regressions enter training sets. Domain: text IS NOT NULL
+    (quality needs text; d07 keeps covering the NULL-text admission
+    path). Scale shape: one corpus scan for buckets+fingerprints, the
+    fingerprint side is an anti-join (never re-paired), drift math is
+    bounded by |sources|·10 rows, and the verdict table broadcasts
+    back onto the fresh batch."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    bucket = F.least(
+        F.floor(TX.quality_score(F.col("text")) * 10), F.lit(9)
+    ).cast("long")
+    base = docs.select(
+        "doc_id",
+        "source",
+        bucket.alias("bucket"),
+        F.md5(F.col("text")).alias("fp"),
+    )
+    batch = base.filter(F.col("doc_id") % 3 == 0)
+    corpus = base.filter(F.col("doc_id") % 3 != 0)
+    cb = corpus.groupBy("bucket").agg(F.count("*").alias("c_b"))
+    n_c = corpus.count()
+    sbc = batch.groupBy("source", "bucket").agg(
+        F.count("*").alias("c_sb")
+    )
+    ns = batch.groupBy("source").agg(F.count("*").alias("n_s"))
+    grid = ns.select(
+        "source",
+        "n_s",
+        F.explode(
+            F.array(*[F.lit(i).cast("long") for i in range(10)])
+        ).alias("bucket"),
+    )
+    j = (
+        grid.join(sbc, ["source", "bucket"], "left")
+        .join(F.broadcast(cb), "bucket", "left")
+        .select(
+            "source",
+            "n_s",
+            F.coalesce("c_sb", F.lit(0)).cast("long").alias("c_src"),
+            F.coalesce("c_b", F.lit(0)).cast("long").alias("c_corp"),
+        )
+    )
+    pa = (F.col("c_src") + 1).cast("double") / (
+        F.col("n_s") + 10
+    ).cast("double")
+    pc = (F.col("c_corp") + 1).cast("double") / F.lit(float(n_c + 10))
+    lp = F.floor(F.log(pa / pc) * 1_000_000).cast("long")
+    term = F.floor((pa - pc) * lp * 1_000).cast("long")
+    drift = (
+        j.select("source", term.alias("t"))
+        .groupBy("source")
+        .agg(F.sum("t").cast("long").alias("drift_nano"))
+    )
+    ok = drift.filter(F.col("drift_nano") <= P04_DRIFT_GATE_NANO)
+    corpus_fp = corpus.select("fp").distinct()
+    fresh = batch.join(corpus_fp, "fp", "left_anti")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    first_in_batch = (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return first_in_batch.join(F.broadcast(ok), "source").select(
+        "doc_id", "source", "drift_nano"
+    )
+
+
+SQL_P04 = f"""
+WITH d AS (SELECT doc_id, source, text, md5(text) AS fp
+           FROM documents WHERE text IS NOT NULL),
+tk AS (SELECT doc_id, source, fp, text, {_toks_sql()} AS toks FROM d),
+b0 AS (
+  SELECT doc_id, source, fp,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+           AS n_punct,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(toks, x -> length(x)))
+                        AS DOUBLE) / len(toks) END AS avg_len
+  FROM tk
+),
+qb AS (
+  SELECT doc_id, source, fp,
+         least(CAST(floor(round(greatest(0.0,
+           least(n_tok / 64.0, 1.0) * 0.5
+           + (CASE WHEN avg_len <= 0 THEN 0.0
+                   ELSE least(avg_len / 5.0, 1.0) END) * 0.5
+           - (n_punct / greatest(n_chars, 1.0)) * 2.0
+         ), 6) * 10) AS BIGINT), 9) AS bucket
+  FROM b0
+),
+batch AS (SELECT * FROM qb WHERE doc_id % 3 = 0),
+corp AS (SELECT * FROM qb WHERE doc_id % 3 <> 0),
+cb AS (SELECT bucket, count(*) AS c_b FROM corp GROUP BY 1),
+nc AS (SELECT count(*) AS n FROM corp),
+ns AS (SELECT source, count(*) AS n_s FROM batch GROUP BY 1),
+sbc AS (SELECT source, bucket, count(*) AS c_sb FROM batch GROUP BY 1, 2),
+grid AS (
+  SELECT s.source, s.n_s, r.range AS bucket
+  FROM ns s CROSS JOIN range(10) r
+),
+p AS (
+  SELECT g.source,
+         CAST(coalesce(sb.c_sb, 0) + 1 AS DOUBLE)
+           / CAST(g.n_s + 10 AS DOUBLE) AS pa,
+         CAST(coalesce(pb.c_b, 0) + 1 AS DOUBLE)
+           / CAST((SELECT n FROM nc) + 10 AS DOUBLE) AS pc
+  FROM grid g
+  LEFT JOIN sbc sb ON sb.source = g.source AND sb.bucket = g.bucket
+  LEFT JOIN cb pb ON pb.bucket = g.bucket
+),
+drift AS (
+  SELECT source,
+         CAST(SUM(CAST(floor((pa - pc)
+                * CAST(floor(ln(pa / pc) * 1000000) AS BIGINT)
+                * 1000) AS BIGINT)) AS BIGINT) AS drift_nano
+  FROM p GROUP BY 1
+),
+ok AS (SELECT * FROM drift WHERE drift_nano <= {P04_DRIFT_GATE_NANO}),
+fresh AS (
+  SELECT b.doc_id, b.source, b.fp FROM batch b ANTI JOIN corp c
+    ON b.fp = c.fp
+),
+first_in_batch AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM fresh
+)
+SELECT f.doc_id, f.source, o.drift_nano
+FROM first_in_batch f JOIN ok o ON o.source = f.source
+WHERE f.rn = 1
+"""
+
+
 def q_t19_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram conditional-LM scoring — t18's context-aware upgrade
     (the KenLM-shaped filter of CCNet-style curation): docs scored by
@@ -10598,6 +10756,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "x17_dsir_weights": (q_x17_dsir_weights, SQL_X17),
     "t23_span_scrub": (q_t23_span_scrub, SQL_T23),
     "p03_training_pipeline": (q_p03_training_pipeline, SQL_P03),
+    "p04_drift_gated_admission": (q_p04_drift_gated_admission, SQL_P04),
     "w08_ewma": (q_w08_ewma, SQL_W08),
     "st11_stream_ewma": (q_st11_stream_ewma, SQL_W08),
     "x18_runtime_bloom_filter": (q_x18_runtime_bloom_filter, SQL_X18),
@@ -10624,8 +10783,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # e07, e10, t07, x04/x07, mm03/mm04, rc03, ac08), then anything new or
 # semantically changed this round, then fill the remaining slots from
 # the round-6 cohort (49 entries whose newest official row is r6) —
-# 23 fit here; the 26 left over (e09, e12, e13, e14, g07, g08, rc04,
-# sql02, st01, st10, t13, t15–t23, w07, x13–x17) are the planned core of the r12 prefix, after which
+# 22 fit here; the 27 left over (e09, e12, e13, e14, g07, g08, j05,
+# rc04, sql02, st01, st10, t13, t15–t23, w07, x13–x17) are the planned core of the r12 prefix, after which
 # every entry's newest official row is r7+ and the rotation has
 # caught the tail up.  New entries landed later this round displace
 # r6-cohort fill entries (pushed to r12) — new code must be
@@ -10653,8 +10812,8 @@ _PREFIX = [
     # Spark-4 SQL-UDF entry
     "m05_pinned_scoring", "rc05_recursive_cte", "q04_psi_drift",
     "sql03_sql_udf", "sql04_lateral_topk", "a22_rake3",
-    "e17_locf_fill",
-    # r6 cohort fill (newest official row is round 6), 23 of 49
+    "e17_locf_fill", "p04_drift_gated_admission",
+    # r6 cohort fill (newest official row is round 6), 22 of 49
     "a16_ipf_step", "a17_converge", "ipf_cost_per_visit_fixed",
     "ac09_replicate_via_feed", "b07_binaryfile_source",
     "c16_scd2",
@@ -10664,7 +10823,7 @@ _PREFIX = [
     "e03_sessionize",
     "g06_histogram",
     "gr02_degree_profile", "h01_pricing_summary",
-    "j01_asof_join", "j05_asof_nearest", "j06_point_in_time",
+    "j01_asof_join", "j06_point_in_time",
     "j07_abandoned_clicks",
     "m04_market_basket", "p03_training_pipeline",
     "q02_referential_integrity",

@@ -103,6 +103,8 @@ HEADLINE = [
     "sql03_sql_udf",
     "sql04_lateral_topk",
     "a22_rake3",
+    "e17_locf_fill",
+    "p04_drift_gated_admission",
 ]
 
 

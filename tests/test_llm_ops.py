@@ -746,3 +746,58 @@ def test_psi_drift_matches_python_reference(spark):
     assert got == want
     assert len(got) == len(n_s) * 10  # dense grid, empty bins included
     assert all(v[3] >= 0 for v in got.values())
+
+
+def test_drift_gated_admission_gate_and_dedup_both_fire(spark):
+    """p04: every admitted doc is (a) from a source whose drift is
+    under the gate, (b) a batch doc whose content hash is unseen in
+    the corpus, and (c) the first of its hash within the batch — and
+    on this fixture BOTH gates actually fire (some source is rejected
+    wholesale, some fresh docs are deduped away)."""
+    from alternating_least_squares_spark.registry import (
+        P04_DRIFT_GATE_NANO,
+        q_p04_drift_gated_admission,
+    )
+
+    rows = q_p04_drift_gated_admission(spark, SF_SMALL).collect()
+    assert rows
+    assert all(r["drift_nano"] <= P04_DRIFT_GATE_NANO for r in rows)
+    assert all(r["doc_id"] % 3 == 0 for r in rows)
+
+    docs = [
+        (r["doc_id"], r["source"], r["text"])
+        for r in load_table(spark, SF_SMALL, "documents")
+        .filter(F.col("text").isNotNull())
+        .collect()
+    ]
+    import hashlib
+
+    corpus_fp = {
+        hashlib.md5(t.encode()).hexdigest()
+        for d, _, t in docs if d % 3 != 0
+    }
+    batch = [(d, s, hashlib.md5(t.encode()).hexdigest())
+             for d, s, t in docs if d % 3 == 0]
+    batch_sources = {s for _, s, _ in batch}
+    admitted_sources = {r["source"] for r in rows}
+    assert admitted_sources < batch_sources  # drift gate rejected someone
+    admitted_ids = {r["doc_id"] for r in rows}
+    by_fp: dict = {}
+    for d, s, fp in sorted(batch):
+        by_fp.setdefault(fp, d)
+    for d, s, fp in batch:
+        if d in admitted_ids:
+            assert fp not in corpus_fp       # exact-dedup gate held
+            assert by_fp[fp] == d            # first of its hash
+        elif s in admitted_sources:
+            # a non-admitted doc from an admitted source can only have
+            # been removed by the dedup gate
+            assert fp in corpus_fp or by_fp[fp] != d
+    # every doc that passed BOTH gates is present (the join drops
+    # nothing else)
+    expect = {
+        d for d, s, fp in batch
+        if s in admitted_sources and fp not in corpus_fp
+        and by_fp[fp] == d
+    }
+    assert admitted_ids == expect
