@@ -5844,6 +5844,112 @@ WHERE contains(lower(text), probe)
 """
 
 
+# exactly 8 whitespace tokens — one full k=8 gram, so a clean planted
+# doc matches on exactly this one window
+T24_PROBE = (
+    "decontamination probe span alpha beta gamma delta epsilon"
+)
+T24_K = 8
+
+
+def q_t24_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram eval-set decontamination — the GPT-3/PaLM method t08's
+    substring probes don't implement: a training document is
+    contaminated if it shares ANY k-token gram (k=8 here; 13 in the
+    GPT-3 appendix) with the held-out eval set, catching paraphrased
+    splices and mid-document leaks that exact/near dedup miss because
+    whole-document similarity stays low. Output: each contaminated
+    corpus doc with its distinct shared-gram count (the removal pass
+    keys on these ids).
+
+    Fixture: the eval set is the doc_id % 97 slice plus one synthetic
+    eval doc holding a fixed 8-token probe, and the corpus gains
+    doc_id % 10 == 7 variants (+30M ids, the d11 offset convention)
+    with the probe appended; planted variants of eval-slice docs leak
+    the WHOLE eval text, so hit counts span 1..full-doc. The corpus
+    ALSO carries organic contamination — it has exact-duplicate texts
+    (the t05 fixture), so a corpus duplicate of an eval-slice doc
+    flags with its full gram count, which is precisely the leak the
+    method exists to catch. All exact string equality — deterministic
+    at any parallelism.
+
+    Scale shape: eval grams are tiny relative to any corpus (eval
+    sets are thousands of docs) — distinct once, broadcast; the
+    corpus explodes its grams ONCE and the membership check is one
+    broadcast semi-ish join + keyed count, linear in corpus tokens.
+    At web scale the gram join key should ride the t21 128-bit hash
+    pair instead of gram text; text keys keep this entry
+    oracle-exact."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    probe_row = spark.createDataFrame(
+        [(-1, T24_PROBE)], "doc_id long, text string"
+    )
+    ev = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select("doc_id", "text")
+        .unionByName(probe_row)
+    )
+    planted = docs.filter(F.col("doc_id") % 10 == 7).select(
+        (F.col("doc_id") + 30_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" "), F.lit(T24_PROBE)).alias(
+            "text"
+        ),
+    )
+    corpus = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", "text")
+        .unionByName(planted)
+    )
+    grams = TX.shingles(F.col("text"), T24_K)
+    ev_grams = ev.select(
+        F.explode(F.array_distinct(grams)).alias("gram")
+    ).distinct()
+    corpus_grams = corpus.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
+    )
+    return (
+        corpus_grams.join(F.broadcast(ev_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def _t24_grams_sql(col: str = "text") -> str:
+    k = T24_K
+    return f"""CASE WHEN len(toks) < {k}
+       THEN [array_to_string(toks, ' ')]
+       ELSE list_transform(range(len(toks) - {k - 1}),
+              i -> array_to_string(toks[i + 1 : i + {k}], ' ')) END"""
+
+
+SQL_T24 = f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+ev0 AS (
+  SELECT doc_id, text FROM d WHERE doc_id % 97 = 0
+  UNION ALL SELECT -1, '{T24_PROBE}'
+),
+corp0 AS (
+  SELECT doc_id, text FROM d WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT doc_id + 30000000, text || ' ' || '{T24_PROBE}'
+  FROM d WHERE doc_id % 10 = 7
+),
+evg AS (
+  SELECT DISTINCT unnest(list_distinct({_t24_grams_sql()})) AS gram
+  FROM (SELECT doc_id, text, {_toks_sql()} AS toks FROM ev0)
+),
+cg AS (
+  SELECT doc_id, unnest(list_distinct({_t24_grams_sql()})) AS gram
+  FROM (SELECT doc_id, text, {_toks_sql()} AS toks FROM corp0)
+)
+SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM cg JOIN evg USING (gram)
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # streaming replays (Structured Streaming run to completion, then
 # compared against plain batch SQL — the exactly-once replay property)
@@ -10755,6 +10861,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "d11_neardup_keep_one": (q_d11_neardup_keep_one, SQL_D11),
     "x17_dsir_weights": (q_x17_dsir_weights, SQL_X17),
     "t23_span_scrub": (q_t23_span_scrub, SQL_T23),
+    "t24_ngram_decontaminate": (q_t24_ngram_decontaminate, SQL_T24),
     "p03_training_pipeline": (q_p03_training_pipeline, SQL_P03),
     "p04_drift_gated_admission": (q_p04_drift_gated_admission, SQL_P04),
     "w08_ewma": (q_w08_ewma, SQL_W08),
@@ -10783,8 +10890,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # e07, e10, t07, x04/x07, mm03/mm04, rc03, ac08), then anything new or
 # semantically changed this round, then fill the remaining slots from
 # the round-6 cohort (49 entries whose newest official row is r6) —
-# 22 fit here; the 27 left over (e09, e12, e13, e14, g07, g08, j05,
-# rc04, sql02, st01, st10, t13, t15–t23, w07, x13–x17) are the planned core of the r12 prefix, after which
+# 21 fit here; the 28 left over (e09, e12, e13, e14, g07, g08, j01,
+# j05, rc04, sql02, st01, st10, t13, t15–t23, w07, x13–x17) are the planned core of the r12 prefix, after which
 # every entry's newest official row is r7+ and the rotation has
 # caught the tail up.  New entries landed later this round displace
 # r6-cohort fill entries (pushed to r12) — new code must be
@@ -10813,7 +10920,8 @@ _PREFIX = [
     "m05_pinned_scoring", "rc05_recursive_cte", "q04_psi_drift",
     "sql03_sql_udf", "sql04_lateral_topk", "a22_rake3",
     "e17_locf_fill", "p04_drift_gated_admission",
-    # r6 cohort fill (newest official row is round 6), 22 of 49
+    "t24_ngram_decontaminate",
+    # r6 cohort fill (newest official row is round 6), 21 of 49
     "a16_ipf_step", "a17_converge", "ipf_cost_per_visit_fixed",
     "ac09_replicate_via_feed", "b07_binaryfile_source",
     "c16_scd2",
@@ -10823,8 +10931,7 @@ _PREFIX = [
     "e03_sessionize",
     "g06_histogram",
     "gr02_degree_profile", "h01_pricing_summary",
-    "j01_asof_join", "j06_point_in_time",
-    "j07_abandoned_clicks",
+    "j06_point_in_time", "j07_abandoned_clicks",
     "m04_market_basket", "p03_training_pipeline",
     "q02_referential_integrity",
     "rc01_subtree_rollup",

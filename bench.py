@@ -105,6 +105,7 @@ HEADLINE = [
     "a22_rake3",
     "e17_locf_fill",
     "p04_drift_gated_admission",
+    "t24_ngram_decontaminate",
 ]
 
 

@@ -801,3 +801,53 @@ def test_drift_gated_admission_gate_and_dedup_both_fire(spark):
         and by_fp[fp] == d
     }
     assert admitted_ids == expect
+
+
+def test_ngram_decontaminate_matches_python_reference(spark):
+    """t24 brute force: recompute eval grams, corpus grams, and the
+    per-doc distinct shared-gram counts in plain Python — covering the
+    planted probe variants AND the organic contamination the fixture
+    carries (the corpus has exact-duplicate texts, so an eval-slice
+    doc's duplicate legitimately flags). Every planted variant must be
+    present with a count of at least the probe gram."""
+    from alternating_least_squares_spark.registry import (
+        T24_K,
+        T24_PROBE,
+        q_t24_ngram_decontaminate,
+    )
+
+    got = {
+        r["doc_id"]: r["n_shared"]
+        for r in q_t24_ngram_decontaminate(spark, SF_SMALL).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_SMALL, "documents")
+        .filter(F.col("text").isNotNull())
+        .collect()
+    }
+
+    def grams(text):
+        toks = text.split()
+        if len(toks) < T24_K:
+            return {" ".join(toks)}
+        return {
+            " ".join(toks[i : i + T24_K])
+            for i in range(len(toks) - T24_K + 1)
+        }
+
+    ev = {d: t for d, t in docs.items() if d % 97 == 0}
+    ev_grams = set().union(*map(grams, ev.values()), grams(T24_PROBE))
+    corpus = {d: t for d, t in docs.items() if d % 97 != 0}
+    for d, t in docs.items():
+        if d % 10 == 7:
+            corpus[d + 30_000_000] = t + " " + T24_PROBE
+    want = {}
+    for d, t in corpus.items():
+        n = len(grams(t) & ev_grams)
+        if n:
+            want[d] = n
+    assert got == want
+    planted = {d + 30_000_000 for d in docs if d % 10 == 7}
+    assert planted <= set(got)
+    assert all(got[d] >= 1 for d in planted)
