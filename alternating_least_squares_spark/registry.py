@@ -2807,6 +2807,105 @@ FROM embeddings e JOIN base b USING (vec_id)
 """
 
 
+def _sign_code(half: int) -> Column:
+    """Pack 32 embedding sign bits into one non-negative BIGINT:
+    half 0 = dims 1–32, half 1 = dims 33–64. A flat 32-term codegen
+    sum of literal powers of two (the t19 HOF lesson: interpreted
+    lambdas lose to compiled expressions), and two 32-bit halves
+    instead of one 64-bit word so neither engine ever touches the
+    BIGINT sign bit."""
+    terms = [
+        F.when(
+            F.element_at("embedding", half * 32 + j + 1) > 0,
+            F.lit(1 << j).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for j in range(32)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def q_v04_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) quantization + Hamming top-k — the third rung
+    of the quantization ladder (v03 int8 = 4×, s06 PQ = 32×, this =
+    one BIT per dimension, 32× with nothing but XOR+popcount at query
+    time; the compression modern vector stores ship as 'binary
+    quantization' for the first-pass candidate scan). Each 64-dim
+    vector packs into two 32-bit sign codes; candidate distance =
+    popcount(xor) summed over the halves — integer arithmetic,
+    bit-identical on any engine, at any parallelism.
+
+    Query shape: the v02 fixture (vec_id < 20 queries, rank by
+    (hamming ASC, neighbor_id) so ties are a set, top-5). Brute force
+    here is the correctness baseline — at 100 TB the codes ARE the
+    scan (8 bytes/vector: a 10⁹-vector corpus is 8 GB of codes,
+    broadcast-or-local to every executor), and the s01/s03 bucketed
+    ladders remain the sublinear path; exact rerank on the survivors
+    reuses v02."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        _sign_code(0).alias("c0"),
+        _sign_code(1).alias("c1"),
+    )
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("c0").alias("q0"),
+        F.col("c1").alias("q1"),
+    )
+    n = emb.select(
+        F.col("vec_id").alias("neighbor_id"), "c0", "c1"
+    )
+    pairs = q.crossJoin(n).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    ham = (
+        F.bit_count(F.col("q0").bitwiseXOR(F.col("c0")))
+        + F.bit_count(F.col("q1").bitwiseXOR(F.col("c1")))
+    ).cast("long")
+    w = Window.partitionBy("query_id").orderBy(
+        "hamming", "neighbor_id"
+    )
+    return (
+        pairs.select("query_id", "neighbor_id", ham.alias("hamming"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+def _v04_code_sql(half: int) -> str:
+    terms = [
+        f"(CASE WHEN embedding[{half * 32 + j + 1}] > 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(32)
+    ]
+    return " + ".join(terms)
+
+
+SQL_V04 = f"""
+WITH codes AS (
+  SELECT vec_id,
+         {_v04_code_sql(0)} AS c0,
+         {_v04_code_sql(1)} AS c1
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         CAST(bit_count(xor(q.c0, n.c0))
+              + bit_count(xor(q.c1, n.c1)) AS BIGINT) AS hamming
+  FROM codes q JOIN codes n ON q.vec_id < 20
+   AND q.vec_id <> n.vec_id
+)
+SELECT query_id, neighbor_id, hamming,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY hamming, neighbor_id)
+            AS BIGINT) AS rank
+FROM pairs
+QUALIFY rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # events (time-series / stream-shaped)
 
@@ -10700,6 +10799,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "v01_cosine_pairs": (q_v01_cosine_pairs, SQL_V01),
     "v02_topk_cosine": (q_v02_topk_cosine, SQL_V02),
     "v03_quantize_int8": (q_v03_quantize_int8, SQL_V03),
+    "v04_binary_hamming_topk": (q_v04_binary_hamming_topk, SQL_V04),
     "e01_hourly_value": (q_e01_hourly_value, SQL_E01),
     "e02_json_extract": (q_e02_json_extract, SQL_E02),
     "e03_sessionize": (q_e03_sessionize, SQL_E03),
@@ -10890,8 +10990,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # e07, e10, t07, x04/x07, mm03/mm04, rc03, ac08), then anything new or
 # semantically changed this round, then fill the remaining slots from
 # the round-6 cohort (49 entries whose newest official row is r6) —
-# 21 fit here; the 28 left over (e09, e12, e13, e14, g07, g08, j01,
-# j05, rc04, sql02, st01, st10, t13, t15–t23, w07, x13–x17) are the planned core of the r12 prefix, after which
+# 20 fit here; the 29 left over (e09, e12, e13, e14, g07, g08, j01,
+# j05, j06, rc04, sql02, st01, st10, t13, t15–t23, w07, x13–x17) are the planned core of the r12 prefix, after which
 # every entry's newest official row is r7+ and the rotation has
 # caught the tail up.  New entries landed later this round displace
 # r6-cohort fill entries (pushed to r12) — new code must be
@@ -10920,8 +11020,8 @@ _PREFIX = [
     "m05_pinned_scoring", "rc05_recursive_cte", "q04_psi_drift",
     "sql03_sql_udf", "sql04_lateral_topk", "a22_rake3",
     "e17_locf_fill", "p04_drift_gated_admission",
-    "t24_ngram_decontaminate",
-    # r6 cohort fill (newest official row is round 6), 21 of 49
+    "t24_ngram_decontaminate", "v04_binary_hamming_topk",
+    # r6 cohort fill (newest official row is round 6), 20 of 49
     "a16_ipf_step", "a17_converge", "ipf_cost_per_visit_fixed",
     "ac09_replicate_via_feed", "b07_binaryfile_source",
     "c16_scd2",
@@ -10931,7 +11031,7 @@ _PREFIX = [
     "e03_sessionize",
     "g06_histogram",
     "gr02_degree_profile", "h01_pricing_summary",
-    "j06_point_in_time", "j07_abandoned_clicks",
+    "j07_abandoned_clicks",
     "m04_market_basket", "p03_training_pipeline",
     "q02_referential_integrity",
     "rc01_subtree_rollup",

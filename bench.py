@@ -106,6 +106,7 @@ HEADLINE = [
     "e17_locf_fill",
     "p04_drift_gated_admission",
     "t24_ngram_decontaminate",
+    "v04_binary_hamming_topk",
 ]
 
 

@@ -35,6 +35,8 @@ BNLJ_ALLOWED = {
     "c09_ones_matrix",     # same dense-domain builder
     "t08_contamination",   # docs x tiny benchmark n-gram set
     "v02_topk_cosine",     # documented brute-force baseline (<=20 queries)
+    "v04_binary_hamming_topk",  # same brute-force fixture over 8-byte
+                                # sign codes (<=20 queries broadcast)
     "h14_idle_rich_customers",  # scalar avg-balance subquery (1 row)
     "h18_important_parts",      # scalar avg-quantity subquery (1 row)
     "x15_temperature_mix",  # scalar N_min crossJoin (1 row) onto the

@@ -261,3 +261,42 @@ def test_zero_norm_vectors_score_null_not_crash(spark):
         ).first()["c"]
         is None
     )
+
+
+def test_binary_hamming_topk_matches_python_reference(spark):
+    """v04: pack the sign bits in plain Python, brute-force the
+    Hamming top-5 with the same (distance, neighbor_id) tie-break,
+    and pin exact equality — covering the two-halves packing, the
+    XOR+popcount distance, and the window rank."""
+    from alternating_least_squares_spark.registry import (
+        q_v04_binary_hamming_topk,
+    )
+
+    vecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in load_table(spark, SF_SMALL, "embeddings").collect()
+    }
+
+    def code(v):
+        lo = sum(1 << j for j in range(32) if v[j] > 0)
+        hi = sum(1 << j for j in range(32) if v[32 + j] > 0)
+        return lo, hi
+
+    codes = {i: code(v) for i, v in vecs.items()}
+    want = set()
+    for q in (i for i in codes if i < 20):
+        dists = sorted(
+            (
+                (codes[q][0] ^ codes[n][0]).bit_count()
+                + (codes[q][1] ^ codes[n][1]).bit_count(),
+                n,
+            )
+            for n in codes if n != q
+        )
+        for rank, (d, n) in enumerate(dists[:5], start=1):
+            want.add((q, n, d, rank))
+    got = {
+        (r["query_id"], r["neighbor_id"], r["hamming"], r["rank"])
+        for r in q_v04_binary_hamming_topk(spark, SF_SMALL).collect()
+    }
+    assert got == want
