@@ -852,6 +852,54 @@ def q_b05_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_B05 = SQL_B01
 
 
+def q_b08_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-file corpus ingest (``spark.read.text``) — the line
+    format crawl dumps and corpus exports actually arrive in, and the
+    one source family b01/b04/b05/b07 didn't cover. Round trip: each
+    document becomes ONE line ``doc_id \\t base64(utf-8 text)`` —
+    base64 makes the payload newline/tab-proof, the property that
+    makes a line format safe for arbitrary text at all — written with
+    the text sink, read back with the text source, split and decoded.
+    Output (doc_id, n_chars, text_md5) is recomputed by the oracle
+    from the parquet originals, so a hash match proves the line
+    codec round-trips every byte. NULL text normalizes to '' (a line
+    format has no NULL; documented lossy edge, same coalesce both
+    sides). At 100 TB the text source is splittable by line and the
+    encode/split/decode are all codegen string ops at scan speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    line = F.concat_ws(
+        "\t",
+        F.col("doc_id").cast("string"),
+        F.hex(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")),
+    )
+    path = _scratch_path("alternating_ls_b08", "documents_txt")
+    docs.select(line.alias("value")).write.mode("overwrite").text(path)
+    back = spark.read.text(path).select(
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(1))
+        .cast("long")
+        .alias("doc_id"),
+        F.decode(
+            F.unhex(
+                F.split_part(F.col("value"), F.lit("\t"), F.lit(2))
+            ),
+            "UTF-8",
+        ).alias("text"),
+    )
+    return back.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_rt"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+SQL_B08 = """
+SELECT doc_id,
+       CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars_rt,
+       md5(coalesce(text, '')) AS text_md5
+FROM documents
+"""
+
+
 def q_b06_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Malformed-record CSV ingestion — the PERMISSIVE +
     columnNameOfCorruptRecord contract every landing-zone reader
@@ -10930,6 +10978,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "e12_daily_top_type": (q_e12_daily_top_type, SQL_E12),
     "j05_asof_nearest": (q_j05_asof_nearest, SQL_J05),
     "b07_binaryfile_source": (q_b07_binaryfile_source, SQL_B07),
+    "b08_text_roundtrip": (q_b08_text_roundtrip, SQL_B08),
     "ac09_replicate_via_feed": (q_ac09_replicate_via_feed, SQL_AC09),
     "e13_rfm_segments": (q_e13_rfm_segments, SQL_E13),
     "g07_weighted_mean": (q_g07_weighted_mean, SQL_G07),
@@ -10990,8 +11039,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # e07, e10, t07, x04/x07, mm03/mm04, rc03, ac08), then anything new or
 # semantically changed this round, then fill the remaining slots from
 # the round-6 cohort (49 entries whose newest official row is r6) —
-# 20 fit here; the 29 left over (e09, e12, e13, e14, g07, g08, j01,
-# j05, j06, rc04, sql02, st01, st10, t13, t15–t23, w07, x13–x17) are the planned core of the r12 prefix, after which
+# 19 fit here; the 30 left over (e09, e12, e13, e14, g07, g08, j01,
+# j05, j06, q02, rc04, sql02, st01, st10, t13, t15–t23, w07, x13–x17) are the planned core of the r12 prefix, after which
 # every entry's newest official row is r7+ and the rotation has
 # caught the tail up.  New entries landed later this round displace
 # r6-cohort fill entries (pushed to r12) — new code must be
@@ -11021,7 +11070,8 @@ _PREFIX = [
     "sql03_sql_udf", "sql04_lateral_topk", "a22_rake3",
     "e17_locf_fill", "p04_drift_gated_admission",
     "t24_ngram_decontaminate", "v04_binary_hamming_topk",
-    # r6 cohort fill (newest official row is round 6), 20 of 49
+    "b08_text_roundtrip",
+    # r6 cohort fill (newest official row is round 6), 19 of 49
     "a16_ipf_step", "a17_converge", "ipf_cost_per_visit_fixed",
     "ac09_replicate_via_feed", "b07_binaryfile_source",
     "c16_scd2",
@@ -11033,7 +11083,6 @@ _PREFIX = [
     "gr02_degree_profile", "h01_pricing_summary",
     "j07_abandoned_clicks",
     "m04_market_basket", "p03_training_pipeline",
-    "q02_referential_integrity",
     "rc01_subtree_rollup",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
