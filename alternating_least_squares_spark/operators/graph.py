@@ -350,6 +350,13 @@ def edge_neighborhood_scores(
     )
 
 
+# Live fixpoint loops consult the data-derived runaway bound only
+# after this many rounds: shallow fixpoints (the common case) never
+# pay the extra count() job the bound costs, and a genuinely deep
+# graph pays it once, long before |V| rounds of wasted actions.
+_GUARD_CHECK_AT = 60
+
+
 def kcore(
     edges: DataFrame,
     k: int,
@@ -373,12 +380,15 @@ def kcore(
       rc01 fixpoint pattern — and a loud RuntimeError instead of
       spinning when given an adversarial input. ``max_rounds=None``
       (the default) derives the guard from the DATA: every
-      non-terminal peel round removes ≥ 1 vertex, so |V|+1 rounds is
-      a structural upper bound and any overrun is a driver-side bug,
-      never a legitimate deep graph (ADVICE r9: the old fixed default
-      of 60 rejected e.g. a ~130-vertex path at k=2, which peels from
-      both ends and legitimately needs >60 rounds). Pass an int to
-      cap cheaper when the peel depth is known.
+      non-terminal peel round removes ≥ 1 vertex, so (surviving
+      |V|)+1 further rounds is a structural upper bound and any
+      overrun is a driver-side bug, never a legitimate deep graph
+      (ADVICE r9: the old fixed default of 60 rejected e.g. a
+      ~130-vertex path at k=2, which peels from both ends and
+      legitimately needs >60 rounds). The bound is priced LAZILY —
+      its count() job runs only if the loop passes
+      ``_GUARD_CHECK_AT`` rounds, so shallow peels never pay it.
+      Pass an int to cap cheaper when the peel depth is known.
     - ``rounds=R`` (fixed sweep): exactly R peels, NO count actions —
       the result is well-defined whether or not the fixpoint was
       reached, so an unrolled-SQL oracle can state it exactly (and
@@ -397,14 +407,18 @@ def kcore(
     e = edges.select("a", "b").distinct().localCheckpoint(eager=True)
     n_prev = e.count() if rounds is None else None
     limit = max_rounds
-    if rounds is None and limit is None:
-        # structural bound: a non-terminal peel removes >= 1 vertex
-        limit = vertex_degrees(e).count() + 1
     r = 0
     while True:
         if rounds is not None and r >= rounds:
             break
-        if rounds is None and r >= limit:
+        if rounds is None and limit is None and r >= _GUARD_CHECK_AT:
+            # Derive the structural bound LAZILY: a non-terminal peel
+            # removes >= 1 vertex, so |V|+1 rounds is an upper bound —
+            # but the count() that prices it is only worth paying once
+            # the loop has already run unusually long (shallow peels,
+            # the common case, never reach here).
+            limit = vertex_degrees(e).count() + r + 1
+        if rounds is None and limit is not None and r >= limit:
             raise RuntimeError(
                 f"kcore: no fixpoint after {limit} rounds "
                 f"(edges remaining: {n_prev})"
@@ -450,7 +464,9 @@ def bfs_distances(
     so |V|+1 levels is structural and any overrun is a driver bug,
     never a legitimately deep graph (ADVICE r9: the old fixed 60
     rejected seed eccentricity > 60, which is normal in large sparse
-    graphs); ``rounds=R`` expands exactly R levels with NO driver
+    graphs); the bound's count() is priced lazily, only once the
+    loop passes ``_GUARD_CHECK_AT`` levels, so shallow expansions
+    never pay it; ``rounds=R`` expands exactly R levels with NO driver
     actions — well-defined at any R, equal to the fixpoint once R ≥
     the graph's seed eccentricity, and exactly what an unrolled-SQL
     oracle states.
@@ -479,14 +495,16 @@ def bfs_distances(
     )
     frontier = dist.select("vertex")
     limit = max_rounds
-    if rounds is None and limit is None:
-        # structural bound: a continuing level reaches >= 1 new vertex
-        limit = sym.select("u").distinct().count() + 1
     r = 0
     while True:
         if rounds is not None and r >= rounds:
             break
-        if rounds is None and r >= limit:
+        if rounds is None and limit is None and r >= _GUARD_CHECK_AT:
+            # lazy structural bound: a continuing level reaches >= 1
+            # new vertex, so |V|+1 total levels suffices; priced only
+            # once the loop has run unusually long
+            limit = sym.select("u").distinct().count() + 1
+        if rounds is None and limit is not None and r >= limit:
             raise RuntimeError(
                 f"bfs_distances: frontier alive after {limit} rounds"
             )

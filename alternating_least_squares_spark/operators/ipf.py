@@ -113,6 +113,25 @@ def rake_fixed(
         raise ValueError(f"sweeps must be >= 1, got {sweeps}")
     if not marginals:
         raise ValueError("rake_fixed needs at least one marginal")
+    # fail loudly at the boundary, not with an ambiguous-reference
+    # AnalysisException three joins deep: the sweep loop owns the _s
+    # working column, and a marginal carrying extra columns would be
+    # joined into the cells on pass 1 and collide on pass 2
+    if "_s" in cells.columns or "m_us" in cells.columns:
+        raise ValueError(
+            "rake_fixed reserves the _s and m_us column names; "
+            f"cells has {cells.columns}"
+        )
+    for axis, m in marginals:
+        if sorted(m.columns) != sorted([axis, "m_us"]):
+            raise ValueError(
+                f"marginal for axis {axis!r} must have exactly "
+                f"columns ({axis!r}, 'm_us'); got {m.columns}"
+            )
+        if axis not in cells.columns:
+            raise ValueError(
+                f"cells is missing the axis column {axis!r}"
+            )
     from pyspark.sql import Window
 
     cur = cells

