@@ -363,3 +363,84 @@ def test_locf_fill_carries_readings_through_gaps(spark, tmp_path):
         (2, 2 * h): (1, 99.0),
         (3, 1 * h): (1, 5.0),    # span starts at the REAL reading
     }  # user 4 (NaN-only) is absent; no locf_value is NULL anywhere
+
+
+from hypothesis import given, settings, strategies as st
+
+_locf_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),          # user_id
+        st.integers(min_value=0, max_value=30),         # hours offset
+        st.one_of(st.just(float("nan")),
+                  # 3-decimal granularity: keeps every value far from
+                  # a 6-decimal rounding tie, so the Python round()
+                  # (banker's) and Spark F.round (HALF_UP) agree
+                  st.floats(min_value=-5, max_value=5,
+                            allow_nan=False, allow_infinity=False)
+                  .map(lambda v: round(v, 3))),
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(evs=_locf_events)
+def test_locf_fill_matches_python_reference(spark, evs):
+    """e17 brute force on random streams (NaN-heavy): the Spark
+    grid + ignorenulls-window pipeline must equal a sequential Python
+    LOCF replay of the documented contract — spans anchored on real
+    readings, per-bucket max over non-NaN values, carries through
+    empty and NaN-only buckets, NaN-only users absent."""
+    import math
+
+    import alternating_least_squares_spark.registry as R
+
+    h_us = 6 * 3600 * 1_000_000
+    rows = [
+        (i, u, (hrs * 3600 * 1_000_000 + i * 977) * 1000, v)
+        for i, (u, hrs, v) in enumerate(evs)
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_ns long, value double"
+    )
+    from unittest import mock
+
+    real_load = R.load_table
+    with mock.patch.object(
+        R, "load_table",
+        lambda sp, sf, name: batch
+        if name == "events" else real_load(sp, sf, name),
+    ):
+        got = {
+            (r["user_id"], r["bucket_us"]):
+                (r["observed"], r["locf_value"])
+            for r in R.q_e17_locf_fill(spark, "ignored").collect()
+        }
+
+    want = {}
+    users = {u for _, u, _, _ in rows}
+    for u in users:
+        by_bucket: dict[int, list[float]] = {}
+        for _, uu, ts_ns, v in rows:
+            if uu == u:
+                by_bucket.setdefault(
+                    (ts_ns // 1000) // h_us * h_us, []
+                ).append(v)
+        mx = {
+            b: (max(real) if (real := [v for v in vs
+                                       if not math.isnan(v)]) else None)
+            for b, vs in by_bucket.items()
+        }
+        real_buckets = [b for b, m in mx.items() if m is not None]
+        if not real_buckets:
+            continue
+        carry = None
+        for b in range(min(real_buckets), max(real_buckets) + h_us,
+                       h_us):
+            m = mx.get(b)
+            if m is not None:
+                carry = m
+            want[(u, b)] = (1 if m is not None else 0,
+                            round(carry, 6))
+    assert got == want
