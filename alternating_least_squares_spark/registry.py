@@ -9167,30 +9167,33 @@ qb AS (
 )"""
 
 
-def _psi_grid_sql(pop: str, ref: str) -> str:
+def _psi_grid_sql(pop: str, ref: str, prefix: str = "") -> str:
     """DuckDB twin of :func:`_psi_terms`: CTEs ``per_sb`` through
     ``p`` over a population CTE (source, bucket) and a reference CTE
-    (bucket); ``p`` exposes (source, bucket, c_src, c_ref, pa, pc)."""
-    return f"""per_sb AS (SELECT source, bucket, count(*) AS c_sb
+    (bucket); ``p`` exposes (source, bucket, c_src, c_ref, pa, pc).
+    ``prefix`` namespaces the CTEs so one statement can instantiate
+    the machinery more than once (st12 gates two waves)."""
+    x = prefix
+    return f"""{x}per_sb AS (SELECT source, bucket, count(*) AS c_sb
            FROM {pop} GROUP BY 1, 2),
-per_s AS (SELECT source, count(*) AS n_s FROM {pop} GROUP BY 1),
-per_b AS (SELECT bucket, count(*) AS c_b FROM {ref} GROUP BY 1),
-tot AS (SELECT count(*) AS n FROM {ref}),
-grid AS (
+{x}per_s AS (SELECT source, count(*) AS n_s FROM {pop} GROUP BY 1),
+{x}per_b AS (SELECT bucket, count(*) AS c_b FROM {ref} GROUP BY 1),
+{x}tot AS (SELECT count(*) AS n FROM {ref}),
+{x}grid AS (
   SELECT s.source, s.n_s, r.range AS bucket
-  FROM per_s s CROSS JOIN range(10) r
+  FROM {x}per_s s CROSS JOIN range(10) r
 ),
-p AS (
+{x}p AS (
   SELECT g.source, g.bucket,
          CAST(coalesce(sb.c_sb, 0) AS BIGINT) AS c_src,
          CAST(coalesce(pb.c_b, 0) AS BIGINT) AS c_ref,
          CAST(coalesce(sb.c_sb, 0) + 1 AS DOUBLE)
            / CAST(g.n_s + 10 AS DOUBLE) AS pa,
          CAST(coalesce(pb.c_b, 0) + 1 AS DOUBLE)
-           / CAST((SELECT n FROM tot) + 10 AS DOUBLE) AS pc
-  FROM grid g
-  LEFT JOIN per_sb sb ON sb.source = g.source AND sb.bucket = g.bucket
-  LEFT JOIN per_b pb ON pb.bucket = g.bucket
+           / CAST((SELECT n FROM {x}tot) + 10 AS DOUBLE) AS pc
+  FROM {x}grid g
+  LEFT JOIN {x}per_sb sb ON sb.source = g.source AND sb.bucket = g.bucket
+  LEFT JOIN {x}per_b pb ON pb.bucket = g.bucket
 )"""
 
 
@@ -9331,6 +9334,118 @@ first_in_batch AS (
 SELECT f.doc_id, f.source, o.drift_nano
 FROM first_in_batch f JOIN ok o ON o.source = f.source
 WHERE f.rn = 1
+"""
+
+
+def q_st12_stream_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift-gated admission — p04's PSI alarm run PER
+    ARRIVING WAVE: document batches land as files, each
+    ``availableNow`` run gates its wave's per-source quality
+    distribution against the STATIC trusted-corpus reference (a drift
+    reference is a pinned snapshot, not a moving target — unlike
+    st10's growing near-dup corpus, which is exactly why both
+    admission streams exist), and only un-drifted sources' docs are
+    appended. Waves carry (doc_id, source, wave, bucket); the gate is
+    the shared ``_psi_terms`` machinery inside ``foreachBatch``, with
+    each per-bucket term floored to integer nano-units before the
+    exact BIGINT cross-bucket sum (the p04 discipline), so the
+    per-wave verdicts are bit-stable and replay == batch: the sink's
+    union of per-wave decisions is exactly what the unrolled two-wave
+    oracle states. Scale: per wave one bounded-aggregate drift table
+    (|sources|·10 rows) broadcast back onto the wave; the reference
+    bucket histogram is computed once and checkpointed."""
+    import os
+    import shutil
+
+    base = _scratch_path(
+        "alternating_ls_st12", sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src, sink, ckpt = (
+        os.path.join(base, d) for d in ("src", "sink", "_ckpt")
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    keyed = docs.select(
+        "doc_id", "source", _quality_bucket().alias("bucket")
+    )
+    batch = keyed.filter(F.col("doc_id") % 3 == 0)
+    ref = (
+        keyed.filter(F.col("doc_id") % 3 != 0)
+        .select("bucket")
+        .localCheckpoint(eager=True)
+    )
+    schema = "doc_id long, source string, bucket long, wave long"
+
+    def gate(bdf: DataFrame, _bid: int) -> None:
+        g, pa, pc = _psi_terms(bdf.select("source", "bucket"), ref)
+        term = F.floor((pa - pc) * F.col("lp_us") * 1_000).cast("long")
+        drift = (
+            g.select("source", term.alias("t"))
+            .groupBy("source")
+            .agg(F.sum("t").cast("long").alias("drift_nano"))
+        )
+        ok = drift.filter(F.col("drift_nano") <= P04_DRIFT_GATE_NANO)
+        bdf.join(F.broadcast(ok), "source").select(
+            "doc_id", "source", "wave", "drift_nano"
+        ).write.mode("append").parquet(sink)
+
+    # land wave N, then run — the st10 cadence; each availableNow run
+    # sees only its wave's files (checkpoint ledger), one micro-batch
+    for wave in (0, 1):
+        batch.filter(F.col("doc_id") % 2 == wave).withColumn(
+            "wave", F.lit(wave).cast("long")
+        ).write.mode("append").parquet(src)
+        q = (
+            spark.readStream.schema(
+                spark.createDataFrame([], schema).schema
+            )
+            .parquet(src)
+            .writeStream.foreachBatch(gate)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    return spark.read.parquet(sink).select(
+        "doc_id", "source", "wave", "drift_nano"
+    )
+
+
+def _st12_drift_sql(prefix: str) -> str:
+    return f"""{prefix}drift AS (
+  SELECT source,
+         CAST(SUM(CAST(floor((pa - pc)
+                * CAST(floor(ln(pa / pc) * 1000000) AS BIGINT)
+                * 1000) AS BIGINT)) AS BIGINT) AS drift_nano
+  FROM {prefix}p GROUP BY 1
+)"""
+
+
+def _st12_wave_sql(wave: int, prefix: str) -> str:
+    return f"""SELECT bt.doc_id, bt.source,
+       CAST({wave} AS BIGINT) AS wave, d.drift_nano
+FROM batch bt JOIN {prefix}drift d ON d.source = bt.source
+WHERE bt.doc_id % 2 = {wave}
+  AND d.drift_nano <= {P04_DRIFT_GATE_NANO}"""
+
+
+SQL_ST12 = f"""
+WITH {_psi_qb_sql()},
+batch AS (SELECT * FROM qb WHERE doc_id % 3 = 0),
+corp AS (SELECT bucket FROM qb WHERE doc_id % 3 <> 0),
+w0 AS (SELECT source, bucket FROM batch WHERE doc_id % 2 = 0),
+w1 AS (SELECT source, bucket FROM batch WHERE doc_id % 2 = 1),
+{_psi_grid_sql("w0", "corp", prefix="a_")},
+{_psi_grid_sql("w1", "corp", prefix="b_")},
+{_st12_drift_sql("a_")},
+{_st12_drift_sql("b_")}
+{_st12_wave_sql(0, "a_")}
+UNION ALL
+{_st12_wave_sql(1, "b_")}
 """
 
 
@@ -10985,6 +11100,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "p04_drift_gated_admission": (q_p04_drift_gated_admission, SQL_P04),
     "w08_ewma": (q_w08_ewma, SQL_W08),
     "st11_stream_ewma": (q_st11_stream_ewma, SQL_W08),
+    "st12_stream_drift_gate": (q_st12_stream_drift_gate, SQL_ST12),
     "x18_runtime_bloom_filter": (q_x18_runtime_bloom_filter, SQL_X18),
     "x19_epoch_shuffle": (q_x19_epoch_shuffle, SQL_X19),
     "x20_aqe_skew_join": (q_x20_aqe_skew_join, SQL_X20),
@@ -11009,8 +11125,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # e07, e10, t07, x04/x07, mm03/mm04, rc03, ac08), then anything new or
 # semantically changed this round, then fill the remaining slots from
 # the round-6 cohort (49 entries whose newest official row is r6) —
-# 19 fit here; the 30 left over (e09, e12, e13, e14, g07, g08, j01,
-# j05, j06, q02, rc04, sql02, st01, st10, t13, t15–t23, w07, x13–x17) are the planned core of the r12 prefix, after which
+# 18 fit here; the 31 left over (e09, e12, e13, e14, g07, g08, j01,
+# j05, j06, p03, q02, rc04, sql02, st01, st10, t13, t15–t23, w07, x13–x17) are the planned core of the r12 prefix, after which
 # every entry's newest official row is r7+ and the rotation has
 # caught the tail up.  New entries landed later this round displace
 # r6-cohort fill entries (pushed to r12) — new code must be
@@ -11040,8 +11156,8 @@ _PREFIX = [
     "sql03_sql_udf", "sql04_lateral_topk", "a22_rake3",
     "e17_locf_fill", "p04_drift_gated_admission",
     "t24_ngram_decontaminate", "v04_binary_hamming_topk",
-    "b08_text_roundtrip",
-    # r6 cohort fill (newest official row is round 6), 19 of 49
+    "b08_text_roundtrip", "st12_stream_drift_gate",
+    # r6 cohort fill (newest official row is round 6), 18 of 49
     "a16_ipf_step", "a17_converge", "ipf_cost_per_visit_fixed",
     "ac09_replicate_via_feed", "b07_binaryfile_source",
     "c16_scd2",
@@ -11052,7 +11168,7 @@ _PREFIX = [
     "g06_histogram",
     "gr02_degree_profile", "h01_pricing_summary",
     "j07_abandoned_clicks",
-    "m04_market_basket", "p03_training_pipeline",
+    "m04_market_basket",
     "rc01_subtree_rollup",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50

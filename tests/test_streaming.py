@@ -580,3 +580,55 @@ def test_stream_admission_corpus_grows_between_runs(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(sink).collect()
     )
     assert admitted == [1, 3]
+
+
+def test_stream_drift_gate_matches_per_wave_batch_recompute(spark):
+    """st12: the streamed two-wave drift gate must equal a BATCH
+    recomputation of the same machinery per wave (shared _psi_terms,
+    nano-floored terms, same gate), and each wave's verdicts must be
+    independent — computed from that wave's population only."""
+    from pyspark.sql import functions as F
+
+    from alternating_least_squares_spark import registry as R
+    from alternating_least_squares_spark.registry import (
+        P04_DRIFT_GATE_NANO,
+        _psi_terms,
+        _quality_bucket,
+    )
+    from alternating_least_squares_spark.sources import load_table
+    from tests.conftest import SF_SMALL
+
+    got = {
+        (r["doc_id"], r["wave"]): (r["source"], r["drift_nano"])
+        for r in R.q_st12_stream_drift_gate(spark, SF_SMALL).collect()
+    }
+    assert got
+    assert {w for _, w in got} == {0, 1}
+
+    docs = load_table(spark, SF_SMALL, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    keyed = docs.select(
+        "doc_id", "source", _quality_bucket().alias("bucket")
+    )
+    batch = keyed.filter(F.col("doc_id") % 3 == 0)
+    ref = keyed.filter(F.col("doc_id") % 3 != 0).select("bucket")
+    want = {}
+    for wave in (0, 1):
+        wdf = batch.filter(F.col("doc_id") % 2 == wave)
+        g, pa, pc = _psi_terms(wdf.select("source", "bucket"), ref)
+        term = F.floor(
+            (pa - pc) * F.col("lp_us") * 1_000
+        ).cast("long")
+        drift = {
+            r["source"]: r["d"]
+            for r in g.select("source", term.alias("t"))
+            .groupBy("source")
+            .agg(F.sum("t").cast("long").alias("d"))
+            .collect()
+        }
+        for r in wdf.collect():
+            d = drift[r["source"]]
+            if d <= P04_DRIFT_GATE_NANO:
+                want[(r["doc_id"], wave)] = (r["source"], d)
+    assert got == want
