@@ -6062,18 +6062,51 @@ def q_t24_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .unionByName(planted)
     )
-    grams = TX.shingles(F.col("text"), T24_K)
-    ev_grams = ev.select(
-        F.explode(F.array_distinct(grams)).alias("gram")
-    ).distinct()
-    corpus_grams = corpus.select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
-    )
+    ev_grams = _t24_gram_rows(ev).select("gram").distinct()
+    corpus_grams = _t24_gram_rows(corpus)
     return (
         corpus_grams.join(F.broadcast(ev_grams), "gram")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def _t24_gram_rows(df: DataFrame) -> DataFrame:
+    """Distinct (doc_id, gram) rows for t24, k=8, assembled by
+    COMPILED lead() windows over one posexplode (the t21 lesson,
+    re-measured here: the ``shingles()`` transform-over-index HOF
+    runs its 8-element_at lambda interpreted and cost 46 s at sf0.1
+    vs ~3 s for this form), keeping ``shingles()``'s short-doc
+    semantics — a document under k tokens contributes its whole
+    token string as one gram, so no document silently drops out."""
+    from alternating_least_squares_spark.functions.width import (
+        spread_if_narrow,
+    )
+
+    with_toks = spread_if_narrow(df, "doc_id").select(
+        "doc_id", TX.tokens(F.col("text")).alias("toks")
+    )
+    long_docs = with_toks.filter(F.size("toks") >= T24_K).select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("tok")] + [
+        F.lead("tok", j).over(w) for j in range(1, T24_K)
+    ]
+    wins = (
+        long_docs.select(
+            "doc_id",
+            F.concat_ws(" ", *leads).alias("gram"),
+            leads[-1].alias("_last"),
+        )
+        # lead(k-1) NULL ⇔ the window would run past the doc's end
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    short_docs = with_toks.filter(F.size("toks") < T24_K).select(
+        "doc_id", F.concat_ws(" ", "toks").alias("gram")
+    )
+    return wins.unionByName(short_docs).distinct()
 
 
 def _t24_grams_sql(col: str = "text") -> str:

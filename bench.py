@@ -107,6 +107,7 @@ HEADLINE = [
     "p04_drift_gated_admission",
     "t24_ngram_decontaminate",
     "v04_binary_hamming_topk",
+    "st12_stream_drift_gate",
 ]
 
 
