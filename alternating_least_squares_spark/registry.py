@@ -11150,59 +11150,51 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # ---------------------------------------------------------------------------
 # Ordering: the driver's correctness run checks a bounded PREFIX of the
 # registry (50 entries, verified rounds 2-10), so the order below is
-# chosen — not incidental.  ROTATION, round 11 (VERDICT r10 #1: the
-# planned r10 rotation never landed because round 10 produced zero
-# commits, so the 20 entries whose newest official row is still round
-# 5 have gone five rounds without driver re-certification): lead with
-# that whole r5 cohort (h15–h19, h21, g02_cube, b04_orc, w03/w04/w05,
-# e07, e10, t07, x04/x07, mm03/mm04, rc03, ac08), then anything new or
-# semantically changed this round, then fill the remaining slots from
-# the round-6 cohort (49 entries whose newest official row is r6) —
-# 18 fit here; the 31 left over (e09, e12, e13, e14, g07, g08, j01,
-# j05, j06, p03, q02, rc04, sql02, st01, st10, t13, t15–t23, w07, x13–x17) are the planned core of the r12 prefix, after which
-# every entry's newest official row is r7+ and the rotation has
-# caught the tail up.  New entries landed later this round displace
-# r6-cohort fill entries (pushed to r12) — new code must be
-# driver-certified the round it lands.
+# chosen — not incidental.  ROTATION, round 12 (VERDICT r11 #1):
+# lead with the full round-6 cohort — the 31 entries whose newest
+# official driver row is still round 6 (e09, e12–e14, g07, g08, j01,
+# j05, j06, p03, q02, rc04, sql02, st01, st10, t13, t15–t23, w07,
+# x13–x17) — then fill the remaining 19 slots from the round-7
+# cohort (48 entries), starting with the reference-parity A-family
+# (a01–a15, a18–a20) plus b01_b02.  After this round every entry's
+# newest official row is r7+.  New entries landed later this round
+# displace r7-cohort fill entries from the END of the list (pushed
+# to the r13 prefix) — new code must be driver-certified the round
+# it lands; the 31 r6-stale entries are never displaced.
+# R13 PREFIX PLAN (write-ahead, VERDICT r11 #6): the 28 r7-stale
+# leftovers (c01, c02, c04, c05, c06, c08_pivot, c08_unpivot,
+# c10–c15, d01, d04, e01, e02, e04, e05, g05, t01–t06, v01–v03)
+# plus any fill displaced this round, topped up from the r8 cohort
+# (a12, a21, ac01–ac06, b06, c03, c07, c09, d02, d06, e08, ...).
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors (each has a hash-green
-# oracle-adjacent twin where one is possible: ipf_fixed, g04b, m04).
+# oracle-adjacent twin where one is possible: ipf_fixed, g04b,
+# m04/m05).
 _PREFIX = [
-    # r5 cohort: newest official row is round 5 (stale since the
-    # r10 zero-commit stall; VERDICT r10 residual-gap #1)
-    "h15_top_supplier", "h16_supplier_part_counts",
-    "h17_small_qty_revenue", "h18_important_parts",
-    "h19_min_cost_supplier", "h21_sole_returning_supplier",
-    "g02_cube", "b04_orc_roundtrip",
-    "w03_time_range_avg", "w04_distribution_funcs",
-    "w05_tumbling_batch",
-    "e07_cohort_retention", "e10_inter_event_gaps",
-    "t07_top_bigrams",
-    "x04_pandas_udaf_geomean", "x07_python_datasource",
-    "mm03_arrow_features", "mm04_resize_stride",
-    "rc03_bom_effective_qty", "ac08_change_feed",
-    # new in round 11: the m03 scoring twin (VERDICT r10 #3), the
-    # native-recursive-CTE entry, the PSI drift monitor, and the
-    # Spark-4 SQL-UDF entry
-    "m05_pinned_scoring", "rc05_recursive_cte", "q04_psi_drift",
-    "sql03_sql_udf", "sql04_lateral_topk", "a22_rake3",
-    "e17_locf_fill", "p04_drift_gated_admission",
-    "t24_ngram_decontaminate", "v04_binary_hamming_topk",
-    "b08_text_roundtrip", "st12_stream_drift_gate",
-    # r6 cohort fill (newest official row is round 6), 18 of 49
-    "a16_ipf_step", "a17_converge", "ipf_cost_per_visit_fixed",
-    "ac09_replicate_via_feed", "b07_binaryfile_source",
-    "c16_scd2",
-    "d07_incremental_dedup", "d08_containment_pairs",
-    "d09_incremental_near_dup", "d10_indexed_admission",
-    "d11_neardup_keep_one",
-    "e03_sessionize",
-    "g06_histogram",
-    "gr02_degree_profile", "h01_pricing_summary",
-    "j07_abandoned_clicks",
-    "m04_market_basket",
-    "rc01_subtree_rollup",
+    # r6 cohort: newest official row is round 6 (all 31)
+    "e09_activity_streaks", "e12_daily_top_type", "e13_rfm_segments",
+    "e14_cumulative_users",
+    "g07_weighted_mean", "g08_exact_corr",
+    "j01_asof_join", "j05_asof_nearest", "j06_point_in_time",
+    "p03_training_pipeline", "q02_referential_integrity",
+    "rc04_materialized_path", "sql02_shared_windows",
+    "st01_stream_hourly", "st10_stream_admission",
+    "t13_sequence_packing", "t15_sentence_split",
+    "t16_normalized_dupes", "t17_edit_distance_pairs",
+    "t18_unigram_logprob", "t19_bigram_logprob", "t20_line_dedup",
+    "t21_repeated_spans", "t22_bpe_merge_pairs", "t23_span_scrub",
+    "w07_native_session_window",
+    "x13_dynamic_partition_pruning", "x14_incremental_mv",
+    "x15_temperature_mix", "x16_training_shuffle", "x17_dsir_weights",
+    # r7 cohort fill (newest official row is round 7), 19 of 48:
+    # the reference A-family first (SURVEY §2 parity rows)
+    "a01_cmap", "a02_dot", "a03_diff_vector", "a04_l2_norm",
+    "a05_rmse", "a06_transpose", "a07_sum_rows", "a08_sum_cols",
+    "a09_laplace_smooth", "a10_weight_matrix", "a11_apply_weights",
+    "a13_mmult", "a14_seed_matrix", "a15_optimize_marginal",
+    "a18_normalize_matrix", "a19_error_matrix", "a20_matrix_norm",
+    "b01_b02_csv_roundtrip", "b03_symmetric_diff",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))
