@@ -26,6 +26,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Headline set: flagship IPF pipeline + one representative per engine
 # area (scan-agg, multi-join, matrix core, window/sessionize, text,
 # dedup, ANN, ML).
+# FROZEN AT <=52 ENTRIES (round 12): the driver captures only a
+# ~2000-char stdout tail and the compact metric line costs ~30 chars
+# per query (r11 measured 1608 chars at 58 queries — two rounds from
+# the r6 parsed:null failure).  When a round adds new entries, RETIRE
+# same-family members oldest-first to stay under the cap; retired
+# entries keep their oracle rows and pytest coverage, they just leave
+# the per-round timing line.  The assert below makes forgetting this
+# a test-time failure, not a silent driver-side truncation.
 # A warmup pass (below) touches every input table and the noop sink
 # once before the clock starts, so timings measure query execution,
 # not first-file-listing / committer init / JVM class loading.
@@ -39,14 +47,11 @@ HEADLINE = [
     "h01_pricing_summary",
     "ipf_cost_per_visit",
     "h02_revenue_by_nation",
-    "h03_shipping_priority",
     "a13_mmult",
     "a16_ipf_step",
     "e03_sessionize",
     "e04_resample_gapfill",
-    "e08_ohlc_bars",
     "c16_scd2",
-    "h13_large_volume_orders",
     "st01_stream_hourly",
     "j01_asof_join",
     "t01_token_stats",
@@ -59,12 +64,9 @@ HEADLINE = [
     # round-5 additions (VERDICT r4 #7): the round-4 operator families
     # whose regressions plans alone wouldn't catch, plus the round-5
     # recursive closure and the flagship's deterministic twin
-    "j03_interval_overlap",
     "t14_context_assembly",
-    "rc01_subtree_rollup",
     "ipf_cost_per_visit_fixed",
     "gr01_pagerank_fixed",
-    "d07_incremental_dedup",
     # round-6 additions (VERDICT r5 #6): the round-5 shuffle shapes the
     # headline didn't cover — PIT join, dynamic partition pruning,
     # native session windows, basket lift — plus the round-6 LSH
@@ -77,12 +79,10 @@ HEADLINE = [
     "sm01_semantic_dedup",
     # late round-6 additions: LM scorers, persisted-index admission,
     # exact moments, triangles, line dedup, temporal anti-join
-    "t18_unigram_logprob",
     "t19_bigram_logprob",
     "d10_indexed_admission",
     "g08_exact_corr",
     "gr03_triangles",
-    "t20_line_dedup",
     "j07_abandoned_clicks",
     # restart-session additions: span-level dedup, tokenizer-training
     # pair counts, training-order shuffle
@@ -91,7 +91,6 @@ HEADLINE = [
     "x16_training_shuffle",
     "d11_neardup_keep_one",
     "x17_dsir_weights",
-    "t23_span_scrub",
     "p03_training_pipeline",
     # round-8 addition: the per-event stateful streaming shape
     "st11_stream_ewma",
@@ -104,11 +103,17 @@ HEADLINE = [
     "sql04_lateral_topk",
     "a22_rake3",
     "e17_locf_fill",
-    "p04_drift_gated_admission",
     "t24_ngram_decontaminate",
     "v04_binary_hamming_topk",
     "st12_stream_drift_gate",
 ]
+# The freeze (see the policy comment above HEADLINE): ~30 chars/query
+# in the compact line, 52 * 30 + ~120 overhead ~= 1680 < the 1900
+# guard < the driver's ~2000-char tail.
+assert len(HEADLINE) <= 52, (
+    f"headline frozen at 52 entries (now {len(HEADLINE)}): retire "
+    "same-family members oldest-first before adding"
+)
 
 
 def sf_from_dir(sf_dir: str) -> float:
@@ -241,6 +246,10 @@ def main() -> None:
             },
             separators=(",", ":"),
         )
+    # Visible length audit (VERDICT r11 #2): the driver records only a
+    # ~2000-char stdout tail, so the emitted length is itself a metric.
+    print(f"# metric line length: {len(line)} chars "
+          f"({len(compact.get('queries', {}))} queries)", file=sys.stderr)
     print(line)
 
 

@@ -62,3 +62,30 @@ def test_no_registry_plan_degenerates_to_all_pairs(spark):
         if n_bnlj > 1 or (n_bnlj == 1 and name not in BNLJ_ALLOWED):
             bad[name] = f"BroadcastNestedLoopJoin x{n_bnlj} (not allowed)"
     assert not bad, bad
+
+
+def test_bench_headline_frozen_and_line_bounded():
+    """The driver records only a ~2000-char stdout tail (r6 lost its
+    whole bench line to this).  The headline set is frozen at <=52
+    entries; verify every entry resolves in the registry and that a
+    worst-case compact metric line (4-digit medians) stays under the
+    1900-char guard."""
+    import json
+
+    import bench
+
+    assert len(bench.HEADLINE) <= 52
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+    missing = [n for n in bench.HEADLINE if n not in registry.REGISTRY]
+    assert not missing, missing
+    worst = {
+        "metric": "headline_queries_total",
+        "aggregation": "median_of_runs",
+        "value": 9999.999,
+        "unit": "sec",
+        "queries": {n: 9999.99 for n in bench.HEADLINE},
+        "n_runs": 3,
+        "sf": 0.1,
+    }
+    line = json.dumps(worst, separators=(",", ":"))
+    assert len(line) <= 1900, len(line)
