@@ -122,6 +122,17 @@ def rake_fixed(
             "rake_fixed reserves the _s and m_us column names; "
             f"cells has {cells.columns}"
         )
+    if "v_us" not in cells.columns:
+        raise ValueError(
+            "cells must carry a v_us long column (the cell mass in "
+            f"micro-units); got {cells.columns}"
+        )
+    v_type = dict(cells.dtypes)["v_us"]
+    if v_type != "bigint":
+        raise ValueError(
+            "v_us must be a long (exact micro-unit mass; doubles "
+            f"break the window-sum determinism contract), got {v_type}"
+        )
     for axis, m in marginals:
         if sorted(m.columns) != sorted([axis, "m_us"]):
             raise ValueError(

@@ -9411,6 +9411,15 @@ def q_st12_stream_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     schema = "doc_id long, source string, bucket long, wave long"
+    # Seed the sink with a zero-row file carrying the output schema:
+    # P04_DRIFT_GATE_NANO's meaning shifts with scale factor, so a
+    # wave where the gate rejects EVERY source is plausible at
+    # untested SFs — foreachBatch would then append no data files and
+    # the final read would die with an unrelated-looking missing-path
+    # error instead of returning the honest zero-row answer.
+    spark.createDataFrame(
+        [], "doc_id long, source string, wave long, drift_nano long"
+    ).write.mode("overwrite").parquet(sink)
 
     def gate(bdf: DataFrame, _bid: int) -> None:
         g, pa, pc = _psi_terms(bdf.select("source", "bucket"), ref)

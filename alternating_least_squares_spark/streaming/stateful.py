@@ -253,6 +253,13 @@ def _update_ewma(
     rows = pd.concat(chunks, ignore_index=True).sort_values(
         ["ts_ns", "event_id"], kind="mergesort"
     )
+    # Intra-batch replay seam (ADVICE r11): an at-least-once source
+    # can redeliver a row twice INSIDE one micro-batch, where the
+    # cross-batch deque check below never sees the first copy
+    # (state is read once at batch entry). event_id is unique per
+    # event, so an exact (ts_ns, event_id) twin within the batch is
+    # the same verifiable redelivery — score it once.
+    rows = rows.drop_duplicates(subset=["ts_ns", "event_id"], keep="first")
     # Cross-micro-batch order CONTRACT enforcement (ADVICE r8): a
     # late event scored against the post-newer-events deque would
     # produce a plausible-but-wrong EWMA with no signal. Fail fast
@@ -351,7 +358,10 @@ def ewma_stream(events: DataFrame) -> DataFrame:
     the strict < guard double-scored the boundary row; round 11
     generalized the drop to any retained suffix, so replaying up to
     the last 7 consumed events per key yields exactly-once output;
-    deeper replays still fail loudly — unverifiable). Emitted
+    deeper replays still fail loudly — unverifiable; ADVICE r11
+    closed the remaining seam: an exact (ts_ns, event_id) twin
+    arriving twice WITHIN one micro-batch is deduped before scoring,
+    so intra-batch redelivery is exactly-once too). Emitted
     ``ewma_raw`` is the UNROUNDED double — round Spark-side
     (F.round, JVM half-up) so batch and stream round identically.
 

@@ -338,6 +338,64 @@ def test_stream_ewma_redelivery_only_batch_keeps_state(spark, tmp_path):
     ]
 
 
+def test_stream_ewma_dedups_intra_batch_duplicate(spark, tmp_path):
+    """ADVICE r11: an exact (ts_ns, event_id) twin delivered twice
+    WITHIN one micro-batch never reaches the cross-batch deque check
+    (state is read once at batch entry), so it used to be scored
+    twice. It must now be scored exactly once — one emitted row per
+    distinct event, histories unaffected by the duplicate copy."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from alternating_least_squares_spark.streaming import (
+        ewma_stream,
+        run_stream_to_batch,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (0, t0 + datetime.timedelta(seconds=1), 1, 1.0),
+        # the same event delivered twice inside the one micro-batch
+        (1, t0 + datetime.timedelta(seconds=2), 1, 4.0),
+        (1, t0 + datetime.timedelta(seconds=2), 1, 4.0),
+        (2, t0 + datetime.timedelta(seconds=3), 1, 2.0),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        ),
+        str(src / "wave_0.parquet"),
+    )
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    stream = (
+        spark.readStream.schema(spark.createDataFrame([], schema).schema)
+        .parquet(str(src))
+        .select(
+            "event_id", "user_id", "value",
+            (F.unix_micros("ts") * 1000).alias("ts_ns"),
+        )
+    )
+    out = run_stream_to_batch(ewma_stream(stream), output_mode="append")
+    got = sorted(
+        (r["event_id"], r["n_hist"], r["ewma"])
+        for r in out.select(
+            "event_id", "n_hist", F.round("ewma_raw", 6).alias("ewma")
+        ).collect()
+    )
+    assert got == [
+        (0, 1, 1.0),
+        (1, 2, round((4 * 0.5 + 1 * 0.25) / 0.75, 6)),
+        (2, 3, round((2 * 0.5 + 4 * 0.25 + 1 * 0.125) / 0.875, 6)),
+    ]
+
+
 def test_registry_has_no_dead_query_functions():
     """Every module-level ``q_*`` in registry.py must be reachable via
     REGISTRY — w08_ewma shipped unregistered in round 6 (dead code,

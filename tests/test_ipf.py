@@ -441,3 +441,20 @@ def test_rake_fixed_matches_sequential_replay(spark, raw, margs, sweeps):
         for r in rake_fixed(cdf, mdfs, sweeps).collect()
     }
     assert got == want
+
+
+def test_rake_fixed_rejects_missing_or_mistyped_v_us(spark):
+    """ADVICE r11: a cells frame without the required v_us long column
+    must fail at the validation boundary with a ValueError naming the
+    contract, not three joins deep with an AnalysisException."""
+    import pytest
+
+    from alternating_least_squares_spark.operators.ipf import rake_fixed
+
+    m = spark.createDataFrame([(0, 10)], "ax: long, m_us: long")
+    no_v = spark.createDataFrame([(0,)], "ax: long")
+    with pytest.raises(ValueError, match="v_us"):
+        rake_fixed(no_v, [("ax", m)], sweeps=1)
+    bad_type = spark.createDataFrame([(0, 1.5)], "ax: long, v_us: double")
+    with pytest.raises(ValueError, match="long"):
+        rake_fixed(bad_type, [("ax", m)], sweeps=1)

@@ -632,3 +632,22 @@ def test_stream_drift_gate_matches_per_wave_batch_recompute(spark):
             if d <= P04_DRIFT_GATE_NANO:
                 want[(r["doc_id"], wave)] = (r["source"], d)
     assert got == want
+
+
+def test_stream_drift_gate_all_rejected_returns_zero_rows(
+    spark, monkeypatch
+):
+    """ADVICE r11: if the gate rejects EVERY source in both waves
+    (plausible at untested SFs — the nano threshold's meaning shifts
+    with scale factor), foreachBatch appends no data files; the final
+    read must return the honest zero-row answer with the output
+    schema, not a missing-path error."""
+    from alternating_least_squares_spark import registry as R
+    from tests.conftest import SF_SMALL
+
+    monkeypatch.setattr(
+        R, "P04_DRIFT_GATE_NANO", -1_000_000_000_000
+    )
+    out = R.q_st12_stream_drift_gate(spark, SF_SMALL)
+    assert out.columns == ["doc_id", "source", "wave", "drift_nano"]
+    assert out.count() == 0
