@@ -2707,6 +2707,111 @@ WHERE hex4 >= {SPLIT_AT}
 SQL_M05 = _m05_sql()
 
 
+def q_m06_pinned_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-certified twin of the ALS recommend stage (VERDICT r11 #3
+    — the name-promise family was the last one outside the oracle):
+    the shared ``recommend_from_factors`` scoring path (dot product +
+    per-user top-k with deterministic tie-break) run on PINNED
+    exactly-representable factor matrices derived from the testdata
+    keys, instead of a fit. Scores are exact integers in units of
+    1/64, so rows, ranks, and tie-breaks are bit-stable cross-engine;
+    a pytest pins the same expression to MLlib's own ``transform``
+    scoring on a live model, tying this hash to what m01/m02 execute.
+    Bounded query side (every 29th user, broadcast) — recommending
+    for ALL users at scale stays on m01's MLlib block-partitioned
+    path."""
+    from alternating_least_squares_spark.ml.als import pinned_recommend
+
+    return pinned_recommend(spark, sf_dir, k=5)
+
+
+def q_m07_pinned_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-certified twin of m02's ranking-evaluation machinery:
+    hits@5 and floored recall-ppm per scored user against the observed
+    (user, item) positives of the same orders ⋈ lineitem projection
+    the live fits train on. All-integer output — the eval side of the
+    implicit-ALS entry, certified end to end (projection, semi-join
+    hit counting, exact-divide flooring) with only the fit left
+    rows-only."""
+    from alternating_least_squares_spark.ml.als import pinned_ranking_eval
+
+    return pinned_ranking_eval(spark, sf_dir, k=5)
+
+
+def _pinned_factor_sql(key: str, prefix: str) -> str:
+    from alternating_least_squares_spark.ml.als import PINNED_DIMS
+
+    return ", ".join(
+        f"({key}*{p}+{q})%17-8 AS {prefix}{j}"
+        for j, (p, q) in enumerate(PINNED_DIMS)
+    )
+
+
+def _m06_ranked_sql() -> str:
+    """Shared m06/m07 CTE chain: pinned factors, exact integer dot,
+    per-user ranking (mirrors recommend_from_factors' index-ordered
+    aggregate and (score desc, item asc) tie-break)."""
+    from alternating_least_squares_spark.ml.als import (
+        PINNED_DIMS,
+        PINNED_USER_STRIDE,
+    )
+
+    dot = " + ".join(f"u{j}*i{j}" for j in range(len(PINNED_DIMS)))
+    return f"""users AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS user_id FROM orders
+  WHERE o_custkey % {PINNED_USER_STRIDE} = 0
+),
+items AS (
+  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS item_id FROM lineitem
+),
+uf AS (SELECT user_id, {_pinned_factor_sql("user_id", "u")} FROM users),
+itf AS (SELECT item_id, {_pinned_factor_sql("item_id", "i")} FROM items),
+ranked AS (
+  SELECT user_id, item_id, CAST({dot} AS BIGINT) AS score_units,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id
+           ORDER BY {dot} DESC, item_id
+         ) AS rn
+  FROM uf CROSS JOIN itf
+)"""
+
+
+SQL_M06 = f"""
+WITH {_m06_ranked_sql()}
+SELECT user_id, item_id, score_units,
+       CAST(score_units AS DOUBLE)/64.0 AS score
+FROM ranked WHERE rn <= 5
+"""
+
+def _m07_sql() -> str:
+    from alternating_least_squares_spark.ml.als import PINNED_USER_STRIDE
+
+    return f"""
+WITH {_m06_ranked_sql()},
+recs AS (SELECT user_id, item_id FROM ranked WHERE rn <= 5),
+pos AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS user_id,
+         CAST(l_partkey AS BIGINT) AS item_id
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_custkey % {PINNED_USER_STRIDE} = 0
+),
+np AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS npos FROM pos GROUP BY 1),
+h AS (
+  SELECT r.user_id, CAST(COUNT(p.item_id) AS BIGINT) AS hits
+  FROM recs r
+  LEFT JOIN pos p ON r.user_id = p.user_id AND r.item_id = p.item_id
+  GROUP BY 1
+)
+SELECT np.user_id, h.hits, np.npos,
+       CAST(floor(CAST(h.hits * 1000000 AS DOUBLE) / np.npos) AS BIGINT)
+         AS recall_ppm
+FROM np JOIN h ON np.user_id = h.user_id
+"""
+
+
+SQL_M07 = _m07_sql()
+
+
 def q_m02_als_implicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Implicit-feedback ALS (Hu/Koren/Volinsky 2008) over the same
     ratings projection — Σ quantity is confidence, not a rating, so
@@ -11082,6 +11187,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "m02_als_implicit": (q_m02_als_implicit, None),
     "m03_quality_filter": (q_m03_quality_filter, None),
     "m05_pinned_scoring": (q_m05_pinned_scoring, SQL_M05),
+    "m06_pinned_recommend": (q_m06_pinned_recommend, SQL_M06),
+    "m07_pinned_ranking": (q_m07_pinned_ranking, SQL_M07),
     "ipf_cost_per_visit": (q_ipf_cost_per_visit, None),
     "ipf_cost_per_visit_fixed": (q_ipf_cost_per_visit_fixed, SQL_IPF_FIXED),
     "rc01_subtree_rollup": (q_rc01_subtree_rollup, SQL_RC01),
@@ -11174,7 +11281,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # leftovers (c01, c02, c04, c05, c06, c08_pivot, c08_unpivot,
 # c10–c15, d01, d04, e01, e02, e04, e05, g05, t01–t06, v01–v03)
 # plus any fill displaced this round, topped up from the r8 cohort
-# (a12, a21, ac01–ac06, b06, c03, c07, c09, d02, d06, e08, ...).
+# (a12, a21, ac01–ac06, b06, c03, c07, c09, d02, d06, e08, ...),
+# plus b01_b02 and b03 (displaced from this round's fill by the
+# new m06/m07 entries).
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors (each has a hash-green
@@ -11203,7 +11312,10 @@ _PREFIX = [
     "a09_laplace_smooth", "a10_weight_matrix", "a11_apply_weights",
     "a13_mmult", "a14_seed_matrix", "a15_optimize_marginal",
     "a18_normalize_matrix", "a19_error_matrix", "a20_matrix_norm",
-    "b01_b02_csv_roundtrip", "b03_symmetric_diff",
+    # new in round 12 (displacing the b01_b02/b03 fill slots to the
+    # r13 prefix, per the displacement rule above): the pinned ALS
+    # recommend/ranking twins (VERDICT r11 #3)
+    "m06_pinned_recommend", "m07_pinned_ranking",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

@@ -103,3 +103,84 @@ def test_als_implicit_recommend_shape(spark):
     assert recs.columns == ["user", "item", "score"]
     counts = recs.groupBy("user").count().collect()
     assert counts and all(r["count"] <= 3 for r in counts)
+
+
+def test_recommend_from_factors_hand_computed(spark):
+    """The shared scoring path on a 2-user/4-item fixture with a
+    deliberate score tie: dot products, top-k cut, and the
+    (score desc, item asc) tie-break all hand-verified."""
+    from alternating_least_squares_spark.ml.als import recommend_from_factors
+
+    uf = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 2.0])], "id: long, features: array<double>"
+    )
+    itf = spark.createDataFrame(
+        [(10, [3.0, 1.0]), (11, [2.0, 5.0]), (12, [3.0, 0.0]), (13, [0.0, 4.0])],
+        "id: long, features: array<double>",
+    )
+    got = sorted(
+        (r["user_id"], r["item_id"], r["score"])
+        for r in recommend_from_factors(uf, itf, k=2, rank=2).collect()
+    )
+    # user 1: dots 3, 2, 3, 0 -> tie between items 10 and 12 at 3.0,
+    # tie-break item asc keeps both (k=2): (10, 3.0), (12, 3.0)
+    # user 2: dots 2, 10, 0, 8 -> (11, 10.0), (13, 8.0)
+    assert got == [
+        (1, 10, 3.0),
+        (1, 12, 3.0),
+        (2, 11, 10.0),
+        (2, 13, 8.0),
+    ]
+
+
+def test_pinned_scoring_path_matches_mllib_transform(spark):
+    """Pin the shared recommend_from_factors expression to MLlib's own
+    scoring: for a live model's factor tables, our dot-product scores
+    on the recommended pairs must equal model.transform predictions
+    (float-dot vs double-dot, so a 1e-3 tolerance). This is what lets
+    the hash-checked m06 certify the scoring semantics m01/m02
+    execute."""
+    from pyspark.sql import functions as F
+
+    from alternating_least_squares_spark.ml.als import recommend_from_factors
+
+    ratings = ratings_from_testdata(spark, SF_SMALL).localCheckpoint()
+    model = train_als(ratings, rank=4, max_iter=4, seed=42)
+    k = 3
+    ours = recommend_from_factors(model.userFactors, model.itemFactors, k, rank=4)
+    pairs = ours.select(
+        F.col("user_id").cast("int").alias("user"),
+        F.col("item_id").cast("int").alias("item"),
+        "score",
+    )
+    pred = model.transform(pairs)
+    bad = pred.filter(
+        F.abs(F.col("score") - F.col("prediction")) > 1e-3
+    ).count()
+    assert bad == 0
+    assert pred.count() > 0
+
+
+def test_pinned_recommend_and_ranking_contracts(spark):
+    """m06/m07 output contracts: exact dyadic scores (units/64), k-cap
+    per user, integral recall accounting hits <= min(k, npos)."""
+    from alternating_least_squares_spark.ml.als import (
+        pinned_ranking_eval,
+        pinned_recommend,
+    )
+
+    recs = pinned_recommend(spark, SF_SMALL, k=5).collect()
+    assert recs
+    for r in recs:
+        assert r["score"] == r["score_units"] / 64.0
+        assert -256 <= r["score_units"] <= 256
+    by_user = {}
+    for r in recs:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert all(len(v) <= 5 for v in by_user.values())
+
+    ev = pinned_ranking_eval(spark, SF_SMALL, k=5).collect()
+    assert ev
+    for r in ev:
+        assert 0 <= r["hits"] <= min(5, r["npos"])
+        assert r["recall_ppm"] == (r["hits"] * 1_000_000) // r["npos"]

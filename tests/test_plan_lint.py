@@ -37,6 +37,9 @@ BNLJ_ALLOWED = {
     "v02_topk_cosine",     # documented brute-force baseline (<=20 queries)
     "v04_binary_hamming_topk",  # same brute-force fixture over 8-byte
                                 # sign codes (<=20 queries broadcast)
+    "m06_pinned_recommend",  # bounded query side: every 29th user
+                             # broadcast against the item factors
+    "m07_pinned_ranking",    # same scored-subset cross inside its recs
     "h14_idle_rich_customers",  # scalar avg-balance subquery (1 row)
     "h18_important_parts",      # scalar avg-quantity subquery (1 row)
     "x15_temperature_mix",  # scalar N_min crossJoin (1 row) onto the
