@@ -6145,6 +6145,20 @@ def q_t24_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     At web scale the gram join key should ride the t21 128-bit hash
     pair instead of gram text; text keys keep this entry
     oracle-exact."""
+    ev, corpus = _t24_fixture(spark, sf_dir)
+    ev_grams = _t24_gram_rows(ev).select("gram").distinct()
+    corpus_grams = _t24_gram_rows(corpus)
+    return (
+        corpus_grams.join(F.broadcast(ev_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def _t24_fixture(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The shared t24/t25 contamination fixture: (eval set, corpus)."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
@@ -6167,21 +6181,40 @@ def q_t24_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .unionByName(planted)
     )
-    ev_grams = _t24_gram_rows(ev).select("gram").distinct()
-    corpus_grams = _t24_gram_rows(corpus)
+    return ev, corpus
+
+
+def q_t25_hashed_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """t24's web-scale key variant, made executable (VERDICT r11 #5 —
+    the t24 docstring promised it): the decontamination join keys on
+    the t21 128-bit hash PAIR (two salted xxhash64s of the gram)
+    instead of gram text, and the hashing happens BEFORE the dedup
+    shuffle, so every exchanged row is 24 bytes regardless of window
+    width. Same fixture, same output contract as t24; its oracle IS
+    t24's text-key SQL, so the driver hash certifies the hash-key
+    path equal to the text-key path (plus an equality pytest on the
+    DataFrames). A 128-bit pair makes a colliding gram pair
+    astronomically unlikely (~10^-20 at 10^9 distinct grams); a
+    collision would overcount n_shared by one — the accepted trade
+    the GPT-3 appendix makes at k=13."""
+    ev, corpus = _t24_fixture(spark, sf_dir)
+    ev_keys = _t24_gram_hashes(ev).select("h1", "h2").distinct()
+    corpus_keys = _t24_gram_hashes(corpus)
     return (
-        corpus_grams.join(F.broadcast(ev_grams), "gram")
+        corpus_keys.join(F.broadcast(ev_keys), ["h1", "h2"])
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared"))
     )
 
 
-def _t24_gram_rows(df: DataFrame) -> DataFrame:
-    """Distinct (doc_id, gram) rows for t24, k=8, assembled by
-    COMPILED lead() windows over one posexplode (the t21 lesson,
-    re-measured here: the ``shingles()`` transform-over-index HOF
-    runs its 8-element_at lambda interpreted and cost 46 s at sf0.1
-    vs ~3 s for this form), keeping ``shingles()``'s short-doc
+def _t24_gram_stream(df: DataFrame) -> DataFrame:
+    """Raw (doc_id, gram) rows for t24/t25, k=8, NOT deduplicated,
+    assembled by COMPILED lead() windows over one posexplode (the t21
+    lesson, re-measured here: the ``shingles()`` transform-over-index
+    HOF runs its 8-element_at lambda interpreted and cost 46 s at
+    sf0.1 vs ~3 s for this form), keeping ``shingles()``'s short-doc
     semantics — a document under k tokens contributes its whole
     token string as one gram, so no document silently drops out."""
     from alternating_least_squares_spark.functions.width import (
@@ -6211,7 +6244,27 @@ def _t24_gram_rows(df: DataFrame) -> DataFrame:
     short_docs = with_toks.filter(F.size("toks") < T24_K).select(
         "doc_id", F.concat_ws(" ", "toks").alias("gram")
     )
-    return wins.unionByName(short_docs).distinct()
+    return wins.unionByName(short_docs)
+
+
+def _t24_gram_rows(df: DataFrame) -> DataFrame:
+    """Distinct (doc_id, gram) rows — t24's text-keyed form."""
+    return _t24_gram_stream(df).distinct()
+
+
+def _t24_gram_hashes(df: DataFrame) -> DataFrame:
+    """Distinct (doc_id, h1, h2) rows — t25's hash-keyed form: each
+    gram collapses to the t21 128-bit pair (two salted xxhash64s)
+    BEFORE the dedup shuffle, so every exchanged row is 8+16 bytes no
+    matter how long the text window is. This ordering is the point of
+    the variant: at web scale the gram-text distinct is the dominant
+    shuffle, and hashing first shrinks it ~10x."""
+    g = _t24_gram_stream(df)
+    return g.select(
+        "doc_id",
+        F.xxhash64(F.lit(1), "gram").alias("h1"),
+        F.xxhash64(F.lit(2), "gram").alias("h2"),
+    ).distinct()
 
 
 def _t24_grams_sql(col: str = "text") -> str:
@@ -11245,6 +11298,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "x17_dsir_weights": (q_x17_dsir_weights, SQL_X17),
     "t23_span_scrub": (q_t23_span_scrub, SQL_T23),
     "t24_ngram_decontaminate": (q_t24_ngram_decontaminate, SQL_T24),
+    # t25's oracle IS t24's text-key SQL: the driver hash certifies
+    # hash-key == text-key (the d10/SQL_D09 shared-oracle pattern)
+    "t25_hashed_decontaminate": (q_t25_hashed_decontaminate, SQL_T24),
     "p03_training_pipeline": (q_p03_training_pipeline, SQL_P03),
     "p04_drift_gated_admission": (q_p04_drift_gated_admission, SQL_P04),
     "w08_ewma": (q_w08_ewma, SQL_W08),
@@ -11282,8 +11338,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # c10–c15, d01, d04, e01, e02, e04, e05, g05, t01–t06, v01–v03)
 # plus any fill displaced this round, topped up from the r8 cohort
 # (a12, a21, ac01–ac06, b06, c03, c07, c09, d02, d06, e08, ...),
-# plus b01_b02 and b03 (displaced from this round's fill by the
-# new m06/m07 entries).
+# plus a20, b01_b02, and b03 (displaced from this round's fill by
+# the new m06/m07/t25 entries).
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors (each has a hash-green
@@ -11311,11 +11367,13 @@ _PREFIX = [
     "a05_rmse", "a06_transpose", "a07_sum_rows", "a08_sum_cols",
     "a09_laplace_smooth", "a10_weight_matrix", "a11_apply_weights",
     "a13_mmult", "a14_seed_matrix", "a15_optimize_marginal",
-    "a18_normalize_matrix", "a19_error_matrix", "a20_matrix_norm",
-    # new in round 12 (displacing the b01_b02/b03 fill slots to the
-    # r13 prefix, per the displacement rule above): the pinned ALS
-    # recommend/ranking twins (VERDICT r11 #3)
+    "a18_normalize_matrix", "a19_error_matrix",
+    # new in round 12 (displacing the a20/b01_b02/b03 fill slots to
+    # the r13 prefix, per the displacement rule above): the pinned
+    # ALS recommend/ranking twins (VERDICT r11 #3) and the hash-key
+    # decontamination twin (VERDICT r11 #5)
     "m06_pinned_recommend", "m07_pinned_ranking",
+    "t25_hashed_decontaminate",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

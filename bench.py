@@ -106,9 +106,11 @@ HEADLINE = [
     "t24_ngram_decontaminate",
     "v04_binary_hamming_topk",
     "st12_stream_drift_gate",
-    # round-12 additions: the pinned ALS recommend/ranking twins
+    # round-12 additions: the pinned ALS recommend/ranking twins and
+    # the hash-keyed decontamination variant
     "m06_pinned_recommend",
     "m07_pinned_ranking",
+    "t25_hashed_decontaminate",
 ]
 # The freeze (see the policy comment above HEADLINE): ~30 chars/query
 # in the compact line, 52 * 30 + ~120 overhead ~= 1680 < the 1900

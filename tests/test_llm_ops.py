@@ -851,3 +851,25 @@ def test_ngram_decontaminate_matches_python_reference(spark):
     planted = {d + 30_000_000 for d in docs if d % 10 == 7}
     assert planted <= set(got)
     assert all(got[d] >= 1 for d in planted)
+
+
+def test_t25_hash_keys_equal_t24_text_keys(spark):
+    """The executable form of t24's web-scale promise: keying the
+    decontamination join on the 128-bit gram-hash pair must reproduce
+    the text-keyed result exactly on the fixture (no collisions, same
+    per-doc distinct-gram counts)."""
+    from alternating_least_squares_spark.registry import (
+        q_t24_ngram_decontaminate,
+        q_t25_hashed_decontaminate,
+    )
+
+    text_keyed = sorted(
+        (r["doc_id"], r["n_shared"])
+        for r in q_t24_ngram_decontaminate(spark, SF_SMALL).collect()
+    )
+    hash_keyed = sorted(
+        (r["doc_id"], r["n_shared"])
+        for r in q_t25_hashed_decontaminate(spark, SF_SMALL).collect()
+    )
+    assert text_keyed == hash_keyed
+    assert text_keyed  # the fixture plants contamination; never empty
