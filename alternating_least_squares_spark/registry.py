@@ -3853,6 +3853,151 @@ def q_e17_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_e18_linear_interpolate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Linear-interpolation resampling — the third gap-fill semantics
+    (TimescaleDB ``interpolate`` / pandas ``interpolate('linear')``):
+    e04 zero-fills count-like series, e17 holds the last reading, and
+    a *continuous* sensor series wants the straight line between the
+    bracketing real readings. Same dense per-user 6-hour grid and
+    real-reading-anchored span as e17, then TWO ordered window passes
+    per row: the carried (value, bucket) of the last real reading at
+    or before it, and of the first real reading at or after it.
+
+    Determinism: the per-bucket statistic is e17's NaN-normalized
+    MAX(value), floored to integer micro-units; the interpolation
+    weights are BUCKET-INDEX differences (never raw microsecond
+    spans — gap·µs·µvalue products overflow BIGINT), so the weighted
+    numerator stays an exact integer ≤ ~2^40 that both engines divide
+    and floor identically. Observed buckets bracket themselves
+    (prev = next = own bucket), so the gap==0 guard returns their own
+    exact value. Scale: one keyed exchange for the grid join, reused
+    by both windows (all key on user); grid size is |users|·|span
+    buckets|, same as e04/e17."""
+    bucket_us = 6 * 3600 * 1_000_000
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "_b",
+        F.expr(f"{_floor_div('ts_ns DIV 1000', bucket_us)} * {bucket_us}"),
+    )
+    obs = ev.groupBy("user_id", F.col("_b").alias("bucket_us")).agg(
+        F.floor(
+            F.max(F.when(~F.isnan("value"), F.col("value"))) * 1_000_000
+        )
+        .cast("long")
+        .alias("_v_us")
+    )
+    spans = (
+        obs.filter(F.col("_v_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min("bucket_us").alias("_b0"),
+            F.max("bucket_us").alias("_b1"),
+        )
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("_b0"), F.col("_b1"), F.lit(bucket_us))
+        ).alias("bucket_us"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_us")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    real_bucket = F.when(
+        F.col("_v_us").isNotNull(), F.col("bucket_us")
+    )
+    joined = grid.join(obs, ["user_id", "bucket_us"], "left").select(
+        "user_id",
+        "bucket_us",
+        F.col("_v_us").isNotNull().cast("long").alias("observed"),
+        F.last("_v_us", ignorenulls=True).over(w_prev).alias("_pv"),
+        F.last(real_bucket, ignorenulls=True).over(w_prev).alias("_pb"),
+        F.first("_v_us", ignorenulls=True).over(w_next).alias("_nv"),
+        F.first(real_bucket, ignorenulls=True).over(w_next).alias("_nb"),
+    )
+    gap = (F.col("_nb") - F.col("_pb")) / F.lit(bucket_us)
+    di = (F.col("bucket_us") - F.col("_pb")) / F.lit(bucket_us)
+    interp = F.when(F.col("_nb") == F.col("_pb"), F.col("_pv")).otherwise(
+        F.floor(
+            (
+                F.col("_pv") * (gap - di) + F.col("_nv") * di
+            )
+            / gap
+        ).cast("long")
+    )
+    return joined.select(
+        "user_id",
+        "bucket_us",
+        "observed",
+        interp.alias("interp_us"),
+    )
+
+
+def _e18_sql() -> str:
+    b = 6 * 3600 * 1_000_000
+    return f"""
+WITH ev AS (
+  SELECT user_id,
+         ((epoch_us(ts) - ((epoch_us(ts) % {b}) + {b})
+           % {b}) // {b}) * {b} AS bb,
+         CASE WHEN isnan(value) THEN NULL ELSE value END AS value
+  FROM events
+),
+obs AS (
+  SELECT user_id, bb AS bucket_us,
+         CAST(floor(max(value) * 1000000) AS BIGINT) AS v_us
+  FROM ev GROUP BY 1, 2
+),
+spans AS (
+  SELECT user_id, min(bucket_us) AS b0, max(bucket_us) AS b1
+  FROM obs WHERE v_us IS NOT NULL GROUP BY 1
+),
+grid AS (
+  SELECT user_id, CAST(g AS BIGINT) AS bucket_us
+  FROM spans, UNNEST(range(b0, b1 + 1, {b})) AS t(g)
+),
+j AS (
+  SELECT g.user_id, g.bucket_us,
+         CAST(o.v_us IS NOT NULL AS BIGINT) AS observed,
+         last_value(o.v_us IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.bucket_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN o.v_us IS NOT NULL THEN g.bucket_us END
+                    IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.bucket_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+         first_value(o.v_us IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.bucket_us
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN o.v_us IS NOT NULL THEN g.bucket_us END
+                     IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.bucket_us
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+  FROM grid g LEFT JOIN obs o
+    ON g.user_id = o.user_id AND g.bucket_us = o.bucket_us
+)
+SELECT user_id, bucket_us, observed,
+       CASE WHEN nb = pb THEN pv
+            ELSE CAST(floor(
+              (pv * ((nb - bucket_us) / {b}.0)
+               + nv * ((bucket_us - pb) / {b}.0))
+              / ((nb - pb) / {b}.0)) AS BIGINT)
+       END AS interp_us
+FROM j
+"""
+
+
+SQL_E18 = _e18_sql()
+
+
 SQL_E17 = """
 WITH ev AS (
   SELECT user_id,
@@ -9388,6 +9533,110 @@ def _psi_grid_sql(pop: str, ref: str, prefix: str = "") -> str:
 )"""
 
 
+Q05_GATE_PPM = 10_000  # 1% absolute null-rate shift flags the column
+
+
+def q_q05_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural (completeness) drift monitor — the schema-side
+    companion to q04's value-distribution PSI: per (source, column),
+    the incoming wave's null rate vs the reference corpus's, in exact
+    floored parts-per-million, flagged when the absolute shift
+    exceeds Q05_GATE_PPM. This is the check that catches an upstream
+    extractor silently dropping a field (lang suddenly 40% NULL for
+    one crawl) — value-distribution monitors never see rows that
+    stopped arriving with the column at all, so q04 and q05 gate
+    different failure classes.
+
+    Wave = the doc_id % 3 == 0 slice (the p04/st12 batch convention);
+    reference = the rest. Drift is defined for sources present on
+    BOTH sides — brand-new and vanished sources are admission-domain
+    events (st10/p04), not drift. Counting COUNT(col) vs COUNT(*)
+    makes each side ONE map-side-combinable aggregate over the scan;
+    the per-column rows are unpivoted from that 1-row-per-source
+    aggregate with a stack over literals (the x11 pattern), and the
+    join is |sources|-bounded. Nothing after the scan exceeds
+    |sources|·|columns| rows at any data scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    cols = ["text", "lang", "n_chars"]
+
+    def side(df: DataFrame) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias("_n")] + [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"_nulls_{c}")
+            for c in cols
+        ]
+        wide = df.groupBy("source").agg(*aggs)
+        stack = ", ".join(f"'{c}', _nulls_{c}" for c in cols)
+        return wide.select(
+            "source",
+            F.expr(
+                f"stack({len(cols)}, {stack}) AS (col_name, _nulls)"
+            ),
+            "_n",
+        )
+
+    ppm = F.floor(
+        (F.col("_nulls") * 1_000_000).cast("double") / F.col("_n")
+    ).cast("long")
+    wave = side(docs.filter(F.col("doc_id") % 3 == 0)).select(
+        "source", "col_name", ppm.alias("wave_ppm")
+    )
+    ref = side(docs.filter(F.col("doc_id") % 3 != 0)).select(
+        "source", "col_name", ppm.alias("ref_ppm")
+    )
+    delta = F.col("wave_ppm") - F.col("ref_ppm")
+    return wave.join(ref, ["source", "col_name"]).select(
+        "source",
+        "col_name",
+        "wave_ppm",
+        "ref_ppm",
+        delta.alias("delta_ppm"),
+        (F.abs(delta) > Q05_GATE_PPM).cast("long").alias("drifted"),
+    )
+
+
+def _q05_sql() -> str:
+    cols = ["text", "lang", "n_chars"]
+
+    def side_sql(name: str, pred: str) -> str:
+        counts = ", ".join(
+            f"COUNT(*) - COUNT({c}) AS nulls_{c}" for c in cols
+        )
+        unpivot = "\n  UNION ALL ".join(
+            f"SELECT source, '{c}' AS col_name, nulls_{c} AS nulls, n "
+            f"FROM {name}_w"
+            for c in cols
+        )
+        return (
+            f"{name}_w AS (\n"
+            f"  SELECT source, COUNT(*) AS n, {counts}\n"
+            f"  FROM documents WHERE {pred} GROUP BY 1\n"
+            f"),\n{name}_u AS (\n  {unpivot}\n)"
+        )
+
+    ppm = "CAST(floor(CAST(nulls * 1000000 AS DOUBLE) / n) AS BIGINT)"
+    return f"""
+WITH {side_sql("wv", "doc_id % 3 = 0")},
+{side_sql("rf", "doc_id % 3 <> 0")},
+j AS (
+  SELECT w.source, w.col_name,
+         {ppm.replace("nulls", "w.nulls").replace("/ n", "/ w.n")}
+           AS wave_ppm,
+         {ppm.replace("nulls", "r.nulls").replace("/ n", "/ r.n")}
+           AS ref_ppm
+  FROM wv_u w JOIN rf_u r
+    ON w.source = r.source AND w.col_name = r.col_name
+)
+SELECT source, col_name, wave_ppm, ref_ppm,
+       wave_ppm - ref_ppm AS delta_ppm,
+       CAST(abs(wave_ppm - ref_ppm) > {Q05_GATE_PPM} AS BIGINT)
+         AS drifted
+FROM j
+"""
+
+
+SQL_Q05 = _q05_sql()
+
+
 def q_q04_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index drift monitor — the distribution-
     shift check a training-data pipeline runs per ingest source /
@@ -11011,6 +11260,76 @@ FROM k
 """
 
 
+X22_BUDGET_TOKENS = 2_000
+
+
+def q_x22_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-BUDGET domain mixing — the composer stage of training-data
+    recipes that x06 (probability-mass cap) and x15 (temperature
+    rates) don't express: each source contributes documents, in a
+    deterministic hash order, until its token budget is spent. Rate
+    samplers control expected mass; a budget cut controls EXACT token
+    counts, which is what an epoch plan actually allocates.
+
+    Admission rule: a doc is admitted iff the tokens admitted before
+    it (hash order, doc_id tie-break) are still under budget — so the
+    boundary doc that crosses the budget IS admitted (every non-empty
+    source contributes at least one doc, the composer convention) and
+    the result is a pure function of the corpus, not of engine,
+    partitioning, or run (the x02/x03/x16 md5 discipline; seeded RNG
+    orderings are none of those).
+
+    Scale shape: one scan computes (n_tok, hash); the only exchange is
+    the per-source window sort — linear, keyed on source, the same
+    shuffle x16 pays for ordering. The cumulative sum is exact BIGINT.
+    A 100 TB deployment with few giant sources salts the window key
+    the x08 way only if a single source exceeds an executor's sort
+    spill comfort; the admission rule itself is order-prefix-stable so
+    per-salt partial sums can be merged hierarchically."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("n_tok"),
+        F.md5(
+            F.concat(F.lit("budget:"), F.col("doc_id").cast("string"))
+        ).alias("_h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long")
+    return (
+        keyed.withColumn("cum_before", cum_before)
+        .filter(F.col("cum_before") < X22_BUDGET_TOKENS)
+        .select("doc_id", "source", "n_tok", "cum_before")
+    )
+
+
+SQL_X22 = f"""
+WITH tk AS (
+  SELECT doc_id, source,
+         CAST(len({_toks_sql()}) AS BIGINT) AS n_tok,
+         md5('budget:' || doc_id) AS h
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT doc_id, source, n_tok,
+         CAST(coalesce(SUM(n_tok) OVER (
+           PARTITION BY source ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS cum_before
+  FROM tk
+)
+SELECT doc_id, source, n_tok, cum_before
+FROM c WHERE cum_before < {X22_BUDGET_TOKENS}
+"""
+
+
 def q_x19_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-EPOCH training order — x16 with the epoch number folded
     into the hash salt, because a trainer that reuses one permutation
@@ -11138,6 +11457,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "e03_sessionize": (q_e03_sessionize, SQL_E03),
     "e04_resample_gapfill": (q_e04_resample_gapfill, SQL_E04),
     "e17_locf_fill": (q_e17_locf_fill, SQL_E17),
+    "e18_linear_interpolate": (q_e18_linear_interpolate, SQL_E18),
     "e05_variant_json": (q_e05_variant_json, SQL_E05),
     "e06_funnel": (q_e06_funnel, SQL_E06),
     "e07_cohort_retention": (q_e07_cohort_retention, SQL_E07),
@@ -11296,6 +11616,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "x16_training_shuffle": (q_x16_training_shuffle, SQL_X16),
     "d11_neardup_keep_one": (q_d11_neardup_keep_one, SQL_D11),
     "x17_dsir_weights": (q_x17_dsir_weights, SQL_X17),
+    "x22_token_budget_mix": (q_x22_token_budget_mix, SQL_X22),
     "t23_span_scrub": (q_t23_span_scrub, SQL_T23),
     "t24_ngram_decontaminate": (q_t24_ngram_decontaminate, SQL_T24),
     # t25's oracle IS t24's text-key SQL: the driver hash certifies
@@ -11312,6 +11633,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "x21_cbo_stats_broadcast": (q_x21_cbo_stats_broadcast, SQL_X21),
     "q03_quantile_gate": (q_q03_quantile_gate, SQL_Q03),
     "q04_psi_drift": (q_q04_psi_drift, SQL_Q04),
+    "q05_schema_drift": (q_q05_schema_drift, SQL_Q05),
     "gr04_edge_embeddedness": (q_gr04_edge_embeddedness, SQL_GR04),
     "gr05_kcore": (q_gr05_kcore, SQL_GR05),
     "gr06_bfs_distance": (q_gr06_bfs_distance, SQL_GR06),
@@ -11338,8 +11660,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # c10–c15, d01, d04, e01, e02, e04, e05, g05, t01–t06, v01–v03)
 # plus any fill displaced this round, topped up from the r8 cohort
 # (a12, a21, ac01–ac06, b06, c03, c07, c09, d02, d06, e08, ...),
-# plus a20, b01_b02, and b03 (displaced from this round's fill by
-# the new m06/m07/t25 entries).
+# plus a15, a18, a19, a20, b01_b02, and b03 (displaced from this
+# round's fill by the new m06/m07/t25/e18/x22/q05 entries).
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors (each has a hash-green
@@ -11366,14 +11688,16 @@ _PREFIX = [
     "a01_cmap", "a02_dot", "a03_diff_vector", "a04_l2_norm",
     "a05_rmse", "a06_transpose", "a07_sum_rows", "a08_sum_cols",
     "a09_laplace_smooth", "a10_weight_matrix", "a11_apply_weights",
-    "a13_mmult", "a14_seed_matrix", "a15_optimize_marginal",
-    "a18_normalize_matrix", "a19_error_matrix",
-    # new in round 12 (displacing the a20/b01_b02/b03 fill slots to
-    # the r13 prefix, per the displacement rule above): the pinned
-    # ALS recommend/ranking twins (VERDICT r11 #3) and the hash-key
-    # decontamination twin (VERDICT r11 #5)
+    "a13_mmult", "a14_seed_matrix",
+    # new in round 12 (displacing the a15/a18/a19/a20/b01_b02/b03
+    # fill slots to the r13 prefix, per the displacement rule above):
+    # the pinned ALS recommend/ranking twins (VERDICT r11 #3), the
+    # hash-key decontamination twin (VERDICT r11 #5), and the
+    # linear-interpolation / token-budget / schema-drift operators
     "m06_pinned_recommend", "m07_pinned_ranking",
     "t25_hashed_decontaminate",
+    "e18_linear_interpolate", "x22_token_budget_mix",
+    "q05_schema_drift",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

@@ -106,11 +106,14 @@ HEADLINE = [
     "t24_ngram_decontaminate",
     "v04_binary_hamming_topk",
     "st12_stream_drift_gate",
-    # round-12 additions: the pinned ALS recommend/ranking twins and
-    # the hash-keyed decontamination variant
+    # round-12 additions: the pinned ALS recommend/ranking twins, the
+    # hash-keyed decontamination variant, and linear interpolation
+    # (the heaviest new shuffle shape; x22/q05 are bounded-aggregate
+    # shapes timed once in BASELINE.md instead of a headline slot)
     "m06_pinned_recommend",
     "m07_pinned_ranking",
     "t25_hashed_decontaminate",
+    "e18_linear_interpolate",
 ]
 # The freeze (see the policy comment above HEADLINE): ~30 chars/query
 # in the compact line, 52 * 30 + ~120 overhead ~= 1680 < the 1900

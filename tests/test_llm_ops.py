@@ -873,3 +873,48 @@ def test_t25_hash_keys_equal_t24_text_keys(spark):
     )
     assert text_keyed == hash_keyed
     assert text_keyed  # the fixture plants contamination; never empty
+
+
+def test_q05_schema_drift_flags_planted_null_column(spark):
+    """q05: a wave whose 'lang' column goes 50% NULL for one source
+    must flag (source, lang) as drifted while other columns and
+    sources stay quiet; organic wave/ref splits stay under the gate."""
+    from unittest import mock
+
+    import alternating_least_squares_spark.registry as R
+
+    rows = []
+    for source in ("srcA", "srcB"):
+        for i in range(200):
+            doc_id = i * 3 if i < 100 else (i - 100) * 3 + 1  # wave/ref
+            # plant: srcA wave docs lose lang on every even i
+            lang = (
+                None
+                if source == "srcA" and i < 100 and i % 2 == 0
+                else "en"
+            )
+            rows.append(
+                (doc_id + (0 if source == "srcA" else 3_000_000),
+                 "body text", lang, source, 9)
+            )
+    batch = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    )
+    real_load = R.load_table
+    with mock.patch.object(
+        R, "load_table",
+        lambda sp, sf, name: batch
+        if name == "documents" else real_load(sp, sf, name),
+    ):
+        got = {
+            (r["source"], r["col_name"]): (
+                r["wave_ppm"], r["ref_ppm"], r["delta_ppm"], r["drifted"]
+            )
+            for r in R.q_q05_schema_drift(spark, "ignored").collect()
+        }
+    # srcA ids: 100 wave (i*3 % 3 == 0), 100 ref; 50 wave langs NULL
+    assert got[("srcA", "lang")] == (500_000, 0, 500_000, 1)
+    assert got[("srcA", "text")] == (0, 0, 0, 0)
+    assert got[("srcB", "lang")] == (0, 0, 0, 0)
+    assert got[("srcB", "n_chars")] == (0, 0, 0, 0)

@@ -444,3 +444,123 @@ def test_locf_fill_matches_python_reference(spark, evs):
             want[(u, b)] = (1 if m is not None else 0,
                             round(carry, 6))
     assert got == want
+
+
+def test_linear_interpolate_hand_computed(spark, tmp_path):
+    """e18: gap buckets take the straight line between bracketing real
+    readings (exact integer micro-units, floored); observed buckets
+    return their own value; spans anchor on real readings like e17."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from alternating_least_squares_spark import registry
+
+    h = 6 * 3600 * 1_000_000
+    nan = float("nan")
+    rows = [
+        (0, 1 * h // 6, 1, 10.0),     # user 1 bucket 0
+        (1, 3 * h + 5, 1, 7.5),       # user 1 bucket 3
+        (7, 2 * h + 11, 1, nan),      # user 1 bucket 2: NaN only
+        (2, 2 * h + 9, 2, 99.0),      # user 2, single reading
+        (3, 0 * h + 13, 3, nan),      # user 3 NaN-only leading bucket
+        (4, 1 * h + 17, 3, 5.0),      # user 3 first REAL reading
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows), pa.string()),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = {
+        (r["user_id"], r["bucket_us"]): (r["observed"], r["interp_us"])
+        for r in registry.q_e18_linear_interpolate(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        (1, 0 * h): (1, 10_000_000),
+        # (10e6*2 + 7.5e6*1)/3 floored
+        (1, 1 * h): (0, 9_166_666),
+        # (10e6*1 + 7.5e6*2)/3 floored — the NaN-only bucket
+        # interpolates, it does not carry
+        (1, 2 * h): (0, 8_333_333),
+        (1, 3 * h): (1, 7_500_000),
+        (2, 2 * h): (1, 99_000_000),
+        (3, 1 * h): (1, 5_000_000),
+    }
+
+
+@settings(max_examples=8, deadline=None)
+@given(evs=_locf_events)
+def test_linear_interpolate_matches_python_reference(spark, evs):
+    """e18 brute force on the same NaN-heavy random streams as the
+    e17 property test: grid + two ignorenulls windows must equal a
+    sequential Python replay of the documented integer-micro-unit
+    interpolation."""
+    import math
+
+    import alternating_least_squares_spark.registry as R
+
+    h_us = 6 * 3600 * 1_000_000
+    rows = [
+        (i, u, (hrs * 3600 * 1_000_000 + i * 977) * 1000, v)
+        for i, (u, hrs, v) in enumerate(evs)
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_ns long, value double"
+    )
+    from unittest import mock
+
+    real_load = R.load_table
+    with mock.patch.object(
+        R, "load_table",
+        lambda sp, sf, name: batch
+        if name == "events" else real_load(sp, sf, name),
+    ):
+        got = {
+            (r["user_id"], r["bucket_us"]):
+                (r["observed"], r["interp_us"])
+            for r in R.q_e18_linear_interpolate(
+                spark, "ignored"
+            ).collect()
+        }
+
+    want = {}
+    users = {u for _, u, _, _ in rows}
+    for u in users:
+        by_bucket: dict[int, list[float]] = {}
+        for _, uu, ts_ns, v in rows:
+            if uu == u:
+                by_bucket.setdefault(
+                    (ts_ns // 1000) // h_us * h_us, []
+                ).append(v)
+        v_us = {
+            b: (math.floor(max(real) * 1_000_000)
+                if (real := [v for v in vs if not math.isnan(v)])
+                else None)
+            for b, vs in by_bucket.items()
+        }
+        real_buckets = sorted(b for b, m in v_us.items() if m is not None)
+        if not real_buckets:
+            continue
+        for b in range(real_buckets[0], real_buckets[-1] + h_us, h_us):
+            m = v_us.get(b)
+            pb = max(rb for rb in real_buckets if rb <= b)
+            nb = min(rb for rb in real_buckets if rb >= b)
+            if nb == pb:
+                interp = v_us[pb]
+            else:
+                gap = (nb - pb) / h_us
+                di = (b - pb) / h_us
+                interp = math.floor(
+                    (v_us[pb] * (gap - di) + v_us[nb] * di) / gap
+                )
+            want[(u, b)] = (1 if m is not None else 0, interp)
+    assert got == want

@@ -122,3 +122,45 @@ def test_epoch_shuffle_orders_decorrelate(spark):
     o0, o1 = global_order(by_epoch[0]), global_order(by_epoch[1])
     assert sorted(o0) == sorted(o1)  # same corpus, both epochs
     assert o0 != o1  # decorrelated permutations
+
+
+def test_x22_token_budget_matches_python_replay(spark):
+    """x22 brute force: per source, sort docs by md5('budget:'||id)
+    with doc_id tie-break, admit while tokens-before < budget. The
+    Spark window pipeline must equal the sequential replay exactly,
+    and every non-empty source must contribute at least one doc."""
+    import hashlib
+
+    from alternating_least_squares_spark.registry import (
+        X22_BUDGET_TOKENS,
+        q_x22_token_budget_mix,
+    )
+    from alternating_least_squares_spark.sources import load_table
+    from tests.conftest import SF_SMALL
+
+    got = {
+        r["doc_id"]: (r["source"], r["n_tok"], r["cum_before"])
+        for r in q_x22_token_budget_mix(spark, SF_SMALL).collect()
+    }
+
+    docs = [
+        (r["doc_id"], r["source"], len(r["text"].split()))
+        for r in load_table(spark, SF_SMALL, "documents")
+        .filter("text IS NOT NULL")
+        .select("doc_id", "source", "text")
+        .collect()
+    ]
+    by_source: dict[str, list] = {}
+    for doc_id, source, n_tok in docs:
+        h = hashlib.md5(f"budget:{doc_id}".encode()).hexdigest()
+        by_source.setdefault(source, []).append((h, doc_id, n_tok))
+    want = {}
+    for source, rows in by_source.items():
+        cum = 0
+        for h, doc_id, n_tok in sorted(rows):
+            if cum >= X22_BUDGET_TOKENS:
+                break
+            want[doc_id] = (source, n_tok, cum)
+            cum += n_tok
+    assert got == want
+    assert {s for s, _, _ in got.values()} == set(by_source)
