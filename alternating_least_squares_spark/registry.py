@@ -9898,6 +9898,145 @@ UNION ALL
 """
 
 
+# per-source token budget for the x22/st13 composer entries; defined
+# here because SQL_ST13 (module-time f-string) is the first use
+X22_BUDGET_TOKENS = 2_000
+
+
+def q_st13_stream_budget_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming token-budget admission — x22's composer run PER
+    ARRIVING WAVE with the budget ledger persisted in the SINK (the
+    st08 keep-state-in-the-table discipline): each ``availableNow``
+    run reads how many tokens every source has already spent, admits
+    its wave's docs in the x22 hash order until the per-source budget
+    is exhausted, and appends (doc_id, source, n_tok, wave). Across
+    waves, ARRIVAL order trumps hash order — that is the honest
+    semantics of spending a budget over time, and exactly what the
+    unrolled two-wave oracle states (wave 1's cut starts from wave
+    0's spend, not from a global re-sort). Replay == batch: exact
+    BIGINT token sums, md5 ordering, no floats anywhere. Scale: per
+    wave one bounded window sort over the wave (the x22 exchange) and
+    one |admitted-so-far| sink scan aggregated to |sources| rows and
+    broadcast."""
+    import os
+    import shutil
+
+    base = _scratch_path(
+        "alternating_ls_st13", sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src, sink, ckpt = (
+        os.path.join(base, d) for d in ("src", "sink", "_ckpt")
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    spark.createDataFrame(
+        [], "doc_id long, source string, n_tok long, wave long"
+    ).write.mode("overwrite").parquet(sink)
+    schema = "doc_id long, source string, n_tok long, wave long"
+
+    def gate(bdf: DataFrame, _bid: int) -> None:
+        sess = bdf.sparkSession
+        spent = (
+            sess.read.parquet(sink)
+            .groupBy("source")
+            .agg(F.sum("n_tok").cast("long").alias("_spent"))
+        )
+        w = (
+            Window.partitionBy("source")
+            .orderBy("_h", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        ordered = bdf.withColumn(
+            "_h",
+            F.md5(
+                F.concat(F.lit("budget:"), F.col("doc_id").cast("string"))
+            ),
+        ).withColumn(
+            "_cum", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+        )
+        (
+            ordered.join(F.broadcast(spent), "source", "left")
+            .filter(
+                F.coalesce(F.col("_spent"), F.lit(0)) + F.col("_cum")
+                < X22_BUDGET_TOKENS
+            )
+            .select("doc_id", "source", "n_tok", "wave")
+            .write.mode("append")
+            .parquet(sink)
+        )
+
+    # the st12 land-wave-then-run cadence: one micro-batch per wave
+    for wave in (0, 1):
+        keyed.filter(F.col("doc_id") % 2 == wave).withColumn(
+            "wave", F.lit(wave).cast("long")
+        ).write.mode("append").parquet(src)
+        q = (
+            spark.readStream.schema(
+                spark.createDataFrame([], schema).schema
+            )
+            .parquet(src)
+            .writeStream.foreachBatch(gate)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    return spark.read.parquet(sink).select(
+        "doc_id", "source", "n_tok", "wave"
+    )
+
+
+SQL_ST13 = f"""
+WITH tk AS (
+  SELECT doc_id, source,
+         CAST(len({_toks_sql()}) AS BIGINT) AS n_tok,
+         md5('budget:' || doc_id) AS h
+  FROM documents WHERE text IS NOT NULL
+),
+w0 AS (
+  SELECT doc_id, source, n_tok,
+         CAST(coalesce(SUM(n_tok) OVER (
+           PARTITION BY source ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS cum_before
+  FROM tk WHERE doc_id % 2 = 0
+),
+a0 AS (
+  SELECT doc_id, source, n_tok, CAST(0 AS BIGINT) AS wave
+  FROM w0 WHERE cum_before < {X22_BUDGET_TOKENS}
+),
+spent AS (
+  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS s FROM a0 GROUP BY 1
+),
+w1 AS (
+  SELECT t.doc_id, t.source, t.n_tok,
+         CAST(coalesce(SUM(t.n_tok) OVER (
+           PARTITION BY t.source ORDER BY t.h, t.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS cum_before,
+         coalesce(sp.s, 0) AS s
+  FROM tk t LEFT JOIN spent sp ON t.source = sp.source
+  WHERE t.doc_id % 2 = 1
+),
+a1 AS (
+  SELECT doc_id, source, n_tok, CAST(1 AS BIGINT) AS wave
+  FROM w1 WHERE s + cum_before < {X22_BUDGET_TOKENS}
+)
+SELECT * FROM a0 UNION ALL SELECT * FROM a1
+"""
+
+
 def q_t19_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram conditional-LM scoring — t18's context-aware upgrade
     (the KenLM-shaped filter of CCNet-style curation): docs scored by
@@ -11260,9 +11399,6 @@ FROM k
 """
 
 
-X22_BUDGET_TOKENS = 2_000
-
-
 def q_x22_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-BUDGET domain mixing — the composer stage of training-data
     recipes that x06 (probability-mass cap) and x15 (temperature
@@ -11627,6 +11763,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "w08_ewma": (q_w08_ewma, SQL_W08),
     "st11_stream_ewma": (q_st11_stream_ewma, SQL_W08),
     "st12_stream_drift_gate": (q_st12_stream_drift_gate, SQL_ST12),
+    "st13_stream_budget_admission": (q_st13_stream_budget_admission, SQL_ST13),
     "x18_runtime_bloom_filter": (q_x18_runtime_bloom_filter, SQL_X18),
     "x19_epoch_shuffle": (q_x19_epoch_shuffle, SQL_X19),
     "x20_aqe_skew_join": (q_x20_aqe_skew_join, SQL_X20),
@@ -11660,8 +11797,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # c10–c15, d01, d04, e01, e02, e04, e05, g05, t01–t06, v01–v03)
 # plus any fill displaced this round, topped up from the r8 cohort
 # (a12, a21, ac01–ac06, b06, c03, c07, c09, d02, d06, e08, ...),
-# plus a15, a18, a19, a20, b01_b02, and b03 (displaced from this
-# round's fill by the new m06/m07/t25/e18/x22/q05 entries).
+# plus a14, a15, a18, a19, a20, b01_b02, and b03 (displaced from
+# this round's fill by the new m06/m07/t25/e18/x22/q05/st13 entries).
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors (each has a hash-green
@@ -11688,7 +11825,7 @@ _PREFIX = [
     "a01_cmap", "a02_dot", "a03_diff_vector", "a04_l2_norm",
     "a05_rmse", "a06_transpose", "a07_sum_rows", "a08_sum_cols",
     "a09_laplace_smooth", "a10_weight_matrix", "a11_apply_weights",
-    "a13_mmult", "a14_seed_matrix",
+    "a13_mmult",
     # new in round 12 (displacing the a15/a18/a19/a20/b01_b02/b03
     # fill slots to the r13 prefix, per the displacement rule above):
     # the pinned ALS recommend/ranking twins (VERDICT r11 #3), the
@@ -11697,7 +11834,7 @@ _PREFIX = [
     "m06_pinned_recommend", "m07_pinned_ranking",
     "t25_hashed_decontaminate",
     "e18_linear_interpolate", "x22_token_budget_mix",
-    "q05_schema_drift",
+    "q05_schema_drift", "st13_stream_budget_admission",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

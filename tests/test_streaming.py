@@ -651,3 +651,53 @@ def test_stream_drift_gate_all_rejected_returns_zero_rows(
     out = R.q_st12_stream_drift_gate(spark, SF_SMALL)
     assert out.columns == ["doc_id", "source", "wave", "drift_nano"]
     assert out.count() == 0
+
+
+def test_stream_budget_admission_matches_python_replay(spark):
+    """st13: two availableNow waves spending one per-source token
+    budget — wave 1's cut must start from wave 0's spend (arrival
+    order trumps hash order across waves), and within each wave the
+    x22 hash-order admission rule holds exactly."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from alternating_least_squares_spark import registry as R
+    from alternating_least_squares_spark.sources import load_table
+    from tests.conftest import SF_SMALL
+
+    got = {
+        r["doc_id"]: (r["source"], r["n_tok"], r["wave"])
+        for r in R.q_st13_stream_budget_admission(
+            spark, SF_SMALL
+        ).collect()
+    }
+
+    docs = [
+        (r["doc_id"], r["source"], len(r["text"].split()))
+        for r in load_table(spark, SF_SMALL, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "source", "text")
+        .collect()
+    ]
+    want = {}
+    spent: dict[str, int] = {}
+    for wave in (0, 1):
+        by_source: dict[str, list] = {}
+        for doc_id, source, n_tok in docs:
+            if doc_id % 2 == wave:
+                h = hashlib.md5(f"budget:{doc_id}".encode()).hexdigest()
+                by_source.setdefault(source, []).append(
+                    (h, doc_id, n_tok)
+                )
+        for source, rows in by_source.items():
+            cum = 0
+            for h, doc_id, n_tok in sorted(rows):
+                if spent.get(source, 0) + cum >= R.X22_BUDGET_TOKENS:
+                    break
+                want[doc_id] = (source, n_tok, wave)
+                cum += n_tok
+            spent[source] = spent.get(source, 0) + cum
+    assert got == want
+    # wave 0 must have consumed budget wave 1 can no longer use
+    assert {w for _, _, w in got.values()} == {0, 1}
