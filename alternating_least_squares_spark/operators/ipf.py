@@ -128,10 +128,14 @@ def rake_fixed(
             f"micro-units); got {cells.columns}"
         )
     v_type = dict(cells.dtypes)["v_us"]
-    if v_type != "bigint":
+    # integer widths are interchangeable (the repo-wide type
+    # discipline; sums widen to long anyway) — only non-integral
+    # types break the exact-window-sum determinism contract
+    if v_type not in ("bigint", "int", "smallint", "tinyint"):
         raise ValueError(
-            "v_us must be a long (exact micro-unit mass; doubles "
-            f"break the window-sum determinism contract), got {v_type}"
+            "v_us must be an integral column (exact micro-unit "
+            "mass; floating types make the window sums partition-"
+            f"order dependent), got {v_type}"
         )
     for axis, m in marginals:
         if sorted(m.columns) != sorted([axis, "m_us"]):

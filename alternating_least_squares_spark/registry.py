@@ -9903,6 +9903,37 @@ UNION ALL
 X22_BUDGET_TOKENS = 2_000
 
 
+def _budget_admit(keyed: DataFrame, spent: DataFrame | None = None) -> DataFrame:
+    """The x22/st13 budget-cut admission rule, SINGLE-SOURCED (st13's
+    contract is literally "x22 per wave", so the hash salt, ordering,
+    and boundary rule must not be spelled twice): rows (doc_id,
+    source, n_tok, ...) are ordered per source by
+    md5('budget:'||doc_id) with a doc_id tie-break, and a row is
+    admitted iff already-spent + tokens-before-it < X22_BUDGET_TOKENS.
+    ``spent`` is an optional broadcast (source, _spent) ledger —
+    st13's cross-wave state; x22 passes None (zero spend). Admitted
+    rows keep a ``_cum`` column (exact BIGINT tokens-before within
+    this admission pass)."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ordered = keyed.withColumn(
+        "_h",
+        F.md5(F.concat(F.lit("budget:"), F.col("doc_id").cast("string"))),
+    ).withColumn(
+        "_cum",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long"),
+    )
+    if spent is not None:
+        ordered = ordered.join(F.broadcast(spent), "source", "left")
+        base = F.coalesce(F.col("_spent"), F.lit(0))
+    else:
+        base = F.lit(0)
+    return ordered.filter(base + F.col("_cum") < X22_BUDGET_TOKENS)
+
+
 def q_st13_stream_budget_admission(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -9951,25 +9982,8 @@ def q_st13_stream_budget_admission(
             .groupBy("source")
             .agg(F.sum("n_tok").cast("long").alias("_spent"))
         )
-        w = (
-            Window.partitionBy("source")
-            .orderBy("_h", "doc_id")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        ordered = bdf.withColumn(
-            "_h",
-            F.md5(
-                F.concat(F.lit("budget:"), F.col("doc_id").cast("string"))
-            ),
-        ).withColumn(
-            "_cum", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
-        )
         (
-            ordered.join(F.broadcast(spent), "source", "left")
-            .filter(
-                F.coalesce(F.col("_spent"), F.lit(0)) + F.col("_cum")
-                < X22_BUDGET_TOKENS
-            )
+            _budget_admit(bdf, spent)
             .select("doc_id", "source", "n_tok", "wave")
             .write.mode("append")
             .parquet(sink)
@@ -11429,20 +11443,9 @@ def q_x22_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.size(TX.tokens(F.col("text"))).cast("long").alias("n_tok"),
-        F.md5(
-            F.concat(F.lit("budget:"), F.col("doc_id").cast("string"))
-        ).alias("_h"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("_h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long")
-    return (
-        keyed.withColumn("cum_before", cum_before)
-        .filter(F.col("cum_before") < X22_BUDGET_TOKENS)
-        .select("doc_id", "source", "n_tok", "cum_before")
+    return _budget_admit(keyed).select(
+        "doc_id", "source", "n_tok", F.col("_cum").alias("cum_before")
     )
 
 
@@ -11826,8 +11829,9 @@ _PREFIX = [
     "a05_rmse", "a06_transpose", "a07_sum_rows", "a08_sum_cols",
     "a09_laplace_smooth", "a10_weight_matrix", "a11_apply_weights",
     "a13_mmult",
-    # new in round 12 (displacing the a15/a18/a19/a20/b01_b02/b03
-    # fill slots to the r13 prefix, per the displacement rule above):
+    # new in round 12 (displacing the a14/a15/a18/a19/a20/b01_b02/
+    # b03 fill slots to the r13 prefix, per the displacement rule
+    # above):
     # the pinned ALS recommend/ranking twins (VERDICT r11 #3), the
     # hash-key decontamination twin (VERDICT r11 #5), and the
     # linear-interpolation / token-budget / schema-drift operators

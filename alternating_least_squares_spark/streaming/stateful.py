@@ -258,8 +258,28 @@ def _update_ewma(
     # cross-batch deque check below never sees the first copy
     # (state is read once at batch entry). event_id is unique per
     # event, so an exact (ts_ns, event_id) twin within the batch is
-    # the same verifiable redelivery — score it once.
-    rows = rows.drop_duplicates(subset=["ts_ns", "event_id"], keep="first")
+    # the same verifiable redelivery — score it once. VERIFIABLE
+    # means the payloads match: twins carrying different values are
+    # corruption or a non-exact redelivery, and keeping an arbitrary
+    # copy would make the survivor depend on Arrow chunk arrival
+    # order (replay-nondeterministic) — fail loudly instead, the
+    # same discipline as the out-of-order guard below.
+    dup_mask = rows.duplicated(subset=["ts_ns", "event_id"], keep=False)
+    if dup_mask.any():
+        payload_variants = rows.loc[dup_mask].groupby(
+            ["ts_ns", "event_id"]
+        )["value"].nunique(dropna=False)
+        if (payload_variants > 1).any():
+            bad = payload_variants[payload_variants > 1].index[0]
+            raise ValueError(
+                f"conflicting duplicate for user_id={user_id}: "
+                f"(ts_ns, event_id)={tuple(bad)} appears in one "
+                "micro-batch with differing values; an exact "
+                "redelivery must carry an identical payload"
+            )
+        rows = rows.drop_duplicates(
+            subset=["ts_ns", "event_id"], keep="first"
+        )
     # Cross-micro-batch order CONTRACT enforcement (ADVICE r8): a
     # late event scored against the post-newer-events deque would
     # produce a plausible-but-wrong EWMA with no signal. Fail fast

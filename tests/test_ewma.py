@@ -565,3 +565,50 @@ def test_stream_ewma_matches_batch_on_random_inputs(spark, raw):
         assert got == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_ewma_rejects_conflicting_intra_batch_duplicate(
+    spark, tmp_path
+):
+    """A same-(ts_ns, event_id) twin carrying a DIFFERENT value is not
+    a verifiable redelivery — keeping either copy would make the
+    output depend on Arrow chunk arrival order, so the batch must
+    fail loudly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from alternating_least_squares_spark.streaming import (
+        ewma_stream,
+        run_stream_to_batch,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + datetime.timedelta(seconds=2), 1, 4.0),
+        (1, t0 + datetime.timedelta(seconds=2), 1, 5.0),  # conflict
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        ),
+        str(src / "wave_0.parquet"),
+    )
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    stream = (
+        spark.readStream.schema(spark.createDataFrame([], schema).schema)
+        .parquet(str(src))
+        .select(
+            "event_id", "user_id", "value",
+            (F.unix_micros("ts") * 1000).alias("ts_ns"),
+        )
+    )
+    with pytest.raises(Exception, match="conflicting duplicate"):
+        run_stream_to_batch(ewma_stream(stream), output_mode="append")

@@ -456,5 +456,9 @@ def test_rake_fixed_rejects_missing_or_mistyped_v_us(spark):
     with pytest.raises(ValueError, match="v_us"):
         rake_fixed(no_v, [("ax", m)], sweeps=1)
     bad_type = spark.createDataFrame([(0, 1.5)], "ax: long, v_us: double")
-    with pytest.raises(ValueError, match="long"):
+    with pytest.raises(ValueError, match="integral"):
         rake_fixed(bad_type, [("ax", m)], sweeps=1)
+    # integer widths are interchangeable (repo type discipline) — an
+    # int-typed mass column must NOT be rejected
+    ok_int = spark.createDataFrame([(0, 5)], "ax: long, v_us: int")
+    assert rake_fixed(ok_int, [("ax", m)], sweeps=1).count() == 1
