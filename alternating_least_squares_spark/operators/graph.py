@@ -591,3 +591,53 @@ def clustering_coefficients(
             ).alias("clustering_coeff"),
         )
     )
+
+
+def components_fixed(edges: DataFrame, rounds: int) -> DataFrame:
+    """Connected components by hash-min label propagation, run for
+    EXACTLY ``rounds`` rounds — the gr01/gr05/gr06 fixed-sweep
+    discipline: the result is well-defined whether or not the
+    fixpoint has been reached, so an unrolled SQL oracle can state it
+    bit for bit at any data regeneration; a pytest pins fixed-sweep ==
+    the live convergence loop (functions/dedup.dedup_components, which
+    owns the changed-count early exit and the loud non-convergence
+    guard) at the test SFs, proving ``rounds`` ≥ the graph diameter
+    there.
+
+    ``edges``: columns ``a``, ``b`` (undirected; deduplicated here).
+    Returns ``(vertex, component)`` with component = the minimum
+    vertex id reachable within ``rounds`` hops.
+
+    Scale shape: per round ONE vertex-keyed equi-join (labels onto
+    out-edges) + ONE groupBy-min — both shuffle on the vertex id, the
+    Pregel-as-DataFrames pattern shared with pagerank/kcore/bfs;
+    per-round localCheckpoint keeps lineage flat (round N never
+    replays 1..N-1). Rounds needed = component diameter, NOT log |V|:
+    hash-min moves the minimum one hop per round."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = edges.select("a", "b").distinct()
+    e = (
+        e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        e.select(F.col("a").alias("vertex"))
+        .distinct()
+        .select("vertex", F.col("vertex").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        neighbor = e.join(
+            labels, e.a == labels.vertex
+        ).select(F.col("b").alias("vertex"), "component")
+        labels = (
+            labels.unionByName(neighbor)
+            .groupBy("vertex")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -8504,6 +8504,90 @@ def _gr06_oracle(rounds: int, seed_mod: int, min_support: int) -> str:
 SQL_GR06 = _gr06_oracle(GR06_ROUNDS, GR06_SEED_MOD, GR05_MIN_SUPPORT)
 
 
+GR08_ROUNDS = 10
+
+
+def q_gr08_connected_components(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Connected components of the support-thresholded co-purchase
+    graph (operators/graph.components_fixed, fixed sweep) — the one
+    canonical graph algorithm the gr family lacked (PageRank,
+    triangles, k-core, BFS exist; components only existed inside the
+    dedup pipeline, d04): every part labeled with the minimum part id
+    reachable from it, the product-catalog clustering / graph-ETL
+    partitioning primitive. Exactly GR08_ROUNDS=10 hash-min rounds on
+    both sides — ≥ the measured component diameters at both test SFs
+    (sf0.1's support graph is mostly small fragments; sf0.01's is one
+    big component of diameter ≤ 8), with fixed-sweep == the live
+    convergence loop pinned by pytest. Same Pregel-as-DataFrames
+    shape as gr01/gr05/gr06: per round one vertex-keyed join + one
+    groupBy-min, per-round localCheckpoint."""
+    from alternating_least_squares_spark.operators.graph import (
+        components_fixed,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(
+            F.col("x.l_partkey").alias("a"),
+            F.col("y.l_partkey").alias("b"),
+        )
+        .agg(F.count("*").alias("_support"))
+        .filter(F.col("_support") >= GR05_MIN_SUPPORT)
+        .select("a", "b")
+    )
+    return components_fixed(edges, rounds=GR08_ROUNDS).select(
+        F.col("vertex").alias("part"), "component"
+    )
+
+
+def _gr08_oracle(rounds: int, min_support: int) -> str:
+    """Unrolled hash-min — one label CTE per round (the gr05
+    materialization lesson: l{r} references l{r-1} twice, so plain
+    CTEs inline exponentially)."""
+    parts = [
+        "WITH li AS MATERIALIZED "
+        "(SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),",
+        "e0 AS MATERIALIZED (",
+        "  SELECT x.l_partkey AS a, y.l_partkey AS b",
+        "  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey",
+        "  WHERE x.l_partkey < y.l_partkey",
+        f"  GROUP BY 1, 2 HAVING count(*) >= {min_support}",
+        "),",
+        "e AS MATERIALIZED (SELECT a, b FROM e0 "
+        "UNION ALL SELECT b, a FROM e0),",
+        "l0 AS MATERIALIZED "
+        "(SELECT DISTINCT a AS v, a AS c FROM e)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""", l{r} AS MATERIALIZED (
+  SELECT v, min(c) AS c FROM (
+    SELECT v, c FROM l{p}
+    UNION ALL
+    SELECT e.b AS v, l{p}.c FROM e JOIN l{p} ON e.a = l{p}.v
+  ) GROUP BY 1
+)"""
+        )
+    parts.append(
+        f"SELECT v AS part, CAST(c AS BIGINT) AS component "
+        f"FROM l{rounds}"
+    )
+    return "\n".join(parts)
+
+
+SQL_GR08 = _gr08_oracle(GR08_ROUNDS, GR05_MIN_SUPPORT)
+
+
 def q_e11_trailing_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day active users per day (the WAU analytics shape).
     Scale formulation: dedupe to (user, day) FIRST, then EXPLODE each
@@ -11778,6 +11862,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "gr05_kcore": (q_gr05_kcore, SQL_GR05),
     "gr06_bfs_distance": (q_gr06_bfs_distance, SQL_GR06),
     "gr07_clustering_coeff": (q_gr07_clustering_coeff, SQL_GR07),
+    "gr08_connected_components": (q_gr08_connected_components, SQL_GR08),
 }
 
 
@@ -11800,8 +11885,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # c10–c15, d01, d04, e01, e02, e04, e05, g05, t01–t06, v01–v03)
 # plus any fill displaced this round, topped up from the r8 cohort
 # (a12, a21, ac01–ac06, b06, c03, c07, c09, d02, d06, e08, ...),
-# plus a14, a15, a18, a19, a20, b01_b02, and b03 (displaced from
-# this round's fill by the new m06/m07/t25/e18/x22/q05/st13 entries).
+# plus a13, a14, a15, a18, a19, a20, b01_b02, and b03 (displaced
+# from this round's fill by the new m06/m07/t25/e18/x22/q05/st13/
+# gr08 entries).
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors (each has a hash-green
@@ -11828,10 +11914,9 @@ _PREFIX = [
     "a01_cmap", "a02_dot", "a03_diff_vector", "a04_l2_norm",
     "a05_rmse", "a06_transpose", "a07_sum_rows", "a08_sum_cols",
     "a09_laplace_smooth", "a10_weight_matrix", "a11_apply_weights",
-    "a13_mmult",
-    # new in round 12 (displacing the a14/a15/a18/a19/a20/b01_b02/
-    # b03 fill slots to the r13 prefix, per the displacement rule
-    # above):
+    # new in round 12 (displacing the a13/a14/a15/a18/a19/a20/
+    # b01_b02/b03 fill slots to the r13 prefix, per the displacement
+    # rule above):
     # the pinned ALS recommend/ranking twins (VERDICT r11 #3), the
     # hash-key decontamination twin (VERDICT r11 #5), and the
     # linear-interpolation / token-budget / schema-drift operators
@@ -11839,6 +11924,7 @@ _PREFIX = [
     "t25_hashed_decontaminate",
     "e18_linear_interpolate", "x22_token_budget_mix",
     "q05_schema_drift", "st13_stream_budget_admission",
+    "gr08_connected_components",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

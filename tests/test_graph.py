@@ -597,3 +597,75 @@ def test_clustering_coefficients_match_brute_force(spark, raw):
         for r in clustering_coefficients(df).collect()
     }
     assert got == brute()
+
+
+def test_components_fixed_hand_computed(spark):
+    """gr08's operator on a two-component path + triangle fixture:
+    every vertex labels with its component's minimum id; the path
+    needs diameter rounds (hash-min moves the min ONE hop/round)."""
+    from alternating_least_squares_spark.operators.graph import (
+        components_fixed,
+    )
+
+    edges = spark.createDataFrame(
+        # component A: path 1-2-3-4 (diameter 3);
+        # component B: triangle 10-11-12
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        "a: long, b: long",
+    )
+    got = {
+        r["vertex"]: r["component"]
+        for r in components_fixed(edges, rounds=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+    # one round is NOT enough for the path — vertex 4 still sees only
+    # vertex 3's initial label (fixed-sweep is honest about that)
+    partial = {
+        r["vertex"]: r["component"]
+        for r in components_fixed(edges, rounds=1).collect()
+    }
+    assert partial[4] == 3 and partial[2] == 1
+
+
+def test_gr08_fixed_sweep_equals_live_convergence(spark):
+    """GR08_ROUNDS must cover the support graph's component diameter
+    at the test SF: the fixed sweep must equal the live convergence
+    loop (dedup_components — changed-count early exit, loud guard)."""
+    from pyspark.sql import functions as F
+
+    from alternating_least_squares_spark.functions.dedup import (
+        dedup_components,
+    )
+    from alternating_least_squares_spark.registry import (
+        GR05_MIN_SUPPORT,
+        q_gr08_connected_components,
+    )
+    from alternating_least_squares_spark.sources import load_table
+    from tests.conftest import SF_SMALL
+
+    got = {
+        (r["part"], r["component"])
+        for r in q_gr08_connected_components(spark, SF_SMALL).collect()
+    }
+    li = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(
+            F.col("x.l_partkey").alias("id_a"),
+            F.col("y.l_partkey").alias("id_b"),
+        )
+        .agg(F.count("*").alias("_s"))
+        .filter(F.col("_s") >= GR05_MIN_SUPPORT)
+        .select("id_a", "id_b")
+    )
+    live = {
+        (r["id"], r["component"])
+        for r in dedup_components(edges).collect()
+    }
+    assert got == live and got
