@@ -1388,6 +1388,44 @@ FROM orders WHERE o_orderkey % 4 != 0
 """
 
 
+def q_ac10_snapshot_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named refs (Iceberg tags) on the snapshot table, proved
+    through the WHOLE lifecycle: create v0 → tag it "baseline" →
+    MERGE (v1) → DELETE (v2) → ``vacuum(keep_last=1)``, which expires
+    v1 but MUST pin the tagged v0 (a tag is a promise of stable
+    reads; Iceberg's expire_snapshots protects refs the same way) —
+    then read BY NAME. The oracle is the v0 construction query, so
+    the driver hash certifies that tag resolution + vacuum protection
+    + time travel return the exact created rows after two mutations
+    and an expiry pass. Tags are create-once ('x'-publish, the
+    manifest commit discipline) — mutable refs would reintroduce the
+    lost-update seam."""
+    import shutil
+
+    from alternating_least_squares_spark.sources import snapshot as SN
+
+    path = _scratch_path(
+        "alternating_ls_snapshot_ac10", sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 6).alias("price")
+    )
+    SN.create_table(
+        orders.filter(F.col("o_orderkey") % 4 != 0), path, key="o_orderkey"
+    )
+    SN.create_tag(path, "baseline")  # pins v0
+    updates = orders.filter(F.col("o_orderkey") % 8 <= 1).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("price") * 2, 6).alias("price"),
+    )
+    SN.merge_upsert(updates, path)
+    SN.delete_where(path, "o_orderkey % 8 = 2", spark)
+    SN.vacuum(path, keep_last=1)
+    return SN.read_tag(spark, path, "baseline")
+
+
 def q_ac03_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over (l_partkey, l_suppkey) —
     the multi-column data-skipping layout (operators/zorder.py; the
@@ -11810,6 +11848,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "b07_binaryfile_source": (q_b07_binaryfile_source, SQL_B07),
     "b08_text_roundtrip": (q_b08_text_roundtrip, SQL_B08),
     "ac09_replicate_via_feed": (q_ac09_replicate_via_feed, SQL_AC09),
+    # ac10 reads the TAGGED v0 after mutations + vacuum; its truth is
+    # exactly ac02's v0 construction query
+    "ac10_snapshot_tag": (q_ac10_snapshot_tag, SQL_AC02),
     "e13_rfm_segments": (q_e13_rfm_segments, SQL_E13),
     "g07_weighted_mean": (q_g07_weighted_mean, SQL_G07),
     "g08_exact_corr": (q_g08_exact_corr, SQL_G08),
@@ -11885,9 +11926,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # c10–c15, d01, d04, e01, e02, e04, e05, g05, t01–t06, v01–v03)
 # plus any fill displaced this round, topped up from the r8 cohort
 # (a12, a21, ac01–ac06, b06, c03, c07, c09, d02, d06, e08, ...),
-# plus a13, a14, a15, a18, a19, a20, b01_b02, and b03 (displaced
-# from this round's fill by the new m06/m07/t25/e18/x22/q05/st13/
-# gr08 entries).
+# plus a11, a13, a14, a15, a18, a19, a20, b01_b02, and b03
+# (displaced from this round's fill by the new m06/m07/t25/e18/x22/
+# q05/st13/gr08/ac10 entries).
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors (each has a hash-green
@@ -11913,8 +11954,8 @@ _PREFIX = [
     # the reference A-family first (SURVEY §2 parity rows)
     "a01_cmap", "a02_dot", "a03_diff_vector", "a04_l2_norm",
     "a05_rmse", "a06_transpose", "a07_sum_rows", "a08_sum_cols",
-    "a09_laplace_smooth", "a10_weight_matrix", "a11_apply_weights",
-    # new in round 12 (displacing the a13/a14/a15/a18/a19/a20/
+    "a09_laplace_smooth", "a10_weight_matrix",
+    # new in round 12 (displacing the a11/a13/a14/a15/a18/a19/a20/
     # b01_b02/b03 fill slots to the r13 prefix, per the displacement
     # rule above):
     # the pinned ALS recommend/ranking twins (VERDICT r11 #3), the
@@ -11924,7 +11965,7 @@ _PREFIX = [
     "t25_hashed_decontaminate",
     "e18_linear_interpolate", "x22_token_budget_mix",
     "q05_schema_drift", "st13_stream_budget_admission",
-    "gr08_connected_components",
+    "gr08_connected_components", "ac10_snapshot_tag",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

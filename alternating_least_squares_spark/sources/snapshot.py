@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 _LOG = "_log"
 _DATA = "data"
+_REFS = "_refs"
 
 
 def _local_path(p: str) -> str:
@@ -552,6 +553,63 @@ def delete_where(path: str, predicate: str, spark: SparkSession) -> int:
     return version
 
 
+def create_tag(path: str, name: str, version: int | None = None) -> int:
+    """Create an IMMUTABLE named ref to a version (Iceberg tag /
+    git-tag semantics): ``read_tag(name)`` returns that version's
+    exact rows forever, and :func:`vacuum` never expires a tagged
+    version's manifest or files. Defaults to the latest version.
+
+    Tags are create-once — the 'x'-mode write is the same atomic
+    publish discipline as manifest commits, so two writers racing the
+    same tag name get one winner and one loud FileExistsError; a
+    mutable ref (a branch) would reintroduce exactly the lost-update
+    seam the manifest log exists to prevent. Returns the tagged
+    version."""
+    _require_absolute(path)
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot table at {path}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(
+            f"cannot tag version {version}: table has {versions}"
+        )
+    if not name or not all(c.isalnum() or c in "._-" for c in name):
+        raise ValueError(
+            f"tag name must be filesystem-safe [A-Za-z0-9._-]+: {name!r}"
+        )
+    refs_dir = os.path.join(path, _REFS)
+    os.makedirs(refs_dir, exist_ok=True)
+    with open(os.path.join(refs_dir, f"{name}.json"), "x") as fh:
+        json.dump({"name": name, "version": version}, fh)
+    return version
+
+
+def list_tags(path: str) -> dict[str, int]:
+    """All tags as {name: version}, name-sorted."""
+    refs_dir = os.path.join(path, _REFS)
+    if not os.path.isdir(refs_dir):
+        return {}
+    out = {}
+    for f in sorted(os.listdir(refs_dir)):
+        if f.endswith(".json"):
+            with open(os.path.join(refs_dir, f)) as fh:
+                ref = json.load(fh)
+            out[ref["name"]] = ref["version"]
+    return out
+
+
+def read_tag(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """Read the version a tag pins (time travel by name)."""
+    tags = list_tags(path)
+    if name not in tags:
+        raise KeyError(
+            f"no tag {name!r} at {path}; have {sorted(tags)}"
+        )
+    return read_snapshot(spark, path, version=tags[name])
+
+
 def vacuum(
     path: str, keep_last: int = 1, min_age_seconds: float = 0.0
 ) -> dict:
@@ -575,7 +633,9 @@ def vacuum(
     Time travel to an expired version fails loudly afterwards
     (``read_snapshot`` raises on a missing manifest) — that loss of
     history is the POINT of vacuum, and why ``keep_last`` has no
-    0 value.
+    0 value. TAGGED versions (:func:`create_tag`) are never
+    expired — a tag is a promise of stable reads, so vacuum treats
+    every tagged manifest as retained regardless of age or position.
 
     Returns {versions_removed, files_removed, bytes_removed,
     versions_kept}. Idempotent: a second run removes nothing.
@@ -591,7 +651,15 @@ def vacuum(
     versions = _list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no snapshot table at {path}")
-    expire, retain = versions[:-keep_last], versions[-keep_last:]
+    # tagged versions are PINNED (Iceberg expire_snapshots semantics:
+    # refs protect history) — expiring one would turn every read_tag
+    # into a missing-manifest error and delete files the tag promised
+    # were stable forever
+    tagged = set(list_tags(path).values())
+    expire = [v for v in versions[:-keep_last] if v not in tagged]
+    retain = [
+        v for v in versions if v in tagged or v in versions[-keep_last:]
+    ]
     # Path identity: manifest paths come from input_file_name() URIs
     # (absolute, normalized by _local_path); the walk below builds
     # paths from the CALLER's spelling of ``path`` (possibly relative,

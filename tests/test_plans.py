@@ -352,3 +352,17 @@ def test_lateral_topk_decorrelates_to_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pinned_recommend_spreads_items_before_fanout(spark):
+    """m06's scale guard (the round-12 AQE lesson): the small item
+    factor table must carry an explicit round-robin exchange BEFORE
+    the broadcast cross join — AQE coalesces the tiny distinct to ONE
+    partition, and without the spread the |users|-fold fan-out's
+    per-partition top-k prune sorts every pair single-threaded
+    (measured 24 s vs 3 s at sf0.1)."""
+    plan = _plan(spark, "m06_pinned_recommend")
+    assert "RoundRobinPartitioning" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan  # the intended bounded cross
+    # the prune must still run map-side before the user-key exchange
+    assert plan.count("WindowGroupLimit") >= 2, plan[:2000]

@@ -552,3 +552,47 @@ def test_delete_keys_prunes_and_never_collects(spark, base, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="table key"):
         SN.delete_keys(path, spark.createDataFrame([(1,)], "wrong long"))
+
+
+def test_tag_lifecycle_and_validation(spark, base, tmp_path):
+    """Tags: create-once named refs — default to latest, resolve by
+    name, reject retags, unsafe names, and unknown versions."""
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    SN.append(base.filter(F.col("k") < 10), path)
+    assert SN.create_tag(path, "v0-baseline", version=0) == 0
+    assert SN.create_tag(path, "latest.rel") == 1  # defaults to latest
+    assert SN.list_tags(path) == {"v0-baseline": 0, "latest.rel": 1}
+    got = {(r["k"], r["v"])
+           for r in SN.read_tag(spark, path, "v0-baseline").collect()}
+    assert got == {(i, i * 10) for i in range(100)}
+    with pytest.raises(FileExistsError):
+        SN.create_tag(path, "v0-baseline", version=1)  # immutable
+    with pytest.raises(ValueError, match="filesystem-safe"):
+        SN.create_tag(path, "bad/name")
+    with pytest.raises(ValueError, match="cannot tag"):
+        SN.create_tag(path, "ghost", version=99)
+    with pytest.raises(KeyError):
+        SN.read_tag(spark, path, "nope")
+
+
+def test_vacuum_pins_tagged_versions(spark, base, tmp_path):
+    """vacuum(keep_last=1) must expire untagged history but keep every
+    TAGGED manifest and its files readable — the Iceberg
+    expire_snapshots-respects-refs contract."""
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")                      # v0
+    SN.create_tag(path, "baseline")                           # pins v0
+    SN.merge_upsert(
+        base.select("k", (F.col("v") + 1).alias("v")), path
+    )                                                         # v1
+    SN.append(base.filter(F.col("k") >= 95), path)            # v2
+    res = SN.vacuum(path, keep_last=1)
+    # v1 (untagged, not latest) expired; v0 pinned; v2 kept
+    assert res["versions_removed"] == 1
+    assert res["versions_kept"] == 2  # v0 (pinned) + v2 (latest)
+    got = {(r["k"], r["v"])
+           for r in SN.read_tag(spark, path, "baseline").collect()}
+    assert got == {(i, i * 10) for i in range(100)}
+    with pytest.raises(ValueError, match="not in"):
+        SN.read_snapshot(spark, path, version=1)
