@@ -184,3 +184,56 @@ def test_pinned_recommend_and_ranking_contracts(spark):
     for r in ev:
         assert 0 <= r["hits"] <= min(5, r["npos"])
         assert r["recall_ppm"] == (r["hits"] * 1_000_000) // r["npos"]
+
+
+from hypothesis import given, settings, strategies as st
+
+_factor_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),             # id
+        st.lists(st.integers(min_value=-8, max_value=8),   # integer factors
+                 min_size=3, max_size=3),
+    ),
+    min_size=1, max_size=8,
+    unique_by=lambda r: r[0],
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(uf_rows=_factor_rows, if_rows=_factor_rows,
+       k=st.integers(min_value=1, max_value=4))
+def test_recommend_from_factors_matches_python_replay(
+    spark, uf_rows, if_rows, k
+):
+    """m06's shared scoring path on random integer factor tables: the
+    DataFrame dot + windowed top-k with (score desc, item asc)
+    tie-break must equal a sequential Python replay exactly —
+    integer-valued doubles, so no tolerance anywhere."""
+    from alternating_least_squares_spark.ml.als import (
+        recommend_from_factors,
+    )
+
+    uf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in uf_rows],
+        "id: long, features: array<double>",
+    )
+    itf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in if_rows],
+        "id: long, features: array<double>",
+    )
+    got = sorted(
+        (r["user_id"], r["item_id"], r["score"])
+        for r in recommend_from_factors(uf, itf, k=k, rank=3).collect()
+    )
+    want = []
+    for u, uvec in uf_rows:
+        scored = sorted(
+            (
+                (-float(sum(a * b for a, b in zip(uvec, ivec)))),
+                i,
+            )
+            for i, ivec in if_rows
+        )
+        for neg, i in scored[:k]:
+            want.append((u, i, -neg))
+    assert got == sorted(want)

@@ -669,3 +669,36 @@ def test_gr08_fixed_sweep_equals_live_convergence(spark):
         for r in dedup_components(edges).collect()
     }
     assert got == live and got
+
+
+@settings(max_examples=8, deadline=None)
+@given(raw=edge_set, rounds=st.integers(min_value=1, max_value=12))
+def test_components_fixed_matches_bounded_python_replay(spark, raw, rounds):
+    """gr08 property: on any random graph and ANY round budget, the
+    DataFrame hash-min must equal a sequential Python replay of the
+    same bounded propagation — including honest under-sweeps where
+    the budget is below the component diameter."""
+    from alternating_least_squares_spark.operators.graph import (
+        components_fixed,
+    )
+
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in sorted(raw)], "a: long, b: long"
+    )
+    got = {
+        r["vertex"]: r["component"]
+        for r in components_fixed(edges, rounds=rounds).collect()
+    }
+
+    und = set()
+    for a, b in raw:
+        und.add((a, b))
+        und.add((b, a))
+    labels = {v: v for v, _ in und}
+    for _ in range(rounds):
+        nxt = dict(labels)
+        for a, b in und:
+            if labels[a] < nxt[b]:
+                nxt[b] = labels[a]
+        labels = nxt
+    assert got == labels
