@@ -7333,6 +7333,113 @@ FROM bw JOIN fw USING (event_id)
 """
 
 
+E19_HOLD_US = 30 * 60 * 1_000_000  # each event holds a 30-min interval
+
+
+def q_e19_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing — merge-overlapping-intervals, the missing
+    third of the interval algebra (j03 JOINS intervals across tables,
+    e10 measures gaps between POINT events; nothing unioned a set of
+    intervals into its minimal disjoint cover): each event holds a
+    30-minute interval, and per user the overlapping holds merge into
+    islands — the availability/occupancy primitive (calendar busy
+    blocks, machine utilization, session cover). Output: one row per
+    merged interval with its event count and the idle gap before it
+    (NULL for the user's first island) — the complement (free time)
+    is exactly the gap column.
+
+    The classic sweep, all in compiled window functions: running
+    max(end) over preceding rows detects island starts (an interval
+    starting after everything seen so far ended), a running sum of
+    the starts numbers the islands, one aggregation folds each island
+    to (min start, max end, count), and one lag computes the idle
+    gap. Exact integer microseconds everywhere; ties in start order
+    are harmless (equal starts share the fixed hold width, so the
+    running max is tie-order independent). Scale: every pass keys on
+    user_id — Spark's window-subset rule runs the whole chain on ONE
+    exchange, the e03/c16 single-exchange discipline."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        # integer DIV, never float division: epoch-ns longs exceed
+        # 2^53, so a double round-trip would corrupt the low digits
+        F.expr("ts_ns DIV 1000").alias("s_us"),
+    )
+    ev = ev.withColumn("e_us", F.col("s_us") + E19_HOLD_US)
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = ev.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        F.when(
+            F.col("s_us") > F.coalesce(
+                F.max("e_us").over(w_prev), F.lit(-(1 << 62))
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_new"),
+    ).withColumn("island", F.sum("_new").over(w_run))
+    islands = marked.groupBy("user_id", "island").agg(
+        F.min("s_us").alias("start_us"),
+        F.max("e_us").alias("end_us"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    w_gap = Window.partitionBy("user_id").orderBy("start_us")
+    return islands.select(
+        "user_id",
+        "start_us",
+        "end_us",
+        "n_events",
+        (F.col("start_us") - F.lag("end_us").over(w_gap)).alias(
+            "idle_before_us"
+        ),
+    )
+
+
+SQL_E19 = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS s_us,
+         epoch_us(ts) + {E19_HOLD_US} AS e_us
+  FROM events
+),
+marked AS (
+  SELECT user_id, s_us, e_us,
+         CASE WHEN s_us > coalesce(max(e_us) OVER (
+                PARTITION BY user_id ORDER BY s_us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                {-(1 << 62)})
+              THEN 1 ELSE 0 END AS new_island
+  FROM ev
+),
+numbered AS (
+  SELECT user_id, s_us, e_us,
+         SUM(new_island) OVER (
+           PARTITION BY user_id ORDER BY s_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+),
+islands AS (
+  SELECT user_id, island,
+         MIN(s_us) AS start_us, MAX(e_us) AS end_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM numbered GROUP BY 1, 2
+)
+SELECT user_id, start_us, end_us, n_events,
+       start_us - lag(end_us) OVER (
+         PARTITION BY user_id ORDER BY start_us) AS idle_before_us
+FROM islands
+"""
+
+
 def q_e10_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inter-event-time profile: count / min / max / mean of
     the gaps between consecutive events — the cadence feature behind
@@ -11719,6 +11826,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "e04_resample_gapfill": (q_e04_resample_gapfill, SQL_E04),
     "e17_locf_fill": (q_e17_locf_fill, SQL_E17),
     "e18_linear_interpolate": (q_e18_linear_interpolate, SQL_E18),
+    "e19_interval_coalesce": (q_e19_interval_coalesce, SQL_E19),
     "e05_variant_json": (q_e05_variant_json, SQL_E05),
     "e06_funnel": (q_e06_funnel, SQL_E06),
     "e07_cohort_retention": (q_e07_cohort_retention, SQL_E07),
@@ -11926,9 +12034,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # c10–c15, d01, d04, e01, e02, e04, e05, g05, t01–t06, v01–v03)
 # plus any fill displaced this round, topped up from the r8 cohort
 # (a12, a21, ac01–ac06, b06, c03, c07, c09, d02, d06, e08, ...),
-# plus a11, a13, a14, a15, a18, a19, a20, b01_b02, and b03
+# plus a10, a11, a13, a14, a15, a18, a19, a20, b01_b02, and b03
 # (displaced from this round's fill by the new m06/m07/t25/e18/x22/
-# q05/st13/gr08/ac10 entries).
+# q05/st13/gr08/ac10/e19 entries).
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors (each has a hash-green
@@ -11954,10 +12062,10 @@ _PREFIX = [
     # the reference A-family first (SURVEY §2 parity rows)
     "a01_cmap", "a02_dot", "a03_diff_vector", "a04_l2_norm",
     "a05_rmse", "a06_transpose", "a07_sum_rows", "a08_sum_cols",
-    "a09_laplace_smooth", "a10_weight_matrix",
-    # new in round 12 (displacing the a11/a13/a14/a15/a18/a19/a20/
-    # b01_b02/b03 fill slots to the r13 prefix, per the displacement
-    # rule above):
+    "a09_laplace_smooth",
+    # new in round 12 (displacing the a10/a11/a13/a14/a15/a18/a19/
+    # a20/b01_b02/b03 fill slots to the r13 prefix, per the
+    # displacement rule above):
     # the pinned ALS recommend/ranking twins (VERDICT r11 #3), the
     # hash-key decontamination twin (VERDICT r11 #5), and the
     # linear-interpolation / token-budget / schema-drift operators
@@ -11966,6 +12074,7 @@ _PREFIX = [
     "e18_linear_interpolate", "x22_token_budget_mix",
     "q05_schema_drift", "st13_stream_budget_admission",
     "gr08_connected_components", "ac10_snapshot_tag",
+    "e19_interval_coalesce",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

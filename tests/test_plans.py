@@ -366,3 +366,12 @@ def test_pinned_recommend_spreads_items_before_fanout(spark):
     assert "BroadcastNestedLoopJoin" in plan  # the intended bounded cross
     # the prune must still run map-side before the user-key exchange
     assert plan.count("WindowGroupLimit") >= 2, plan[:2000]
+
+
+def test_interval_coalesce_single_exchange(spark):
+    """e19's whole sweep — island detection, numbering, fold, idle
+    lag — must ride ONE user-keyed exchange (the window-subset rule;
+    a second shuffle would mean the groupBy key lost its user_id
+    prefix)."""
+    plan = _plan(spark, "e19_interval_coalesce")
+    assert plan.count("Exchange") == 1, plan[:2000]

@@ -564,3 +564,54 @@ def test_linear_interpolate_matches_python_reference(spark, evs):
                 )
             want[(u, b)] = (1 if m is not None else 0, interp)
     assert got == want
+
+
+def test_interval_coalesce_hand_computed(spark, tmp_path):
+    """e19: overlapping and touching holds merge into islands; a
+    strictly-later start opens a new island with its idle gap; an
+    interval ending exactly where the next starts still merges
+    (s_us > running-max is STRICT)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from alternating_least_squares_spark import registry
+
+    m = 60 * 1_000_000  # one minute in micros
+    hold = registry.E19_HOLD_US  # 30 min
+    rows = [
+        # user 1: events at t=0 and t=10min overlap -> one island
+        # [0, 40min); event at t=100min is a new island with a
+        # 60-min idle gap; event at t=130min TOUCHES its end (starts
+        # exactly at 100+30) and must merge (strict >)
+        (0, 0 * m, 1),
+        (1, 10 * m, 1),
+        (2, 100 * m, 1),
+        (3, 130 * m, 1),
+        # user 2: single event
+        (4, 7 * m, 2),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows), pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = sorted(
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"],
+         r["idle_before_us"])
+        for r in registry.q_e19_interval_coalesce(
+            spark, str(tmp_path)
+        ).collect()
+    )
+    assert got == [
+        (1, 0, 10 * m + hold, 2, None),
+        (1, 100 * m, 130 * m + hold, 2, 100 * m - (10 * m + hold)),
+        (2, 7 * m, 7 * m + hold, 1, None),
+    ]
