@@ -8480,6 +8480,33 @@ GR05_ROUNDS = 12
 GR05_MIN_SUPPORT = 2
 
 
+def _support_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHARED gr05/gr06/gr08 graph fixture: part co-purchase edges
+    thresholded at GR05_MIN_SUPPORT distinct orders (the m04 support
+    idea as a sparsifier — the raw co-purchase graph is near-regular;
+    the support graph has the skewed degrees real data shows). One
+    definition so a threshold or join-strategy change cannot silently
+    diverge one gr entry from its oracle; the gr08 pinning test
+    imports this same function."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    return (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(
+            F.col("x.l_partkey").alias("a"),
+            F.col("y.l_partkey").alias("b"),
+        )
+        .agg(F.count("*").alias("_support"))
+        .filter(F.col("_support") >= GR05_MIN_SUPPORT)
+        .select("a", "b")
+    )
+
+
 def q_gr05_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core of the SUPPORT-THRESHOLDED part co-purchase graph
     (operators/graph.kcore, fixed sweep): edges are part pairs
@@ -8498,23 +8525,7 @@ def q_gr05_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     on random graphs."""
     from alternating_least_squares_spark.operators.graph import kcore
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    edges = (
-        li.alias("x")
-        .join(li.alias("y"), "l_orderkey")
-        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .groupBy(
-            F.col("x.l_partkey").alias("a"),
-            F.col("y.l_partkey").alias("b"),
-        )
-        .agg(F.count("*").alias("_support"))
-        .filter(F.col("_support") >= GR05_MIN_SUPPORT)
-        .select("a", "b")
-    )
+    edges = _support_edges(spark, sf_dir)
     return kcore(edges, k=GR05_K, rounds=GR05_ROUNDS).select(
         F.col("vertex").alias("part"), "core_degree"
     )
@@ -8582,23 +8593,7 @@ def q_gr06_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         bfs_distances,
     )
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    edges = (
-        li.alias("x")
-        .join(li.alias("y"), "l_orderkey")
-        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .groupBy(
-            F.col("x.l_partkey").alias("a"),
-            F.col("y.l_partkey").alias("b"),
-        )
-        .agg(F.count("*").alias("_support"))
-        .filter(F.col("_support") >= GR05_MIN_SUPPORT)
-        .select("a", "b")
-    )
+    edges = _support_edges(spark, sf_dir)
     seeds = (
         edges.select(F.col("a").alias("vertex"))
         .unionAll(edges.select(F.col("b").alias("vertex")))
@@ -8672,23 +8667,7 @@ def q_gr08_connected_components(
         components_fixed,
     )
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    edges = (
-        li.alias("x")
-        .join(li.alias("y"), "l_orderkey")
-        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .groupBy(
-            F.col("x.l_partkey").alias("a"),
-            F.col("y.l_partkey").alias("b"),
-        )
-        .agg(F.count("*").alias("_support"))
-        .filter(F.col("_support") >= GR05_MIN_SUPPORT)
-        .select("a", "b")
-    )
+    edges = _support_edges(spark, sf_dir)
     return components_fixed(edges, rounds=GR08_ROUNDS).select(
         F.col("vertex").alias("part"), "component"
     )

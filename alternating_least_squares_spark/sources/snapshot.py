@@ -575,7 +575,14 @@ def create_tag(path: str, name: str, version: int | None = None) -> int:
         raise ValueError(
             f"cannot tag version {version}: table has {versions}"
         )
-    if not name or not all(c.isalnum() or c in "._-" for c in name):
+    _safe = (
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+        "0123456789._-"
+    )
+    # explicit ASCII set, NOT str.isalnum(): isalnum is Unicode-aware
+    # ('é'.isalnum() is True) and a non-ASCII ref filename breaks the
+    # documented contract under NFD filesystems / cross-encoding copies
+    if not name or any(c not in _safe for c in name):
         raise ValueError(
             f"tag name must be filesystem-safe [A-Za-z0-9._-]+: {name!r}"
         )

@@ -637,32 +637,18 @@ def test_gr08_fixed_sweep_equals_live_convergence(spark):
         dedup_components,
     )
     from alternating_least_squares_spark.registry import (
-        GR05_MIN_SUPPORT,
         q_gr08_connected_components,
     )
-    from alternating_least_squares_spark.sources import load_table
     from tests.conftest import SF_SMALL
 
     got = {
         (r["part"], r["component"])
         for r in q_gr08_connected_components(spark, SF_SMALL).collect()
     }
-    li = (
-        load_table(spark, SF_SMALL, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    edges = (
-        li.alias("x")
-        .join(li.alias("y"), "l_orderkey")
-        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .groupBy(
-            F.col("x.l_partkey").alias("id_a"),
-            F.col("y.l_partkey").alias("id_b"),
-        )
-        .agg(F.count("*").alias("_s"))
-        .filter(F.col("_s") >= GR05_MIN_SUPPORT)
-        .select("id_a", "id_b")
+    from alternating_least_squares_spark.registry import _support_edges
+
+    edges = _support_edges(spark, SF_SMALL).select(
+        F.col("a").alias("id_a"), F.col("b").alias("id_b")
     )
     live = {
         (r["id"], r["component"])

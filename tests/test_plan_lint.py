@@ -18,7 +18,12 @@ from tests.conftest import SF_SMALL
 # registration) — plan-linting them would re-run minutes of work that
 # their own tests already cover.
 SKIP_PREFIXES = (
-    "st0", "ac0", "b0", "m0", "x07", "mm0", "ipf", "a21", "x09", "x10",
+    # "ac" (not "ac0") and "st1": ac10/st10-st13 are side-effecting
+    # lifecycle entries (shared-scratch rmtree + streams + vacuum) —
+    # plan-linting them races a concurrent driver/bench run reading
+    # the same /tmp table (round-12 review finding; the earlier "ac0"
+    # spelling silently let ac10 through)
+    "st0", "st1", "ac", "b0", "m0", "x07", "mm0", "ipf", "a21", "x09", "x10",
     "s06",  # trains two quantizers; covered by test_plans.py's own lint
     "d10",  # writes bucketed catalog tables; its own plan test asserts
             # the no-corpus-shuffle shape (test_dedup.py)

@@ -570,6 +570,8 @@ def test_tag_lifecycle_and_validation(spark, base, tmp_path):
         SN.create_tag(path, "v0-baseline", version=1)  # immutable
     with pytest.raises(ValueError, match="filesystem-safe"):
         SN.create_tag(path, "bad/name")
+    with pytest.raises(ValueError, match="filesystem-safe"):
+        SN.create_tag(path, "caf\u00e9")  # isalnum() would pass this
     with pytest.raises(ValueError, match="cannot tag"):
         SN.create_tag(path, "ghost", version=99)
     with pytest.raises(KeyError):
