@@ -615,3 +615,64 @@ def test_interval_coalesce_hand_computed(spark, tmp_path):
         (1, 100 * m, 130 * m + hold, 2, 100 * m - (10 * m + hold)),
         (2, 7 * m, 7 * m + hold, 1, None),
     ]
+
+
+_interval_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),    # user_id
+        st.integers(min_value=0, max_value=200),  # start minute
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(evs=_interval_events)
+def test_interval_coalesce_matches_python_replay(spark, evs):
+    """e19 brute force on random event streams: the window sweep must
+    equal a sequential merge of sorted 30-min holds — island count,
+    bounds, event counts, and idle gaps all exact."""
+    import alternating_least_squares_spark.registry as R
+
+    m = 60 * 1_000_000
+    hold = R.E19_HOLD_US
+    rows = [
+        (i, u, (mins * m + i) * 1000)  # distinct ts per event
+        for i, (u, mins) in enumerate(evs)
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_ns long"
+    )
+    from unittest import mock
+
+    real_load = R.load_table
+    with mock.patch.object(
+        R, "load_table",
+        lambda sp, sf, name: batch
+        if name == "events" else real_load(sp, sf, name),
+    ):
+        got = sorted(
+            (r["user_id"], r["start_us"], r["end_us"], r["n_events"],
+             r["idle_before_us"])
+            for r in R.q_e19_interval_coalesce(spark, "ignored").collect()
+        )
+
+    want = []
+    for u in sorted({u for _, u, _ in rows}):
+        starts = sorted(ts // 1000 for _, uu, ts in rows if uu == u)
+        islands = []
+        for s_us in starts:
+            if islands and s_us <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], s_us + hold)
+                islands[-1][2] += 1
+            else:
+                islands.append([s_us, s_us + hold, 1])
+        prev_end = None
+        for s_us, e_us, n in islands:
+            want.append(
+                (u, s_us, e_us, n,
+                 None if prev_end is None else s_us - prev_end)
+            )
+            prev_end = e_us
+    assert got == sorted(want)
