@@ -10796,6 +10796,93 @@ GROUP BY 1
 """
 
 
+W09_WINDOW = 8  # trailing observations per OLS fit
+
+
+def q_w09_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing OLS slope per event — trend detection over the last
+    W09_WINDOW observations of each user's value series (the
+    per-entity drift/anomaly feature w01's running totals and w08's
+    EWMA level don't give: EWMA smooths the LEVEL, this measures the
+    DIRECTION). Emitted as the exact integer pair (slope_num,
+    slope_den) of the closed-form fit — slope = num/den where
+    num = n·Σxy − Σx·Σy and den = n·Σx² − (Σx)² — because the divide
+    is the only inexact step, so the hash certifies everything the
+    engine computes (the q04 emit-the-terms discipline).
+
+    The x coordinate is the user's global observation index
+    (row_number), NOT the within-window position: OLS slope is
+    translation-invariant in x, and a global index makes every window
+    statistic a plain windowed SUM of four precomputed columns
+    (y, x, x², x·y) — no per-frame position arithmetic exists in any
+    engine. y is the value floored to integer micro-units, NaN
+    observations dropped first (the w08 null-domain discipline).
+    Overflow headroom: x ≤ per-user row count (~10³ at test SFs), so
+    n·Σxy stays ≤ ~10¹⁶ ≪ 2⁶³; a deployment with 10⁹-event users
+    promotes the four sums to DECIMAL(38,0), the e16 recipe. One
+    user-keyed exchange serves the row_number and every window sum
+    (the subset rule)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(~F.isnan("value"))
+        .select(
+            "user_id",
+            "event_id",
+            "ts_ns",
+            F.floor(F.col("value") * 1_000_000).cast("long").alias("_y"),
+        )
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    keyed = ev.select(
+        "user_id",
+        "event_id",
+        "_y",
+        F.row_number().over(w_ord).cast("long").alias("_x"),
+    )
+    w_tr = (
+        Window.partitionBy("user_id")
+        .orderBy("_x")
+        .rowsBetween(-(W09_WINDOW - 1), 0)
+    )
+    n = F.count(F.lit(1)).over(w_tr).cast("long")
+    sx = F.sum("_x").over(w_tr)
+    sy = F.sum("_y").over(w_tr)
+    sxx = F.sum(F.col("_x") * F.col("_x")).over(w_tr)
+    sxy = F.sum(F.col("_x") * F.col("_y")).over(w_tr)
+    out = keyed.select(
+        "user_id",
+        "event_id",
+        n.alias("n_obs"),
+        (n * sxy - sx * sy).alias("slope_num"),
+        (n * sxx - sx * sx).alias("slope_den"),
+    )
+    return out.filter(F.col("n_obs") >= 2)
+
+
+SQL_W09 = f"""
+WITH ev AS (
+  SELECT user_id, event_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS y,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ns(ts), event_id) AS x
+  FROM events WHERE NOT isnan(value)
+),
+s AS (
+  SELECT user_id, event_id,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n_obs,
+         SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+         SUM(x * x) OVER w AS sxx, SUM(x * y) OVER w AS sxy
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY x
+               ROWS BETWEEN {W09_WINDOW - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, n_obs,
+       CAST(n_obs * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n_obs * sxx - sx * sx AS BIGINT) AS slope_den
+FROM s WHERE n_obs >= 2
+"""
+
+
 def q_w08_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-horizon EWMA smoothing per user (α=0.5 over the last 8
     observations, weights renormalized over available history) — the
@@ -11976,6 +12063,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "p03_training_pipeline": (q_p03_training_pipeline, SQL_P03),
     "p04_drift_gated_admission": (q_p04_drift_gated_admission, SQL_P04),
     "w08_ewma": (q_w08_ewma, SQL_W08),
+    "w09_rolling_slope": (q_w09_rolling_slope, SQL_W09),
     "st11_stream_ewma": (q_st11_stream_ewma, SQL_W08),
     "st12_stream_drift_gate": (q_st12_stream_drift_gate, SQL_ST12),
     "st13_stream_budget_admission": (q_st13_stream_budget_admission, SQL_ST13),
@@ -12013,9 +12101,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # c10–c15, d01, d04, e01, e02, e04, e05, g05, t01–t06, v01–v03)
 # plus any fill displaced this round, topped up from the r8 cohort
 # (a12, a21, ac01–ac06, b06, c03, c07, c09, d02, d06, e08, ...),
-# plus a10, a11, a13, a14, a15, a18, a19, a20, b01_b02, and b03
-# (displaced from this round's fill by the new m06/m07/t25/e18/x22/
-# q05/st13/gr08/ac10/e19 entries).
+# plus a09, a10, a11, a13, a14, a15, a18, a19, a20, b01_b02, and
+# b03 (displaced from this round's fill by the new m06/m07/t25/e18/
+# x22/q05/st13/gr08/ac10/e19/w09 entries).
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors (each has a hash-green
@@ -12041,9 +12129,8 @@ _PREFIX = [
     # the reference A-family first (SURVEY §2 parity rows)
     "a01_cmap", "a02_dot", "a03_diff_vector", "a04_l2_norm",
     "a05_rmse", "a06_transpose", "a07_sum_rows", "a08_sum_cols",
-    "a09_laplace_smooth",
-    # new in round 12 (displacing the a10/a11/a13/a14/a15/a18/a19/
-    # a20/b01_b02/b03 fill slots to the r13 prefix, per the
+    # new in round 12 (displacing the a09/a10/a11/a13/a14/a15/a18/
+    # a19/a20/b01_b02/b03 fill slots to the r13 prefix, per the
     # displacement rule above):
     # the pinned ALS recommend/ranking twins (VERDICT r11 #3), the
     # hash-key decontamination twin (VERDICT r11 #5), and the
@@ -12053,7 +12140,7 @@ _PREFIX = [
     "e18_linear_interpolate", "x22_token_budget_mix",
     "q05_schema_drift", "st13_stream_budget_admission",
     "gr08_connected_components", "ac10_snapshot_tag",
-    "e19_interval_coalesce",
+    "e19_interval_coalesce", "w09_rolling_slope",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

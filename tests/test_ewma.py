@@ -612,3 +612,52 @@ def test_stream_ewma_rejects_conflicting_intra_batch_duplicate(
     )
     with pytest.raises(Exception, match="conflicting duplicate"):
         run_stream_to_batch(ewma_stream(stream), output_mode="append")
+
+
+def test_w09_rolling_slope_hand_computed(spark, tmp_path):
+    """w09 on a hand series: a perfectly linear stretch yields exactly
+    slope_num/slope_den = its per-step increment in micro-units; a
+    direction flip shows up immediately in the trailing fit; NaN rows
+    are not observations; n_obs==1 rows are absent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from alternating_least_squares_spark import registry
+
+    t0 = datetime.datetime(2024, 1, 1)
+    vals = [1.0, 3.0, 5.0, float("nan"), 1.0]  # linear +2, then drop
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=i + 1), 7, v)
+        for i, v in enumerate(vals)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows), pa.string()),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = {
+        r["event_id"]: (r["n_obs"], r["slope_num"], r["slope_den"])
+        for r in registry.q_w09_rolling_slope(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # observations are x=1..4 (NaN dropped), y_us = 1e6, 3e6, 5e6, 1e6
+    # event 1: n=2, num = 2*(1*1e6+2*3e6) - 3*4e6 = 2e6, den = 2*5-9 = 1
+    # event 2: n=3, num = 3*(1e6+6e6+15e6) - 6*9e6 = 12e6, den = 3*14-36 = 6
+    # event 4: n=4, num = 4*(1e6+6e6+15e6+4e6) - 10*10e6 = 4e6,
+    #          den = 4*30-100 = 20  -> slope 0.2e6 (the drop flattens it)
+    assert got == {
+        1: (2, 2_000_000, 1),
+        2: (3, 12_000_000, 6),
+        4: (4, 4_000_000, 20),
+    }
+    assert got[1][1] / got[1][2] == 2_000_000.0
+    assert got[2][1] / got[2][2] == 2_000_000.0
