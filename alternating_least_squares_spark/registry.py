@@ -12085,62 +12085,49 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # ---------------------------------------------------------------------------
 # Ordering: the driver's correctness run checks a bounded PREFIX of the
 # registry (50 entries, verified rounds 2-10), so the order below is
-# chosen — not incidental.  ROTATION, round 12 (VERDICT r11 #1):
-# lead with the full round-6 cohort — the 31 entries whose newest
-# official driver row is still round 6 (e09, e12–e14, g07, g08, j01,
-# j05, j06, p03, q02, rc04, sql02, st01, st10, t13, t15–t23, w07,
-# x13–x17) — then fill the remaining 19 slots from the round-7
-# cohort (48 entries), starting with the reference-parity A-family
-# (a01–a15, a18–a20) plus b01_b02.  After this round every entry's
-# newest official row is r7+.  New entries landed later this round
-# displace r7-cohort fill entries from the END of the list (pushed
-# to the r13 prefix) — new code must be driver-certified the round
-# it lands; the 31 r6-stale entries are never displaced.
-# R13 PREFIX PLAN (write-ahead, VERDICT r11 #6): the 28 r7-stale
-# leftovers (c01, c02, c04, c05, c06, c08_pivot, c08_unpivot,
-# c10–c15, d01, d04, e01, e02, e04, e05, g05, t01–t06, v01–v03)
-# plus any fill displaced this round, topped up from the r8 cohort
-# (a12, a21, ac01–ac06, b06, c03, c07, c09, d02, d06, e08, ...),
-# plus a09, a10, a11, a13, a14, a15, a18, a19, a20, b01_b02, and
-# b03 (displaced from this round's fill by the new m06/m07/t25/e18/
-# x22/q05/st13/gr08/ac10/e19/w09 entries).
+# chosen — not incidental.  ROTATION, round 13 (VERDICT r12 #1):
+# lead with the 40 r7-stale leftovers — the entries whose newest
+# official driver row is still round 7 (a09–a15 minus a12, a18–a20,
+# b01_b02, b03, the c-family cohort, d01, d04, e01–e05 minus e03,
+# g05, t01–t06, v01–v03) — then fill the remaining 10 slots from
+# the r8 cohort (a12, a21, ac01–ac06, b06, c03).  After this round
+# every entry's newest official row is r8+.  New entries landed
+# later this round displace r8-cohort fill entries from the END of
+# the list (pushed to the r14 prefix) — new code must be
+# driver-certified the round it lands; the 40 r7-stale entries are
+# never displaced.
+# R14 PREFIX PLAN (write-ahead, VERDICT r12 #8): the r8-stale
+# remainder (~36 entries: c07, c09, c16, d02, d03, d05, d06, d08,
+# e03, e06–e08, e10, e11, g01–g04b, h-family, s01–s06, x01–x12
+# leftovers, ...) plus any r8 fill displaced this round, topped up
+# from the r9 cohort oldest-first.
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors (each has a hash-green
 # oracle-adjacent twin where one is possible: ipf_fixed, g04b,
 # m04/m05).
 _PREFIX = [
-    # r6 cohort: newest official row is round 6 (all 31)
-    "e09_activity_streaks", "e12_daily_top_type", "e13_rfm_segments",
-    "e14_cumulative_users",
-    "g07_weighted_mean", "g08_exact_corr",
-    "j01_asof_join", "j05_asof_nearest", "j06_point_in_time",
-    "p03_training_pipeline", "q02_referential_integrity",
-    "rc04_materialized_path", "sql02_shared_windows",
-    "st01_stream_hourly", "st10_stream_admission",
-    "t13_sequence_packing", "t15_sentence_split",
-    "t16_normalized_dupes", "t17_edit_distance_pairs",
-    "t18_unigram_logprob", "t19_bigram_logprob", "t20_line_dedup",
-    "t21_repeated_spans", "t22_bpe_merge_pairs", "t23_span_scrub",
-    "w07_native_session_window",
-    "x13_dynamic_partition_pruning", "x14_incremental_mv",
-    "x15_temperature_mix", "x16_training_shuffle", "x17_dsir_weights",
-    # r7 cohort fill (newest official row is round 7), 19 of 48:
-    # the reference A-family first (SURVEY §2 parity rows)
-    "a01_cmap", "a02_dot", "a03_diff_vector", "a04_l2_norm",
-    "a05_rmse", "a06_transpose", "a07_sum_rows", "a08_sum_cols",
-    # new in round 12 (displacing the a09/a10/a11/a13/a14/a15/a18/
-    # a19/a20/b01_b02/b03 fill slots to the r13 prefix, per the
-    # displacement rule above):
-    # the pinned ALS recommend/ranking twins (VERDICT r11 #3), the
-    # hash-key decontamination twin (VERDICT r11 #5), and the
-    # linear-interpolation / token-budget / schema-drift operators
-    "m06_pinned_recommend", "m07_pinned_ranking",
-    "t25_hashed_decontaminate",
-    "e18_linear_interpolate", "x22_token_budget_mix",
-    "q05_schema_drift", "st13_stream_budget_admission",
-    "gr08_connected_components", "ac10_snapshot_tag",
-    "e19_interval_coalesce", "w09_rolling_slope",
+    # r7-stale cohort: newest official row is round 7 (all 40)
+    "a09_laplace_smooth", "a10_weight_matrix", "a11_apply_weights",
+    "a13_mmult", "a14_seed_matrix", "a15_optimize_marginal",
+    "a18_normalize_matrix", "a19_error_matrix", "a20_matrix_norm",
+    "b01_b02_csv_roundtrip", "b03_symmetric_diff",
+    "c01_sorted_scan", "c02_filter_nonzero", "c04_micros_to_currency",
+    "c05_anti_join", "c06_zero_pad", "c08_pivot", "c08_unpivot",
+    "c10_safe_divide", "c11_upsert", "c12_set_ops",
+    "c13_try_arithmetic", "c14_nullsafe_join", "c15_explode_outer",
+    "d01_simhash", "d04_dedup_components",
+    "e01_hourly_value", "e02_json_extract", "e04_resample_gapfill",
+    "e05_variant_json", "g05_grouping_sets",
+    "t01_token_stats", "t02_quality_score", "t03_lang_id",
+    "t04_fingerprint", "t05_exact_dup_groups", "t06_tfidf",
+    "v01_cosine_pairs", "v02_topk_cosine", "v03_quantize_int8",
+    # r8-cohort fill (newest official row is round 8), 10 of ~46;
+    # new r13 entries displace these from the END per the rule above
+    "a12_add_labels", "a21_converge_coordinate",
+    "ac01_snapshot_merge", "ac02_time_travel", "ac03_zorder_code",
+    "ac04_compact_files", "ac05_vacuum", "ac06_schema_evolution",
+    "b06_corrupt_records", "c03_projection",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))
