@@ -559,12 +559,14 @@ def create_tag(path: str, name: str, version: int | None = None) -> int:
     exact rows forever, and :func:`vacuum` never expires a tagged
     version's manifest or files. Defaults to the latest version.
 
-    Tags are create-once — the 'x'-mode write is the same atomic
-    publish discipline as manifest commits, so two writers racing the
-    same tag name get one winner and one loud FileExistsError; a
-    mutable ref (a branch) would reintroduce exactly the lost-update
-    seam the manifest log exists to prevent. Returns the tagged
-    version."""
+    Tags are create-once — the publish is a hard-link of a fully
+    written temp file onto the final name (link fails if the target
+    exists), the same atomic discipline as manifest commits: two
+    writers racing the same tag name get one winner and one loud
+    FileExistsError, and a reader can never observe a truncated ref;
+    a mutable ref (a branch) would reintroduce exactly the
+    lost-update seam the manifest log exists to prevent. Returns the
+    tagged version."""
     _require_absolute(path)
     versions = _list_versions(path)
     if not versions:
@@ -588,8 +590,22 @@ def create_tag(path: str, name: str, version: int | None = None) -> int:
         )
     refs_dir = os.path.join(path, _REFS)
     os.makedirs(refs_dir, exist_ok=True)
-    with open(os.path.join(refs_dir, f"{name}.json"), "x") as fh:
+    # Write-then-link: json.dump straight into the 'x'-opened final
+    # file could crash mid-write and wedge the create-once name with
+    # a truncated ref that poisons every list_tags()/vacuum() after.
+    # os.link(tmp, final) keeps the atomic one-winner semantics (it
+    # fails with FileExistsError like 'x' does) while guaranteeing
+    # the published file is always complete.
+    final = os.path.join(refs_dir, f"{name}.json")
+    tmp = os.path.join(refs_dir, f".{name}.{os.getpid()}.tmp")
+    with open(tmp, "w") as fh:
         json.dump({"name": name, "version": version}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, final)
+    finally:
+        os.unlink(tmp)
     return version
 
 

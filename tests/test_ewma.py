@@ -614,6 +614,52 @@ def test_stream_ewma_rejects_conflicting_intra_batch_duplicate(
         run_stream_to_batch(ewma_stream(stream), output_mode="append")
 
 
+def test_stream_ewma_rejects_reused_event_id_across_ts(spark, tmp_path):
+    """ADVICE r12: two rows sharing an event_id but differing in ts_ns
+    violate the 'event_id is unique per event' premise the replay
+    logic rests on, yet the exact-(ts_ns, event_id) twin dedup never
+    sees them — they must fail as loudly as the value-conflict case,
+    not be silently scored as two distinct events."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from alternating_least_squares_spark.streaming import (
+        ewma_stream,
+        run_stream_to_batch,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (7, t0 + datetime.timedelta(seconds=1), 1, 4.0),
+        (7, t0 + datetime.timedelta(seconds=2), 1, 4.0),  # reused id
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        ),
+        str(src / "wave_0.parquet"),
+    )
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    stream = (
+        spark.readStream.schema(spark.createDataFrame([], schema).schema)
+        .parquet(str(src))
+        .select(
+            "event_id", "user_id", "value",
+            (F.unix_micros("ts") * 1000).alias("ts_ns"),
+        )
+    )
+    with pytest.raises(Exception, match="unique per"):
+        run_stream_to_batch(ewma_stream(stream), output_mode="append")
+
+
 def test_w09_rolling_slope_hand_computed(spark, tmp_path):
     """w09 on a hand series: a perfectly linear stretch yields exactly
     slope_num/slope_den = its per-step increment in micro-units; a

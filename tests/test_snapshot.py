@@ -578,6 +578,45 @@ def test_tag_lifecycle_and_validation(spark, base, tmp_path):
         SN.read_tag(spark, path, "nope")
 
 
+def test_tag_publish_is_atomic_and_tmp_debris_is_ignored(
+    spark, base, tmp_path, monkeypatch
+):
+    """ADVICE r12: a crash mid-write must never wedge a tag name with
+    a truncated ref (which would poison every later list_tags and
+    vacuum). The publish is write-tmp-then-hard-link, so (a) a crash
+    before the link leaves only non-.json debris that list_tags and
+    vacuum ignore, and (b) the name stays available afterward."""
+    import os
+
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+
+    real_link = os.link
+    calls = {"n": 0}
+
+    def crashing_link(src, dst, **kw):
+        calls["n"] += 1
+        raise OSError("simulated crash at publish time")
+
+    monkeypatch.setattr(os, "link", crashing_link)
+    with pytest.raises(OSError, match="simulated crash"):
+        SN.create_tag(path, "rel1")
+    monkeypatch.setattr(os, "link", real_link)
+    assert calls["n"] == 1
+    # the failed attempt left no visible ref and no poisoned state
+    assert SN.list_tags(path) == {}
+    refs_dir = os.path.join(path, "_refs")
+    assert [f for f in os.listdir(refs_dir) if f.endswith(".json")] == []
+    # the name is still claimable, and leftover debris (simulate a
+    # hard kill between write and unlink) never breaks list_tags
+    with open(os.path.join(refs_dir, ".rel1.999.tmp"), "w") as fh:
+        fh.write('{"name": "rel1"')  # truncated on purpose
+    assert SN.create_tag(path, "rel1") == 0
+    assert SN.list_tags(path) == {"rel1": 0}
+    res = SN.vacuum(path, keep_last=1)
+    assert res["versions_kept"] == 1
+
+
 def test_vacuum_pins_tagged_versions(spark, base, tmp_path):
     """vacuum(keep_last=1) must expire untagged history but keep every
     TAGGED manifest and its files readable — the Iceberg
