@@ -57,7 +57,6 @@ HEADLINE = [
     "t01_token_stats",
     "t06_tfidf",
     "p02_corpus_stats",
-    "d03_minhash_near_dup",
     "s01_lsh_topk",
     "s03_ivf_topk",
     "m01_als_recommend",
@@ -75,15 +74,12 @@ HEADLINE = [
     "x13_dynamic_partition_pruning",
     "w07_native_session_window",
     "m04_market_basket",
-    "d09_incremental_near_dup",
     "sm01_semantic_dedup",
     # late round-6 additions: LM scorers, persisted-index admission,
     # exact moments, triangles, line dedup, temporal anti-join
-    "t19_bigram_logprob",
     "d10_indexed_admission",
     "g08_exact_corr",
     "gr03_triangles",
-    "j07_abandoned_clicks",
     # restart-session additions: span-level dedup, tokenizer-training
     # pair counts, training-order shuffle
     "t21_repeated_spans",
@@ -108,12 +104,21 @@ HEADLINE = [
     "st12_stream_drift_gate",
     # round-12 additions: the pinned ALS recommend/ranking twins, the
     # hash-keyed decontamination variant, and linear interpolation
-    # (the heaviest new shuffle shape; x22/q05 are bounded-aggregate
-    # shapes timed once in BASELINE.md instead of a headline slot)
     "m06_pinned_recommend",
     "m07_pinned_ranking",
     "t25_hashed_decontaminate",
     "e18_linear_interpolate",
+    # round-13 rotation (VERDICT r12 #2): retired d09 (d10 is the
+    # production band-index path and stays), t19 (t18 keeps the LM
+    # family), j07 (temporal anti-join shape folded into j06's slot),
+    # and d03 (d11 covers the same LSH pair-gen plus keep-one choice);
+    # admitted the round-12 plan shapes that lacked timing history —
+    # interval coalescing, trailing OLS, hash-min components, and the
+    # exact token-budget mix
+    "e19_interval_coalesce",
+    "w09_rolling_slope",
+    "gr08_connected_components",
+    "x22_token_budget_mix",
 ]
 # The freeze (see the policy comment above HEADLINE): ~30 chars/query
 # in the compact line, 52 * 30 + ~120 overhead ~= 1680 < the 1900
