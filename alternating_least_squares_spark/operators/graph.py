@@ -641,3 +641,109 @@ def components_fixed(edges: DataFrame, rounds: int) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int | None = None,
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007, the near-linear community baseline behind modularity
+    seeding, spam-cluster triage, and catalog grouping): every vertex
+    starts labeled with its own id and each round adopts the most
+    frequent label among its neighbors' current labels PLUS its own —
+    ties broken by the minimum label. The self-vote and the min
+    tie-break make the update fully deterministic (classic LPA breaks
+    ties randomly, which can never hash-match across engines) and damp
+    the 2-cycle oscillation synchronous LPA is prone to on bipartite
+    structures. Input is an undirected edge list (columns ``a``,
+    ``b``; symmetrized and deduplicated here). Returns ``(vertex,
+    community)`` — community = the converged (or round-``rounds``)
+    label.
+
+    Two modes, the gr01/ipf/kcore twin discipline:
+
+    - ``rounds=None`` (live): iterate to the FIXPOINT, detected by a
+      zero changed-label count — one count() action per round, the
+      rc01 fixpoint pattern — with a loud RuntimeError instead of
+      spinning on a (theoretically possible) oscillating input.
+      ``max_rounds=None`` derives the guard lazily at
+      ``_GUARD_CHECK_AT`` rounds from the vertex count (label
+      propagation converges in O(diameter)-ish rounds on real graphs;
+      |V|+1 spent rounds means oscillation, never a legitimate deep
+      graph).
+    - ``rounds=R`` (fixed sweep): exactly R rounds, NO count actions —
+      well-defined whether or not the fixpoint was reached, so an
+      unrolled-SQL oracle can state the result exactly (and when R ≥
+      the data's convergence depth it IS the fixpoint; a pytest pins
+      fixed == live at the test SFs).
+
+    Distributed shape: per round ONE vertex-keyed equi-join (labels
+    onto out-edges) + ONE (vertex, label) count + ONE vertex-keyed
+    deterministic argmax (min of a (-count, label) struct — partial
+    aggregation applies, unlike a row_number window which would sort),
+    all hash-partitioned on vertex/edge keys, linear in |E|; no
+    adjacency arrays, nothing broadcast. Per-round ``localCheckpoint``
+    keeps lineage flat — at 100 TB the work is R bounded shuffles of a
+    fixed-size label table.
+    """
+    e = edges.select("a", "b").distinct()
+    e = (
+        e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        e.select(F.col("a").alias("vertex"))
+        .distinct()
+        .select("vertex", F.col("vertex").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    limit = max_rounds
+    r = 0
+    while True:
+        if rounds is not None and r >= rounds:
+            break
+        if rounds is None and limit is None and r >= _GUARD_CHECK_AT:
+            limit = labels.count() + r + 1
+        if rounds is None and limit is not None and r >= limit:
+            raise RuntimeError(
+                f"label_propagation: no fixpoint after {limit} rounds "
+                "(synchronous oscillation?)"
+            )
+        neighbor = e.join(
+            labels, e.a == labels.vertex
+        ).select(F.col("b").alias("vertex"), "label")
+        new_labels = (
+            labels.unionByName(neighbor)  # self-vote + neighbor votes
+            .groupBy("vertex", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("vertex")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("neg_cnt"),
+                        F.col("label").alias("label"),
+                    )
+                ).alias("_best")
+            )
+            .select("vertex", F.col("_best.label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        r += 1
+        if rounds is None:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "vertex")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
+    return labels.select("vertex", F.col("label").alias("community"))

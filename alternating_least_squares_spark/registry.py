@@ -8712,6 +8712,89 @@ def _gr08_oracle(rounds: int, min_support: int) -> str:
 SQL_GR08 = _gr08_oracle(GR08_ROUNDS, GR05_MIN_SUPPORT)
 
 
+GR09_ROUNDS = 8
+
+
+def q_gr09_label_propagation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Community detection on the support-thresholded co-purchase
+    graph (operators/graph.label_propagation, fixed sweep) — the
+    canonical near-linear community primitive after components
+    (gr08): each part adopts the most frequent label among its
+    neighbors plus itself, ties to the minimum label, so the update
+    is fully deterministic (classic LPA's random tie-break can never
+    hash-match across engines). Unlike hash-min components, dense
+    clusters RETAIN distinct labels across bridge edges — the
+    product-grouping / spam-cluster shape components can't express
+    (sf0.01: 355 communities vs gr08's handful of components on the
+    same graph). Exactly GR09_ROUNDS=8 synchronous rounds on both
+    sides — ≥ the measured convergence depth at both test SFs (4 at
+    sf0.001, 6 at sf0.01), so the hash-checked result here IS the
+    fixpoint; fixed-sweep == the live convergence loop is pinned by
+    pytest. Same Pregel-as-DataFrames shape as gr01/gr05/gr08: per
+    round one vertex-keyed join, one (vertex, label) count, one
+    vertex-keyed deterministic argmax (min of a (-count, label)
+    struct — partial-agg friendly, no window sort), per-round
+    localCheckpoint."""
+    from alternating_least_squares_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = _support_edges(spark, sf_dir)
+    return label_propagation(edges, rounds=GR09_ROUNDS).select(
+        F.col("vertex").alias("part"), "community"
+    )
+
+
+def _gr09_oracle(rounds: int, min_support: int) -> str:
+    """Unrolled synchronous LPA — one label CTE per round (the gr05
+    materialization lesson: l{r} references l{r-1} twice, so plain
+    CTEs inline exponentially). The argmax is row_number ordered by
+    (cnt DESC, label ASC) — identical to the Spark side's
+    min((-cnt, label)) struct ordering."""
+    parts = [
+        "WITH li AS MATERIALIZED "
+        "(SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),",
+        "e0 AS MATERIALIZED (",
+        "  SELECT x.l_partkey AS a, y.l_partkey AS b",
+        "  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey",
+        "  WHERE x.l_partkey < y.l_partkey",
+        f"  GROUP BY 1, 2 HAVING count(*) >= {min_support}",
+        "),",
+        "e AS MATERIALIZED (SELECT a, b FROM e0 "
+        "UNION ALL SELECT b, a FROM e0),",
+        "l0 AS MATERIALIZED "
+        "(SELECT DISTINCT a AS v, a AS l FROM e)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""", l{r} AS MATERIALIZED (
+  SELECT v, l FROM (
+    SELECT v, l, row_number() OVER (
+      PARTITION BY v ORDER BY cnt DESC, l ASC
+    ) AS rn
+    FROM (
+      SELECT v, l, count(*) AS cnt FROM (
+        SELECT v, l FROM l{p}
+        UNION ALL
+        SELECT e.b AS v, l{p}.l FROM e JOIN l{p} ON e.a = l{p}.v
+      ) GROUP BY 1, 2
+    )
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"SELECT v AS part, CAST(l AS BIGINT) AS community "
+        f"FROM l{rounds}"
+    )
+    return "\n".join(parts)
+
+
+SQL_GR09 = _gr09_oracle(GR09_ROUNDS, GR05_MIN_SUPPORT)
+
+
 def q_e11_trailing_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day active users per day (the WAU analytics shape).
     Scale formulation: dedupe to (user, day) FIRST, then EXPLODE each
@@ -12079,6 +12162,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "gr06_bfs_distance": (q_gr06_bfs_distance, SQL_GR06),
     "gr07_clustering_coeff": (q_gr07_clustering_coeff, SQL_GR07),
     "gr08_connected_components": (q_gr08_connected_components, SQL_GR08),
+    "gr09_label_propagation": (q_gr09_label_propagation, SQL_GR09),
 }
 
 
@@ -12127,7 +12211,11 @@ _PREFIX = [
     "a12_add_labels", "a21_converge_coordinate",
     "ac01_snapshot_merge", "ac02_time_travel", "ac03_zorder_code",
     "ac04_compact_files", "ac05_vacuum", "ac06_schema_evolution",
-    "b06_corrupt_records", "c03_projection",
+    "b06_corrupt_records",
+    # new in round 13 (displacing the c03 fill slot to the r14
+    # prefix, per the displacement rule above): label-propagation
+    # communities (VERDICT r12 #4)
+    "gr09_label_propagation",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

@@ -688,3 +688,107 @@ def test_components_fixed_matches_bounded_python_replay(spark, raw, rounds):
                 nxt[b] = labels[a]
         labels = nxt
     assert got == labels
+
+
+def test_label_propagation_hand_computed(spark):
+    """gr09's operator on two triangles joined by a bridge: LPA keeps
+    the triangles as DISTINCT communities (the differentiator vs
+    components, which would merge everything reachable), because the
+    bridge carries one vote while each triangle's internal majority
+    carries two."""
+    from alternating_least_squares_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        "a: long, b: long",
+    )
+    got = {
+        r["vertex"]: r["community"]
+        for r in label_propagation(edges, rounds=4).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+    # and the live fixpoint loop lands on the same answer
+    live = {
+        r["vertex"]: r["community"]
+        for r in label_propagation(edges).collect()
+    }
+    assert live == got
+
+
+def test_gr09_fixed_sweep_equals_live_convergence(spark):
+    """GR09_ROUNDS must cover the support graph's LPA convergence
+    depth at the test SF: the fixed sweep must equal the live
+    fixpoint loop (changed-count early exit, loud guard)."""
+    from alternating_least_squares_spark.operators.graph import (
+        label_propagation,
+    )
+    from alternating_least_squares_spark.registry import (
+        _support_edges,
+        q_gr09_label_propagation,
+    )
+    from tests.conftest import SF_SMALL
+
+    got = {
+        (r["part"], r["community"])
+        for r in q_gr09_label_propagation(spark, SF_SMALL).collect()
+    }
+    live = {
+        (r["vertex"], r["community"])
+        for r in label_propagation(_support_edges(spark, SF_SMALL)).collect()
+    }
+    assert got == live and got
+
+
+def test_label_propagation_guard_raises(spark):
+    """max_rounds below the convergence depth must fail loudly (the
+    kcore/bfs guard discipline), never return a silent under-sweep
+    from the live mode."""
+    from alternating_least_squares_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "a: long, b: long"
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        label_propagation(edges, max_rounds=1)
+
+
+@settings(max_examples=8, deadline=None)
+@given(raw=edge_set, rounds=st.integers(min_value=1, max_value=8))
+def test_label_propagation_matches_python_replay(spark, raw, rounds):
+    """gr09 property: on any random graph and ANY round budget, the
+    DataFrame LPA must equal a sequential Python replay of the same
+    deterministic synchronous update (self-vote + neighbor votes,
+    argmax by (count DESC, label ASC)) — including honest
+    under-sweeps."""
+    from collections import Counter
+
+    from alternating_least_squares_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in sorted(raw)], "a: long, b: long"
+    )
+    got = {
+        r["vertex"]: r["community"]
+        for r in label_propagation(edges, rounds=rounds).collect()
+    }
+
+    und = set()
+    for a, b in raw:
+        und.add((a, b))
+        und.add((b, a))
+    vertices = {v for e in und for v in e}
+    nbrs = {v: {u for (u, w) in und if w == v} for v in vertices}
+    labels = {v: v for v in vertices}
+    for _ in range(rounds):
+        nxt = {}
+        for v in vertices:
+            votes = Counter([labels[v]] + [labels[u] for u in nbrs[v]])
+            nxt[v] = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        labels = nxt
+    assert got == labels
