@@ -10966,6 +10966,78 @@ FROM s WHERE n_obs >= 2
 """
 
 
+W10_WINDOW = 8  # trailing observations per median
+
+
+def q_w10_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing exact median per event — the rolling ROBUST center of
+    each user's last W10_WINDOW observations (w08's EWMA level is
+    mean-family and one outlier drags it; the median is the
+    spike-resistant baseline behind robust anomaly thresholds).
+    Emitted as the exact integer micro-unit pair (med_lo, med_hi) —
+    the two middle order statistics of the frame, equal when the
+    count is odd — because the (lo+hi)/2 average is the only inexact
+    step, so the hash certifies every ordered-selection the engine
+    performs (the q04/w09 emit-the-terms discipline).
+
+    Shape: ONE user-keyed exchange serves the count and the frame
+    array (single window spec, the w09 subset rule); the frame is
+    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW, so collect_list holds
+    ≤ 8 elements per row — bounded memory at any user cardinality,
+    and array_sort over 8 elements stays inside codegen. NaN
+    observations dropped first; ordering is the (ts_ns, event_id)
+    total order (the e08 discipline) so ties cannot flap engines.
+    At 100 TB this is the same single hash-exchange-on-user_id every
+    w-family op rides — no second shuffle, no per-frame re-sort
+    beyond the 8-element array."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(~F.isnan("value"))
+        .select(
+            "user_id",
+            "event_id",
+            "ts_ns",
+            F.floor(F.col("value") * 1_000_000).cast("long").alias("_y"),
+        )
+    )
+    w_tr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(-(W10_WINDOW - 1), 0)
+    )
+    arr = F.array_sort(F.collect_list("_y").over(w_tr))
+    n = F.size(arr).cast("long")
+    return ev.select(
+        "user_id",
+        "event_id",
+        n.alias("n_obs"),
+        F.get(arr, ((n - F.lit(1)) / F.lit(2)).cast("int")).alias("med_lo"),
+        F.get(arr, (n / F.lit(2)).cast("int")).alias("med_hi"),
+    )
+
+
+SQL_W10 = f"""
+WITH ev AS (
+  SELECT user_id, event_id,
+         epoch_ns(ts) AS ts_ns,
+         CAST(floor(value * 1000000) AS BIGINT) AS y
+  FROM events WHERE NOT isnan(value)
+),
+s AS (
+  SELECT user_id, event_id,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n_obs,
+         list_sort(list(y) OVER w) AS arr
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id
+               ROWS BETWEEN {W10_WINDOW - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, n_obs,
+       CAST(arr[CAST((n_obs - 1) // 2 AS INT) + 1] AS BIGINT) AS med_lo,
+       CAST(arr[CAST(n_obs // 2 AS INT) + 1] AS BIGINT) AS med_hi
+FROM s
+"""
+
+
 def q_w08_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-horizon EWMA smoothing per user (α=0.5 over the last 8
     observations, weights renormalized over available history) — the
@@ -12147,6 +12219,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "p04_drift_gated_admission": (q_p04_drift_gated_admission, SQL_P04),
     "w08_ewma": (q_w08_ewma, SQL_W08),
     "w09_rolling_slope": (q_w09_rolling_slope, SQL_W09),
+    "w10_rolling_median": (q_w10_rolling_median, SQL_W10),
     "st11_stream_ewma": (q_st11_stream_ewma, SQL_W08),
     "st12_stream_drift_gate": (q_st12_stream_drift_gate, SQL_ST12),
     "st13_stream_budget_admission": (q_st13_stream_budget_admission, SQL_ST13),
@@ -12211,11 +12284,12 @@ _PREFIX = [
     "a12_add_labels", "a21_converge_coordinate",
     "ac01_snapshot_merge", "ac02_time_travel", "ac03_zorder_code",
     "ac04_compact_files", "ac05_vacuum", "ac06_schema_evolution",
-    "b06_corrupt_records",
-    # new in round 13 (displacing the c03 fill slot to the r14
-    # prefix, per the displacement rule above): label-propagation
-    # communities (VERDICT r12 #4)
+    # new in round 13 (displacing the c03 and b06 fill slots to the
+    # r14 prefix, per the displacement rule above): label-propagation
+    # communities (VERDICT r12 #4) and the trailing exact median
+    # (VERDICT r12 #5)
     "gr09_label_propagation",
+    "w10_rolling_median",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

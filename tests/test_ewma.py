@@ -707,3 +707,99 @@ def test_w09_rolling_slope_hand_computed(spark, tmp_path):
     }
     assert got[1][1] / got[1][2] == 2_000_000.0
     assert got[2][1] / got[2][2] == 2_000_000.0
+
+
+def test_w10_rolling_median_hand_computed(spark, tmp_path):
+    """w10 on a hand series: med_lo/med_hi are the two middle order
+    statistics of the trailing frame (equal on odd counts); a spike
+    entering the window leaves the median untouched (robustness, the
+    point of the operator); NaN rows are not observations."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from alternating_least_squares_spark import registry
+
+    t0 = datetime.datetime(2024, 1, 1)
+    vals = [2.0, 1.0, float("nan"), 3.0, 100.0]  # spike at the end
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=i + 1), 7, v)
+        for i, v in enumerate(vals)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows), pa.string()),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = {
+        r["event_id"]: (r["n_obs"], r["med_lo"], r["med_hi"])
+        for r in registry.q_w10_rolling_median(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    M = 1_000_000
+    assert got == {
+        0: (1, 2 * M, 2 * M),  # [2]
+        1: (2, 1 * M, 2 * M),  # [1,2] — even: the two middles differ
+        3: (3, 2 * M, 2 * M),  # [1,2,3] — odd: both middles = median
+        4: (4, 2 * M, 3 * M),  # [1,2,3,100] — the spike never moves it
+    }
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-100, max_value=100,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_w10_rolling_median_matches_pandas(spark, tmp_path_factory, vals):
+    """w10 property: on any series, (med_lo + med_hi) / 2 in
+    micro-units equals pandas' rolling(window=8, min_periods=1)
+    median of the floored micro-unit series."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import math
+
+    from alternating_least_squares_spark import registry
+
+    tmp_path = tmp_path_factory.mktemp("w10")
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=i + 1), 1, v)
+        for i, v in enumerate(vals)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows), pa.string()),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = {
+        r["event_id"]: (r["med_lo"] + r["med_hi"]) / 2
+        for r in registry.q_w10_rolling_median(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    y = pd.Series([math.floor(v * 1_000_000) for v in vals], dtype="float64")
+    want = y.rolling(window=8, min_periods=1).median()
+    assert got == {i: want[i] for i in range(len(vals))}
