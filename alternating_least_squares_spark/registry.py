@@ -11815,6 +11815,108 @@ FROM all_docs GROUP BY key
 """
 
 
+D12_SHARED = 28   # family tokens shared by the A/B twins
+D12_UNIQUE = 2    # per-twin unique tokens -> union 32, Jaccard 28/32
+D12_C_SHARED = 20  # the sub-threshold variant keeps 20 of 30 tokens
+
+
+def _d12_family_text(dstr, n: int, extra: list) -> "F.Column":
+    """'fam{id}t0 fam{id}t1 .. fam{id}t{n-1} <extra...>' as one
+    codegen concat chain (NO HOF transform — the r12 interpreted-
+    lambda lesson): token strings are injective across (id, i)."""
+    pieces = []
+    for i in range(n):
+        if pieces:
+            pieces.append(F.lit(" "))
+        pieces += [F.lit("fam"), dstr, F.lit(f"t{i}")]
+    for e in extra:
+        pieces += [F.lit(" "), e]
+    return F.concat(*pieces)
+
+
+def q_d12_threshold_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash LSH at a REAL sub-1.0 threshold (0.8) with
+    SQL-stateable ground truth — closing the dedup ladder's
+    "only threshold-1.0 is hash-proved" asterisk (d03/d11 force
+    Jaccard to exactly 1 or 0; here the verify stage's exact-Jaccard
+    predicate does real work on partial overlap). Construction, the
+    d09 forced-Jaccard idea extended to fractions:
+
+    - noise docs (id%10!=0): five per-id tokens, zero cross-doc
+      overlap — never candidates, never output.
+    - per id%10==0, an A/B twin pair (id, id+20M): 28 shared family
+      tokens + 2 per-twin unique tokens, so the token-set (k=1
+      shingle) Jaccard is EXACTLY 28/32 = 0.875 — a dyadic rational,
+      so round(·, 6) is the same double in any engine — above the
+      0.8 threshold: must be emitted.
+    - a C variant (id+40M): 20 of the family tokens + 10 unique, so
+      J(A,C)=J(B,C)=20/40=0.5 < 0.8: C may well become a CANDIDATE
+      (shared tokens force many band collisions) but the verify
+      stage must reject it — the rejection path is what this entry
+      proves.
+
+    Candidate recall is not left to chance: with 16 bands of 2 rows,
+    a twin pair misses every band only if all 32 permutations land a
+    minimum in the 4 non-shared tokens of the union in a correlated
+    way — probability (1-0.875²)¹⁶ ≈ 9e-11 per pair, and xxhash64 is
+    deterministic, so for the fixed id-derived token strings the
+    collision outcome is a constant verified at all test SFs (a
+    pytest also pins recall == 1.0 vs brute force at sf0.001).
+    Scale shape: inherits near_dup_pairs unchanged — banded equi-join
+    candidate generation, exact-Jaccard verify on the hashed shingle
+    sets, nothing all-pairs."""
+    from alternating_least_squares_spark.functions.dedup import (
+        near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    dstr = F.col("doc_id").cast("string")
+    noise = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.concat(
+            F.lit("zq"), dstr, F.lit("a zq"), dstr, F.lit("b zq"), dstr,
+            F.lit("c zq"), dstr, F.lit("d zq"), dstr, F.lit("e"),
+        ).alias("text"),
+    )
+    fams = docs.filter(F.col("doc_id") % 10 == 0)
+    a = fams.select(
+        "doc_id",
+        _d12_family_text(
+            dstr, D12_SHARED,
+            [F.concat(F.lit("uqa"), dstr, F.lit(s)) for s in ("x", "y")],
+        ).alias("text"),
+    )
+    b = fams.select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        _d12_family_text(
+            dstr, D12_SHARED,
+            [F.concat(F.lit("uqb"), dstr, F.lit(s)) for s in ("x", "y")],
+        ).alias("text"),
+    )
+    c = fams.select(
+        (F.col("doc_id") + 40_000_000).alias("doc_id"),
+        _d12_family_text(
+            dstr, D12_C_SHARED,
+            [
+                F.concat(F.lit("uqc"), dstr, F.lit(f"w{i}"))
+                for i in range(10)
+            ],
+        ).alias("text"),
+    )
+    corpus = noise.unionByName(a).unionByName(b).unionByName(c)
+    return near_dup_pairs(
+        corpus, "doc_id", "text",
+        n_hashes=32, bands=16, k=1, threshold=0.8,
+    )
+
+
+SQL_D12 = """
+SELECT doc_id AS id_a, doc_id + 20000000 AS id_b,
+       CAST(0.875 AS DOUBLE) AS jaccard
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+
 def q_x16_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle for training-data ordering — the
     last pipeline stage before a trainer reads the corpus: every doc
@@ -12208,6 +12310,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "t22_bpe_merge_pairs": (q_t22_bpe_merge_pairs, SQL_T22),
     "x16_training_shuffle": (q_x16_training_shuffle, SQL_X16),
     "d11_neardup_keep_one": (q_d11_neardup_keep_one, SQL_D11),
+    "d12_threshold_near_dup": (q_d12_threshold_near_dup, SQL_D12),
     "x17_dsir_weights": (q_x17_dsir_weights, SQL_X17),
     "x22_token_budget_mix": (q_x22_token_budget_mix, SQL_X22),
     "t23_span_scrub": (q_t23_span_scrub, SQL_T23),
@@ -12283,13 +12386,15 @@ _PREFIX = [
     # new r13 entries displace these from the END per the rule above
     "a12_add_labels", "a21_converge_coordinate",
     "ac01_snapshot_merge", "ac02_time_travel", "ac03_zorder_code",
-    "ac04_compact_files", "ac05_vacuum", "ac06_schema_evolution",
-    # new in round 13 (displacing the c03 and b06 fill slots to the
-    # r14 prefix, per the displacement rule above): label-propagation
-    # communities (VERDICT r12 #4) and the trailing exact median
-    # (VERDICT r12 #5)
+    "ac04_compact_files", "ac05_vacuum",
+    # new in round 13 (displacing the c03, b06, and ac06 fill slots
+    # to the r14 prefix, per the displacement rule above):
+    # label-propagation communities (VERDICT r12 #4), the trailing
+    # exact median (VERDICT r12 #5), and sub-1.0-threshold LSH
+    # (VERDICT r12 #6)
     "gr09_label_propagation",
     "w10_rolling_median",
+    "d12_threshold_near_dup",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

@@ -130,8 +130,15 @@ def test_verify_on_hash_matches_string_pairs(spark):
     a byte-identical (id_a, id_b, jaccard) set to the oracle-friendly
     string path — distinct shingles map to distinct longs, so the set
     algebra is unchanged."""
+    # near replaces every 50th token: 2 substitutions kill ≤6 of ~98
+    # k=3 shingles, so shingle-level J ≈ 0.89 — deep in the S-curve's
+    # near-certain zone (P[no band] ≈ 1e-4), and xxhash64 is
+    # deterministic so the collide outcome for THIS fixture is a
+    # constant (the old % 7 fixture had shingle-J ≈ 0.4 and only
+    # produced candidates under the pre-r13 degenerate rank-1
+    # banding).
     base = " ".join(f"tok{i}" for i in range(100))
-    near = " ".join(f"tok{i}" if i % 7 else f"alt{i}" for i in range(100))
+    near = " ".join(f"tok{i}" if i % 50 else f"alt{i}" for i in range(100))
     docs = spark.createDataFrame(
         [(0, base), (1, base), (2, near), (3, "one two three")],
         "doc_id long, text string",
@@ -304,3 +311,82 @@ def test_indexed_admission_matches_inmemory_and_moves_no_corpus(spark, tmp_path)
         "doc_id long, text string",
     )
     assert ids(admit_with_band_index(spark, name, batch2)) == [6]
+
+
+def test_d12_matches_brute_force_at_sf0001(spark):
+    """d12 recall property (VERDICT r12 #6): the pipeline's output at
+    sf0.001 must equal an all-pairs exact token-set Jaccard ≥ 0.8
+    brute force over the SAME constructed corpus — recall 1.0 (every
+    planted J=0.875 twin survives banding) AND precision 1.0 (every
+    J=0.5 variant and J=0 noise pair is rejected), at a real sub-1.0
+    threshold."""
+    from itertools import combinations
+
+    from alternating_least_squares_spark.registry import (
+        q_d12_threshold_near_dup,
+    )
+    from tests.conftest import SF_SMALL
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in q_d12_threshold_near_dup(spark, SF_SMALL).collect()
+    }
+
+    # rebuild the construction in Python and brute-force it
+    from alternating_least_squares_spark.sources import load_table
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, SF_SMALL, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    toks = {}
+    for i in ids:
+        if i % 10:
+            toks[i] = {f"zq{i}{s}" for s in "abcde"}
+        else:
+            fam = {f"fam{i}t{j}" for j in range(28)}
+            toks[i] = fam | {f"uqa{i}x", f"uqa{i}y"}
+            toks[i + 20_000_000] = fam | {f"uqb{i}x", f"uqb{i}y"}
+            toks[i + 40_000_000] = {f"fam{i}t{j}" for j in range(20)} | {
+                f"uqc{i}w{j}" for j in range(10)
+            }
+    want = {}
+    for x, y in combinations(sorted(toks), 2):
+        j = len(toks[x] & toks[y]) / len(toks[x] | toks[y])
+        if j >= 0.8:
+            want[(x, y)] = round(j, 6)
+    assert got == want and len(got) == sum(1 for i in ids if i % 10 == 0)
+
+
+def test_d12_sub_threshold_pairs_are_candidates_but_rejected(spark):
+    """The C variant must be REJECTED BY THE VERIFY STAGE, not by
+    never becoming a candidate: at threshold 0 the same corpus emits
+    the (A,C)/(B,C) pairs with their exact J=0.5 — proof the banded
+    join surfaced them and the ≥0.8 predicate is what filters them
+    in d12 proper."""
+    fam = " ".join(f"fam9t{j}" for j in range(28))
+    fam20 = " ".join(f"fam9t{j}" for j in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{fam} uqa9x uqa9y"),
+            (2, f"{fam} uqb9x uqb9y"),
+            (3, f"{fam20} " + " ".join(f"uqc9w{j}" for j in range(10))),
+        ],
+        "doc_id long, text string",
+    )
+    lo = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in near_dup_pairs(
+            docs, n_hashes=32, bands=16, k=1, threshold=0.0
+        ).collect()
+    }
+    assert lo == {(1, 2): 0.875, (1, 3): 0.5, (2, 3): 0.5}
+    hi = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in near_dup_pairs(
+            docs, n_hashes=32, bands=16, k=1, threshold=0.8
+        ).collect()
+    }
+    assert hi == {(1, 2): 0.875}
