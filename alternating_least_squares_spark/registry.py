@@ -4339,6 +4339,48 @@ def q_sql04_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_SHARED_SQL04)
 
 
+SQL_SHARED_SQL05 = """
+SELECT l_linestatus,
+       CAST(A AS BIGINT) AS qty_a,
+       CAST(N AS BIGINT) AS qty_n,
+       CAST(R AS BIGINT) AS qty_r
+FROM (
+  SELECT * FROM (
+    SELECT l_linestatus, l_returnflag, CAST(l_quantity AS BIGINT) AS qty
+    FROM lineitem
+  ) PIVOT (
+    sum(qty) FOR l_returnflag IN ('A', 'N', 'R')
+  )
+)
+"""
+
+
+def q_sql05_shared_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ``PIVOT`` in the shared dialect (VERDICT r12 #7):
+    c08 proves pivot SEMANTICS through the DataFrame API against a
+    CASE-expression oracle; this proves the SQL-TEXT surface — the
+    same ``FROM (...) PIVOT (agg FOR col IN (...))`` statement parses
+    and agrees on Spark 4 and DuckDB, extending the sql01/sql02/sql04
+    one-text-two-engines contract to pivoting. Dialect-intersection
+    notes: the implicit-group-by form only (Spark rejects a GROUP BY
+    inside PIVOT; DuckDB defaults to the remaining columns), bare
+    single-char IN values so both engines emit identical column
+    names, and an OUTER cast of each pivoted column because DuckDB
+    widens SUM(BIGINT) to HUGEINT (the e09/t13 lesson) while Spark
+    stays BIGINT. Scale shape: Catalyst compiles SQL PIVOT to two
+    keyed aggregations — partial_sum on (l_linestatus, l_returnflag)
+    then pivotfirst on l_linestatus — BOTH map-side combined, so the
+    first exchange carries ≤ |status|·|flag| rows per mapper and the
+    second ≤ |status|; plan-asserted in tests/test_plans.py. (c08's
+    hand-built conditional-sum pivot does it in one exchange; the
+    extra hop is the price of the generic SQL form and is bounded by
+    the group-key cardinality, not the data.)"""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem"
+    )
+    return spark.sql(SQL_SHARED_SQL05)
+
+
 def q_sql03_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative SQL UDFs (SPARK-51086 family, GA in Spark 4):
     ``CREATE FUNCTION ... RETURNS DOUBLE RETURN <expr>`` — the
@@ -12294,6 +12336,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sql02_shared_windows": (q_sql02_shared_windows, SQL_SHARED_SQL02),
     "sql03_sql_udf": (q_sql03_sql_udf, SQL_SQL03),
     "sql04_lateral_topk": (q_sql04_lateral_topk, SQL_SHARED_SQL04),
+    "sql05_shared_pivot": (q_sql05_shared_pivot, SQL_SHARED_SQL05),
     "e14_cumulative_users": (q_e14_cumulative_users, SQL_E14),
     "t16_normalized_dupes": (q_t16_normalized_dupes, SQL_T16),
     "gr02_degree_profile": (q_gr02_degree_profile, SQL_GR02),
@@ -12386,15 +12429,16 @@ _PREFIX = [
     # new r13 entries displace these from the END per the rule above
     "a12_add_labels", "a21_converge_coordinate",
     "ac01_snapshot_merge", "ac02_time_travel", "ac03_zorder_code",
-    "ac04_compact_files", "ac05_vacuum",
-    # new in round 13 (displacing the c03, b06, and ac06 fill slots
-    # to the r14 prefix, per the displacement rule above):
+    "ac04_compact_files",
+    # new in round 13 (displacing the c03, b06, ac06, and ac05 fill
+    # slots to the r14 prefix, per the displacement rule above):
     # label-propagation communities (VERDICT r12 #4), the trailing
-    # exact median (VERDICT r12 #5), and sub-1.0-threshold LSH
-    # (VERDICT r12 #6)
+    # exact median (#5), sub-1.0-threshold LSH (#6), and the
+    # shared-dialect PIVOT (#7)
     "gr09_label_propagation",
     "w10_rolling_median",
     "d12_threshold_near_dup",
+    "sql05_shared_pivot",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

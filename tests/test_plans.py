@@ -375,3 +375,20 @@ def test_interval_coalesce_single_exchange(spark):
     prefix)."""
     plan = _plan(spark, "e19_interval_coalesce")
     assert plan.count("Exchange") == 1, plan[:2000]
+
+
+def test_shared_pivot_compiles_to_keyed_partial_aggregates(spark):
+    """sql05: Catalyst's canonical SQL-PIVOT plan is two keyed
+    aggregations — partial_sum on (status, flag), then pivotfirst on
+    status — BOTH map-side combined, so each exchange carries rows
+    bounded by group-key cardinality, never data volume. No
+    expand-join shapes, no Python, and the scan reads only the three
+    referenced columns."""
+    plan = _plan(spark, "sql05_shared_pivot")
+    assert plan.count("Exchange") == 2, plan[:2000]
+    assert "partial_sum" in plan and "partial_pivotfirst" in plan
+    for marker in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                   "BatchEvalPython"):
+        assert marker not in plan
+    assert "l_quantity:double,l_returnflag:string,l_linestatus:string" \
+        in plan  # column pruning reached the parquet scan
