@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -597,12 +598,19 @@ def create_tag(path: str, name: str, version: int | None = None) -> int:
     # fails with FileExistsError like 'x' does) while guaranteeing
     # the published file is always complete.
     final = os.path.join(refs_dir, f"{name}.json")
-    tmp = os.path.join(refs_dir, f".{name}.{os.getpid()}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"name": name, "version": version}, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
+    # mkstemp, not a name derived from (name, pid): two threads in ONE
+    # process racing the same tag would share a pid-derived tmp name —
+    # the second open('w') truncates the first writer's bytes between
+    # its fsync and its link, publishing exactly the poisoned ref this
+    # path exists to prevent. mkstemp allocates a per-call unique file
+    # atomically; each racer links its own complete tmp and the loser
+    # still gets the documented FileExistsError.
+    fd, tmp = tempfile.mkstemp(dir=refs_dir, prefix=f".{name}.", suffix=".tmp")
     try:
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"name": name, "version": version}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
         os.link(tmp, final)
     finally:
         os.unlink(tmp)

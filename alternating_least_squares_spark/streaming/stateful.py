@@ -321,6 +321,24 @@ def _update_ewma(
                 (int(e) for e in rows["event_id"]),
             )
         )
+        # Cross-batch half of the event_id-uniqueness guard (self-
+        # review r13): an event_id still held in the 7-deep history
+        # arriving with a DIFFERENT ts_ns is neither an exact replay
+        # (dropped below) nor a new event — it violates the same
+        # premise the intra-batch check above enforces, and scoring
+        # it as a second event would be silently wrong. Deeper reuse
+        # (beyond the deque) is out of verification reach, like deep
+        # replays.
+        hist_ts_by_eid = dict(zip(eid_hist, ts_hist))
+        for t, e in keys:
+            prev_ts = hist_ts_by_eid.get(e)
+            if prev_ts is not None and prev_ts != t:
+                raise ValueError(
+                    f"conflicting duplicate for user_id={user_id}: "
+                    f"event_id={e} was consumed at ts_ns={prev_ts} "
+                    f"and arrives again at ts_ns={t}; event_id must "
+                    "be unique per event"
+                )
         replayed = [k in retained for k in keys]
         if any(replayed):
             rows = rows.loc[[not x for x in replayed]]

@@ -803,3 +803,57 @@ def test_w10_rolling_median_matches_pandas(spark, tmp_path_factory, vals):
     y = pd.Series([math.floor(v * 1_000_000) for v in vals], dtype="float64")
     want = y.rolling(window=8, min_periods=1).median()
     assert got == {i: want[i] for i in range(len(vals))}
+
+
+def test_stream_ewma_rejects_reused_event_id_across_batches(
+    spark, tmp_path
+):
+    """Self-review r13: the event_id-uniqueness guard must also fire
+    ACROSS micro-batches — an event_id still held in the retained
+    history arriving in a later wave with a newer ts_ns is neither an
+    exact replay (those are dropped) nor a new event, and scoring it
+    twice would be silently wrong."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from alternating_least_squares_spark.streaming import (
+        ewma_stream,
+        run_stream_to_batch,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    waves = [
+        [(7, t0 + datetime.timedelta(seconds=1), 1, 4.0)],
+        [(7, t0 + datetime.timedelta(seconds=2), 1, 4.0)],  # reused id
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(waves):
+        path = str(src / f"wave_{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "value": pa.array([r[3] for r in rows], pa.float64()),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    stream = (
+        spark.readStream.schema(spark.createDataFrame([], schema).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .select(
+            "event_id", "user_id", "value",
+            (F.unix_micros("ts") * 1000).alias("ts_ns"),
+        )
+    )
+    with pytest.raises(Exception, match="unique per"):
+        run_stream_to_batch(ewma_stream(stream), output_mode="append")

@@ -617,6 +617,36 @@ def test_tag_publish_is_atomic_and_tmp_debris_is_ignored(
     assert res["versions_kept"] == 1
 
 
+def test_create_tag_concurrent_same_name_one_winner(spark, base, tmp_path):
+    """Self-review r13: two threads in one process racing the same
+    tag name must produce exactly one complete ref and one loud
+    FileExistsError — never a truncated ref (a pid-derived tmp name
+    both racers would share; mkstemp gives each its own file, so the
+    outcome is deterministic under ANY interleaving)."""
+    import threading
+
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    results = []
+    barrier = threading.Barrier(2)
+
+    def worker():
+        barrier.wait()
+        try:
+            SN.create_tag(path, "rel1")
+            results.append("ok")
+        except FileExistsError:
+            results.append("exists")
+
+    threads = [threading.Thread(target=worker) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sorted(results) == ["exists", "ok"]
+    assert SN.list_tags(path) == {"rel1": 0}  # complete, readable ref
+
+
 def test_vacuum_pins_tagged_versions(spark, base, tmp_path):
     """vacuum(keep_last=1) must expire untagged history but keep every
     TAGGED manifest and its files readable — the Iceberg
