@@ -390,3 +390,43 @@ def test_d12_sub_threshold_pairs_are_candidates_but_rejected(spark):
         ).collect()
     }
     assert hi == {(1, 2): 0.875}
+
+
+def test_minhash_slots_are_independent_not_rank_one(spark):
+    """Regression for the r13 permutation-family bug: with a monotone
+    per-permutation map, ALL signature slots of a pair agree or
+    disagree together (the signature is rank-1 and banding amplifies
+    nothing). For a partial-overlap pair the slot-match count must be
+    strictly interior — and across several fixture pairs the mean
+    match fraction must approximate the true Jaccard (each slot is a
+    Bernoulli(J) draw under proper min-wise hashing). xxhash64 is
+    deterministic, so these counts are constants, not a flaky
+    sample."""
+    from alternating_least_squares_spark.functions.dedup import (
+        minhash_signature,
+    )
+
+    n_hashes = 32
+    pairs = []
+    for f in range(10):
+        shared = [f"sh{f}w{i}" for i in range(20)]
+        a = shared + [f"ua{f}w{i}" for i in range(10)]  # J = 20/40 = 0.5
+        b = shared + [f"ub{f}w{i}" for i in range(10)]
+        pairs.append((a, b))
+    rows = [(i, a, b) for i, (a, b) in enumerate(pairs)]
+    df = spark.createDataFrame(
+        rows, "pair_id long, a array<string>, b array<string>"
+    )
+    sigs = df.select(
+        "pair_id",
+        minhash_signature(F.col("a"), n_hashes).alias("sa"),
+        minhash_signature(F.col("b"), n_hashes).alias("sb"),
+    ).collect()
+    fracs = []
+    for r in sigs:
+        matches = sum(x == y for x, y in zip(r["sa"], r["sb"]))
+        # rank-1 signatures can only produce 0 or 32 here
+        assert 0 < matches < n_hashes, (r["pair_id"], matches)
+        fracs.append(matches / n_hashes)
+    mean = sum(fracs) / len(fracs)
+    assert 0.35 <= mean <= 0.65, fracs  # true J = 0.5
