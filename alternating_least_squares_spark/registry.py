@@ -12399,11 +12399,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # the list (pushed to the r14 prefix) — new code must be
 # driver-certified the round it lands; the 40 r7-stale entries are
 # never displaced.
-# R14 PREFIX PLAN (write-ahead, VERDICT r12 #8): the r8-stale
-# remainder (~36 entries: c07, c09, c16, d02, d03, d05, d06, d08,
-# e03, e06–e08, e10, e11, g01–g04b, h-family, s01–s06, x01–x12
-# leftovers, ...) plus any r8 fill displaced this round, topped up
-# from the r9 cohort oldest-first.
+# R14 PREFIX PLAN (write-ahead, VERDICT r12 #8; computed from the
+# CORRECTNESS_r01..r12 union with the r13 prefix marked r13): the
+# EXACT 43 entries whose newest official row will then be r8 —
+# ac05, ac06, b06, c03 (displaced from this round's fill), c07,
+# c09, d02, d06, e08, g04b, j02, j03, mm02, p01, p02, q01, s02,
+# sm01, sql01, st02–st09, t08–t12, t14, w01, w02, w06, x01–x03,
+# x05, x06, x08, x09 — plus 7 fill from the r10 cohort oldest-first
+# (ac07, b05, d03, d05, e06, e11, e16). New r14 entries displace
+# fill from the END as always.
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors (each has a hash-green
