@@ -11959,6 +11959,97 @@ FROM documents WHERE doc_id % 10 = 0
 """
 
 
+D13_K = 3  # Hamming radius; 4 bands of 16 bits pigeonhole-cover k<=3
+
+
+def q_d13_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-ball near-dup JOIN on the REAL corpus at a
+    REAL radius (functions/dedup.simhash_near_dup_pairs) — the only
+    dedup entry whose oracle needs NO forced construction: simhash
+    here is md5-derived (the d01 trick widened to 64 bits), so DuckDB
+    recomputes every fingerprint bit-exactly and brute-forces the
+    ground truth over all pairs (an oracle may be quadratic; the
+    OPERATOR may not). Candidate generation is exhaustive by
+    PIGEONHOLE — 4 contiguous 16-bit bands, a ≤3-bit difference
+    leaves ≥1 band identical — so unlike MinHash banding there is no
+    recall S-curve to argue about: recall is exactly 1 at k=3 by
+    construction (Manku/Jain/Das Sarma, WWW'07). The corpus is
+    documents plus identical twins at +20M for doc_id%10==0, which
+    guarantees ≥|docs|/10 distance-0 rows at any regeneration; the
+    natural corpus contributes the interesting 1..3-bit pairs
+    (measured at sf0.01: 52 at d=0, 7 at d=1, 4 at d=2, 3 at d=3).
+    Scale: one narrow signature pass, band-key equi-join (THE
+    shuffle — two longs per side, no text), integer popcount verify;
+    hot-bucket cap available for degenerate fingerprints."""
+    from alternating_least_squares_spark.functions.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    twins = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+    )
+    return simhash_near_dup_pairs(
+        docs.unionByName(twins), "doc_id", "text", k=D13_K
+    )
+
+
+def _d13_oracle(k: int) -> str:
+    """Brute-force ground truth: recompute the 64-bit simhash halves
+    (md5-digit bits, the d01 oracle widened) and evaluate EVERY pair
+    — the oracle states semantics, the Spark side owns the sublinear
+    plan."""
+
+    def half(base: int) -> str:
+        terms = []
+        for i in range(32):
+            g = base + i
+            j, b = g // 2, g % 2
+            digit = (
+                "(strpos('0123456789abcdef', "
+                f"substr(h, {j + 1}, 1)) - 1)"
+            )
+            sign = (
+                f"CASE WHEN ({digit} // {1 << b}) % 2 = 1 "
+                "THEN 1 ELSE -1 END"
+            )
+            bit = (
+                "(CASE WHEN list_sum(list_transform(hs, h -> "
+                f"{sign})) > 0 THEN 1 ELSE 0 END)"
+            )
+            terms.append(f"{bit} * {1 << (31 - i)}")
+        return " + ".join(terms)
+
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000000, coalesce(text, '') FROM documents
+  WHERE doc_id % 10 = 0
+),
+tk AS MATERIALIZED (
+  SELECT doc_id, list_transform({_toks_sql()}, t -> md5(t)) AS hs
+  FROM corpus
+),
+sh AS MATERIALIZED (
+  SELECT doc_id, CAST({half(0)} AS BIGINT) AS sh_hi,
+         CAST({half(32)} AS BIGINT) AS sh_lo
+  FROM tk
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh_hi, b.sh_hi))
+            + bit_count(xor(a.sh_lo, b.sh_lo)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh_hi, b.sh_hi))
+      + bit_count(xor(a.sh_lo, b.sh_lo)) <= {k}
+"""
+
+
+SQL_D13 = _d13_oracle(D13_K)
+
+
 def q_x16_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle for training-data ordering — the
     last pipeline stage before a trainer reads the corpus: every doc
@@ -12354,6 +12445,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "x16_training_shuffle": (q_x16_training_shuffle, SQL_X16),
     "d11_neardup_keep_one": (q_d11_neardup_keep_one, SQL_D11),
     "d12_threshold_near_dup": (q_d12_threshold_near_dup, SQL_D12),
+    "d13_simhash_near_dup": (q_d13_simhash_near_dup, SQL_D13),
     "x17_dsir_weights": (q_x17_dsir_weights, SQL_X17),
     "x22_token_budget_mix": (q_x22_token_budget_mix, SQL_X22),
     "t23_span_scrub": (q_t23_span_scrub, SQL_T23),
@@ -12401,13 +12493,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # never displaced.
 # R14 PREFIX PLAN (write-ahead, VERDICT r12 #8; computed from the
 # CORRECTNESS_r01..r12 union with the r13 prefix marked r13): the
-# EXACT 43 entries whose newest official row will then be r8 —
-# ac05, ac06, b06, c03 (displaced from this round's fill), c07,
-# c09, d02, d06, e08, g04b, j02, j03, mm02, p01, p02, q01, s02,
-# sm01, sql01, st02–st09, t08–t12, t14, w01, w02, w06, x01–x03,
-# x05, x06, x08, x09 — plus 7 fill from the r10 cohort oldest-first
-# (ac07, b05, d03, d05, e06, e11, e16). New r14 entries displace
-# fill from the END as always.
+# EXACT 44 entries whose newest official row will then be r8 —
+# ac04, ac05, ac06, b06, c03 (displaced from this round's fill),
+# c07, c09, d02, d06, e08, g04b, j02, j03, mm02, p01, p02, q01,
+# s02, sm01, sql01, st02–st09, t08–t12, t14, w01, w02, w06,
+# x01–x03, x05, x06, x08, x09 — plus 6 fill from the r10 cohort
+# oldest-first (ac07, b05, d03, d05, e06, e11). New r14 entries
+# displace fill from the END as always.
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors (each has a hash-green
@@ -12433,16 +12525,16 @@ _PREFIX = [
     # new r13 entries displace these from the END per the rule above
     "a12_add_labels", "a21_converge_coordinate",
     "ac01_snapshot_merge", "ac02_time_travel", "ac03_zorder_code",
-    "ac04_compact_files",
-    # new in round 13 (displacing the c03, b06, ac06, and ac05 fill
-    # slots to the r14 prefix, per the displacement rule above):
+    # new in round 13 (displacing the c03, b06, ac06, ac05, and ac04
+    # fill slots to the r14 prefix, per the displacement rule above):
     # label-propagation communities (VERDICT r12 #4), the trailing
-    # exact median (#5), sub-1.0-threshold LSH (#6), and the
-    # shared-dialect PIVOT (#7)
+    # exact median (#5), sub-1.0-threshold LSH (#6), the
+    # shared-dialect PIVOT (#7), and the SimHash Hamming-ball join
     "gr09_label_propagation",
     "w10_rolling_median",
     "d12_threshold_near_dup",
     "sql05_shared_pivot",
+    "d13_simhash_near_dup",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

@@ -430,3 +430,80 @@ def test_minhash_slots_are_independent_not_rank_one(spark):
         fracs.append(matches / n_hashes)
     mean = sum(fracs) / len(fracs)
     assert 0.35 <= mean <= 0.65, fracs  # true J = 0.5
+
+
+from hypothesis import given, settings, strategies as st
+
+
+def _py_simhash64(text: str) -> tuple[int, int]:
+    import hashlib
+
+    toks = text.split()
+    hs = [hashlib.md5(t.encode()).hexdigest() for t in toks]
+    out = []
+    for base in (0, 32):
+        v = 0
+        for i in range(32):
+            g = base + i
+            j, b = g // 2, g % 2
+            s = sum(
+                1 if ((int(h[j], 16) >> b) & 1) else -1 for h in hs
+            )
+            v = v * 2 + (1 if s > 0 else 0)
+        out.append(v)
+    return tuple(out)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    picks=st.lists(
+        st.sets(st.integers(min_value=0, max_value=11), min_size=1,
+                max_size=12),
+        min_size=2,
+        max_size=10,
+    ),
+    k=st.integers(min_value=0, max_value=3),
+)
+def test_simhash_near_dup_matches_brute_force(spark, picks, k):
+    """d13 property: on any corpus drawn from a tiny token universe
+    (so near pairs occur at every distance) the banded pipeline must
+    equal the all-pairs Python brute force EXACTLY — recall 1 by
+    pigeonhole (<=3 differing bits leave >=1 of 4 bands identical)
+    and precision 1 by the popcount verify, at any k in [0, 3]."""
+    from alternating_least_squares_spark.functions.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    texts = [" ".join(f"tok{j}" for j in sorted(s)) for s in picks]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(docs, k=k).collect()
+    }
+    sh = [_py_simhash64(t) for t in texts]
+    want = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            d = bin(sh[a][0] ^ sh[b][0]).count("1") + bin(
+                sh[a][1] ^ sh[b][1]
+            ).count("1")
+            if d <= k:
+                want[(a, b)] = d
+    assert got == want
+
+
+def test_simhash_near_dup_validates_k(spark):
+    """k beyond the pigeonhole guarantee of the 4-band layout must be
+    rejected loudly — silently accepting k=4 would ship recall < 1
+    with no signal."""
+    import pytest
+
+    from alternating_least_squares_spark.functions.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dup_pairs(docs, k=4)
