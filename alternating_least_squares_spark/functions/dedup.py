@@ -170,50 +170,78 @@ def simhash(text: Column, bits: int = 16) -> Column:
     )
 
 
-def simhash64(text: Column) -> tuple[Column, Column]:
-    """64-bit SimHash as TWO 32-bit halves ``(hi, lo)`` — the v04
-    two-halves discipline: a single 64-bit value would push bit 0
-    into the BIGINT sign bit, which ANSI mode and cross-engine XOR
-    semantics both punish.
+def simhash64_table(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """64-bit SimHash per document as TWO 32-bit halves →
+    ``(_id, _hi, _lo)`` — the v04 two-halves discipline: a single
+    64-bit value would push bit 0 into the BIGINT sign bit, which
+    ANSI mode and cross-engine XOR semantics both punish.
 
-    Bit layout (shared verbatim by the d13 SQL oracle): global bit
-    ``g`` ∈ [0, 64) comes from md5 hex digit ``g DIV 2``, sub-bit
-    ``g % 2`` (each hex digit contributes its two low bits) — the
-    same md5-digit trick :func:`simhash` uses at one bit per digit,
-    widened to 64 bits from one md5 evaluation per token. ``hi``
-    packs bits 0..31, ``lo`` bits 32..63, MSB-first within each
-    half. Token hashes are hoisted once; the per-bit pass is a
-    sequence transform like :func:`simhash` (no 64x-unrolled codegen
-    subtree)."""
-    hashes = F.transform(tokens(text), F.md5)
+    Bit layout (shared verbatim by the d13 SQL oracle and the pytest
+    Python replay): ``_hi`` packs the first 32 bits of each token's
+    md5 (hex digits 1-8, MSB-first), ``_lo`` the next 32 (digits
+    9-16); bit position ``g`` of a half is the majority sign over
+    tokens of bit ``3 - g%4`` of hex digit ``g//4`` of that half.
 
-    def _half(base: int) -> Column:
-        def _signed_bit(h: Column, i: Column) -> Column:
-            g = F.lit(base) + i
-            digit_pos = (g / 2).cast("int") + 1  # substr is 1-based
-            digit = F.conv(h.substr(digit_pos, F.lit(1)), 16, 10).cast(
-                "int"
-            )
-            bit = F.when(g % 2 == 0, digit % 2).otherwise(
-                (digit / 2).cast("int") % 2
-            )
-            return F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+    Plan shape — the r12/r13 HOF lesson applied BEFORE shipping this
+    time: a per-bit ``transform``/``aggregate`` over the token array
+    runs interpreted (64 bits × tokens ≈ 1.4·10⁸ lambda evals at
+    sf0.1 — measured ~20 s); instead the tokens EXPLODE once, each
+    row converts its md5 to two 32-bit longs (two ``conv`` calls per
+    token, not 64), the 64 bit columns are plain literal-shift
+    expressions inside whole-stage codegen, and ONE map-side-combined
+    groupBy(id) sums them (measured ~1 s for the same work). The
+    doc-keyed aggregation is the only exchange; empty/NULL-text docs
+    are preserved via the left join back (all-zero sums → all-zero
+    bits, simhash (0, 0) — the oracle's empty-list branch states the
+    same)."""
+    base = docs.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    )
+    tok = base.select(
+        "_id", F.explode(tokens(F.col("_text"))).alias("_t")
+    ).select("_id", F.md5("_t").alias("_h"))
+    tok = tok.select(
+        "_id",
+        F.conv(F.col("_h").substr(1, 8), 16, 10).cast("long").alias("_w0"),
+        F.conv(F.col("_h").substr(9, 8), 16, 10).cast("long").alias("_w1"),
+    )
+    # 64 plain codegen bit columns: ones-count per bit via literal
+    # shifts (no HOF, no per-bit string ops)
+    sums = tok.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(
+                F.shiftright(f"_w{w}", 31 - i).bitwiseAND(F.lit(1))
+            ).alias(f"_c{w}_{i}")
+            for w in (0, 1)
+            for i in range(32)
+        ],
+    )
 
-        bit_cols = F.transform(
-            F.sequence(F.lit(0), F.lit(31)),
-            lambda i: F.when(
-                F.aggregate(
-                    hashes, F.lit(0), lambda acc, h: acc + _signed_bit(h, i)
-                )
-                > 0,
-                F.lit(1),
-            ).otherwise(F.lit(0)),
+    def _half(w: int) -> Column:
+        # majority sign: sum(+/-1) > 0  <=>  2*ones > n
+        out = F.lit(0).cast("long")
+        for i in range(32):
+            bit = F.when(
+                F.col(f"_c{w}_{i}") * 2 > F.col("_n"), F.lit(1)
+            ).otherwise(F.lit(0))
+            out = out + bit.cast("long") * F.lit(1 << (31 - i))
+        return out
+
+    packed = sums.select(
+        "_id", _half(0).alias("_hi"), _half(1).alias("_lo")
+    )
+    return (
+        base.select("_id")
+        .join(packed, "_id", "left")
+        .select(
+            "_id",
+            F.coalesce("_hi", F.lit(0)).alias("_hi"),
+            F.coalesce("_lo", F.lit(0)).alias("_lo"),
         )
-        return F.aggregate(
-            bit_cols, F.lit(0).cast("long"), lambda acc, bit: acc * 2 + bit
-        )
-
-    return _half(0), _half(32)
+    )
 
 
 def simhash_near_dup_pairs(
@@ -252,10 +280,9 @@ def simhash_near_dup_pairs(
             f"k must be in [0, 3] (4 bands of 16 bits pigeonhole-cover "
             f"Hamming distance <= 3): {k}"
         )
-    hi, lo = simhash64(F.col(text_col))
-    sh = docs.select(
-        F.col(id_col).alias("_id"), hi.alias("_hi"), lo.alias("_lo")
-    ).localCheckpoint(eager=True)
+    sh = simhash64_table(docs, id_col, text_col).localCheckpoint(
+        eager=True
+    )
     mask = F.lit(0xFFFF)
     band_keys = F.array(
         F.shiftright("_hi", 16),

@@ -11998,18 +11998,20 @@ def q_d13_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _d13_oracle(k: int) -> str:
     """Brute-force ground truth: recompute the 64-bit simhash halves
-    (md5-digit bits, the d01 oracle widened) and evaluate EVERY pair
-    — the oracle states semantics, the Spark side owns the sublinear
-    plan."""
+    (md5-digit bits, the d01 oracle widened to 4 bits per digit) and
+    evaluate EVERY pair — the oracle states semantics, the Spark side
+    owns the sublinear plan. Bit layout mirrors simhash64_table: half
+    w packs md5 hex digits w*8+1..w*8+8 MSB-first, so half-bit g
+    comes from sub-bit 3-g%4 of digit g//4."""
 
-    def half(base: int) -> str:
+    def half(w: int) -> str:
         terms = []
-        for i in range(32):
-            g = base + i
-            j, b = g // 2, g % 2
+        for g in range(32):
+            j = w * 8 + g // 4 + 1  # 1-based hex digit index
+            b = 3 - g % 4
             digit = (
                 "(strpos('0123456789abcdef', "
-                f"substr(h, {j + 1}, 1)) - 1)"
+                f"substr(h, {j}, 1)) - 1)"
             )
             sign = (
                 f"CASE WHEN ({digit} // {1 << b}) % 2 = 1 "
@@ -12019,7 +12021,7 @@ def _d13_oracle(k: int) -> str:
                 "(CASE WHEN list_sum(list_transform(hs, h -> "
                 f"{sign})) > 0 THEN 1 ELSE 0 END)"
             )
-            terms.append(f"{bit} * {1 << (31 - i)}")
+            terms.append(f"{bit} * {1 << (31 - g)}")
         return " + ".join(terms)
 
     return f"""
@@ -12035,7 +12037,7 @@ tk AS MATERIALIZED (
 ),
 sh AS MATERIALIZED (
   SELECT doc_id, CAST({half(0)} AS BIGINT) AS sh_hi,
-         CAST({half(32)} AS BIGINT) AS sh_lo
+         CAST({half(1)} AS BIGINT) AS sh_lo
   FROM tk
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,

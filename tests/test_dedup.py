@@ -436,20 +436,22 @@ from hypothesis import given, settings, strategies as st
 
 
 def _py_simhash64(text: str) -> tuple[int, int]:
+    """Sequential replay of simhash64_table's layout: half w packs
+    the w-th 32-bit word of each token's md5, bit g = majority of
+    word-bit (31-g) over tokens."""
     import hashlib
 
     toks = text.split()
-    hs = [hashlib.md5(t.encode()).hexdigest() for t in toks]
+    words = [
+        (int(h[:8], 16), int(h[8:16], 16))
+        for h in (hashlib.md5(t.encode()).hexdigest() for t in toks)
+    ]
     out = []
-    for base in (0, 32):
+    for w in (0, 1):
         v = 0
-        for i in range(32):
-            g = base + i
-            j, b = g // 2, g % 2
-            s = sum(
-                1 if ((int(h[j], 16) >> b) & 1) else -1 for h in hs
-            )
-            v = v * 2 + (1 if s > 0 else 0)
+        for g in range(32):
+            ones = sum((word[w] >> (31 - g)) & 1 for word in words)
+            v = v * 2 + (1 if 2 * ones > len(words) else 0)
         out.append(v)
     return tuple(out)
 
