@@ -270,11 +270,21 @@ def simhash_near_dup_pairs(
     Scale shape: one narrow signature pass, one 4-way band explode,
     one equi-join on the band key (THE shuffle), exact verify on two
     longs per side — no text and no token arrays cross the candidate
-    shuffle. ``max_bucket_size`` is the hot-bucket guard: at corpus
-    scale, degenerate simhash values (near-empty docs cluster at 0)
-    make hot buckets — cap them or pre-filter empties; wider bands
-    (more tables, the full Manku block-permutation design) are the
-    10⁹-doc upgrade path."""
+    shuffle.
+
+    ``max_bucket_size`` FORFEITS the recall-1 contract (self-review
+    r13): with only 4 bands, a distance-3 pair can share exactly ONE
+    band, so dropping one hot bucket silently kills legitimate pairs
+    — and degenerate corpora (near-empty docs all fingerprint to
+    (0, 0)) lose even their distance-0 twins, the exact
+    silent-recall<1 failure the k>3 ValueError exists to reject.
+    Leave it None (the default, and what the d13 entry does) unless
+    a measured hot bucket forces the trade, and prefer the
+    guarantee-PRESERVING fixes first: pre-filter degenerate docs
+    (empty/near-empty text) before calling, or widen to the full
+    Manku block-permutation design (more bands over 64 bits → the
+    pigeonhole covers k with room to spare) — the 10⁹-doc upgrade
+    path either way."""
     if not 0 <= k <= 3:
         raise ValueError(
             f"k must be in [0, 3] (4 bands of 16 bits pigeonhole-cover "

@@ -11980,7 +11980,10 @@ def q_d13_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured at sf0.01: 52 at d=0, 7 at d=1, 4 at d=2, 3 at d=3).
     Scale: one narrow signature pass, band-key equi-join (THE
     shuffle — two longs per side, no text), integer popcount verify;
-    hot-bucket cap available for degenerate fingerprints."""
+    no bucket cap here — any cap forfeits the pigeonhole recall-1
+    contract (see simhash_near_dup_pairs), so the scale remedy for
+    degenerate fingerprints is pre-filtering or more bands, never
+    silent dropping."""
     from alternating_least_squares_spark.functions.dedup import (
         simhash_near_dup_pairs,
     )
