@@ -22,6 +22,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from alternating_least_squares_spark.checkpoint import (
+    release_local_checkpoint,
+    rotate_local_checkpoint,
+)
 from alternating_least_squares_spark.functions.textfns import shingles, tokens
 from alternating_least_squares_spark.functions.width import spread_if_narrow
 
@@ -768,6 +772,7 @@ def dedup_components(
         .localCheckpoint(eager=True)
     )
     converged = False
+    _owned: set[int] | None = None
     for _ in range(max_iterations):
         # candidate label per vertex: min over its own label and every
         # neighbor's label
@@ -775,11 +780,14 @@ def dedup_components(
             edges.join(labels, edges.src == labels.id)
             .select(F.col("dst").alias("id"), "component")
         )
-        new_labels = (
+        # rotate LATE (release_local_checkpoint, not the rotate
+        # helper): the changed-count join still reads the OLD labels
+        # after the new checkpoint materializes
+        new_labels, _owned_new = rotate_local_checkpoint(
             labels.unionByName(neighbor_labels)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("component").alias("component")),
+            None,
         )
         changed = (
             new_labels.alias("n")
@@ -787,7 +795,8 @@ def dedup_components(
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels = new_labels
+        release_local_checkpoint(labels, _owned)
+        labels, _owned = new_labels, _owned_new
         if changed == 0:
             converged = True
             break

@@ -28,6 +28,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from alternating_least_squares_spark.checkpoint import (
+    release_local_checkpoint as _release,
+    rotate_local_checkpoint,
+)
+
 INIT_US = 1_000_000  # one unit of rank, in micro-units
 
 
@@ -59,6 +64,7 @@ def pagerank(
     )
     base = (100 - damping_pct) * INIT_US // 100
     pr = nodes.withColumn("pr", F.lit(INIT_US).cast("long"))
+    _owned: set[int] | None = None
     for _ in range(iterations):
         contrib = (
             e.join(pr.withColumnRenamed("id", "src"), "src")
@@ -80,8 +86,9 @@ def pagerank(
                     )
                 ).cast("long").alias("pr"),
             )
-            .localCheckpoint(eager=True)
         )
+        # rotate: release the previous round's checkpoint blocks
+        pr, _owned = rotate_local_checkpoint(pr, _owned)
     return pr.select("id", F.col("pr").alias("pr_us"))
 
 
@@ -407,6 +414,7 @@ def kcore(
     e = edges.select("a", "b").distinct().localCheckpoint(eager=True)
     n_prev = e.count() if rounds is None else None
     limit = max_rounds
+    _owned: set[int] | None = None
     r = 0
     while True:
         if rounds is not None and r >= rounds:
@@ -425,12 +433,13 @@ def kcore(
             )
         deg = vertex_degrees(e)
         keep = deg.filter(F.col("degree") >= k).select("vertex")
-        e = (
+        e, _owned = rotate_local_checkpoint(
             e.join(
                 keep.withColumnRenamed("vertex", "a"), "a", "left_semi"
-            )
-            .join(keep.withColumnRenamed("vertex", "b"), "b", "left_semi")
-            .localCheckpoint(eager=True)
+            ).join(
+                keep.withColumnRenamed("vertex", "b"), "b", "left_semi"
+            ),
+            _owned,
         )
         r += 1
         if rounds is None:
@@ -495,6 +504,8 @@ def bfs_distances(
     )
     frontier = dist.select("vertex")
     limit = max_rounds
+    _owned_f: set[int] | None = None
+    _owned_d: set[int] | None = None
     r = 0
     while True:
         if rounds is not None and r >= rounds:
@@ -508,21 +519,24 @@ def bfs_distances(
             raise RuntimeError(
                 f"bfs_distances: frontier alive after {limit} rounds"
             )
-        nxt = (
+        nxt, _owned_f = rotate_local_checkpoint(
             sym.join(
                 frontier.withColumnRenamed("vertex", "u"), "u"
             )
             .select(F.col("v").alias("vertex"))
             .distinct()
-            .join(dist.select("vertex"), "vertex", "left_anti")
-            .localCheckpoint(eager=True)
+            .join(dist.select("vertex"), "vertex", "left_anti"),
+            _owned_f,
         )
         r += 1
         if rounds is None and nxt.count() == 0:
             break
-        dist = dist.unionByName(
-            nxt.withColumn("hops", F.lit(r).cast("long"))
-        ).localCheckpoint(eager=True)
+        dist, _owned_d = rotate_local_checkpoint(
+            dist.unionByName(
+                nxt.withColumn("hops", F.lit(r).cast("long"))
+            ),
+            _owned_d,
+        )
         frontier = nxt
     return dist
 
@@ -630,15 +644,16 @@ def components_fixed(edges: DataFrame, rounds: int) -> DataFrame:
         .select("vertex", F.col("vertex").alias("component"))
         .localCheckpoint(eager=True)
     )
+    _owned: set[int] | None = None
     for _ in range(rounds):
         neighbor = e.join(
             labels, e.a == labels.vertex
         ).select(F.col("b").alias("vertex"), "component")
-        labels = (
+        labels, _owned = rotate_local_checkpoint(
             labels.unionByName(neighbor)
             .groupBy("vertex")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("component").alias("component")),
+            _owned,
         )
     return labels
 
@@ -702,6 +717,7 @@ def label_propagation(
         .select("vertex", F.col("vertex").alias("label"))
         .localCheckpoint(eager=True)
     )
+    _owned: set[int] | None = None  # ids are unknown for the seed; fine
     limit = max_rounds
     r = 0
     while True:
@@ -717,7 +733,7 @@ def label_propagation(
         neighbor = e.join(
             labels, e.a == labels.vertex
         ).select(F.col("b").alias("vertex"), "label")
-        new_labels = (
+        new_labels, _owned_new = rotate_local_checkpoint(
             labels.unionByName(neighbor)  # self-vote + neighbor votes
             .groupBy("vertex", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
@@ -730,8 +746,8 @@ def label_propagation(
                     )
                 ).alias("_best")
             )
-            .select("vertex", F.col("_best.label").alias("label"))
-            .localCheckpoint(eager=True)
+            .select("vertex", F.col("_best.label").alias("label")),
+            None,  # the old labels are still read by the changed-count
         )
         r += 1
         if rounds is None:
@@ -741,9 +757,11 @@ def label_propagation(
                 .filter(F.col("n.label") != F.col("o.label"))
                 .count()
             )
-            labels = new_labels
+            _release(labels, _owned)
+            labels, _owned = new_labels, _owned_new
             if changed == 0:
                 break
         else:
-            labels = new_labels
+            _release(labels, _owned)
+            labels, _owned = new_labels, _owned_new
     return labels.select("vertex", F.col("label").alias("community"))

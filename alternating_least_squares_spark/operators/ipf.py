@@ -32,6 +32,9 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from alternating_least_squares_spark.checkpoint import (
+    rotate_local_checkpoint,
+)
 from alternating_least_squares_spark.operators import matrix as M
 
 
@@ -216,12 +219,15 @@ def converge(
     loss = float("inf")
     y_loss = float("inf")
     iteration = 0
+    _owned: set[int] | None = None
     while iteration < max_iterations:
         nxt = M.ipf_step(x_marginal, y_marginal, current)
         # Cut lineage: without this the plan nests one window+join pair
         # deeper per sweep and planning time dominates execution.
+        # Rotating the checkpoint releases the superseded sweep's
+        # blocks (round-13 storage-hygiene fix).
         if (iteration + 1) % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt, _owned = rotate_local_checkpoint(nxt, _owned)
         new_loss, new_y_loss = _marginal_losses(nxt, x_marginal, y_marginal)
         plateaued = abs(loss - new_loss) < threshold
         current, loss, y_loss = nxt, new_loss, new_y_loss

@@ -792,3 +792,41 @@ def test_label_propagation_matches_python_replay(spark, raw, rounds):
             nxt[v] = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         labels = nxt
     assert got == labels
+
+
+def test_iterative_loops_release_superseded_checkpoints(spark):
+    """Round-13 storage hygiene: a 10-round Pregel loop must leave
+    O(1) checkpoint generations pinned, not one per round —
+    localCheckpoint blocks survive DataFrame.unpersist() and used to
+    accumulate per call (measured 9 orphaned persistent RDDs per
+    components_fixed run; in a long session that pressure inflated
+    unrelated queries 2-4x). The rotation releases each superseded
+    generation once its successor is materialized; only the final
+    state (still readable by the caller) and the one-shot input
+    checkpoints may remain."""
+    from alternating_least_squares_spark.operators.graph import (
+        components_fixed,
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)] + [(20, 21), (21, 22)],
+        "a: long, b: long",
+    )
+    jsc = spark.sparkContext._jsc
+
+    before = len(jsc.getPersistentRDDs())
+    components_fixed(edges, rounds=10).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    leaked = len(jsc.getPersistentRDDs()) - before
+    # edges + initial labels + final labels = 3; ten rounds must NOT
+    # leave ten generations
+    assert leaked <= 4, leaked
+
+    before = len(jsc.getPersistentRDDs())
+    label_propagation(edges).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    leaked = len(jsc.getPersistentRDDs()) - before
+    assert leaked <= 4, leaked
