@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from alternating_least_squares_spark.checkpoint import (
+    local_checkpoint_owned,
     release_local_checkpoint,
     rotate_local_checkpoint,
 )
@@ -758,21 +759,17 @@ def dedup_components(
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
-    edges = (
+    edges, _own_e = local_checkpoint_owned(
         edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+        ).distinct()
     )
-    labels = (
+    labels, _owned = local_checkpoint_owned(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("component"))
-        .localCheckpoint(eager=True)
     )
     converged = False
-    _owned: set[int] | None = None
     for _ in range(max_iterations):
         # candidate label per vertex: min over its own label and every
         # neighbor's label
@@ -808,4 +805,7 @@ def dedup_components(
             "rounds (graph diameter exceeds the budget); raise "
             "max_iterations"
         )
+    # the final labels are materialized; the pair graph is no longer
+    # read by the returned result
+    release_local_checkpoint(labels, _own_e)
     return labels

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from alternating_least_squares_spark.checkpoint import (
+    local_checkpoint_owned,
     release_local_checkpoint as _release,
     rotate_local_checkpoint,
 )
@@ -54,13 +55,14 @@ def pagerank(
         raise ValueError(f"damping_pct must be 0..100, got {damping_pct}")
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    e, _own_e = local_checkpoint_owned(
+        edges.select("src", "dst").distinct()
+    )
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    nodes = (
+    nodes, _own_n = local_checkpoint_owned(
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     base = (100 - damping_pct) * INIT_US // 100
     pr = nodes.withColumn("pr", F.lit(INIT_US).cast("long"))
@@ -89,6 +91,8 @@ def pagerank(
         )
         # rotate: release the previous round's checkpoint blocks
         pr, _owned = rotate_local_checkpoint(pr, _owned)
+    # the final pr is materialized; the inputs are no longer read
+    _release(pr, (_own_e or set()) | (_own_n or set()))
     return pr.select("id", F.col("pr").alias("pr_us"))
 
 
@@ -411,10 +415,9 @@ def kcore(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    e = edges.select("a", "b").distinct().localCheckpoint(eager=True)
+    e, _owned = local_checkpoint_owned(edges.select("a", "b").distinct())
     n_prev = e.count() if rounds is None else None
     limit = max_rounds
-    _owned: set[int] | None = None
     r = 0
     while True:
         if rounds is not None and r >= rounds:
@@ -488,24 +491,21 @@ def bfs_distances(
     formulation (Pregel/GraphX do exactly this); hop counts are
     integers, so results are bit-identical at any parallelism.
     """
-    sym = (
+    sym, _own_sym = local_checkpoint_owned(
         edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionAll(
             edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    dist = (
+    dist, _owned_d = local_checkpoint_owned(
         sources.select("vertex")
         .distinct()
         .withColumn("hops", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
     )
     frontier = dist.select("vertex")
     limit = max_rounds
     _owned_f: set[int] | None = None
-    _owned_d: set[int] | None = None
     r = 0
     while True:
         if rounds is not None and r >= rounds:
@@ -538,6 +538,9 @@ def bfs_distances(
             _owned_d,
         )
         frontier = nxt
+    # dist is materialized; the graph and the last frontier are no
+    # longer read by the returned result
+    _release(dist, (_own_sym or set()) | (_owned_f or set()))
     return dist
 
 
@@ -631,20 +634,16 @@ def components_fixed(edges: DataFrame, rounds: int) -> DataFrame:
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     e = edges.select("a", "b").distinct()
-    e = (
+    e, _own_e = local_checkpoint_owned(
         e.unionByName(
             e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+        ).distinct()
     )
-    labels = (
+    labels, _owned = local_checkpoint_owned(
         e.select(F.col("a").alias("vertex"))
         .distinct()
         .select("vertex", F.col("vertex").alias("component"))
-        .localCheckpoint(eager=True)
     )
-    _owned: set[int] | None = None
     for _ in range(rounds):
         neighbor = e.join(
             labels, e.a == labels.vertex
@@ -655,6 +654,8 @@ def components_fixed(edges: DataFrame, rounds: int) -> DataFrame:
             .agg(F.min("component").alias("component")),
             _owned,
         )
+    # the final labels are materialized; the graph is no longer read
+    _release(labels, _own_e)
     return labels
 
 
@@ -704,20 +705,16 @@ def label_propagation(
     fixed-size label table.
     """
     e = edges.select("a", "b").distinct()
-    e = (
+    e, _own_e = local_checkpoint_owned(
         e.unionByName(
             e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+        ).distinct()
     )
-    labels = (
+    labels, _owned = local_checkpoint_owned(
         e.select(F.col("a").alias("vertex"))
         .distinct()
         .select("vertex", F.col("vertex").alias("label"))
-        .localCheckpoint(eager=True)
     )
-    _owned: set[int] | None = None  # ids are unknown for the seed; fine
     limit = max_rounds
     r = 0
     while True:
@@ -750,18 +747,22 @@ def label_propagation(
             None,  # the old labels are still read by the changed-count
         )
         r += 1
-        if rounds is None:
-            changed = (
+        changed = (
+            (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "vertex")
                 .filter(F.col("n.label") != F.col("o.label"))
                 .count()
             )
-            _release(labels, _owned)
-            labels, _owned = new_labels, _owned_new
-            if changed == 0:
-                break
-        else:
-            _release(labels, _owned)
-            labels, _owned = new_labels, _owned_new
+            if rounds is None
+            else None
+        )
+        # deferred release: the changed-count above still read the
+        # old generation after the new checkpoint materialized
+        _release(labels, _owned)
+        labels, _owned = new_labels, _owned_new
+        if changed == 0:
+            break
+    # the final labels are materialized; the graph is no longer read
+    _release(labels, _own_e)
     return labels.select("vertex", F.col("label").alias("community"))

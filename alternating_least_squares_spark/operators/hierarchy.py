@@ -28,6 +28,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from alternating_least_squares_spark.checkpoint import (
+    rotate_local_checkpoint,
+)
+
 ANC, DESC, DIST, QTY = "anc", "desc", "dist", "qty"
 
 
@@ -69,10 +73,9 @@ def ancestor_closure(
     if weight_col is not None:
         seed_cols.append(F.lit(1).cast("long").alias(QTY))
         edge_cols.append(F.col(weight_col).cast("long").alias(QTY))
-    closure = (
-        nodes.select(*seed_cols)
-        .unionByName(edges.select(*edge_cols))
-        .localCheckpoint(eager=True)
+    closure, _owned = rotate_local_checkpoint(
+        nodes.select(*seed_cols).unionByName(edges.select(*edge_cols)),
+        None,
     )
     n = closure.count()
     for _ in range(max_rounds):
@@ -87,8 +90,8 @@ def ancestor_closure(
         composed = a.join(b, F.col(f"a.{DESC}") == F.col(f"b.{ANC}")).select(
             *out_cols
         )
-        closure = (
-            closure.unionByName(composed).distinct().localCheckpoint(eager=True)
+        closure, _owned = rotate_local_checkpoint(
+            closure.unionByName(composed).distinct(), _owned
         )
         m = closure.count()
         if m == n:

@@ -212,6 +212,10 @@ def converge(
             "see reference README:7"
         )
 
+    # NOT rotation-owned: the returned matrix may be a LAZY plan over
+    # ipf_step (checkpoint_every > 1 skips the final checkpoint) that
+    # still JOINS the marginals when the caller materializes it —
+    # releasing them here would make the result unrecomputable.
     x_marginal = x_marginal.localCheckpoint(eager=True)
     y_marginal = y_marginal.localCheckpoint(eager=True)
 

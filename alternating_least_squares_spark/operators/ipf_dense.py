@@ -34,6 +34,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+from alternating_least_squares_spark.checkpoint import (
+    rotate_local_checkpoint,
+)
 from alternating_least_squares_spark.operators import matrix as M
 from alternating_least_squares_spark.operators.ipf import IPFResult
 
@@ -228,7 +231,11 @@ def converge_dense(
     ]
 
     obs = Observation()
-    state = state.observe(obs, *sweep_metrics).localCheckpoint(eager=True)
+    # rotation-owned: each sweep's checkpoint pins a full dense-matrix
+    # copy; release the superseded generation (r13 storage hygiene)
+    state, _owned = rotate_local_checkpoint(
+        state.observe(obs, *sweep_metrics), None
+    )
 
     loss = float("inf")
     y_loss = float("inf")
@@ -275,15 +282,14 @@ def converge_dense(
             F.col("vals"), F.lit(factors), lambda v, f: _rowsum_guard(v) * f
         )
         obs = Observation()
-        state = (
+        state, _owned = rotate_local_checkpoint(
             state.select(
                 M.R,
                 "_x",
                 col_scaled.alias("vals"),
                 _array_sum(col_scaled).alias("_rsum"),
-            )
-            .observe(obs, *sweep_metrics)
-            .localCheckpoint(eager=True)
+            ).observe(obs, *sweep_metrics),
+            _owned,
         )
         iteration += 1
 
