@@ -12485,61 +12485,65 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # ---------------------------------------------------------------------------
 # Ordering: the driver's correctness run checks a bounded PREFIX of the
 # registry (50 entries, verified rounds 2-10), so the order below is
-# chosen — not incidental.  ROTATION, round 13 (VERDICT r12 #1):
-# lead with the 40 r7-stale leftovers — the entries whose newest
-# official driver row is still round 7 (a09–a15 minus a12, a18–a20,
-# b01_b02, b03, the c-family cohort, d01, d04, e01–e05 minus e03,
-# g05, t01–t06, v01–v03) — then fill the remaining 10 slots from
-# the r8 cohort (a12, a21, ac01–ac06, b06, c03).  After this round
-# every entry's newest official row is r8+.  New entries landed
-# later this round displace r8-cohort fill entries from the END of
-# the list (pushed to the r14 prefix) — new code must be
-# driver-certified the round it lands; the 40 r7-stale entries are
-# never displaced.
-# R14 PREFIX PLAN (write-ahead, VERDICT r12 #8; computed from the
-# CORRECTNESS_r01..r12 union with the r13 prefix marked r13): the
-# EXACT 44 entries whose newest official row will then be r8 —
-# ac04, ac05, ac06, b06, c03 (displaced from this round's fill),
-# c07, c09, d02, d06, e08, g04b, j02, j03, mm02, p01, p02, q01,
-# s02, sm01, sql01, st02–st09, t08–t12, t14, w01, w02, w06,
-# x01–x03, x05, x06, x08, x09 — plus 6 fill from the r10 cohort
-# oldest-first (ac07, b05, d03, d05, e06, e11). New r14 entries
-# displace fill from the END as always.
+# chosen — not incidental.  ROTATION, round 14 (VERDICT r13 #1):
+# execute the write-ahead plan recorded here last round — lead with
+# the 44 r8-stale entries (newest official driver row still round 8:
+# ac04–ac06, b06, c03, c07, c09, d02, d06, e08, g04b, j02, j03,
+# mm02, p01, p02, q01, s02, sm01, sql01, st02–st09, t08–t12, t14,
+# w01, w02, w06, x01–x03, x05, x06, x08, x09) — then fill the
+# remaining 6 slots from the r10 cohort oldest-first (ac07, b05,
+# d03, d05, e06, e11).  After this round every entry's newest
+# official row is r9+.  New entries landed later this round
+# displace r10-cohort fill entries from the END of the list (pushed
+# to the r15 prefix) — new code must be driver-certified the round
+# it lands; the 44 r8-stale entries are never displaced.
+# R15 PREFIX PLAN (write-ahead, VERDICT r13 #8; computed from the
+# CORRECTNESS_r01..r13 union with this round's prefix marked r14):
+# the EXACT 44 entries whose newest official row will then be r10 —
+# e16_twap, g01_rollup, g03_percentiles, gr01_pagerank_fixed,
+# gr03_triangles, gr04_edge_embeddedness, gr05_kcore,
+# gr06_bfs_distance, gr07_clustering_coeff, h02–h14 (the TPC-H
+# family: h02_revenue_by_nation through h14_idle_rich_customers),
+# h20_forecast_revenue, h22_market_share, j04_asof_forward,
+# j08_scd2_intersect, mm01_media_features, mm05_resize_nearest,
+# q03_quantile_gate, rc02_node_depth, s01_lsh_topk, s03_ivf_topk,
+# s04_mllib_euclidean, s05_pca_topk, s06_pq_topk, st11_stream_ewma,
+# w08_ewma, x10_partition_pruning, x11_table_profile,
+# x12_salted_join, x18_runtime_bloom_filter, x19_epoch_shuffle,
+# x20_aqe_skew_join, x21_cbo_stats_broadcast — plus 6 fill from the
+# r11 cohort oldest-first (a16_ipf_step, a17_converge, a22_rake3,
+# ac08_change_feed, ac09_replicate_via_feed, b04_orc_roundtrip).
+# New r15 entries displace fill from the END as always.
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors (each has a hash-green
 # oracle-adjacent twin where one is possible: ipf_fixed, g04b,
 # m04/m05).
 _PREFIX = [
-    # r7-stale cohort: newest official row is round 7 (all 40)
-    "a09_laplace_smooth", "a10_weight_matrix", "a11_apply_weights",
-    "a13_mmult", "a14_seed_matrix", "a15_optimize_marginal",
-    "a18_normalize_matrix", "a19_error_matrix", "a20_matrix_norm",
-    "b01_b02_csv_roundtrip", "b03_symmetric_diff",
-    "c01_sorted_scan", "c02_filter_nonzero", "c04_micros_to_currency",
-    "c05_anti_join", "c06_zero_pad", "c08_pivot", "c08_unpivot",
-    "c10_safe_divide", "c11_upsert", "c12_set_ops",
-    "c13_try_arithmetic", "c14_nullsafe_join", "c15_explode_outer",
-    "d01_simhash", "d04_dedup_components",
-    "e01_hourly_value", "e02_json_extract", "e04_resample_gapfill",
-    "e05_variant_json", "g05_grouping_sets",
-    "t01_token_stats", "t02_quality_score", "t03_lang_id",
-    "t04_fingerprint", "t05_exact_dup_groups", "t06_tfidf",
-    "v01_cosine_pairs", "v02_topk_cosine", "v03_quantize_int8",
-    # r8-cohort fill (newest official row is round 8), 10 of ~46;
-    # new r13 entries displace these from the END per the rule above
-    "a12_add_labels", "a21_converge_coordinate",
-    "ac01_snapshot_merge", "ac02_time_travel", "ac03_zorder_code",
-    # new in round 13 (displacing the c03, b06, ac06, ac05, and ac04
-    # fill slots to the r14 prefix, per the displacement rule above):
-    # label-propagation communities (VERDICT r12 #4), the trailing
-    # exact median (#5), sub-1.0-threshold LSH (#6), the
-    # shared-dialect PIVOT (#7), and the SimHash Hamming-ball join
-    "gr09_label_propagation",
-    "w10_rolling_median",
-    "d12_threshold_near_dup",
-    "sql05_shared_pivot",
-    "d13_simhash_near_dup",
+    # r8-stale cohort: newest official row is round 8 (all 44)
+    "ac04_compact_files", "ac05_vacuum", "ac06_schema_evolution",
+    "b06_corrupt_records", "c03_projection", "c07_sort_by_key",
+    "c09_ones_matrix", "d02_jaccard_pairs", "d06_keep_one",
+    "e08_ohlc_bars", "g04b_sketch_exact_regime",
+    "j02_range_join", "j03_interval_overlap", "mm02_frame_sample",
+    "p01_corpus_curation", "p02_corpus_stats", "q01_data_quality",
+    "s02_embedding_near_dup", "sm01_semantic_dedup",
+    "sql01_shared_dialect",
+    "st02_stream_sessionize", "st03_stateful_profiles",
+    "st04_stream_enrich", "st05_stream_dedup",
+    "st06_stream_stream_join", "st07_stream_hopping",
+    "st08_stream_snapshot_sink", "st09_incremental_ingest",
+    "t08_contamination", "t09_bpe_tokens", "t10_chunk_windows",
+    "t11_pii_redact", "t12_repetition_stats", "t14_context_assembly",
+    "w01_running_total", "w02_rank_dense_lag", "w06_hopping_batch",
+    "x01_grouped_outliers", "x02_train_test_split",
+    "x03_stratified_sample", "x05_python_udtf",
+    "x06_domain_mix_sample", "x08_salted_agg", "x09_bucketed_join",
+    # r10-cohort fill (newest official row is round 10), 6 oldest;
+    # new r14 entries displace these from the END per the rule above
+    "ac07_merge_schema_evolution", "b05_jsonl_roundtrip",
+    "d03_minhash_near_dup", "d05_mllib_minhash",
+    "e06_funnel", "e11_trailing_active_users",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))
