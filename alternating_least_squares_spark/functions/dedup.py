@@ -255,6 +255,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     k: int = 3,
     max_bucket_size: int | None = None,
+    owned_out: list[int] | None = None,
 ) -> DataFrame:
     """Hamming-ball near-duplicate pairs over 64-bit SimHash — the
     Manku/Jain/Das Sarma (WWW'07) web-dedup design, completing the
@@ -295,9 +296,18 @@ def simhash_near_dup_pairs(
             f"k must be in [0, 3] (4 bands of 16 bits pigeonhole-cover "
             f"Hamming distance <= 3): {k}"
         )
-    sh = simhash64_table(docs, id_col, text_col).localCheckpoint(
-        eager=True
+    # The signature table is checkpointed because the RETURNED plan
+    # reads it twice (bucket self-join + two verify joins); the
+    # blocks therefore cannot be released here. Pass ``owned_out``
+    # (a list this call extends with the block ids) and release them
+    # via ``checkpoint.release_local_checkpoint`` once the result is
+    # fully consumed — otherwise each call pins one signature copy
+    # for the rest of the session (the pre-r14 behavior).
+    sh, _own_sh = local_checkpoint_owned(
+        simhash64_table(docs, id_col, text_col)
     )
+    if owned_out is not None:
+        owned_out.extend(_own_sh)
     mask = F.lit(0xFFFF)
     band_keys = F.array(
         F.shiftright("_hi", 16),
@@ -798,6 +808,11 @@ def dedup_components(
             converged = True
             break
     if not converged:
+        # release before raise: callers that catch the error must not
+        # inherit this loop's pinned checkpoint generations
+        release_local_checkpoint(
+            labels, (_own_e or set()) | (_owned or set())
+        )
         # silently returning partial labels would let a keep-one dedup
         # keep duplicates with no signal
         raise RuntimeError(

@@ -430,6 +430,9 @@ def kcore(
             # the common case, never reach here).
             limit = vertex_degrees(e).count() + r + 1
         if rounds is None and limit is not None and r >= limit:
+            # release before raise: callers that catch the error must
+            # not inherit this loop's pinned checkpoint generations
+            _release(e, _owned)
             raise RuntimeError(
                 f"kcore: no fixpoint after {limit} rounds "
                 f"(edges remaining: {n_prev})"
@@ -516,6 +519,13 @@ def bfs_distances(
             # once the loop has run unusually long
             limit = sym.select("u").distinct().count() + 1
         if rounds is None and limit is not None and r >= limit:
+            # release before raise (see kcore)
+            _release(
+                dist,
+                (_own_sym or set())
+                | (_owned_d or set())
+                | (_owned_f or set()),
+            )
             raise RuntimeError(
                 f"bfs_distances: frontier alive after {limit} rounds"
             )
@@ -723,6 +733,8 @@ def label_propagation(
         if rounds is None and limit is None and r >= _GUARD_CHECK_AT:
             limit = labels.count() + r + 1
         if rounds is None and limit is not None and r >= limit:
+            # release before raise (see kcore)
+            _release(labels, (_own_e or set()) | (_owned or set()))
             raise RuntimeError(
                 f"label_propagation: no fixpoint after {limit} rounds "
                 "(synchronous oscillation?)"

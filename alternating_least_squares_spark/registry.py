@@ -11983,20 +11983,50 @@ def q_d13_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     no bucket cap here — any cap forfeits the pigeonhole recall-1
     contract (see simhash_near_dup_pairs), so the scale remedy for
     degenerate fingerprints is pre-filtering or more bands, never
-    silent dropping."""
+    silent dropping. Both remedies are applied here (ADVICE r13):
+    (1) empty/whitespace-only docs are pre-filtered on BOTH engines —
+    they all fingerprint to (0, 0), share all 4 band buckets, and
+    would grow the candidate self-join quadratically in their count;
+    the entry's domain is non-degenerate docs, with degenerate docs
+    owned by the exact-dup path (t05/d06), exactly as the
+    simhash_near_dup_pairs docstring prescribes (the current corpora
+    have zero such docs, so the filter is output-neutral today and a
+    semantic guarantee for any regeneration); (2) the signature-table
+    checkpoint of the PREVIOUS invocation is released on each call
+    (per-application rotation below) so repeated calls in one session
+    pin one signature copy, not one per call."""
+    from alternating_least_squares_spark.checkpoint import (
+        release_local_checkpoint,
+    )
     from alternating_least_squares_spark.functions.dedup import (
         simhash_near_dup_pairs,
     )
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.coalesce("text", F.lit("")).alias("text")
-    )
+    ).filter(F.trim("text") != "")
     twins = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
     )
-    return simhash_near_dup_pairs(
-        docs.unionByName(twins), "doc_id", "text", k=D13_K
+    owned: list[int] = []
+    out = simhash_near_dup_pairs(
+        docs.unionByName(twins), "doc_id", "text", k=D13_K,
+        owned_out=owned,
     )
+    # Rotate across invocations: release the signature blocks pinned
+    # by the PREVIOUS q_d13 call in this application (its result was
+    # already evaluated — driver/bench consume each DataFrame before
+    # requesting the next; a caller that re-evaluates a stale d13
+    # result after a newer call would recompute through a released
+    # checkpoint and fail loudly, never silently).
+    app = spark.sparkContext.applicationId
+    release_local_checkpoint(out, _D13_SIG_OWNED.pop(app, None))
+    _D13_SIG_OWNED[app] = set(owned)
+    return out
+
+
+# per-application ownership of the live q_d13 signature checkpoint
+_D13_SIG_OWNED: dict[str, set[int]] = {}
 
 
 def _d13_oracle(k: int) -> str:
@@ -12029,10 +12059,13 @@ def _d13_oracle(k: int) -> str:
 
     return f"""
 WITH corpus AS (
+  -- degenerate (empty/whitespace-only) docs are pre-filtered on both
+  -- engines: they belong to the exact-dup path, not the Hamming join
   SELECT doc_id, coalesce(text, '') AS text FROM documents
+  WHERE trim(coalesce(text, '')) <> ''
   UNION ALL
   SELECT doc_id + 20000000, coalesce(text, '') FROM documents
-  WHERE doc_id % 10 = 0
+  WHERE doc_id % 10 = 0 AND trim(coalesce(text, '')) <> ''
 ),
 tk AS MATERIALIZED (
   SELECT doc_id, list_transform({_toks_sql()}, t -> md5(t)) AS hs

@@ -611,7 +611,23 @@ def create_tag(path: str, name: str, version: int | None = None) -> int:
             json.dump({"name": name, "version": version}, fh)
             fh.flush()
             os.fsync(fh.fileno())
-        os.link(tmp, final)
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise  # the documented one-winner contract
+        except OSError:
+            # hard links unsupported on this mount (some NFS /
+            # object-store / FAT filesystems raise EPERM/ENOTSUP
+            # here, not FileExistsError): fall back to an 'x'-mode
+            # copy of the already-fsynced bytes — the same atomic
+            # one-winner create, minus only the crash-mid-write
+            # protection the link path adds (a crash between open
+            # and write can wedge the name with a truncated ref on
+            # such mounts; the link path cannot).
+            with open(tmp, "rb") as src, open(final, "xb") as dst:
+                dst.write(src.read())
+                dst.flush()
+                os.fsync(dst.fileno())
     finally:
         os.unlink(tmp)
     return version
@@ -669,7 +685,10 @@ def vacuum(
     every tagged manifest as retained regardless of age or position.
 
     Returns {versions_removed, files_removed, bytes_removed,
-    versions_kept}. Idempotent: a second run removes nothing.
+    versions_kept, ref_tmp_removed} — the last counts aged
+    ``.{name}.*.tmp`` tag-publish debris swept from refs/ (a hard
+    kill between create_tag's fsync and its unlink orphans one).
+    Idempotent: a second run removes nothing.
 
     At 100 TB the referenced-file set is manifest metadata (thousands
     of entries, not data), so vacuum is a driver-side listing diff +
@@ -747,7 +766,26 @@ def vacuum(
                 for p in [dp] + [os.path.join(dp, f) for f in fs]
             ):
                 shutil.rmtree(full)
+    # sweep aged tag-publish debris from refs/: a hard kill between
+    # create_tag's fsync and its finally-unlink leaves a complete-but
+    # -orphaned .{name}.*.tmp that list_tags ignores and nothing else
+    # ever cleans; behind the same age guard so an IN-FLIGHT
+    # create_tag's tmp (written, not yet linked) is never swept
+    refs_dir = os.path.join(path, _REFS)
+    ref_tmp_removed = 0
+    if os.path.isdir(refs_dir):
+        for name in os.listdir(refs_dir):
+            full = os.path.join(refs_dir, name)
+            if (
+                name.startswith(".")
+                and name.endswith(".tmp")
+                and os.path.isfile(full)
+                and _old_enough(full)
+            ):
+                os.remove(full)
+                ref_tmp_removed += 1
     return {
+        "ref_tmp_removed": ref_tmp_removed,
         "versions_removed": len(expire),
         "files_removed": files_removed,
         "bytes_removed": bytes_removed,

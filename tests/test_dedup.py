@@ -509,3 +509,78 @@ def test_simhash_near_dup_validates_k(spark):
     docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_near_dup_pairs(docs, k=4)
+
+
+def test_simhash_near_dup_exposes_checkpoint_ownership(spark):
+    """ADVICE r13: the signature-table checkpoint cannot be released
+    inside simhash_near_dup_pairs (the returned plan still reads it),
+    so the function must hand the block ids to the caller via
+    ``owned_out`` — releasing them after the result is consumed must
+    actually free the pinned blocks."""
+    from alternating_least_squares_spark.checkpoint import (
+        release_local_checkpoint,
+    )
+    from alternating_least_squares_spark.functions.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i + 1} tok{i + 2}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    jsc = spark.sparkContext._jsc
+    before = len(jsc.getPersistentRDDs())
+    owned: list[int] = []
+    out = simhash_near_dup_pairs(docs, owned_out=owned)
+    out.collect()
+    assert len(owned) == 1  # exactly the signature checkpoint
+    assert len(jsc.getPersistentRDDs()) - before == 1
+    release_local_checkpoint(out, set(owned))
+    assert len(jsc.getPersistentRDDs()) - before == 0
+
+
+def test_q_d13_rotates_signature_checkpoint_across_calls(spark):
+    """ADVICE r13: repeated q_d13 calls in one session must pin at
+    most ONE live signature checkpoint — each call releases the
+    previous invocation's blocks (the harness evaluates each result
+    before requesting the next)."""
+    from alternating_least_squares_spark import registry
+
+    jsc = spark.sparkContext._jsc
+    sf = "/root/testdata/sf0.001"
+    before = len(jsc.getPersistentRDDs())
+    first = registry.q_d13_simhash_near_dup(spark, sf)
+    n1 = first.count()
+    assert len(jsc.getPersistentRDDs()) - before <= 1
+    second = registry.q_d13_simhash_near_dup(spark, sf)
+    assert second.count() == n1
+    # the second call released the first call's generation
+    assert len(jsc.getPersistentRDDs()) - before <= 1
+    # leave the module state clean for other tests in this session
+    from alternating_least_squares_spark.checkpoint import (
+        release_local_checkpoint,
+    )
+
+    app = spark.sparkContext.applicationId
+    release_local_checkpoint(
+        second, registry._D13_SIG_OWNED.pop(app, None)
+    )
+
+
+def test_dedup_components_releases_checkpoints_on_raise(spark):
+    """ADVICE r13: the non-convergence RuntimeError must not leak the
+    loop's pinned checkpoint generations to callers that catch it."""
+    import pytest
+
+    from alternating_least_squares_spark.functions.dedup import (
+        dedup_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    jsc = spark.sparkContext._jsc
+    before = len(jsc.getPersistentRDDs())
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_components(chain, max_iterations=2)
+    assert len(jsc.getPersistentRDDs()) - before == 0
