@@ -126,6 +126,7 @@ def _oriented_intersections(
     edges: DataFrame,
     max_degree: int | None,
     broadcast_adjacency: bool | None,
+    owned_out: list[int] | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared core of :func:`triangle_counts` and
     :func:`edge_neighborhood_scores`: hub-cap → degree-ordered
@@ -152,8 +153,13 @@ def _oriented_intersections(
         edges = edges.join(
             hubs.withColumnRenamed("vertex", "a"), "a", "left_anti"
         ).join(hubs.withColumnRenamed("vertex", "b"), "b", "left_anti")
-    # two consumers (degree count + orientation join) → materialize
-    e = edges.select("a", "b").localCheckpoint(eager=True)
+    # two consumers (degree count + orientation join) → materialize.
+    # The blocks are read by the RETURNED plans, so they cannot be
+    # released here; loop callers (ktruss) pass ``owned_out`` and
+    # release each round's generation once its successor is
+    # materialized — one-shot callers (gr03/gr04) leave them pinned
+    # for the session, the same accepted cost as their final result.
+    e, _own_e = local_checkpoint_owned(edges.select("a", "b"))
     if broadcast_adjacency is None:
         # count is ~free on the eager checkpoint; |E| == total
         # out-array elements, exactly the thing being shipped
@@ -178,8 +184,12 @@ def _oriented_intersections(
             .otherwise(F.col("b"))
             .alias("v"),
         )
-        .localCheckpoint(eager=True)  # consumers: adj build + stream
     )
+    # consumers: adj build + stream
+    oriented, _own_o = local_checkpoint_owned(oriented)
+    if owned_out is not None:
+        owned_out.extend(_own_e)
+        owned_out.extend(_own_o)
     adj = oriented.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
 
     def _probe(side: str, out: str) -> DataFrame:
@@ -306,6 +316,39 @@ def edge_neighborhood_scores(
     e, deg, per_edge = _oriented_intersections(
         edges, max_degree, broadcast_adjacency
     )
+    cn = _edge_common_counts(per_edge)
+    da = deg.select(F.col("vertex").alias("a"), F.col("degree").alias("_da"))
+    db = deg.select(F.col("vertex").alias("b"), F.col("degree").alias("_db"))
+    return (
+        e.join(cn, ["a", "b"], "left")
+        .join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            F.coalesce("common", F.lit(0)).cast("long").alias("common"),
+            F.round(
+                F.coalesce("common", F.lit(0))
+                / (
+                    F.col("_da") + F.col("_db")
+                    - F.coalesce("common", F.lit(0))
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _edge_common_counts(per_edge: DataFrame) -> DataFrame:
+    """``(a, b, common)`` for every edge in ≥ 1 triangle, from the
+    once-per-triangle base-edge stream of
+    :func:`_oriented_intersections`: each triangle {x ≺ y ≺ z} found
+    at base edge (u, v) with z ∈ ``_ws`` contributes +1 to all THREE
+    of its edges — the base edge gains |ws| and the two (endpoint, w)
+    edges gain 1 — so common-neighbor counts come from the bounded
+    out-arrays without ever joining full undirected neighborhoods.
+    Shared by :func:`edge_neighborhood_scores` (gr04) and
+    :func:`edge_support` (the k-truss peel primitive)."""
     one = F.lit(1).cast("long")
 
     def _key(x, y):  # canonical (a, b) = (min, max) edge key
@@ -334,30 +377,38 @@ def edge_neighborhood_scores(
             )
         ).alias("_c")
     )
-    cn = (
+    return (
         contrib.select("_c.a", "_c.b", "_c.n")
         .groupBy("a", "b")
         .agg(F.sum("n").alias("common"))
     )
-    da = deg.select(F.col("vertex").alias("a"), F.col("degree").alias("_da"))
-    db = deg.select(F.col("vertex").alias("b"), F.col("degree").alias("_db"))
-    return (
-        e.join(cn, ["a", "b"], "left")
-        .join(da, "a")
-        .join(db, "b")
-        .select(
-            "a",
-            "b",
-            F.coalesce("common", F.lit(0)).cast("long").alias("common"),
-            F.round(
-                F.coalesce("common", F.lit(0))
-                / (
-                    F.col("_da") + F.col("_db")
-                    - F.coalesce("common", F.lit(0))
-                ),
-                6,
-            ).alias("jaccard"),
-        )
+
+
+def edge_support(
+    edges: DataFrame,
+    max_degree: int | None = None,
+    broadcast_adjacency: bool | None = None,
+    owned_out: list[int] | None = None,
+) -> DataFrame:
+    """Triangle SUPPORT per edge over an oriented edge list (columns
+    ``a``, ``b``, a < b, distinct) → ``(a, b, support)`` for EVERY
+    edge — how many triangles contain it, 0 for edges in none (the
+    left join back to the edge list). This is the peel primitive of
+    :func:`ktruss`; it rides the same degree-ordered machinery as
+    :func:`triangle_counts` (√(2|E|) array bound, size-gated
+    broadcast vs shuffled-hash, hub-cap semantics), and the same
+    once-per-triangle attribution as :func:`edge_neighborhood_scores`
+    minus the degree arithmetic. ``owned_out`` forwards to
+    :func:`_oriented_intersections` so loop callers can release the
+    two internal checkpoints each round."""
+    e, _deg, per_edge = _oriented_intersections(
+        edges, max_degree, broadcast_adjacency, owned_out
+    )
+    cn = _edge_common_counts(per_edge)
+    return e.join(cn, ["a", "b"], "left").select(
+        "a",
+        "b",
+        F.coalesce("common", F.lit(0)).cast("long").alias("support"),
     )
 
 
@@ -366,6 +417,105 @@ def edge_neighborhood_scores(
 # pay the extra count() job the bound costs, and a genuinely deep
 # graph pays it once, long before |V| rounds of wasted actions.
 _GUARD_CHECK_AT = 60
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    rounds: int | None = None,
+    max_rounds: int | None = None,
+    max_degree: int | None = None,
+    broadcast_adjacency: bool | None = None,
+) -> DataFrame:
+    """k-truss decomposition by support peeling (Cohen 2008, the
+    standard community-core refinement of k-core: every edge of the
+    k-truss lies in ≥ k−2 triangles WITHIN the truss, so each
+    surviving tie is socially reinforced by k−2 mutual contacts):
+    repeatedly compute per-edge triangle support and drop every edge
+    whose support is < k−2 until the edge set is stable. Input is an
+    oriented undirected edge list (columns ``a``, ``b``, a < b;
+    deduplicated here). Returns ``(a, b, support)`` — the surviving
+    edges with their support INSIDE the surviving edge set.
+
+    This is to :func:`edge_support` exactly what :func:`kcore` is to
+    :func:`vertex_degrees` — same two modes, same guard discipline:
+
+    - ``rounds=None`` (live): peel to the FIXPOINT, detected by the
+      edge count not shrinking. ``max_rounds=None`` derives the
+      runaway guard from the data — every non-terminal round removes
+      ≥ 1 edge, so (surviving |E|)+1 further rounds is a structural
+      upper bound — priced lazily after ``_GUARD_CHECK_AT`` rounds,
+      and released-before-raise like every loop here.
+    - ``rounds=N`` (fixed sweep): exactly N peel rounds, well-defined
+      whether or not the fixpoint has been reached — the gr01/ipf
+      twin discipline that makes the registry entry hash-checkable
+      against an unrolled oracle.
+
+    Scale shape: each round is one :func:`edge_support` pass over a
+    SHRINKING edge set — the degree-ordered intersection bounds the
+    round at O(|E|^1.5) work with √(2|E|)-bounded arrays, and rounds
+    needed is the peel depth (single digits on real co-purchase
+    data), so the whole decomposition is R bounded shuffle rounds
+    with per-round rotating checkpoints (no lineage growth, ≤ 1
+    superseded generation pinned at a time). ``max_degree`` is the
+    gr03 hub-cap semantics, applied ONCE to the input (dropped hubs
+    vanish from the graph before the first peel; the oracle
+    replicates the cap)."""
+    if k < 3:
+        raise ValueError(
+            f"k must be >= 3 (got {k}): a 2-truss is the whole graph "
+            "(support >= 0 always holds), so smaller k silently "
+            "degenerates to a no-op"
+        )
+    min_support = k - 2
+    e = edges.select("a", "b").distinct()
+    if max_degree is not None:
+        hubs = (
+            vertex_degrees(e)
+            .filter(F.col("degree") > max_degree)
+            .select("vertex")
+        )
+        e = e.join(
+            hubs.withColumnRenamed("vertex", "a"), "a", "left_anti"
+        ).join(hubs.withColumnRenamed("vertex", "b"), "b", "left_anti")
+    e, _owned = local_checkpoint_owned(e)
+    n_prev = e.count() if rounds is None else None
+    limit = max_rounds
+    r = 0
+    while True:
+        if rounds is not None and r >= rounds:
+            break
+        if rounds is None and limit is None and r >= _GUARD_CHECK_AT:
+            # lazy structural bound: a non-terminal peel removes >= 1
+            # edge, so |E|+1 further rounds is an upper bound
+            limit = e.count() + r + 1
+        if rounds is None and limit is not None and r >= limit:
+            # release before raise (see kcore)
+            _release(e, _owned)
+            raise RuntimeError(
+                f"ktruss: no fixpoint after {limit} rounds "
+                f"(edges remaining: {n_prev})"
+            )
+        _own_round: list[int] = []
+        sup = edge_support(e, None, broadcast_adjacency, _own_round)
+        e, _owned = rotate_local_checkpoint(
+            sup.filter(F.col("support") >= min_support).select("a", "b"),
+            _owned,
+        )
+        # the new edge set is materialized; this round's internal
+        # signature checkpoints (oriented edges + input copy) are no
+        # longer read by anything
+        _release(e, set(_own_round))
+        r += 1
+        if rounds is None:
+            n_new = e.count()
+            if n_new == n_prev:
+                break
+            n_prev = n_new
+    # score the survivors within the truss; the final generation and
+    # this last pass's internal checkpoints stay pinned — the
+    # returned DataFrame reads them (the kcore/gr03 discipline)
+    return edge_support(e, None, broadcast_adjacency)
 
 
 def kcore(

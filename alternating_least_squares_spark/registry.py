@@ -8615,6 +8615,103 @@ GROUP BY 1"""
 SQL_GR05 = _gr05_oracle(GR05_K, GR05_ROUNDS, GR05_MIN_SUPPORT)
 
 
+GR10_K = 10  # support >= 8: at sf0.01 the peel runs 7 real rounds and
+# keeps 4639 of 114402 edges; at sf0.001 the capped graph's minimum
+# support is 13, so nothing peels (trivially converged, still hashed)
+GR10_ROUNDS = 8  # >= the measured fixpoint depth at both test SFs
+
+
+def q_gr10_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss of the hub-capped part co-purchase graph
+    (operators/graph.ktruss, fixed sweep) — the community-core
+    refinement of gr05's k-core: every surviving edge lies in
+    ≥ GR10_K−2 triangles WITHIN the surviving subgraph, so each
+    co-purchase tie is reinforced by ≥ 8 mutual co-purchases (Cohen
+    2008). Support peeling reuses gr03's degree-ordered triangle
+    machinery per round exactly as gr05's peel reuses degree counts:
+    each round is one edge_support pass (√(2|E|)-bounded adjacency
+    arrays, size-gated broadcast) over a shrinking edge set, with
+    rotating per-round checkpoints. Exactly GR10_ROUNDS rounds on
+    both sides — the gr01/ipf fixed-sweep discipline, ≥ the measured
+    peel depth at both test SFs (7 at sf0.01, where the peel drops
+    96% of edges; 0 at sf0.001, whose capped graph has min support
+    13), so the hash-checked result IS the 10-truss there. Live
+    fixpoint mode (edge-count early exit, lazy structural guard,
+    release-before-raise) is exercised by tests/test_graph.py via
+    brute-force parity on random graphs. Returns (a, b, support)
+    with support scored inside the truss."""
+    from alternating_least_squares_spark.operators.graph import ktruss
+
+    return ktruss(
+        _copurchase_edges(spark, sf_dir),
+        k=GR10_K,
+        rounds=GR10_ROUNDS,
+        max_degree=GR03_MAX_DEGREE,
+    )
+
+
+def _gr10_oracle(k: int, rounds: int, cap: int) -> str:
+    """Unrolled support peel: one (sym_i, e_i) CTE pair per round —
+    the gr05 unrolled-CTE pattern with the support join in place of
+    the degree count. AS MATERIALIZED for the same reason as gr05
+    (each round references its predecessor 3×; inlined unrolling
+    explodes the scan tree exponentially). Support of edge (a, b) =
+    |N(a) ∩ N(b)| via the two-hop left join over the symmetrized
+    adjacency — count(s2.b) ignores the NULLs of triangle-free
+    edges, so support-0 edges survive the k=3 degenerate case."""
+    min_sup = k - 2
+    parts = [
+        "WITH li AS MATERIALIZED "
+        "(SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),",
+        "e00 AS MATERIALIZED (",
+        "  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b",
+        "  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey",
+        "  WHERE x.l_partkey < y.l_partkey",
+        "),",
+        "hub AS MATERIALIZED (",
+        "  SELECT v FROM (",
+        "    SELECT v, count(*) AS deg",
+        "    FROM (SELECT a AS v FROM e00 UNION ALL SELECT b FROM e00)",
+        "    GROUP BY 1",
+        f"  ) WHERE deg > {cap}",
+        "),",
+        "e0 AS MATERIALIZED (",
+        "  SELECT a, b FROM e00",
+        "  WHERE a NOT IN (SELECT v FROM hub)",
+        "    AND b NOT IN (SELECT v FROM hub)",
+        ")",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""", y{r} AS MATERIALIZED (
+  SELECT a, b FROM e{p} UNION ALL SELECT b, a FROM e{p}
+), e{r} AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT e.a, e.b, count(s2.b) AS sup
+    FROM e{p} e
+    LEFT JOIN y{r} s1 ON s1.a = e.a
+    LEFT JOIN y{r} s2 ON s2.a = e.b AND s2.b = s1.b
+    GROUP BY e.a, e.b
+  ) WHERE sup >= {min_sup}
+)"""
+        )
+    parts.append(
+        f""", yf AS MATERIALIZED (
+  SELECT a, b FROM e{rounds} UNION ALL SELECT b, a FROM e{rounds}
+)
+SELECT e.a, e.b, CAST(count(s2.b) AS BIGINT) AS support
+FROM e{rounds} e
+LEFT JOIN yf s1 ON s1.a = e.a
+LEFT JOIN yf s2 ON s2.a = e.b AND s2.b = s1.b
+GROUP BY e.a, e.b"""
+    )
+    return "\n".join(parts)
+
+
+SQL_GR10 = _gr10_oracle(GR10_K, GR10_ROUNDS, GR03_MAX_DEGREE)
+
+
 GR06_ROUNDS = 8
 GR06_SEED_MOD = 97
 
@@ -12512,6 +12609,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "gr07_clustering_coeff": (q_gr07_clustering_coeff, SQL_GR07),
     "gr08_connected_components": (q_gr08_connected_components, SQL_GR08),
     "gr09_label_propagation": (q_gr09_label_propagation, SQL_GR09),
+    "gr10_ktruss": (q_gr10_ktruss, SQL_GR10),
 }
 
 
@@ -12576,7 +12674,11 @@ _PREFIX = [
     # new r14 entries displace these from the END per the rule above
     "ac07_merge_schema_evolution", "b05_jsonl_roundtrip",
     "d03_minhash_near_dup", "d05_mllib_minhash",
-    "e06_funnel", "e11_trailing_active_users",
+    "e06_funnel",
+    # new in round 14 (displacing the e11 fill slot to the r15
+    # prefix, per the displacement rule above): k-truss support peel
+    # (VERDICT r13 #2)
+    "gr10_ktruss",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

@@ -831,3 +831,80 @@ def test_iterative_loops_release_superseded_checkpoints(spark):
     ).save()
     leaked = len(jsc.getPersistentRDDs()) - before
     assert leaked <= 4, leaked
+
+
+def _py_ktruss(edges, k):
+    """Sequential reference peel: drop edges with support < k-2 until
+    stable; returns {edge: support-in-truss}."""
+    es = set(edges)
+    while True:
+        nbrs = {}
+        for a, b in es:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        sup = {(a, b): len(nbrs[a] & nbrs[b]) for a, b in es}
+        keep = {e for e in es if sup[e] >= k - 2}
+        if keep == es:
+            return sup
+        es = keep
+
+
+@settings(max_examples=8, deadline=None)
+@given(raw=edge_set, k=st.integers(min_value=3, max_value=5))
+def test_ktruss_matches_brute_force(spark, raw, k):
+    """Any random graph, any k: the distributed support peel must
+    equal the sequential reference peel (edge set AND in-truss
+    supports)."""
+    from alternating_least_squares_spark.operators.graph import ktruss
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw})
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {(r["a"], r["b"]): r["support"] for r in ktruss(df, k).collect()}
+    assert got == _py_ktruss(edges, k)
+
+
+def test_ktruss_fixed_sweep_matches_fixpoint_once_deep_enough(spark):
+    """The gr10 twin discipline: rounds >= peel depth makes the fixed
+    sweep identical to the live fixpoint (and extra rounds change
+    nothing once converged)."""
+    from alternating_least_squares_spark.operators.graph import ktruss
+
+    # two 4-cliques sharing a vertex plus a pendant path: the path
+    # peels immediately, the cliques survive k=4 (support 2 inside)
+    clique1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    clique2 = [(a, b) for a in range(3, 7) for b in range(a + 1, 7)]
+    path = [(7, 8), (8, 9)]
+    df = spark.createDataFrame(
+        sorted(set(clique1 + clique2 + path)), "a long, b long"
+    )
+    live = sorted(
+        (r["a"], r["b"], r["support"]) for r in ktruss(df, 4).collect()
+    )
+    fixed = sorted(
+        (r["a"], r["b"], r["support"])
+        for r in ktruss(df, 4, rounds=6).collect()
+    )
+    assert live == fixed
+    assert len(live) == len(clique1) + len(clique2)
+
+
+def test_ktruss_validates_guards_and_releases(spark):
+    from alternating_least_squares_spark.operators.graph import ktruss
+
+    df = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "a long, b long",
+    )
+    with pytest.raises(ValueError, match="k must be >= 3"):
+        ktruss(df, k=2)
+    jsc = spark.sparkContext._jsc
+    before = len(jsc.getPersistentRDDs())
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        # an explicit max_rounds=0 trips the loud guard before any peel
+        ktruss(df, k=3, max_rounds=0)
+    # release-before-raise: the guard path leaks nothing
+    assert len(jsc.getPersistentRDDs()) - before == 0
+    before = len(jsc.getPersistentRDDs())
+    ktruss(df, k=4).write.format("noop").mode("overwrite").save()
+    # only the final generation + final scoring pass may stay pinned
+    assert len(jsc.getPersistentRDDs()) - before <= 3
