@@ -11177,6 +11177,107 @@ FROM s
 """
 
 
+def q_w11_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing exact median-absolute-deviation per event — the
+    rolling ROBUST spread of each user's last W10_WINDOW
+    observations, completing w10's robust center into the
+    (median, MAD) pair behind robust anomaly gates (flag when
+    |y − med| > c·MAD; one spike can drag neither side, unlike the
+    mean/stddev pair). Exact-integer discipline throughout: the
+    frame's median average (med_lo+med_hi)/2 is the only inexact
+    step, so deviations are emitted DOUBLED —
+    d_i = |2·y_i − (med_lo + med_hi)| is an exact long in doubled
+    micro-units — and the MAD itself as the two middle order
+    statistics (mad_lo, mad_hi) of the sorted deviations (the
+    q04/w09/w10 emit-the-terms discipline: the hash certifies every
+    ordered selection, and the consumer divides by 4 once at the
+    edge if it wants the real-unit scalar).
+
+    Shape: the SAME single user-keyed exchange as w10 — one window
+    spec feeds the ≤ 8-element frame array; median selection, the
+    transform to absolute doubled deviations, and the second
+    array_sort all run on that bounded array inside codegen (an
+    8-element HOF is nothing like d13's 64-bit-per-token case — the
+    array is frame-bounded, not corpus-bounded). NaN observations
+    dropped first; (ts_ns, event_id) total order so ties cannot flap
+    engines. At 100 TB: one hash exchange on user_id, same as every
+    w-family op."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(~F.isnan("value"))
+        .select(
+            "user_id",
+            "event_id",
+            "ts_ns",
+            F.floor(F.col("value") * 1_000_000).cast("long").alias("_y"),
+        )
+    )
+    w_tr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(-(W10_WINDOW - 1), 0)
+    )
+    framed = ev.select(
+        "user_id",
+        "event_id",
+        F.array_sort(F.collect_list("_y").over(w_tr)).alias("_arr"),
+    )
+    n = F.size("_arr").cast("long")
+    med2 = F.get(
+        F.col("_arr"), ((n - F.lit(1)) / F.lit(2)).cast("int")
+    ) + F.get(F.col("_arr"), (n / F.lit(2)).cast("int"))
+    devs = framed.select(
+        "user_id",
+        "event_id",
+        n.alias("n_obs"),
+        F.array_sort(
+            F.transform("_arr", lambda x: F.abs(x * F.lit(2) - med2))
+        ).alias("_darr"),
+    )
+    nn = F.col("n_obs")
+    return devs.select(
+        "user_id",
+        "event_id",
+        "n_obs",
+        F.get(F.col("_darr"), ((nn - F.lit(1)) / F.lit(2)).cast("int"))
+        .alias("mad_lo"),
+        F.get(F.col("_darr"), (nn / F.lit(2)).cast("int")).alias("mad_hi"),
+    )
+
+
+SQL_W11 = f"""
+WITH ev AS (
+  SELECT user_id, event_id,
+         epoch_ns(ts) AS ts_ns,
+         CAST(floor(value * 1000000) AS BIGINT) AS y
+  FROM events WHERE NOT isnan(value)
+),
+s AS (
+  SELECT user_id, event_id,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n_obs,
+         list_sort(list(y) OVER w) AS arr
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id
+               ROWS BETWEEN {W10_WINDOW - 1} PRECEDING AND CURRENT ROW)
+),
+m AS (
+  SELECT user_id, event_id, n_obs, arr,
+         arr[CAST((n_obs - 1) // 2 AS INT) + 1]
+           + arr[CAST(n_obs // 2 AS INT) + 1] AS med2
+  FROM s
+),
+d AS (
+  SELECT user_id, event_id, n_obs,
+         list_sort(list_transform(arr, x -> abs(2 * x - med2))) AS darr
+  FROM m
+)
+SELECT user_id, event_id, n_obs,
+       CAST(darr[CAST((n_obs - 1) // 2 AS INT) + 1] AS BIGINT) AS mad_lo,
+       CAST(darr[CAST(n_obs // 2 AS INT) + 1] AS BIGINT) AS mad_hi
+FROM d
+"""
+
+
 def q_w08_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-horizon EWMA smoothing per user (α=0.5 over the last 8
     observations, weights renormalized over available history) — the
@@ -12593,6 +12694,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "w08_ewma": (q_w08_ewma, SQL_W08),
     "w09_rolling_slope": (q_w09_rolling_slope, SQL_W09),
     "w10_rolling_median": (q_w10_rolling_median, SQL_W10),
+    "w11_rolling_mad": (q_w11_rolling_mad, SQL_W11),
     "st11_stream_ewma": (q_st11_stream_ewma, SQL_W08),
     "st12_stream_drift_gate": (q_st12_stream_drift_gate, SQL_ST12),
     "st13_stream_budget_admission": (q_st13_stream_budget_admission, SQL_ST13),
@@ -12674,11 +12776,11 @@ _PREFIX = [
     # new r14 entries displace these from the END per the rule above
     "ac07_merge_schema_evolution", "b05_jsonl_roundtrip",
     "d03_minhash_near_dup", "d05_mllib_minhash",
-    "e06_funnel",
-    # new in round 14 (displacing the e11 fill slot to the r15
-    # prefix, per the displacement rule above): k-truss support peel
-    # (VERDICT r13 #2)
+    # new in round 14 (displacing the e11 and e06 fill slots to the
+    # r15 prefix, per the displacement rule above): k-truss support
+    # peel (VERDICT r13 #2) and the trailing exact MAD (#3)
     "gr10_ktruss",
+    "w11_rolling_mad",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

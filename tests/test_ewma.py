@@ -805,6 +805,111 @@ def test_w10_rolling_median_matches_pandas(spark, tmp_path_factory, vals):
     assert got == {i: want[i] for i in range(len(vals))}
 
 
+def test_w11_rolling_mad_hand_computed(spark, tmp_path):
+    """w11 on a hand series: mad_lo/mad_hi are the two middle order
+    statistics of the sorted DOUBLED absolute deviations
+    |2y - (med_lo + med_hi)| (exact longs in doubled micro-units); a
+    spike entering the window moves the MAD far less than it would a
+    stddev; NaN rows are not observations."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from alternating_least_squares_spark import registry
+
+    t0 = datetime.datetime(2024, 1, 1)
+    vals = [2.0, 1.0, float("nan"), 3.0, 100.0]
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=i + 1), 7, v)
+        for i, v in enumerate(vals)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows), pa.string()),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = {
+        r["event_id"]: (r["n_obs"], r["mad_lo"], r["mad_hi"])
+        for r in registry.q_w11_rolling_mad(spark, str(tmp_path)).collect()
+    }
+    M = 1_000_000
+    # frames (micro-units): [2], [1,2], [1,2,3], [1,2,3,100]
+    # med2 = med_lo+med_hi: 4M, 3M, 4M, 5M
+    # doubled devs |2y-med2|, sorted:
+    #   [0]; [1M,1M]; [2M,0,2M]->[0,2M,2M]; [3M,1M,1M,195M]->[1M,1M,3M,195M]
+    assert got == {
+        0: (1, 0, 0),
+        1: (2, 1 * M, 1 * M),
+        3: (3, 2 * M, 2 * M),
+        4: (4, 1 * M, 3 * M),  # the spike sits in the tail, not the MAD
+    }
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-100, max_value=100,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_w11_rolling_mad_matches_python_replay(
+    spark, tmp_path_factory, vals
+):
+    """w11 property: on any series, (mad_lo + mad_hi) / 2 equals the
+    sequential reference MAD (in doubled micro-units) of the trailing
+    8-observation frame."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from alternating_least_squares_spark import registry
+
+    tmp_path = tmp_path_factory.mktemp("w11")
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=i + 1), 1, v)
+        for i, v in enumerate(vals)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows), pa.string()),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = {
+        r["event_id"]: (r["mad_lo"] + r["mad_hi"]) / 2
+        for r in registry.q_w11_rolling_mad(spark, str(tmp_path)).collect()
+    }
+    y = [math.floor(v * 1_000_000) for v in vals]
+    want = {}
+    for i in range(len(y)):
+        frame = sorted(y[max(0, i - 7): i + 1])
+        n = len(frame)
+        med2 = frame[(n - 1) // 2] + frame[n // 2]
+        devs = sorted(abs(2 * x - med2) for x in frame)
+        want[i] = (devs[(n - 1) // 2] + devs[n // 2]) / 2
+    assert got == want
+
+
 def test_stream_ewma_rejects_reused_event_id_across_batches(
     spark, tmp_path
 ):
