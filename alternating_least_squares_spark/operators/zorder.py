@@ -52,6 +52,25 @@ def morton_code(a: Column, b: Column, bits: int = DEFAULT_BITS) -> Column:
     return out
 
 
+def morton_code_py(a: int, b: int, bits: int = DEFAULT_BITS) -> int:
+    """Driver-side twin of :func:`morton_code` — same interleave, same
+    masking — for computing the z-interval of a query rectangle:
+    the code is monotone in each coordinate (it decomposes as
+    spread(a) + 2·spread(b) with spread strictly increasing), so every
+    point of [a_lo, a_hi] × [b_lo, b_hi] has its z in
+    [morton(a_lo, b_lo), morton(a_hi, b_hi)] — the (possibly loose)
+    superset interval :func:`sources.snapshot.read_key_range` prunes
+    files with."""
+    mask = (1 << bits) - 1
+    a &= mask
+    b &= mask
+    out = 0
+    for i in range(bits):
+        out |= ((a >> i) & 1) << (2 * i)
+        out |= ((b >> i) & 1) << (2 * i + 1)
+    return out
+
+
 def morton_code_sql(a: str, b: str, bits: int = DEFAULT_BITS) -> str:
     """DuckDB twin of :func:`morton_code` — same shift/mask/or tree,
     same masking, so both engines produce identical codes."""

@@ -1499,6 +1499,93 @@ FROM lineitem
 """
 
 
+AC11_FILES = 16
+
+
+def q_ac11_cluster_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order-driven layout end-to-end — closing the loop ac03 opened
+    (ADVICE/VERDICT r13 #4): ac03 proves the Morton KEY is computed
+    right; this entry proves the key DRIVES layout and the layout
+    drives pruning. Pipeline: snapshot-create lineitem keyed by
+    zcode = morton(l_partkey, l_suppkey) in a z-HOSTILE layout
+    (range-partitioned by l_orderkey, so every file spans the full z
+    domain) → sources/snapshot.cluster_optimize rewrites it
+    range-partitioned + sorted on zcode (Delta OPTIMIZE ZORDER BY /
+    Iceberg rewrite_data_files semantics; one shuffle, copy-on-write
+    commit) → a 2-D rectangle query (the middle-quarter box of both
+    key domains, derived from the data so it scales with SF) reads
+    via read_key_range, which prunes files on manifest [min_key,
+    max_key] intersecting the rectangle's z-interval
+    [morton(p_lo, s_lo), morton(p_hi, s_hi)] (a correct superset:
+    the code is monotone per coordinate). The returned row carries
+    the rectangle's (n_rows, sum_qty) from the PRUNED scan plus a
+    ``pruned`` flag asserting the optimized read touched fewer files
+    than BOTH the file total and the same range-read against the
+    hostile v0 — so the oracle (plain rectangle aggregate over
+    lineitem, TRUE literal) hash-proves the clustered rewrite lost
+    no rows, the prune lost no rectangle rows, AND the layout
+    actually pruned. File-count floors are pinned in
+    tests/test_zorder.py. At 100 TB this is the nightly clustering
+    job: manifest pruning is a driver-side metadata diff, the
+    rewrite one range shuffle."""
+    import shutil
+
+    from alternating_least_squares_spark.operators.zorder import (
+        morton_code,
+        morton_code_py,
+    )
+    from alternating_least_squares_spark.sources import snapshot as SN
+
+    path = _scratch_path(
+        "alternating_ls_ac11", sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        morton_code(F.col("l_partkey"), F.col("l_suppkey")).alias("zcode"),
+    )
+    SN.create_table(
+        li.repartitionByRange(AC11_FILES, "l_orderkey"), path, key="zcode"
+    )
+    SN.cluster_optimize(spark, path, AC11_FILES)
+    pmax, smax = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
+    plo, phi = pmax // 4, pmax // 2
+    slo, shi = smax // 4, smax // 2
+    zlo, zhi = morton_code_py(plo, slo), morton_code_py(phi, shi)
+    ranged, files_opt, files_total = SN.read_key_range(spark, path, zlo, zhi)
+    _v0, files_v0, _tot0 = SN.read_key_range(spark, path, zlo, zhi, version=0)
+    rect = ranged.filter(
+        F.col("l_partkey").between(plo, phi)
+        & F.col("l_suppkey").between(slo, shi)
+    )
+    return rect.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.lit(
+            files_opt < files_total and files_opt < files_v0
+        ).alias("pruned"),
+    )
+
+
+SQL_AC11 = """
+WITH b AS (
+  SELECT max(l_partkey) // 4 AS plo, max(l_partkey) // 2 AS phi,
+         max(l_suppkey) // 4 AS slo, max(l_suppkey) // 2 AS shi
+  FROM lineitem
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+       TRUE AS pruned
+FROM lineitem, b
+WHERE l_partkey BETWEEN b.plo AND b.phi
+  AND l_suppkey BETWEEN b.slo AND b.shi
+"""
+
+
 def q_ac05_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VACUUM — expire history and delete orphaned data files
     (sources/snapshot.vacuum; the Delta VACUUM / Iceberg
@@ -12529,6 +12616,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ac05_vacuum": (q_ac05_vacuum, SQL_AC05),
     "ac06_schema_evolution": (q_ac06_schema_evolution, SQL_AC06),
     "ac07_merge_schema_evolution": (q_ac07_merge_schema_evolution, SQL_AC07),
+    "ac11_cluster_optimize": (q_ac11_cluster_optimize, SQL_AC11),
     "x12_salted_join": (q_x12_salted_join, SQL_X12),
     "x05_python_udtf": (q_x05_python_udtf, SQL_X05),
     "h01_pricing_summary": (q_h01_pricing_summary, SQL_H01),
@@ -12775,12 +12863,14 @@ _PREFIX = [
     # r10-cohort fill (newest official row is round 10), 6 oldest;
     # new r14 entries displace these from the END per the rule above
     "ac07_merge_schema_evolution", "b05_jsonl_roundtrip",
-    "d03_minhash_near_dup", "d05_mllib_minhash",
-    # new in round 14 (displacing the e11 and e06 fill slots to the
-    # r15 prefix, per the displacement rule above): k-truss support
-    # peel (VERDICT r13 #2) and the trailing exact MAD (#3)
+    "d03_minhash_near_dup",
+    # new in round 14 (displacing the e11, e06, and d05 fill slots to
+    # the r15 prefix, per the displacement rule above): k-truss
+    # support peel (VERDICT r13 #2), the trailing exact MAD (#3), and
+    # the z-order layout + manifest-pruning proof (#4)
     "gr10_ktruss",
     "w11_rolling_mad",
+    "ac11_cluster_optimize",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

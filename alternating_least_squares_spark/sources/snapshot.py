@@ -554,6 +554,105 @@ def delete_where(path: str, predicate: str, spark: SparkSession) -> int:
     return version
 
 
+def cluster_optimize(
+    spark: SparkSession, path: str, n_files: int
+) -> dict:
+    """Clustered rewrite of the latest version — the layout half of
+    Delta ``OPTIMIZE ZORDER BY`` / Iceberg ``rewrite_data_files`` with
+    a sort order: rewrite every live row range-partitioned AND sorted
+    on the table key, so each new file owns a tight, near-disjoint
+    ``[min_key, max_key]`` slice and :func:`read_key_range`'s manifest
+    pruning goes from "every file overlaps" to O(selectivity) files.
+    With a Z-order key (operators/zorder.morton_code) this clusters on
+    a space-filling curve, making every file a small rectangle in the
+    2-D (a, b) domain — the ac03→ac11 pipeline.
+
+    Commits a new version whose manifest lists ONLY the rewritten
+    files (same schema, same rows — a pure layout change); superseded
+    files stay on disk for time travel until :func:`vacuum`, the
+    copy-on-write contract every other commit here follows. The
+    rewrite is one range-repartition shuffle + within-partition sort —
+    exactly a sorted write's cost; at 100 TB this is the nightly
+    clustering job next to compaction. Returns {version, files_before,
+    files_after, rows}."""
+    _require_absolute(path)
+    if n_files < 1:
+        raise ValueError(f"n_files must be >= 1 (got {n_files})")
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot table at {path}")
+    prev = _read_manifest(path, versions[-1])
+    key = prev["key"]
+    clustered = (
+        read_snapshot(spark, path)
+        .repartitionByRange(n_files, F.col(key))
+        .sortWithinPartitions(key)
+    )
+    files = _write_data_files(clustered, path, key)
+    v = versions[-1] + 1
+    _commit(
+        path,
+        v,
+        {
+            "version": v,
+            "operation": "cluster_optimize",
+            "key": key,
+            "schema": prev["schema"],
+            "files": files,
+        },
+    )
+    return {
+        "version": v,
+        "files_before": len(prev["files"]),
+        "files_after": len(files),
+        "rows": sum(f["rows"] for f in files),
+    }
+
+
+def read_key_range(
+    spark: SparkSession,
+    path: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Manifest-pruned range scan: read ONLY the files whose
+    ``[min_key, max_key]`` intersects ``[lo, hi]`` (the same stats
+    interval logic merge_upsert prunes with), then filter to the exact
+    range. Returns ``(df, files_read, files_total)`` so callers can
+    assert the pruning actually happened — the proof surface for
+    :func:`cluster_optimize`. Files with NULL key stats hold only
+    NULL keys, which no range contains. The listing diff is manifest
+    metadata (driver-side, thousands of entries at 100 TB, never a
+    data read); the pruned scan still gets parquet row-group pruning
+    on top since clustered files are internally sorted."""
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot table at {path}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    m = _read_manifest(path, version)
+    key = m["key"]
+    schema = _manifest_schema(m)
+    live = [
+        f
+        for f in m["files"]
+        if f["min_key"] is not None
+        and not (f["max_key"] < lo or f["min_key"] > hi)
+    ]
+    if not live:
+        df = spark.createDataFrame([], schema)
+    else:
+        df = spark.read.schema(schema).parquet(*[f["path"] for f in live])
+    return (
+        df.filter((F.col(key) >= lo) & (F.col(key) <= hi)),
+        len(live),
+        len(m["files"]),
+    )
+
+
 def create_tag(path: str, name: str, version: int | None = None) -> int:
     """Create an IMMUTABLE named ref to a version (Iceberg tag /
     git-tag semantics): ``read_tag(name)`` returns that version's

@@ -102,3 +102,92 @@ def test_zorder_write_rejects_reserved_column(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="_z"):
         zorder_write(df, str(tmp_path / "x"), "a", "b", 2)
+
+
+def test_morton_code_py_matches_column_expression(spark):
+    """The driver-side twin must equal the codegen expression bit for
+    bit (it prices the z-interval that read_key_range prunes with)."""
+    from alternating_least_squares_spark.operators.zorder import (
+        morton_code,
+        morton_code_py,
+    )
+
+    df = spark.createDataFrame(
+        [(a, b) for a in (0, 1, 5, 100, 2**20) for b in (0, 3, 77, 2**21 - 1)],
+        "a long, b long",
+    )
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", morton_code(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    }
+    assert got == {(a, b): morton_code_py(a, b) for (a, b) in got}
+
+
+def test_morton_monotone_rectangle_interval(spark):
+    """The pruning contract of read_key_range's z-interval: every
+    point of a rectangle has its Morton code inside
+    [morton(lo_a, lo_b), morton(hi_a, hi_b)]."""
+    import random
+
+    from alternating_least_squares_spark.operators.zorder import (
+        morton_code_py,
+    )
+
+    rng = random.Random(11)
+    for _ in range(200):
+        a0, a1 = sorted(rng.randrange(1 << 12) for _ in range(2))
+        b0, b1 = sorted(rng.randrange(1 << 12) for _ in range(2))
+        zlo, zhi = morton_code_py(a0, b0), morton_code_py(a1, b1)
+        a = rng.randint(a0, a1)
+        b = rng.randint(b0, b1)
+        assert zlo <= morton_code_py(a, b) <= zhi
+
+
+def test_cluster_optimize_prunes_range_reads(spark, tmp_path):
+    """ac11's physical claim, pinned: after cluster_optimize on a
+    Morton key, a rectangle's z-interval read touches a strict
+    minority of files, while the z-hostile v0 layout reads all of
+    them; both reads return identical rectangle rows; history records
+    the layout commit."""
+    from alternating_least_squares_spark.operators.zorder import (
+        morton_code,
+        morton_code_py,
+    )
+    from alternating_least_squares_spark.sources import snapshot as SN
+
+    n_files = 8
+    rows = spark.range(4000).select(
+        (F.col("id") % 64).alias("a"),
+        ((F.col("id") * 7919) % 64).alias("b"),
+        F.col("id").alias("payload"),
+    )
+    df = rows.select(
+        "a", "b", "payload",
+        morton_code(F.col("a"), F.col("b")).alias("zcode"),
+    )
+    path = str(tmp_path / "t")
+    # hostile v0: clustered by payload (uncorrelated with z)
+    SN.create_table(
+        df.repartitionByRange(n_files, "payload"), path, key="zcode"
+    )
+    stats = SN.cluster_optimize(spark, path, n_files)
+    assert stats["files_after"] == n_files and stats["rows"] == 4000
+    zlo, zhi = morton_code_py(8, 8), morton_code_py(23, 23)
+    opt, f_opt, f_tot = SN.read_key_range(spark, path, zlo, zhi)
+    v0, f_v0, _ = SN.read_key_range(spark, path, zlo, zhi, version=0)
+    assert f_v0 == n_files  # every hostile file spans the z domain
+    assert f_opt <= n_files // 2, (f_opt, n_files)
+    rect = F.col("a").between(8, 23) & F.col("b").between(8, 23)
+    got_opt = sorted(
+        (r["a"], r["b"], r["payload"])
+        for r in opt.filter(rect).collect()
+    )
+    got_v0 = sorted(
+        (r["a"], r["b"], r["payload"])
+        for r in v0.filter(rect).collect()
+    )
+    assert got_opt == got_v0 and len(got_opt) > 0
+    ops = [h["operation"] for h in SN.history(path)]
+    assert ops == ["create", "cluster_optimize"]
