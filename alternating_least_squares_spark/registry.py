@@ -4468,6 +4468,49 @@ def q_sql05_shared_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_SHARED_SQL05)
 
 
+SQL_SHARED_SQL06 = """
+SELECT l_linestatus, flag, CAST(qty AS BIGINT) AS qty
+FROM (
+  SELECT l_linestatus,
+         CAST(sum(CASE WHEN l_returnflag = 'A'
+                       THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS A,
+         CAST(sum(CASE WHEN l_returnflag = 'N'
+                       THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS N,
+         CAST(sum(CASE WHEN l_returnflag = 'R'
+                       THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS R
+  FROM lineitem GROUP BY l_linestatus
+) UNPIVOT (
+  qty FOR flag IN (A, N, R)
+)
+"""
+
+
+def q_sql06_shared_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ``UNPIVOT`` in the shared dialect (VERDICT r13 #5) —
+    the reshape twin that closes the pair sql05 opened: c08 proves
+    unpivot SEMANTICS through the DataFrame API (stack/explode) and
+    sql05 the PIVOT text; this proves the one-text-two-engines
+    ``FROM (...) UNPIVOT (val FOR name IN (cols))`` surface parses
+    and agrees on Spark 4 and DuckDB. Dialect-intersection notes:
+    bare unquoted single-letter measure columns so both engines emit
+    the same name strings into ``flag``; the wide source is built
+    inline with conditional sums CAST to BIGINT inside (DuckDB
+    SUM(BIGINT)→HUGEINT, the e09/t13 lesson) so the unpivoted value
+    column is BIGINT on both; default NULL-exclusion semantics agree
+    (no NULLs exist here — ELSE 0). Scale shape: Catalyst compiles
+    UNPIVOT to Expand over the one map-side-combined aggregate — the
+    wide row multiplies by 3 AFTER the groupBy, so the only exchange
+    carries ≤ |linestatus| rows per mapper and the expansion is
+    output-side, exactly how c08_unpivot's hand-built stack plans."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem"
+    )
+    return spark.sql(SQL_SHARED_SQL06)
+
+
 def q_sql03_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative SQL UDFs (SPARK-51086 family, GA in Spark 4):
     ``CREATE FUNCTION ... RETURNS DOUBLE RETURN <expr>`` — the
@@ -12752,6 +12795,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sql03_sql_udf": (q_sql03_sql_udf, SQL_SQL03),
     "sql04_lateral_topk": (q_sql04_lateral_topk, SQL_SHARED_SQL04),
     "sql05_shared_pivot": (q_sql05_shared_pivot, SQL_SHARED_SQL05),
+    "sql06_shared_unpivot": (q_sql06_shared_unpivot, SQL_SHARED_SQL06),
     "e14_cumulative_users": (q_e14_cumulative_users, SQL_E14),
     "t16_normalized_dupes": (q_t16_normalized_dupes, SQL_T16),
     "gr02_degree_profile": (q_gr02_degree_profile, SQL_GR02),
@@ -12863,14 +12907,15 @@ _PREFIX = [
     # r10-cohort fill (newest official row is round 10), 6 oldest;
     # new r14 entries displace these from the END per the rule above
     "ac07_merge_schema_evolution", "b05_jsonl_roundtrip",
-    "d03_minhash_near_dup",
-    # new in round 14 (displacing the e11, e06, and d05 fill slots to
-    # the r15 prefix, per the displacement rule above): k-truss
-    # support peel (VERDICT r13 #2), the trailing exact MAD (#3), and
-    # the z-order layout + manifest-pruning proof (#4)
+    # new in round 14 (displacing the e11, e06, d05, and d03 fill
+    # slots to the r15 prefix, per the displacement rule above):
+    # k-truss support peel (VERDICT r13 #2), the trailing exact MAD
+    # (#3), the z-order layout + manifest-pruning proof (#4), and the
+    # shared-dialect UNPIVOT (#5)
     "gr10_ktruss",
     "w11_rolling_mad",
     "ac11_cluster_optimize",
+    "sql06_shared_unpivot",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

@@ -392,3 +392,21 @@ def test_shared_pivot_compiles_to_keyed_partial_aggregates(spark):
         assert marker not in plan
     assert "l_quantity:double,l_returnflag:string,l_linestatus:string" \
         in plan  # column pruning reached the parquet scan
+
+
+def test_shared_unpivot_expands_after_the_aggregate(spark):
+    """sql06: Catalyst's SQL-UNPIVOT plan is Expand OVER the one
+    map-side-combined aggregate — the 3x row multiplication happens
+    AFTER the groupBy, so the only exchange carries rows bounded by
+    |linestatus|, never 3x the data. No joins, no Python, and the
+    scan reads only the three referenced columns."""
+    plan = _plan(spark, "sql06_shared_unpivot")
+    assert plan.count("Exchange") == 1, plan[:2000]
+    assert "partial_sum" in plan and "Expand" in plan
+    # Expand sits above HashAggregate, not above the scan
+    assert plan.index("Expand") < plan.index("HashAggregate"), plan[:2000]
+    for marker in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                   "BatchEvalPython", "SortMergeJoin"):
+        assert marker not in plan
+    assert "l_quantity:double,l_returnflag:string,l_linestatus:string" \
+        in plan  # column pruning reached the parquet scan
