@@ -12416,6 +12416,169 @@ WHERE bit_count(xor(a.sh_hi, b.sh_hi))
 SQL_D13 = _d13_oracle(D13_K)
 
 
+def q_d14_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + host/path-level dedup gate
+    (functions/urlfns.canonicalize_url) — the CCNet/RefinedWeb-style
+    pre-filter upstream of the content-dedup ladder: O(rows) pure
+    string codegen with NO candidate join, so at 100 TB it removes
+    the bulk of crawl duplication before any shingling shuffle runs.
+
+    Fixture (the d12 planted-twin discipline, but with the oracle
+    checking the RULES, not the construction): every doc_id derives a
+    dirty URL deterministically — groups of 10 consecutive ids share
+    one canonical page, and the id mod 10 picks the dirt class
+    (scheme/host case, explicit default port :80/:443, fragment,
+    utm_*/fbclid/gclid/ref tracking params, query-key order, trailing
+    slashes, and an everything-at-once row). The Spark side runs the
+    real canonicalizer; the DuckDB oracle builds the same dirty
+    strings and then RESTATES the canonicalization independently with
+    DuckDB regexp/list functions — so the hash pins the
+    transformation engine-independently (a parser bug cannot hide
+    behind its own construction; the r13 rank-1-MinHash lesson).
+    Output is the dedup gate itself: (canon_url, n_docs, keep_id) —
+    ten dirty spellings per canonical URL collapse to one keeper."""
+    from alternating_least_squares_spark.functions.urlfns import (
+        canonicalize_url,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    g = F.floor(F.col("doc_id") / F.lit(10)).cast("long")
+    v = F.col("doc_id") % 10
+    s = F.when(g % 2 == 0, F.lit("http")).otherwise(F.lit("https"))
+    h = F.concat(F.lit("example"), g.cast("string"), F.lit(".com"))
+    prt = F.when(g % 2 == 0, F.lit(":80")).otherwise(F.lit(":443"))
+    p = F.concat(F.lit("/docs/"), g.cast("string"))
+    sep = F.lit("://")
+    q = F.lit("?x=1&y=2")
+    dirty = (
+        F.when(v == 0, F.concat(s, sep, h, p, q))
+        .when(v == 1, F.concat(F.upper(s), sep, F.upper(h), p, q))
+        .when(v == 2, F.concat(s, sep, h, prt, p, q))
+        .when(v == 3, F.concat(s, sep, h, p, q, F.lit("#section-3")))
+        .when(
+            v == 4,
+            F.concat(s, sep, h, p, F.lit("?utm_source=feed&x=1&y=2")),
+        )
+        .when(v == 5, F.concat(s, sep, h, p, F.lit("?y=2&x=1")))
+        .when(v == 6, F.concat(s, sep, h, p, F.lit("/"), q))
+        .when(
+            v == 7, F.concat(s, sep, h, p, F.lit("?x=1&y=2&fbclid=abc"))
+        )
+        .when(
+            v == 8,
+            F.concat(
+                s, sep, F.upper(h), prt, p, F.lit("/?y=2&gclid=z&x=1")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.upper(s),
+                sep,
+                F.upper(h),
+                prt,
+                p,
+                F.lit("//?utm_medium=m&y=2&ref=r&x=1#f"),
+            )
+        )
+    )
+    canon = d.select(
+        "doc_id", canonicalize_url(dirty).alias("canon_url")
+    )
+    return canon.groupBy("canon_url").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id")
+    )
+
+
+SQL_D14 = r"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(floor(doc_id / 10) AS BIGINT) AS g,
+         doc_id % 10 AS v
+  FROM documents
+),
+pieces AS (
+  SELECT doc_id, v,
+         CASE WHEN g % 2 = 0 THEN 'http' ELSE 'https' END AS s,
+         'example' || CAST(g AS VARCHAR) || '.com' AS h,
+         CASE WHEN g % 2 = 0 THEN ':80' ELSE ':443' END AS prt,
+         '/docs/' || CAST(g AS VARCHAR) AS p
+  FROM d
+),
+dirty AS (
+  SELECT doc_id,
+         CASE v
+           WHEN 0 THEN s || '://' || h || p || '?x=1&y=2'
+           WHEN 1 THEN upper(s) || '://' || upper(h) || p || '?x=1&y=2'
+           WHEN 2 THEN s || '://' || h || prt || p || '?x=1&y=2'
+           WHEN 3 THEN s || '://' || h || p || '?x=1&y=2#section-3'
+           WHEN 4 THEN s || '://' || h || p || '?utm_source=feed&x=1&y=2'
+           WHEN 5 THEN s || '://' || h || p || '?y=2&x=1'
+           WHEN 6 THEN s || '://' || h || p || '/?x=1&y=2'
+           WHEN 7 THEN s || '://' || h || p || '?x=1&y=2&fbclid=abc'
+           WHEN 8 THEN s || '://' || upper(h) || prt || p
+                       || '/?y=2&gclid=z&x=1'
+           ELSE upper(s) || '://' || upper(h) || prt || p
+                || '//?utm_medium=m&y=2&ref=r&x=1#f'
+         END AS url
+  FROM pieces
+),
+-- independent restatement of functions/urlfns.canonicalize_url
+steps AS (
+  SELECT doc_id,
+         regexp_replace(trim(url), '#.*$', '') AS u
+  FROM dirty
+),
+split1 AS (
+  SELECT doc_id, u,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM steps
+),
+split2 AS (
+  SELECT doc_id, scheme,
+         lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS auth,
+         regexp_replace(rest, '^[^/?#]*', '') AS after
+  FROM split1
+),
+split3 AS (
+  SELECT doc_id, scheme,
+         CASE WHEN scheme = 'http'
+              THEN regexp_replace(auth, ':80$', '')
+              WHEN scheme = 'https'
+              THEN regexp_replace(auth, ':443$', '')
+              ELSE auth END AS host,
+         regexp_replace(regexp_extract(after, '^([^?]*)', 1),
+                        '/+$', '') AS path,
+         CASE WHEN contains(after, '?')
+              THEN regexp_replace(after, '^[^?]*\?', '')
+              ELSE '' END AS query
+  FROM split2
+),
+canon AS (
+  SELECT doc_id,
+         (CASE WHEN scheme <> '' THEN scheme || '://' ELSE '' END)
+         || host || path
+         || (CASE WHEN kept <> '' THEN '?' || kept ELSE '' END)
+           AS canon_url
+  FROM (
+    SELECT doc_id, scheme, host, path,
+           array_to_string(
+             list_sort(
+               list_filter(string_split(query, '&'),
+                 x -> x <> '' AND NOT regexp_matches(
+                   x, '^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$'))),
+             '&') AS kept
+    FROM split3
+  )
+)
+SELECT canon_url,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS keep_id
+FROM canon GROUP BY 1
+"""
+
+
 def q_x16_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle for training-data ordering — the
     last pipeline stage before a trainer reads the corpus: every doc
@@ -12814,6 +12977,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "d11_neardup_keep_one": (q_d11_neardup_keep_one, SQL_D11),
     "d12_threshold_near_dup": (q_d12_threshold_near_dup, SQL_D12),
     "d13_simhash_near_dup": (q_d13_simhash_near_dup, SQL_D13),
+    "d14_url_dedup": (q_d14_url_dedup, SQL_D14),
     "x17_dsir_weights": (q_x17_dsir_weights, SQL_X17),
     "x22_token_budget_mix": (q_x22_token_budget_mix, SQL_X22),
     "t23_span_scrub": (q_t23_span_scrub, SQL_T23),
@@ -12906,16 +13070,18 @@ _PREFIX = [
     "x06_domain_mix_sample", "x08_salted_agg", "x09_bucketed_join",
     # r10-cohort fill (newest official row is round 10), 6 oldest;
     # new r14 entries displace these from the END per the rule above
-    "ac07_merge_schema_evolution", "b05_jsonl_roundtrip",
-    # new in round 14 (displacing the e11, e06, d05, and d03 fill
-    # slots to the r15 prefix, per the displacement rule above):
+    "ac07_merge_schema_evolution",
+    # new in round 14 (displacing the e11, e06, d05, d03, and b05
+    # fill slots to the r15 prefix, per the displacement rule above):
     # k-truss support peel (VERDICT r13 #2), the trailing exact MAD
-    # (#3), the z-order layout + manifest-pruning proof (#4), and the
-    # shared-dialect UNPIVOT (#5)
+    # (#3), the z-order layout + manifest-pruning proof (#4), the
+    # shared-dialect UNPIVOT (#5), and the URL-canonicalization
+    # dedup gate (#6)
     "gr10_ktruss",
     "w11_rolling_mad",
     "ac11_cluster_optimize",
     "sql06_shared_unpivot",
+    "d14_url_dedup",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))
