@@ -529,14 +529,15 @@ def test_simhash_near_dup_exposes_checkpoint_ownership(spark):
         "doc_id long, text string",
     )
     jsc = spark.sparkContext._jsc
-    before = len(jsc.getPersistentRDDs())
     owned: list[int] = []
     out = simhash_near_dup_pairs(docs, owned_out=owned)
     out.collect()
     assert len(owned) == 1  # exactly the signature checkpoint
-    assert len(jsc.getPersistentRDDs()) - before == 1
+    # assert on the OWNED id, not on absolute counts — the shared
+    # session's ContextCleaner may release unrelated RDDs mid-test
+    assert jsc.getPersistentRDDs().containsKey(owned[0])
     release_local_checkpoint(out, set(owned))
-    assert len(jsc.getPersistentRDDs()) - before == 0
+    assert not jsc.getPersistentRDDs().containsKey(owned[0])
 
 
 def test_q_d13_rotates_signature_checkpoint_across_calls(spark):
@@ -583,4 +584,6 @@ def test_dedup_components_releases_checkpoints_on_raise(spark):
     before = len(jsc.getPersistentRDDs())
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_components(chain, max_iterations=2)
-    assert len(jsc.getPersistentRDDs()) - before == 0
+    # <= 0, not == 0: the shared session's ContextCleaner may release
+    # unrelated RDDs mid-test, so the delta can go negative
+    assert len(jsc.getPersistentRDDs()) - before <= 0

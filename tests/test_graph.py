@@ -902,8 +902,9 @@ def test_ktruss_validates_guards_and_releases(spark):
     with pytest.raises(RuntimeError, match="no fixpoint"):
         # an explicit max_rounds=0 trips the loud guard before any peel
         ktruss(df, k=3, max_rounds=0)
-    # release-before-raise: the guard path leaks nothing
-    assert len(jsc.getPersistentRDDs()) - before == 0
+    # release-before-raise: the guard path leaks nothing (<= 0: the
+    # shared session's ContextCleaner may release unrelated RDDs)
+    assert len(jsc.getPersistentRDDs()) - before <= 0
     before = len(jsc.getPersistentRDDs())
     ktruss(df, k=4).write.format("noop").mode("overwrite").save()
     # only the final generation + final scoring pass may stay pinned
