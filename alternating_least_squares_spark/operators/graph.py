@@ -446,10 +446,16 @@ def ktruss(
       ≥ 1 edge, so (surviving |E|)+1 further rounds is a structural
       upper bound — priced lazily after ``_GUARD_CHECK_AT`` rounds,
       and released-before-raise like every loop here.
-    - ``rounds=N`` (fixed sweep): exactly N peel rounds, well-defined
-      whether or not the fixpoint has been reached — the gr01/ipf
-      twin discipline that makes the registry entry hash-checkable
-      against an unrolled oracle.
+    - ``rounds=N`` (fixed sweep): N peel rounds, well-defined whether
+      or not the fixpoint has been reached — the gr01/ipf twin
+      discipline that makes the registry entry hash-checkable against
+      an unrolled oracle. Rounds after the fixpoint are SKIPPED: the
+      peel only removes edges, so an unchanged edge count means the
+      filter is a no-op from then on and the result is bit-identical
+      to running all N rounds (which is exactly what the unrolled
+      oracle states) — one cheap count() per round on checkpointed
+      data buys up to N−1 saved support passes (sf0.001 converges in
+      1 round; paying 8 passes there was pure waste).
 
     Scale shape: each round is one :func:`edge_support` pass over a
     SHRINKING edge set — the degree-ordered intersection bounds the
@@ -479,7 +485,7 @@ def ktruss(
             hubs.withColumnRenamed("vertex", "a"), "a", "left_anti"
         ).join(hubs.withColumnRenamed("vertex", "b"), "b", "left_anti")
     e, _owned = local_checkpoint_owned(e)
-    n_prev = e.count() if rounds is None else None
+    n_prev = e.count()
     limit = max_rounds
     r = 0
     while True:
@@ -507,11 +513,13 @@ def ktruss(
         # longer read by anything
         _release(e, set(_own_round))
         r += 1
-        if rounds is None:
-            n_new = e.count()
-            if n_new == n_prev:
-                break
-            n_prev = n_new
+        n_new = e.count()
+        if n_new == n_prev:
+            # fixpoint: in live mode this is the exit; in fixed mode
+            # the remaining rounds are no-ops (monotone peel), so the
+            # result equals the full sweep bit for bit
+            break
+        n_prev = n_new
     # score the survivors within the truss; the final generation and
     # this last pass's internal checkpoints stay pinned — the
     # returned DataFrame reads them (the kcore/gr03 discipline)
