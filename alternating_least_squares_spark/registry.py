@@ -13027,22 +13027,25 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # to the r15 prefix) — new code must be driver-certified the round
 # it lands; the 44 r8-stale entries are never displaced.
 # R15 PREFIX PLAN (write-ahead, VERDICT r13 #8; computed from the
-# CORRECTNESS_r01..r13 union with this round's prefix marked r14):
-# the EXACT 44 entries whose newest official row will then be r10 —
-# e16_twap, g01_rollup, g03_percentiles, gr01_pagerank_fixed,
-# gr03_triangles, gr04_edge_embeddedness, gr05_kcore,
-# gr06_bfs_distance, gr07_clustering_coeff, h02–h14 (the TPC-H
-# family: h02_revenue_by_nation through h14_idle_rich_customers),
+# CORRECTNESS_r01..r13 union with this round's FINAL prefix marked
+# r14 — i.e. AFTER the five new r14 entries displaced the b05, d03,
+# d05, e06, e11 fill slots, which therefore stay r10-stale and lead
+# here): the EXACT 49 entries whose newest official row will then be
+# r10 — b05_jsonl_roundtrip, d03_minhash_near_dup, d05_mllib_minhash,
+# e06_funnel, e11_trailing_active_users, e16_twap, g01_rollup,
+# g03_percentiles, gr01_pagerank_fixed, gr03_triangles,
+# gr04_edge_embeddedness, gr05_kcore, gr06_bfs_distance,
+# gr07_clustering_coeff, h02–h14 (the TPC-H family:
+# h02_revenue_by_nation through h14_idle_rich_customers),
 # h20_forecast_revenue, h22_market_share, j04_asof_forward,
 # j08_scd2_intersect, mm01_media_features, mm05_resize_nearest,
 # q03_quantile_gate, rc02_node_depth, s01_lsh_topk, s03_ivf_topk,
 # s04_mllib_euclidean, s05_pca_topk, s06_pq_topk, st11_stream_ewma,
 # w08_ewma, x10_partition_pruning, x11_table_profile,
 # x12_salted_join, x18_runtime_bloom_filter, x19_epoch_shuffle,
-# x20_aqe_skew_join, x21_cbo_stats_broadcast — plus 6 fill from the
-# r11 cohort oldest-first (a16_ipf_step, a17_converge, a22_rake3,
-# ac08_change_feed, ac09_replicate_via_feed, b04_orc_roundtrip).
-# New r15 entries displace fill from the END as always.
+# x20_aqe_skew_join, x21_cbo_stats_broadcast — plus 1 fill from the
+# r11 cohort oldest-first (a16_ipf_step). New r15 entries displace
+# fill first, then the youngest-cohort tail, from the END as always.
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors (each has a hash-green
