@@ -406,3 +406,199 @@ def embedding_near_dup_pairs(
             6,
         ).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
+
+
+def int_vec_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two long-array columns — the
+    verify primitive of :func:`exact_cosine_threshold_join`."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def exact_cosine_threshold_join(
+    vectors: DataFrame,
+    t_num: int,
+    t_den: int,
+    id_col: str = "vec_id",
+    vec_col: str = "q",
+    n_centroids: int = 16,
+    max_train_rows: int = 100_000,
+    owned_out: list[int] | None = None,
+) -> DataFrame:
+    """EXACT cosine-threshold self-join over INTEGER vectors with
+    STRUCTURAL recall 1 — the missing rung between the probabilistic
+    ANN ladder (s01/s03/s06: recall < 1 by design) and quadratic
+    brute force: every pair with cosine ≥ t_num/t_den is returned,
+    guaranteed by geometry rather than by hash luck, and nothing is
+    float-trusted on the accept path.
+
+    Returns ``(id_a, id_b, dot, na2, nb2)`` with id_a < id_b — the
+    exact integer TERMS of the cosine (the q04/w09 emit-the-terms
+    discipline: cosine = dot/√(na2·nb2) is the only inexact step and
+    is left to the consumer), for every pair with
+    ``dot > 0 ∧ dot²·t_den² ≥ t_num²·na2·nb2`` (the threshold compare
+    cross-multiplied into exact DECIMAL(38,0) arithmetic — no sqrt,
+    no float, boundary pairs at cosine == t included deterministically
+    on both engines). Zero vectors are excluded (cosine undefined —
+    they can never reach a positive threshold).
+
+    Candidate generation is an angular multi-probe coarse quantizer
+    with a COMPLETENESS guarantee (the d13 pigeonhole discipline, in
+    metric form): centroids train driver-side on a bounded
+    deterministic sample (the FAISS/pq.py recipe) and ride the plan
+    as literals; each vector gets its primary cell (min angle, ties
+    to lowest index) and PROBES every centroid within
+    ``angle(x, c) ≤ angle(x, primary) + 2·arccos(t)``. Proof that a
+    qualifying pair (x, y) always meets: with θ = angle(x, y) ≤
+    arccos(t) and the angular triangle inequality,
+    ``angle(y, c_y) ≤ angle(y, c_x) ≤ θ + angle(x, c_x)`` (c_y is y's
+    minimum), so ``angle(x, c_y) ≤ θ + angle(y, c_y) ≤
+    2·arccos(t) + angle(x, c_x)`` — x probes y's primary cell.
+    Angles are computed in floats, but float slop (padded by 1e-9)
+    can only ADD probe cells: completeness is structural, precision
+    is owned by the exact integer verify, so no rounding anywhere can
+    change the result.
+
+    Scale shape: assignment/probing is per-row codegen over literal
+    centroids (no centroid join in the plan); the candidate join is
+    one cell-keyed equi-join of slim (cell, id) streams; vectors
+    rejoin by id for the verify. Work scales with how well the
+    centroids carve the corpus at the given threshold — the sweet
+    spot is the high-threshold near-dup regime (t ≥ 0.9, probe cone
+    ≤ ~52°); as t → 0 the probe cone widens toward all cells and the
+    join honestly degrades toward quadratic, which is what an EXACT
+    join at a loose threshold costs. Input magnitude contract: the
+    integer dot/norm terms must fit a long (|x| ≤ int8-ish components
+    at any dim ≤ a few thousand is fine); the threshold compare
+    itself runs in DECIMAL(38,0) and cannot overflow.
+    """
+    import math
+
+    from alternating_least_squares_spark.checkpoint import (
+        local_checkpoint_owned,
+    )
+    from alternating_least_squares_spark.functions.pq import (
+        train_coarse_centroids,
+    )
+
+    if not 0 < t_num < t_den:
+        raise ValueError(
+            f"threshold must satisfy 0 < t_num < t_den (got "
+            f"{t_num}/{t_den}): cosine thresholds at or below 0 void "
+            "the dot > 0 accept contract, and >= 1 is the exact-dup "
+            "path"
+        )
+    qlong = F.transform(F.col(vec_col), lambda x: x.cast("long"))
+    base = vectors.select(
+        F.col(id_col).alias("_id"), qlong.alias("_q")
+    ).withColumn("_n2", int_vec_dot(F.col("_q"), F.col("_q")))
+    base = _spread_if_narrow(base.filter(F.col("_n2") > 0))
+    # three consumers (centroid sample, probe pass, two verify joins)
+    base, _own = local_checkpoint_owned(base)
+    if owned_out is not None:
+        owned_out.extend(_own)
+    cents = [
+        c
+        for c in train_coarse_centroids(
+            base,
+            "_q",
+            n_centroids=n_centroids,
+            id_col="_id",
+            max_train_rows=max_train_rows,
+        )
+        if any(v != 0.0 for v in c)
+    ]
+    theta = math.acos(t_num / t_den)
+    margin = 2.0 * theta + 1e-9
+
+    qd = F.transform(F.col("_q"), lambda x: x.cast("double"))
+    lit_c = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in cents]
+    )
+
+    def _zipdot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    angles = F.transform(
+        lit_c,
+        lambda c: F.acos(
+            F.least(
+                F.lit(1.0),
+                F.greatest(
+                    F.lit(-1.0),
+                    _zipdot(qd, c)
+                    / (
+                        F.sqrt(F.col("_n2").cast("double"))
+                        * F.sqrt(_zipdot(c, c))
+                    ),
+                ),
+            )
+        ),
+    )
+    assigned = base.select(
+        "_id", angles.alias("_ang")
+    ).withColumn("_amin", F.array_min("_ang"))
+    primary = assigned.select(
+        "_id",
+        (F.array_position(F.col("_ang"), F.col("_amin")) - 1)
+        .cast("int")
+        .alias("_cell"),
+    )
+    probes = assigned.select(
+        "_id",
+        F.explode(
+            F.filter(
+                F.zip_with(
+                    F.col("_ang"),
+                    F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                    lambda a, i: F.struct(
+                        a.alias("d"), i.cast("int").alias("cell")
+                    ),
+                ),
+                lambda s: s["d"] <= F.col("_amin") + F.lit(margin),
+            )
+        ).alias("_p"),
+    ).select("_id", F.col("_p.cell").alias("_cell"))
+    cand = (
+        probes.alias("a")
+        .join(primary.alias("b"), "_cell")
+        .filter(F.col("a._id") != F.col("b._id"))
+        .select(
+            F.least("a._id", "b._id").alias("id_a"),
+            F.greatest("a._id", "b._id").alias("id_b"),
+        )
+        .distinct()
+    )
+    left = base.select(
+        F.col("_id").alias("id_a"),
+        F.col("_q").alias("_qa"),
+        F.col("_n2").alias("na2"),
+    )
+    right = base.select(
+        F.col("_id").alias("id_b"),
+        F.col("_q").alias("_qb"),
+        F.col("_n2").alias("nb2"),
+    )
+    dot = int_vec_dot(F.col("_qa"), F.col("_qb"))
+    dec = "decimal(38,0)"
+    scored = (
+        cand.join(left, "id_a")
+        .join(right, "id_b")
+        .select("id_a", "id_b", dot.alias("dot"), "na2", "nb2")
+    )
+    keep = (F.col("dot") > 0) & (
+        F.col("dot").cast(dec)
+        * F.col("dot").cast(dec)
+        * F.lit(t_den * t_den).cast(dec)
+        >= F.lit(t_num * t_num).cast(dec)
+        * F.col("na2").cast(dec)
+        * F.col("nb2").cast(dec)
+    )
+    return scored.filter(keep).select("id_a", "id_b", "dot", "na2", "nb2")

@@ -2723,6 +2723,170 @@ def q_s06_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_S06 = SQL_SIGN_TOPK
 
 
+S07_T_NUM, S07_T_DEN = 19, 20  # real cosine threshold 0.95
+
+
+def _s07_nibble_sql(g: str, p: str) -> str:
+    """Shared md5-nibble component: 1 + the first hex digit of
+    md5('s07:<g>:<p>') — values in [1, 16], deterministic on both
+    engines from the same string."""
+    return (
+        "(1 + CAST(strpos('0123456789abcdef', "
+        f"substr(md5('s07:' || {g} || ':' || {p}), 1, 1)) - 1 AS BIGINT))"
+    )
+
+
+def q_s07_exact_threshold_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT cosine-threshold join at a REAL 0.95 threshold over
+    REAL-valued (int8-quantized) embeddings — the d12-style proof for
+    the ANN family (the r13 standing caution: the s-ladder's oracles
+    lean on sign-quantized fixtures whose cosines are forced to
+    {1, ≤0.97}, which can mask estimator-quality bugs exactly the way
+    threshold-1.0 Jaccard masked rank-1 MinHash).
+    functions/similarity.exact_cosine_threshold_join has STRUCTURAL
+    recall 1 (angular-triangle-inequality multi-probe over literal
+    centroids; floats appear only in the probe decision where slop
+    can only ADD candidates) and an exact-integer verify, so unlike
+    the LSH entries nothing probabilistic stands between the operator
+    and the oracle — which therefore BRUTE-FORCES all pairs (the d13
+    discipline: the oracle may be quadratic, the operator is not).
+
+    Corpus: the real embeddings quantized by the v03 int8 rule
+    (engine-parity proven since round 7) — its densest pair sits at
+    cosine ≈0.5, so the whole corpus exercises the REJECT side on
+    realistic data. Planted families (vec_id % 10 == 0; the d12
+    discipline) exercise the boundary: md5-nibble base vectors in
+    [1,16]^64 with a one-component-doubled neartwin (cosine ≈0.98,
+    real-valued, norm-asymmetric), a 2× scaled twin (cosine exactly
+    1 at a DIFFERENT norm), and a quarter-masked decoy (cosine
+    ≈0.86 — collides into the family's cell and must be rejected).
+    Output is emit-the-terms: (id_a, id_b, dot, na2, nb2) exact
+    BIGINTs, so the hash certifies every accept/reject decision
+    including boundary algebra, with no float rounding to argue
+    about."""
+    from alternating_least_squares_spark.functions.similarity import (
+        exact_cosine_threshold_join,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(xd, lambda x: F.abs(x)))
+    safe = F.when(mx == 0, F.lit(1.0)).otherwise(mx)
+    q8 = F.transform(
+        xd, lambda x: F.floor(x * 127.0 / safe + 0.5).cast("long")
+    )
+    corpus = emb.select("vec_id", q8.alias("q"))
+
+    g = F.col("vec_id")
+    pos = F.sequence(F.lit(0), F.lit(63))
+
+    def nib(p):
+        return F.lit(1) + F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("s07:"),
+                        g.cast("string"),
+                        F.lit(":"),
+                        p.cast("string"),
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    fam = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id")
+
+    def _member(offset: int, qexpr) -> DataFrame:
+        # two-step select: building q and shifting the id in ONE
+        # select would let Spark's lateral-column-alias resolution
+        # bind nib()'s vec_id reference to the SHIFTED id (found the
+        # hard way — every member silently hashed a different family)
+        return fam.select("vec_id", qexpr.alias("q")).select(
+            (F.col("vec_id") + offset).alias("vec_id"), "q"
+        )
+
+    m0 = _member(1_000_000, F.transform(pos, nib))
+    m1 = _member(
+        2_000_000,
+        F.transform(
+            pos,
+            lambda p: nib(p)
+            * F.when(p == g % 64, F.lit(2)).otherwise(F.lit(1)),
+        ),
+    )
+    m2 = _member(3_000_000, F.transform(pos, lambda p: nib(p) * F.lit(2)))
+    m3 = _member(
+        4_000_000,
+        F.transform(
+            pos,
+            lambda p: F.when(p % 4 == g % 4, F.lit(0)).otherwise(nib(p)),
+        ),
+    )
+    allv = corpus.unionByName(m0).unionByName(m1).unionByName(m2).unionByName(m3)
+    return exact_cosine_threshold_join(
+        allv, S07_T_NUM, S07_T_DEN, n_centroids=16
+    )
+
+
+SQL_S07 = f"""
+WITH mxt AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding,
+           x -> abs(CAST(x AS DOUBLE)))) AS mx
+  FROM embeddings
+),
+corpus AS (
+  SELECT e.vec_id,
+         list_transform(e.embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 127.0
+                     / (CASE WHEN m.mx = 0 THEN 1.0 ELSE m.mx END)
+                     + 0.5) AS BIGINT)) AS q
+  FROM embeddings e JOIN mxt m USING (vec_id)
+),
+fam AS (SELECT vec_id AS g FROM embeddings WHERE vec_id % 10 = 0),
+members AS (
+  SELECT g + 1000000 AS vec_id,
+         list_transform(range(64), p -> {_s07_nibble_sql('g', 'p')}) AS q
+  FROM fam
+  UNION ALL
+  SELECT g + 2000000,
+         list_transform(range(64), p -> {_s07_nibble_sql('g', 'p')}
+           * CASE WHEN p = g % 64 THEN 2 ELSE 1 END)
+  FROM fam
+  UNION ALL
+  SELECT g + 3000000,
+         list_transform(range(64), p -> {_s07_nibble_sql('g', 'p')} * 2)
+  FROM fam
+  UNION ALL
+  SELECT g + 4000000,
+         list_transform(range(64), p -> CASE WHEN p % 4 = g % 4 THEN 0
+           ELSE {_s07_nibble_sql('g', 'p')} END)
+  FROM fam
+),
+allv AS (
+  SELECT * FROM corpus UNION ALL SELECT * FROM members
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot,
+         CAST(list_dot_product(a.q, a.q) AS BIGINT) AS na2,
+         CAST(list_dot_product(b.q, b.q) AS BIGINT) AS nb2
+  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, dot, na2, nb2
+FROM pairs
+WHERE na2 > 0 AND nb2 > 0 AND dot > 0
+  AND CAST(dot AS HUGEINT) * dot * {S07_T_DEN * S07_T_DEN}
+      >= CAST({S07_T_NUM * S07_T_NUM} AS HUGEINT) * na2 * nb2
+"""
+
+
 def q_m01_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alternating_least_squares_spark.ml.als import train_and_recommend
 
@@ -12911,6 +13075,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "s04_mllib_euclidean": (q_s04_mllib_euclidean, SQL_S04),
     "s05_pca_topk": (q_s05_pca_topk, SQL_S05),
     "s06_pq_topk": (q_s06_pq_topk, SQL_S06),
+    "s07_exact_threshold_join": (q_s07_exact_threshold_join, SQL_S07),
     "m01_als_recommend": (q_m01_als_recommend, None),
     "m02_als_implicit": (q_m02_als_implicit, None),
     "m03_quality_filter": (q_m03_quality_filter, None),
@@ -13028,24 +13193,25 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # it lands; the 44 r8-stale entries are never displaced.
 # R15 PREFIX PLAN (write-ahead, VERDICT r13 #8; computed from the
 # CORRECTNESS_r01..r13 union with this round's FINAL prefix marked
-# r14 — i.e. AFTER the five new r14 entries displaced the b05, d03,
-# d05, e06, e11 fill slots, which therefore stay r10-stale and lead
-# here): the EXACT 49 entries whose newest official row will then be
-# r10 — b05_jsonl_roundtrip, d03_minhash_near_dup, d05_mllib_minhash,
-# e06_funnel, e11_trailing_active_users, e16_twap, g01_rollup,
-# g03_percentiles, gr01_pagerank_fixed, gr03_triangles,
-# gr04_edge_embeddedness, gr05_kcore, gr06_bfs_distance,
-# gr07_clustering_coeff, h02–h14 (the TPC-H family:
-# h02_revenue_by_nation through h14_idle_rich_customers),
+# r14 — i.e. AFTER the six new r14 entries displaced ALL six
+# r10-cohort fill slots (ac07, b05, d03, d05, e06, e11), which
+# therefore stay r10-stale and lead here): the EXACT 50 entries
+# whose newest official row will then be r10 — ac07_merge_schema_
+# evolution, b05_jsonl_roundtrip, d03_minhash_near_dup,
+# d05_mllib_minhash, e06_funnel, e11_trailing_active_users,
+# e16_twap, g01_rollup, g03_percentiles, gr01_pagerank_fixed,
+# gr03_triangles, gr04_edge_embeddedness, gr05_kcore,
+# gr06_bfs_distance, gr07_clustering_coeff, h02–h14 (the TPC-H
+# family: h02_revenue_by_nation through h14_idle_rich_customers),
 # h20_forecast_revenue, h22_market_share, j04_asof_forward,
 # j08_scd2_intersect, mm01_media_features, mm05_resize_nearest,
 # q03_quantile_gate, rc02_node_depth, s01_lsh_topk, s03_ivf_topk,
 # s04_mllib_euclidean, s05_pca_topk, s06_pq_topk, st11_stream_ewma,
 # w08_ewma, x10_partition_pruning, x11_table_profile,
 # x12_salted_join, x18_runtime_bloom_filter, x19_epoch_shuffle,
-# x20_aqe_skew_join, x21_cbo_stats_broadcast — plus 1 fill from the
-# r11 cohort oldest-first (a16_ipf_step). New r15 entries displace
-# fill first, then the youngest-cohort tail, from the END as always.
+# x20_aqe_skew_join, x21_cbo_stats_broadcast — exactly 50, no fill
+# needed. New r15 entries displace the youngest-cohort tail from the
+# END as always (x21, then x20, ...).
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors (each has a hash-green
@@ -13073,18 +13239,20 @@ _PREFIX = [
     "x06_domain_mix_sample", "x08_salted_agg", "x09_bucketed_join",
     # r10-cohort fill (newest official row is round 10), 6 oldest;
     # new r14 entries displace these from the END per the rule above
-    "ac07_merge_schema_evolution",
-    # new in round 14 (displacing the e11, e06, d05, d03, and b05
-    # fill slots to the r15 prefix, per the displacement rule above):
-    # k-truss support peel (VERDICT r13 #2), the trailing exact MAD
-    # (#3), the z-order layout + manifest-pruning proof (#4), the
-    # shared-dialect UNPIVOT (#5), and the URL-canonicalization
-    # dedup gate (#6)
+    # new in round 14 (displacing ALL six r10-cohort fill slots —
+    # e11, e06, d05, d03, b05, ac07 — to the r15 prefix, per the
+    # displacement rule above): k-truss support peel (VERDICT r13
+    # #2), the trailing exact MAD (#3), the z-order layout +
+    # manifest-pruning proof (#4), the shared-dialect UNPIVOT (#5),
+    # the URL-canonicalization dedup gate (#6), and the exact
+    # real-threshold cosine join (the r13 standing caution on
+    # degenerate ANN fixtures)
     "gr10_ktruss",
     "w11_rolling_mad",
     "ac11_cluster_optimize",
     "sql06_shared_unpivot",
     "d14_url_dedup",
+    "s07_exact_threshold_join",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

@@ -300,3 +300,110 @@ def test_binary_hamming_topk_matches_python_reference(spark):
         for r in q_v04_binary_hamming_topk(spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+def _brute_threshold(vecs, tn, td):
+    """Sequential reference for exact_cosine_threshold_join."""
+    out = {}
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            qa, qb = vecs[a], vecs[b]
+            dot = sum(x * y for x, y in zip(qa, qb))
+            na2 = sum(x * x for x in qa)
+            nb2 = sum(x * x for x in qb)
+            if na2 and nb2 and dot > 0 and dot * dot * td * td >= tn * tn * na2 * nb2:
+                out[(a, b)] = (dot, na2, nb2)
+    return out
+
+
+def test_exact_threshold_join_matches_brute_force(spark):
+    """s07 operator: on clustered + noise + zero + exact-boundary
+    integer vectors, the multi-probe join must equal the quadratic
+    reference at every threshold — recall is structural, the verify
+    exact, and the cosine == t boundary pair is INCLUDED."""
+    import random
+
+    from alternating_least_squares_spark.functions.similarity import (
+        exact_cosine_threshold_join,
+    )
+
+    rng = random.Random(3)
+    vecs, vid = {}, 0
+    for _ in range(4):
+        center = [rng.randint(-8, 8) for _ in range(8)]
+        for _ in range(5):
+            vecs[vid] = [x + rng.randint(-1, 1) for x in center]
+            vid += 1
+    vecs[vid] = [0] * 8; vid += 1          # zero vector: excluded
+    vecs[vid] = [3, 4, 0, 0, 0, 0, 0, 0]; vid += 1
+    vecs[vid] = [4, 3, 0, 0, 0, 0, 0, 0]; vid += 1  # cos = 24/25 exactly
+    df = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], "vec_id long, q array<long>"
+    )
+    for tn, td in ((19, 20), (24, 25), (9, 10)):
+        got = {
+            (r["id_a"], r["id_b"]): (r["dot"], r["na2"], r["nb2"])
+            for r in exact_cosine_threshold_join(
+                df, tn, td, n_centroids=4
+            ).collect()
+        }
+        assert got == _brute_threshold(vecs, tn, td), (tn, td)
+    # the boundary pair survives at exactly its own cosine
+    assert (vid - 2, vid - 1) in _brute_threshold(vecs, 24, 25)
+
+
+def test_exact_threshold_join_validates_and_releases(spark):
+    import pytest
+
+    from alternating_least_squares_spark.checkpoint import (
+        release_local_checkpoint,
+    )
+    from alternating_least_squares_spark.functions.similarity import (
+        exact_cosine_threshold_join,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1, 2]), (1, [2, 4])], "vec_id long, q array<long>"
+    )
+    with pytest.raises(ValueError, match="threshold"):
+        exact_cosine_threshold_join(df, 0, 1)
+    with pytest.raises(ValueError, match="threshold"):
+        exact_cosine_threshold_join(df, 5, 5)
+    owned: list[int] = []
+    out = exact_cosine_threshold_join(df, 1, 2, owned_out=owned)
+    assert out.count() == 1  # parallel vectors, cosine 1
+    jsc = spark.sparkContext._jsc
+    assert len(owned) == 1 and jsc.getPersistentRDDs().containsKey(owned[0])
+    release_local_checkpoint(out, set(owned))
+    assert not jsc.getPersistentRDDs().containsKey(owned[0])
+
+
+def test_s07_planted_families_straddle_the_threshold(spark):
+    """The registry fixture's boundary semantics, pinned: every
+    family contributes exactly its 3 supra-threshold pairs (neartwin
+    ~0.98 real-valued, scaled twin EXACTLY 1 at a different norm,
+    neartwin-vs-scaled); every decoy pair sits below 0.95 and is
+    absent; the real corpus contributes nothing above 0.95."""
+    import math
+
+    from alternating_least_squares_spark import registry
+
+    rows = registry.q_s07_exact_threshold_join(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): (r["dot"], r["na2"], r["nb2"])
+           for r in rows}
+    fams = range(0, 500, 10)
+    assert len(got) == 3 * len(fams)
+    for gidx in fams:
+        m0, m1, m2, m3 = (gidx + o for o in
+                          (1_000_000, 2_000_000, 3_000_000, 4_000_000))
+        assert (m0, m1) in got and (m0, m2) in got and (m1, m2) in got
+        assert (m0, m3) not in got and (m1, m3) not in got
+        dot, na2, nb2 = got[(m0, m2)]
+        assert dot * dot == na2 * nb2  # cosine exactly 1, norms differ
+        assert nb2 == 4 * na2
+        dot, na2, nb2 = got[(m0, m1)]
+        c = dot / math.sqrt(na2 * nb2)
+        assert 0.95 < c < 1.0  # a REAL-valued boundary pair
