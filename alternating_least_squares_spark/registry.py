@@ -7776,6 +7776,129 @@ FROM islands
 """
 
 
+E20_HORIZON_NS = 24 * 3600 * 1_000_000_000  # 24 h attribution window
+
+
+def q_e20_last_touch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-touch marketing attribution — for every purchase, the
+    most recent PRECEDING touch by the same user inside a 24 h
+    horizon, clicks outranking views (the standard last-click-else-
+    last-view waterfall behind channel revenue rollups): one row per
+    purchase with the attribution class, the touch event id, the
+    exact gap in ns, and the purchase value in micro-units.
+
+    Shape: the whole waterfall rides ONE user-keyed exchange (the
+    w-family window-subset rule) — two ``last(..., ignorenulls)``
+    carries over ROWS UNBOUNDED PRECEDING..1 PRECEDING (one per touch
+    class, each carrying a (ts_ns, event_id) struct so the tie-break
+    travels with the timestamp), then pure row-local horizon/waterfall
+    arithmetic. No join: an as-of join against two filtered touch
+    streams (the j01 shape) would pay two more shuffles for the same
+    answer. Exact-integer discipline: gaps are ns longs, value floors
+    to micro-units (NaN → NULL, the w08 nanvl rule), ordering is the
+    (ts_ns, event_id) total order so ties cannot flap engines.
+    At 100 TB: one hash exchange on user_id, state bounded per row."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts_ns",
+        "event_type",
+        F.nanvl(F.col("value"), F.lit(None).cast("double")).alias("_v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+
+    def last_touch(kind: str):
+        return F.last(
+            F.when(
+                F.col("event_type") == kind,
+                F.struct(
+                    F.col("ts_ns").alias("ts"),
+                    F.col("event_id").alias("id"),
+                ),
+            ),
+            ignorenulls=True,
+        ).over(w)
+
+    carried = ev.select(
+        "event_id",
+        "user_id",
+        "ts_ns",
+        "event_type",
+        "_v",
+        last_touch("click").alias("_c"),
+        last_touch("view").alias("_w"),
+    ).filter(F.col("event_type") == "purchase")
+    c_ok = F.col("_c").isNotNull() & (
+        F.col("ts_ns") - F.col("_c.ts") <= E20_HORIZON_NS
+    )
+    w_ok = F.col("_w").isNotNull() & (
+        F.col("ts_ns") - F.col("_w.ts") <= E20_HORIZON_NS
+    )
+    return carried.select(
+        "event_id",
+        "user_id",
+        F.when(c_ok, F.lit("click"))
+        .when(w_ok, F.lit("view"))
+        .otherwise(F.lit("organic"))
+        .alias("attributed"),
+        F.when(c_ok, F.col("_c.id"))
+        .when(w_ok, F.col("_w.id"))
+        .alias("touch_event_id"),
+        F.when(c_ok, F.col("ts_ns") - F.col("_c.ts"))
+        .when(w_ok, F.col("ts_ns") - F.col("_w.ts"))
+        .alias("gap_ns"),
+        F.when(
+            F.col("_v").isNotNull(),
+            F.floor(F.col("_v") * 1_000_000).cast("long"),
+        ).alias("value_micros"),
+    )
+
+
+SQL_E20 = f"""
+WITH ev AS (
+  SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, event_type,
+         CASE WHEN isnan(value) THEN NULL ELSE value END AS v
+  FROM events
+),
+carried AS (
+  SELECT event_id, user_id, ts_ns, event_type, v,
+         last_value(CASE WHEN event_type = 'click' THEN
+             struct_pack(ts := ts_ns, id := event_id) END IGNORE NULLS)
+           OVER w AS c,
+         last_value(CASE WHEN event_type = 'view' THEN
+             struct_pack(ts := ts_ns, id := event_id) END IGNORE NULLS)
+           OVER w AS w
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id,
+       CASE WHEN c.ts IS NOT NULL AND ts_ns - c.ts <= {E20_HORIZON_NS}
+            THEN 'click'
+            WHEN w.ts IS NOT NULL AND ts_ns - w.ts <= {E20_HORIZON_NS}
+            THEN 'view'
+            ELSE 'organic' END AS attributed,
+       CASE WHEN c.ts IS NOT NULL AND ts_ns - c.ts <= {E20_HORIZON_NS}
+            THEN c.id
+            WHEN w.ts IS NOT NULL AND ts_ns - w.ts <= {E20_HORIZON_NS}
+            THEN w.id END AS touch_event_id,
+       CASE WHEN c.ts IS NOT NULL AND ts_ns - c.ts <= {E20_HORIZON_NS}
+            THEN ts_ns - c.ts
+            WHEN w.ts IS NOT NULL AND ts_ns - w.ts <= {E20_HORIZON_NS}
+            THEN ts_ns - w.ts END AS gap_ns,
+       CASE WHEN v IS NOT NULL
+            THEN CAST(floor(v * 1000000) AS BIGINT) END AS value_micros
+FROM carried
+WHERE event_type = 'purchase'
+"""
+
+
 def q_e10_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inter-event-time profile: count / min / max / mean of
     the gaps between consecutive events — the cadence feature behind
@@ -12976,6 +13099,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "e17_locf_fill": (q_e17_locf_fill, SQL_E17),
     "e18_linear_interpolate": (q_e18_linear_interpolate, SQL_E18),
     "e19_interval_coalesce": (q_e19_interval_coalesce, SQL_E19),
+    "e20_last_touch_attribution": (q_e20_last_touch_attribution, SQL_E20),
     "e05_variant_json": (q_e05_variant_json, SQL_E05),
     "e06_funnel": (q_e06_funnel, SQL_E06),
     "e07_cohort_retention": (q_e07_cohort_retention, SQL_E07),
@@ -13193,32 +13317,40 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # it lands; the 44 r8-stale entries are never displaced.
 # R15 PREFIX PLAN (write-ahead, VERDICT r13 #8; computed from the
 # CORRECTNESS_r01..r13 union with this round's FINAL prefix marked
-# r14 — i.e. AFTER the six new r14 entries displaced ALL six
-# r10-cohort fill slots (ac07, b05, d03, d05, e06, e11), which
-# therefore stay r10-stale and lead here): the EXACT 50 entries
-# whose newest official row will then be r10 — ac07_merge_schema_
-# evolution, b05_jsonl_roundtrip, d03_minhash_near_dup,
-# d05_mllib_minhash, e06_funnel, e11_trailing_active_users,
-# e16_twap, g01_rollup, g03_percentiles, gr01_pagerank_fixed,
-# gr03_triangles, gr04_edge_embeddedness, gr05_kcore,
-# gr06_bfs_distance, gr07_clustering_coeff, h02–h14 (the TPC-H
-# family: h02_revenue_by_nation through h14_idle_rich_customers),
+# r14 — i.e. AFTER the seven new r14 entries displaced ALL six
+# r10-cohort fill slots (ac07, b05, d03, d05, e06, e11) AND the r8
+# tail entry x09_bucketed_join): oldest-first by (round, name),
+# LEAD with x09_bucketed_join (the one remaining r8-stale row), then
+# the r10-stale cohort — ac07_merge_schema_evolution,
+# b05_jsonl_roundtrip, d03_minhash_near_dup, d05_mllib_minhash,
+# e06_funnel, e11_trailing_active_users, e16_twap, g01_rollup,
+# g03_percentiles, gr01_pagerank_fixed, gr03_triangles,
+# gr04_edge_embeddedness, gr05_kcore, gr06_bfs_distance,
+# gr07_clustering_coeff, h02–h14 (the TPC-H family:
+# h02_revenue_by_nation through h14_idle_rich_customers),
 # h20_forecast_revenue, h22_market_share, j04_asof_forward,
 # j08_scd2_intersect, mm01_media_features, mm05_resize_nearest,
 # q03_quantile_gate, rc02_node_depth, s01_lsh_topk, s03_ivf_topk,
 # s04_mllib_euclidean, s05_pca_topk, s06_pq_topk, st11_stream_ewma,
 # w08_ewma, x10_partition_pruning, x11_table_profile,
 # x12_salted_join, x18_runtime_bloom_filter, x19_epoch_shuffle,
-# x20_aqe_skew_join, x21_cbo_stats_broadcast — exactly 50, no fill
-# needed. New r15 entries displace the youngest-cohort tail from the
-# END as always (x21, then x20, ...).
+# x20_aqe_skew_join — exactly 50 (x21_cbo_stats_broadcast, the
+# youngest-by-name r10 row, waits for r16 with the r11 cohort). New
+# r15 entries displace the youngest-cohort tail from the END as
+# always (x20, then x19, ...).
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors (each has a hash-green
 # oracle-adjacent twin where one is possible: ipf_fixed, g04b,
 # m04/m05).
 _PREFIX = [
-    # r8-stale cohort: newest official row is round 8 (all 44)
+    # r8-stale cohort: newest official row is round 8 (43 of 44 —
+    # with all six r10 fill slots already displaced by new r14
+    # entries, the seventh new entry (e20) displaces the TAIL of this
+    # cohort, x09_bucketed_join, which instead LEADS the r15 plan
+    # below; new code must be driver-certified the round it lands,
+    # and one r8 entry waiting one more round costs less than a new
+    # entry shipping uncertified)
     "ac04_compact_files", "ac05_vacuum", "ac06_schema_evolution",
     "b06_corrupt_records", "c03_projection", "c07_sort_by_key",
     "c09_ones_matrix", "d02_jaccard_pairs", "d06_keep_one",
@@ -13236,7 +13368,7 @@ _PREFIX = [
     "w01_running_total", "w02_rank_dense_lag", "w06_hopping_batch",
     "x01_grouped_outliers", "x02_train_test_split",
     "x03_stratified_sample", "x05_python_udtf",
-    "x06_domain_mix_sample", "x08_salted_agg", "x09_bucketed_join",
+    "x06_domain_mix_sample", "x08_salted_agg",
     # r10-cohort fill (newest official row is round 10), 6 oldest;
     # new r14 entries displace these from the END per the rule above
     # new in round 14 (displacing ALL six r10-cohort fill slots —
@@ -13253,6 +13385,7 @@ _PREFIX = [
     "sql06_shared_unpivot",
     "d14_url_dedup",
     "s07_exact_threshold_join",
+    "e20_last_touch_attribution",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

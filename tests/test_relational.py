@@ -676,3 +676,62 @@ def test_interval_coalesce_matches_python_replay(spark, evs):
             )
             prev_end = e_us
     assert got == sorted(want)
+
+
+def test_last_touch_attribution_hand_computed(spark, tmp_path):
+    """e20: the click-else-view-else-organic waterfall with the 24 h
+    horizon INCLUSIVE at the boundary; touches strictly after the
+    purchase never attribute; the most RECENT qualifying touch of
+    each class wins; NaN purchase values emit NULL micros."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from alternating_least_squares_spark import registry
+
+    H = 3600 * 1_000_000 * 24  # 24 h in micros
+    rows = [
+        # user 1: click at t=0, view at t=10 -> purchase at t=20
+        # attributes to the CLICK (clicks outrank views) even though
+        # the view is more recent
+        (0, 0, 1, "click", 1.0),
+        (1, 10, 1, "view", 1.0),
+        (2, 20, 1, "purchase", 2.5),
+        # user 1: second purchase exactly 24 h after the click:
+        # inclusive boundary -> still click-attributed
+        (3, H, 1, "purchase", float("nan")),
+        # user 2: view only, one micro past the horizon -> organic
+        (4, 0, 2, "view", 1.0),
+        (5, H + 1, 2, "purchase", 3.0),
+        # user 3: touch AFTER the purchase never attributes
+        (6, 50, 3, "purchase", 1.0),
+        (7, 60, 3, "click", 1.0),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = {
+        r["event_id"]: (
+            r["attributed"], r["touch_event_id"], r["gap_ns"],
+            r["value_micros"],
+        )
+        for r in registry.q_e20_last_touch_attribution(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    K = 1000  # micros -> ns
+    assert got == {
+        2: ("click", 0, 20 * K, 2_500_000),
+        3: ("click", 0, H * K, None),  # boundary inclusive; NaN -> NULL
+        5: ("organic", None, None, 3_000_000),
+        6: ("organic", None, None, 1_000_000),
+    }
