@@ -12866,6 +12866,124 @@ FROM canon GROUP BY 1
 """
 
 
+D15_D_SHARED = 26  # family tokens the D variant keeps (of d12's 28)
+
+
+def q_d15_threshold_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup COLLAPSE at a REAL 0.8 threshold — d12's fractional-
+    Jaccard proof extended from the PAIR rung to the full collapse
+    composition (banded LSH pairs → exact connected components →
+    keep-one + cluster size), which d11 only certified at threshold
+    1.0 (where the pair graph degenerates to identical-key cliques).
+    Here the component structure exists ONLY through transitivity, so
+    the hash-min propagation is doing real work:
+
+    - A/B twins as in d12: 28 shared family tokens + 2 per-twin
+      uniques → J(A,B) = 28/32 = 0.875 ≥ 0.8.
+    - a new D variant (id+60M): the FIRST 26 family tokens + B's two
+      unique tokens + 4 D-only tokens (32 tokens total), so
+      J(B,D) = (26+2)/(30+32-28) = 28/34 ≈ 0.824 ≥ 0.8 but
+      J(A,D) = 26/(30+32-26) = 26/36 ≈ 0.722 < 0.8: the A–D pair is
+      NEVER emitted, yet {A, B, D} must land in one component via B —
+      a transitive merge no threshold-1.0 fixture can exhibit.
+    - the d12 C variant (id+40M, 20 shared + 10 unique: J ≤ 0.5 to
+      everything) stays a singleton — the rejection path — and noise
+      docs (id%10≠0, disjoint token sets) stay singletons.
+
+    Ground truth is forced by construction exactly as in d12 (banding
+    recall on the planted J=0.875/0.824 pairs is a deterministic
+    constant, miss probability ≤ (1-0.824²)¹⁶ ≈ 1.3e-8 per family, a
+    pytest pins pipeline == brute force at sf0.001), so the oracle
+    states the component census directly: every family collapses to
+    min id with n_merged=3, everything else is a singleton.
+
+    Scale shape: pairs inherit near_dup_pairs (banded equi-join, the
+    one shuffle, exact-Jaccard verify on hashed shingles — nothing
+    all-pairs); components run hash-min label propagation whose round
+    count is the CLUSTER diameter (2 here, ≤3 for near-dup graphs —
+    almost-cliques), each round one join + one groupBy-min with
+    rotating localCheckpoints (checkpoint.py bounds pinned storage).
+    Reference scope: data.clj:17-30 diffs sorted exports; collapsing
+    a 100 TB corpus's transitive near-dup clusters to canonical
+    survivors is that dedup contract at training-data scale."""
+    from alternating_least_squares_spark.functions.dedup import (
+        dedup_components,
+        near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    dstr = F.col("doc_id").cast("string")
+    noise = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.concat(
+            F.lit("zq"), dstr, F.lit("a zq"), dstr, F.lit("b zq"), dstr,
+            F.lit("c zq"), dstr, F.lit("d zq"), dstr, F.lit("e"),
+        ).alias("text"),
+    )
+    fams = docs.filter(F.col("doc_id") % 10 == 0)
+    uqb = [F.concat(F.lit("uqb"), dstr, F.lit(s)) for s in ("x", "y")]
+    a = fams.select(
+        "doc_id",
+        _d12_family_text(
+            dstr, D12_SHARED,
+            [F.concat(F.lit("uqa"), dstr, F.lit(s)) for s in ("x", "y")],
+        ).alias("text"),
+    )
+    b = fams.select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        _d12_family_text(dstr, D12_SHARED, uqb).alias("text"),
+    )
+    c = fams.select(
+        (F.col("doc_id") + 40_000_000).alias("doc_id"),
+        _d12_family_text(
+            dstr, D12_C_SHARED,
+            [
+                F.concat(F.lit("uqc"), dstr, F.lit(f"w{i}"))
+                for i in range(10)
+            ],
+        ).alias("text"),
+    )
+    d = fams.select(
+        (F.col("doc_id") + 60_000_000).alias("doc_id"),
+        _d12_family_text(
+            dstr, D15_D_SHARED,
+            uqb
+            + [
+                F.concat(F.lit("uqd"), dstr, F.lit(f"w{i}"))
+                for i in range(4)
+            ],
+        ).alias("text"),
+    )
+    corpus = (
+        noise.unionByName(a).unionByName(b).unionByName(c).unionByName(d)
+    )
+    pairs = near_dup_pairs(
+        corpus, "doc_id", "text",
+        n_hashes=32, bands=16, k=1, threshold=0.8,
+    )
+    comp = dedup_components(pairs)
+    clustered = comp.groupBy(F.col("component").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("n_merged")
+    )
+    singletons = (
+        corpus.join(comp, corpus.doc_id == comp.id, "left_anti")
+        .select("doc_id", F.lit(1).cast("long").alias("n_merged"))
+    )
+    return clustered.unionByName(singletons)
+
+
+SQL_D15 = """
+SELECT doc_id, CAST(3 AS BIGINT) AS n_merged
+FROM documents WHERE doc_id % 10 = 0
+UNION ALL
+SELECT doc_id + 40000000, CAST(1 AS BIGINT) AS n_merged
+FROM documents WHERE doc_id % 10 = 0
+UNION ALL
+SELECT doc_id, CAST(1 AS BIGINT) AS n_merged
+FROM documents WHERE doc_id % 10 <> 0
+"""
+
+
 def q_x16_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle for training-data ordering — the
     last pipeline stage before a trainer reads the corpus: every doc
@@ -13267,6 +13385,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "d12_threshold_near_dup": (q_d12_threshold_near_dup, SQL_D12),
     "d13_simhash_near_dup": (q_d13_simhash_near_dup, SQL_D13),
     "d14_url_dedup": (q_d14_url_dedup, SQL_D14),
+    "d15_threshold_collapse": (q_d15_threshold_collapse, SQL_D15),
     "x17_dsir_weights": (q_x17_dsir_weights, SQL_X17),
     "x22_token_budget_mix": (q_x22_token_budget_mix, SQL_X22),
     "t23_span_scrub": (q_t23_span_scrub, SQL_T23),
@@ -13317,11 +13436,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # it lands; the 44 r8-stale entries are never displaced.
 # R15 PREFIX PLAN (write-ahead, VERDICT r13 #8; computed from the
 # CORRECTNESS_r01..r13 union with this round's FINAL prefix marked
-# r14 — i.e. AFTER the seven new r14 entries displaced ALL six
-# r10-cohort fill slots (ac07, b05, d03, d05, e06, e11) AND the r8
-# tail entry x09_bucketed_join): oldest-first by (round, name),
-# LEAD with x09_bucketed_join (the one remaining r8-stale row), then
-# the r10-stale cohort — ac07_merge_schema_evolution,
+# r14 — i.e. AFTER the new r14 entries displaced ALL six r10-cohort
+# fill slots (ac07, b05, d03, d05, e06, e11) AND the r8 tail entries
+# x09_bucketed_join and x08_salted_agg): oldest-first by (round,
+# name), LEAD with x08_salted_agg then x09_bucketed_join (the two
+# remaining r8-stale rows), then the r10-stale cohort —
+# ac07_merge_schema_evolution,
 # b05_jsonl_roundtrip, d03_minhash_near_dup, d05_mllib_minhash,
 # e06_funnel, e11_trailing_active_users, e16_twap, g01_rollup,
 # g03_percentiles, gr01_pagerank_fixed, gr03_triangles,
@@ -13333,21 +13453,22 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # q03_quantile_gate, rc02_node_depth, s01_lsh_topk, s03_ivf_topk,
 # s04_mllib_euclidean, s05_pca_topk, s06_pq_topk, st11_stream_ewma,
 # w08_ewma, x10_partition_pruning, x11_table_profile,
-# x12_salted_join, x18_runtime_bloom_filter, x19_epoch_shuffle,
-# x20_aqe_skew_join — exactly 50 (x21_cbo_stats_broadcast, the
-# youngest-by-name r10 row, waits for r16 with the r11 cohort). New
+# x12_salted_join, x18_runtime_bloom_filter, x19_epoch_shuffle —
+# exactly 50 (x20_aqe_skew_join and x21_cbo_stats_broadcast, the two
+# youngest-by-name r10 rows, wait for r16 with the r11 cohort). New
 # r15 entries displace the youngest-cohort tail from the END as
-# always (x20, then x19, ...).
+# always (x19, then x18, ...).
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors (each has a hash-green
 # oracle-adjacent twin where one is possible: ipf_fixed, g04b,
 # m04/m05).
 _PREFIX = [
-    # r8-stale cohort: newest official row is round 8 (43 of 44 —
+    # r8-stale cohort: newest official row is round 8 (42 of 44 —
     # with all six r10 fill slots already displaced by new r14
-    # entries, the seventh new entry (e20) displaces the TAIL of this
-    # cohort, x09_bucketed_join, which instead LEADS the r15 plan
+    # entries, the seventh and eighth new entries (e20, d15) displace
+    # the TAIL of this cohort, x09_bucketed_join then x08_salted_agg,
+    # which instead LEAD the r15 plan
     # below; new code must be driver-certified the round it lands,
     # and one r8 entry waiting one more round costs less than a new
     # entry shipping uncertified)
@@ -13368,7 +13489,7 @@ _PREFIX = [
     "w01_running_total", "w02_rank_dense_lag", "w06_hopping_batch",
     "x01_grouped_outliers", "x02_train_test_split",
     "x03_stratified_sample", "x05_python_udtf",
-    "x06_domain_mix_sample", "x08_salted_agg",
+    "x06_domain_mix_sample",
     # r10-cohort fill (newest official row is round 10), 6 oldest;
     # new r14 entries displace these from the END per the rule above
     # new in round 14 (displacing ALL six r10-cohort fill slots —
@@ -13386,6 +13507,10 @@ _PREFIX = [
     "d14_url_dedup",
     "s07_exact_threshold_join",
     "e20_last_touch_attribution",
+    # late-round-14 additions (each displaces one more r8-cohort tail
+    # entry to the r15 plan, same rule as e20/x09: x08_salted_agg is
+    # displaced by d15)
+    "d15_threshold_collapse",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

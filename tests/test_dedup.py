@@ -587,3 +587,77 @@ def test_dedup_components_releases_checkpoints_on_raise(spark):
     # <= 0, not == 0: the shared session's ContextCleaner may release
     # unrelated RDDs mid-test, so the delta can go negative
     assert len(jsc.getPersistentRDDs()) - before <= 0
+
+
+def test_d15_collapse_matches_brute_force_at_sf0001(spark):
+    """d15 collapse property (the d12 recall proof extended to the
+    composition): at sf0.001 the pipeline's component census must
+    equal brute-force exact-Jaccard >= 0.8 pairs + transitive closure
+    over the SAME constructed corpus — in particular every {A, B, D}
+    family merges even though the A–D pair itself is below threshold
+    (J=26/36), so the merge exists only through hash-min
+    transitivity."""
+    from itertools import combinations
+
+    from alternating_least_squares_spark.registry import (
+        q_d15_threshold_collapse,
+    )
+    from alternating_least_squares_spark.sources import load_table
+    from tests.conftest import SF_SMALL
+
+    got = {
+        (r["doc_id"], r["n_merged"])
+        for r in q_d15_threshold_collapse(spark, SF_SMALL).collect()
+    }
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, SF_SMALL, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    toks = {}
+    for i in ids:
+        if i % 10:
+            toks[i] = {f"zq{i}{s}" for s in "abcde"}
+        else:
+            fam = {f"fam{i}t{j}" for j in range(28)}
+            toks[i] = fam | {f"uqa{i}x", f"uqa{i}y"}
+            toks[i + 20_000_000] = fam | {f"uqb{i}x", f"uqb{i}y"}
+            toks[i + 40_000_000] = {f"fam{i}t{j}" for j in range(20)} | {
+                f"uqc{i}w{j}" for j in range(10)
+            }
+            toks[i + 60_000_000] = (
+                {f"fam{i}t{j}" for j in range(26)}
+                | {f"uqb{i}x", f"uqb{i}y"}
+                | {f"uqd{i}w{j}" for j in range(4)}
+            )
+    # brute-force pairs, then union-find transitive closure
+    parent = {i: i for i in toks}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    planted_ad_below = 0
+    for x, y in combinations(sorted(toks), 2):
+        j = len(toks[x] & toks[y]) / len(toks[x] | toks[y])
+        if j >= 0.8:
+            parent[find(y)] = find(x)
+        elif y == x + 60_000_000 and x % 10 == 0:
+            planted_ad_below += 1
+    # the construction premise itself: every direct A-D pair is below
+    # threshold, so families can only merge transitively through B
+    assert planted_ad_below == sum(1 for i in ids if i % 10 == 0)
+
+    from collections import Counter
+
+    sizes = Counter(find(x) for x in toks)
+    want = {(rep, n) for rep, n in sizes.items()}
+    assert got == want
+    # and the family census is exactly what SQL_D15 states
+    fams = sum(1 for i in ids if i % 10 == 0)
+    assert sum(1 for _, n in got if n == 3) == fams
+    assert len(got) == len(ids) + fams  # families + C + noise rows
