@@ -13088,6 +13088,80 @@ FROM c WHERE cum_before < {X22_BUDGET_TOKENS}
 """
 
 
+X23_K = 100          # sample size
+X23_MAX_W = 8        # weight bucket cap (tickets per doc)
+
+
+def q_x23_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    quality/length-weighted corpus sampler between x03 (uniform
+    hash-stratified) and x22 (budget cut): draw k docs with successive
+    selection probability proportional to an integer weight, with NO
+    RNG, reproducible across engines, partitionings, and reruns.
+
+    Scheme (Rosén 1997 successive sampling via bottom-k ranks, the
+    integer-exact face of Efraimidis–Spirtakis A-ES keys u^(1/w)):
+    every doc gets w tickets (w = 1 + min(7, n_tok DIV 32), a bounded
+    length-bucket weight), ticket j's rank is md5("ws:<doc_id>:<j>"),
+    the doc's sample key is its MINIMUM ticket rank, and the sample is
+    the k smallest keys. Exactness, not approximation: each ticket is
+    equally likely to hold the GLOBAL minimum rank, so the first
+    selection lands on doc i with probability w_i/Σw, and conditioning
+    on removing the winner's tickets repeats the argument — exactly
+    sampling ∝ w without replacement (min of w uniforms ≍ u^(1/w):
+    same per-doc key distribution A-ES uses). md5 makes the ranks a
+    pure function of doc_id, so the draw is an auditable property of
+    the corpus — seeded-RNG samplers are none of engine-portable,
+    repartition-stable, or oracle-checkable.
+
+    Shape: ticket ranks are X23_MAX_W codegen md5 columns folded with
+    least() (absent tickets get a 'zz' sentinel that sorts after every
+    hex digest — no NULL-semantics reliance on either engine); the
+    k-smallest selection is orderBy+limit, which Spark executes as
+    TakeOrderedAndProject — a per-partition top-k then a driver merge
+    of k·partitions rows, NEVER a global sort. At 100 TB: one scan,
+    zero shuffles, k rows move."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(TX.tokens(F.coalesce(F.col("text"), F.lit(""))))
+    w = (F.lit(1) + F.least(
+        F.lit(X23_MAX_W - 1), (n_tok / 32).cast("int")
+    )).cast("long")
+    dstr = F.col("doc_id").cast("string")
+    tickets = [
+        F.when(
+            w >= j,
+            F.md5(F.concat(F.lit("ws:"), dstr, F.lit(f":{j}"))),
+        ).otherwise(F.lit("zz"))
+        for j in range(1, X23_MAX_W + 1)
+    ]
+    keyed = docs.select(
+        "doc_id", w.alias("w"), F.least(*tickets).alias("sample_key")
+    )
+    return keyed.orderBy("sample_key", "doc_id").limit(X23_K)
+
+
+SQL_X23 = f"""
+WITH tk AS (
+  SELECT doc_id,
+         CAST(1 + least({X23_MAX_W - 1},
+                        len({_toks_sql("coalesce(text, '')")}) // 32)
+              AS BIGINT) AS w
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, w,
+         least({", ".join(
+             f"CASE WHEN w >= {j} THEN md5('ws:' || doc_id || ':{j}') "
+             "ELSE 'zz' END"
+             for j in range(1, X23_MAX_W + 1)
+         )}) AS sample_key
+  FROM tk
+)
+SELECT doc_id, w, sample_key
+FROM keyed ORDER BY sample_key, doc_id LIMIT {X23_K}
+"""
+
+
 def q_x19_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-EPOCH training order — x16 with the epoch number folded
     into the hash salt, because a trainer that reuses one permutation
@@ -13388,6 +13462,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "d15_threshold_collapse": (q_d15_threshold_collapse, SQL_D15),
     "x17_dsir_weights": (q_x17_dsir_weights, SQL_X17),
     "x22_token_budget_mix": (q_x22_token_budget_mix, SQL_X22),
+    "x23_weighted_sample": (q_x23_weighted_sample, SQL_X23),
     "t23_span_scrub": (q_t23_span_scrub, SQL_T23),
     "t24_ngram_decontaminate": (q_t24_ngram_decontaminate, SQL_T24),
     # t25's oracle IS t24's text-key SQL: the driver hash certifies
@@ -13438,9 +13513,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # CORRECTNESS_r01..r13 union with this round's FINAL prefix marked
 # r14 — i.e. AFTER the new r14 entries displaced ALL six r10-cohort
 # fill slots (ac07, b05, d03, d05, e06, e11) AND the r8 tail entries
-# x09_bucketed_join and x08_salted_agg): oldest-first by (round,
-# name), LEAD with x08_salted_agg then x09_bucketed_join (the two
-# remaining r8-stale rows), then the r10-stale cohort —
+# x09_bucketed_join, x08_salted_agg, and x06_domain_mix_sample):
+# oldest-first by (round, name), LEAD with x06_domain_mix_sample,
+# x08_salted_agg, then x09_bucketed_join (the three remaining
+# r8-stale rows), then the r10-stale cohort —
 # ac07_merge_schema_evolution,
 # b05_jsonl_roundtrip, d03_minhash_near_dup, d05_mllib_minhash,
 # e06_funnel, e11_trailing_active_users, e16_twap, g01_rollup,
@@ -13453,22 +13529,22 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # q03_quantile_gate, rc02_node_depth, s01_lsh_topk, s03_ivf_topk,
 # s04_mllib_euclidean, s05_pca_topk, s06_pq_topk, st11_stream_ewma,
 # w08_ewma, x10_partition_pruning, x11_table_profile,
-# x12_salted_join, x18_runtime_bloom_filter, x19_epoch_shuffle —
-# exactly 50 (x20_aqe_skew_join and x21_cbo_stats_broadcast, the two
-# youngest-by-name r10 rows, wait for r16 with the r11 cohort). New
-# r15 entries displace the youngest-cohort tail from the END as
-# always (x19, then x18, ...).
+# x12_salted_join, x18_runtime_bloom_filter — exactly 50
+# (x19_epoch_shuffle, x20_aqe_skew_join and x21_cbo_stats_broadcast,
+# the three youngest-by-name r10 rows, wait for r16 with the r11
+# cohort). New r15 entries displace the youngest-cohort tail from
+# the END as always (x18, then x12, ...).
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors (each has a hash-green
 # oracle-adjacent twin where one is possible: ipf_fixed, g04b,
 # m04/m05).
 _PREFIX = [
-    # r8-stale cohort: newest official row is round 8 (42 of 44 —
+    # r8-stale cohort: newest official row is round 8 (41 of 44 —
     # with all six r10 fill slots already displaced by new r14
-    # entries, the seventh and eighth new entries (e20, d15) displace
-    # the TAIL of this cohort, x09_bucketed_join then x08_salted_agg,
-    # which instead LEAD the r15 plan
+    # entries, each further new entry (e20, d15, x23) displaces the
+    # TAIL of this cohort (x09_bucketed_join, x08_salted_agg,
+    # x06_domain_mix_sample), which instead LEADS the r15 plan
     # below; new code must be driver-certified the round it lands,
     # and one r8 entry waiting one more round costs less than a new
     # entry shipping uncertified)
@@ -13489,7 +13565,6 @@ _PREFIX = [
     "w01_running_total", "w02_rank_dense_lag", "w06_hopping_batch",
     "x01_grouped_outliers", "x02_train_test_split",
     "x03_stratified_sample", "x05_python_udtf",
-    "x06_domain_mix_sample",
     # r10-cohort fill (newest official row is round 10), 6 oldest;
     # new r14 entries displace these from the END per the rule above
     # new in round 14 (displacing ALL six r10-cohort fill slots —
@@ -13509,8 +13584,9 @@ _PREFIX = [
     "e20_last_touch_attribution",
     # late-round-14 additions (each displaces one more r8-cohort tail
     # entry to the r15 plan, same rule as e20/x09: x08_salted_agg is
-    # displaced by d15)
+    # displaced by d15, x06_domain_mix_sample by x23)
     "d15_threshold_collapse",
+    "x23_weighted_sample",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

@@ -164,3 +164,46 @@ def test_x22_token_budget_matches_python_replay(spark):
             cum += n_tok
     assert got == want
     assert {s for s, _, _ in got.values()} == set(by_source)
+
+
+def test_x23_weighted_sample_matches_brute_force_and_plan(spark):
+    """x23: the deterministic ticket scheme equals a Python replay at
+    sf0.001 (ranks, weights, and the k-smallest cut), the weight
+    buckets are honored, and the physical plan is a per-partition
+    top-k (TakeOrderedAndProject) with no Exchange — k rows move, the
+    corpus does not."""
+    import hashlib
+
+    from alternating_least_squares_spark.registry import (
+        X23_K,
+        X23_MAX_W,
+        q_x23_weighted_sample,
+    )
+
+    out = q_x23_weighted_sample(spark, SF_SMALL)
+    got = [
+        (r["doc_id"], r["w"], r["sample_key"]) for r in out.collect()
+    ]
+
+    docs = [
+        (r["doc_id"], (r["text"] or "").split())
+        for r in load_table(spark, SF_SMALL, "documents")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    want = []
+    for doc_id, toks in docs:
+        w = 1 + min(X23_MAX_W - 1, len(toks) // 32)
+        key = min(
+            hashlib.md5(f"ws:{doc_id}:{j}".encode()).hexdigest()
+            for j in range(1, w + 1)
+        )
+        want.append((key, doc_id, w))
+    want.sort()
+    want = [(d, w, k) for k, d, w in want[:X23_K]]
+    assert got == want  # order included: the sample IS an ordering
+    assert all(1 <= w <= X23_MAX_W for _, w, _ in got)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan and "Sort " not in plan
