@@ -1426,6 +1426,45 @@ def q_ac10_snapshot_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SN.read_tag(spark, path, "baseline")
 
 
+def q_ac12_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style RESTORE proved through the whole lifecycle:
+    create v0 → MERGE (v1) → DELETE (v2) → ``restore(v0)`` commits v3
+    whose files are v0's BY REFERENCE (no rewrite, no Spark job) →
+    ``vacuum(keep_last=1)`` expires v0–v2 and reclaims the files only
+    the rolled-back v1 wrote, but MUST keep v0's data alive because
+    the restored HEAD references it — then read the head. The oracle
+    is the v0 construction query (the ac10 shared-oracle pattern), so
+    the driver hash certifies rollback-as-forward-commit + file
+    sharing + vacuum survival end-to-end. ac10 proves a TAG pins
+    expired history for reads; ac12 proves RESTORE re-promotes it to
+    the writable head — together the two sides of Iceberg/Delta ref
+    semantics."""
+    import shutil
+
+    from alternating_least_squares_spark.sources import snapshot as SN
+
+    path = _scratch_path(
+        "alternating_ls_snapshot_ac12", sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 6).alias("price")
+    )
+    SN.create_table(
+        orders.filter(F.col("o_orderkey") % 4 != 0), path, key="o_orderkey"
+    )
+    updates = orders.filter(F.col("o_orderkey") % 8 <= 1).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("price") * 2, 6).alias("price"),
+    )
+    SN.merge_upsert(updates, path)  # v1
+    SN.delete_where(path, "o_orderkey % 8 = 2", spark)  # v2
+    SN.restore(path, 0)  # v3: head == v0, files shared by reference
+    SN.vacuum(path, keep_last=1)  # reclaims v1's files, keeps v0's
+    return SN.read_snapshot(spark, path)
+
+
 def q_ac03_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over (l_partkey, l_suppkey) —
     the multi-column data-skipping layout (operators/zorder.py; the
@@ -13426,6 +13465,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # ac10 reads the TAGGED v0 after mutations + vacuum; its truth is
     # exactly ac02's v0 construction query
     "ac10_snapshot_tag": (q_ac10_snapshot_tag, SQL_AC02),
+    # ac12 reads the HEAD after restore(v0) + vacuum; same v0 truth
+    "ac12_restore": (q_ac12_restore, SQL_AC02),
     "e13_rfm_segments": (q_e13_rfm_segments, SQL_E13),
     "g07_weighted_mean": (q_g07_weighted_mean, SQL_G07),
     "g08_exact_corr": (q_g08_exact_corr, SQL_G08),
@@ -13513,11 +13554,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # CORRECTNESS_r01..r13 union with this round's FINAL prefix marked
 # r14 — i.e. AFTER the new r14 entries displaced ALL six r10-cohort
 # fill slots (ac07, b05, d03, d05, e06, e11) AND the r8 tail entries
-# x09_bucketed_join, x08_salted_agg, and x06_domain_mix_sample):
-# oldest-first by (round, name), LEAD with x06_domain_mix_sample,
-# x08_salted_agg, then x09_bucketed_join (the three remaining
-# r8-stale rows), then the r10-stale cohort —
-# ac07_merge_schema_evolution,
+# x09_bucketed_join, x08_salted_agg, x06_domain_mix_sample, and
+# x05_python_udtf): oldest-first by (round, name), LEAD with
+# x05_python_udtf, x06_domain_mix_sample, x08_salted_agg, then
+# x09_bucketed_join (the four remaining r8-stale rows), then the
+# r10-stale cohort — ac07_merge_schema_evolution,
 # b05_jsonl_roundtrip, d03_minhash_near_dup, d05_mllib_minhash,
 # e06_funnel, e11_trailing_active_users, e16_twap, g01_rollup,
 # g03_percentiles, gr01_pagerank_fixed, gr03_triangles,
@@ -13529,23 +13570,24 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # q03_quantile_gate, rc02_node_depth, s01_lsh_topk, s03_ivf_topk,
 # s04_mllib_euclidean, s05_pca_topk, s06_pq_topk, st11_stream_ewma,
 # w08_ewma, x10_partition_pruning, x11_table_profile,
-# x12_salted_join, x18_runtime_bloom_filter — exactly 50
-# (x19_epoch_shuffle, x20_aqe_skew_join and x21_cbo_stats_broadcast,
-# the three youngest-by-name r10 rows, wait for r16 with the r11
+# x12_salted_join — exactly 50 (x18_runtime_bloom_filter,
+# x19_epoch_shuffle, x20_aqe_skew_join and x21_cbo_stats_broadcast,
+# the four youngest-by-name r10 rows, wait for r16 with the r11
 # cohort). New r15 entries displace the youngest-cohort tail from
-# the END as always (x18, then x12, ...).
+# the END as always (x12, then x11, ...).
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors (each has a hash-green
 # oracle-adjacent twin where one is possible: ipf_fixed, g04b,
 # m04/m05).
 _PREFIX = [
-    # r8-stale cohort: newest official row is round 8 (41 of 44 —
+    # r8-stale cohort: newest official row is round 8 (40 of 44 —
     # with all six r10 fill slots already displaced by new r14
-    # entries, each further new entry (e20, d15, x23) displaces the
-    # TAIL of this cohort (x09_bucketed_join, x08_salted_agg,
-    # x06_domain_mix_sample), which instead LEADS the r15 plan
-    # below; new code must be driver-certified the round it lands,
+    # entries, each further new entry (e20, d15, x23, ac12) displaces
+    # the TAIL of this cohort (x09_bucketed_join, x08_salted_agg,
+    # x06_domain_mix_sample, x05_python_udtf), which instead LEADS
+    # the r15 plan below; new code must be driver-certified the round
+    # it lands,
     # and one r8 entry waiting one more round costs less than a new
     # entry shipping uncertified)
     "ac04_compact_files", "ac05_vacuum", "ac06_schema_evolution",
@@ -13564,7 +13606,7 @@ _PREFIX = [
     "t11_pii_redact", "t12_repetition_stats", "t14_context_assembly",
     "w01_running_total", "w02_rank_dense_lag", "w06_hopping_batch",
     "x01_grouped_outliers", "x02_train_test_split",
-    "x03_stratified_sample", "x05_python_udtf",
+    "x03_stratified_sample",
     # r10-cohort fill (newest official row is round 10), 6 oldest;
     # new r14 entries displace these from the END per the rule above
     # new in round 14 (displacing ALL six r10-cohort fill slots —
@@ -13584,9 +13626,11 @@ _PREFIX = [
     "e20_last_touch_attribution",
     # late-round-14 additions (each displaces one more r8-cohort tail
     # entry to the r15 plan, same rule as e20/x09: x08_salted_agg is
-    # displaced by d15, x06_domain_mix_sample by x23)
+    # displaced by d15, x06_domain_mix_sample by x23, x05_python_udtf
+    # by ac12)
     "d15_threshold_collapse",
     "x23_weighted_sample",
+    "ac12_restore",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

@@ -756,6 +756,54 @@ def read_tag(spark: SparkSession, path: str, name: str) -> DataFrame:
     return read_snapshot(spark, path, version=tags[name])
 
 
+def restore(path: str, version: int) -> int:
+    """Delta-style ``RESTORE TABLE ... TO VERSION``: roll the table's
+    HEAD back to ``version`` by committing a NEW version whose file
+    list, schema, and key are exactly the target's. Rollback is a
+    FORWARD commit — history stays immutable and auditable (the
+    in-between versions keep time-traveling until vacuum expires
+    them), concurrent writers race through the same 'x'-publish as
+    every other commit, and an operator can restore the restore.
+
+    Files are shared BY REFERENCE (copy-on-write at file granularity
+    — nothing is rewritten, no Spark job runs: restoring a 100 TB
+    table is one manifest write), and because the new head references
+    them, ``vacuum(keep_last=1)`` afterwards keeps the restored data
+    alive while reclaiming files only the rolled-back versions
+    referenced. Restoring to a vacuum-expired version fails loudly on
+    the missing manifest — expired history cannot be resurrected,
+    which is exactly Delta's contract (RESTORE needs the version's
+    files, and vacuum may have reclaimed them).
+
+    Returns the new head version. Restoring to the current head is
+    allowed (Delta permits it): it commits an explicit audit row that
+    says "head re-asserted", which some compliance flows want."""
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot table at {path}")
+    if version not in versions:
+        raise FileNotFoundError(
+            f"version {version} not in history at {path} (have "
+            f"{versions}); it may have been vacuum-expired — expired "
+            "history cannot be restored"
+        )
+    m = _read_manifest(path, version)
+    new_v = versions[-1] + 1
+    _commit(
+        path,
+        new_v,
+        {
+            "version": new_v,
+            "operation": "restore",
+            "restored_from": version,
+            "key": m["key"],
+            "schema": m["schema"],
+            "files": m["files"],
+        },
+    )
+    return new_v
+
+
 def vacuum(
     path: str, keep_last: int = 1, min_age_seconds: float = 0.0
 ) -> dict:

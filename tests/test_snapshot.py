@@ -675,3 +675,77 @@ def test_vacuum_pins_tagged_versions(spark, base, tmp_path):
     assert got == {(i, i * 10) for i in range(100)}
     with pytest.raises(ValueError, match="not in"):
         SN.read_snapshot(spark, path, version=1)
+
+
+def test_restore_is_a_forward_commit_sharing_files(spark, base, tmp_path):
+    """RESTORE commits a NEW version whose file entries are v0's BY
+    REFERENCE: no data file is written, history stays append-only
+    (the in-between version still time-travels), and the head reads
+    exactly the restored content."""
+    import os
+
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    SN.merge_upsert(
+        spark.createDataFrame([(10, -1), (200, -2)], "k long, v long"),
+        path,
+    )
+
+    def data_files():
+        out = set()
+        for root, _, names in os.walk(os.path.join(path, "_data")):
+            out |= {
+                os.path.join(root, n)
+                for n in names
+                if n.endswith(".parquet")
+            }
+        return out
+
+    before = data_files()
+    v = SN.restore(path, 0)
+    assert v == 2
+    assert data_files() == before  # nothing written, shared by ref
+    m0, m2 = SN._read_manifest(path, 0), SN._read_manifest(path, 2)
+    assert m2["files"] == m0["files"]
+    assert m2["operation"] == "restore" and m2["restored_from"] == 0
+    # head == v0; v1 still time-travels until vacuum expires it
+    got = {r["k"]: r["v"] for r in SN.read_snapshot(spark, path).collect()}
+    assert got == {i: i * 10 for i in range(100)}
+    v1 = {r["k"]: r["v"] for r in SN.read_snapshot(spark, path, 1).collect()}
+    assert v1[10] == -1 and v1[200] == -2
+    assert [h["operation"] for h in SN.history(path)] == [
+        "create", "merge", "restore",
+    ]
+
+
+def test_vacuum_after_restore_keeps_restored_files(spark, base, tmp_path):
+    """vacuum(keep_last=1) after a restore reclaims files only the
+    rolled-back versions wrote, but the restored head's (= v0's)
+    files survive because the head references them."""
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    SN.merge_upsert(
+        spark.createDataFrame([(10, -1), (200, -2)], "k long, v long"),
+        path,
+    )
+    SN.restore(path, 0)
+    stats = SN.vacuum(path, keep_last=1)
+    # v1's rewritten 0-24 file + its 200-insert file are unreferenced
+    assert stats["files_removed"] >= 1 and stats["versions_removed"] == 2
+    got = {r["k"]: r["v"] for r in SN.read_snapshot(spark, path).collect()}
+    assert got == {i: i * 10 for i in range(100)}
+
+
+def test_restore_of_expired_version_fails_loudly(spark, base, tmp_path):
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    SN.merge_upsert(
+        spark.createDataFrame([(10, -1)], "k long, v long"), path
+    )
+    SN.vacuum(path, keep_last=1)  # expires v0
+    with pytest.raises(FileNotFoundError, match="vacuum-expired"):
+        SN.restore(path, 0)
+    # restoring the current head is ALLOWED (audit re-assert)
+    v = SN.restore(path, 1)
+    assert v == 2
+    assert SN._read_manifest(path, 2)["restored_from"] == 1
