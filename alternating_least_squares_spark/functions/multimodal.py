@@ -490,3 +490,124 @@ def resize_bmp_nearest(
     return df.select(id_col, blob_col).mapInPandas(
         batches, RESIZE_NN_SCHEMA
     )
+
+
+# --- audio: real int16-PCM decode plumbing (round 14) -----------------
+#
+# PCM is the one audio format decodable with zero third-party deps
+# (numpy.frombuffer over raw little-endian int16 IS the decode a WAV
+# data chunk needs), so — exactly like the BMP path above vs the
+# PIL-gated PNG/JPEG stub — the audio rung of the media ladder gets a
+# REAL decode stage, not a byte-level stand-in. Compressed codecs
+# (mp3/flac/ogg) stay behind decode_image-style loud gates if ever
+# needed; the Spark-side plumbing (binary column, Arrow batches,
+# frame windowing, exact integer features) is what transfers.
+
+PCM_FRAME = 16  # samples per analysis frame
+
+PCM_FEATURES_SCHEMA = (
+    "doc_id long, frame_idx long, energy long, peak long"
+)
+
+
+def pcm_samples(doc_id: int) -> list[int]:
+    """The planted deterministic waveform: ``48 + (doc_id%3)*16``
+    samples (3-5 whole frames — variable length, always frame-
+    aligned), sample i = ``(doc_id*7919 + i*104729 + 12345) % 65536
+    - 32768`` — full int16 range incl. negatives, restatable by a
+    SQL oracle with generate_series arithmetic."""
+    n = 48 + (doc_id % 3) * 16
+    return [
+        (doc_id * 7919 + i * 104729 + 12345) % 65536 - 32768
+        for i in range(n)
+    ]
+
+
+def attach_pcm_blob(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Plant a real decodable audio payload per document: the
+    :func:`pcm_samples` waveform packed as raw little-endian int16
+    PCM (a WAV file's data chunk, minus the RIFF header). Arrow-
+    batched 1:1 ``mapInPandas`` emitting a true ``binary`` column;
+    the content crosses an Arrow boundary again before decoding, so
+    encode and decode never share Python process state (the
+    attach_bmp_blob discipline)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            blobs = [
+                struct.pack(f"<{len(s)}h", *s)
+                for s in (pcm_samples(int(d)) for d in pdf[id_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "pcm": pd.Series(blobs, dtype="object"),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(batches, "doc_id long, pcm binary")
+
+
+def pcm_frame_features(
+    df: DataFrame,
+    frame: int = PCM_FRAME,
+    id_col: str = "doc_id",
+    blob_col: str = "pcm",
+) -> DataFrame:
+    """REAL audio decode + frame analysis with zero third-party deps:
+    ``numpy.frombuffer(dtype='<i2')`` parses the PCM byte stream (THE
+    decode operation for WAV data), the sample vector splits into
+    fixed ``frame``-sample windows, and each frame emits exact
+    integer features — ``energy`` = Σ s² and ``peak`` = max|s| (both
+    BIGINT-exact: 16 · 32768² < 2⁶³, so no float RMS drift and a SQL
+    oracle can hash-match bit-for-bit; callers wanting RMS divide
+    once at the end). Arrow-batched ``mapInPandas`` (1:N — one row
+    per frame); odd byte counts or non-frame-aligned streams RAISE
+    (fail loud; b06 is the quarantine pattern for tolerating
+    corruption). Scale: the decode is embarrassingly parallel over
+    docs, output rows are 4 longs — the heavy binary column never
+    survives past this stage."""
+    if frame <= 0:
+        raise ValueError(f"frame must be positive (got {frame})")
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, fidx, energy, peak = [], [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                data = bytes(blob) if blob is not None else b""
+                if len(data) % 2:
+                    raise ValueError(
+                        f"odd PCM byte count {len(data)} for "
+                        f"doc_id={doc_id}: not an int16 stream"
+                    )
+                s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                if len(s) % frame:
+                    raise ValueError(
+                        f"PCM stream of {len(s)} samples is not "
+                        f"frame-aligned to {frame} (doc_id={doc_id})"
+                    )
+                for k in range(len(s) // frame):
+                    w = s[k * frame : (k + 1) * frame]
+                    ids.append(int(doc_id))
+                    fidx.append(k)
+                    energy.append(int((w * w).sum()))
+                    peak.append(int(np.abs(w).max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int64"),
+                    "energy": pd.Series(energy, dtype="int64"),
+                    "peak": pd.Series(peak, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        batches, PCM_FEATURES_SCHEMA
+    )

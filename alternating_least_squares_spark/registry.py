@@ -7479,6 +7479,51 @@ FROM documents
 """
 
 
+def q_mm06_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode + frame analysis (the audio rung of the
+    media ladder, with an actual decode the way mm01/mm05's BMP path
+    is real where PNG/JPEG stay PIL-gated): a deterministic int16
+    little-endian PCM waveform is planted per doc (attach_pcm_blob —
+    raw WAV-data-chunk bytes through an Arrow boundary), then
+    pcm_frame_features parses it with numpy.frombuffer (THE decode
+    for PCM audio), windows it into 16-sample frames, and emits
+    exact-integer per-frame energy = Σs² and peak = max|s| — BIGINT-
+    exact (16·32768² < 2⁶³), so the oracle restates the whole
+    waveform arithmetic with generate_series and hash-matches
+    bit-for-bit; no float RMS drift anywhere. Variable-length streams
+    (48/64/80 samples by doc_id%3 → 3-5 frames) prove the fan-out
+    handles ragged inputs. Scale: decode is embarrassingly parallel
+    over docs, the binary column dies at this stage (output rows are
+    4 longs), and at a real 100 TB audio corpus the same plan reads
+    the bytes from b07-style binaryFile ingest instead of planting
+    them."""
+    from alternating_least_squares_spark.functions.multimodal import (
+        attach_pcm_blob,
+        pcm_frame_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return pcm_frame_features(attach_pcm_blob(docs))
+
+
+SQL_MM06 = """
+WITH s AS (
+  SELECT doc_id,
+         unnest(generate_series(0, 47 + (doc_id % 3) * 16)) AS i
+  FROM documents
+),
+v AS (
+  SELECT doc_id, i // 16 AS frame_idx,
+         (doc_id * 7919 + i * 104729 + 12345) % 65536 - 32768 AS x
+  FROM s
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(sum(x * x) AS BIGINT) AS energy,
+       CAST(max(abs(x)) AS BIGINT) AS peak
+FROM v GROUP BY doc_id, frame_idx
+"""
+
+
 def q_ipf_cost_per_visit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship iterative pipeline (A17 converge + E2/E3 ETL).
     Iterative fixed-point — not expressible as one SQL statement, so
@@ -13418,6 +13463,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "mm01_media_features": (q_mm01_media_features, SQL_MM01),
     "mm02_frame_sample": (q_mm02_frame_sample, SQL_MM02),
     "mm03_arrow_features": (q_mm03_arrow_features, SQL_MM03),
+    "mm06_pcm_features": (q_mm06_pcm_features, SQL_MM06),
     "d01_simhash": (q_d01_simhash, SQL_D01),
     "d02_jaccard_pairs": (q_d02_jaccard_pairs, SQL_D02),
     "d03_minhash_near_dup": (q_d03_minhash_near_dup, SQL_D03),
@@ -13554,10 +13600,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # CORRECTNESS_r01..r13 union with this round's FINAL prefix marked
 # r14 — i.e. AFTER the new r14 entries displaced ALL six r10-cohort
 # fill slots (ac07, b05, d03, d05, e06, e11) AND the r8 tail entries
-# x09_bucketed_join, x08_salted_agg, x06_domain_mix_sample, and
-# x05_python_udtf): oldest-first by (round, name), LEAD with
-# x05_python_udtf, x06_domain_mix_sample, x08_salted_agg, then
-# x09_bucketed_join (the four remaining r8-stale rows), then the
+# x09_bucketed_join, x08_salted_agg, x06_domain_mix_sample,
+# x05_python_udtf, and x03_stratified_sample): oldest-first by
+# (round, name), LEAD with x03_stratified_sample, x05_python_udtf,
+# x06_domain_mix_sample, x08_salted_agg, then x09_bucketed_join (the
+# five remaining r8-stale rows), then the
 # r10-stale cohort — ac07_merge_schema_evolution,
 # b05_jsonl_roundtrip, d03_minhash_near_dup, d05_mllib_minhash,
 # e06_funnel, e11_trailing_active_users, e16_twap, g01_rollup,
@@ -13569,23 +13616,24 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # j08_scd2_intersect, mm01_media_features, mm05_resize_nearest,
 # q03_quantile_gate, rc02_node_depth, s01_lsh_topk, s03_ivf_topk,
 # s04_mllib_euclidean, s05_pca_topk, s06_pq_topk, st11_stream_ewma,
-# w08_ewma, x10_partition_pruning, x11_table_profile,
-# x12_salted_join — exactly 50 (x18_runtime_bloom_filter,
-# x19_epoch_shuffle, x20_aqe_skew_join and x21_cbo_stats_broadcast,
-# the four youngest-by-name r10 rows, wait for r16 with the r11
+# w08_ewma, x10_partition_pruning, x11_table_profile — exactly 50
+# (x12_salted_join, x18_runtime_bloom_filter, x19_epoch_shuffle,
+# x20_aqe_skew_join and x21_cbo_stats_broadcast, the five
+# youngest-by-name r10 rows, wait for r16 with the r11
 # cohort). New r15 entries displace the youngest-cohort tail from
-# the END as always (x12, then x11, ...).
+# the END as always (x11, then x10, ...).
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors (each has a hash-green
 # oracle-adjacent twin where one is possible: ipf_fixed, g04b,
 # m04/m05).
 _PREFIX = [
-    # r8-stale cohort: newest official row is round 8 (40 of 44 —
+    # r8-stale cohort: newest official row is round 8 (39 of 44 —
     # with all six r10 fill slots already displaced by new r14
-    # entries, each further new entry (e20, d15, x23, ac12) displaces
-    # the TAIL of this cohort (x09_bucketed_join, x08_salted_agg,
-    # x06_domain_mix_sample, x05_python_udtf), which instead LEADS
+    # entries, each further new entry (e20, d15, x23, ac12, mm06)
+    # displaces the TAIL of this cohort (x09_bucketed_join,
+    # x08_salted_agg, x06_domain_mix_sample, x05_python_udtf,
+    # x03_stratified_sample), which instead LEADS
     # the r15 plan below; new code must be driver-certified the round
     # it lands,
     # and one r8 entry waiting one more round costs less than a new
@@ -13606,7 +13654,6 @@ _PREFIX = [
     "t11_pii_redact", "t12_repetition_stats", "t14_context_assembly",
     "w01_running_total", "w02_rank_dense_lag", "w06_hopping_batch",
     "x01_grouped_outliers", "x02_train_test_split",
-    "x03_stratified_sample",
     # r10-cohort fill (newest official row is round 10), 6 oldest;
     # new r14 entries displace these from the END per the rule above
     # new in round 14 (displacing ALL six r10-cohort fill slots —
@@ -13627,10 +13674,11 @@ _PREFIX = [
     # late-round-14 additions (each displaces one more r8-cohort tail
     # entry to the r15 plan, same rule as e20/x09: x08_salted_agg is
     # displaced by d15, x06_domain_mix_sample by x23, x05_python_udtf
-    # by ac12)
+    # by ac12, x03_stratified_sample by mm06)
     "d15_threshold_collapse",
     "x23_weighted_sample",
     "ac12_restore",
+    "mm06_pcm_features",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

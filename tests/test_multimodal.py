@@ -322,3 +322,54 @@ def test_resize_bmp_nearest_validates_target(spark):
                                "doc_id long, blob binary")
     with _pytest.raises(ValueError):
         resize_bmp_nearest(df, out_w=0, out_h=2)
+
+
+def test_pcm_roundtrip_matches_python_reference(spark):
+    """attach → Arrow boundary → decode → frame features equals a
+    pure-Python replay of the planted waveform (exact integers,
+    variable 3-5 frame lengths)."""
+    from alternating_least_squares_spark.functions.multimodal import (
+        PCM_FRAME,
+        attach_pcm_blob,
+        pcm_frame_features,
+        pcm_samples,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 3, 17, 1000)], "doc_id long"
+    )
+    got = {
+        (r["doc_id"], r["frame_idx"]): (r["energy"], r["peak"])
+        for r in pcm_frame_features(attach_pcm_blob(docs)).collect()
+    }
+    want = {}
+    for i in (0, 1, 2, 3, 17, 1000):
+        s = pcm_samples(i)
+        assert len(s) % PCM_FRAME == 0 and len(s) // PCM_FRAME in (3, 4, 5)
+        for k in range(len(s) // PCM_FRAME):
+            w = s[k * PCM_FRAME : (k + 1) * PCM_FRAME]
+            want[(i, k)] = (sum(x * x for x in w), max(abs(x) for x in w))
+    assert got == want
+
+
+def test_pcm_features_fail_loud_on_corrupt_streams(spark):
+    """Odd byte counts and non-frame-aligned streams raise instead of
+    silently truncating (the b06 quarantine pattern is the opt-in for
+    tolerating corruption)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from alternating_least_squares_spark.functions.multimodal import (
+        pcm_frame_features,
+    )
+
+    odd = spark.createDataFrame(
+        [(1, bytearray(b"abc"))], "doc_id long, pcm binary"
+    )
+    with pytest.raises(PythonException, match="odd PCM byte count"):
+        pcm_frame_features(odd).collect()
+    ragged = spark.createDataFrame(
+        [(1, bytearray(b"ab" * 17))], "doc_id long, pcm binary"
+    )
+    with pytest.raises(PythonException, match="not .*frame-aligned"):
+        pcm_frame_features(ragged).collect()
