@@ -10982,6 +10982,100 @@ SELECT * FROM a0 UNION ALL SELECT * FROM a1
 """
 
 
+def q_st14_stream_weighted_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming weighted sample — x23's bottom-k draw maintained
+    over arriving waves with the k-row ledger persisted in the SINK
+    (the st08/st13 keep-state-in-the-table discipline). Per
+    ``availableNow`` wave: compute the wave's ticket keys (the SAME
+    ``_x23_keyed`` arithmetic the batch entry runs), union with the
+    persisted ledger, dedupe on doc_id (an at-least-once redelivery
+    must not let one doc occupy two of the k slots), keep the k
+    smallest — and because bottom-k is a MERGEABLE sketch
+    (bottom-k(bottom-k(A) ∪ B) = bottom-k(A ∪ B), associative,
+    commutative, idempotent), the final ledger equals the batch x23
+    over the whole corpus NO MATTER how the stream was waved. That is
+    exactly what the oracle states: this entry shares SQL_X23
+    verbatim (the t25/ac12 shared-oracle pattern), so the driver hash
+    certifies replay == batch.
+
+    Scale: state is k rows forever (never corpus-sized); per wave one
+    scan of the wave + a k-row ledger read; the k-row collect in the
+    merge is bounded BY CONSTRUCTION (k=100), the same bounded-scalar
+    exception as the IPF loss collect. At 10⁹ docs/wave the wave-side
+    top-k is TakeOrderedAndProject — k·partitions rows move, the
+    corpus never does."""
+    import os
+    import shutil
+
+    base = _scratch_path(
+        "alternating_ls_st14", sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src, sink, ckpt = (
+        os.path.join(base, d) for d in ("src", "sink", "_ckpt")
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    ledger_schema = "doc_id long, w long, sample_key string"
+    spark.createDataFrame([], ledger_schema).write.mode(
+        "overwrite"
+    ).parquet(sink)
+
+    def gate(bdf: DataFrame, _bid: int) -> None:
+        _st14_apply_wave(bdf.sparkSession, sink, bdf)
+
+    for wave in (0, 1):
+        docs.filter(F.col("doc_id") % 2 == wave).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(src)
+            .writeStream.foreachBatch(gate)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    return (
+        spark.read.parquet(sink)
+        .orderBy("sample_key", "doc_id")
+        .select("doc_id", "w", "sample_key")
+    )
+
+
+_ST14_LEDGER_SCHEMA = "doc_id long, w long, sample_key string"
+
+
+def _st14_apply_wave(
+    sess: SparkSession, sink: str, bdf: DataFrame
+) -> None:
+    """Merge one wave into the bottom-k ledger at ``sink``: wave-side
+    top-k (TakeOrderedAndProject), union with the persisted ledger,
+    dedupe on doc_id (redelivery idempotence — one doc must never
+    hold two of the k slots), keep the k smallest. The collect is
+    bounded at <= 2k rows by construction."""
+    wave_topk = (
+        _x23_keyed(bdf).orderBy("sample_key", "doc_id").limit(X23_K)
+    )
+    merged = (
+        sess.read.parquet(sink)
+        .unionByName(wave_topk)
+        .dropDuplicates(["doc_id"])
+        .orderBy("sample_key", "doc_id")
+        .limit(X23_K)
+        .collect()
+    )
+    sess.createDataFrame(
+        merged, _ST14_LEDGER_SCHEMA
+    ).write.mode("overwrite").parquet(sink)
+
+
 def q_t19_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram conditional-LM scoring — t18's context-aware upgrade
     (the KenLM-shaped filter of CCNet-style curation): docs scored by
@@ -13206,6 +13300,13 @@ def q_x23_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     of k·partitions rows, NEVER a global sort. At 100 TB: one scan,
     zero shuffles, k rows move."""
     docs = load_table(spark, sf_dir, "documents")
+    return _x23_keyed(docs).orderBy("sample_key", "doc_id").limit(X23_K)
+
+
+def _x23_keyed(docs: DataFrame) -> DataFrame:
+    """(doc_id, w, sample_key) for the x23 ticket scheme — shared by
+    the batch draw (x23) and the streaming bottom-k ledger (st14),
+    so the two entries certify the same key arithmetic."""
     n_tok = F.size(TX.tokens(F.coalesce(F.col("text"), F.lit(""))))
     w = (F.lit(1) + F.least(
         F.lit(X23_MAX_W - 1), (n_tok / 32).cast("int")
@@ -13218,10 +13319,9 @@ def q_x23_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit("zz"))
         for j in range(1, X23_MAX_W + 1)
     ]
-    keyed = docs.select(
+    return docs.select(
         "doc_id", w.alias("w"), F.least(*tickets).alias("sample_key")
     )
-    return keyed.orderBy("sample_key", "doc_id").limit(X23_K)
 
 
 SQL_X23 = f"""
@@ -13550,6 +13650,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "x17_dsir_weights": (q_x17_dsir_weights, SQL_X17),
     "x22_token_budget_mix": (q_x22_token_budget_mix, SQL_X22),
     "x23_weighted_sample": (q_x23_weighted_sample, SQL_X23),
+    # st14's ledger after all waves IS the batch draw: bottom-k is a
+    # mergeable sketch, so it shares x23's oracle text verbatim
+    "st14_stream_weighted_sample": (q_st14_stream_weighted_sample, SQL_X23),
     "t23_span_scrub": (q_t23_span_scrub, SQL_T23),
     "t24_ngram_decontaminate": (q_t24_ngram_decontaminate, SQL_T24),
     # t25's oracle IS t24's text-key SQL: the driver hash certifies
@@ -13601,10 +13704,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # r14 — i.e. AFTER the new r14 entries displaced ALL six r10-cohort
 # fill slots (ac07, b05, d03, d05, e06, e11) AND the r8 tail entries
 # x09_bucketed_join, x08_salted_agg, x06_domain_mix_sample,
-# x05_python_udtf, and x03_stratified_sample): oldest-first by
-# (round, name), LEAD with x03_stratified_sample, x05_python_udtf,
+# x05_python_udtf, x03_stratified_sample, and x02_train_test_split):
+# oldest-first by (round, name), LEAD with x02_train_test_split,
+# x03_stratified_sample, x05_python_udtf,
 # x06_domain_mix_sample, x08_salted_agg, then x09_bucketed_join (the
-# five remaining r8-stale rows), then the
+# six remaining r8-stale rows), then the
 # r10-stale cohort — ac07_merge_schema_evolution,
 # b05_jsonl_roundtrip, d03_minhash_near_dup, d05_mllib_minhash,
 # e06_funnel, e11_trailing_active_users, e16_twap, g01_rollup,
@@ -13616,26 +13720,26 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # j08_scd2_intersect, mm01_media_features, mm05_resize_nearest,
 # q03_quantile_gate, rc02_node_depth, s01_lsh_topk, s03_ivf_topk,
 # s04_mllib_euclidean, s05_pca_topk, s06_pq_topk, st11_stream_ewma,
-# w08_ewma, x10_partition_pruning, x11_table_profile — exactly 50
-# (x12_salted_join, x18_runtime_bloom_filter, x19_epoch_shuffle,
-# x20_aqe_skew_join and x21_cbo_stats_broadcast, the five
+# w08_ewma, x10_partition_pruning — exactly 50 (x11_table_profile,
+# x12_salted_join, x18_runtime_bloom_filter, x19_epoch_shuffle,
+# x20_aqe_skew_join and x21_cbo_stats_broadcast, the six
 # youngest-by-name r10 rows, wait for r16 with the r11
 # cohort). New r15 entries displace the youngest-cohort tail from
-# the END as always (x11, then x10, ...).
+# the END as always (x10, then w08, ...).
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors (each has a hash-green
 # oracle-adjacent twin where one is possible: ipf_fixed, g04b,
 # m04/m05).
 _PREFIX = [
-    # r8-stale cohort: newest official row is round 8 (39 of 44 —
+    # r8-stale cohort: newest official row is round 8 (38 of 44 —
     # with all six r10 fill slots already displaced by new r14
-    # entries, each further new entry (e20, d15, x23, ac12, mm06)
-    # displaces the TAIL of this cohort (x09_bucketed_join,
+    # entries, each further new entry (e20, d15, x23, ac12, mm06,
+    # st14) displaces the TAIL of this cohort (x09_bucketed_join,
     # x08_salted_agg, x06_domain_mix_sample, x05_python_udtf,
-    # x03_stratified_sample), which instead LEADS
-    # the r15 plan below; new code must be driver-certified the round
-    # it lands,
+    # x03_stratified_sample, x02_train_test_split), which instead
+    # LEADS the r15 plan below; new code must be driver-certified the
+    # round it lands,
     # and one r8 entry waiting one more round costs less than a new
     # entry shipping uncertified)
     "ac04_compact_files", "ac05_vacuum", "ac06_schema_evolution",
@@ -13653,7 +13757,7 @@ _PREFIX = [
     "t08_contamination", "t09_bpe_tokens", "t10_chunk_windows",
     "t11_pii_redact", "t12_repetition_stats", "t14_context_assembly",
     "w01_running_total", "w02_rank_dense_lag", "w06_hopping_batch",
-    "x01_grouped_outliers", "x02_train_test_split",
+    "x01_grouped_outliers",
     # r10-cohort fill (newest official row is round 10), 6 oldest;
     # new r14 entries displace these from the END per the rule above
     # new in round 14 (displacing ALL six r10-cohort fill slots —
@@ -13674,11 +13778,13 @@ _PREFIX = [
     # late-round-14 additions (each displaces one more r8-cohort tail
     # entry to the r15 plan, same rule as e20/x09: x08_salted_agg is
     # displaced by d15, x06_domain_mix_sample by x23, x05_python_udtf
-    # by ac12, x03_stratified_sample by mm06)
+    # by ac12, x03_stratified_sample by mm06, x02_train_test_split by
+    # st14)
     "d15_threshold_collapse",
     "x23_weighted_sample",
     "ac12_restore",
     "mm06_pcm_features",
+    "st14_stream_weighted_sample",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

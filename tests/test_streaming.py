@@ -701,3 +701,49 @@ def test_stream_budget_admission_matches_python_replay(spark):
     assert got == want
     # wave 0 must have consumed budget wave 1 can no longer use
     assert {w for _, _, w in got.values()} == {0, 1}
+
+
+def test_st14_ledger_is_wave_partition_invariant_and_idempotent(
+    spark, tmp_path
+):
+    """Bottom-k is a mergeable sketch: a 3-way wave split must yield
+    the same ledger as the one-shot batch draw, and re-applying a
+    wave (at-least-once redelivery) must leave the ledger unchanged."""
+    from alternating_least_squares_spark.registry import (
+        _st14_apply_wave,
+        _x23_keyed,
+        X23_K,
+    )
+    from alternating_least_squares_spark.sources import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    sink = str(tmp_path / "ledger")
+    spark.createDataFrame(
+        [], "doc_id long, w long, sample_key string"
+    ).write.mode("overwrite").parquet(sink)
+
+    waves = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    for wdf in waves:
+        _st14_apply_wave(spark, sink, wdf)
+
+    def ledger():
+        return sorted(
+            (r["doc_id"], r["w"], r["sample_key"])
+            for r in spark.read.parquet(sink).collect()
+        )
+
+    want = sorted(
+        (r["doc_id"], r["w"], r["sample_key"])
+        for r in _x23_keyed(docs)
+        .orderBy("sample_key", "doc_id")
+        .limit(X23_K)
+        .collect()
+    )
+    three_way = ledger()
+    assert three_way == want  # split-invariance (replay == batch)
+
+    _st14_apply_wave(spark, sink, waves[1])  # redeliver wave 1
+    assert ledger() == three_way  # idempotent
