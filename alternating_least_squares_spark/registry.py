@@ -7983,6 +7983,87 @@ WHERE event_type = 'purchase'
 """
 
 
+E21_WEEK_NS = 7 * 86_400 * 1_000_000_000
+
+
+def q_e21_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle — the growth-accounting staple next
+    to e11 (trailing WAU) and e14 (cumulative users): users cohorted
+    by their FIRST active epoch-week, then for every (cohort_week,
+    week_offset) the count of that cohort's users active offset weeks
+    later, the cohort size, and retention in integer ppm.
+
+    Shape (two exchanges, never a self-join): ONE user-keyed
+    aggregation collects each user's distinct active weeks
+    (collect_set dedupes map-side; its size is bounded by the
+    CALENDAR span, not by event volume), the user's cohort is
+    array_min of that set (so the offset-0 row exists by
+    construction and cohort_size is well-defined), and a generator
+    explode emits (cohort, offset) rows — at most users×weeks, the
+    already-reduced grain. The second exchange is the (cohort,
+    offset) count. Cohort size rides a window over the TRIANGLE
+    (≤ weeks² rows, trivially small at any corpus scale), and
+    retention_ppm = n_active·10⁶ DIV cohort_size is exact integer
+    arithmetic — no float division to flap the hash. The naive
+    formulation (activity ⋈ first-activity self-join) pays a third
+    full-volume shuffle for the same answer."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(_floor_div("ts_ns", E21_WEEK_NS)).alias("week")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_set("week").alias("weeks")
+    )
+    cohorted = per_user.select(
+        F.array_min("weeks").alias("cohort_week"),
+        F.explode("weeks").alias("week"),
+    )
+    tri = cohorted.groupBy(
+        "cohort_week",
+        (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+    ).agg(F.count("*").cast("long").alias("n_active"))
+    w = Window.partitionBy("cohort_week")
+    size = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_active"))
+    ).over(w)
+    return tri.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        size.alias("cohort_size"),
+        F.expr(
+            "CAST(n_active * 1000000 AS BIGINT) DIV "
+            "CAST(cohort_size AS BIGINT)"
+        ).alias("retention_ppm"),
+    ).withColumn("cohort_size", F.col("cohort_size").cast("long"))
+
+
+SQL_E21 = f"""
+WITH e AS (
+  SELECT DISTINCT user_id,
+         {_floor_div_duck('epoch_ns(ts)', 7 * 86_400 * 1_000_000_000)}
+           AS week
+  FROM events
+),
+c AS (
+  SELECT user_id, MIN(week) OVER (PARTITION BY user_id) AS cohort_week,
+         week
+  FROM e
+),
+tri AS (
+  SELECT cohort_week, week - cohort_week AS week_offset,
+         CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM c GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, n_active,
+       CAST(MAX(CASE WHEN week_offset = 0 THEN n_active END)
+            OVER (PARTITION BY cohort_week) AS BIGINT) AS cohort_size,
+       CAST(n_active * 1000000 //
+            MAX(CASE WHEN week_offset = 0 THEN n_active END)
+            OVER (PARTITION BY cohort_week) AS BIGINT) AS retention_ppm
+FROM tri
+"""
+
+
 def q_e10_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inter-event-time profile: count / min / max / mean of
     the gaps between consecutive events — the cadence feature behind
@@ -13476,6 +13557,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "e18_linear_interpolate": (q_e18_linear_interpolate, SQL_E18),
     "e19_interval_coalesce": (q_e19_interval_coalesce, SQL_E19),
     "e20_last_touch_attribution": (q_e20_last_touch_attribution, SQL_E20),
+    "e21_retention_cohorts": (q_e21_retention_cohorts, SQL_E21),
     "e05_variant_json": (q_e05_variant_json, SQL_E05),
     "e06_funnel": (q_e06_funnel, SQL_E06),
     "e07_cohort_retention": (q_e07_cohort_retention, SQL_E07),
@@ -13704,11 +13786,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # r14 — i.e. AFTER the new r14 entries displaced ALL six r10-cohort
 # fill slots (ac07, b05, d03, d05, e06, e11) AND the r8 tail entries
 # x09_bucketed_join, x08_salted_agg, x06_domain_mix_sample,
-# x05_python_udtf, x03_stratified_sample, and x02_train_test_split):
-# oldest-first by (round, name), LEAD with x02_train_test_split,
+# x05_python_udtf, x03_stratified_sample, x02_train_test_split, and
+# x01_grouped_outliers): oldest-first by (round, name), LEAD with
+# x01_grouped_outliers, x02_train_test_split,
 # x03_stratified_sample, x05_python_udtf,
 # x06_domain_mix_sample, x08_salted_agg, then x09_bucketed_join (the
-# six remaining r8-stale rows), then the
+# seven remaining r8-stale rows), then the
 # r10-stale cohort — ac07_merge_schema_evolution,
 # b05_jsonl_roundtrip, d03_minhash_near_dup, d05_mllib_minhash,
 # e06_funnel, e11_trailing_active_users, e16_twap, g01_rollup,
@@ -13720,24 +13803,25 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # j08_scd2_intersect, mm01_media_features, mm05_resize_nearest,
 # q03_quantile_gate, rc02_node_depth, s01_lsh_topk, s03_ivf_topk,
 # s04_mllib_euclidean, s05_pca_topk, s06_pq_topk, st11_stream_ewma,
-# w08_ewma, x10_partition_pruning — exactly 50 (x11_table_profile,
+# w08_ewma — exactly 50 (x10_partition_pruning, x11_table_profile,
 # x12_salted_join, x18_runtime_bloom_filter, x19_epoch_shuffle,
-# x20_aqe_skew_join and x21_cbo_stats_broadcast, the six
+# x20_aqe_skew_join and x21_cbo_stats_broadcast, the seven
 # youngest-by-name r10 rows, wait for r16 with the r11
 # cohort). New r15 entries displace the youngest-cohort tail from
-# the END as always (x10, then w08, ...).
+# the END as always (w08, then st11, ...).
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors (each has a hash-green
 # oracle-adjacent twin where one is possible: ipf_fixed, g04b,
 # m04/m05).
 _PREFIX = [
-    # r8-stale cohort: newest official row is round 8 (38 of 44 —
+    # r8-stale cohort: newest official row is round 8 (37 of 44 —
     # with all six r10 fill slots already displaced by new r14
     # entries, each further new entry (e20, d15, x23, ac12, mm06,
-    # st14) displaces the TAIL of this cohort (x09_bucketed_join,
+    # st14, e21) displaces the TAIL of this cohort (x09_bucketed_join,
     # x08_salted_agg, x06_domain_mix_sample, x05_python_udtf,
-    # x03_stratified_sample, x02_train_test_split), which instead
+    # x03_stratified_sample, x02_train_test_split,
+    # x01_grouped_outliers), which instead
     # LEADS the r15 plan below; new code must be driver-certified the
     # round it lands,
     # and one r8 entry waiting one more round costs less than a new
@@ -13757,7 +13841,6 @@ _PREFIX = [
     "t08_contamination", "t09_bpe_tokens", "t10_chunk_windows",
     "t11_pii_redact", "t12_repetition_stats", "t14_context_assembly",
     "w01_running_total", "w02_rank_dense_lag", "w06_hopping_batch",
-    "x01_grouped_outliers",
     # r10-cohort fill (newest official row is round 10), 6 oldest;
     # new r14 entries displace these from the END per the rule above
     # new in round 14 (displacing ALL six r10-cohort fill slots —
@@ -13779,12 +13862,13 @@ _PREFIX = [
     # entry to the r15 plan, same rule as e20/x09: x08_salted_agg is
     # displaced by d15, x06_domain_mix_sample by x23, x05_python_udtf
     # by ac12, x03_stratified_sample by mm06, x02_train_test_split by
-    # st14)
+    # st14, x01_grouped_outliers by e21)
     "d15_threshold_collapse",
     "x23_weighted_sample",
     "ac12_restore",
     "mm06_pcm_features",
     "st14_stream_weighted_sample",
+    "e21_retention_cohorts",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

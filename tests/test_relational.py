@@ -735,3 +735,61 @@ def test_last_touch_attribution_hand_computed(spark, tmp_path):
         5: ("organic", None, None, 3_000_000),
         6: ("organic", None, None, 1_000_000),
     }
+
+
+def test_retention_cohorts_hand_computed(spark, tmp_path):
+    """e21 on a constructed multi-cohort event set (the sf testdata
+    spans one cohort, so the triangle structure needs a fixture):
+    users cohorted by FIRST active week, gaps in activity leave holes
+    in the triangle (no zero-padding), cohort_size = the offset-0
+    count, retention_ppm exact integer DIV."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from alternating_least_squares_spark import registry
+
+    WK = 7 * 86_400 * 1_000_000  # one epoch-week in micros
+    # (user, active weeks): cohort w0 = {1, 2}, cohort w1 = {3}
+    activity = {
+        1: [0, 1, 3],   # skips week 2 -> hole at offset 2
+        2: [0, 1],
+        3: [1, 3],      # cohort week 1, active again offset 2
+    }
+    rows = []
+    eid = 0
+    for u, weeks in activity.items():
+        for wk in weeks:
+            # two events in the same week must count once
+            for off_us in (5, 99):
+                rows.append((eid, wk * WK + off_us, u))
+                eid += 1
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows), pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = {
+        (r["cohort_week"], r["week_offset"]): (
+            r["n_active"], r["cohort_size"], r["retention_ppm"]
+        )
+        for r in registry.q_e21_retention_cohorts(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # epoch-week of 2024-01-01-based micros: the fixture plants weeks
+    # RELATIVE to epoch directly (ts = wk*WK), so cohort weeks are 0/1
+    assert got == {
+        (0, 0): (2, 2, 1_000_000),
+        (0, 1): (2, 2, 1_000_000),
+        (0, 3): (1, 2, 500_000),   # hole at offset 2
+        (1, 0): (1, 1, 1_000_000),
+        (1, 2): (1, 1, 1_000_000),
+    }
