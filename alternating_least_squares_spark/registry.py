@@ -11954,6 +11954,72 @@ FROM d
 """
 
 
+def q_w12_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-peak drawdown — the risk/alerting window next to w01's
+    running total (w08 smooths the level, w09 measures the trend,
+    w10/w11 give the robust center/spread; drawdown measures how far
+    below the best-so-far the series currently sits, the quantity
+    stop-loss and SLA-burn alerts fire on): per customer in date
+    order, the running SUM of order value, its running MAX (the
+    peak), the current drawdown = peak − sum, and the running max
+    drawdown. All in exact integer micro-units (floor(price·10⁶) —
+    the e20 micros rule), so every column is an order-independent
+    BIGINT and the hash can't flap.
+
+    Shape: FOUR window passes over ONE (customer, date-ordered)
+    exchange — identical partition+order keys, so Spark's subset rule
+    plans a single Exchange+Sort (pytest-pinned); nesting max-over
+    sum-over rides the same sorted run. The peak/drawdown recursion
+    needs no stateful loop: running-max-of-running-sum IS the peak,
+    a composition window SQL states directly on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    micros = F.expr(
+        "CAST(floor(o_totalprice * 1000000) AS BIGINT)"
+    )
+    cum = F.sum(micros).over(w)
+    peak = F.max(cum).over(w)
+    dd = peak - cum
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        cum.alias("cum_micros"),
+        peak.alias("peak_micros"),
+        dd.alias("drawdown_micros"),
+        F.max(dd).over(w).alias("max_drawdown_micros"),
+    )
+
+
+SQL_W12 = """
+WITH c AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         SUM(CAST(floor(o_totalprice * 1000000) AS BIGINT)) OVER w
+           AS cum_micros
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+p AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, cum_micros,
+         MAX(cum_micros) OVER w AS peak_micros
+  FROM c
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT o_custkey, o_orderkey,
+       CAST(cum_micros AS BIGINT) AS cum_micros,
+       CAST(peak_micros AS BIGINT) AS peak_micros,
+       CAST(peak_micros - cum_micros AS BIGINT) AS drawdown_micros,
+       CAST(MAX(peak_micros - cum_micros) OVER w AS BIGINT)
+         AS max_drawdown_micros
+FROM p
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_w08_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-horizon EWMA smoothing per user (α=0.5 over the last 8
     observations, weights renormalized over available history) — the
@@ -13746,6 +13812,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "w09_rolling_slope": (q_w09_rolling_slope, SQL_W09),
     "w10_rolling_median": (q_w10_rolling_median, SQL_W10),
     "w11_rolling_mad": (q_w11_rolling_mad, SQL_W11),
+    "w12_drawdown": (q_w12_drawdown, SQL_W12),
     "st11_stream_ewma": (q_st11_stream_ewma, SQL_W08),
     "st12_stream_drift_gate": (q_st12_stream_drift_gate, SQL_ST12),
     "st13_stream_budget_admission": (q_st13_stream_budget_admission, SQL_ST13),
@@ -13786,12 +13853,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # r14 — i.e. AFTER the new r14 entries displaced ALL six r10-cohort
 # fill slots (ac07, b05, d03, d05, e06, e11) AND the r8 tail entries
 # x09_bucketed_join, x08_salted_agg, x06_domain_mix_sample,
-# x05_python_udtf, x03_stratified_sample, x02_train_test_split, and
-# x01_grouped_outliers): oldest-first by (round, name), LEAD with
-# x01_grouped_outliers, x02_train_test_split,
-# x03_stratified_sample, x05_python_udtf,
+# x05_python_udtf, x03_stratified_sample, x02_train_test_split,
+# x01_grouped_outliers, and w06_hopping_batch): oldest-first by
+# (round, name), LEAD with w06_hopping_batch, x01_grouped_outliers,
+# x02_train_test_split, x03_stratified_sample, x05_python_udtf,
 # x06_domain_mix_sample, x08_salted_agg, then x09_bucketed_join (the
-# seven remaining r8-stale rows), then the
+# eight remaining r8-stale rows), then the
 # r10-stale cohort — ac07_merge_schema_evolution,
 # b05_jsonl_roundtrip, d03_minhash_near_dup, d05_mllib_minhash,
 # e06_funnel, e11_trailing_active_users, e16_twap, g01_rollup,
@@ -13802,26 +13869,26 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # h20_forecast_revenue, h22_market_share, j04_asof_forward,
 # j08_scd2_intersect, mm01_media_features, mm05_resize_nearest,
 # q03_quantile_gate, rc02_node_depth, s01_lsh_topk, s03_ivf_topk,
-# s04_mllib_euclidean, s05_pca_topk, s06_pq_topk, st11_stream_ewma,
-# w08_ewma — exactly 50 (x10_partition_pruning, x11_table_profile,
+# s04_mllib_euclidean, s05_pca_topk, s06_pq_topk, st11_stream_ewma
+# — exactly 50 (w08_ewma, x10_partition_pruning, x11_table_profile,
 # x12_salted_join, x18_runtime_bloom_filter, x19_epoch_shuffle,
-# x20_aqe_skew_join and x21_cbo_stats_broadcast, the seven
+# x20_aqe_skew_join and x21_cbo_stats_broadcast, the eight
 # youngest-by-name r10 rows, wait for r16 with the r11
 # cohort). New r15 entries displace the youngest-cohort tail from
-# the END as always (w08, then st11, ...).
+# the END as always (st11, then s06, ...).
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors (each has a hash-green
 # oracle-adjacent twin where one is possible: ipf_fixed, g04b,
 # m04/m05).
 _PREFIX = [
-    # r8-stale cohort: newest official row is round 8 (37 of 44 —
+    # r8-stale cohort: newest official row is round 8 (36 of 44 —
     # with all six r10 fill slots already displaced by new r14
     # entries, each further new entry (e20, d15, x23, ac12, mm06,
-    # st14, e21) displaces the TAIL of this cohort (x09_bucketed_join,
-    # x08_salted_agg, x06_domain_mix_sample, x05_python_udtf,
-    # x03_stratified_sample, x02_train_test_split,
-    # x01_grouped_outliers), which instead
+    # st14, e21, w12) displaces the TAIL of this cohort
+    # (x09_bucketed_join, x08_salted_agg, x06_domain_mix_sample,
+    # x05_python_udtf, x03_stratified_sample, x02_train_test_split,
+    # x01_grouped_outliers, w06_hopping_batch), which instead
     # LEADS the r15 plan below; new code must be driver-certified the
     # round it lands,
     # and one r8 entry waiting one more round costs less than a new
@@ -13840,7 +13907,7 @@ _PREFIX = [
     "st08_stream_snapshot_sink", "st09_incremental_ingest",
     "t08_contamination", "t09_bpe_tokens", "t10_chunk_windows",
     "t11_pii_redact", "t12_repetition_stats", "t14_context_assembly",
-    "w01_running_total", "w02_rank_dense_lag", "w06_hopping_batch",
+    "w01_running_total", "w02_rank_dense_lag",
     # r10-cohort fill (newest official row is round 10), 6 oldest;
     # new r14 entries displace these from the END per the rule above
     # new in round 14 (displacing ALL six r10-cohort fill slots —
@@ -13862,13 +13929,14 @@ _PREFIX = [
     # entry to the r15 plan, same rule as e20/x09: x08_salted_agg is
     # displaced by d15, x06_domain_mix_sample by x23, x05_python_udtf
     # by ac12, x03_stratified_sample by mm06, x02_train_test_split by
-    # st14, x01_grouped_outliers by e21)
+    # st14, x01_grouped_outliers by e21, w06_hopping_batch by w12)
     "d15_threshold_collapse",
     "x23_weighted_sample",
     "ac12_restore",
     "mm06_pcm_features",
     "st14_stream_weighted_sample",
     "e21_retention_cohorts",
+    "w12_drawdown",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

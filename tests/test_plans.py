@@ -410,3 +410,13 @@ def test_shared_unpivot_expands_after_the_aggregate(spark):
         assert marker not in plan
     assert "l_quantity:double,l_returnflag:string,l_linestatus:string" \
         in plan  # column pruning reached the parquet scan
+
+
+def test_drawdown_is_one_exchange(spark):
+    """w12's four window passes (running sum, running max of it, the
+    drawdown, running max of the drawdown) share (o_custkey,
+    date-ordered) keys: the subset rule must plan exactly ONE
+    exchange and one sort — a second exchange means the nested
+    windows stopped sharing the sorted run."""
+    plan = _plan(spark, "w12_drawdown")
+    assert plan.count("Exchange") == 1, plan
