@@ -10699,6 +10699,82 @@ FROM p
 """
 
 
+# the q06 audit surface: every base table's primary key (lineitem's is
+# composite — the one place a single-column unique check lies)
+Q06_KEYS = [
+    ("customer", ["c_custkey"]),
+    ("documents", ["doc_id"]),
+    ("events", ["event_id"]),
+    ("lineitem", ["l_orderkey", "l_linenumber"]),
+    ("orders", ["o_orderkey"]),
+]
+
+
+def q_q06_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table primary-key census — the dbt-style `unique` audit
+    run over the WHOLE catalog in one report (q01 gates one table's
+    constraints; q02 checks FKs point somewhere; q06 checks every
+    table's own identity, composite keys included): per table the row
+    count, distinct key count, duplicated-key count, surplus rows,
+    and the worst key's multiplicity. NULL key components count as a
+    key value (a table of duplicate NULL keys must fail — the q01
+    struct-count rule).
+
+    Shape: per table ONE map-side-combinable groupBy(key).count()
+    followed by an aggregation over the KEY-GRAIN rows (never a
+    count-distinct-over-window, never a self-join); the per-table
+    reports are ≤1-row each and union into the audit. At 100 TB each
+    table's check is one shuffle at its natural key — the same
+    exchange an ingest's dedupe would pay anyway, and the
+    multiplicity histogram falls out of it for free."""
+    reports = []
+    for tbl, keys in Q06_KEYS:
+        per_key = (
+            load_table(spark, sf_dir, tbl)
+            .groupBy(*keys)
+            .agg(F.count("*").alias("cnt"))
+        )
+        reports.append(
+            per_key.agg(
+                F.lit(tbl).alias("tbl"),
+                F.sum("cnt").cast("long").alias("n_rows"),
+                F.count("*").cast("long").alias("n_keys"),
+                F.count_if(F.col("cnt") > 1).cast("long").alias("n_dup_keys"),
+                (F.sum("cnt") - F.count("*")).cast("long").alias(
+                    "surplus_rows"
+                ),
+                F.max("cnt").cast("long").alias("max_multiplicity"),
+            ).select(
+                "tbl", "n_rows", "n_keys", "n_dup_keys", "surplus_rows",
+                "max_multiplicity",
+                (F.col("surplus_rows") == 0).alias("passed"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _q06_oracle() -> str:
+    parts = []
+    for tbl, keys in Q06_KEYS:
+        kl = ", ".join(keys)
+        parts.append(f"""
+SELECT '{tbl}' AS tbl,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(COUNT(*) FILTER (WHERE cnt > 1) AS BIGINT) AS n_dup_keys,
+       CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS surplus_rows,
+       CAST(MAX(cnt) AS BIGINT) AS max_multiplicity,
+       SUM(cnt) - COUNT(*) = 0 AS passed
+FROM (SELECT {kl}, COUNT(*) AS cnt FROM {tbl} GROUP BY {kl})""")
+    return "\nUNION ALL\n".join(parts)
+
+
+SQL_Q06 = _q06_oracle()
+
+
 # p04's alarm threshold in nano-PSI units. Small batch slices carry a
 # high smoothed-PSI baseline (Laplace +1 over ~10 docs/bucket dominates
 # at sf0.01, where per-source values measured 0.71–1.33), so the gate
@@ -13823,6 +13899,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q03_quantile_gate": (q_q03_quantile_gate, SQL_Q03),
     "q04_psi_drift": (q_q04_psi_drift, SQL_Q04),
     "q05_schema_drift": (q_q05_schema_drift, SQL_Q05),
+    "q06_key_uniqueness": (q_q06_key_uniqueness, SQL_Q06),
     "gr04_edge_embeddedness": (q_gr04_edge_embeddedness, SQL_GR04),
     "gr05_kcore": (q_gr05_kcore, SQL_GR05),
     "gr06_bfs_distance": (q_gr06_bfs_distance, SQL_GR06),
@@ -13854,11 +13931,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # fill slots (ac07, b05, d03, d05, e06, e11) AND the r8 tail entries
 # x09_bucketed_join, x08_salted_agg, x06_domain_mix_sample,
 # x05_python_udtf, x03_stratified_sample, x02_train_test_split,
-# x01_grouped_outliers, and w06_hopping_batch): oldest-first by
-# (round, name), LEAD with w06_hopping_batch, x01_grouped_outliers,
+# x01_grouped_outliers, w06_hopping_batch, and w02_rank_dense_lag):
+# oldest-first by (round, name), LEAD with w02_rank_dense_lag,
+# w06_hopping_batch, x01_grouped_outliers,
 # x02_train_test_split, x03_stratified_sample, x05_python_udtf,
 # x06_domain_mix_sample, x08_salted_agg, then x09_bucketed_join (the
-# eight remaining r8-stale rows), then the
+# nine remaining r8-stale rows), then the
 # r10-stale cohort — ac07_merge_schema_evolution,
 # b05_jsonl_roundtrip, d03_minhash_near_dup, d05_mllib_minhash,
 # e06_funnel, e11_trailing_active_users, e16_twap, g01_rollup,
@@ -13869,26 +13947,27 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # h20_forecast_revenue, h22_market_share, j04_asof_forward,
 # j08_scd2_intersect, mm01_media_features, mm05_resize_nearest,
 # q03_quantile_gate, rc02_node_depth, s01_lsh_topk, s03_ivf_topk,
-# s04_mllib_euclidean, s05_pca_topk, s06_pq_topk, st11_stream_ewma
-# — exactly 50 (w08_ewma, x10_partition_pruning, x11_table_profile,
-# x12_salted_join, x18_runtime_bloom_filter, x19_epoch_shuffle,
-# x20_aqe_skew_join and x21_cbo_stats_broadcast, the eight
-# youngest-by-name r10 rows, wait for r16 with the r11
+# s04_mllib_euclidean, s05_pca_topk, s06_pq_topk — exactly 50
+# (st11_stream_ewma, w08_ewma, x10_partition_pruning,
+# x11_table_profile, x12_salted_join, x18_runtime_bloom_filter,
+# x19_epoch_shuffle, x20_aqe_skew_join and x21_cbo_stats_broadcast,
+# the nine youngest-by-name r10 rows, wait for r16 with the r11
 # cohort). New r15 entries displace the youngest-cohort tail from
-# the END as always (st11, then s06, ...).
+# the END as always (s06, then s05, ...).
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors (each has a hash-green
 # oracle-adjacent twin where one is possible: ipf_fixed, g04b,
 # m04/m05).
 _PREFIX = [
-    # r8-stale cohort: newest official row is round 8 (36 of 44 —
+    # r8-stale cohort: newest official row is round 8 (35 of 44 —
     # with all six r10 fill slots already displaced by new r14
     # entries, each further new entry (e20, d15, x23, ac12, mm06,
-    # st14, e21, w12) displaces the TAIL of this cohort
+    # st14, e21, w12, q06) displaces the TAIL of this cohort
     # (x09_bucketed_join, x08_salted_agg, x06_domain_mix_sample,
     # x05_python_udtf, x03_stratified_sample, x02_train_test_split,
-    # x01_grouped_outliers, w06_hopping_batch), which instead
+    # x01_grouped_outliers, w06_hopping_batch, w02_rank_dense_lag),
+    # which instead
     # LEADS the r15 plan below; new code must be driver-certified the
     # round it lands,
     # and one r8 entry waiting one more round costs less than a new
@@ -13907,7 +13986,7 @@ _PREFIX = [
     "st08_stream_snapshot_sink", "st09_incremental_ingest",
     "t08_contamination", "t09_bpe_tokens", "t10_chunk_windows",
     "t11_pii_redact", "t12_repetition_stats", "t14_context_assembly",
-    "w01_running_total", "w02_rank_dense_lag",
+    "w01_running_total",
     # r10-cohort fill (newest official row is round 10), 6 oldest;
     # new r14 entries displace these from the END per the rule above
     # new in round 14 (displacing ALL six r10-cohort fill slots —
@@ -13929,7 +14008,8 @@ _PREFIX = [
     # entry to the r15 plan, same rule as e20/x09: x08_salted_agg is
     # displaced by d15, x06_domain_mix_sample by x23, x05_python_udtf
     # by ac12, x03_stratified_sample by mm06, x02_train_test_split by
-    # st14, x01_grouped_outliers by e21, w06_hopping_batch by w12)
+    # st14, x01_grouped_outliers by e21, w06_hopping_batch by w12,
+    # w02_rank_dense_lag by q06)
     "d15_threshold_collapse",
     "x23_weighted_sample",
     "ac12_restore",
@@ -13937,6 +14017,7 @@ _PREFIX = [
     "st14_stream_weighted_sample",
     "e21_retention_cohorts",
     "w12_drawdown",
+    "q06_key_uniqueness",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

@@ -793,3 +793,53 @@ def test_retention_cohorts_hand_computed(spark, tmp_path):
         (1, 0): (1, 1, 1_000_000),
         (1, 2): (1, 1, 1_000_000),
     }
+
+
+def test_key_uniqueness_flags_planted_duplicates(spark, tmp_path):
+    """q06 on a catalog with planted violations: a duplicated
+    composite key, a duplicated NULL key (must count — the q01
+    struct-count rule), and clean tables pass with surplus 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from alternating_least_squares_spark import registry
+
+    def write(name, table):
+        pq.write_table(table, str(tmp_path / f"{name}.parquet"))
+
+    write("customer", pa.table({"c_custkey": pa.array([1, 2, 3], pa.int64())}))
+    write("documents", pa.table({
+        # NULL doc_id twice -> duplicate NULL key must fail the table
+        "doc_id": pa.array([10, None, None], pa.int64()),
+    }))
+    write("events", pa.table({
+        "event_id": pa.array([1, 2, 2, 2], pa.int64()),
+        "ts": pa.array([0, 1, 2, 3], pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+        "event_type": pa.array(["view"] * 4, pa.string()),
+        "value": pa.array([1.0] * 4, pa.float64()),
+        "props": pa.array(["{}"] * 4, pa.string()),
+    }))
+    write("lineitem", pa.table({
+        "l_orderkey": pa.array([1, 1, 1], pa.int64()),
+        # composite (1,1) duplicated; (1,2) fine
+        "l_linenumber": pa.array([1, 1, 2], pa.int64()),
+    }))
+    write("orders", pa.table({"o_orderkey": pa.array([7], pa.int64())}))
+
+    got = {
+        r["tbl"]: (
+            r["n_rows"], r["n_keys"], r["n_dup_keys"],
+            r["surplus_rows"], r["max_multiplicity"], r["passed"],
+        )
+        for r in registry.q_q06_key_uniqueness(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        "customer": (3, 3, 0, 0, 1, True),
+        "documents": (3, 2, 1, 1, 2, False),
+        "events": (4, 2, 1, 2, 3, False),
+        "lineitem": (3, 2, 1, 1, 2, False),
+        "orders": (1, 1, 0, 0, 1, True),
+    }
