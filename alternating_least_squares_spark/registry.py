@@ -3391,6 +3391,119 @@ QUALIFY rank <= 5
 """
 
 
+def q_v05_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search (MIPS) via the Shrivastava–Li
+    (NIPS 2014) augmentation — the retrieval mode recommender scoring
+    actually needs (rank by RAW dot product, where a long vector can
+    beat a well-aligned short one; cosine ANN alone can't express
+    it): append one component sqrt(M² − ‖x‖²) to every corpus vector
+    (M = max corpus norm) and 0 to the query — every augmented corpus
+    vector then has norm EXACTLY M, so augmented cosine =
+    dot/(‖q‖·M) is a per-query monotone map of the inner product and
+    the whole cosine ANN ladder (s01 hyperplane LSH, s03 IVF, s06 PQ)
+    applies to MIPS unchanged. This entry certifies the reduction is
+    exactly ranking-preserving: Spark RANKS by the augmented cosine,
+    the oracle ranks by the raw dot — a hash match means no pair ever
+    swapped.
+
+    Exactness: components quantize to integer milli-units on both
+    engines, so dots and squared norms are exact BIGINTs (≤64·10⁶ —
+    also exactly representable doubles); distinct integer dots stay
+    distinct through the one shared-constant division (|a−b| ≥ 1
+    against a ulp ~1e-12 at this magnitude), equal dots tie-break by
+    neighbor_id on both sides. M² is ONE collected scalar (the t18
+    N/V precedent); the 20×N brute-force cross join is the same
+    baseline shape as v02 — at scale the augmented vectors feed the
+    bucketed ladder instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    iv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000).cast("long"),
+    )
+    zero = F.lit(0).cast("long")
+    base = emb.select(F.col("vec_id"), iv.alias("iv")).withColumn(
+        "n2",
+        F.aggregate("iv", zero, lambda acc, x: acc + x * x),
+    )
+    m2 = base.agg(F.max("n2")).collect()[0][0]  # one scalar (M²)
+    q = base.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("iv").alias("qv"),
+        F.col("n2").alias("qn2"),
+    )
+    n = base.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("iv").alias("nv")
+    )
+    pairs = q.crossJoin(n).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("nv"), lambda x, y: x * y),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    aug_cos = dot.cast("double") / (
+        F.sqrt(F.col("qn2").cast("double"))
+        * F.sqrt(F.lit(int(m2)).cast("double"))
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        dot.alias("dot"),
+        aug_cos.alias("_ac"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_ac"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "dot",
+            F.round("_ac", 6).alias("aug_cosine"),
+            "rank",
+        )
+    )
+
+
+SQL_V05 = """
+WITH b AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS iv
+  FROM embeddings
+),
+n2t AS (
+  SELECT vec_id, iv,
+         CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS n2
+  FROM b
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(64),
+           i -> q.iv[i+1] * n.iv[i+1])) AS BIGINT) AS dot,
+         q.n2 AS qn2
+  FROM n2t q CROSS JOIN n2t n
+  WHERE q.vec_id < 20 AND q.vec_id <> n.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dot,
+         round(CAST(dot AS DOUBLE)
+               / (sqrt(CAST(qn2 AS DOUBLE))
+                  * sqrt(CAST((SELECT MAX(n2) FROM n2t) AS DOUBLE))),
+               6) AS aug_cosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY dot DESC, neighbor_id
+         ) AS BIGINT) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, dot, aug_cosine, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # events (time-series / stream-shaped)
 
@@ -13691,6 +13804,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "v02_topk_cosine": (q_v02_topk_cosine, SQL_V02),
     "v03_quantize_int8": (q_v03_quantize_int8, SQL_V03),
     "v04_binary_hamming_topk": (q_v04_binary_hamming_topk, SQL_V04),
+    # v05 RANKS by the augmented cosine while its oracle ranks by the
+    # raw integer dot — the hash match IS the proof the Shrivastava-Li
+    # MIPS reduction preserves ranking exactly
+    "v05_mips_topk": (q_v05_mips_topk, SQL_V05),
     "e01_hourly_value": (q_e01_hourly_value, SQL_E01),
     "e02_json_extract": (q_e02_json_extract, SQL_E02),
     "e03_sessionize": (q_e03_sessionize, SQL_E03),
@@ -13931,12 +14048,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # fill slots (ac07, b05, d03, d05, e06, e11) AND the r8 tail entries
 # x09_bucketed_join, x08_salted_agg, x06_domain_mix_sample,
 # x05_python_udtf, x03_stratified_sample, x02_train_test_split,
-# x01_grouped_outliers, w06_hopping_batch, and w02_rank_dense_lag):
-# oldest-first by (round, name), LEAD with w02_rank_dense_lag,
+# x01_grouped_outliers, w06_hopping_batch, w02_rank_dense_lag, and
+# w01_running_total): oldest-first by (round, name), LEAD with
+# w01_running_total, w02_rank_dense_lag,
 # w06_hopping_batch, x01_grouped_outliers,
 # x02_train_test_split, x03_stratified_sample, x05_python_udtf,
 # x06_domain_mix_sample, x08_salted_agg, then x09_bucketed_join (the
-# nine remaining r8-stale rows), then the
+# ten remaining r8-stale rows), then the
 # r10-stale cohort — ac07_merge_schema_evolution,
 # b05_jsonl_roundtrip, d03_minhash_near_dup, d05_mllib_minhash,
 # e06_funnel, e11_trailing_active_users, e16_twap, g01_rollup,
@@ -13947,27 +14065,27 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # h20_forecast_revenue, h22_market_share, j04_asof_forward,
 # j08_scd2_intersect, mm01_media_features, mm05_resize_nearest,
 # q03_quantile_gate, rc02_node_depth, s01_lsh_topk, s03_ivf_topk,
-# s04_mllib_euclidean, s05_pca_topk, s06_pq_topk — exactly 50
-# (st11_stream_ewma, w08_ewma, x10_partition_pruning,
+# s04_mllib_euclidean, s05_pca_topk — exactly 50 (s06_pq_topk,
+# st11_stream_ewma, w08_ewma, x10_partition_pruning,
 # x11_table_profile, x12_salted_join, x18_runtime_bloom_filter,
 # x19_epoch_shuffle, x20_aqe_skew_join and x21_cbo_stats_broadcast,
-# the nine youngest-by-name r10 rows, wait for r16 with the r11
+# the ten youngest-by-name r10 rows, wait for r16 with the r11
 # cohort). New r15 entries displace the youngest-cohort tail from
-# the END as always (s06, then s05, ...).
+# the END as always (s05, then s04, ...).
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors (each has a hash-green
 # oracle-adjacent twin where one is possible: ipf_fixed, g04b,
 # m04/m05).
 _PREFIX = [
-    # r8-stale cohort: newest official row is round 8 (35 of 44 —
+    # r8-stale cohort: newest official row is round 8 (34 of 44 —
     # with all six r10 fill slots already displaced by new r14
     # entries, each further new entry (e20, d15, x23, ac12, mm06,
-    # st14, e21, w12, q06) displaces the TAIL of this cohort
+    # st14, e21, w12, q06, v05) displaces the TAIL of this cohort
     # (x09_bucketed_join, x08_salted_agg, x06_domain_mix_sample,
     # x05_python_udtf, x03_stratified_sample, x02_train_test_split,
-    # x01_grouped_outliers, w06_hopping_batch, w02_rank_dense_lag),
-    # which instead
+    # x01_grouped_outliers, w06_hopping_batch, w02_rank_dense_lag,
+    # w01_running_total), which instead
     # LEADS the r15 plan below; new code must be driver-certified the
     # round it lands,
     # and one r8 entry waiting one more round costs less than a new
@@ -13986,7 +14104,6 @@ _PREFIX = [
     "st08_stream_snapshot_sink", "st09_incremental_ingest",
     "t08_contamination", "t09_bpe_tokens", "t10_chunk_windows",
     "t11_pii_redact", "t12_repetition_stats", "t14_context_assembly",
-    "w01_running_total",
     # r10-cohort fill (newest official row is round 10), 6 oldest;
     # new r14 entries displace these from the END per the rule above
     # new in round 14 (displacing ALL six r10-cohort fill slots —
@@ -14009,7 +14126,7 @@ _PREFIX = [
     # displaced by d15, x06_domain_mix_sample by x23, x05_python_udtf
     # by ac12, x03_stratified_sample by mm06, x02_train_test_split by
     # st14, x01_grouped_outliers by e21, w06_hopping_batch by w12,
-    # w02_rank_dense_lag by q06)
+    # w02_rank_dense_lag by q06, w01_running_total by v05)
     "d15_threshold_collapse",
     "x23_weighted_sample",
     "ac12_restore",
@@ -14018,6 +14135,7 @@ _PREFIX = [
     "e21_retention_cohorts",
     "w12_drawdown",
     "q06_key_uniqueness",
+    "v05_mips_topk",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

@@ -42,6 +42,9 @@ BNLJ_ALLOWED = {
     "v02_topk_cosine",     # documented brute-force baseline (<=20 queries)
     "v04_binary_hamming_topk",  # same brute-force fixture over 8-byte
                                 # sign codes (<=20 queries broadcast)
+    "v05_mips_topk",       # same brute-force baseline (<=20 queries);
+                           # the MIPS augmentation feeds the bucketed
+                           # ladder at scale
     "m06_pinned_recommend",  # bounded query side: every 29th user
                              # broadcast against the item factors
     "m07_pinned_ranking",    # same scored-subset cross inside its recs
