@@ -4827,6 +4827,45 @@ def q_sql06_shared_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_SHARED_SQL06)
 
 
+SQL_SHARED_SQL07 = """
+SELECT o_custkey, 'both' AS side FROM (
+  SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0
+  INTERSECT ALL
+  SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0
+)
+UNION ALL
+SELECT o_custkey, 'even_only' AS side FROM (
+  SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0
+  EXCEPT ALL
+  SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0
+)
+"""
+
+
+def q_sql07_shared_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim multiset set operations in the shared dialect —
+    ``INTERSECT ALL`` / ``EXCEPT ALL`` in ONE text both engines run
+    (the sql01/sql05/sql06 contract extended to bag semantics; the
+    declarative face of the reference's sorted symmetric diff,
+    data.clj:17-30): per customer key appearing m times on the even
+    side and n times on the every-third side, INTERSECT ALL must
+    emit exactly min(m, n) rows and EXCEPT ALL exactly m − n — the
+    multiplicity arithmetic is what distinguishes bag ops from the
+    semi/anti joins DISTINCT set ops rewrite into, and what this
+    entry certifies agrees cross-engine.
+
+    Scale shape: Catalyst's RewriteIntersectAll/RewriteExceptAll
+    compile each bag op to per-side counts on ONE keyed exchange
+    followed by a generator replicate (sequence+explode of
+    min(m,n) / m−n) — never a join that carries duplicate rows
+    around, never a sort. The only data-bearing shuffles are the
+    key-grain count aggregates."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders"
+    )
+    return spark.sql(SQL_SHARED_SQL07)
+
+
 def q_sql03_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative SQL UDFs (SPARK-51086 family, GA in Spark 4):
     ``CREATE FUNCTION ... RETURNS DOUBLE RETURN <expr>`` — the
@@ -8106,7 +8145,10 @@ def q_e21_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     week_offset) the count of that cohort's users active offset weeks
     later, the cohort size, and retention in integer ppm.
 
-    Shape (two exchanges, never a self-join): ONE user-keyed
+    Shape (two data-bearing exchanges — user-keyed, then the
+    key-grain (cohort, offset) count; the third hash partition in the
+    plan moves only the ≤weeks² triangle for the cohort-size window —
+    and never a self-join): ONE user-keyed
     aggregation collects each user's distinct active weeks
     (collect_set dedupes map-side; its size is bounded by the
     CALENDAR span, not by event volume), the user's cohort is
@@ -13968,6 +14010,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sql04_lateral_topk": (q_sql04_lateral_topk, SQL_SHARED_SQL04),
     "sql05_shared_pivot": (q_sql05_shared_pivot, SQL_SHARED_SQL05),
     "sql06_shared_unpivot": (q_sql06_shared_unpivot, SQL_SHARED_SQL06),
+    "sql07_shared_setops": (q_sql07_shared_setops, SQL_SHARED_SQL07),
     "e14_cumulative_users": (q_e14_cumulative_users, SQL_E14),
     "t16_normalized_dupes": (q_t16_normalized_dupes, SQL_T16),
     "gr02_degree_profile": (q_gr02_degree_profile, SQL_GR02),
@@ -14048,13 +14091,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # fill slots (ac07, b05, d03, d05, e06, e11) AND the r8 tail entries
 # x09_bucketed_join, x08_salted_agg, x06_domain_mix_sample,
 # x05_python_udtf, x03_stratified_sample, x02_train_test_split,
-# x01_grouped_outliers, w06_hopping_batch, w02_rank_dense_lag, and
-# w01_running_total): oldest-first by (round, name), LEAD with
-# w01_running_total, w02_rank_dense_lag,
+# x01_grouped_outliers, w06_hopping_batch, w02_rank_dense_lag,
+# w01_running_total, and t14_context_assembly): oldest-first by
+# (round, name), LEAD with t14_context_assembly, w01_running_total,
+# w02_rank_dense_lag,
 # w06_hopping_batch, x01_grouped_outliers,
 # x02_train_test_split, x03_stratified_sample, x05_python_udtf,
 # x06_domain_mix_sample, x08_salted_agg, then x09_bucketed_join (the
-# ten remaining r8-stale rows), then the
+# eleven remaining r8-stale rows), then the
 # r10-stale cohort — ac07_merge_schema_evolution,
 # b05_jsonl_roundtrip, d03_minhash_near_dup, d05_mllib_minhash,
 # e06_funnel, e11_trailing_active_users, e16_twap, g01_rollup,
@@ -14065,27 +14109,28 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # h20_forecast_revenue, h22_market_share, j04_asof_forward,
 # j08_scd2_intersect, mm01_media_features, mm05_resize_nearest,
 # q03_quantile_gate, rc02_node_depth, s01_lsh_topk, s03_ivf_topk,
-# s04_mllib_euclidean, s05_pca_topk — exactly 50 (s06_pq_topk,
+# s04_mllib_euclidean — exactly 50 (s05_pca_topk, s06_pq_topk,
 # st11_stream_ewma, w08_ewma, x10_partition_pruning,
 # x11_table_profile, x12_salted_join, x18_runtime_bloom_filter,
 # x19_epoch_shuffle, x20_aqe_skew_join and x21_cbo_stats_broadcast,
-# the ten youngest-by-name r10 rows, wait for r16 with the r11
+# the eleven youngest-by-name r10 rows, wait for r16 with the r11
 # cohort). New r15 entries displace the youngest-cohort tail from
-# the END as always (s05, then s04, ...).
+# the END as always (s04, then s03, ...).
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors (each has a hash-green
 # oracle-adjacent twin where one is possible: ipf_fixed, g04b,
 # m04/m05).
 _PREFIX = [
-    # r8-stale cohort: newest official row is round 8 (34 of 44 —
+    # r8-stale cohort: newest official row is round 8 (33 of 44 —
     # with all six r10 fill slots already displaced by new r14
     # entries, each further new entry (e20, d15, x23, ac12, mm06,
-    # st14, e21, w12, q06, v05) displaces the TAIL of this cohort
-    # (x09_bucketed_join, x08_salted_agg, x06_domain_mix_sample,
-    # x05_python_udtf, x03_stratified_sample, x02_train_test_split,
-    # x01_grouped_outliers, w06_hopping_batch, w02_rank_dense_lag,
-    # w01_running_total), which instead
+    # st14, e21, w12, q06, v05, sql07) displaces the TAIL of this
+    # cohort (x09_bucketed_join, x08_salted_agg,
+    # x06_domain_mix_sample, x05_python_udtf, x03_stratified_sample,
+    # x02_train_test_split, x01_grouped_outliers, w06_hopping_batch,
+    # w02_rank_dense_lag, w01_running_total, t14_context_assembly),
+    # which instead
     # LEADS the r15 plan below; new code must be driver-certified the
     # round it lands,
     # and one r8 entry waiting one more round costs less than a new
@@ -14103,7 +14148,7 @@ _PREFIX = [
     "st06_stream_stream_join", "st07_stream_hopping",
     "st08_stream_snapshot_sink", "st09_incremental_ingest",
     "t08_contamination", "t09_bpe_tokens", "t10_chunk_windows",
-    "t11_pii_redact", "t12_repetition_stats", "t14_context_assembly",
+    "t11_pii_redact", "t12_repetition_stats",
     # r10-cohort fill (newest official row is round 10), 6 oldest;
     # new r14 entries displace these from the END per the rule above
     # new in round 14 (displacing ALL six r10-cohort fill slots —
@@ -14126,7 +14171,8 @@ _PREFIX = [
     # displaced by d15, x06_domain_mix_sample by x23, x05_python_udtf
     # by ac12, x03_stratified_sample by mm06, x02_train_test_split by
     # st14, x01_grouped_outliers by e21, w06_hopping_batch by w12,
-    # w02_rank_dense_lag by q06, w01_running_total by v05)
+    # w02_rank_dense_lag by q06, w01_running_total by v05,
+    # t14_context_assembly by sql07)
     "d15_threshold_collapse",
     "x23_weighted_sample",
     "ac12_restore",
@@ -14136,6 +14182,7 @@ _PREFIX = [
     "w12_drawdown",
     "q06_key_uniqueness",
     "v05_mips_topk",
+    "sql07_shared_setops",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))
