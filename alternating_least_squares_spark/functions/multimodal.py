@@ -581,7 +581,15 @@ def pcm_frame_features(
         for pdf in it:
             ids, fidx, energy, peak = [], [], [], []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
-                data = bytes(blob) if blob is not None else b""
+                if blob is None:
+                    # a NULL payload (left-join miss, failed ingest)
+                    # must not silently vanish from the feature output
+                    # — the BMP path raises on the same input, and b06
+                    # quarantine is the only tolerance opt-in
+                    raise ValueError(
+                        f"NULL PCM payload for doc_id={doc_id}"
+                    )
+                data = bytes(blob)
                 if len(data) % 2:
                     raise ValueError(
                         f"odd PCM byte count {len(data)} for "

@@ -4849,8 +4849,8 @@ def q_sql07_shared_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     declarative face of the reference's sorted symmetric diff,
     data.clj:17-30): per customer key appearing m times on the even
     side and n times on the every-third side, INTERSECT ALL must
-    emit exactly min(m, n) rows and EXCEPT ALL exactly m − n — the
-    multiplicity arithmetic is what distinguishes bag ops from the
+    emit exactly min(m, n) rows and EXCEPT ALL exactly max(m − n, 0)
+    — the multiplicity arithmetic is what distinguishes bag ops from the
     semi/anti joins DISTINCT set ops rewrite into, and what this
     entry certifies agrees cross-engine.
 
@@ -10889,16 +10889,23 @@ def q_q06_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(*keys)
             .agg(F.count("*").alias("cnt"))
         )
+        # coalesce the sum/max aggregates: an EMPTY table must report
+        # a PASSING zero row, not NULLs that neither pass nor fail
+        # (an empty table is often itself the incident — it must not
+        # vanish from a passed==False filter; review r14)
+        zero = F.lit(0).cast("long")
         reports.append(
             per_key.agg(
                 F.lit(tbl).alias("tbl"),
-                F.sum("cnt").cast("long").alias("n_rows"),
+                F.coalesce(F.sum("cnt"), zero).cast("long").alias("n_rows"),
                 F.count("*").cast("long").alias("n_keys"),
                 F.count_if(F.col("cnt") > 1).cast("long").alias("n_dup_keys"),
-                (F.sum("cnt") - F.count("*")).cast("long").alias(
-                    "surplus_rows"
-                ),
-                F.max("cnt").cast("long").alias("max_multiplicity"),
+                F.coalesce(F.sum("cnt") - F.count("*"), zero)
+                .cast("long")
+                .alias("surplus_rows"),
+                F.coalesce(F.max("cnt"), zero)
+                .cast("long")
+                .alias("max_multiplicity"),
             ).select(
                 "tbl", "n_rows", "n_keys", "n_dup_keys", "surplus_rows",
                 "max_multiplicity",
@@ -10917,12 +10924,12 @@ def _q06_oracle() -> str:
         kl = ", ".join(keys)
         parts.append(f"""
 SELECT '{tbl}' AS tbl,
-       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows,
        CAST(COUNT(*) AS BIGINT) AS n_keys,
        CAST(COUNT(*) FILTER (WHERE cnt > 1) AS BIGINT) AS n_dup_keys,
-       CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS surplus_rows,
-       CAST(MAX(cnt) AS BIGINT) AS max_multiplicity,
-       SUM(cnt) - COUNT(*) = 0 AS passed
+       CAST(COALESCE(SUM(cnt) - COUNT(*), 0) AS BIGINT) AS surplus_rows,
+       CAST(COALESCE(MAX(cnt), 0) AS BIGINT) AS max_multiplicity,
+       COALESCE(SUM(cnt) - COUNT(*), 0) = 0 AS passed
 FROM (SELECT {kl}, COUNT(*) AS cnt FROM {tbl} GROUP BY {kl})""")
     return "\nUNION ALL\n".join(parts)
 
@@ -11332,8 +11339,7 @@ def q_st14_stream_weighted_sample(
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.coalesce("text", F.lit("")).alias("text")
     )
-    ledger_schema = "doc_id long, w long, sample_key string"
-    spark.createDataFrame([], ledger_schema).write.mode(
+    spark.createDataFrame([], _ST14_LEDGER_SCHEMA).write.mode(
         "overwrite"
     ).parquet(sink)
 

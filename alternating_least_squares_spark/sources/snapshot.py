@@ -789,16 +789,20 @@ def restore(path: str, version: int) -> int:
         )
     m = _read_manifest(path, version)
     new_v = versions[-1] + 1
+    # Carry the WHOLE target manifest, not a field whitelist: caller
+    # metadata rides manifests by contract (create_table's ``extra``,
+    # the streaming sink's ``batch_id`` redelivery guard), and a
+    # restore that silently dropped batch_id would disarm the
+    # at-least-once dedupe on the next restart (review r14). Only the
+    # identity fields change.
     _commit(
         path,
         new_v,
         {
+            **m,
             "version": new_v,
             "operation": "restore",
             "restored_from": version,
-            "key": m["key"],
-            "schema": m["schema"],
-            "files": m["files"],
         },
     )
     return new_v

@@ -373,3 +373,8 @@ def test_pcm_features_fail_loud_on_corrupt_streams(spark):
     )
     with pytest.raises(PythonException, match="not .*frame-aligned"):
         pcm_frame_features(ragged).collect()
+    null_blob = spark.createDataFrame(
+        [(1, None)], "doc_id long, pcm binary"
+    )
+    with pytest.raises(PythonException, match="NULL PCM payload"):
+        pcm_frame_features(null_blob).collect()

@@ -826,6 +826,10 @@ def test_key_uniqueness_flags_planted_duplicates(spark, tmp_path):
         "l_linenumber": pa.array([1, 1, 2], pa.int64()),
     }))
     write("orders", pa.table({"o_orderkey": pa.array([7], pa.int64())}))
+    # customer REWRITTEN empty below? no — keep customer clean; an
+    # EMPTY table must report a passing zero row, not NULLs (review
+    # r14): overwrite customer with zero rows
+    write("customer", pa.table({"c_custkey": pa.array([], pa.int64())}))
 
     got = {
         r["tbl"]: (
@@ -837,7 +841,7 @@ def test_key_uniqueness_flags_planted_duplicates(spark, tmp_path):
         ).collect()
     }
     assert got == {
-        "customer": (3, 3, 0, 0, 1, True),
+        "customer": (0, 0, 0, 0, 0, True),  # empty table: passing zeros
         "documents": (3, 2, 1, 1, 2, False),
         "events": (4, 2, 1, 2, 3, False),
         "lineitem": (3, 2, 1, 1, 2, False),

@@ -749,3 +749,19 @@ def test_restore_of_expired_version_fails_loudly(spark, base, tmp_path):
     v = SN.restore(path, 1)
     assert v == 2
     assert SN._read_manifest(path, 2)["restored_from"] == 1
+
+
+def test_restore_preserves_caller_manifest_metadata(spark, base, tmp_path):
+    """RESTORE must carry the target manifest's caller metadata (the
+    create_table ``extra`` contract, and the streaming sink's
+    batch_id redelivery guard) — a restore that dropped batch_id
+    would disarm at-least-once dedupe on the next restart."""
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k", extra={"batch_id": 7})
+    SN.merge_upsert(
+        spark.createDataFrame([(10, -1)], "k long, v long"), path
+    )
+    SN.restore(path, 0)
+    m = SN._read_manifest(path, 2)
+    assert m["batch_id"] == 7
+    assert m["operation"] == "restore" and m["restored_from"] == 0
