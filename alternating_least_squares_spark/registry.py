@@ -12539,6 +12539,74 @@ GROUP BY 1
 """
 
 
+X24_CONFS = {
+    # deliberately mis-sized static partitioning (the classic default
+    # nobody tunes) against a generous advisory target: AQE must heal
+    # the 200-way over-partitioning down to a handful of post-shuffle
+    # partitions sized by MEASURED bytes
+    "spark.sql.shuffle.partitions": "200",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+}
+
+
+def _x24_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The x24 aggregate, shared by the registry entry and the plan
+    pytest: per-customer order stats in exact integer micros."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(
+            F.expr("CAST(floor(o_totalprice * 1000000) AS BIGINT)")
+        ).cast("long").alias("total_micros"),
+    )
+
+
+def q_x24_aqe_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE post-shuffle partition coalescing — the third leg of the
+    runtime-replan trio (x20 splits what is too BIG, x13/x18 prune
+    what won't JOIN; x24 merges what is too SMALL): a static
+    ``spark.sql.shuffle.partitions`` is one number for every shuffle
+    in the job, so any modest aggregate under a default tuned for the
+    largest one produces hundreds of near-empty reducers — at 1000
+    executors that is scheduler overhead and tiny-file output for
+    nothing. With coalescing on, AQE reads the materialized map
+    output's per-partition bytes and merges adjacent partitions up to
+    the advisory size: the 200-way shuffle lands as a handful of
+    right-sized reducers with NO plan rewrite and NO semantic change
+    — which is exactly what the oracle certifies (same declarative
+    agg, hash-equal). Confs forced with the x18/x20
+    materialize-then-restore discipline; the ``AQEShuffleRead
+    coalesced`` marker and the shrunken partition count are asserted
+    on the executed plan in tests/test_storage.py. parallelismFirst
+    is disabled because in local test mode it caps merge targets at
+    cores-driven sizes — production clusters set it false for
+    exactly this right-sizing behavior (the Spark docs' own
+    recommendation when small files matter)."""
+    agg = _x24_agg(spark, sf_dir)
+    sf_key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    out_path = _scratch_path("alternating_ls_aqe_coalesce", sf_key)
+    saved = {k: spark.conf.get(k) for k in X24_CONFS}
+    try:
+        for k, v in X24_CONFS.items():
+            spark.conf.set(k, v)
+        agg.write.mode("overwrite").parquet(out_path)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return spark.read.parquet(out_path)
+
+
+SQL_X24 = """
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 1000000) AS BIGINT))
+            AS BIGINT) AS total_micros
+FROM orders GROUP BY o_custkey
+"""
+
+
 X21_CONFS = {
     # CBO reads ANALYZE stats; the 64KB broadcast threshold sits
     # between the table's raw size estimate (MBs — too big) and the
@@ -14061,6 +14129,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "x18_runtime_bloom_filter": (q_x18_runtime_bloom_filter, SQL_X18),
     "x19_epoch_shuffle": (q_x19_epoch_shuffle, SQL_X19),
     "x20_aqe_skew_join": (q_x20_aqe_skew_join, SQL_X20),
+    "x24_aqe_coalesce": (q_x24_aqe_coalesce, SQL_X24),
     "x21_cbo_stats_broadcast": (q_x21_cbo_stats_broadcast, SQL_X21),
     "q03_quantile_gate": (q_q03_quantile_gate, SQL_Q03),
     "q04_psi_drift": (q_q04_psi_drift, SQL_Q04),
@@ -14098,13 +14167,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # x09_bucketed_join, x08_salted_agg, x06_domain_mix_sample,
 # x05_python_udtf, x03_stratified_sample, x02_train_test_split,
 # x01_grouped_outliers, w06_hopping_batch, w02_rank_dense_lag,
-# w01_running_total, and t14_context_assembly): oldest-first by
-# (round, name), LEAD with t14_context_assembly, w01_running_total,
+# w01_running_total, t14_context_assembly, and
+# t12_repetition_stats): oldest-first by (round, name), LEAD with
+# t12_repetition_stats, t14_context_assembly, w01_running_total,
 # w02_rank_dense_lag,
 # w06_hopping_batch, x01_grouped_outliers,
 # x02_train_test_split, x03_stratified_sample, x05_python_udtf,
 # x06_domain_mix_sample, x08_salted_agg, then x09_bucketed_join (the
-# eleven remaining r8-stale rows), then the
+# twelve remaining r8-stale rows), then the
 # r10-stale cohort — ac07_merge_schema_evolution,
 # b05_jsonl_roundtrip, d03_minhash_near_dup, d05_mllib_minhash,
 # e06_funnel, e11_trailing_active_users, e16_twap, g01_rollup,
@@ -14114,29 +14184,29 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # h02_revenue_by_nation through h14_idle_rich_customers),
 # h20_forecast_revenue, h22_market_share, j04_asof_forward,
 # j08_scd2_intersect, mm01_media_features, mm05_resize_nearest,
-# q03_quantile_gate, rc02_node_depth, s01_lsh_topk, s03_ivf_topk,
-# s04_mllib_euclidean — exactly 50 (s05_pca_topk, s06_pq_topk,
+# q03_quantile_gate, rc02_node_depth, s01_lsh_topk, s03_ivf_topk
+# — exactly 50 (s04_mllib_euclidean, s05_pca_topk, s06_pq_topk,
 # st11_stream_ewma, w08_ewma, x10_partition_pruning,
 # x11_table_profile, x12_salted_join, x18_runtime_bloom_filter,
 # x19_epoch_shuffle, x20_aqe_skew_join and x21_cbo_stats_broadcast,
-# the eleven youngest-by-name r10 rows, wait for r16 with the r11
+# the twelve youngest-by-name r10 rows, wait for r16 with the r11
 # cohort). New r15 entries displace the youngest-cohort tail from
-# the END as always (s04, then s03, ...).
+# the END as always (s03, then s01, ...).
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors (each has a hash-green
 # oracle-adjacent twin where one is possible: ipf_fixed, g04b,
 # m04/m05).
 _PREFIX = [
-    # r8-stale cohort: newest official row is round 8 (33 of 44 —
+    # r8-stale cohort: newest official row is round 8 (32 of 44 —
     # with all six r10 fill slots already displaced by new r14
     # entries, each further new entry (e20, d15, x23, ac12, mm06,
-    # st14, e21, w12, q06, v05, sql07) displaces the TAIL of this
-    # cohort (x09_bucketed_join, x08_salted_agg,
+    # st14, e21, w12, q06, v05, sql07, x24) displaces the TAIL of
+    # this cohort (x09_bucketed_join, x08_salted_agg,
     # x06_domain_mix_sample, x05_python_udtf, x03_stratified_sample,
     # x02_train_test_split, x01_grouped_outliers, w06_hopping_batch,
-    # w02_rank_dense_lag, w01_running_total, t14_context_assembly),
-    # which instead
+    # w02_rank_dense_lag, w01_running_total, t14_context_assembly,
+    # t12_repetition_stats), which instead
     # LEADS the r15 plan below; new code must be driver-certified the
     # round it lands,
     # and one r8 entry waiting one more round costs less than a new
@@ -14154,7 +14224,7 @@ _PREFIX = [
     "st06_stream_stream_join", "st07_stream_hopping",
     "st08_stream_snapshot_sink", "st09_incremental_ingest",
     "t08_contamination", "t09_bpe_tokens", "t10_chunk_windows",
-    "t11_pii_redact", "t12_repetition_stats",
+    "t11_pii_redact",
     # r10-cohort fill (newest official row is round 10), 6 oldest;
     # new r14 entries displace these from the END per the rule above
     # new in round 14 (displacing ALL six r10-cohort fill slots —
@@ -14178,7 +14248,7 @@ _PREFIX = [
     # by ac12, x03_stratified_sample by mm06, x02_train_test_split by
     # st14, x01_grouped_outliers by e21, w06_hopping_batch by w12,
     # w02_rank_dense_lag by q06, w01_running_total by v05,
-    # t14_context_assembly by sql07)
+    # t14_context_assembly by sql07, t12_repetition_stats by x24)
     "d15_threshold_collapse",
     "x23_weighted_sample",
     "ac12_restore",
@@ -14189,6 +14259,7 @@ _PREFIX = [
     "q06_key_uniqueness",
     "v05_mips_topk",
     "sql07_shared_setops",
+    "x24_aqe_coalesce",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

@@ -412,3 +412,31 @@ def test_b09_avro_roundtrip_or_documented_absence(spark, tmp_path):
     else:
         with pytest.raises(AnalysisException, match="avro|AVRO"):
             write_avro(df, path)
+
+
+def test_aqe_coalesce_merges_small_partitions_and_confs_restore(spark):
+    """x24: under a deliberately mis-sized 200-way static shuffle,
+    AQE must coalesce the modest aggregate's post-shuffle partitions
+    down by measured bytes (AQEShuffleRead coalesced in the executed
+    plan, final partition count far under 200), and the forced confs
+    must restore afterwards."""
+    from alternating_least_squares_spark.registry import (
+        X24_CONFS,
+        _x24_agg,
+    )
+    from tests.conftest import SF_SMALL
+
+    saved = {k: spark.conf.get(k) for k in X24_CONFS}
+    try:
+        for k, v in X24_CONFS.items():
+            spark.conf.set(k, v)
+        agg = _x24_agg(spark, SF_SMALL)
+        n_parts = agg.rdd.getNumPartitions()  # materializes under AQE
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert "AQEShuffleRead" in plan and "coalesced" in plan, plan
+    assert n_parts < 20, n_parts  # 200 static -> a handful, by bytes
+    for k in X24_CONFS:
+        assert spark.conf.get(k) == saved[k]
