@@ -18,6 +18,11 @@ The DECODE step is real for BMP (round 9): :func:`encode_bmp` /
 with stdlib ``struct`` only — a public format, no image libraries —
 and :func:`attach_bmp_blob` + :func:`decode_bmp_features` run that
 decode Arrow-batched end to end (the mm01 entry; md5-oracled pixels).
+The AUDIO path is equally real (round 14): raw int16 PCM decodes with
+``numpy.frombuffer`` (:func:`pcm_frame_features`, mm06) and the
+RIFF/WAVE container round-trips through :func:`encode_wav` /
+:func:`decode_wav` (chunk-walking, loud on malformed/unsupported —
+mm07), both oracle-exact on planted deterministic waveforms.
 Compressed formats stay gated: :func:`extract_media_features` keeps
 the byte-level features plus clearly-faked decode stand-ins, and
 :func:`decode_image` raises ``NotImplementedError`` unless PIL is
@@ -618,4 +623,157 @@ def pcm_frame_features(
 
     return df.select(id_col, blob_col).mapInPandas(
         batches, PCM_FEATURES_SCHEMA
+    )
+
+
+# --- audio container: real RIFF/WAVE encode + decode (round 14) -------
+#
+# mm06 proved the raw-PCM decode; this closes the container: a real
+# RIFF/WAVE file (the format sox/ffmpeg/python-wave produce for
+# 16-bit mono) built and parsed with stdlib struct only — the audio
+# analog of encode_bmp/decode_bmp. The decoder WALKS chunks (skipping
+# unknown ones like LIST/INFO metadata real recorders emit) instead
+# of assuming fmt/data at fixed offsets; malformed containers raise.
+
+def encode_wav(pcm: bytes, sample_rate: int) -> bytes:
+    """Wrap raw little-endian int16 mono PCM in a minimal canonical
+    RIFF/WAVE container (PCM format 1, 16-bit, 1 channel)."""
+    if sample_rate <= 0:
+        raise ValueError(f"bad sample rate {sample_rate}")
+    if len(pcm) % 2:
+        raise ValueError(f"odd PCM byte count {len(pcm)}")
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(blob: bytes) -> tuple[int, bytes]:
+    """Parse a RIFF/WAVE container to ``(sample_rate, pcm_bytes)`` —
+    16-bit mono PCM only (the loud-gate discipline: anything else
+    raises rather than mis-decodes). Chunks are WALKED: unknown
+    chunks (LIST, INFO, fact, ...) are skipped by their declared
+    size including the RIFF odd-size pad byte, so real-world files
+    with metadata parse correctly; a truncated/malformed container
+    raises."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    declared = struct.unpack("<I", blob[4:8])[0]
+    if declared + 8 > len(blob):
+        raise ValueError(
+            f"truncated RIFF: declares {declared + 8} bytes, "
+            f"have {len(blob)}"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        size = struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
+        payload = blob[pos + 8 : pos + 8 + size]
+        if len(payload) < size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"fmt chunk too short ({size})")
+            fmt = struct.unpack("<HHIIHH", payload[:16])
+        elif cid == b"data":
+            data = payload
+        pos += 8 + size + (size % 2)  # RIFF pads odd chunks
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if (audio_format, channels, bits) != (1, 1, 16):
+        raise ValueError(
+            f"unsupported WAV: format={audio_format} "
+            f"channels={channels} bits={bits} (16-bit mono PCM only)"
+        )
+    if len(data) % 2:
+        raise ValueError(f"odd data chunk size {len(data)}")
+    return rate, data
+
+
+def attach_wav_blob(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Plant a real WAV file per document: the :func:`pcm_samples`
+    waveform at a doc-derived sample rate (``8000 · (1 + doc_id%3)``)
+    through :func:`encode_wav`. Arrow-batched 1:1 mapInPandas (the
+    attach_bmp_blob discipline)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            blobs = []
+            for d in pdf[id_col]:
+                d = int(d)
+                s = pcm_samples(d)
+                blobs.append(
+                    encode_wav(
+                        struct.pack(f"<{len(s)}h", *s),
+                        8000 * (1 + d % 3),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "wav": pd.Series(blobs, dtype="object"),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(batches, "doc_id long, wav binary")
+
+
+WAV_FEATURES_SCHEMA = (
+    "doc_id long, sample_rate long, n_samples long, "
+    "duration_us long, energy long, peak long"
+)
+
+
+def wav_features(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "wav"
+) -> DataFrame:
+    """REAL container decode → audio profile: parse the RIFF/WAVE
+    header (:func:`decode_wav`), decode the PCM payload, and emit the
+    doc-level profile — sample rate, sample count, exact integer
+    duration in µs (``n·10⁶ DIV rate`` — no float seconds), total
+    energy Σs² and peak (exact BIGINTs). One row per doc; the binary
+    column dies here."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, rates, ns, dur, energy, peak = [], [], [], [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None:
+                    raise ValueError(
+                        f"NULL WAV payload for doc_id={doc_id}"
+                    )
+                rate, pcm = decode_wav(bytes(blob))
+                s = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+                ids.append(int(doc_id))
+                rates.append(rate)
+                ns.append(len(s))
+                dur.append(len(s) * 1_000_000 // rate)
+                energy.append(int((s * s).sum()) if len(s) else 0)
+                peak.append(int(np.abs(s).max()) if len(s) else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "sample_rate": pd.Series(rates, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "duration_us": pd.Series(dur, dtype="int64"),
+                    "energy": pd.Series(energy, dtype="int64"),
+                    "peak": pd.Series(peak, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        batches, WAV_FEATURES_SCHEMA
     )

@@ -7676,6 +7676,55 @@ FROM v GROUP BY doc_id, frame_idx
 """
 
 
+def q_mm07_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio CONTAINER decode — the RIFF/WAVE rung above mm06's
+    raw PCM, the audio analog of the BMP container work (E129): a
+    true WAV file per doc (RIFF header, fmt chunk, data chunk —
+    stdlib struct only, the format sox/ffmpeg/python-wave produce for
+    16-bit mono) built by ``encode_wav`` through an Arrow boundary,
+    then parsed back by ``decode_wav``, whose chunk WALK skips
+    unknown chunks (LIST/INFO metadata real recorders emit) and
+    raises on truncated/malformed containers or non-16-bit-mono
+    formats (the loud-gate discipline). Emits the doc-level audio
+    profile: sample rate and count as parsed FROM THE CONTAINER,
+    exact integer duration in µs (n·10⁶ DIV rate — no float
+    seconds), total energy Σs² and peak. Both the planted rate
+    (8000·(1+doc_id%3)) and the waveform are doc_id-derived, so the
+    oracle restates the whole profile arithmetically — a hash match
+    proves header fields survived the encode→decode round trip
+    bit-exactly. Scale: one narrow Arrow pass; the container dies at
+    the decode, six longs per doc ride on."""
+    from alternating_least_squares_spark.functions.multimodal import (
+        attach_wav_blob,
+        wav_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return wav_features(attach_wav_blob(docs))
+
+
+SQL_MM07 = """
+WITH s AS (
+  SELECT doc_id,
+         unnest(generate_series(0, 47 + (doc_id % 3) * 16)) AS i
+  FROM documents
+),
+v AS (
+  SELECT doc_id,
+         (doc_id * 7919 + i * 104729 + 12345) % 65536 - 32768 AS x
+  FROM s
+)
+SELECT doc_id,
+       CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(count(*) * 1000000 // (8000 * (1 + doc_id % 3)) AS BIGINT)
+         AS duration_us,
+       CAST(sum(x * x) AS BIGINT) AS energy,
+       CAST(max(abs(x)) AS BIGINT) AS peak
+FROM v GROUP BY doc_id
+"""
+
+
 def q_ipf_cost_per_visit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship iterative pipeline (A17 converge + E2/E3 ETL).
     Iterative fixed-point — not expressible as one SQL statement, so
@@ -14021,6 +14070,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "mm02_frame_sample": (q_mm02_frame_sample, SQL_MM02),
     "mm03_arrow_features": (q_mm03_arrow_features, SQL_MM03),
     "mm06_pcm_features": (q_mm06_pcm_features, SQL_MM06),
+    "mm07_wav_decode": (q_mm07_wav_decode, SQL_MM07),
     "d01_simhash": (q_d01_simhash, SQL_D01),
     "d02_jaccard_pairs": (q_d02_jaccard_pairs, SQL_D02),
     "d03_minhash_near_dup": (q_d03_minhash_near_dup, SQL_D03),
@@ -14167,14 +14217,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # x09_bucketed_join, x08_salted_agg, x06_domain_mix_sample,
 # x05_python_udtf, x03_stratified_sample, x02_train_test_split,
 # x01_grouped_outliers, w06_hopping_batch, w02_rank_dense_lag,
-# w01_running_total, t14_context_assembly, and
-# t12_repetition_stats): oldest-first by (round, name), LEAD with
-# t12_repetition_stats, t14_context_assembly, w01_running_total,
-# w02_rank_dense_lag,
+# w01_running_total, t14_context_assembly, t12_repetition_stats,
+# and t11_pii_redact): oldest-first by (round, name), LEAD with
+# t11_pii_redact, t12_repetition_stats, t14_context_assembly,
+# w01_running_total, w02_rank_dense_lag,
 # w06_hopping_batch, x01_grouped_outliers,
 # x02_train_test_split, x03_stratified_sample, x05_python_udtf,
 # x06_domain_mix_sample, x08_salted_agg, then x09_bucketed_join (the
-# twelve remaining r8-stale rows), then the
+# thirteen remaining r8-stale rows), then the
 # r10-stale cohort — ac07_merge_schema_evolution,
 # b05_jsonl_roundtrip, d03_minhash_near_dup, d05_mllib_minhash,
 # e06_funnel, e11_trailing_active_users, e16_twap, g01_rollup,
@@ -14184,29 +14234,29 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # h02_revenue_by_nation through h14_idle_rich_customers),
 # h20_forecast_revenue, h22_market_share, j04_asof_forward,
 # j08_scd2_intersect, mm01_media_features, mm05_resize_nearest,
-# q03_quantile_gate, rc02_node_depth, s01_lsh_topk, s03_ivf_topk
-# — exactly 50 (s04_mllib_euclidean, s05_pca_topk, s06_pq_topk,
+# q03_quantile_gate, rc02_node_depth, s01_lsh_topk — exactly 50
+# (s03_ivf_topk, s04_mllib_euclidean, s05_pca_topk, s06_pq_topk,
 # st11_stream_ewma, w08_ewma, x10_partition_pruning,
 # x11_table_profile, x12_salted_join, x18_runtime_bloom_filter,
 # x19_epoch_shuffle, x20_aqe_skew_join and x21_cbo_stats_broadcast,
-# the twelve youngest-by-name r10 rows, wait for r16 with the r11
+# the thirteen youngest-by-name r10 rows, wait for r16 with the r11
 # cohort). New r15 entries displace the youngest-cohort tail from
-# the END as always (s03, then s01, ...).
+# the END as always (s01, then rc02, ...).
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors (each has a hash-green
 # oracle-adjacent twin where one is possible: ipf_fixed, g04b,
 # m04/m05).
 _PREFIX = [
-    # r8-stale cohort: newest official row is round 8 (32 of 44 —
+    # r8-stale cohort: newest official row is round 8 (31 of 44 —
     # with all six r10 fill slots already displaced by new r14
     # entries, each further new entry (e20, d15, x23, ac12, mm06,
-    # st14, e21, w12, q06, v05, sql07, x24) displaces the TAIL of
-    # this cohort (x09_bucketed_join, x08_salted_agg,
+    # st14, e21, w12, q06, v05, sql07, x24, mm07) displaces the TAIL
+    # of this cohort (x09_bucketed_join, x08_salted_agg,
     # x06_domain_mix_sample, x05_python_udtf, x03_stratified_sample,
     # x02_train_test_split, x01_grouped_outliers, w06_hopping_batch,
     # w02_rank_dense_lag, w01_running_total, t14_context_assembly,
-    # t12_repetition_stats), which instead
+    # t12_repetition_stats, t11_pii_redact), which instead
     # LEADS the r15 plan below; new code must be driver-certified the
     # round it lands,
     # and one r8 entry waiting one more round costs less than a new
@@ -14224,7 +14274,6 @@ _PREFIX = [
     "st06_stream_stream_join", "st07_stream_hopping",
     "st08_stream_snapshot_sink", "st09_incremental_ingest",
     "t08_contamination", "t09_bpe_tokens", "t10_chunk_windows",
-    "t11_pii_redact",
     # r10-cohort fill (newest official row is round 10), 6 oldest;
     # new r14 entries displace these from the END per the rule above
     # new in round 14 (displacing ALL six r10-cohort fill slots —
@@ -14248,7 +14297,8 @@ _PREFIX = [
     # by ac12, x03_stratified_sample by mm06, x02_train_test_split by
     # st14, x01_grouped_outliers by e21, w06_hopping_batch by w12,
     # w02_rank_dense_lag by q06, w01_running_total by v05,
-    # t14_context_assembly by sql07, t12_repetition_stats by x24)
+    # t14_context_assembly by sql07, t12_repetition_stats by x24,
+    # t11_pii_redact by mm07)
     "d15_threshold_collapse",
     "x23_weighted_sample",
     "ac12_restore",
@@ -14260,6 +14310,7 @@ _PREFIX = [
     "v05_mips_topk",
     "sql07_shared_setops",
     "x24_aqe_coalesce",
+    "mm07_wav_decode",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

@@ -378,3 +378,92 @@ def test_pcm_features_fail_loud_on_corrupt_streams(spark):
     )
     with pytest.raises(PythonException, match="NULL PCM payload"):
         pcm_frame_features(null_blob).collect()
+
+
+def test_wav_container_roundtrip_and_chunk_walk():
+    """encode_wav → decode_wav round trip, and the decoder's chunk
+    WALK: a LIST metadata chunk injected between fmt and data (what
+    real recorders emit) must be skipped by declared size — including
+    the RIFF odd-size pad byte."""
+    import struct
+
+    from alternating_least_squares_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav,
+        pcm_samples,
+    )
+
+    s = pcm_samples(12345)
+    pcm = struct.pack(f"<{len(s)}h", *s)
+    wav = encode_wav(pcm, 44100)
+    rate, got = decode_wav(wav)
+    assert (rate, got) == (44100, pcm)
+
+    # splice an ODD-sized LIST chunk between fmt and data; the RIFF
+    # pad byte after it must be honored or the walk derails
+    fmt_end = wav.index(b"data")
+    meta = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad
+    spliced = wav[:fmt_end] + meta + wav[fmt_end:]
+    spliced = (
+        spliced[:4]
+        + struct.pack("<I", len(spliced) - 8)
+        + spliced[8:]
+    )
+    assert decode_wav(spliced) == (44100, pcm)
+
+
+def test_wav_decoder_fails_loud_on_malformed_containers():
+    import struct
+
+    import pytest
+
+    from alternating_least_squares_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    wav = encode_wav(b"\x01\x02" * 8, 8000)
+    with pytest.raises(ValueError, match="not a RIFF/WAVE"):
+        decode_wav(b"JUNK" + wav[4:])
+    with pytest.raises(ValueError, match="truncated RIFF"):
+        decode_wav(wav[:-4])
+    # stereo / non-PCM / non-16-bit all refuse rather than mis-decode
+    stereo_fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", 16) + stereo_fmt
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    stereo = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="16-bit mono PCM only"):
+        decode_wav(stereo)
+    no_data = b"RIFF" + struct.pack("<I", 4) + b"WAVE"
+    with pytest.raises(ValueError, match="missing fmt or data"):
+        decode_wav(no_data)
+
+
+def test_wav_features_parse_the_planted_container(spark):
+    """mm07's profile equals a Python replay: rate parsed from the
+    header, duration in exact integer micros."""
+    from alternating_least_squares_spark.functions.multimodal import (
+        attach_wav_blob,
+        pcm_samples,
+        wav_features,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in (0, 1, 2, 8)], "doc_id long")
+    got = {
+        r["doc_id"]: (
+            r["sample_rate"], r["n_samples"], r["duration_us"],
+            r["energy"], r["peak"],
+        )
+        for r in wav_features(attach_wav_blob(docs)).collect()
+    }
+    want = {}
+    for i in (0, 1, 2, 8):
+        s = pcm_samples(i)
+        rate = 8000 * (1 + i % 3)
+        want[i] = (
+            rate, len(s), len(s) * 1_000_000 // rate,
+            sum(x * x for x in s), max(abs(x) for x in s),
+        )
+    assert got == want
