@@ -691,6 +691,11 @@ def decode_wav(blob: bytes) -> tuple[int, bytes]:
             f"unsupported WAV: format={audio_format} "
             f"channels={channels} bits={bits} (16-bit mono PCM only)"
         )
+    if rate <= 0:
+        # a crafted/corrupt fmt chunk with rate 0 would otherwise
+        # decode "successfully" and zero-divide in the first
+        # duration computation downstream (found by the junk fuzz)
+        raise ValueError(f"bad sample rate {rate} in fmt chunk")
     if len(data) % 2:
         raise ValueError(f"odd data chunk size {len(data)}")
     return rate, data

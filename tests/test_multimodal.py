@@ -467,3 +467,24 @@ def test_wav_features_parse_the_planted_container(spark):
             sum(x * x for x in s), max(abs(x) for x in s),
         )
     assert got == want
+
+
+def test_wav_decoder_rejects_zero_rate():
+    """A crafted fmt chunk with sample_rate=0 must raise at DECODE,
+    not zero-divide in the first duration computation downstream."""
+    import struct
+
+    import pytest
+
+    from alternating_least_squares_spark.functions.multimodal import (
+        decode_wav,
+    )
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="bad sample rate"):
+        decode_wav(wav)

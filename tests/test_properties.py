@@ -172,3 +172,46 @@ def test_containment_dominates_jaccard(spark, sets):
         assert r["j"] <= r["c"] + 1e-12
         if r["na"] > 0:
             assert (r["c"] == 1.0) == (r["a_minus_b"] == 0)
+
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=0,
+        max_size=256,
+    ),
+    rate=st.integers(min_value=1, max_value=192_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_wav_container_roundtrip_property(samples, rate):
+    """Any int16 sample vector at any positive rate survives the
+    RIFF/WAVE encode → decode round trip bit-exactly (pure Python —
+    no Spark)."""
+    import struct as _struct
+
+    from alternating_least_squares_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    pcm = _struct.pack(f"<{len(samples)}h", *samples)
+    got_rate, got_pcm = decode_wav(encode_wav(pcm, rate))
+    assert (got_rate, got_pcm) == (rate, pcm)
+
+
+@given(blob=st.binary(min_size=0, max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_wav_decoder_never_crashes_on_junk(blob):
+    """Arbitrary bytes either parse as a valid container or raise
+    ValueError — never an unhandled struct.error/IndexError, never a
+    hang (the decoder is fed crawl bytes at scale; crash class
+    matters as much as correctness)."""
+    from alternating_least_squares_spark.functions.multimodal import (
+        decode_wav,
+    )
+
+    try:
+        rate, pcm = decode_wav(blob)
+    except ValueError:
+        return
+    assert rate > 0 and len(pcm) % 2 == 0
