@@ -215,3 +215,21 @@ def test_wav_decoder_never_crashes_on_junk(blob):
     except ValueError:
         return
     assert rate > 0 and len(pcm) % 2 == 0
+
+
+@given(blob=st.binary(min_size=0, max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_bmp_decoder_never_crashes_on_junk(blob):
+    """Arbitrary bytes either decode as a valid BMP or raise
+    ValueError — the same crash-class contract as the WAV decoder
+    (struct.error/IndexError escaping the parser would kill whole
+    Arrow batches at scale)."""
+    from alternating_least_squares_spark.functions.multimodal import (
+        decode_bmp,
+    )
+
+    try:
+        w, h, px = decode_bmp(blob)
+    except ValueError:
+        return
+    assert w > 0 and h > 0 and len(px) == w * h * 3
