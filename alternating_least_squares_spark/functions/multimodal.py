@@ -640,6 +640,11 @@ def encode_wav(pcm: bytes, sample_rate: int) -> bytes:
     RIFF/WAVE container (PCM format 1, 16-bit, 1 channel)."""
     if sample_rate <= 0:
         raise ValueError(f"bad sample rate {sample_rate}")
+    if sample_rate > 0x7FFFFFFF:
+        # the fmt byte-rate field (rate*2) must fit '<I'; overflowing
+        # it would surface as struct.error, breaking the module's
+        # ValueError-only crash-class contract (review r14)
+        raise ValueError(f"sample rate {sample_rate} exceeds WAV range")
     if len(pcm) % 2:
         raise ValueError(f"odd PCM byte count {len(pcm)}")
     fmt = struct.pack(
@@ -669,18 +674,27 @@ def decode_wav(blob: bytes) -> tuple[int, bytes]:
             f"truncated RIFF: declares {declared + 8} bytes, "
             f"have {len(blob)}"
         )
+    # walk ONLY within the declared RIFF extent: trailing bytes past
+    # it (cat'd files, padded downloads, appended forgeries) must not
+    # be parsed as chunks — a crafted trailing data chunk would
+    # otherwise silently REPLACE the real PCM (review r14)
+    end = 8 + declared
     pos, fmt, data = 12, None, None
-    while pos + 8 <= len(blob):
+    while pos + 8 <= end:
         cid = blob[pos : pos + 4]
         size = struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
-        payload = blob[pos + 8 : pos + 8 + size]
-        if len(payload) < size:
+        if pos + 8 + size > end:
             raise ValueError(f"truncated {cid!r} chunk")
+        payload = blob[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if fmt is not None:
+                raise ValueError("duplicate fmt chunk")
             if size < 16:
                 raise ValueError(f"fmt chunk too short ({size})")
             fmt = struct.unpack("<HHIIHH", payload[:16])
         elif cid == b"data":
+            if data is not None:
+                raise ValueError("duplicate data chunk")
             data = payload
         pos += 8 + size + (size % 2)  # RIFF pads odd chunks
     if fmt is None or data is None:

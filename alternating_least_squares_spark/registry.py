@@ -12476,11 +12476,24 @@ def q_x18_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
     }
+    return _materialize_with_confs(spark, joined, confs, out_path)
+
+
+
+def _materialize_with_confs(
+    spark: SparkSession, df: DataFrame, confs: dict, out_path: str
+) -> DataFrame:
+    """Force ``df`` to full materialization under temporarily-forced
+    session confs (scratch-parquet write), restore the confs in a
+    finally, and return the read-back result — the one shared
+    implementation of the x18/x20/x21/x24 materialize-then-restore
+    discipline (review r14: four verbatim copies drifted apart one
+    edit at a time)."""
     saved = {k: spark.conf.get(k) for k in confs}
     try:
         for k, v in confs.items():
             spark.conf.set(k, v)
-        joined.write.mode("overwrite").parquet(out_path)
+        df.write.mode("overwrite").parquet(out_path)
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
@@ -12563,15 +12576,7 @@ def q_x20_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = _x20_skewed_join(spark, sf_dir)
     sf_key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     out_path = _scratch_path("alternating_ls_skewjoin", sf_key)
-    saved = {k: spark.conf.get(k) for k in X20_CONFS}
-    try:
-        for k, v in X20_CONFS.items():
-            spark.conf.set(k, v)
-        joined.write.mode("overwrite").parquet(out_path)
-    finally:
-        for k, v in saved.items():
-            spark.conf.set(k, v)
-    return spark.read.parquet(out_path)
+    return _materialize_with_confs(spark, joined, X20_CONFS, out_path)
 
 
 SQL_X20 = """
@@ -12636,15 +12641,7 @@ def q_x24_aqe_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = _x24_agg(spark, sf_dir)
     sf_key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     out_path = _scratch_path("alternating_ls_aqe_coalesce", sf_key)
-    saved = {k: spark.conf.get(k) for k in X24_CONFS}
-    try:
-        for k, v in X24_CONFS.items():
-            spark.conf.set(k, v)
-        agg.write.mode("overwrite").parquet(out_path)
-    finally:
-        for k, v in saved.items():
-            spark.conf.set(k, v)
-    return spark.read.parquet(out_path)
+    return _materialize_with_confs(spark, agg, X24_CONFS, out_path)
 
 
 SQL_X24 = """
@@ -12725,17 +12722,9 @@ def q_x21_cbo_stats_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sf_key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     out_path = _scratch_path("alternating_ls_cbo_out", sf_key)
-    saved = {k: spark.conf.get(k) for k in X21_CONFS}
-    try:
-        for k, v in X21_CONFS.items():
-            spark.conf.set(k, v)
-        _x21_filtered_join(spark, sf_dir).write.mode(
-            "overwrite"
-        ).parquet(out_path)
-    finally:
-        for k, v in saved.items():
-            spark.conf.set(k, v)
-    return spark.read.parquet(out_path)
+    return _materialize_with_confs(
+        spark, _x21_filtered_join(spark, sf_dir), X21_CONFS, out_path
+    )
 
 
 SQL_X21 = """

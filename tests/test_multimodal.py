@@ -488,3 +488,35 @@ def test_wav_decoder_rejects_zero_rate():
     wav = b"RIFF" + struct.pack("<I", len(body)) + body
     with pytest.raises(ValueError, match="bad sample rate"):
         decode_wav(wav)
+
+
+def test_wav_decoder_ignores_trailing_bytes_and_rejects_duplicates():
+    """The chunk walk stops at the declared RIFF extent: a forged
+    data chunk APPENDED past it must not replace the real PCM (review
+    r14 — it used to), while a duplicate fmt/data chunk WITHIN the
+    extent raises; encode_wav refuses rates that overflow the fmt
+    byte-rate field instead of leaking struct.error."""
+    import struct
+
+    import pytest
+
+    from alternating_least_squares_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    pcm = b"\x01\x02" * 8
+    wav = encode_wav(pcm, 8000)
+    forged = wav + b"data" + struct.pack("<I", 2) + b"\x99\x99"
+    assert decode_wav(forged) == (8000, pcm)  # forgery ignored
+    assert decode_wav(wav + b"junk-padding") == (8000, pcm)
+
+    # duplicate data chunk inside the declared extent
+    extra = b"data" + struct.pack("<I", 2) + b"\x99\x99"
+    body = wav[8:] + extra
+    dup = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="duplicate data chunk"):
+        decode_wav(dup)
+
+    with pytest.raises(ValueError, match="exceeds WAV range"):
+        encode_wav(pcm, 2**31)

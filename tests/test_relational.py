@@ -807,7 +807,6 @@ def test_key_uniqueness_flags_planted_duplicates(spark, tmp_path):
     def write(name, table):
         pq.write_table(table, str(tmp_path / f"{name}.parquet"))
 
-    write("customer", pa.table({"c_custkey": pa.array([1, 2, 3], pa.int64())}))
     write("documents", pa.table({
         # NULL doc_id twice -> duplicate NULL key must fail the table
         "doc_id": pa.array([10, None, None], pa.int64()),
@@ -826,9 +825,8 @@ def test_key_uniqueness_flags_planted_duplicates(spark, tmp_path):
         "l_linenumber": pa.array([1, 1, 2], pa.int64()),
     }))
     write("orders", pa.table({"o_orderkey": pa.array([7], pa.int64())}))
-    # customer REWRITTEN empty below? no — keep customer clean; an
-    # EMPTY table must report a passing zero row, not NULLs (review
-    # r14): overwrite customer with zero rows
+    # customer is written EMPTY: an empty table must report a passing
+    # zero row, not NULLs that neither pass nor fail (review r14)
     write("customer", pa.table({"c_custkey": pa.array([], pa.int64())}))
 
     got = {
