@@ -716,19 +716,22 @@ def decode_wav(blob: bytes) -> tuple[int, bytes]:
 
 
 def attach_wav_blob(
-    docs: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame, id_col: str = "doc_id", seed_col: str | None = None
 ) -> DataFrame:
     """Plant a real WAV file per document: the :func:`pcm_samples`
-    waveform at a doc-derived sample rate (``8000 · (1 + doc_id%3)``)
+    waveform at a seed-derived sample rate (``8000 · (1 + seed%3)``)
     through :func:`encode_wav`. Arrow-batched 1:1 mapInPandas (the
-    attach_bmp_blob discipline)."""
+    attach_bmp_blob discipline). ``seed_col`` (default: the id
+    column itself) drives the waveform — two rows sharing a seed get
+    byte-identical WAVs, which is how p05 plants exact-dup twins."""
+    seed_col = seed_col or id_col
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in it:
             blobs = []
-            for d in pdf[id_col]:
+            for d in pdf[seed_col]:
                 d = int(d)
                 s = pcm_samples(d)
                 blobs.append(
@@ -744,7 +747,10 @@ def attach_wav_blob(
                 }
             )
 
-    return docs.select(id_col).mapInPandas(batches, "doc_id long, wav binary")
+    cols = [id_col] if seed_col == id_col else [id_col, seed_col]
+    return docs.select(*cols).mapInPandas(
+        batches, "doc_id long, wav binary"
+    )
 
 
 WAV_FEATURES_SCHEMA = (

@@ -7725,6 +7725,92 @@ FROM v GROUP BY doc_id
 """
 
 
+P05_PEAK_MAX = 32_000        # clipping gate: max|s| must stay under
+P05_ENERGY_MIN = 340_000_000  # silence gate: mean energy per sample
+
+
+def q_p05_audio_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end AUDIO corpus curation — the multimodal family run
+    as a pipeline the way p01–p04 run the text side: ingest (planted
+    WAV containers, exact-dup twins at +20M sharing the base's
+    byte-identical waveform) → container decode (mm07's machinery) →
+    quality gates (clipping: peak < 32000; silence: energy ≥
+    n_samples·E_MIN — both exact integer compares, both evidential:
+    the planted near-uniform waveform fails the clipping gate for a
+    deterministic ~70%-ish of docs and the energy gate for another
+    deterministic slice, at any SF) → exact dedup on the JVM-side
+    md5 OF THE WAV BYTES (blob content, not metadata — twins collapse
+    to the min doc_id with zero Python in the dedup) → the admitted
+    doc profile.
+
+    Ground truth is forced by construction: a twin is byte-identical
+    to its base, so it gates identically and always loses keep-one —
+    the admitted set is exactly the BASE docs passing both gates,
+    which the oracle restates arithmetically (the mm07 waveform
+    algebra + the two gate predicates). Scale shape: gates are
+    scan-side integer compares on the decoded profile; the dedup is
+    one groupBy on a 16-byte hash (the t05 exact-dup shuffle — the
+    heavy binary column contributes only its hash); nothing
+    all-pairs, no Python off the two Arrow passes."""
+    from alternating_least_squares_spark.functions.multimodal import (
+        attach_wav_blob,
+        wav_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    twins = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.col("doc_id").alias("seed"),
+    )
+    corpus = docs.select(
+        "doc_id", F.col("doc_id").alias("seed")
+    ).unionByName(twins)
+    with_wav = attach_wav_blob(corpus, seed_col="seed").withColumn(
+        "wav_md5", F.md5("wav")
+    )
+    feats = wav_features(with_wav)
+    winners = with_wav.groupBy("wav_md5").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return (
+        feats.join(winners.select("doc_id"), "doc_id", "semi")
+        .filter(F.col("peak") < P05_PEAK_MAX)
+        .filter(F.col("energy") >= F.col("n_samples") * P05_ENERGY_MIN)
+        .select(
+            "doc_id", "sample_rate", "n_samples", "duration_us",
+            "energy", "peak",
+        )
+    )
+
+
+SQL_P05 = f"""
+WITH s AS (
+  SELECT doc_id,
+         unnest(generate_series(0, 47 + (doc_id % 3) * 16)) AS i
+  FROM documents
+),
+v AS (
+  SELECT doc_id,
+         (doc_id * 7919 + i * 104729 + 12345) % 65536 - 32768 AS x
+  FROM s
+),
+prof AS (
+  SELECT doc_id,
+         CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+         CAST(count(*) AS BIGINT) AS n_samples,
+         CAST(count(*) * 1000000 // (8000 * (1 + doc_id % 3))
+              AS BIGINT) AS duration_us,
+         CAST(sum(x * x) AS BIGINT) AS energy,
+         CAST(max(abs(x)) AS BIGINT) AS peak
+  FROM v GROUP BY doc_id
+)
+SELECT doc_id, sample_rate, n_samples, duration_us, energy, peak
+FROM prof
+WHERE peak < {P05_PEAK_MAX}
+  AND energy >= n_samples * {P05_ENERGY_MIN}
+"""
+
+
 def q_ipf_cost_per_visit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship iterative pipeline (A17 converge + E2/E3 ETL).
     Iterative fixed-point — not expressible as one SQL statement, so
@@ -14157,6 +14243,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "t25_hashed_decontaminate": (q_t25_hashed_decontaminate, SQL_T24),
     "p03_training_pipeline": (q_p03_training_pipeline, SQL_P03),
     "p04_drift_gated_admission": (q_p04_drift_gated_admission, SQL_P04),
+    "p05_audio_curation": (q_p05_audio_curation, SQL_P05),
     "w08_ewma": (q_w08_ewma, SQL_W08),
     "w09_rolling_slope": (q_w09_rolling_slope, SQL_W09),
     "w10_rolling_median": (q_w10_rolling_median, SQL_W10),
@@ -14207,13 +14294,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # x05_python_udtf, x03_stratified_sample, x02_train_test_split,
 # x01_grouped_outliers, w06_hopping_batch, w02_rank_dense_lag,
 # w01_running_total, t14_context_assembly, t12_repetition_stats,
-# and t11_pii_redact): oldest-first by (round, name), LEAD with
+# t11_pii_redact, and t10_chunk_windows): oldest-first by (round,
+# name), LEAD with t10_chunk_windows,
 # t11_pii_redact, t12_repetition_stats, t14_context_assembly,
 # w01_running_total, w02_rank_dense_lag,
 # w06_hopping_batch, x01_grouped_outliers,
 # x02_train_test_split, x03_stratified_sample, x05_python_udtf,
 # x06_domain_mix_sample, x08_salted_agg, then x09_bucketed_join (the
-# thirteen remaining r8-stale rows), then the
+# fourteen remaining r8-stale rows), then the
 # r10-stale cohort — ac07_merge_schema_evolution,
 # b05_jsonl_roundtrip, d03_minhash_near_dup, d05_mllib_minhash,
 # e06_funnel, e11_trailing_active_users, e16_twap, g01_rollup,
@@ -14223,29 +14311,30 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # h02_revenue_by_nation through h14_idle_rich_customers),
 # h20_forecast_revenue, h22_market_share, j04_asof_forward,
 # j08_scd2_intersect, mm01_media_features, mm05_resize_nearest,
-# q03_quantile_gate, rc02_node_depth, s01_lsh_topk — exactly 50
-# (s03_ivf_topk, s04_mllib_euclidean, s05_pca_topk, s06_pq_topk,
+# q03_quantile_gate, rc02_node_depth — exactly 50 (s01_lsh_topk,
+# s03_ivf_topk, s04_mllib_euclidean, s05_pca_topk, s06_pq_topk,
 # st11_stream_ewma, w08_ewma, x10_partition_pruning,
 # x11_table_profile, x12_salted_join, x18_runtime_bloom_filter,
 # x19_epoch_shuffle, x20_aqe_skew_join and x21_cbo_stats_broadcast,
-# the thirteen youngest-by-name r10 rows, wait for r16 with the r11
+# the fourteen youngest-by-name r10 rows, wait for r16 with the r11
 # cohort). New r15 entries displace the youngest-cohort tail from
-# the END as always (s01, then rc02, ...).
+# the END as always (rc02, then q03, ...).
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors (each has a hash-green
 # oracle-adjacent twin where one is possible: ipf_fixed, g04b,
 # m04/m05).
 _PREFIX = [
-    # r8-stale cohort: newest official row is round 8 (31 of 44 —
+    # r8-stale cohort: newest official row is round 8 (30 of 44 —
     # with all six r10 fill slots already displaced by new r14
     # entries, each further new entry (e20, d15, x23, ac12, mm06,
-    # st14, e21, w12, q06, v05, sql07, x24, mm07) displaces the TAIL
-    # of this cohort (x09_bucketed_join, x08_salted_agg,
+    # st14, e21, w12, q06, v05, sql07, x24, mm07, p05) displaces the
+    # TAIL of this cohort (x09_bucketed_join, x08_salted_agg,
     # x06_domain_mix_sample, x05_python_udtf, x03_stratified_sample,
     # x02_train_test_split, x01_grouped_outliers, w06_hopping_batch,
     # w02_rank_dense_lag, w01_running_total, t14_context_assembly,
-    # t12_repetition_stats, t11_pii_redact), which instead
+    # t12_repetition_stats, t11_pii_redact, t10_chunk_windows), which
+    # instead
     # LEADS the r15 plan below; new code must be driver-certified the
     # round it lands,
     # and one r8 entry waiting one more round costs less than a new
@@ -14262,7 +14351,7 @@ _PREFIX = [
     "st04_stream_enrich", "st05_stream_dedup",
     "st06_stream_stream_join", "st07_stream_hopping",
     "st08_stream_snapshot_sink", "st09_incremental_ingest",
-    "t08_contamination", "t09_bpe_tokens", "t10_chunk_windows",
+    "t08_contamination", "t09_bpe_tokens",
     # r10-cohort fill (newest official row is round 10), 6 oldest;
     # new r14 entries displace these from the END per the rule above
     # new in round 14 (displacing ALL six r10-cohort fill slots —
@@ -14287,7 +14376,7 @@ _PREFIX = [
     # st14, x01_grouped_outliers by e21, w06_hopping_batch by w12,
     # w02_rank_dense_lag by q06, w01_running_total by v05,
     # t14_context_assembly by sql07, t12_repetition_stats by x24,
-    # t11_pii_redact by mm07)
+    # t11_pii_redact by mm07, t10_chunk_windows by p05)
     "d15_threshold_collapse",
     "x23_weighted_sample",
     "ac12_restore",
@@ -14300,6 +14389,7 @@ _PREFIX = [
     "sql07_shared_setops",
     "x24_aqe_coalesce",
     "mm07_wav_decode",
+    "p05_audio_curation",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

@@ -520,3 +520,34 @@ def test_wav_decoder_ignores_trailing_bytes_and_rejects_duplicates():
 
     with pytest.raises(ValueError, match="exceeds WAV range"):
         encode_wav(pcm, 2**31)
+
+
+def test_p05_twins_are_dropped_by_dedup_not_by_gates(spark):
+    """p05's exact-dup collapse is doing the work: every +20M twin is
+    byte-identical to its base, so it PASSES/FAILS the gates exactly
+    as the base does — the twin of an admitted base must be absent
+    from the output because keep-one dropped it, not because a gate
+    did; and no admitted id is ever a twin."""
+    from alternating_least_squares_spark.registry import (
+        P05_ENERGY_MIN,
+        P05_PEAK_MAX,
+        q_p05_audio_curation,
+    )
+    from alternating_least_squares_spark.functions.multimodal import (
+        pcm_samples,
+    )
+    from tests.conftest import SF_SMALL
+
+    admitted = {
+        r["doc_id"]
+        for r in q_p05_audio_curation(spark, SF_SMALL).collect()
+    }
+    assert admitted and all(d < 20_000_000 for d in admitted)
+    # at least one admitted base HAS a twin whose identical waveform
+    # passes both gates — proof the dedup (not a gate) excluded it
+    twinned_admitted = [d for d in admitted if d % 10 == 0]
+    assert twinned_admitted
+    for d in twinned_admitted[:5]:
+        s = pcm_samples(d)  # == the twin's waveform, byte-identical
+        assert max(abs(x) for x in s) < P05_PEAK_MAX
+        assert sum(x * x for x in s) >= len(s) * P05_ENERGY_MIN
