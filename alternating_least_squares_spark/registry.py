@@ -14273,123 +14273,83 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 
 # ---------------------------------------------------------------------------
 # Ordering: the driver's correctness run checks a bounded PREFIX of the
-# registry (50 entries, verified rounds 2-10), so the order below is
-# chosen — not incidental.  ROTATION, round 14 (VERDICT r13 #1):
-# execute the write-ahead plan recorded here last round — lead with
-# the 44 r8-stale entries (newest official driver row still round 8:
-# ac04–ac06, b06, c03, c07, c09, d02, d06, e08, g04b, j02, j03,
-# mm02, p01, p02, q01, s02, sm01, sql01, st02–st09, t08–t12, t14,
-# w01, w02, w06, x01–x03, x05, x06, x08, x09) — then fill the
-# remaining 6 slots from the r10 cohort oldest-first (ac07, b05,
-# d03, d05, e06, e11).  After this round every entry's newest
-# official row is r9+.  New entries landed later this round
-# displace r10-cohort fill entries from the END of the list (pushed
-# to the r15 prefix) — new code must be driver-certified the round
-# it lands; the 44 r8-stale entries are never displaced.
-# R15 PREFIX PLAN (write-ahead, VERDICT r13 #8; computed from the
-# CORRECTNESS_r01..r13 union with this round's FINAL prefix marked
-# r14 — i.e. AFTER the new r14 entries displaced ALL six r10-cohort
-# fill slots (ac07, b05, d03, d05, e06, e11) AND the r8 tail entries
-# x09_bucketed_join, x08_salted_agg, x06_domain_mix_sample,
-# x05_python_udtf, x03_stratified_sample, x02_train_test_split,
-# x01_grouped_outliers, w06_hopping_batch, w02_rank_dense_lag,
-# w01_running_total, t14_context_assembly, t12_repetition_stats,
-# t11_pii_redact, and t10_chunk_windows): oldest-first by (round,
-# name), LEAD with t10_chunk_windows,
+# registry (50 entries, verified rounds 2-14), so the order below is
+# chosen — not incidental.  ROTATION, round 15 (VERDICT r14 #1):
+# execute the write-ahead plan recorded here last round — LEAD with
+# the fourteen remaining r8-stale rows (t10_chunk_windows,
 # t11_pii_redact, t12_repetition_stats, t14_context_assembly,
-# w01_running_total, w02_rank_dense_lag,
-# w06_hopping_batch, x01_grouped_outliers,
-# x02_train_test_split, x03_stratified_sample, x05_python_udtf,
-# x06_domain_mix_sample, x08_salted_agg, then x09_bucketed_join (the
-# fourteen remaining r8-stale rows), then the
-# r10-stale cohort — ac07_merge_schema_evolution,
-# b05_jsonl_roundtrip, d03_minhash_near_dup, d05_mllib_minhash,
-# e06_funnel, e11_trailing_active_users, e16_twap, g01_rollup,
-# g03_percentiles, gr01_pagerank_fixed, gr03_triangles,
-# gr04_edge_embeddedness, gr05_kcore, gr06_bfs_distance,
-# gr07_clustering_coeff, h02–h14 (the TPC-H family:
-# h02_revenue_by_nation through h14_idle_rich_customers),
-# h20_forecast_revenue, h22_market_share, j04_asof_forward,
-# j08_scd2_intersect, mm01_media_features, mm05_resize_nearest,
-# q03_quantile_gate, rc02_node_depth — exactly 50 (s01_lsh_topk,
-# s03_ivf_topk, s04_mllib_euclidean, s05_pca_topk, s06_pq_topk,
-# st11_stream_ewma, w08_ewma, x10_partition_pruning,
-# x11_table_profile, x12_salted_join, x18_runtime_bloom_filter,
-# x19_epoch_shuffle, x20_aqe_skew_join and x21_cbo_stats_broadcast,
-# the fourteen youngest-by-name r10 rows, wait for r16 with the r11
-# cohort). New r15 entries displace the youngest-cohort tail from
-# the END as always (rc02, then q03, ...).
+# w01_running_total, w02_rank_dense_lag, w06_hopping_batch,
+# x01_grouped_outliers, x02_train_test_split, x03_stratified_sample,
+# x05_python_udtf, x06_domain_mix_sample, x08_salted_agg,
+# x09_bucketed_join), then the 36-entry r10-stale fill oldest-first
+# by name (ac07, b05, d03, d05, e06, e11, e16, g01, g03, gr01,
+# gr03–gr07, h02–h14, h20, h22, j04, j08, mm01, mm05, q03, rc02).
+# After this round NO entry's newest official row predates round 10.
+# New r15 entries displace the r10-cohort fill from the END of the
+# list (rc02 first, then q03, mm05, mm01, ...) — displaced rows LEAD
+# the r16 plan below; new code must be driver-certified the round it
+# lands, and VERDICT r14 #2 throttles new entries to <=8 this round
+# so the rotation catches up.
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors (each has a hash-green
 # oracle-adjacent twin where one is possible: ipf_fixed, g04b,
 # m04/m05).
 _PREFIX = [
-    # r8-stale cohort: newest official row is round 8 (30 of 44 —
-    # with all six r10 fill slots already displaced by new r14
-    # entries, each further new entry (e20, d15, x23, ac12, mm06,
-    # st14, e21, w12, q06, v05, sql07, x24, mm07, p05) displaces the
-    # TAIL of this cohort (x09_bucketed_join, x08_salted_agg,
-    # x06_domain_mix_sample, x05_python_udtf, x03_stratified_sample,
-    # x02_train_test_split, x01_grouped_outliers, w06_hopping_batch,
-    # w02_rank_dense_lag, w01_running_total, t14_context_assembly,
-    # t12_repetition_stats, t11_pii_redact, t10_chunk_windows), which
-    # instead
-    # LEADS the r15 plan below; new code must be driver-certified the
-    # round it lands,
-    # and one r8 entry waiting one more round costs less than a new
-    # entry shipping uncertified)
-    "ac04_compact_files", "ac05_vacuum", "ac06_schema_evolution",
-    "b06_corrupt_records", "c03_projection", "c07_sort_by_key",
-    "c09_ones_matrix", "d02_jaccard_pairs", "d06_keep_one",
-    "e08_ohlc_bars", "g04b_sketch_exact_regime",
-    "j02_range_join", "j03_interval_overlap", "mm02_frame_sample",
-    "p01_corpus_curation", "p02_corpus_stats", "q01_data_quality",
-    "s02_embedding_near_dup", "sm01_semantic_dedup",
-    "sql01_shared_dialect",
-    "st02_stream_sessionize", "st03_stateful_profiles",
-    "st04_stream_enrich", "st05_stream_dedup",
-    "st06_stream_stream_join", "st07_stream_hopping",
-    "st08_stream_snapshot_sink", "st09_incremental_ingest",
-    "t08_contamination", "t09_bpe_tokens",
-    # r10-cohort fill (newest official row is round 10), 6 oldest;
-    # new r14 entries displace these from the END per the rule above
-    # new in round 14 (displacing ALL six r10-cohort fill slots —
-    # e11, e06, d05, d03, b05, ac07 — to the r15 prefix, per the
-    # displacement rule above): k-truss support peel (VERDICT r13
-    # #2), the trailing exact MAD (#3), the z-order layout +
-    # manifest-pruning proof (#4), the shared-dialect UNPIVOT (#5),
-    # the URL-canonicalization dedup gate (#6), and the exact
-    # real-threshold cosine join (the r13 standing caution on
-    # degenerate ANN fixtures)
-    "gr10_ktruss",
-    "w11_rolling_mad",
-    "ac11_cluster_optimize",
-    "sql06_shared_unpivot",
-    "d14_url_dedup",
-    "s07_exact_threshold_join",
-    "e20_last_touch_attribution",
-    # late-round-14 additions (each displaces one more r8-cohort tail
-    # entry to the r15 plan, same rule as e20/x09: x08_salted_agg is
-    # displaced by d15, x06_domain_mix_sample by x23, x05_python_udtf
-    # by ac12, x03_stratified_sample by mm06, x02_train_test_split by
-    # st14, x01_grouped_outliers by e21, w06_hopping_batch by w12,
-    # w02_rank_dense_lag by q06, w01_running_total by v05,
-    # t14_context_assembly by sql07, t12_repetition_stats by x24,
-    # t11_pii_redact by mm07, t10_chunk_windows by p05)
-    "d15_threshold_collapse",
-    "x23_weighted_sample",
-    "ac12_restore",
-    "mm06_pcm_features",
-    "st14_stream_weighted_sample",
-    "e21_retention_cohorts",
-    "w12_drawdown",
-    "q06_key_uniqueness",
-    "v05_mips_topk",
-    "sql07_shared_setops",
-    "x24_aqe_coalesce",
-    "mm07_wav_decode",
-    "p05_audio_curation",
+    # r8-stale cohort (the last 14 — after this round the r8 cohort
+    # is fully retired)
+    "t10_chunk_windows",
+    "t11_pii_redact",
+    "t12_repetition_stats",
+    "t14_context_assembly",
+    "w01_running_total",
+    "w02_rank_dense_lag",
+    "w06_hopping_batch",
+    "x01_grouped_outliers",
+    "x02_train_test_split",
+    "x03_stratified_sample",
+    "x05_python_udtf",
+    "x06_domain_mix_sample",
+    "x08_salted_agg",
+    "x09_bucketed_join",
+    # r10-stale cohort fill, oldest-first by name; new r15 entries
+    # displace from the END (rc02, q03, mm05, mm01, ...)
+    "ac07_merge_schema_evolution",
+    "b05_jsonl_roundtrip",
+    "d03_minhash_near_dup",
+    "d05_mllib_minhash",
+    "e06_funnel",
+    "e11_trailing_active_users",
+    "e16_twap",
+    "g01_rollup",
+    "g03_percentiles",
+    "gr01_pagerank_fixed",
+    "gr03_triangles",
+    "gr04_edge_embeddedness",
+    "gr05_kcore",
+    "gr06_bfs_distance",
+    "gr07_clustering_coeff",
+    "h02_revenue_by_nation",
+    "h03_shipping_priority",
+    "h04_local_supplier_volume",
+    "h05_returned_revenue",
+    "h06_promo_revenue",
+    "h07_order_priority",
+    "h08_volume_shipping",
+    "h09_product_profit",
+    "h10_shipmode_priority",
+    "h11_order_distribution",
+    "h12_disjunctive_revenue",
+    "h13_large_volume_orders",
+    "h14_idle_rich_customers",
+    "h20_forecast_revenue",
+    "h22_market_share",
+    "j04_asof_forward",
+    "j08_scd2_intersect",
+    "mm01_media_features",
+    "mm05_resize_nearest",
+    "q03_quantile_gate",
+    "rc02_node_depth",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))
