@@ -518,12 +518,26 @@ PCM_FEATURES_SCHEMA = (
 def pcm_samples(doc_id: int) -> list[int]:
     """The planted deterministic waveform: ``48 + (doc_id%3)*16``
     samples (3-5 whole frames — variable length, always frame-
-    aligned), sample i = ``(doc_id*7919 + i*104729 + 12345) % 65536
-    - 32768`` — full int16 range incl. negatives, restatable by a
-    SQL oracle with generate_series arithmetic."""
+    aligned), sample i = ``(doc_id*7919 + i*104729 +
+    i*i*(doc_id//65536) + 12345) % 65536 - 32768`` — full int16
+    range incl. negatives, restatable by a SQL oracle with
+    generate_series arithmetic.
+
+    The quadratic-in-``i`` term carries the HIGH bits of doc_id:
+    without it the whole sequence collapsed to ``(7919*doc_id mod
+    65536, doc_id mod 3)`` and repeated with period 196608 in
+    doc_id, so two unrelated docs could plant byte-identical WAVs
+    once the table grew past ~196k ids (breaking p05's by-
+    construction dedup ground truth). With it, equal waveforms
+    force doc_id ≡ doc_id' (mod 2^32): sample 0 recovers ``7919*d
+    mod 65536`` and the first difference ``x_1 - x_0 ≡ 104729 +
+    d//65536`` recovers ``d//65536 mod 65536`` — injective for all
+    doc_id < 2^32, i.e. any realistic corpus."""
     n = 48 + (doc_id % 3) * 16
+    hi = doc_id // 65536
     return [
-        (doc_id * 7919 + i * 104729 + 12345) % 65536 - 32768
+        (doc_id * 7919 + i * 104729 + i * i * hi + 12345) % 65536
+        - 32768
         for i in range(n)
     ]
 

@@ -7666,7 +7666,8 @@ WITH s AS (
 ),
 v AS (
   SELECT doc_id, i // 16 AS frame_idx,
-         (doc_id * 7919 + i * 104729 + 12345) % 65536 - 32768 AS x
+         (doc_id * 7919 + i * 104729 + i * i * (doc_id // 65536)
+          + 12345) % 65536 - 32768 AS x
   FROM s
 )
 SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
@@ -7711,7 +7712,8 @@ WITH s AS (
 ),
 v AS (
   SELECT doc_id,
-         (doc_id * 7919 + i * 104729 + 12345) % 65536 - 32768 AS x
+         (doc_id * 7919 + i * 104729 + i * i * (doc_id // 65536)
+          + 12345) % 65536 - 32768 AS x
   FROM s
 )
 SELECT doc_id,
@@ -7747,7 +7749,12 @@ def q_p05_audio_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     to its base, so it gates identically and always loses keep-one —
     the admitted set is exactly the BASE docs passing both gates,
     which the oracle restates arithmetically (the mm07 waveform
-    algebra + the two gate predicates). Scale shape: gates are
+    algebra + the two gate predicates). The by-construction claim
+    needs distinct base docs to plant DISTINCT WAVs, which the
+    waveform's high-bits term guarantees for all doc_id < 2^32
+    (pcm_samples docstring has the proof — the pre-r15 formula was
+    periodic with period 196608 and would have silently collapsed
+    unrelated docs at large SF). Scale shape: gates are
     scan-side integer compares on the decoded profile; the dedup is
     one groupBy on a 16-byte hash (the t05 exact-dup shuffle — the
     heavy binary column contributes only its hash); nothing
@@ -7791,7 +7798,8 @@ WITH s AS (
 ),
 v AS (
   SELECT doc_id,
-         (doc_id * 7919 + i * 104729 + 12345) % 65536 - 32768 AS x
+         (doc_id * 7919 + i * 104729 + i * i * (doc_id // 65536)
+          + 12345) % 65536 - 32768 AS x
   FROM s
 ),
 prof AS (

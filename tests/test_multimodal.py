@@ -551,3 +551,33 @@ def test_p05_twins_are_dropped_by_dedup_not_by_gates(spark):
         s = pcm_samples(d)  # == the twin's waveform, byte-identical
         assert max(abs(x) for x in s) < P05_PEAK_MAX
         assert sum(x * x for x in s) >= len(s) * P05_ENERGY_MIN
+
+
+def test_pcm_samples_not_periodic_in_doc_id():
+    """Round-15 regression: the pre-r15 waveform collapsed to
+    ``(7919*d mod 65536, d mod 3)`` and repeated with period 196608
+    in doc_id — two unrelated docs past ~196k ids planted
+    byte-identical WAVs, silently breaking p05's by-construction
+    dedup ground truth at large SF. The high-bits term
+    ``i*i*(d//65536)`` makes the waveform injective below 2^32:
+    sample 0 pins ``7919*d mod 65536``, the first difference pins
+    ``d//65536 mod 65536``, the length pins ``d mod 3``."""
+    from alternating_least_squares_spark.functions.multimodal import (
+        pcm_samples,
+    )
+
+    # the exact collision class the advisor exhibited (d, d+196608)
+    for d in (0, 1, 7919, 123456):
+        assert pcm_samples(d) != pcm_samples(d + 196608)
+    # injectivity spot-check across a mix of low/high ids, including
+    # p05's +20M twin offset region
+    ids = [0, 1, 2, 65536, 65537, 196608, 196609, 20_000_000,
+           20_196_608, 2**31, 2**31 + 196608]
+    waves = {tuple(pcm_samples(d)) for d in ids}
+    assert len(waves) == len(ids)
+    # algebraic recovery: sample 0 and the first difference identify
+    # (d mod 65536, d//65536 mod 65536) — the injectivity proof
+    for d in ids:
+        s = pcm_samples(d)
+        assert (s[0] + 32768) % 65536 == (d * 7919 + 12345) % 65536
+        assert (s[1] - s[0]) % 65536 == (104729 + d // 65536) % 65536
