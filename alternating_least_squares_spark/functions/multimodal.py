@@ -661,6 +661,15 @@ def encode_wav(pcm: bytes, sample_rate: int) -> bytes:
         raise ValueError(f"sample rate {sample_rate} exceeds WAV range")
     if len(pcm) % 2:
         raise ValueError(f"odd PCM byte count {len(pcm)}")
+    if len(pcm) > 0xFFFFFFFF - 36:
+        # the data-chunk size and the RIFF body size (len(pcm)+36)
+        # must both fit '<I'; overflowing would surface as
+        # struct.error, breaking the module's ValueError-only
+        # crash-class contract (ADVICE r14, same reason as the
+        # sample-rate guard above)
+        raise ValueError(
+            f"PCM payload of {len(pcm)} bytes exceeds WAV range"
+        )
     fmt = struct.pack(
         "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
     )

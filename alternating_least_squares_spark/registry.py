@@ -11513,6 +11513,26 @@ def q_st14_stream_weighted_sample(
 _ST14_LEDGER_SCHEMA = "doc_id long, w long, sample_key string"
 
 
+def _st14_read_ledger(sess: SparkSession, sink: str) -> DataFrame:
+    """Read the ledger, recovering from a crash mid-swap. The commit
+    protocol (see ``_st14_apply_wave``) only renames a fully-written
+    ``.tmp`` (Spark's ``_SUCCESS`` marker proves job commit), so on
+    a missing ``sink`` exactly one of the two neighbors holds a
+    complete ledger: ``.tmp`` with ``_SUCCESS`` is the NEWER state
+    (crash between the two renames), else ``.old`` is the previous
+    state (crash can't lose it — it is only deleted after ``sink``
+    exists again)."""
+    import os
+
+    if not os.path.exists(sink):
+        tmp, old = sink + ".tmp", sink + ".old"
+        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            os.rename(tmp, sink)
+        elif os.path.exists(old):
+            os.rename(old, sink)
+    return sess.read.parquet(sink)
+
+
 def _st14_apply_wave(
     sess: SparkSession, sink: str, bdf: DataFrame
 ) -> None:
@@ -11520,21 +11540,42 @@ def _st14_apply_wave(
     top-k (TakeOrderedAndProject), union with the persisted ledger,
     dedupe on doc_id (redelivery idempotence — one doc must never
     hold two of the k slots), keep the k smallest. The collect is
-    bounded at <= 2k rows by construction."""
+    bounded at <= 2k rows by construction.
+
+    Ledger durability (ADVICE r14): a plain ``mode('overwrite')``
+    deletes the sink before rewriting, so a crash mid-write would
+    permanently lose every previously-committed wave (checkpointed
+    batches are never redelivered). Instead the new ledger is
+    written to ``sink.tmp`` and swapped in with atomic directory
+    renames — ``sink``→``sink.old``, ``sink.tmp``→``sink`` — the
+    st08 transactional discipline at the filesystem level. Every
+    crash point leaves a complete ledger recoverable by
+    ``_st14_read_ledger``. Rename atomicity holds on POSIX and
+    HDFS; an object store without atomic rename (S3) would route
+    this through the snapshot table's manifest commit instead."""
+    import os
+    import shutil
+
     wave_topk = (
         _x23_keyed(bdf).orderBy("sample_key", "doc_id").limit(X23_K)
     )
     merged = (
-        sess.read.parquet(sink)
+        _st14_read_ledger(sess, sink)
         .unionByName(wave_topk)
         .dropDuplicates(["doc_id"])
         .orderBy("sample_key", "doc_id")
         .limit(X23_K)
         .collect()
     )
+    tmp, old = sink + ".tmp", sink + ".old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
     sess.createDataFrame(
         merged, _ST14_LEDGER_SCHEMA
-    ).write.mode("overwrite").parquet(sink)
+    ).write.mode("overwrite").parquet(tmp)
+    os.rename(sink, old)
+    os.rename(tmp, sink)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def q_t19_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:

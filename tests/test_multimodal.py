@@ -581,3 +581,26 @@ def test_pcm_samples_not_periodic_in_doc_id():
         s = pcm_samples(d)
         assert (s[0] + 32768) % 65536 == (d * 7919 + 12345) % 65536
         assert (s[1] - s[0]) % 65536 == (104729 + d // 65536) % 65536
+
+
+def test_encode_wav_rejects_oversized_payload_with_valueerror():
+    """ADVICE r15 regression: a PCM payload whose data chunk or RIFF
+    body size overflows the 32-bit '<I' fields must raise ValueError
+    (the module's documented crash-class contract), not struct.error.
+    Uses a len-faking bytes subclass so the test doesn't allocate
+    4 GiB — the guard fires on len() alone, before any packing."""
+    import pytest
+
+    from alternating_least_squares_spark.functions.multimodal import (
+        encode_wav,
+    )
+
+    class _HugeLen(bytes):
+        def __len__(self):
+            return 0xFFFFFFFF - 35  # even, and one past the RIFF limit
+
+    with pytest.raises(ValueError, match="exceeds WAV range"):
+        encode_wav(_HugeLen(), 8000)
+    # the boundary itself still encodes-by-contract: a len exactly at
+    # the limit passes the guard (struct fields fit)
+    assert encode_wav(b"", 8000)  # trivially under the limit

@@ -747,3 +747,66 @@ def test_st14_ledger_is_wave_partition_invariant_and_idempotent(
 
     _st14_apply_wave(spark, sink, waves[1])  # redeliver wave 1
     assert ledger() == three_way  # idempotent
+
+
+def test_st14_ledger_swap_commit_recovers_every_crash_point(
+    spark, tmp_path
+):
+    """ADVICE r14 regression: the ledger commit is write-tmp +
+    atomic rename swap, never overwrite-in-place — a crash at ANY
+    point of the protocol must leave a complete ledger that
+    _st14_read_ledger recovers. Simulates the three post-crash
+    states directly."""
+    import os
+    import shutil
+
+    from alternating_least_squares_spark.registry import (
+        _ST14_LEDGER_SCHEMA,
+        _st14_apply_wave,
+        _st14_read_ledger,
+    )
+    from alternating_least_squares_spark.sources import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    sink = str(tmp_path / "ledger")
+    spark.createDataFrame([], _ST14_LEDGER_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(sink)
+    _st14_apply_wave(spark, sink, docs.filter(F.col("doc_id") % 2 == 0))
+
+    def rows(df):
+        return sorted(
+            (r["doc_id"], r["w"], r["sample_key"]) for r in df.collect()
+        )
+
+    committed = rows(spark.read.parquet(sink))
+    assert committed  # wave 0 actually landed
+
+    # crash state 1: mid tmp-write (no _SUCCESS yet) — sink intact,
+    # partial tmp must be ignored
+    os.makedirs(sink + ".tmp", exist_ok=True)
+    open(sink + ".tmp/part-partial.parquet", "wb").write(b"junk")
+    assert rows(_st14_read_ledger(spark, sink)) == committed
+    shutil.rmtree(sink + ".tmp")
+
+    # crash state 2: between the renames — sink gone, complete
+    # NEWER tmp (with _SUCCESS) present, old holds the previous state
+    spark.createDataFrame(
+        [(1, 7, "aa")], _ST14_LEDGER_SCHEMA
+    ).write.mode("overwrite").parquet(sink + ".tmp")
+    os.rename(sink, sink + ".old")
+    assert rows(_st14_read_ledger(spark, sink)) == [(1, 7, "aa")]
+    assert os.path.exists(sink) and not os.path.exists(sink + ".tmp")
+    shutil.rmtree(sink + ".old")
+
+    # crash state 3: tmp write died before job commit AND sink was
+    # already renamed (cannot happen in protocol order, but recovery
+    # must still prefer the complete .old over the junk tmp)
+    os.rename(sink, sink + ".old")
+    os.makedirs(sink + ".tmp", exist_ok=True)
+    open(sink + ".tmp/part-partial.parquet", "wb").write(b"junk")
+    assert rows(_st14_read_ledger(spark, sink)) == [(1, 7, "aa")]
+    shutil.rmtree(sink + ".tmp")
