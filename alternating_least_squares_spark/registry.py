@@ -12375,6 +12375,129 @@ FROM d
 """
 
 
+W13_C = 3  # robust-z cutoff: flag when |y - med| > 3 * MAD
+
+
+def q_w13_robust_anomaly_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Robust anomaly gate — the composition w10/w11 exist for
+    (VERDICT r14 #3, closing SURVEY §2.E W-row's "robust (median,
+    MAD) anomaly-gate pair" the way ac11 closed ac03's purpose):
+    flag each event whose deviation from its user's trailing robust
+    center exceeds ``W13_C`` trailing robust spreads,
+    |y − med| > c·MAD, with NO division anywhere — the compare is
+    cross-multiplied into exact longs the way s07 cross-multiplies
+    its cosine threshold. With med = (med_lo+med_hi)/2 and
+    MAD = (mad_lo+mad_hi)/4 (w11's doubled-deviation order
+    statistics), the gate is equivalent to
+    ``2·dev2 > c·(mad_lo + mad_hi)`` where
+    ``dev2 = |2y − (med_lo+med_hi)|`` is the current event's doubled
+    deviation — every term an exact BIGINT in (doubled) micro-units,
+    so the flag cannot flap on float rounding and the hash certifies
+    the gate itself, not just its ingredients (the q04/w09/w10/w11
+    emit-the-terms discipline: dev2, mad_lo, mad_hi ride along).
+
+    Shape: the SAME single user-keyed exchange as w10/w11 — one
+    window spec feeds the ≤ W10_WINDOW-element frame array; median
+    selection, the deviation transform, the second array_sort, and
+    the gate compare all run on that bounded array inside codegen.
+    A 1-element frame has MAD 0 and dev2 0 → not flagged (0 > 0
+    false on both engines). At 100 TB: one hash exchange on
+    user_id, the same plan every w-family op rides — the gate adds
+    zero shuffles to the (median, MAD) pair it composes."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(~F.isnan("value"))
+        .select(
+            "user_id",
+            "event_id",
+            "ts_ns",
+            F.floor(F.col("value") * 1_000_000).cast("long").alias("_y"),
+        )
+    )
+    w_tr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(-(W10_WINDOW - 1), 0)
+    )
+    framed = ev.select(
+        "user_id",
+        "event_id",
+        "_y",
+        F.array_sort(F.collect_list("_y").over(w_tr)).alias("_arr"),
+    )
+    n = F.size("_arr").cast("long")
+    med2 = F.get(
+        F.col("_arr"), ((n - F.lit(1)) / F.lit(2)).cast("int")
+    ) + F.get(F.col("_arr"), (n / F.lit(2)).cast("int"))
+    devs = framed.select(
+        "user_id",
+        "event_id",
+        n.alias("n_obs"),
+        F.abs(F.col("_y") * F.lit(2) - med2).alias("dev2"),
+        F.array_sort(
+            F.transform("_arr", lambda x: F.abs(x * F.lit(2) - med2))
+        ).alias("_darr"),
+    )
+    nn = F.col("n_obs")
+    mad_lo = F.get(F.col("_darr"), ((nn - F.lit(1)) / F.lit(2)).cast("int"))
+    mad_hi = F.get(F.col("_darr"), (nn / F.lit(2)).cast("int"))
+    return devs.select(
+        "user_id",
+        "event_id",
+        "n_obs",
+        "dev2",
+        mad_lo.alias("mad_lo"),
+        mad_hi.alias("mad_hi"),
+        (
+            F.col("dev2") * F.lit(2)
+            > (mad_lo + mad_hi) * F.lit(W13_C)
+        ).alias("is_anomaly"),
+    )
+
+
+SQL_W13 = f"""
+WITH ev AS (
+  SELECT user_id, event_id,
+         epoch_ns(ts) AS ts_ns,
+         CAST(floor(value * 1000000) AS BIGINT) AS y
+  FROM events WHERE NOT isnan(value)
+),
+s AS (
+  SELECT user_id, event_id, y,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n_obs,
+         list_sort(list(y) OVER w) AS arr
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id
+               ROWS BETWEEN {W10_WINDOW - 1} PRECEDING AND CURRENT ROW)
+),
+m AS (
+  SELECT user_id, event_id, y, n_obs, arr,
+         arr[CAST((n_obs - 1) // 2 AS INT) + 1]
+           + arr[CAST(n_obs // 2 AS INT) + 1] AS med2
+  FROM s
+),
+d AS (
+  SELECT user_id, event_id, n_obs,
+         abs(2 * y - med2) AS dev2,
+         list_sort(list_transform(arr, x -> abs(2 * x - med2))) AS darr
+  FROM m
+),
+g AS (
+  SELECT user_id, event_id, n_obs, dev2,
+         darr[CAST((n_obs - 1) // 2 AS INT) + 1] AS mad_lo,
+         darr[CAST(n_obs // 2 AS INT) + 1] AS mad_hi
+  FROM d
+)
+SELECT user_id, event_id, n_obs, CAST(dev2 AS BIGINT) AS dev2,
+       CAST(mad_lo AS BIGINT) AS mad_lo,
+       CAST(mad_hi AS BIGINT) AS mad_hi,
+       2 * dev2 > {W13_C} * (mad_lo + mad_hi) AS is_anomaly
+FROM g
+"""
+
+
 def q_w12_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running-peak drawdown — the risk/alerting window next to w01's
     running total (w08 smooths the level, w09 measures the trend,
@@ -14297,6 +14420,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "w09_rolling_slope": (q_w09_rolling_slope, SQL_W09),
     "w10_rolling_median": (q_w10_rolling_median, SQL_W10),
     "w11_rolling_mad": (q_w11_rolling_mad, SQL_W11),
+    "w13_robust_anomaly_gate": (q_w13_robust_anomaly_gate, SQL_W13),
     "w12_drawdown": (q_w12_drawdown, SQL_W12),
     "st11_stream_ewma": (q_st11_stream_ewma, SQL_W08),
     "st12_stream_drift_gate": (q_st12_stream_drift_gate, SQL_ST12),
@@ -14398,7 +14522,10 @@ _PREFIX = [
     "mm01_media_features",
     "mm05_resize_nearest",
     "q03_quantile_gate",
-    "rc02_node_depth",
+    # new in round 15 (each displaces one r10-cohort fill slot from
+    # the END per the rule above: rc02_node_depth is displaced by
+    # w13 — displaced rows LEAD the r16 plan)
+    "w13_robust_anomaly_gate",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

@@ -962,3 +962,114 @@ def test_stream_ewma_rejects_reused_event_id_across_batches(
     )
     with pytest.raises(Exception, match="unique per"):
         run_stream_to_batch(ewma_stream(stream), output_mode="append")
+
+
+def test_w13_robust_anomaly_gate_hand_computed(spark, tmp_path):
+    """w13 on the w11 hand series: the spike (100.0 entering a
+    [1,2,3] window) is the ONLY flagged event — its doubled
+    deviation 195M cross-multiplies to 390M > 3·(1M+3M) = 12M, while
+    every in-band event fails the strict compare (including the
+    1-element frame, where 0 > 0 is false). NaN rows are not
+    observations."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from alternating_least_squares_spark import registry
+
+    t0 = datetime.datetime(2024, 1, 1)
+    vals = [2.0, 1.0, float("nan"), 3.0, 100.0]
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=i + 1), 7, v)
+        for i, v in enumerate(vals)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows), pa.string()),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = {
+        r["event_id"]: (
+            r["n_obs"], r["dev2"], r["mad_lo"], r["mad_hi"],
+            r["is_anomaly"],
+        )
+        for r in registry.q_w13_robust_anomaly_gate(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    M = 1_000_000
+    assert got == {
+        0: (1, 0, 0, 0, False),
+        1: (2, 1 * M, 1 * M, 1 * M, False),
+        3: (3, 2 * M, 2 * M, 2 * M, False),
+        4: (4, 195 * M, 1 * M, 3 * M, True),
+    }
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-100, max_value=100,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_w13_gate_matches_python_replay(spark, tmp_path_factory, vals):
+    """w13 property: on any series the flag equals the sequential
+    reference |y - med| > 3*MAD computed in exact rationals
+    (fractions have no rounding, so a mismatch is a logic bug, not
+    float slop)."""
+    from fractions import Fraction
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from alternating_least_squares_spark import registry
+
+    tmp_path = tmp_path_factory.mktemp("w13")
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=i + 1), 1, v)
+        for i, v in enumerate(vals)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows), pa.string()),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = {
+        r["event_id"]: r["is_anomaly"]
+        for r in registry.q_w13_robust_anomaly_gate(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    import math
+
+    y = [math.floor(v * 1_000_000) for v in vals]
+    want = {}
+    for i in range(len(y)):
+        frame = sorted(y[max(0, i - 7): i + 1])
+        n = len(frame)
+        med = Fraction(frame[(n - 1) // 2] + frame[n // 2], 2)
+        devs = sorted(abs(Fraction(x) - med) for x in frame)
+        mad = Fraction(devs[(n - 1) // 2] + devs[n // 2], 2)
+        want[i] = abs(Fraction(y[i]) - med) > 3 * mad
+    assert got == want

@@ -420,3 +420,15 @@ def test_drawdown_is_one_exchange(spark):
     windows stopped sharing the sorted run."""
     plan = _plan(spark, "w12_drawdown")
     assert plan.count("Exchange") == 1, plan
+
+
+def test_w13_gate_is_one_exchange(spark):
+    """w13 composes w10's median, w11's MAD, and the gate compare on
+    the SAME (user_id, ts-ordered) window keys: the subset rule must
+    plan exactly ONE exchange — a second exchange means the
+    composition stopped sharing the sorted run."""
+    plan = _plan(spark, "w13_robust_anomaly_gate")
+    assert plan.count("Exchange") == 1, plan
+    for marker in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                   "BatchEvalPython"):
+        assert marker not in plan
