@@ -23,10 +23,14 @@ The AUDIO path is equally real (round 14): raw int16 PCM decodes with
 RIFF/WAVE container round-trips through :func:`encode_wav` /
 :func:`decode_wav` (chunk-walking, loud on malformed/unsupported —
 mm07), both oracle-exact on planted deterministic waveforms.
-Compressed formats stay gated: :func:`extract_media_features` keeps
-the byte-level features plus clearly-faked decode stand-ins, and
-:func:`decode_image` raises ``NotImplementedError`` unless PIL is
-importable. Swapping in a richer decoder changes ONLY the body of the
+The PNG common case is real too (round 15): :func:`encode_png` /
+:func:`decode_png` build and parse 8-bit RGB/RGBA non-interlaced
+PNGs with stdlib ``zlib`` + ``struct`` — CRC-verified chunk walk,
+all five scanline filters. Remaining compressed formats stay gated:
+:func:`extract_media_features` keeps the byte-level features plus
+clearly-faked decode stand-ins, and :func:`decode_image` raises
+``NotImplementedError`` unless PIL is importable (JPEG, and PNG's
+palette/16-bit/interlaced shapes). Swapping in a richer decoder changes ONLY the body of the
 per-batch function — the Spark-side plumbing (schemas, batching,
 partitioning) is what this module locks down and tests.
 
@@ -409,10 +413,13 @@ def decode_bmp_features(
 
 
 def decode_image(blob: bytes):  # pragma: no cover - stub by design
-    """Decode a compressed image payload (PNG/JPEG/...). STUB: the
-    container has no image libraries; gate on PIL and fail loudly
-    rather than fake silently. Uncompressed BMPs need no library —
-    use :func:`decode_bmp`."""
+    """Decode a compressed image payload via PIL. STUB: the container
+    has no image libraries; gate on PIL and fail loudly rather than
+    fake silently. Formats with stdlib-only decoders need no library:
+    uncompressed BMPs use :func:`decode_bmp`, and the PNG common case
+    (8-bit RGB/RGBA, non-interlaced — round 15) uses
+    :func:`decode_png`; this gate remains for JPEG and the uncommon
+    PNG shapes (palette, 16-bit, interlaced)."""
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:
@@ -824,4 +831,294 @@ def wav_features(
 
     return df.select(id_col, blob_col).mapInPandas(
         batches, WAV_FEATURES_SCHEMA
+    )
+
+
+# --- PNG: real stdlib decode for the common case (round 15) -----------
+#
+# VERDICT r14 #4: PNG is the one PIL-gated format closable with the
+# stdlib alone — zlib (in the stdlib) is the whole compression layer,
+# and the rest is chunk framing plus the five scanline filters, pure
+# arithmetic. The pair below builds and parses the COMMON case: 8-bit
+# RGB/RGBA, non-interlaced, critical chunks IHDR/IDAT/IEND (ancillary
+# chunks skipped by the walk, CRCs verified). Everything else —
+# palette, 16-bit, interlaced, JPEG — stays behind the decode_image
+# PIL gate: loud, never faked. Same discipline that took BMP
+# (encode_bmp/decode_bmp, round 9) and WAV (encode_wav/decode_wav,
+# round 14) real.
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+PNG_DECODE_SCHEMA = (
+    "doc_id long, width int, height int, channels int, pixel_md5 string"
+)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §9.4): the neighbor (left, up,
+    up-left) closest to the linear estimate a + b − c, ties broken
+    left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_predictor(
+    ftype: int, i: int, bpp: int, raw: bytes, prev: bytes
+) -> int:
+    """Predictor byte for position ``i`` of a scanline under filter
+    ``ftype``, given the RECONSTRUCTED current (``raw``, bytes before
+    ``i`` already final) and previous scanlines — the shared half of
+    filtering and unfiltering, so the two directions cannot drift."""
+    a = raw[i - bpp] if i >= bpp else 0
+    b = prev[i]
+    c = prev[i - bpp] if i >= bpp else 0
+    if ftype == 0:
+        return 0
+    if ftype == 1:
+        return a
+    if ftype == 2:
+        return b
+    if ftype == 3:
+        return (a + b) // 2
+    return _paeth(a, b, c)
+
+
+def encode_png(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 3,
+    row_filters: list[int] | None = None,
+) -> bytes:
+    """Serialize raw 8-bit pixel bytes (top-down row-major) as a
+    non-interlaced PNG — color type 2 (RGB, channels=3) or 6 (RGBA,
+    channels=4). ``row_filters`` picks the per-scanline filter type
+    (0-4, default all 0); filters are genuinely APPLIED before
+    compression, so a decoder that mishandles any filter type
+    produces wrong pixels, not just wrong bytes."""
+    import zlib
+
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad dimensions {width}x{height}")
+    if channels not in (3, 4):
+        raise ValueError(f"channels must be 3 (RGB) or 4 (RGBA), got {channels}")
+    row = width * channels
+    if len(pixels) != row * height:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes, want {row * height} "
+            f"for {width}x{height}x{channels}"
+        )
+    filters = row_filters if row_filters is not None else [0] * height
+    if len(filters) != height or not all(0 <= f <= 4 for f in filters):
+        raise ValueError(f"bad row_filters {filters!r}")
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, 2 if channels == 3 else 6, 0, 0, 0
+    )
+    prev = bytes(row)
+    scan = bytearray()
+    for r in range(height):
+        raw = pixels[r * row : (r + 1) * row]
+        f = filters[r]
+        scan.append(f)
+        scan.extend(
+            (raw[i] - _png_predictor(f, i, channels, raw, prev)) & 0xFF
+            for i in range(row)
+        )
+        prev = raw
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
+    """REAL PNG decode for the common case, stdlib only: returns
+    ``(width, height, channels, pixels)`` with pixels top-down
+    row-major, unfiltered. Chunks are WALKED with CRC verification;
+    ancillary chunks (tEXt, gAMA, ...) are skipped, unknown CRITICAL
+    chunks raise. Supported: 8-bit depth, color type 2 (RGB) or 6
+    (RGBA), compression 0, filter method 0, interlace 0 — anything
+    else raises ValueError (the loud-gate discipline; decode_image's
+    PIL gate is the route for palette/16-bit/interlaced). The five
+    scanline filters (None/Sub/Up/Average/Paeth) are all
+    implemented; zlib failures and size mismatches surface as
+    ValueError, the module's single crash class."""
+    import zlib
+
+    if len(blob) < len(PNG_SIG) or blob[: len(PNG_SIG)] != PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = len(PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    seen_end = False
+    while pos < len(blob):
+        if pos + 8 > len(blob):
+            raise ValueError("truncated PNG chunk header")
+        (length,) = struct.unpack_from(">I", blob, pos)
+        ctype = blob[pos + 4 : pos + 8]
+        end = pos + 8 + length
+        if length > 0x7FFFFFFF or end + 4 > len(blob):
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        data = blob[pos + 8 : end]
+        (crc,) = struct.unpack_from(">I", blob, end)
+        if crc != zlib.crc32(ctype + data) & 0xFFFFFFFF:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            if ihdr is not None:
+                raise ValueError("duplicate IHDR")
+            ihdr = data
+        elif ctype == b"IDAT":
+            if ihdr is None:
+                raise ValueError("IDAT before IHDR")
+            idat.extend(data)
+        elif ctype == b"IEND":
+            seen_end = True
+            break
+        elif not ctype[0] & 0x20:
+            # critical bit (uppercase first letter) on a chunk this
+            # decoder doesn't know — mis-rendering is not an option
+            raise ValueError(f"unsupported critical chunk {ctype!r}")
+        pos = end + 4
+    if ihdr is None or not seen_end:
+        raise ValueError("missing IHDR or IEND")
+    if len(ihdr) != 13:
+        raise ValueError(f"bad IHDR length {len(ihdr)}")
+    width, height, depth, color, comp, fmeth, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if width <= 0 or height <= 0 or width > 0x7FFFFFFF:
+        raise ValueError(f"malformed PNG dimensions {width}x{height}")
+    if depth != 8 or color not in (2, 6) or comp or fmeth or interlace:
+        raise ValueError(
+            f"only 8-bit RGB/RGBA non-interlaced PNG is supported "
+            f"(depth={depth}, color={color}, interlace={interlace}); "
+            "decode_image's PIL gate handles the rest"
+        )
+    channels = 3 if color == 2 else 4
+    row = width * channels
+    try:
+        scan = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt IDAT stream: {exc}") from exc
+    if len(scan) != (row + 1) * height:
+        raise ValueError(
+            f"IDAT decodes to {len(scan)} bytes, want {(row + 1) * height}"
+        )
+    out = bytearray()
+    prev = bytes(row)
+    for r in range(height):
+        f = scan[r * (row + 1)]
+        if f > 4:
+            raise ValueError(f"bad scanline filter type {f}")
+        frow = scan[r * (row + 1) + 1 : (r + 1) * (row + 1)]
+        raw = bytearray(row)
+        for i in range(row):
+            raw[i] = (
+                frow[i] + _png_predictor(f, i, channels, raw, prev)
+            ) & 0xFF
+        out.extend(raw)
+        prev = bytes(raw)
+    return width, height, channels, bytes(out)
+
+
+def attach_png_blob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Plant a real decodable PNG per document: ``(id%4+2) ×
+    (id%3+1)`` with ``3 + id%2`` channels (RGB for even ids, RGBA for
+    odd), pixel bytes = the doc's ASCII text truncated/right-padded
+    with ``'x'`` (the attach_bmp_blob contract, same loud ASCII
+    check), and per-scanline filter ``(id + row) % 5`` — so across
+    the corpus every filter type 0-4 is exercised IN the planted
+    bytes, and the oracle's pixel hash certifies the unfilter
+    arithmetic, not just the chunk walk. Arrow-batched 1:1
+    ``mapInPandas``; the blob crosses an Arrow boundary before
+    decoding, so encode and decode never share Python state."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            blobs = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                d = int(doc_id)
+                w, h, ch = d % 4 + 2, d % 3 + 1, 3 + d % 2
+                n = w * h * ch
+                try:
+                    px = (text or "")[:n].ljust(n, "x").encode("ascii")
+                except UnicodeEncodeError as ex:
+                    raise ValueError(
+                        f"attach_png_blob requires ASCII text in the "
+                        f"consumed prefix (doc_id={doc_id}): {ex}"
+                    ) from ex
+                blobs.append(
+                    encode_png(
+                        px, w, h, ch,
+                        [(d + r) % 5 for r in range(h)],
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "blob": pd.Series(blobs, dtype="object"),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        batches, "doc_id long, blob binary"
+    )
+
+
+def decode_png_features(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Decode PNG payloads (``decode_png``) into parsed dimensions,
+    channel count, and the md5 of the decoded top-down pixel bytes —
+    the heavy blob dies at this stage, five narrow columns ride on.
+    Arrow-batched 1:1 ``mapInPandas``; corrupt payloads raise (fail
+    loud; b06 is the quarantine pattern)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids, ws, hs, chs, digests = [], [], [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                data = bytes(blob) if blob is not None else b""
+                w, h, ch, px = decode_png(data)
+                ids.append(int(doc_id))
+                ws.append(w)
+                hs.append(h)
+                chs.append(ch)
+                digests.append(hashlib.md5(px).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "channels": pd.Series(chs, dtype="int32"),
+                    "pixel_md5": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        batches, PNG_DECODE_SCHEMA
     )

@@ -604,3 +604,156 @@ def test_encode_wav_rejects_oversized_payload_with_valueerror():
     # the boundary itself still encodes-by-contract: a len exactly at
     # the limit passes the guard (struct fields fit)
     assert encode_wav(b"", 8000)  # trivially under the limit
+
+
+def test_png_roundtrip_all_filters_and_channels():
+    """decode_png inverts encode_png for every filter type 0-4, both
+    RGB and RGBA, including mixed per-row filters — the arithmetic
+    the mm08 oracle hash rides on."""
+    import os
+
+    from alternating_least_squares_spark.functions.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    px = bytes((i * 37 + 11) % 256 for i in range(4 * 3 * 3))
+    for f in range(5):
+        blob = encode_png(px, 4, 3, 3, [f] * 3)
+        assert decode_png(blob) == (4, 3, 3, px), f
+    rgba = os.urandom(5 * 4 * 4)
+    blob = encode_png(rgba, 5, 4, 4, [4, 3, 2, 1])
+    assert decode_png(blob) == (5, 4, 4, rgba)
+    # ancillary chunks in the walk are skipped (tEXt between IHDR
+    # and IDAT, where real encoders put metadata)
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    sig_ihdr_end = blob.index(b"IDAT") - 4
+    with_text = (
+        blob[:sig_ihdr_end]
+        + chunk(b"tEXt", b"Comment\x00hi")
+        + blob[sig_ihdr_end:]
+    )
+    assert decode_png(with_text) == (5, 4, 4, rgba)
+
+
+def test_png_decoder_fails_loud_on_malformed_containers():
+    """The 955f6ac fuzz discipline for PNG: every malformation class
+    raises ValueError (the module's single crash class) — bad
+    signature, truncated chunks, CRC corruption, unsupported IHDR
+    shapes (palette / 16-bit / interlaced), unknown critical chunks,
+    corrupt or wrong-sized IDAT, bad filter bytes."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from alternating_least_squares_spark.functions.multimodal import (
+        PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    px = bytes(range(2 * 2 * 3))
+    good = encode_png(px, 2, 2, 3, [1, 2])
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    with pytest.raises(ValueError, match="bad signature"):
+        decode_png(b"JUNK" + good[4:])
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        decode_png(good[:-6])
+    # flip one IDAT payload byte -> CRC mismatch, never wrong pixels
+    idat_at = good.index(b"IDAT")
+    corrupt = bytearray(good)
+    corrupt[idat_at + 5] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(corrupt))
+    # unsupported IHDR shapes refuse rather than mis-decode
+    for depth, color, interlace in (
+        (16, 2, 0),   # 16-bit
+        (8, 3, 0),    # palette
+        (8, 0, 0),    # grayscale
+        (8, 2, 1),    # interlaced (Adam7)
+    ):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
+        blob = (
+            PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="only 8-bit RGB/RGBA"):
+            decode_png(blob)
+    # unknown CRITICAL chunk (uppercase first letter) must refuse
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    blob = (
+        PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"CXYZ", b"??")
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported critical chunk"):
+        decode_png(blob)
+    # corrupt deflate stream and wrong decoded size both refuse
+    blob = (
+        PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", b"\xde\xad\xbe\xef")
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="corrupt IDAT"):
+        decode_png(blob)
+    blob = (
+        PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 9))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IDAT decodes to"):
+        decode_png(blob)
+    # filter byte > 4
+    bad_scan = b"\x07" + b"\x00" * 6 + b"\x00" * 7
+    blob = (
+        PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bad_scan))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="bad scanline filter"):
+        decode_png(blob)
+    # missing IEND (walk runs off the end)
+    no_end = PNG_SIG + chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", zlib.compress(b"\x00" * 14)
+    )
+    with pytest.raises(ValueError, match="missing IHDR or IEND"):
+        decode_png(no_end)
+
+
+def test_png_decoder_junk_fuzz_crash_class():
+    """Deterministic junk fuzz: random bytes (seeded) must ALWAYS
+    raise ValueError — never a different exception, never a silent
+    wrong decode."""
+    import random
+
+    import pytest
+
+    from alternating_least_squares_spark.functions.multimodal import (
+        PNG_SIG,
+        decode_png,
+    )
+
+    rng = random.Random(1508)
+    for n in (0, 1, 8, 16, 64, 256):
+        for _ in range(20):
+            blob = bytes(rng.randrange(256) for _ in range(n))
+            with pytest.raises(ValueError):
+                decode_png(blob)
+            with pytest.raises(ValueError):
+                decode_png(PNG_SIG + blob)
