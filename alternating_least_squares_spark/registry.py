@@ -11626,6 +11626,141 @@ def _st14_apply_wave(
     shutil.rmtree(old, ignore_errors=True)
 
 
+ST15_N_LATE = 25  # planted late copies the watermark must drop
+
+
+def _st15_real_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The on-time universe: the real events table with exactly the
+    w05 column contract (ts as micros timestamp), so the streaming
+    aggregate shares SQL_W05 verbatim."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+
+
+def _st15_late_rows(ev: DataFrame, mn) -> DataFrame:
+    """The planted LATE wave: copies of the ST15_N_LATE lowest-id
+    events re-stamped to the corpus's EARLIEST timestamp — their
+    1-hour window closed the moment run 1's watermark advanced, so
+    run 2 must drop every one of them. Offset ids keep them
+    distinguishable in the batch twin."""
+    return ev.orderBy("event_id").limit(ST15_N_LATE).select(
+        (F.col("event_id") + F.lit(1_000_000_000)).alias("event_id"),
+        F.lit(mn).alias("ts"),
+        "event_type",
+        "value",
+    )
+
+
+def q_st15_watermark_late_drop(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermark LATE-DATA semantics, demonstrated rather than merely
+    configured (VERDICT r14 #5 — the one §2.D streaming axis st01 to
+    st14 exercise only implicitly: every prior st entry proves
+    replay == batch under waves where nothing is late; none proves a
+    watermark actually DROPPING an event). Append-mode 1-hour
+    tumbling aggregate (w05's exact arithmetic) over a watermarked
+    file stream, run as two availableNow waves against one
+    checkpoint:
+
+    - wave 1: ALL real events, one micro-batch (watermark starts at
+      0, so nothing real is ever dropped — the wave split is chosen,
+      not incidental). At batch end the checkpoint commits watermark
+      = max(ts) − 1 h, finalizing and EMITTING every window older
+      than that.
+    - wave 2: ST15_N_LATE planted copies of real events re-stamped
+      to the corpus's EARLIEST timestamp (their window is long
+      finalized → the stateful operator's late-row filter discards
+      them) plus one far-future sentinel (max(ts) + 3 h) whose only
+      job is to push the watermark past every real window so the
+      tail windows emit too. The sentinel's own window is never
+      finalized (the watermark never passes it), so it cannot leak
+      into the sink.
+
+    The sink therefore holds EXACTLY the on-time aggregate — which
+    is why this entry shares SQL_W05 verbatim (the st07 shared-
+    oracle pattern): a hash match proves the planted late rows
+    contributed NOTHING. The batch-minus-stream delta (= exactly the
+    late rows' contribution to the earliest window) is pinned by a
+    pytest. A < 3 h corpus time-span would make the proof vacuous —
+    that degenerate regeneration fails loudly here instead.
+
+    Scale: watermark state is O(open windows), not O(events); the
+    late-drop filter runs scan-side before any shuffle, so late
+    stragglers at 100 TB cost a scan predicate, never state growth —
+    which is the entire point of watermarking."""
+    import datetime
+    import os
+    import shutil
+
+    base = _scratch_path(
+        "alternating_ls_st15", sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src, sink, ckpt = (
+        os.path.join(base, d) for d in ("src", "sink", "_ckpt")
+    )
+
+    ev = _st15_real_events(spark, sf_dir)
+    b = ev.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).collect()[0]
+    mn, mx = b["mn"], b["mx"]
+    if mx - mn < datetime.timedelta(hours=3):
+        raise ValueError(
+            f"events span {mx - mn} < 3 h: the late-drop proof would "
+            "be vacuous (regenerated testdata changed shape — rechoose "
+            "the planted timestamps)"
+        )
+    late = _st15_late_rows(ev, mn)
+    sentinel = spark.createDataFrame(
+        [(-1, mx + datetime.timedelta(hours=3), "_sentinel", 0.0)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+
+    def run() -> None:
+        q = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, event_type string, "
+                "value double"
+            )
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(
+                    F.sum(
+                        F.col("value").cast("decimal(38,10)")
+                    ).cast("double"),
+                    6,
+                ).alias("total_value"),
+            )
+            .select(
+                F.unix_micros("w.start").alias("win_start_us"),
+                F.unix_micros("w.end").alias("win_end_us"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    ev.write.mode("append").parquet(src)  # wave 1: every on-time event
+    run()
+    late.unionByName(sentinel).write.mode("append").parquet(src)
+    run()  # wave 2: the late rows are DROPPED, the sentinel flushes
+    return spark.read.parquet(sink)
+
+
+SQL_ST15 = SQL_W05
+
+
 def q_t19_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram conditional-LM scoring — t18's context-aware upgrade
     (the KenLM-shaped filter of CCNet-style curation): docs scored by
@@ -14457,6 +14592,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # st14's ledger after all waves IS the batch draw: bottom-k is a
     # mergeable sketch, so it shares x23's oracle text verbatim
     "st14_stream_weighted_sample": (q_st14_stream_weighted_sample, SQL_X23),
+    "st15_watermark_late_drop": (q_st15_watermark_late_drop, SQL_ST15),
     "t23_span_scrub": (q_t23_span_scrub, SQL_T23),
     "t24_ngram_decontaminate": (q_t24_ngram_decontaminate, SQL_T24),
     # t25's oracle IS t24's text-key SQL: the driver hash certifies
@@ -14569,13 +14705,13 @@ _PREFIX = [
     "j04_asof_forward",
     "j08_scd2_intersect",
     "mm01_media_features",
-    "mm05_resize_nearest",
     # new in round 15 (each displaces one r10-cohort fill slot from
     # the END per the rule above: rc02_node_depth is displaced by
-    # w13, q03_quantile_gate by mm08 — displaced rows LEAD the r16
-    # plan)
+    # w13, q03_quantile_gate by mm08, mm05_resize_nearest by st15 —
+    # displaced rows LEAD the r16 plan)
     "w13_robust_anomaly_gate",
     "mm08_png_decode",
+    "st15_watermark_late_drop",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

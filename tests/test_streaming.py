@@ -810,3 +810,74 @@ def test_st14_ledger_swap_commit_recovers_every_crash_point(
     open(sink + ".tmp/part-partial.parquet", "wb").write(b"junk")
     assert rows(_st14_read_ledger(spark, sink)) == [(1, 7, "aa")]
     shutil.rmtree(sink + ".tmp")
+
+
+def test_st15_late_rows_are_dropped_and_the_delta_is_exactly_them(
+    spark,
+):
+    """VERDICT r14 #5 regression: the watermark must actually DROP
+    the planted late wave. Three-way pin: (1) the streaming sink
+    equals the batch aggregate over the on-time universe alone;
+    (2) the batch aggregate over (on-time + late) differs from the
+    sink ONLY in the earliest window; (3) the dropped row count is
+    exactly ST15_N_LATE."""
+    from alternating_least_squares_spark.registry import (
+        ST15_N_LATE,
+        _st15_late_rows,
+        _st15_real_events,
+        q_st15_watermark_late_drop,
+    )
+    from tests.conftest import SF_SMALL
+
+    def agg(df):
+        return {
+            (r["win_start_us"], r["win_end_us"], r["event_type"]): (
+                r["n_events"], r["total_value"],
+            )
+            for r in df.groupBy(
+                F.window("ts", "1 hour").alias("w"), "event_type"
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(
+                    F.sum(
+                        F.col("value").cast("decimal(38,10)")
+                    ).cast("double"),
+                    6,
+                ).alias("total_value"),
+            )
+            .select(
+                F.unix_micros("w.start").alias("win_start_us"),
+                F.unix_micros("w.end").alias("win_end_us"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+            .collect()
+        }
+
+    got = {
+        (r["win_start_us"], r["win_end_us"], r["event_type"]): (
+            r["n_events"], r["total_value"],
+        )
+        for r in q_st15_watermark_late_drop(spark, SF_SMALL).collect()
+    }
+    ev = _st15_real_events(spark, SF_SMALL)
+    mn = ev.agg(F.min("ts").alias("mn")).collect()[0]["mn"]
+    late = _st15_late_rows(ev, mn)
+
+    batch_on_time = agg(ev)
+    assert got == batch_on_time  # (1) stream == on-time batch
+
+    batch_all = agg(ev.unionByName(late))
+    changed = {
+        k for k in batch_all
+        if batch_all[k] != batch_on_time.get(k)
+    }
+    win_start_of_mn = min(k[0] for k in batch_on_time)
+    assert changed and all(k[0] == win_start_of_mn for k in changed)  # (2)
+    dropped = sum(
+        batch_all[k][0] - batch_on_time.get(k, (0, 0.0))[0]
+        for k in changed
+    )
+    assert dropped == ST15_N_LATE  # (3)
