@@ -2775,40 +2775,14 @@ def _s07_nibble_sql(g: str, p: str) -> str:
     )
 
 
-def q_s07_exact_threshold_join(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """EXACT cosine-threshold join at a REAL 0.95 threshold over
-    REAL-valued (int8-quantized) embeddings — the d12-style proof for
-    the ANN family (the r13 standing caution: the s-ladder's oracles
-    lean on sign-quantized fixtures whose cosines are forced to
-    {1, ≤0.97}, which can mask estimator-quality bugs exactly the way
-    threshold-1.0 Jaccard masked rank-1 MinHash).
-    functions/similarity.exact_cosine_threshold_join has STRUCTURAL
-    recall 1 (angular-triangle-inequality multi-probe over literal
-    centroids; floats appear only in the probe decision where slop
-    can only ADD candidates) and an exact-integer verify, so unlike
-    the LSH entries nothing probabilistic stands between the operator
-    and the oracle — which therefore BRUTE-FORCES all pairs (the d13
-    discipline: the oracle may be quadratic, the operator is not).
-
-    Corpus: the real embeddings quantized by the v03 int8 rule
-    (engine-parity proven since round 7) — its densest pair sits at
-    cosine ≈0.5, so the whole corpus exercises the REJECT side on
-    realistic data. Planted families (vec_id % 10 == 0; the d12
-    discipline) exercise the boundary: md5-nibble base vectors in
-    [1,16]^64 with a one-component-doubled neartwin (cosine ≈0.98,
-    real-valued, norm-asymmetric), a 2× scaled twin (cosine exactly
-    1 at a DIFFERENT norm), and a quarter-masked decoy (cosine
-    ≈0.86 — collides into the family's cell and must be rejected).
-    Output is emit-the-terms: (id_a, id_b, dot, na2, nb2) exact
-    BIGINTs, so the hash certifies every accept/reject decision
-    including boundary algebra, with no float rounding to argue
-    about."""
-    from alternating_least_squares_spark.functions.similarity import (
-        exact_cosine_threshold_join,
-    )
-
+def _s07_allv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared s07/v06 vector universe: the real embeddings
+    int8-quantized by the v03 rule PLUS the planted md5-nibble
+    families (base, one-component-doubled neartwin, 2x-scaled twin,
+    quarter-masked decoy at +1M..+4M id offsets) — the fixture whose
+    known cosines (~0.98 / exactly 1 / ~0.86) exercise both the
+    accept boundary and the reject side. Mirrored verbatim by the
+    ``_SQL_S07_ALLV`` CTE block."""
     emb = load_table(spark, sf_dir, "embeddings")
     xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     mx = F.array_max(F.transform(xd, lambda x: F.abs(x)))
@@ -2867,14 +2841,50 @@ def q_s07_exact_threshold_join(
             lambda p: F.when(p % 4 == g % 4, F.lit(0)).otherwise(nib(p)),
         ),
     )
-    allv = corpus.unionByName(m0).unionByName(m1).unionByName(m2).unionByName(m3)
+    return corpus.unionByName(m0).unionByName(m1).unionByName(m2).unionByName(m3)
+
+
+def q_s07_exact_threshold_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT cosine-threshold join at a REAL 0.95 threshold over
+    REAL-valued (int8-quantized) embeddings — the d12-style proof for
+    the ANN family (the r13 standing caution: the s-ladder's oracles
+    lean on sign-quantized fixtures whose cosines are forced to
+    {1, ≤0.97}, which can mask estimator-quality bugs exactly the way
+    threshold-1.0 Jaccard masked rank-1 MinHash).
+    functions/similarity.exact_cosine_threshold_join has STRUCTURAL
+    recall 1 (angular-triangle-inequality multi-probe over literal
+    centroids; floats appear only in the probe decision where slop
+    can only ADD candidates) and an exact-integer verify, so unlike
+    the LSH entries nothing probabilistic stands between the operator
+    and the oracle — which therefore BRUTE-FORCES all pairs (the d13
+    discipline: the oracle may be quadratic, the operator is not).
+
+    Corpus: the real embeddings quantized by the v03 int8 rule
+    (engine-parity proven since round 7) — its densest pair sits at
+    cosine ≈0.5, so the whole corpus exercises the REJECT side on
+    realistic data. Planted families (vec_id % 10 == 0; the d12
+    discipline) exercise the boundary: md5-nibble base vectors in
+    [1,16]^64 with a one-component-doubled neartwin (cosine ≈0.98,
+    real-valued, norm-asymmetric), a 2× scaled twin (cosine exactly
+    1 at a DIFFERENT norm), and a quarter-masked decoy (cosine
+    ≈0.86 — collides into the family's cell and must be rejected).
+    Output is emit-the-terms: (id_a, id_b, dot, na2, nb2) exact
+    BIGINTs, so the hash certifies every accept/reject decision
+    including boundary algebra, with no float rounding to argue
+    about."""
+    from alternating_least_squares_spark.functions.similarity import (
+        exact_cosine_threshold_join,
+    )
+
+    allv = _s07_allv(spark, sf_dir)
     return exact_cosine_threshold_join(
         allv, S07_T_NUM, S07_T_DEN, n_centroids=16
     )
 
 
-SQL_S07 = f"""
-WITH mxt AS (
+_SQL_S07_ALLV = f"""mxt AS (
   SELECT vec_id,
          list_max(list_transform(embedding,
            x -> abs(CAST(x AS DOUBLE)))) AS mx
@@ -2910,7 +2920,10 @@ members AS (
 ),
 allv AS (
   SELECT * FROM corpus UNION ALL SELECT * FROM members
-),
+)"""
+
+SQL_S07 = f"""
+WITH {_SQL_S07_ALLV},
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot,
@@ -2923,6 +2936,123 @@ FROM pairs
 WHERE na2 > 0 AND nb2 > 0 AND dot > 0
   AND CAST(dot AS HUGEINT) * dot * {S07_T_DEN * S07_T_DEN}
       >= CAST({S07_T_NUM * S07_T_NUM} AS HUGEINT) * na2 * nb2
+"""
+
+
+V06_K = 1          # neighbors kept per vector
+V06_T_NUM, V06_T_DEN = 9, 10  # edge admission threshold: cosine >= 0.9
+
+
+def q_v06_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed k-NN GRAPH construction over embeddings (VERDICT r14
+    #6 — the similarity-graph primitive connecting the ANN family to
+    the graph family: components/LPA over a k-NN graph is the
+    standard semantic-cluster recipe next to sm01): for each vector,
+    the ``V06_K`` most-cosine-similar neighbors among pairs at
+    cosine ≥ 0.9, emitted as ``(src, dst, dot, ns2, nd2)`` edges in
+    exact integer terms. Candidates come from
+    ``exact_cosine_threshold_join`` (s07's angular multi-probe —
+    structural recall 1, cell-keyed equi-joins, NEVER all-pairs), so
+    the per-src top-k is selected from the COMPLETE ≥ t candidate
+    set, making the graph exact, not probabilistic.
+
+    The ranking is the load-bearing part and uses NO float sort key:
+    candidate d1 beats d2 for the same src iff
+    ``dot1²·nd2_2 > dot2²·nd2_1`` (the shared ns2 cancels; both dots
+    are > 0 at t > 0), cross-multiplied in DECIMAL(38,0) with ties
+    broken by dst id — a total order both engines state identically,
+    computed as a bounded same-src "beats" equi-join (candidates per
+    src are the ≥ 0.9 near-neighbors — few, by the near-dup regime).
+    The s07 planted families make the selection evidential: a base
+    vector sees its 2×-scaled twin at cosine EXACTLY 1 and its
+    neartwin at ≈0.98 → top-1 picks the twin; the neartwin sees base
+    and scaled at IDENTICAL cosines (scaled = 2·base) → the dst-id
+    tie-break decides, deterministically on both engines.
+
+    Scale: candidate generation is the s07 cell-keyed shape; the
+    ranking join is keyed on src and touches only admitted
+    candidate pairs (O(Σ deg²) with deg bounded by the threshold
+    regime, never corpus²); output is k rows per node."""
+    from alternating_least_squares_spark.functions.similarity import (
+        exact_cosine_threshold_join,
+    )
+
+    allv = _s07_allv(spark, sf_dir)
+    pairs = exact_cosine_threshold_join(
+        allv, V06_T_NUM, V06_T_DEN, n_centroids=16
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("src"),
+        F.col("id_b").alias("dst"),
+        "dot",
+        F.col("na2").alias("ns2"),
+        F.col("nb2").alias("nd2"),
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("src"),
+            F.col("id_a").alias("dst"),
+            "dot",
+            F.col("nb2").alias("ns2"),
+            F.col("na2").alias("nd2"),
+        )
+    )
+    dec = "decimal(38,0)"
+    a_dot, b_dot = F.col("a.dot").cast(dec), F.col("b.dot").cast(dec)
+    a_score = a_dot * a_dot * F.col("b.nd2").cast(dec)
+    b_score = b_dot * b_dot * F.col("a.nd2").cast(dec)
+    beats = (b_score > a_score) | (
+        (b_score == a_score) & (F.col("b.dst") < F.col("a.dst"))
+    )
+    better = (
+        sym.alias("a")
+        .join(
+            sym.alias("b"),
+            (F.col("a.src") == F.col("b.src")) & beats,
+        )
+        .groupBy(F.col("a.src").alias("src"), F.col("a.dst").alias("dst"))
+        .agg(F.count("*").alias("n_better"))
+    )
+    return (
+        sym.join(better, ["src", "dst"], "left")
+        .filter(F.coalesce(F.col("n_better"), F.lit(0)) < V06_K)
+        .select("src", "dst", "dot", "ns2", "nd2")
+    )
+
+
+SQL_V06 = f"""
+WITH {_SQL_S07_ALLV},
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot,
+         CAST(list_dot_product(a.q, a.q) AS BIGINT) AS na2,
+         CAST(list_dot_product(b.q, b.q) AS BIGINT) AS nb2
+  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+),
+adm AS (
+  SELECT id_a, id_b, dot, na2, nb2
+  FROM pairs
+  WHERE na2 > 0 AND nb2 > 0 AND dot > 0
+    AND CAST(dot AS HUGEINT) * dot * {V06_T_DEN * V06_T_DEN}
+        >= CAST({V06_T_NUM * V06_T_NUM} AS HUGEINT) * na2 * nb2
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst, dot, na2 AS ns2, nb2 AS nd2 FROM adm
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst, dot, nb2 AS ns2, na2 AS nd2 FROM adm
+),
+cnt AS (
+  SELECT a.src, a.dst, count(*) AS n_better
+  FROM sym a JOIN sym b ON a.src = b.src AND (
+    CAST(b.dot AS HUGEINT) * b.dot * a.nd2
+      > CAST(a.dot AS HUGEINT) * a.dot * b.nd2
+    OR (CAST(b.dot AS HUGEINT) * b.dot * a.nd2
+          = CAST(a.dot AS HUGEINT) * a.dot * b.nd2
+        AND b.dst < a.dst))
+  GROUP BY 1, 2
+)
+SELECT s.src, s.dst, s.dot, s.ns2, s.nd2
+FROM sym s LEFT JOIN cnt c ON s.src = c.src AND s.dst = c.dst
+WHERE coalesce(c.n_better, 0) < {V06_K}
 """
 
 
@@ -14403,6 +14533,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # raw integer dot — the hash match IS the proof the Shrivastava-Li
     # MIPS reduction preserves ranking exactly
     "v05_mips_topk": (q_v05_mips_topk, SQL_V05),
+    "v06_knn_graph": (q_v06_knn_graph, SQL_V06),
     "e01_hourly_value": (q_e01_hourly_value, SQL_E01),
     "e02_json_extract": (q_e02_json_extract, SQL_E02),
     "e03_sessionize": (q_e03_sessionize, SQL_E03),
@@ -14704,14 +14835,14 @@ _PREFIX = [
     "h22_market_share",
     "j04_asof_forward",
     "j08_scd2_intersect",
-    "mm01_media_features",
     # new in round 15 (each displaces one r10-cohort fill slot from
     # the END per the rule above: rc02_node_depth is displaced by
-    # w13, q03_quantile_gate by mm08, mm05_resize_nearest by st15 —
-    # displaced rows LEAD the r16 plan)
+    # w13, q03_quantile_gate by mm08, mm05_resize_nearest by st15,
+    # mm01_media_features by v06 — displaced rows LEAD the r16 plan)
     "w13_robust_anomaly_gate",
     "mm08_png_decode",
     "st15_watermark_late_drop",
+    "v06_knn_graph",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))
