@@ -2977,10 +2977,19 @@ def q_v06_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_cosine_threshold_join,
     )
 
+    from alternating_least_squares_spark.checkpoint import (
+        local_checkpoint_owned,
+    )
+
     allv = _s07_allv(spark, sf_dir)
     pairs = exact_cosine_threshold_join(
         allv, V06_T_NUM, V06_T_DEN, n_centroids=16
     )
+    # the admitted pair set is tiny (near-dup regime) but its DAG is
+    # the whole multi-probe join: symmetrize + the beats join would
+    # otherwise re-execute it 4x (union of two reads, then self-join
+    # of that) — checkpoint once, everything downstream reads k rows
+    pairs, _ = local_checkpoint_owned(pairs)
     sym = pairs.select(
         F.col("id_a").alias("src"),
         F.col("id_b").alias("dst"),
