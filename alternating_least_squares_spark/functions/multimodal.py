@@ -327,52 +327,83 @@ def decode_bmp(blob: bytes) -> tuple[int, int, bytes]:
     return width, h, b"".join(rows)
 
 
+def _ascii_pixels(doc_id: int, text, n: int, what: str) -> bytes:
+    """The shared text→pixel-buffer contract of the planted image
+    formats: the doc's text truncated/right-padded with ``'x'`` to
+    exactly ``n`` bytes, ASCII-enforced LOUDLY (the oracle restates
+    pixels with char-based substring+rpad, which only equals byte
+    arithmetic on ASCII — ADVICE r9)."""
+    try:
+        return (text or "")[:n].ljust(n, "x").encode("ascii")
+    except UnicodeEncodeError as ex:
+        raise ValueError(
+            f"{what} requires ASCII text in the "
+            f"consumed prefix (doc_id={doc_id}): {ex}; the "
+            "oracle restates pixels with char-based "
+            "substring+rpad, which only equals byte "
+            "arithmetic on ASCII"
+        ) from ex
+
+
+def _attach_blob_1to1(
+    docs: DataFrame,
+    build,
+    *,
+    id_col: str = "doc_id",
+    value_col: str | None = None,
+    out_col: str = "blob",
+) -> DataFrame:
+    """Shared Arrow-batched 1:1 payload-planting scaffold (review
+    r15: the BMP/WAV/PCM/PNG attach functions were four verbatim
+    copies of this loop — a fix to the shared contract had to land
+    in four places). ``build(doc_id, value)`` produces the payload
+    bytes per row (``value`` is the ``value_col`` cell, the id
+    itself by default); the blob then crosses an Arrow boundary
+    before any decode, so encode and decode never share Python
+    process state."""
+    value_col = value_col or id_col
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            blobs = [
+                build(int(d), v)
+                for d, v in zip(pdf[id_col], pdf[value_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    out_col: pd.Series(blobs, dtype="object"),
+                }
+            )
+
+    cols = [id_col] if value_col == id_col else [id_col, value_col]
+    return docs.select(*cols).mapInPandas(
+        batches, f"doc_id long, {out_col} binary"
+    )
+
+
+
 def attach_bmp_blob(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Plant a real decodable image per document: a ``(id%4+2) ×
     (id%3+1)`` 24-bit BMP whose pixel bytes are the doc's text
     truncated/right-padded with ``'x'`` to exactly fill the frame
-    (testdata text is ASCII, so the DuckDB oracle can restate the
-    pixel buffer with substring+rpad — and that contract is CHECKED,
-    not assumed: the consumed prefix is encoded with the ``ascii``
-    codec, so a regenerated testdata file carrying non-ASCII text
-    fails loudly here instead of overflowing the pixel buffer or
-    silently diverging from the oracle's char-based substring
-    arithmetic; ADVICE r9). Arrow-batched 1:1
-    ``mapInPandas`` emitting a true ``binary`` column — the content
-    then crosses an Arrow boundary again before decoding, so
-    encode and decode never share a Python process state."""
+    (the ``_ascii_pixels`` contract — ASCII enforced loudly so a
+    regenerated testdata file carrying non-ASCII text fails here
+    instead of silently diverging from the oracle's char-based
+    substring arithmetic; ADVICE r9). Arrow-batched 1:1
+    ``mapInPandas`` via the shared ``_attach_blob_1to1`` scaffold."""
 
-    def batches(it: Iterator) -> Iterator:
-        import pandas as pd
+    def build(d: int, text) -> bytes:
+        w, h = d % 4 + 2, d % 3 + 1
+        px = _ascii_pixels(d, text, w * h * 3, "attach_bmp_blob")
+        return encode_bmp(px, w, h)
 
-        for pdf in it:
-            blobs = []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                w = int(doc_id) % 4 + 2
-                h = int(doc_id) % 3 + 1
-                n = w * h * 3
-                try:
-                    px = (text or "")[:n].ljust(n, "x").encode("ascii")
-                except UnicodeEncodeError as ex:
-                    raise ValueError(
-                        f"attach_bmp_blob requires ASCII text in the "
-                        f"consumed prefix (doc_id={doc_id}): {ex}; the "
-                        "oracle restates pixels with char-based "
-                        "substring+rpad, which only equals byte "
-                        "arithmetic on ASCII"
-                    ) from ex
-                blobs.append(encode_bmp(px, w, h))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col].astype("int64"),
-                    "blob": pd.Series(blobs, dtype="object"),
-                }
-            )
-
-    return docs.select(id_col, text_col).mapInPandas(
-        batches, "doc_id long, blob binary"
+    return _attach_blob_1to1(
+        docs, build, id_col=id_col, value_col=text_col
     )
 
 
@@ -554,28 +585,16 @@ def attach_pcm_blob(
 ) -> DataFrame:
     """Plant a real decodable audio payload per document: the
     :func:`pcm_samples` waveform packed as raw little-endian int16
-    PCM (a WAV file's data chunk, minus the RIFF header). Arrow-
-    batched 1:1 ``mapInPandas`` emitting a true ``binary`` column;
+    PCM (a WAV file's data chunk, minus the RIFF header).
+    Arrow-batched 1:1 via the shared ``_attach_blob_1to1`` scaffold;
     the content crosses an Arrow boundary again before decoding, so
-    encode and decode never share Python process state (the
-    attach_bmp_blob discipline)."""
+    encode and decode never share Python process state."""
 
-    def batches(it: Iterator) -> Iterator:
-        import pandas as pd
+    def build(d: int, _v) -> bytes:
+        s = pcm_samples(d)
+        return struct.pack(f"<{len(s)}h", *s)
 
-        for pdf in it:
-            blobs = [
-                struct.pack(f"<{len(s)}h", *s)
-                for s in (pcm_samples(int(d)) for d in pdf[id_col])
-            ]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col].astype("int64"),
-                    "pcm": pd.Series(blobs, dtype="object"),
-                }
-            )
-
-    return docs.select(id_col).mapInPandas(batches, "doc_id long, pcm binary")
+    return _attach_blob_1to1(docs, build, id_col=id_col, out_col="pcm")
 
 
 def pcm_frame_features(
@@ -750,36 +769,19 @@ def attach_wav_blob(
 ) -> DataFrame:
     """Plant a real WAV file per document: the :func:`pcm_samples`
     waveform at a seed-derived sample rate (``8000 · (1 + seed%3)``)
-    through :func:`encode_wav`. Arrow-batched 1:1 mapInPandas (the
-    attach_bmp_blob discipline). ``seed_col`` (default: the id
+    through :func:`encode_wav`. Arrow-batched 1:1 via the shared
+    ``_attach_blob_1to1`` scaffold. ``seed_col`` (default: the id
     column itself) drives the waveform — two rows sharing a seed get
     byte-identical WAVs, which is how p05 plants exact-dup twins."""
-    seed_col = seed_col or id_col
 
-    def batches(it: Iterator) -> Iterator:
-        import pandas as pd
+    def build(_d: int, seed) -> bytes:
+        s = pcm_samples(int(seed))
+        return encode_wav(
+            struct.pack(f"<{len(s)}h", *s), 8000 * (1 + int(seed) % 3)
+        )
 
-        for pdf in it:
-            blobs = []
-            for d in pdf[seed_col]:
-                d = int(d)
-                s = pcm_samples(d)
-                blobs.append(
-                    encode_wav(
-                        struct.pack(f"<{len(s)}h", *s),
-                        8000 * (1 + d % 3),
-                    )
-                )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col].astype("int64"),
-                    "wav": pd.Series(blobs, dtype="object"),
-                }
-            )
-
-    cols = [id_col] if seed_col == id_col else [id_col, seed_col]
-    return docs.select(*cols).mapInPandas(
-        batches, "doc_id long, wav binary"
+    return _attach_blob_1to1(
+        docs, build, id_col=id_col, value_col=seed_col, out_col="wav"
     )
 
 
@@ -1044,46 +1046,19 @@ def attach_png_blob(
 ) -> DataFrame:
     """Plant a real decodable PNG per document: ``(id%4+2) ×
     (id%3+1)`` with ``3 + id%2`` channels (RGB for even ids, RGBA for
-    odd), pixel bytes = the doc's ASCII text truncated/right-padded
-    with ``'x'`` (the attach_bmp_blob contract, same loud ASCII
-    check), and per-scanline filter ``(id + row) % 5`` — so across
-    the corpus every filter type 0-4 is exercised IN the planted
-    bytes, and the oracle's pixel hash certifies the unfilter
-    arithmetic, not just the chunk walk. Arrow-batched 1:1
-    ``mapInPandas``; the blob crosses an Arrow boundary before
-    decoding, so encode and decode never share Python state."""
+    odd), pixel bytes from the shared ``_ascii_pixels`` contract, and
+    per-scanline filter ``(id + row) % 5`` — so across the corpus
+    every filter type 0-4 is exercised IN the planted bytes, and the
+    oracle's pixel hash certifies the unfilter arithmetic, not just
+    the chunk walk. Arrow-batched 1:1 via ``_attach_blob_1to1``."""
 
-    def batches(it: Iterator) -> Iterator:
-        import pandas as pd
+    def build(d: int, text) -> bytes:
+        w, h, ch = d % 4 + 2, d % 3 + 1, 3 + d % 2
+        px = _ascii_pixels(d, text, w * h * ch, "attach_png_blob")
+        return encode_png(px, w, h, ch, [(d + r) % 5 for r in range(h)])
 
-        for pdf in it:
-            blobs = []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                d = int(doc_id)
-                w, h, ch = d % 4 + 2, d % 3 + 1, 3 + d % 2
-                n = w * h * ch
-                try:
-                    px = (text or "")[:n].ljust(n, "x").encode("ascii")
-                except UnicodeEncodeError as ex:
-                    raise ValueError(
-                        f"attach_png_blob requires ASCII text in the "
-                        f"consumed prefix (doc_id={doc_id}): {ex}"
-                    ) from ex
-                blobs.append(
-                    encode_png(
-                        px, w, h, ch,
-                        [(d + r) % 5 for r in range(h)],
-                    )
-                )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col].astype("int64"),
-                    "blob": pd.Series(blobs, dtype="object"),
-                }
-            )
-
-    return docs.select(id_col, text_col).mapInPandas(
-        batches, "doc_id long, blob binary"
+    return _attach_blob_1to1(
+        docs, build, id_col=id_col, value_col=text_col
     )
 
 

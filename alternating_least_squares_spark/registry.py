@@ -2979,17 +2979,26 @@ def q_v06_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from alternating_least_squares_spark.checkpoint import (
         local_checkpoint_owned,
+        release_local_checkpoint,
     )
 
     allv = _s07_allv(spark, sf_dir)
+    owned_base: list[int] = []
     pairs = exact_cosine_threshold_join(
-        allv, V06_T_NUM, V06_T_DEN, n_centroids=16
+        allv, V06_T_NUM, V06_T_DEN, n_centroids=16,
+        owned_out=owned_base,
     )
     # the admitted pair set is tiny (near-dup regime) but its DAG is
     # the whole multi-probe join: symmetrize + the beats join would
     # otherwise re-execute it 4x (union of two reads, then self-join
-    # of that) — checkpoint once, everything downstream reads k rows
+    # of that) — checkpoint once, everything downstream reads k rows.
+    # The eager checkpoint also materializes the join, so the
+    # CORPUS-sized base checkpoint inside exact_cosine_threshold_join
+    # is no longer read and is released HERE (the d13 rotation
+    # discipline) instead of staying pinned for the session; only the
+    # k-row pair checkpoint survives the call (review r15).
     pairs, _ = local_checkpoint_owned(pairs)
+    release_local_checkpoint(pairs, set(owned_base))
     sym = pairs.select(
         F.col("id_a").alias("src"),
         F.col("id_b").alias("dst"),
@@ -11856,7 +11865,7 @@ def q_st15_watermark_late_drop(
         "event_id long, ts timestamp, event_type string, value double",
     )
 
-    def run() -> None:
+    def run() -> int:
         q = (
             spark.readStream.schema(
                 "event_id long, ts timestamp, event_type string, "
@@ -11889,11 +11898,36 @@ def q_st15_watermark_late_drop(
             .start()
         )
         q.awaitTermination()
+        return sum(
+            1 for p in q.recentProgress if p["numInputRows"] > 0
+        )
 
-    ev.write.mode("append").parquet(src)  # wave 1: every on-time event
-    run()
-    late.unionByName(sentinel).write.mode("append").parquet(src)
-    run()  # wave 2: the late rows are DROPPED, the sentinel flushes
+    # The proof depends on two streaming confs the session could
+    # override, so they are FORCED and restored (the x18/x20/x24
+    # conf discipline): no-data micro-batches must be ON (tail
+    # windows finalized by a wave's LAST data batch only emit in the
+    # trailing no-data batch — disabled, the sink would silently
+    # miss them), and wave 1 must land in ONE micro-batch (watermark
+    # starts at 0 only for the first batch; a maxFilesPerTrigger
+    # split would let batch 1 advance the watermark over batch 2's
+    # real events). The single-batch claim is additionally ASSERTED
+    # from query progress, loud on violation.
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    saved = spark.conf.get(nodata_key)
+    try:
+        spark.conf.set(nodata_key, "true")
+        ev.write.mode("append").parquet(src)  # wave 1: all on-time
+        n1 = run()
+        if n1 != 1:
+            raise ValueError(
+                f"wave 1 ran as {n1} data micro-batches, not 1: the "
+                "nothing-real-is-dropped premise no longer holds "
+                "(a maxFilesPerTrigger-style source option is set?)"
+            )
+        late.unionByName(sentinel).write.mode("append").parquet(src)
+        run()  # wave 2: the late rows are DROPPED, the sentinel flushes
+    finally:
+        spark.conf.set(nodata_key, saved)
     return spark.read.parquet(sink)
 
 
@@ -12465,7 +12499,7 @@ def q_w09_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the subset rule)."""
     ev = (
         load_table(spark, sf_dir, "events")
-        .filter(~F.isnan("value"))
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
         .select(
             "user_id",
             "event_id",
@@ -12506,7 +12540,7 @@ WITH ev AS (
          CAST(floor(value * 1000000) AS BIGINT) AS y,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY epoch_ns(ts), event_id) AS x
-  FROM events WHERE NOT isnan(value)
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
 ),
 s AS (
   SELECT user_id, event_id,
@@ -12550,7 +12584,7 @@ def q_w10_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond the 8-element array."""
     ev = (
         load_table(spark, sf_dir, "events")
-        .filter(~F.isnan("value"))
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
         .select(
             "user_id",
             "event_id",
@@ -12579,7 +12613,7 @@ WITH ev AS (
   SELECT user_id, event_id,
          epoch_ns(ts) AS ts_ns,
          CAST(floor(value * 1000000) AS BIGINT) AS y
-  FROM events WHERE NOT isnan(value)
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
 ),
 s AS (
   SELECT user_id, event_id,
@@ -12623,7 +12657,7 @@ def q_w11_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     w-family op."""
     ev = (
         load_table(spark, sf_dir, "events")
-        .filter(~F.isnan("value"))
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
         .select(
             "user_id",
             "event_id",
@@ -12669,7 +12703,7 @@ WITH ev AS (
   SELECT user_id, event_id,
          epoch_ns(ts) AS ts_ns,
          CAST(floor(value * 1000000) AS BIGINT) AS y
-  FROM events WHERE NOT isnan(value)
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
 ),
 s AS (
   SELECT user_id, event_id,
@@ -12730,7 +12764,7 @@ def q_w13_robust_anomaly_gate(
     zero shuffles to the (median, MAD) pair it composes."""
     ev = (
         load_table(spark, sf_dir, "events")
-        .filter(~F.isnan("value"))
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
         .select(
             "user_id",
             "event_id",
@@ -12784,7 +12818,7 @@ WITH ev AS (
   SELECT user_id, event_id,
          epoch_ns(ts) AS ts_ns,
          CAST(floor(value * 1000000) AS BIGINT) AS y
-  FROM events WHERE NOT isnan(value)
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
 ),
 s AS (
   SELECT user_id, event_id, y,
