@@ -3037,9 +3037,7 @@ def q_v06_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_V06 = f"""
-WITH {_SQL_S07_ALLV},
-pairs AS (
+_SQL_V06_KNN_CTES = f"""pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot,
          CAST(list_dot_product(a.q, a.q) AS BIGINT) AS na2,
@@ -3067,11 +3065,118 @@ cnt AS (
           = CAST(a.dot AS HUGEINT) * a.dot * b.nd2
         AND b.dst < a.dst))
   GROUP BY 1, 2
-)
+)"""
+
+SQL_V06 = f"""
+WITH {_SQL_S07_ALLV},
+{_SQL_V06_KNN_CTES}
 SELECT s.src, s.dst, s.dot, s.ns2, s.nd2
 FROM sym s LEFT JOIN cnt c ON s.src = c.src AND s.dst = c.dst
 WHERE coalesce(c.n_better, 0) < {V06_K}
 """
+
+
+V07_ROUNDS = 4  # hash-min rounds; measured k-NN graph depth is 2 at
+                # sf0.001/sf0.01/sf0.1 (family cliques + short chains)
+                # -- 2x headroom, fixpoint pinned by pytest
+
+
+def q_v07_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering over the k-NN graph — the composition v06
+    exists for (its docstring names it: components over a k-NN graph
+    is the standard semantic-cluster recipe next to sm01, the
+    SemDeDup / semantic-dedup shape: cluster, then keep one per
+    cluster or sample within): hash-min connected components
+    (operators/graph.components_fixed, exactly V07_ROUNDS rounds —
+    the gr08 fixed-sweep discipline) over v06's exact top-k edge
+    set, read undirected. Every vector with a nonzero norm appears:
+    isolated vectors (no ≥ 0.9 neighbor) are singleton clusters
+    labeled with their own id, so the output is a TOTAL clustering
+    of the corpus, ``(vec_id, cluster)`` with cluster = the minimum
+    vec_id reachable — the planted families collapse onto their base
+    member's +1M id unless a cross-family bridge (all-positive
+    nibble vectors genuinely produce a few at 0.9) merges further
+    down. The oracle restates the WHOLE composition: the shared allv
+    fixture, the brute-force ≥ t pair set, the exact beats-join
+    top-k, and the unrolled hash-min rounds — so the driver hash
+    certifies candidate generation, ranking, and label propagation
+    in one check. Scale: v06's cell-keyed shape feeds edges of k
+    rows/node; components is the Pregel-as-DataFrames loop (one
+    vertex-keyed join + one groupBy-min per round, rounds = cluster
+    diameter — tiny for near-dup almost-cliques); the node fill is
+    one left join."""
+    from alternating_least_squares_spark.functions.similarity import (
+        int_vec_dot,
+    )
+    from alternating_least_squares_spark.operators.graph import (
+        components_fixed,
+    )
+
+    knn = q_v06_knn_graph(spark, sf_dir)
+    edges = knn.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    labels = components_fixed(edges, rounds=V07_ROUNDS)
+    qlong = F.transform(F.col("q"), lambda x: x.cast("long"))
+    nodes = (
+        _s07_allv(spark, sf_dir)
+        .select("vec_id", int_vec_dot(qlong, qlong).alias("_n2"))
+        .filter(F.col("_n2") > 0)
+        .select("vec_id")
+    )
+    return nodes.join(
+        labels, nodes.vec_id == labels.vertex, "left"
+    ).select(
+        "vec_id",
+        F.coalesce(F.col("component"), F.col("vec_id")).alias("cluster"),
+    )
+
+
+def _v07_oracle(rounds: int) -> str:
+    """Unrolled hash-min over the v06 k-NN edge set (the gr08
+    materialization lesson: l{r} references l{r-1} twice, so plain
+    CTEs inline exponentially), with singleton fill from the
+    nonzero-norm node universe."""
+    parts = [
+        "WITH " + _SQL_S07_ALLV.split("WITH ", 1)[-1]
+        if _SQL_S07_ALLV.startswith("WITH ")
+        else "WITH " + _SQL_S07_ALLV,
+        ",",
+        _SQL_V06_KNN_CTES,
+        f""",
+knn AS MATERIALIZED (
+  SELECT s.src, s.dst
+  FROM sym s LEFT JOIN cnt c ON s.src = c.src AND s.dst = c.dst
+  WHERE coalesce(c.n_better, 0) < {V06_K}
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT src AS a, dst AS b FROM (
+    SELECT src, dst FROM knn UNION ALL SELECT dst, src FROM knn
+  )
+),
+l0 AS MATERIALIZED (SELECT DISTINCT a AS v, a AS c FROM e)""",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""", l{r} AS MATERIALIZED (
+  SELECT v, min(c) AS c FROM (
+    SELECT v, c FROM l{p}
+    UNION ALL
+    SELECT e.b AS v, l{p}.c FROM e JOIN l{p} ON e.a = l{p}.v
+  ) GROUP BY 1
+)"""
+        )
+    parts.append(
+        f""", nodes AS (
+  SELECT vec_id FROM allv WHERE list_dot_product(q, q) > 0
+)
+SELECT n.vec_id,
+       CAST(coalesce(l.c, n.vec_id) AS BIGINT) AS cluster
+FROM nodes n LEFT JOIN l{rounds} l ON n.vec_id = l.v"""
+    )
+    return "\n".join(parts)
+
+
+SQL_V07 = _v07_oracle(V07_ROUNDS)
 
 
 def q_m01_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -14577,6 +14682,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # MIPS reduction preserves ranking exactly
     "v05_mips_topk": (q_v05_mips_topk, SQL_V05),
     "v06_knn_graph": (q_v06_knn_graph, SQL_V06),
+    "v07_semantic_clusters": (q_v07_semantic_clusters, SQL_V07),
     "e01_hourly_value": (q_e01_hourly_value, SQL_E01),
     "e02_json_extract": (q_e02_json_extract, SQL_E02),
     "e03_sessionize": (q_e03_sessionize, SQL_E03),
@@ -14908,15 +15014,16 @@ _PREFIX = [
     "h20_forecast_revenue",
     "h22_market_share",
     "j04_asof_forward",
-    "j08_scd2_intersect",
     # new in round 15 (each displaces one r10-cohort fill slot from
     # the END per the rule above: rc02_node_depth is displaced by
     # w13, q03_quantile_gate by mm08, mm05_resize_nearest by st15,
-    # mm01_media_features by v06 — displaced rows LEAD the r16 plan)
+    # mm01_media_features by v06, j08_scd2_intersect by v07 —
+    # displaced rows LEAD the r16 plan)
     "w13_robust_anomaly_gate",
     "mm08_png_decode",
     "st15_watermark_late_drop",
     "v06_knn_graph",
+    "v07_semantic_clusters",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

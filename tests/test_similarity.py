@@ -487,3 +487,45 @@ def test_v06_ranking_matches_brute_force_python_replay(spark):
         for dst, dot in lst[: registry.V06_K]:
             want[(src, dst)] = (dot, n2[src], n2[dst])
     assert got == want
+
+
+def test_v07_clusters_match_fixpoint_replay_and_families_cohere(spark):
+    """v07 vs a Python hash-min run to FIXPOINT over the collected
+    v06 edges (plus singleton fill): exact match proves V07_ROUNDS
+    >= the live graph diameter (the gr08 fixed-sweep pin) AND the
+    whole composition. Every planted family's three core members
+    share one cluster; total coverage equals the nonzero-norm
+    universe."""
+    from alternating_least_squares_spark import registry
+
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in registry.q_v07_semantic_clusters(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    edges = set()
+    for r in registry.q_v06_knn_graph(
+        spark, "/root/testdata/sf0.001"
+    ).collect():
+        edges.add((r["src"], r["dst"]))
+        edges.add((r["dst"], r["src"]))
+    lab = {v: v for e in edges for v in e}
+    depth = 0
+    while True:
+        new = dict(lab)
+        for a, b in edges:
+            if lab[a] < new[b]:
+                new[b] = lab[a]
+        if new == lab:
+            break
+        lab, depth = new, depth + 1
+    assert depth <= registry.V07_ROUNDS  # fixed sweep covers fixpoint
+    allv = registry._s07_allv(spark, "/root/testdata/sf0.001").collect()
+    nodes = {r["vec_id"] for r in allv if any(x for x in r["q"])}
+    want = {v: lab.get(v, v) for v in nodes}
+    assert got == want
+    for gidx in range(0, 500, 10):
+        m0, m1, m2 = (gidx + o for o in
+                      (1_000_000, 2_000_000, 3_000_000))
+        assert got[m0] == got[m1] == got[m2]  # the family coheres
