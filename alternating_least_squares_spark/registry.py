@@ -14930,18 +14930,19 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # so the rotation catches up.
 # R16 PREFIX PLAN (write-ahead, VERDICT r14 #8; computed from the
 # CORRECTNESS_r01..r14 union with this round's FINAL prefix marked
-# r15 — i.e. AFTER the four new r15 entries (w13, mm08, st15, v06)
-# displaced rc02_node_depth, q03_quantile_gate, mm05_resize_nearest,
-# and mm01_media_features from the r10 fill): oldest-first by
-# (round, name). LEAD with the 18 remaining r10-stale rows —
+# r15 — i.e. AFTER the five new r15 entries (w13, mm08, st15, v06,
+# v07) displaced rc02_node_depth, q03_quantile_gate,
+# mm05_resize_nearest, mm01_media_features, and j08_scd2_intersect
+# from the r10 fill): oldest-first by (round, name). LEAD with the
+# 19 remaining r10-stale rows — j08_scd2_intersect,
 # mm01_media_features, mm05_resize_nearest, q03_quantile_gate,
-# rc02_node_depth (the four displaced this round), then
+# rc02_node_depth (the five displaced this round), then
 # s01_lsh_topk, s03_ivf_topk, s04_mllib_euclidean, s05_pca_topk,
 # s06_pq_topk, st11_stream_ewma, w08_ewma, x10_partition_pruning,
 # x11_table_profile, x12_salted_join, x18_runtime_bloom_filter,
 # x19_epoch_shuffle, x20_aqe_skew_join, x21_cbo_stats_broadcast
 # (the fourteen youngest-by-name r10 rows) — then fill the
-# remaining 32 slots from the 50-entry r11 cohort head,
+# remaining 31 slots from the 50-entry r11 cohort head,
 # alphabetical: a16_ipf_step, a17_converge, a22_rake3,
 # ac08_change_feed, ac09_replicate_via_feed, b04_orc_roundtrip,
 # b07_binaryfile_source, b08_text_roundtrip, c16_scd2,
@@ -14953,12 +14954,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # h16_supplier_part_counts, h17_small_qty_revenue,
 # h18_important_parts, h19_min_cost_supplier,
 # h21_sole_returning_supplier, ipf_cost_per_visit_fixed,
-# j07_abandoned_clicks, m04_market_basket, m05_pinned_scoring —
-# exactly 50. The remaining 18 r11 rows (mm03_arrow_features,
+# j07_abandoned_clicks, m04_market_basket — exactly 50. The
+# remaining 19 r11 rows (m05_pinned_scoring, mm03_arrow_features,
 # mm04_resize_stride, p04_drift_gated_admission, q04_psi_drift, ...)
 # head the r17 plan with the r12 cohort. New r16 entries displace
-# the r11 fill from the END as always (m05_pinned_scoring first,
-# then m04_market_basket, j07_abandoned_clicks, ...).
+# the r11 fill from the END as always (m04_market_basket first,
+# then j07_abandoned_clicks, ipf_cost_per_visit_fixed, ...).
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix — their slots would record err:no_oracle
 # and their evidence is the pytest floors (each has a hash-green
