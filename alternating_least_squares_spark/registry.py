@@ -2943,7 +2943,11 @@ V06_K = 1          # neighbors kept per vector
 V06_T_NUM, V06_T_DEN = 9, 10  # edge admission threshold: cosine >= 0.9
 
 
-def q_v06_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_v06_knn_graph(
+    spark: SparkSession,
+    sf_dir: str,
+    owned_out: list[int] | None = None,
+) -> DataFrame:
     """Bucketed k-NN GRAPH construction over embeddings (VERDICT r14
     #6 — the similarity-graph primitive connecting the ANN family to
     the graph family: components/LPA over a k-NN graph is the
@@ -2997,8 +3001,12 @@ def q_v06_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is no longer read and is released HERE (the d13 rotation
     # discipline) instead of staying pinned for the session; only the
     # k-row pair checkpoint survives the call (review r15).
-    pairs, _ = local_checkpoint_owned(pairs)
+    pairs, _own_pairs = local_checkpoint_owned(pairs)
     release_local_checkpoint(pairs, set(owned_base))
+    if owned_out is not None:
+        # composition callers (v07) release the pair checkpoint once
+        # their own downstream state is materialized (review r15)
+        owned_out.extend(_own_pairs)
     sym = pairs.select(
         F.col("id_a").alias("src"),
         F.col("id_b").alias("dst"),
@@ -3112,9 +3120,18 @@ def q_v07_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         components_fixed,
     )
 
-    knn = q_v06_knn_graph(spark, sf_dir)
+    from alternating_least_squares_spark.checkpoint import (
+        release_local_checkpoint,
+    )
+
+    own_pairs: list[int] = []
+    knn = q_v06_knn_graph(spark, sf_dir, owned_out=own_pairs)
     edges = knn.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     labels = components_fixed(edges, rounds=V07_ROUNDS)
+    # components_fixed returns an eager checkpoint, so v06's pair
+    # checkpoint is fully superseded here — release it instead of
+    # pinning one orphan per invocation (review r15)
+    release_local_checkpoint(labels, set(own_pairs))
     qlong = F.transform(F.col("q"), lambda x: x.cast("long"))
     nodes = (
         _s07_allv(spark, sf_dir)
@@ -3136,9 +3153,7 @@ def _v07_oracle(rounds: int) -> str:
     CTEs inline exponentially), with singleton fill from the
     nonzero-norm node universe."""
     parts = [
-        "WITH " + _SQL_S07_ALLV.split("WITH ", 1)[-1]
-        if _SQL_S07_ALLV.startswith("WITH ")
-        else "WITH " + _SQL_S07_ALLV,
+        "WITH " + _SQL_S07_ALLV,
         ",",
         _SQL_V06_KNN_CTES,
         f""",
@@ -12007,16 +12022,16 @@ def q_st15_watermark_late_drop(
             1 for p in q.recentProgress if p["numInputRows"] > 0
         )
 
-    # The proof depends on two streaming confs the session could
-    # override, so they are FORCED and restored (the x18/x20/x24
-    # conf discipline): no-data micro-batches must be ON (tail
+    # The proof has two premises with different enforcement (review
+    # r15): (a) no-data micro-batches must be ON — a session conf,
+    # FORCED and restored here (the x18/x20/x24 discipline); tail
     # windows finalized by a wave's LAST data batch only emit in the
-    # trailing no-data batch — disabled, the sink would silently
-    # miss them), and wave 1 must land in ONE micro-batch (watermark
-    # starts at 0 only for the first batch; a maxFilesPerTrigger
-    # split would let batch 1 advance the watermark over batch 2's
-    # real events). The single-batch claim is additionally ASSERTED
-    # from query progress, loud on violation.
+    # trailing no-data batch, so disabled it would silently lose
+    # them. (b) wave 1 must land in ONE micro-batch — a property of
+    # the SOURCE (a maxFilesPerTrigger-style reader option would
+    # split it and let batch 1 advance the watermark over batch 2's
+    # real events); not a session conf, so it cannot be forced, only
+    # ASSERTED from query progress after the run, loud on violation.
     nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
     saved = spark.conf.get(nodata_key)
     try:
