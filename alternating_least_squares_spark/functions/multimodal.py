@@ -918,6 +918,11 @@ def encode_png(
 
     if width <= 0 or height <= 0:
         raise ValueError(f"bad dimensions {width}x{height}")
+    if width > 0xFFFFFFFF or height > 0xFFFFFFFF:
+        # keep the ValueError-only crash class: '>I' in the IHDR pack
+        # would raise struct.error past 2^32-1 (same guard encode_wav
+        # grew for its '<I' sizes)
+        raise ValueError(f"dimensions {width}x{height} exceed the PNG >I range")
     if channels not in (3, 4):
         raise ValueError(f"channels must be 3 (RGB) or 4 (RGBA), got {channels}")
     row = width * channels
@@ -970,6 +975,7 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
     pos = len(PNG_SIG)
     ihdr = None
     idat = bytearray()
+    idat_done = False  # spec: IDAT chunks must be consecutive
     seen_end = False
     while pos < len(blob):
         if pos + 8 > len(blob):
@@ -990,23 +996,32 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
         elif ctype == b"IDAT":
             if ihdr is None:
                 raise ValueError("IDAT before IHDR")
+            if idat_done:
+                raise ValueError("non-consecutive IDAT chunks")
             idat.extend(data)
         elif ctype == b"IEND":
             seen_end = True
+            pos = end + 4
             break
         elif not ctype[0] & 0x20:
             # critical bit (uppercase first letter) on a chunk this
             # decoder doesn't know — mis-rendering is not an option
             raise ValueError(f"unsupported critical chunk {ctype!r}")
+        if idat and ctype != b"IDAT":
+            idat_done = True
         pos = end + 4
     if ihdr is None or not seen_end:
         raise ValueError("missing IHDR or IEND")
+    if pos != len(blob):
+        raise ValueError(
+            f"{len(blob) - pos} trailing bytes after IEND"
+        )
     if len(ihdr) != 13:
         raise ValueError(f"bad IHDR length {len(ihdr)}")
     width, height, depth, color, comp, fmeth, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
-    if width <= 0 or height <= 0 or width > 0x7FFFFFFF:
+    if width <= 0 or height <= 0 or width > 0x7FFFFFFF or height > 0x7FFFFFFF:
         raise ValueError(f"malformed PNG dimensions {width}x{height}")
     if depth != 8 or color not in (2, 6) or comp or fmeth or interlace:
         raise ValueError(
@@ -1016,13 +1031,19 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
         )
     channels = 3 if color == 2 else 4
     row = width * channels
+    want = (row + 1) * height
     try:
-        scan = zlib.decompress(bytes(idat))
+        # cap the inflate at the IHDR-implied size so a few-KB deflate
+        # bomb cannot allocate past `want` before the mismatch raises
+        dec = zlib.decompressobj()
+        scan = dec.decompress(bytes(idat), want)
+        if dec.unconsumed_tail and dec.decompress(dec.unconsumed_tail, 1):
+            raise ValueError(f"IDAT decodes past {want} bytes")
     except zlib.error as exc:
         raise ValueError(f"corrupt IDAT stream: {exc}") from exc
-    if len(scan) != (row + 1) * height:
+    if len(scan) != want:
         raise ValueError(
-            f"IDAT decodes to {len(scan)} bytes, want {(row + 1) * height}"
+            f"IDAT decodes to {len(scan)} bytes, want {want}"
         )
     out = bytearray()
     prev = bytes(row)

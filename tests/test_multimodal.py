@@ -757,3 +757,83 @@ def test_png_decoder_junk_fuzz_crash_class():
                 decode_png(blob)
             with pytest.raises(ValueError):
                 decode_png(PNG_SIG + blob)
+
+
+def test_png_decoder_strictness_and_bomb_cap():
+    """ADVICE r15 hardening: (1) the inflate is capped at the
+    IHDR-implied size so a few-KB deflate bomb raises before
+    allocating its full output; (2) IHDR height is bounded like
+    width; (3) encode_png guards the '>I' range with ValueError, not
+    struct.error; (4) trailing bytes after IEND and non-consecutive
+    IDAT chunks refuse (spec strictness) while spec-legal
+    consecutive split IDATs still decode."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from alternating_least_squares_spark.functions.multimodal import (
+        PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)  # 2x2 RGB, want=14
+
+    # (1) deflate bomb: ~10 KB of compressed zeros inflating to 10 MB
+    # against a 14-byte claim must raise, not allocate 10 MB first
+    bomb = zlib.compress(b"\x00" * 10_000_000)
+    assert len(bomb) < 16_384
+    blob = PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bomb) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="IDAT decodes past"):
+        decode_png(blob)
+
+    # (2) height past the signed-32 bound refuses like width does
+    tall = struct.pack(">IIBBBBB", 2, 0x80000000, 8, 2, 0, 0, 0)
+    blob = (
+        PNG_SIG + chunk(b"IHDR", tall)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="malformed PNG dimensions"):
+        decode_png(blob)
+
+    # (3) encode_png '>I' guard: ValueError, the module's crash class
+    with pytest.raises(ValueError, match="exceed the PNG"):
+        encode_png(b"", 0x1_0000_0000, 5, 3)
+    with pytest.raises(ValueError, match="exceed the PNG"):
+        encode_png(b"", 5, 0x1_0000_0000, 3)
+
+    # (4a) trailing garbage after IEND refuses
+    px = bytes(range(2 * 2 * 3))
+    good = encode_png(px, 2, 2, 3, [1, 2])
+    with pytest.raises(ValueError, match="trailing bytes after IEND"):
+        decode_png(good + b"JUNK")
+
+    # (4b) IDAT split across consecutive chunks is spec-legal and decodes
+    scan = zlib.compress(
+        b"\x00" + px[:6] + b"\x00" + px[6:]
+    )
+    split = (
+        PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", scan[:5]) + chunk(b"IDAT", scan[5:])
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(split) == (2, 2, 3, px)
+
+    # (4c) an ancillary chunk between IDATs refuses
+    interleaved = (
+        PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", scan[:5])
+        + chunk(b"tEXt", b"Comment\x00hi")
+        + chunk(b"IDAT", scan[5:])
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="non-consecutive IDAT"):
+        decode_png(interleaved)
