@@ -12054,6 +12054,152 @@ def q_st15_watermark_late_drop(
 SQL_ST15 = SQL_W05
 
 
+def q_st16_outer_join_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join with DEFERRED null
+    emission (VERDICT r15 #3 — the one stream-stream semantics
+    st01–st15 still lacked): st06 proves the inner case and st15
+    proves a watermark DROPPING a late row; this proves the other
+    half of watermark semantics — an unmatched outer row is emitted
+    with NULL match columns only once the watermark passes its join
+    window, because only then is "no purchase can still arrive"
+    provable. Same click→purchase attribution topology as st06
+    (streaming/events.py attribution_join_stream, how="left_outer"),
+    run as two availableNow waves against one checkpoint:
+
+    - wave 1: ALL real events in one micro-batch. Matches emit
+      immediately; the trailing no-data batch commits watermark =
+      max(ts) − 1 h and evicts-and-NULL-emits only the unmatched
+      clicks whose match window [click_ts, click_ts + 1 h] is fully
+      below it (click_ts ≤ max(ts) − 2 h). Unmatched clicks in the
+      last 2 h stay in state — emitted by NEITHER matching nor
+      timeout yet, which is the deferral under test.
+    - wave 2: two far-future sentinels (max(ts) + 3 h; a click under
+      user −1 and a purchase under user −2, so they can match
+      nothing, not even each other) whose only job is to advance BOTH
+      sides' watermarks to max(ts) + 2 h, past every real click's
+      window — flushing the deferred tail as NULL rows. The click
+      sentinel's own window is never passed (the watermark stalls 2 h
+      short of it), so it stays in state and cannot leak; the
+      purchase sentinel is on the non-preserved side and unmatched
+      purchases never emit in a left join.
+
+    The sink therefore holds EXACTLY the batch left join of the real
+    events — the declarative oracle below; a hash match proves both
+    that every deferred NULL row eventually emitted and that nothing
+    emitted twice (a double emission would duplicate a click_id and
+    break the hash). The wave split itself (deferred rows absent
+    after wave 1, present after wave 2) is pinned by a pytest.
+
+    Scale: join state is O(events per horizon) per the attribution
+    topology, eviction is watermark-driven, and the NULL-emission
+    path is the same state scan the inner join already pays — at
+    100 TB the outer variant costs nothing extra beyond keeping
+    unmatched rows until their window closes, which is the minimum
+    any correct implementation must pay."""
+    import datetime
+    import os
+    import shutil
+
+    from alternating_least_squares_spark.streaming import (
+        attribution_join_stream,
+    )
+
+    base = _scratch_path(
+        "alternating_ls_st16", sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src, sink, ckpt = (
+        os.path.join(base, d) for d in ("src", "sink", "_ckpt")
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    b = ev.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).collect()[0]
+    mn, mx = b["mn"], b["mx"]
+    if mx - mn < datetime.timedelta(hours=3):
+        raise ValueError(
+            f"events span {mx - mn} < 3 h: the deferred-emission proof "
+            "would be vacuous (regenerated testdata changed shape)"
+        )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+
+    def run() -> int:
+        clicks = (
+            spark.readStream.schema(schema).parquet(src)
+            .filter(F.col("event_type") == "click")
+        )
+        purchases = (
+            spark.readStream.schema(schema).parquet(src)
+            .filter(F.col("event_type") == "purchase")
+        )
+        q = (
+            attribution_join_stream(
+                clicks, purchases, horizon="1 hour", how="left_outer"
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(
+            1 for p in q.recentProgress if p["numInputRows"] > 0
+        )
+
+    # Same two premises as st15 (review r15): no-data micro-batches
+    # FORCED on (outer emission for windows finalized by a wave's
+    # last data batch happens in the trailing no-data batch), and
+    # wave 1 must land in ONE micro-batch (a split would advance the
+    # watermark over the second batch's real rows) — asserted from
+    # query progress, loud on violation.
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    saved = spark.conf.get(nodata_key)
+    try:
+        spark.conf.set(nodata_key, "true")
+        ev.write.mode("append").parquet(src)  # wave 1: all on-time
+        n1 = run()
+        if n1 != 1:
+            raise ValueError(
+                f"wave 1 ran as {n1} data micro-batches, not 1: the "
+                "nothing-real-is-dropped premise no longer holds"
+            )
+        sentinels = spark.createDataFrame(
+            [
+                (-1, mx + datetime.timedelta(hours=3), -1, "click", 0.0),
+                (-2, mx + datetime.timedelta(hours=3), -2, "purchase", 0.0),
+            ],
+            schema,
+        )
+        sentinels.write.mode("append").parquet(src)
+        run()  # wave 2: the deferred outer tail flushes as NULL rows
+    finally:
+        spark.conf.set(nodata_key, saved)
+    return spark.read.parquet(sink)
+
+
+SQL_ST16 = """
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id AS user_id,
+       epoch_us(c.ts) AS click_ts_us,
+       epoch_us(p.ts) AS purchase_ts_us,
+       p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
 def q_t19_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram conditional-LM scoring — t18's context-aware upgrade
     (the KenLM-shaped filter of CCNet-style curation): docs scored by
@@ -14888,6 +15034,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # mergeable sketch, so it shares x23's oracle text verbatim
     "st14_stream_weighted_sample": (q_st14_stream_weighted_sample, SQL_X23),
     "st15_watermark_late_drop": (q_st15_watermark_late_drop, SQL_ST15),
+    "st16_outer_join_watermark": (q_st16_outer_join_watermark, SQL_ST16),
     "t23_span_scrub": (q_t23_span_scrub, SQL_T23),
     "t24_ngram_decontaminate": (q_t24_ngram_decontaminate, SQL_T24),
     # t25's oracle IS t24's text-key SQL: the driver hash certifies
@@ -15038,7 +15185,10 @@ _PREFIX = [
     "h21_sole_returning_supplier",
     "ipf_cost_per_visit_fixed",
     "j07_abandoned_clicks",
-    "m04_market_basket",
+    # new in round 16 (each displaces one r11-cohort fill slot from
+    # the END per the rule above: m04_market_basket is displaced by
+    # st16 — displaced rows LEAD the r17 plan)
+    "st16_outer_join_watermark",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

@@ -179,8 +179,9 @@ def attribution_join_stream(
     purchases: DataFrame,
     horizon: str = "1 hour",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with event-time bounds: each purchase
+    """Stream-stream join with event-time bounds: each purchase
     matched to the same user's clicks in the preceding ``horizon``
     (click-attribution topology).
 
@@ -190,8 +191,18 @@ def attribution_join_stream(
     O(events per horizon), not O(stream history). That bound is what
     makes a stream-stream join runnable on an unbounded feed; without
     the time condition Spark must buffer both streams forever.
-    Stream-stream inner joins support append mode only.
+    Stream-stream joins support append mode only.
+
+    ``how="left_outer"`` adds watermark-DEFERRED NULL emission: an
+    unmatched click is held in state until the global watermark
+    passes ``click_ts + horizon`` (only then is "no purchase can
+    still arrive" provable), at which point eviction emits it once
+    with NULL purchase columns. Matched rows still emit immediately —
+    the deferral applies only to the outer NULLs, which is exactly
+    the semantics st16 certifies wave-by-wave.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner or left_outer, got {how!r}")
     c = clicks.select(
         F.col("event_id").alias("click_id"),
         F.col("user_id").alias("c_user"),
@@ -209,6 +220,7 @@ def attribution_join_stream(
             "c_user = p_user AND purchase_ts >= click_ts "
             f"AND purchase_ts <= click_ts + interval {horizon}"
         ),
+        how,
     ).select(
         "click_id",
         "purchase_id",
