@@ -1465,6 +1465,82 @@ def q_ac12_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SN.read_snapshot(spark, path)
 
 
+AC13_FILES = 8
+
+
+def q_ac13_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors (VERDICT r15 #4 —
+    the Delta DV / Iceberg v2 position-delete pattern;
+    sources/snapshot.delete_where_dv): create orders as AC13_FILES
+    range-clustered files → two DV deletes in sequence — each commits
+    a (file_path, row_index) position sidecar and carries every data
+    file BY REFERENCE (asserted in-query: the file lists of v0/v1/v2
+    are byte-identical and each delete_dv manifest gained a non-empty
+    sidecar — merge-on-read, loud if a rewrite sneaks in) → read the
+    head, where _apply_dvs anti-joins both sidecars out on the
+    parquet source's _metadata (file_path, row_index).
+
+    The oracle is the declarative double-NOT filter over orders —
+    exactly what the copy-on-write delete_where would produce — so
+    one hash certifies position capture, sidecar round-trip, DV
+    accumulation across commits, and the read-side anti-join
+    together. Sequencing the second delete against the DV-applied
+    live state also exercises the no-re-record path (positions
+    already deleted are invisible to the second match scan).
+
+    Time travel across DV commits, DV folding by cluster_optimize,
+    vacuum of folded sidecars, and DV-aware copy-on-write rewrites
+    are pinned in tests/test_snapshot.py. At 100 TB: a 1-row delete
+    costs one sidecar write, never a file rewrite; the read-side
+    anti-join is O(deleted positions) and resets at every fold."""
+    import shutil
+
+    from alternating_least_squares_spark.sources import snapshot as SN
+
+    path = _scratch_path(
+        "alternating_ls_ac13", sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 6).alias("price"),
+    )
+    SN.create_table(
+        orders.repartitionByRange(AC13_FILES, "o_orderkey"),
+        path,
+        key="o_orderkey",
+    )
+    files0 = [f["path"] for f in SN._read_manifest(path, 0)["files"]]
+    v1 = SN.delete_where_dv(
+        path, "o_orderstatus = 'F' AND o_custkey % 10 = 3", spark
+    )
+    v2 = SN.delete_where_dv(path, "o_orderkey % 97 = 0", spark)
+    for v in (v1, v2):
+        m = SN._read_manifest(path, v)
+        if [f["path"] for f in m["files"]] != files0:
+            raise ValueError(
+                f"ac13: delete_dv v{v} changed the data file list — "
+                "the merge-on-read contract is broken"
+            )
+        if len(m.get("dvs", [])) != v or m["dvs"][-1]["rows"] == 0:
+            raise ValueError(
+                f"ac13: delete_dv v{v} wrote no position sidecar "
+                "(vacuous — regenerated testdata matched nothing?)"
+            )
+    return SN.read_snapshot(spark, path)
+
+
+SQL_AC13 = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       round(o_totalprice, 6) AS price
+FROM orders
+WHERE NOT (o_orderstatus = 'F' AND o_custkey % 10 = 3)
+  AND NOT (o_orderkey % 97 = 0)
+"""
+
+
 def q_ac03_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over (l_partkey, l_suppkey) —
     the multi-column data-skipping layout (operators/zorder.py; the
@@ -14992,6 +15068,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ac10_snapshot_tag": (q_ac10_snapshot_tag, SQL_AC02),
     # ac12 reads the HEAD after restore(v0) + vacuum; same v0 truth
     "ac12_restore": (q_ac12_restore, SQL_AC02),
+    "ac13_deletion_vectors": (q_ac13_deletion_vectors, SQL_AC13),
     "e13_rfm_segments": (q_e13_rfm_segments, SQL_E13),
     "g07_weighted_mean": (q_g07_weighted_mean, SQL_G07),
     "g08_exact_corr": (q_g08_exact_corr, SQL_G08),
@@ -15184,11 +15261,12 @@ _PREFIX = [
     "h19_min_cost_supplier",
     "h21_sole_returning_supplier",
     "ipf_cost_per_visit_fixed",
-    "j07_abandoned_clicks",
     # new in round 16 (each displaces one r11-cohort fill slot from
     # the END per the rule above: m04_market_basket is displaced by
-    # st16 — displaced rows LEAD the r17 plan)
+    # st16, j07_abandoned_clicks by ac13 — displaced rows LEAD the
+    # r17 plan)
     "st16_outer_join_watermark",
+    "ac13_deletion_vectors",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

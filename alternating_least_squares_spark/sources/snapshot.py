@@ -47,6 +47,10 @@ _LOG = "_log"
 _DATA = "data"
 _REFS = "_refs"
 
+# deletion-vector sidecar schema: one row per deleted position,
+# addressed by the file's _metadata spelling + row index within it
+_DV_SCHEMA = "file_path string, row_index long"
+
 
 def _local_path(p: str) -> str:
     """file:///x and file:/x both → /x (input_file_name URI forms)."""
@@ -114,6 +118,54 @@ def _write_data_files(
     ]
 
 
+def _apply_dvs(spark: SparkSession, df: DataFrame, dvs: list | None) -> DataFrame:
+    """Subtract a manifest's deletion vectors from a raw file scan:
+    LEFT ANTI join on (file path, row position) using the parquet
+    source's hidden ``_metadata`` columns — the merge-on-read half of
+    the Delta deletion-vector / Iceberg v2 position-delete pattern.
+    ``df`` must be the file scan itself (before any transformation),
+    since ``_metadata`` is only resolvable against the source
+    relation. DV rows addressing files absent from ``df`` (rewritten
+    or unselected) match nothing and are harmless.
+
+    Scale: the sidecar is O(deleted positions), not O(table); the
+    anti-join is a keyed shuffle that AQE broadcasts whenever the DV
+    side is small — and compaction (:func:`cluster_optimize`) folds
+    DVs back into data files before they grow into a real join."""
+    paths = [p for dv in (dvs or []) for p in dv["paths"]]
+    if not paths:
+        return df
+    dvf = spark.read.schema(_DV_SCHEMA).parquet(*paths).select(
+        F.col("file_path").alias("__fp"),
+        F.col("row_index").alias("__ri"),
+    )
+    return (
+        df.withColumn("__fp", F.col("_metadata.file_path"))
+        .withColumn("__ri", F.col("_metadata.row_index"))
+        .join(dvf, ["__fp", "__ri"], "left_anti")
+        .drop("__fp", "__ri")
+    )
+
+
+def _write_dv_files(hits: DataFrame, path: str) -> dict:
+    """Write one commit's deletion-vector sidecar and return
+    {"paths": [...], "rows": n} ({"paths": [], "rows": 0} when the
+    predicate matched nothing — callers skip the entry)."""
+    dv_dir = os.path.join(path, _DATA, uuid.uuid4().hex[:12], "dv")
+    hits.write.mode("error").parquet(dv_dir)
+    spark = hits.sparkSession
+    stats = (
+        spark.read.schema(_DV_SCHEMA).parquet(dv_dir)
+        .groupBy(F.input_file_name().alias("p"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    return {
+        "paths": sorted(_local_path(r["p"]) for r in stats),
+        "rows": int(sum(r["n"] for r in stats)),
+    }
+
+
 def _require_absolute(path: str) -> None:
     """Relative table paths are rejected up front: Spark resolves them
     against the JVM working directory while this module's manifest IO
@@ -156,7 +208,12 @@ def history(path: str) -> list[dict]:
                 "version": v,
                 "operation": m["operation"],
                 "n_files": len(m["files"]),
+                # physical rows in data files; merge-on-read deletes
+                # are carried separately so the audit shows both
                 "rows": sum(f["rows"] for f in m["files"]),
+                "rows_deleted": sum(
+                    dv["rows"] for dv in m.get("dvs", [])
+                ),
             }
         )
     return out
@@ -198,7 +255,9 @@ def read_snapshot(
         # a legitimately-empty version (delete-all, empty create):
         # readable as an empty frame with the manifest's schema
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*paths)
+    return _apply_dvs(
+        spark, spark.read.schema(schema).parquet(*paths), m.get("dvs")
+    )
 
 
 def diff_versions(
@@ -319,6 +378,7 @@ def append(
         version,
         {"version": version, "operation": "append", "key": key,
          "schema": schema_json, "files": prev["files"] + files,
+         "dvs": prev.get("dvs", []),
          **(extra or {})},
     )
     return version
@@ -419,9 +479,14 @@ def merge_upsert(
             # manifest schema, not footer merge: pre-evolution files
             # lack evolved columns and must project them as NULL here
             # exactly as they do on read (read_schema is the evolved
-            # schema when this MERGE itself evolves)
-            old = spark.read.schema(read_schema).parquet(
-                *[f["path"] for f in touched]
+            # schema when this MERGE itself evolves); DVs are applied
+            # so a rewrite never resurrects merge-on-read deletes
+            old = _apply_dvs(
+                spark,
+                spark.read.schema(read_schema).parquet(
+                    *[f["path"] for f in touched]
+                ),
+                prev.get("dvs"),
             )
             keep = old.join(updates.select(key).distinct(), key, "left_anti")
             rewritten = keep.unionByName(updates)
@@ -438,6 +503,7 @@ def merge_upsert(
             "key": key,
             "schema": schema_json,
             "files": untouched + new_files,
+            "dvs": prev.get("dvs", []),
             "pruning": {"rewritten": len(touched),
                         "carried": len(untouched)},
             **(extra or {}),
@@ -482,8 +548,12 @@ def delete_keys(path: str, keys: DataFrame) -> int:
         untouched = [f for f in prev["files"] if f not in touched]
         new_files = []
         if touched:
-            old = spark.read.schema(_manifest_schema(prev)).parquet(
-                *[f["path"] for f in touched]
+            old = _apply_dvs(
+                spark,
+                spark.read.schema(_manifest_schema(prev)).parquet(
+                    *[f["path"] for f in touched]
+                ),
+                prev.get("dvs"),
             )
             keep = old.join(kset, key, "left_anti")
             new_files = _write_data_files(keep, path, key)
@@ -497,6 +567,7 @@ def delete_keys(path: str, keys: DataFrame) -> int:
             "key": key,
             "schema": prev["schema"],
             "files": untouched + new_files,
+            "dvs": prev.get("dvs", []),
             "pruning": {"rewritten": len(touched),
                         "carried": len(untouched)},
         },
@@ -517,11 +588,24 @@ def delete_where(path: str, predicate: str, spark: SparkSession) -> int:
     prev = _read_manifest(path, versions[-1])
     all_paths = [f["path"] for f in prev["files"]]
     schema = _manifest_schema(prev)
+    # capture the file path from _metadata BEFORE the DV anti-join:
+    # input_file_name() evaluated after a shuffle join returns ""
+    scan = (
+        spark.read.schema(schema).parquet(*all_paths)
+        .withColumn("__fp", F.col("_metadata.file_path"))
+        .withColumn("__ri", F.col("_metadata.row_index"))
+    )
+    dv_paths = [p for dv in prev.get("dvs", []) for p in dv["paths"]]
+    if dv_paths:
+        dvf = spark.read.schema(_DV_SCHEMA).parquet(*dv_paths).select(
+            F.col("file_path").alias("__fp"),
+            F.col("row_index").alias("__ri"),
+        )
+        scan = scan.join(dvf, ["__fp", "__ri"], "left_anti")
     hit_paths = {
         _local_path(r["p"])
-        for r in spark.read.schema(schema).parquet(*all_paths)
-        .filter(predicate)
-        .select(F.input_file_name().alias("p"))
+        for r in scan.filter(predicate)
+        .select(F.col("__fp").alias("p"))
         .distinct()
         .collect()
     }
@@ -531,9 +615,15 @@ def delete_where(path: str, predicate: str, spark: SparkSession) -> int:
     if touched:
         # keep rows where the predicate is NOT TRUE: SQL DELETE removes
         # only TRUE matches, so a NULL-valued predicate must KEEP the
-        # row — a bare NOT(pred) filter would silently drop it
-        kept = spark.read.schema(schema).parquet(
-            *[f["path"] for f in touched]
+        # row — a bare NOT(pred) filter would silently drop it. DVs
+        # applied first so a rewrite never resurrects earlier
+        # merge-on-read deletes in the touched files
+        kept = _apply_dvs(
+            spark,
+            spark.read.schema(schema).parquet(
+                *[f["path"] for f in touched]
+            ),
+            prev.get("dvs"),
         ).filter(~F.coalesce(F.expr(predicate), F.lit(False)))
         if kept.limit(1).count():
             new_files = _write_data_files(kept, path, prev["key"])
@@ -547,8 +637,79 @@ def delete_where(path: str, predicate: str, spark: SparkSession) -> int:
             "key": prev["key"],
             "schema": prev["schema"],
             "files": untouched + new_files,
+            "dvs": prev.get("dvs", []),
             "pruning": {"rewritten": len(touched),
                         "carried": len(untouched)},
+        },
+    )
+    return version
+
+
+def delete_where_dv(path: str, predicate: str, spark: SparkSession) -> int:
+    """Merge-on-read DELETE — the Delta deletion-vector / Iceberg v2
+    position-delete pattern (VERDICT r15 #4): instead of rewriting
+    every file containing a match (:func:`delete_where`'s
+    copy-on-write), commit a POSITION SIDECAR of (file_path,
+    row_index) pairs for the matched rows, captured from the parquet
+    source's hidden ``_metadata`` columns. The data files are carried
+    into the new version byte-identical; every read path anti-joins
+    the sidecar out (:func:`_apply_dvs`), so readers of the new
+    version see the delete and readers of old versions never do (the
+    sidecar is referenced only by manifests from this commit on —
+    time travel is free, exactly as with copy-on-write).
+
+    At 100 TB this is the difference between a 1-row GDPR delete
+    costing one tiny sidecar write versus rewriting a multi-GB file.
+    The read-side cost is the anti-join, O(accumulated deleted
+    positions) — :func:`cluster_optimize` (and any rewriting commit)
+    FOLDS the DVs back into data files, resetting it; vacuum then
+    reclaims the folded sidecars like any unreferenced file.
+
+    DELETE semantics match :func:`delete_where`: only rows where the
+    predicate is TRUE are deleted (a NULL predicate keeps the row);
+    already-deleted positions are never re-recorded (the match scan
+    runs against the DV-applied live state). A no-match predicate
+    commits a no-op version (deterministic version contract)."""
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot table at {path}")
+    prev = _read_manifest(path, versions[-1])
+    dvs = prev.get("dvs", [])
+    version = versions[-1] + 1
+    if prev["files"]:
+        scan = (
+            spark.read.schema(_manifest_schema(prev))
+            .parquet(*[f["path"] for f in prev["files"]])
+            .withColumn("__fp", F.col("_metadata.file_path"))
+            .withColumn("__ri", F.col("_metadata.row_index"))
+        )
+        dv_paths = [p for dv in dvs for p in dv["paths"]]
+        if dv_paths:
+            dvf = (
+                spark.read.schema(_DV_SCHEMA).parquet(*dv_paths)
+                .select(
+                    F.col("file_path").alias("__fp"),
+                    F.col("row_index").alias("__ri"),
+                )
+            )
+            scan = scan.join(dvf, ["__fp", "__ri"], "left_anti")
+        hits = scan.filter(predicate).select(
+            F.col("__fp").alias("file_path"),
+            F.col("__ri").alias("row_index"),
+        )
+        new_dv = _write_dv_files(hits, path)
+        if new_dv["paths"]:
+            dvs = dvs + [new_dv]
+    _commit(
+        path,
+        version,
+        {
+            "version": version,
+            "operation": "delete_dv",
+            "key": prev["key"],
+            "schema": prev["schema"],
+            "files": prev["files"],
+            "dvs": dvs,
         },
     )
     return version
@@ -590,6 +751,11 @@ def cluster_optimize(
     )
     files = _write_data_files(clustered, path, key)
     v = versions[-1] + 1
+    # no "dvs" in this manifest: the rewrite read through
+    # read_snapshot (DV-applied), so every deletion vector is FOLDED
+    # into the new data files — the read-side anti-join resets to
+    # zero and the superseded sidecars become vacuum-reclaimable
+    # exactly like superseded data files
     _commit(
         path,
         v,
@@ -599,6 +765,9 @@ def cluster_optimize(
             "key": key,
             "schema": prev["schema"],
             "files": files,
+            "dvs_folded": sum(
+                dv["rows"] for dv in prev.get("dvs", [])
+            ),
         },
     )
     return {
@@ -867,10 +1036,18 @@ def vacuum(
     # doubled slashes, ...). Compare through abspath on BOTH sides —
     # a spelling mismatch here would make every live file look
     # unreferenced and turn vacuum into table deletion.
+    retained_manifests = [_read_manifest(path, v) for v in retain]
     referenced = {
         os.path.abspath(f["path"])
-        for v in retain
-        for f in _read_manifest(path, v)["files"]
+        for m in retained_manifests
+        for f in m["files"]
+    } | {
+        # deletion-vector sidecars are referenced files too: reclaiming
+        # one under a live manifest would resurrect its deleted rows
+        os.path.abspath(p)
+        for m in retained_manifests
+        for dv in m.get("dvs", [])
+        for p in dv["paths"]
     }
     now = time.time()
 

@@ -765,3 +765,129 @@ def test_restore_preserves_caller_manifest_metadata(spark, base, tmp_path):
     m = SN._read_manifest(path, 2)
     assert m["batch_id"] == 7
     assert m["operation"] == "restore" and m["restored_from"] == 0
+
+
+def _rows(spark, path, version=None):
+    return {
+        (r["k"], r["v"])
+        for r in SN.read_snapshot(spark, path, version=version).collect()
+    }
+
+
+def test_dv_delete_is_merge_on_read_and_time_travels(spark, base, tmp_path):
+    """delete_where_dv must carry every data file by reference and
+    commit only a position sidecar; reads of the new version see the
+    delete, reads of every OLD version do not (time travel across DV
+    commits), and a second DV delete accumulates without re-recording
+    already-deleted positions."""
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    all_rows = {(i, i * 10) for i in range(100)}
+
+    v1 = SN.delete_where_dv(path, "k % 10 = 3", spark)
+    m0 = SN._read_manifest(path, 0)
+    m1 = SN._read_manifest(path, v1)
+    assert [f["path"] for f in m1["files"]] == [
+        f["path"] for f in m0["files"]
+    ]  # merge-on-read: zero data files rewritten
+    assert len(m1["dvs"]) == 1 and m1["dvs"][0]["rows"] == 10
+    assert _rows(spark, path) == {
+        (k, v) for k, v in all_rows if k % 10 != 3
+    }
+    assert _rows(spark, path, version=0) == all_rows  # time travel
+
+    v2 = SN.delete_where_dv(path, "k % 5 = 3", spark)  # overlaps v1's set
+    m2 = SN._read_manifest(path, v2)
+    assert [f["path"] for f in m2["files"]] == [
+        f["path"] for f in m0["files"]
+    ]
+    # k%5==3 matches 20 keys, but the 10 with k%10==3 are already
+    # deleted and must NOT be re-recorded
+    assert [dv["rows"] for dv in m2["dvs"]] == [10, 10]
+    assert _rows(spark, path) == {
+        (k, v) for k, v in all_rows if k % 10 != 3 and k % 5 != 3
+    }
+    assert _rows(spark, path, version=v1) == {
+        (k, v) for k, v in all_rows if k % 10 != 3
+    }
+    assert _rows(spark, path, version=0) == all_rows
+    h = SN.history(path)
+    assert [x["rows_deleted"] for x in h] == [0, 10, 20]
+    assert h[-1]["operation"] == "delete_dv"
+
+    # a no-match predicate commits a clean no-op version
+    v3 = SN.delete_where_dv(path, "k > 1000000", spark)
+    m3 = SN._read_manifest(path, v3)
+    assert [dv["rows"] for dv in m3["dvs"]] == [10, 10]
+    assert _rows(spark, path) == _rows(spark, path, version=v2)
+
+
+def test_dv_folding_compaction_and_vacuum_of_sidecars(
+    spark, base, tmp_path
+):
+    """cluster_optimize folds deletion vectors into the rewritten data
+    files (the new manifest has no dvs and reads identically), after
+    which vacuum reclaims the superseded sidecars from disk — while a
+    vacuum that RETAINS a DV version must keep its sidecars alive."""
+    import os
+
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    SN.delete_where_dv(path, "k % 10 = 3", spark)
+    live = {(k, k * 10) for k in range(100) if k % 10 != 3}
+    m1 = SN._read_manifest(path, 1)
+    sidecars = [p for dv in m1["dvs"] for p in dv["paths"]]
+    assert sidecars and all(os.path.exists(p) for p in sidecars)
+
+    # retaining the DV version keeps its sidecars on disk
+    SN.vacuum(path, keep_last=2)
+    assert all(os.path.exists(p) for p in sidecars)
+    assert _rows(spark, path) == live
+
+    stats = SN.cluster_optimize(spark, path, 4)
+    m2 = SN._read_manifest(path, stats["version"])
+    assert not m2.get("dvs") and m2["dvs_folded"] == 10
+    assert stats["rows"] == len(live)  # folded: physical rows shrank
+    assert _rows(spark, path) == live
+
+    # now nothing references the sidecars — vacuum reclaims them
+    SN.vacuum(path, keep_last=1)
+    assert not any(os.path.exists(p) for p in sidecars)
+    assert _rows(spark, path) == live
+
+
+def test_cow_rewrites_never_resurrect_dv_deleted_rows(
+    spark, base, tmp_path
+):
+    """merge_upsert / delete_keys / delete_where after a DV delete:
+    the copy-on-write rewrite of a touched file must apply the DVs
+    first — a raw rewrite would fold the deleted rows back in."""
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    SN.delete_where_dv(path, "k % 10 = 3", spark)
+
+    # upsert touches the file holding k=0..24 (contains deleted 3, 13, 23)
+    SN.merge_upsert(
+        spark.createDataFrame([(10, -1)], "k long, v long"), path
+    )
+    got = _rows(spark, path)
+    assert (10, -1) in got
+    assert not any(k % 10 == 3 for k, _ in got)
+
+    # delete_keys rewrite of the same region
+    SN.delete_keys(
+        path, spark.createDataFrame([(11,)], "k long")
+    )
+    got = _rows(spark, path)
+    assert (11, 110) not in got
+    assert not any(k % 10 == 3 for k, _ in got)
+
+    # predicate delete: hit detection and rewrite both DV-aware —
+    # k=3 is already DV-deleted, so "k = 3 OR k = 50" must rewrite
+    # only the file holding 50
+    v = SN.delete_where(path, "k = 3 OR k = 50", spark)
+    m = SN._read_manifest(path, v)
+    assert m["pruning"]["rewritten"] == 1
+    got = _rows(spark, path)
+    assert (50, 500) not in got
+    assert not any(k % 10 == 3 for k, _ in got)
