@@ -26,11 +26,13 @@ mm07), both oracle-exact on planted deterministic waveforms.
 The PNG common case is real too (round 15): :func:`encode_png` /
 :func:`decode_png` build and parse 8-bit RGB/RGBA non-interlaced
 PNGs with stdlib ``zlib`` + ``struct`` — CRC-verified chunk walk,
-all five scanline filters. Remaining compressed formats stay gated:
+all five scanline filters — and, since round 16, 8-bit PALETTE
+(color type 3) PNGs: PLTE chunk walk, bpp=1 unfilter, index
+expansion to RGB (mm09). Remaining compressed formats stay gated:
 :func:`extract_media_features` keeps the byte-level features plus
 clearly-faked decode stand-ins, and :func:`decode_image` raises
 ``NotImplementedError`` unless PIL is importable (JPEG, and PNG's
-palette/16-bit/interlaced shapes). Swapping in a richer decoder changes ONLY the body of the
+16-bit/interlaced shapes). Swapping in a richer decoder changes ONLY the body of the
 per-batch function — the Spark-side plumbing (schemas, batching,
 partitioning) is what this module locks down and tests.
 
@@ -907,13 +909,17 @@ def encode_png(
     height: int,
     channels: int = 3,
     row_filters: list[int] | None = None,
+    palette: list[tuple[int, int, int]] | None = None,
 ) -> bytes:
     """Serialize raw 8-bit pixel bytes (top-down row-major) as a
-    non-interlaced PNG — color type 2 (RGB, channels=3) or 6 (RGBA,
-    channels=4). ``row_filters`` picks the per-scanline filter type
-    (0-4, default all 0); filters are genuinely APPLIED before
-    compression, so a decoder that mishandles any filter type
-    produces wrong pixels, not just wrong bytes."""
+    non-interlaced PNG — color type 2 (RGB, channels=3), 6 (RGBA,
+    channels=4), or, with ``palette``, 3 (indexed: ``pixels`` are
+    1-byte PLTE indices and a PLTE chunk of RGB triples is written
+    between IHDR and IDAT). ``row_filters`` picks the per-scanline
+    filter type (0-4, default all 0); filters are genuinely APPLIED
+    before compression (bpp = 1 in palette mode), so a decoder that
+    mishandles any filter type produces wrong pixels, not just wrong
+    bytes."""
     import zlib
 
     if width <= 0 or height <= 0:
@@ -923,20 +929,40 @@ def encode_png(
         # would raise struct.error past 2^32-1 (same guard encode_wav
         # grew for its '<I' sizes)
         raise ValueError(f"dimensions {width}x{height} exceed the PNG >I range")
-    if channels not in (3, 4):
-        raise ValueError(f"channels must be 3 (RGB) or 4 (RGBA), got {channels}")
-    row = width * channels
+    plte = b""
+    if palette is not None:
+        if not 1 <= len(palette) <= 256:
+            raise ValueError(
+                f"palette must hold 1-256 entries, got {len(palette)}"
+            )
+        for e in palette:
+            if len(e) != 3 or not all(
+                isinstance(c, int) and 0 <= c <= 255 for c in e
+            ):
+                raise ValueError(f"bad palette entry {e!r} (want 3x 0-255)")
+        plte = bytes(c for e in palette for c in e)
+        bpp, color = 1, 3
+        if pixels and max(pixels) >= len(palette):
+            raise ValueError(
+                f"palette index {max(pixels)} out of range for a "
+                f"{len(palette)}-entry palette"
+            )
+    else:
+        if channels not in (3, 4):
+            raise ValueError(
+                f"channels must be 3 (RGB) or 4 (RGBA), got {channels}"
+            )
+        bpp, color = channels, 2 if channels == 3 else 6
+    row = width * bpp
     if len(pixels) != row * height:
         raise ValueError(
             f"pixel buffer is {len(pixels)} bytes, want {row * height} "
-            f"for {width}x{height}x{channels}"
+            f"for {width}x{height}x{bpp}"
         )
     filters = row_filters if row_filters is not None else [0] * height
     if len(filters) != height or not all(0 <= f <= 4 for f in filters):
         raise ValueError(f"bad row_filters {filters!r}")
-    ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, 2 if channels == 3 else 6, 0, 0, 0
-    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
     prev = bytes(row)
     scan = bytearray()
     for r in range(height):
@@ -944,13 +970,14 @@ def encode_png(
         f = filters[r]
         scan.append(f)
         scan.extend(
-            (raw[i] - _png_predictor(f, i, channels, raw, prev)) & 0xFF
+            (raw[i] - _png_predictor(f, i, bpp, raw, prev)) & 0xFF
             for i in range(row)
         )
         prev = raw
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
+        + (_png_chunk(b"PLTE", plte) if palette is not None else b"")
         + _png_chunk(b"IDAT", zlib.compress(bytes(scan)))
         + _png_chunk(b"IEND", b"")
     )
@@ -961,19 +988,25 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
     ``(width, height, channels, pixels)`` with pixels top-down
     row-major, unfiltered. Chunks are WALKED with CRC verification;
     ancillary chunks (tEXt, gAMA, ...) are skipped, unknown CRITICAL
-    chunks raise. Supported: 8-bit depth, color type 2 (RGB) or 6
-    (RGBA), compression 0, filter method 0, interlace 0 — anything
-    else raises ValueError (the loud-gate discipline; decode_image's
-    PIL gate is the route for palette/16-bit/interlaced). The five
-    scanline filters (None/Sub/Up/Average/Paeth) are all
-    implemented; zlib failures and size mismatches surface as
-    ValueError, the module's single crash class."""
+    chunks raise. Supported: 8-bit depth, color type 2 (RGB), 6
+    (RGBA), or 3 (palette — scanlines are 1-byte PLTE indices,
+    unfiltered at bpp=1 then index-expanded through the PLTE's RGB
+    triples; the return is the EXPANDED RGB buffer, channels=3, the
+    PIL convert("RGB") contract), compression 0, filter method 0,
+    interlace 0 — anything else raises ValueError (the loud-gate
+    discipline; decode_image's PIL gate is the route for
+    16-bit/interlaced). The five scanline filters
+    (None/Sub/Up/Average/Paeth) are all implemented; zlib failures,
+    size mismatches, a missing/malformed/duplicated/late PLTE, and
+    out-of-range palette indices surface as ValueError, the module's
+    single crash class."""
     import zlib
 
     if len(blob) < len(PNG_SIG) or blob[: len(PNG_SIG)] != PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = len(PNG_SIG)
     ihdr = None
+    plte = None
     idat = bytearray()
     idat_done = False  # spec: IDAT chunks must be consecutive
     seen_end = False
@@ -993,6 +1026,20 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
             if ihdr is not None:
                 raise ValueError("duplicate IHDR")
             ihdr = data
+        elif ctype == b"PLTE":
+            # spec: at most one PLTE, after IHDR, before the first IDAT
+            if ihdr is None:
+                raise ValueError("PLTE before IHDR")
+            if plte is not None:
+                raise ValueError("duplicate PLTE")
+            if idat:
+                raise ValueError("PLTE after IDAT")
+            if not data or len(data) % 3 or len(data) > 768:
+                raise ValueError(
+                    f"malformed PLTE length {len(data)} "
+                    "(want a positive multiple of 3, <= 768)"
+                )
+            plte = data
         elif ctype == b"IDAT":
             if ihdr is None:
                 raise ValueError("IDAT before IHDR")
@@ -1023,14 +1070,20 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
     )
     if width <= 0 or height <= 0 or width > 0x7FFFFFFF or height > 0x7FFFFFFF:
         raise ValueError(f"malformed PNG dimensions {width}x{height}")
-    if depth != 8 or color not in (2, 6) or comp or fmeth or interlace:
+    if depth != 8 or color not in (2, 3, 6) or comp or fmeth or interlace:
         raise ValueError(
-            f"only 8-bit RGB/RGBA non-interlaced PNG is supported "
-            f"(depth={depth}, color={color}, interlace={interlace}); "
-            "decode_image's PIL gate handles the rest"
+            f"only 8-bit RGB/RGBA/palette non-interlaced PNG is "
+            f"supported (depth={depth}, color={color}, "
+            f"interlace={interlace}); decode_image's PIL gate handles "
+            "the rest"
         )
-    channels = 3 if color == 2 else 4
-    row = width * channels
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG (color type 3) without a PLTE chunk")
+    # bytes per pixel IN the scanlines: palette rows carry 1-byte
+    # indices, expanded through the PLTE only after unfiltering
+    bpp = {2: 3, 3: 1, 6: 4}[color]
+    channels = {2: 3, 3: 3, 6: 4}[color]
+    row = width * bpp
     want = (row + 1) * height
     try:
         # cap the inflate at the IHDR-implied size so a few-KB deflate
@@ -1055,10 +1108,21 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
         raw = bytearray(row)
         for i in range(row):
             raw[i] = (
-                frow[i] + _png_predictor(f, i, channels, raw, prev)
+                frow[i] + _png_predictor(f, i, bpp, raw, prev)
             ) & 0xFF
         out.extend(raw)
         prev = bytes(raw)
+    if color == 3:
+        n_colors = len(plte) // 3
+        bad = max(out, default=0)
+        if out and bad >= n_colors:
+            raise ValueError(
+                f"palette index {bad} out of range for a "
+                f"{n_colors}-entry PLTE"
+            )
+        out = bytearray(
+            c for idx in out for c in plte[idx * 3 : idx * 3 + 3]
+        )
     return width, height, channels, bytes(out)
 
 
@@ -1077,6 +1141,37 @@ def attach_png_blob(
         w, h, ch = d % 4 + 2, d % 3 + 1, 3 + d % 2
         px = _ascii_pixels(d, text, w * h * ch, "attach_png_blob")
         return encode_png(px, w, h, ch, [(d + r) % 5 for r in range(h)])
+
+    return _attach_blob_1to1(
+        docs, build, id_col=id_col, value_col=text_col
+    )
+
+
+def attach_palette_png_blob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Plant a real decodable PALETTE PNG (color type 3) per
+    document: ``(id%5+2) × (id%3+1)`` with an ``id%4+2``-entry PLTE
+    whose entry ``j`` is the gray triple ``(65+j, 65+j, 65+j)``
+    ('A'+j three times), index bytes = the doc's ASCII pixel buffer
+    (the shared ``_ascii_pixels`` contract) reduced mod the palette
+    size, and per-scanline filter ``(id + row) % 5`` applied at
+    bpp=1 — so the decoded-and-EXPANDED pixel md5 certifies PLTE
+    parsing, index expansion, and the 1-byte-pixel unfilter
+    arithmetic together, and stays restatable in SQL (each text char
+    becomes ``chr(65 + ord(ch) % n_colors)`` repeated 3×). Arrow-
+    batched 1:1 via ``_attach_blob_1to1``."""
+
+    def build(d: int, text) -> bytes:
+        w, h, p = d % 5 + 2, d % 3 + 1, d % 4 + 2
+        src = _ascii_pixels(d, text, w * h, "attach_palette_png_blob")
+        idx = bytes(b % p for b in src)
+        palette = [(65 + j, 65 + j, 65 + j) for j in range(p)]
+        return encode_png(
+            idx, w, h,
+            row_filters=[(d + r) % 5 for r in range(h)],
+            palette=palette,
+        )
 
     return _attach_blob_1to1(
         docs, build, id_col=id_col, value_col=text_col

@@ -8119,6 +8119,65 @@ FROM dim
 """
 
 
+def q_mm09_palette_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PALETTE (color type 3) PNG decode — mm08's most common
+    remaining PIL-gated class taken real (VERDICT r15 #5): a true
+    indexed PNG per doc — CRC-verified IHDR/PLTE/IDAT/IEND walk,
+    1-byte-per-pixel scanlines unfiltered at bpp=1 with the same five
+    filter types, then index-expanded through the PLTE's RGB triples
+    (the PIL convert("RGB") contract). Planted per doc: ``(id%5+2) ×
+    (id%3+1)`` with an ``id%4+2``-entry grayscale PLTE (entry j =
+    'A'+j three times), indices = the doc's ASCII pixel buffer mod
+    the palette size, per-row filter ``(id+row)%5`` — so the decoded
+    pixel md5 certifies PLTE parsing, expansion, AND bpp=1 unfilter
+    arithmetic together (a decoder that expands before unfiltering,
+    or unfilters at bpp=3, hash-breaks). The oracle restates the
+    expanded buffer per char: ``chr(65 + ord(ch) % n_colors)``
+    repeated 3×, via the correlated-unnest construction (the
+    mm06/mm07 pattern). PLTE malformations (missing/duplicate/late/
+    bad length/out-of-range index) are ValueError crash classes,
+    fuzz-covered in tests. Scale: identical to mm08 — one narrow
+    Arrow pass per side, the blob dies at the decode stage."""
+    from alternating_least_squares_spark.functions.multimodal import (
+        attach_palette_png_blob,
+        decode_png_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return decode_png_features(attach_palette_png_blob(docs))
+
+
+SQL_MM09 = """
+WITH dim0 AS (
+  SELECT doc_id,
+         CAST(doc_id % 5 + 2 AS INTEGER) AS width,
+         CAST(doc_id % 3 + 1 AS INTEGER) AS height,
+         CAST(doc_id % 4 + 2 AS INTEGER) AS n_colors,
+         text
+  FROM documents
+),
+dim AS (
+  SELECT doc_id, width, height, n_colors,
+         rpad(substring(coalesce(text, ''), 1, width * height),
+              width * height, 'x') AS idxsrc
+  FROM dim0
+),
+px AS (
+  SELECT doc_id, width, height, n_colors,
+         string_agg(
+           repeat(chr(65 + ord(substring(idxsrc, i, 1)) % n_colors), 3),
+           '' ORDER BY i
+         ) AS pixels
+  FROM dim, unnest(generate_series(1, width * height)) AS t(i)
+  GROUP BY doc_id, width, height, n_colors
+)
+SELECT doc_id, width, height,
+       CAST(3 AS INTEGER) AS channels,
+       md5(pixels) AS pixel_md5
+FROM px
+"""
+
+
 P05_PEAK_MAX = 32_000        # clipping gate: max|s| must stay under
 P05_ENERGY_MIN = 340_000_000  # silence gate: mean energy per sample
 
@@ -15019,6 +15078,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "mm06_pcm_features": (q_mm06_pcm_features, SQL_MM06),
     "mm07_wav_decode": (q_mm07_wav_decode, SQL_MM07),
     "mm08_png_decode": (q_mm08_png_decode, SQL_MM08),
+    "mm09_palette_png": (q_mm09_palette_png, SQL_MM09),
     "d01_simhash": (q_d01_simhash, SQL_D01),
     "d02_jaccard_pairs": (q_d02_jaccard_pairs, SQL_D02),
     "d03_minhash_near_dup": (q_d03_minhash_near_dup, SQL_D03),
@@ -15260,13 +15320,13 @@ _PREFIX = [
     "h18_important_parts",
     "h19_min_cost_supplier",
     "h21_sole_returning_supplier",
-    "ipf_cost_per_visit_fixed",
     # new in round 16 (each displaces one r11-cohort fill slot from
     # the END per the rule above: m04_market_basket is displaced by
-    # st16, j07_abandoned_clicks by ac13 — displaced rows LEAD the
-    # r17 plan)
+    # st16, j07_abandoned_clicks by ac13, ipf_cost_per_visit_fixed by
+    # mm09 — displaced rows LEAD the r17 plan)
     "st16_outer_join_watermark",
     "ac13_deletion_vectors",
+    "mm09_palette_png",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

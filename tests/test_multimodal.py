@@ -680,10 +680,11 @@ def test_png_decoder_fails_loud_on_malformed_containers():
     corrupt[idat_at + 5] ^= 0xFF
     with pytest.raises(ValueError, match="CRC mismatch"):
         decode_png(bytes(corrupt))
-    # unsupported IHDR shapes refuse rather than mis-decode
+    # unsupported IHDR shapes refuse rather than mis-decode (palette
+    # moved OUT of this list in round 16: color type 3 is now a real
+    # decode path — see test_palette_png_*)
     for depth, color, interlace in (
         (16, 2, 0),   # 16-bit
-        (8, 3, 0),    # palette
         (8, 0, 0),    # grayscale
         (8, 2, 1),    # interlaced (Adam7)
     ):
@@ -837,3 +838,137 @@ def test_png_decoder_strictness_and_bomb_cap():
     )
     with pytest.raises(ValueError, match="non-consecutive IDAT"):
         decode_png(interleaved)
+
+
+def test_palette_png_roundtrip_all_filters():
+    """decode_png inverts encode_png in palette mode for every filter
+    type 0-4 and mixed per-row filters, returning the PLTE-EXPANDED
+    RGB buffer (the PIL convert('RGB') contract) — the arithmetic the
+    mm09 oracle hash rides on, including the bpp=1 predictor (a
+    decoder unfiltering at bpp=3 reconstructs wrong indices)."""
+    from alternating_least_squares_spark.functions.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    pal = [(10 * j + 5, 200 - j, j) for j in range(7)]
+    idx = bytes((i * 3 + 1) % 7 for i in range(5 * 4))
+    want = bytes(c for i in idx for c in pal[i])
+    for f in range(5):
+        blob = encode_png(idx, 5, 4, row_filters=[f] * 4, palette=pal)
+        assert decode_png(blob) == (5, 4, 3, want), f
+    blob = encode_png(idx, 5, 4, row_filters=[4, 3, 2, 1], palette=pal)
+    assert decode_png(blob) == (5, 4, 3, want)
+    # single-entry palette (all pixels one color) is legal
+    blob = encode_png(b"\x00" * 6, 3, 2, palette=[(9, 8, 7)])
+    assert decode_png(blob) == (3, 2, 3, bytes([9, 8, 7]) * 6)
+
+
+def test_palette_png_crash_classes():
+    """Malformed-PLTE classes all raise ValueError (the 955f6ac fuzz
+    discipline): color type 3 without PLTE, duplicate PLTE, PLTE
+    after IDAT, bad PLTE length (0 / not %3 / >768), out-of-range
+    index in the decoded scanlines, and encode-side guards (bad
+    entries, oversized palette, index past the palette)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from alternating_least_squares_spark.functions.multimodal import (
+        PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    pal = [(65, 65, 65), (66, 66, 66)]
+    good = encode_png(b"\x00\x01\x01\x00", 2, 2, palette=pal)
+    ihdr3 = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    idat = zlib.compress(b"\x00\x00\x01" + b"\x00\x01\x00")
+
+    # color 3 without PLTE
+    blob = PNG_SIG + chunk(b"IHDR", ihdr3) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="without a PLTE"):
+        decode_png(blob)
+    # duplicate PLTE
+    plte = chunk(b"PLTE", b"AAABBB")
+    blob = PNG_SIG + chunk(b"IHDR", ihdr3) + plte + plte + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="duplicate PLTE"):
+        decode_png(blob)
+    # PLTE after IDAT
+    blob = PNG_SIG + chunk(b"IHDR", ihdr3) + chunk(b"IDAT", idat) + plte + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="PLTE after IDAT"):
+        decode_png(blob)
+    # bad PLTE lengths: empty, not a multiple of 3, > 768
+    for bad in (b"", b"AAAB", b"x" * 771):
+        blob = (
+            PNG_SIG + chunk(b"IHDR", ihdr3) + chunk(b"PLTE", bad)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="malformed PLTE length"):
+            decode_png(blob)
+    # decoded index past the PLTE (2 entries, index 2 planted)
+    idat_oob = zlib.compress(b"\x00\x00\x02" + b"\x00\x01\x00")
+    blob = (
+        PNG_SIG + chunk(b"IHDR", ihdr3) + plte
+        + chunk(b"IDAT", idat_oob) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index 2 out of range"):
+        decode_png(blob)
+    # encode-side guards
+    with pytest.raises(ValueError, match="palette must hold 1-256"):
+        encode_png(b"\x00", 1, 1, palette=[])
+    with pytest.raises(ValueError, match="palette must hold 1-256"):
+        encode_png(b"\x00", 1, 1, palette=[(0, 0, 0)] * 257)
+    with pytest.raises(ValueError, match="bad palette entry"):
+        encode_png(b"\x00", 1, 1, palette=[(0, 0)])
+    with pytest.raises(ValueError, match="bad palette entry"):
+        encode_png(b"\x00", 1, 1, palette=[(0, 0, 256)])
+    with pytest.raises(ValueError, match="index 1 out of range"):
+        encode_png(b"\x00\x01", 2, 1, palette=[(0, 0, 0)])
+    # PLTE on a truecolor PNG is spec-legal (suggested quantization)
+    # and ignored
+    sig_ihdr_end = good.index(b"PLTE") - 4  # reuse good's IHDR prefix? no:
+    rgb = encode_png(bytes(range(12)), 2, 2, 3)
+    at = rgb.index(b"IDAT") - 4
+    with_plte = rgb[:at] + chunk(b"PLTE", b"AAABBB") + rgb[at:]
+    assert decode_png(with_plte) == (2, 2, 3, bytes(range(12)))
+
+
+def test_palette_png_junk_fuzz_crash_class():
+    """Seeded junk after a valid IHDR+PLTE prefix must always raise
+    ValueError — never a different exception, never a wrong decode."""
+    import random
+    import struct
+    import zlib
+
+    import pytest
+
+    from alternating_least_squares_spark.functions.multimodal import (
+        PNG_SIG,
+        decode_png,
+    )
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    prefix = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", b"AAABBB")
+    )
+    rng = random.Random(1609)
+    for n in (1, 8, 16, 64):
+        for _ in range(20):
+            blob = prefix + bytes(rng.randrange(256) for _ in range(n))
+            with pytest.raises(ValueError):
+                decode_png(blob)
