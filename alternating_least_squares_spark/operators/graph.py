@@ -712,6 +712,115 @@ def bfs_distances(
     return dist
 
 
+def sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int | None = None,
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """Weighted multi-source single-source shortest paths by
+    level-synchronous Bellman-Ford relaxation — :func:`bfs_distances`
+    with an integer edge cost in place of the unit hop (the classic
+    graph primitive the reachability/components/communities/cores/
+    trusses family still lacked). ``edges`` is an oriented undirected
+    edge list (``a``, ``b``, ``weight`` — positive integers, validated
+    loudly: a non-positive weight breaks both Bellman-Ford's
+    termination bound and the runaway guard); ``sources`` a DataFrame
+    with a ``vertex`` column. Returns ``(vertex, dist)`` — the
+    minimum total weight to the nearest seed — for every vertex
+    reached; unreached vertices are absent, never NULL-padded.
+    Parallel edges keep their cheapest weight (min on symmetrize).
+
+    Modes (the gr05/gr06 twin discipline): ``rounds=None`` relaxes to
+    the FIXPOINT, detected by a round improving or adding nothing
+    (one anti-join count per round); with positive weights every
+    non-terminal round finalizes ≥ 1 vertex, so the data-derived
+    runaway bound is |V|+1 rounds, priced lazily after
+    ``_GUARD_CHECK_AT``. ``rounds=R`` relaxes exactly R times with NO
+    driver actions — well-defined at any R, equal to the fixpoint
+    once R ≥ the hop depth of the shortest-path forest (which can
+    exceed the BFS eccentricity: a cheaper path may use more hops),
+    and exactly what the unrolled-SQL oracle states.
+
+    Distributed shape: each round is ONE frontier→edges equi-join +
+    ONE min-groupBy on the vertex key — linear in touched edges, all
+    hash-partitioned on vertex, never |V|·|E| (the relaxation is
+    against the FULL dist table, so a round is a self-contained
+    min-plus step; no visited-set anti-join is needed because min()
+    is idempotent on already-final distances). Per-round rotating
+    ``localCheckpoint`` keeps lineage flat and storage bounded."""
+    if (
+        edges.filter(
+            F.col("weight").isNull() | (F.col("weight") <= 0)
+        ).limit(1).count()
+    ):
+        raise ValueError(
+            "sssp requires positive non-NULL integer weights: a "
+            "non-positive weight voids Bellman-Ford's termination "
+            "bound and the |V|+1 runaway guard"
+        )
+    sym, _own_sym = local_checkpoint_owned(
+        edges.select(
+            F.col("a").alias("u"), F.col("b").alias("v"), "weight"
+        )
+        .unionAll(
+            edges.select(
+                F.col("b").alias("u"), F.col("a").alias("v"), "weight"
+            )
+        )
+        .groupBy("u", "v")
+        .agg(F.min("weight").cast("long").alias("w"))
+    )
+    dist, _own_d = local_checkpoint_owned(
+        sources.select("vertex")
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    r = 0
+    limit = max_rounds
+    while True:
+        if rounds is not None and r >= rounds:
+            break
+        if rounds is None and limit is None and r >= _GUARD_CHECK_AT:
+            # lazy structural bound: every non-terminal relaxation
+            # round finalizes >= 1 vertex under positive weights
+            limit = sym.select("u").distinct().count() + 1
+        if rounds is None and limit is not None and r >= limit:
+            _release(dist, (_own_sym or set()) | (_own_d or set()))
+            raise RuntimeError(
+                f"sssp: still relaxing after {limit} rounds"
+            )
+        relaxed = sym.join(
+            dist.withColumnRenamed("vertex", "u"), "u"
+        ).select(
+            F.col("v").alias("vertex"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        nxt, _own_n = local_checkpoint_owned(
+            dist.unionByName(relaxed)
+            .groupBy("vertex")
+            .agg(F.min("dist").alias("dist"))
+        )
+        r += 1
+        if rounds is None:
+            # a row of nxt absent from dist is a new vertex or an
+            # improved distance; counted BEFORE the old generation is
+            # released (the anti-join reads it)
+            improved = nxt.join(
+                dist, ["vertex", "dist"], "left_anti"
+            ).count()
+            _release(dist, _own_d)
+            dist, _own_d = nxt, _own_n
+            if improved == 0:
+                break
+        else:
+            _release(dist, _own_d)
+            dist, _own_d = nxt, _own_n
+    # dist is materialized; the graph is no longer read by the result
+    _release(dist, _own_sym or set())
+    return dist
+
+
 def clustering_coefficients(
     edges: DataFrame,
     max_degree: int | None = None,

@@ -10114,6 +10114,116 @@ def _gr06_oracle(rounds: int, seed_mod: int, min_support: int) -> str:
 SQL_GR06 = _gr06_oracle(GR06_ROUNDS, GR06_SEED_MOD, GR05_MIN_SUPPORT)
 
 
+GR11_ROUNDS = 10
+GR11_SEED_MOD = 97
+
+
+def _support_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gr11 weighted twin of :func:`_support_edges`: same
+    co-purchase edges, same GR05_MIN_SUPPORT threshold, plus an
+    INVERSE-SUPPORT integer weight ``greatest(1, 5 − support)``
+    (support 2 → 3, 3 → 2, ≥4 → 1) — strongly co-purchased pairs are
+    cheap to traverse, so the weighted shortest path genuinely
+    diverges from the hop count (a 2-hop chain of support-4 edges
+    costs 2, beating a direct support-2 edge at 3)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    return (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(
+            F.col("x.l_partkey").alias("a"),
+            F.col("y.l_partkey").alias("b"),
+        )
+        .agg(F.count("*").alias("_support"))
+        .filter(F.col("_support") >= GR05_MIN_SUPPORT)
+        .select(
+            "a",
+            "b",
+            F.greatest(F.lit(1), F.lit(5) - F.col("_support"))
+            .cast("long")
+            .alias("weight"),
+        )
+    )
+
+
+def q_gr11_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-source shortest paths on the inverse-support
+    co-purchase graph (operators/graph.sssp, Bellman-Ford fixed
+    sweep — VERDICT r15 #6, completing the classic graph primitive
+    set: reachability gr06, components gr08, communities gr09, cores
+    gr05, trusses gr10): minimum total edge cost from every vertex to
+    the nearest seed (part % 97 == 0), where an edge costs
+    greatest(1, 5 − support) — the "few strong hops beat one weak
+    hop" semantics hop-count BFS cannot express. Exactly
+    GR11_ROUNDS=10 relaxation rounds on both sides, ≥ the measured
+    shortest-path-forest hop depth at both test SFs (8 at sf0.01, 4
+    at sf0.001 — weighted depth can exceed the BFS eccentricity, so
+    the margin is wider than gr06's), making the hash-checked result
+    the true distance table there; the live fixpoint mode (improved
+    == 0 early exit, |V|+1 runaway guard, rotating checkpoints) is
+    pinned equal to the fixed sweep on this data and brute-force
+    Dijkstra parity on random graphs by tests/test_graph.py."""
+    from alternating_least_squares_spark.operators.graph import sssp
+
+    edges = _support_weighted_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("a").alias("vertex"))
+        .unionAll(edges.select(F.col("b").alias("vertex")))
+        .distinct()
+        .filter(F.col("vertex") % GR11_SEED_MOD == 0)
+    )
+    return sssp(edges, seeds, rounds=GR11_ROUNDS).select(
+        F.col("vertex").alias("part"), F.col("dist").alias("dist_w")
+    )
+
+
+def _gr11_oracle(rounds: int, seed_mod: int, min_support: int) -> str:
+    """Unrolled Bellman-Ford: one MATERIALIZED CTE per relaxation
+    round (each d_i references d_{i-1} twice — the gr05/gr06
+    materialization lesson), each round the min-plus step
+    d_i = MIN(d_{i-1} ∪ relax(d_{i-1}))."""
+    parts = [
+        "WITH li AS MATERIALIZED "
+        "(SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),",
+        "e0 AS MATERIALIZED (",
+        "  SELECT x.l_partkey AS a, y.l_partkey AS b,",
+        "         GREATEST(1, 5 - count(*)) AS w",
+        "  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey",
+        "  WHERE x.l_partkey < y.l_partkey",
+        f"  GROUP BY 1, 2 HAVING count(*) >= {min_support}",
+        "),",
+        "e AS MATERIALIZED (SELECT a AS u, b AS v, w FROM e0 "
+        "UNION ALL SELECT b, a, w FROM e0),",
+        "d0 AS MATERIALIZED (SELECT DISTINCT u AS vertex, "
+        f"CAST(0 AS BIGINT) AS dist FROM e WHERE u % {seed_mod} = 0)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""", d{r} AS MATERIALIZED (
+  SELECT vertex, MIN(dist) AS dist FROM (
+    SELECT vertex, dist FROM d{p}
+    UNION ALL
+    SELECT e.v AS vertex, d{p}.dist + e.w AS dist
+    FROM d{p} JOIN e ON e.u = d{p}.vertex
+  ) GROUP BY vertex
+)"""
+        )
+    parts.append(
+        f"SELECT vertex AS part, CAST(dist AS BIGINT) AS dist_w "
+        f"FROM d{rounds}"
+    )
+    return "\n".join(parts)
+
+
+SQL_GR11 = _gr11_oracle(GR11_ROUNDS, GR11_SEED_MOD, GR05_MIN_SUPPORT)
+
+
 GR08_ROUNDS = 10
 
 
@@ -15205,6 +15315,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "gr08_connected_components": (q_gr08_connected_components, SQL_GR08),
     "gr09_label_propagation": (q_gr09_label_propagation, SQL_GR09),
     "gr10_ktruss": (q_gr10_ktruss, SQL_GR10),
+    "gr11_sssp": (q_gr11_sssp, SQL_GR11),
 }
 
 
@@ -15319,14 +15430,15 @@ _PREFIX = [
     "h17_small_qty_revenue",
     "h18_important_parts",
     "h19_min_cost_supplier",
-    "h21_sole_returning_supplier",
     # new in round 16 (each displaces one r11-cohort fill slot from
     # the END per the rule above: m04_market_basket is displaced by
     # st16, j07_abandoned_clicks by ac13, ipf_cost_per_visit_fixed by
-    # mm09 — displaced rows LEAD the r17 plan)
+    # mm09, h21_sole_returning_supplier by gr11 — displaced rows LEAD
+    # the r17 plan)
     "st16_outer_join_watermark",
     "ac13_deletion_vectors",
     "mm09_palette_png",
+    "gr11_sssp",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

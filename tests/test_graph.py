@@ -493,6 +493,16 @@ def test_iterative_graph_ops_keep_lineage_flat(spark):
     assert "Join" not in core_plan, core_plan
     bfs_plan = optimized(bfs_distances(edges, seeds, rounds=3))
     assert "Join" not in bfs_plan, bfs_plan
+    from alternating_least_squares_spark.operators.graph import sssp
+
+    sssp_plan = optimized(
+        sssp(
+            edges.withColumn("weight", F.lit(1).cast("long")),
+            seeds,
+            rounds=3,
+        )
+    )
+    assert "Join" not in sssp_plan, sssp_plan
     pr_plan = optimized(
         pagerank(
             edges.select(F.col("a").alias("src"), F.col("b").alias("dst")),
@@ -909,3 +919,136 @@ def test_ktruss_validates_guards_and_releases(spark):
     ktruss(df, k=4).write.format("noop").mode("overwrite").save()
     # only the final generation + final scoring pass may stay pinned
     assert len(jsc.getPersistentRDDs()) - before <= 3
+
+
+def test_sssp_hand_computed_weighted_beats_hops(spark):
+    """Chain 1-2-3 at weight 2 each vs direct 1-3 at weight 5: the
+    2-hop path wins at cost 4 (exactly what hop-count BFS cannot
+    express); a separate component is absent, never NULL-padded;
+    parallel edges keep the cheapest weight."""
+    from alternating_least_squares_spark.operators.graph import sssp
+
+    edges = spark.createDataFrame(
+        [(1, 2, 2), (2, 3, 2), (1, 3, 5), (1, 3, 9), (7, 8, 1)],
+        "a long, b long, weight long",
+    )
+    seeds = spark.createDataFrame([(1,)], "vertex long")
+    got = {r["vertex"]: r["dist"] for r in sssp(edges, seeds).collect()}
+    assert got == {1: 0, 2: 2, 3: 4}
+
+
+def test_sssp_fixed_sweep_truncates_then_matches(spark):
+    """rounds=R is the min-plus prefix: after 1 round the chain end
+    still carries the direct edge's higher cost, corrected once the
+    cheaper 2-hop relaxation arrives."""
+    from alternating_least_squares_spark.operators.graph import sssp
+
+    edges = spark.createDataFrame(
+        [(1, 2, 2), (2, 3, 2), (1, 3, 5)], "a long, b long, weight long"
+    )
+    seeds = spark.createDataFrame([(1,)], "vertex long")
+    one = {r["vertex"]: r["dist"]
+           for r in sssp(edges, seeds, rounds=1).collect()}
+    assert one == {1: 0, 2: 2, 3: 5}  # direct edge seen, chain not yet
+    three = {r["vertex"]: r["dist"]
+             for r in sssp(edges, seeds, rounds=3).collect()}
+    assert three == {1: 0, 2: 2, 3: 4}
+
+
+def test_sssp_validates_and_guards(spark):
+    from alternating_least_squares_spark.operators.graph import sssp
+
+    seeds = spark.createDataFrame([(1,)], "vertex long")
+    with pytest.raises(ValueError, match="positive non-NULL"):
+        sssp(
+            spark.createDataFrame([(1, 2, 0)], "a long, b long, weight long"),
+            seeds,
+        )
+    with pytest.raises(ValueError, match="positive non-NULL"):
+        sssp(
+            spark.createDataFrame(
+                [(1, 2, None)], "a long, b long, weight long"
+            ),
+            seeds,
+        )
+    with pytest.raises(RuntimeError, match="still relaxing"):
+        sssp(
+            spark.createDataFrame([(1, 2, 1)], "a long, b long, weight long"),
+            seeds,
+            max_rounds=0,
+        )
+
+
+def test_gr11_fixed_sweep_equals_live_fixpoint(spark):
+    """The GR11_ROUNDS=10 unroll must BE the fixpoint on the real
+    fixture (measured hop depth 4 at sf0.001) — the gr05/gr08 pinning
+    discipline that keeps the driver hash meaning 'true distances',
+    not 'prefix of a loop'."""
+    from alternating_least_squares_spark.operators.graph import sssp
+    from alternating_least_squares_spark.registry import (
+        GR11_ROUNDS,
+        GR11_SEED_MOD,
+        _support_weighted_edges,
+    )
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMALL
+
+    edges = _support_weighted_edges(spark, SF_SMALL)
+    seeds = (
+        edges.select(F.col("a").alias("vertex"))
+        .unionAll(edges.select(F.col("b").alias("vertex")))
+        .distinct()
+        .filter(F.col("vertex") % GR11_SEED_MOD == 0)
+    )
+    fixed = {(r["vertex"], r["dist"])
+             for r in sssp(edges, seeds, rounds=GR11_ROUNDS).collect()}
+    live = {(r["vertex"], r["dist"])
+            for r in sssp(edges, seeds).collect()}
+    assert fixed and fixed == live
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    raw=edge_set,
+    smod=st.integers(min_value=2, max_value=4),
+    wseed=st.integers(min_value=0, max_value=999),
+)
+def test_sssp_matches_brute_force_dijkstra(spark, raw, smod, wseed):
+    """Any random graph with deterministic weights 1-4: the
+    level-synchronous min-plus relaxation must equal textbook
+    Dijkstra exactly."""
+    import heapq
+
+    from alternating_least_squares_spark.operators.graph import sssp
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw})
+    weighted = [
+        (a, b, (a * 7 + b * 13 + wseed) % 4 + 1) for a, b in edges
+    ]
+    verts = sorted({v for e in edges for v in e})
+    seed_list = [v for v in verts if v % smod == 0]
+
+    def brute():
+        adj = {v: [] for v in verts}
+        for a, b, w in weighted:
+            adj[a].append((b, w))
+            adj[b].append((a, w))
+        dist = {v: 0 for v in seed_list}
+        pq = [(0, v) for v in seed_list]
+        heapq.heapify(pq)
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist.get(u, float("inf")):
+                continue
+            for v, w in adj[u]:
+                if d + w < dist.get(v, float("inf")):
+                    dist[v] = d + w
+                    heapq.heappush(pq, (d + w, v))
+        return dist
+
+    df = spark.createDataFrame(weighted, "a long, b long, weight long")
+    seeds = spark.createDataFrame(
+        [(v,) for v in seed_list] or [(None,)], "vertex long"
+    ).filter("vertex IS NOT NULL")
+    got = {r["vertex"]: r["dist"] for r in sssp(df, seeds).collect()}
+    assert got == brute()
