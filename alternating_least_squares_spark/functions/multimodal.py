@@ -1085,6 +1085,15 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
     channels = {2: 3, 3: 3, 6: 4}[color]
     row = width * bpp
     want = (row + 1) * height
+    # the cap below is only as good as `want`, which the IHDR (i.e.
+    # the attacker) controls: deflate's maximum expansion is 1032:1,
+    # so a stream that CLAIMS more than len(idat)*1032 output cannot
+    # be valid — refuse before inflating anything (review r16)
+    if want > len(idat) * 1032 + 64:
+        raise ValueError(
+            f"IHDR claims {want} scanline bytes but IDAT holds "
+            f"{len(idat)} compressed bytes (impossible expansion)"
+        )
     try:
         # cap the inflate at the IHDR-implied size so a few-KB deflate
         # bomb cannot allocate past `want` before the mismatch raises
@@ -1094,6 +1103,11 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"IDAT decodes past {want} bytes")
     except zlib.error as exc:
         raise ValueError(f"corrupt IDAT stream: {exc}") from exc
+    if not dec.eof:
+        # the capped decompressobj accepts a stream whose terminator
+        # was chopped off (plain zlib.decompress raised on it) — keep
+        # that corruption class loud (review r16)
+        raise ValueError("truncated IDAT stream (missing terminator)")
     if len(scan) != want:
         raise ValueError(
             f"IDAT decodes to {len(scan)} bytes, want {want}"

@@ -749,28 +749,41 @@ def sssp(
     min-plus step; no visited-set anti-join is needed because min()
     is idempotent on already-final distances). Per-round rotating
     ``localCheckpoint`` keeps lineage flat and storage bounded."""
+    # materialize the (possibly expensive) edge derivation ONCE: the
+    # validation scan and the symmetrize both read this checkpoint,
+    # not two executions of the caller's plan (review r16)
+    e0, _own_e = local_checkpoint_owned(
+        edges.select("a", "b", "weight")
+    )
     if (
-        edges.filter(
-            F.col("weight").isNull() | (F.col("weight") <= 0)
+        e0.filter(
+            F.col("weight").isNull()
+            | (F.col("weight") <= 0)
+            # a fractional weight would be silently truncated by the
+            # long cast below — reject it with the same loudness
+            | (F.col("weight") != F.col("weight").cast("long"))
         ).limit(1).count()
     ):
+        _release(e0, _own_e)
         raise ValueError(
             "sssp requires positive non-NULL integer weights: a "
             "non-positive weight voids Bellman-Ford's termination "
-            "bound and the |V|+1 runaway guard"
+            "bound and the |V|+1 runaway guard, and a fractional one "
+            "would be silently truncated"
         )
     sym, _own_sym = local_checkpoint_owned(
-        edges.select(
+        e0.select(
             F.col("a").alias("u"), F.col("b").alias("v"), "weight"
         )
         .unionAll(
-            edges.select(
+            e0.select(
                 F.col("b").alias("u"), F.col("a").alias("v"), "weight"
             )
         )
         .groupBy("u", "v")
         .agg(F.min("weight").cast("long").alias("w"))
     )
+    _release(sym, _own_e)  # superseded by the symmetrized checkpoint
     dist, _own_d = local_checkpoint_owned(
         sources.select("vertex")
         .distinct()

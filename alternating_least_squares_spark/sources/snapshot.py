@@ -149,21 +149,48 @@ def _apply_dvs(spark: SparkSession, df: DataFrame, dvs: list | None) -> DataFram
 
 def _write_dv_files(hits: DataFrame, path: str) -> dict:
     """Write one commit's deletion-vector sidecar and return
-    {"paths": [...], "rows": n} ({"paths": [], "rows": 0} when the
-    predicate matched nothing — callers skip the entry)."""
+    {"paths": [...], "rows": n, "files": [covered data files]}
+    ({"paths": [], ...} when the predicate matched nothing — callers
+    skip the entry). ``files`` (normalized spellings, bounded by the
+    table's file count) lets rewriting commits DROP a carried DV
+    entry once none of its covered files survive — without it, stale
+    sidecars would accumulate across copy-on-write rewrites until the
+    next full fold."""
     dv_dir = os.path.join(path, _DATA, uuid.uuid4().hex[:12], "dv")
     hits.write.mode("error").parquet(dv_dir)
     spark = hits.sparkSession
+    written = spark.read.schema(_DV_SCHEMA).parquet(dv_dir)
     stats = (
-        spark.read.schema(_DV_SCHEMA).parquet(dv_dir)
-        .groupBy(F.input_file_name().alias("p"))
+        written.groupBy(F.input_file_name().alias("p"))
         .agg(F.count("*").alias("n"))
         .collect()
+    )
+    covered = (
+        written.select("file_path").distinct().collect()
     )
     return {
         "paths": sorted(_local_path(r["p"]) for r in stats),
         "rows": int(sum(r["n"] for r in stats)),
+        "files": sorted(_local_path(r["file_path"]) for r in covered),
     }
+
+
+def _carry_dvs(prev: dict, surviving_files: list[dict]) -> list[dict]:
+    """The DV list a rewriting commit carries: every prev entry at
+    least one of whose covered data files is still referenced (its
+    positions are still live — the rewrite applied DVs only to the
+    files it replaced); entries whose files are all gone are dropped
+    (their positions were folded into the rewrite). Entries from
+    before covered-file tracking (no "files" key) are carried
+    conservatively — stale rows are read-harmless, just audit
+    noise."""
+    alive = {os.path.abspath(f["path"]) for f in surviving_files}
+    return [
+        dv
+        for dv in prev.get("dvs", [])
+        if "files" not in dv
+        or any(os.path.abspath(p) in alive for p in dv["files"])
+    ]
 
 
 def _require_absolute(path: str) -> None:
@@ -503,7 +530,7 @@ def merge_upsert(
             "key": key,
             "schema": schema_json,
             "files": untouched + new_files,
-            "dvs": prev.get("dvs", []),
+            "dvs": _carry_dvs(prev, untouched),
             "pruning": {"rewritten": len(touched),
                         "carried": len(untouched)},
             **(extra or {}),
@@ -567,7 +594,7 @@ def delete_keys(path: str, keys: DataFrame) -> int:
             "key": key,
             "schema": prev["schema"],
             "files": untouched + new_files,
-            "dvs": prev.get("dvs", []),
+            "dvs": _carry_dvs(prev, untouched),
             "pruning": {"rewritten": len(touched),
                         "carried": len(untouched)},
         },
@@ -637,7 +664,7 @@ def delete_where(path: str, predicate: str, spark: SparkSession) -> int:
             "key": prev["key"],
             "schema": prev["schema"],
             "files": untouched + new_files,
-            "dvs": prev.get("dvs", []),
+            "dvs": _carry_dvs(prev, untouched),
             "pruning": {"rewritten": len(touched),
                         "carried": len(untouched)},
         },
@@ -814,7 +841,14 @@ def read_key_range(
     if not live:
         df = spark.createDataFrame([], schema)
     else:
-        df = spark.read.schema(schema).parquet(*[f["path"] for f in live])
+        # DVs apply here exactly as in read_snapshot (review r16: a
+        # range read that skipped them would resurrect merge-on-read
+        # deletes); DV rows addressing pruned-away files match nothing
+        df = _apply_dvs(
+            spark,
+            spark.read.schema(schema).parquet(*[f["path"] for f in live]),
+            m.get("dvs"),
+        )
     return (
         df.filter((F.col(key) >= lo) & (F.col(key) <= hi)),
         len(live),
@@ -1083,10 +1117,27 @@ def vacuum(
             full = os.path.join(data_dir, d)
             if not os.path.isdir(full):
                 continue
-            entries = os.listdir(full)
+            # debris test is RECURSIVE over paths (review r16): a DV
+            # commit dir whose sidecar parquets vacuum just reclaimed
+            # holds dv/_SUCCESS + .crc — the plain "dv" entry isn't
+            # debris-named, but every remaining FILE is (or sits under
+            # a _/.-prefixed dir, e.g. an in-flight _temporary tree,
+            # which the age guard alone arbitrates as before)
             debris_only = all(
-                e.startswith("_") or e.startswith(".") or e.endswith(".crc")
-                for e in entries
+                any(
+                    seg.startswith(("_", ".")) or seg.endswith(".crc")
+                    for seg in [
+                        s
+                        for s in os.path.join(
+                            os.path.relpath(dp, full), f
+                        ).split(os.sep)
+                        # relpath yields "." for the top level — not
+                        # a debris marker, just "no subdir"
+                        if s != "."
+                    ]
+                )
+                for dp, _, fs in os.walk(full)
+                for f in fs
             )
             if debris_only and all(
                 _old_enough(p)

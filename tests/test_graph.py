@@ -1052,3 +1052,30 @@ def test_sssp_matches_brute_force_dijkstra(spark, raw, smod, wseed):
     ).filter("vertex IS NOT NULL")
     got = {r["vertex"]: r["dist"] for r in sssp(df, seeds).collect()}
     assert got == brute()
+
+
+def test_sssp_rejects_fractional_weights(spark):
+    """Review r16: a fractional weight would be silently truncated by
+    the long cast (2.9 -> 2, 0.5 -> 0) — reject it as loudly as a
+    non-positive one."""
+    from alternating_least_squares_spark.operators.graph import sssp
+
+    seeds = spark.createDataFrame([(1,)], "vertex long")
+    with pytest.raises(ValueError, match="positive non-NULL integer"):
+        sssp(
+            spark.createDataFrame(
+                [(1, 2, 2.9)], "a long, b long, weight double"
+            ),
+            seeds,
+        )
+    # integral-valued doubles are fine
+    got = {
+        r["vertex"]: r["dist"]
+        for r in sssp(
+            spark.createDataFrame(
+                [(1, 2, 2.0)], "a long, b long, weight double"
+            ),
+            seeds,
+        ).collect()
+    }
+    assert got == {1: 0, 2: 2}

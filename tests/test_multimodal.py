@@ -972,3 +972,50 @@ def test_palette_png_junk_fuzz_crash_class():
             blob = prefix + bytes(rng.randrange(256) for _ in range(n))
             with pytest.raises(ValueError):
                 decode_png(blob)
+
+
+def test_png_decoder_truncated_stream_and_impossible_expansion():
+    """Review r16 regressions on the capped inflate: (1) an IDAT
+    whose zlib terminator was chopped off must still refuse (the
+    capped decompressobj, unlike plain zlib.decompress, returns the
+    full output with eof=False); (2) an IHDR claiming more output
+    than deflate's 1032:1 maximum expansion allows must refuse
+    BEFORE inflating (the cap is otherwise attacker-controlled)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from alternating_least_squares_spark.functions.multimodal import (
+        PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    px = bytes(range(2 * 2 * 3))
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    stream = zlib.compress(b"\x00" + px[:6] + b"\x00" + px[6:])
+    # (1) chop the 4-byte adler32 trailer: output complete, stream not
+    blob = (
+        PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", stream[:-4]) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="truncated IDAT stream"):
+        decode_png(blob)
+    # (2) huge claimed dimensions vs a tiny IDAT refuse up front
+    huge = struct.pack(">IIBBBBB", 0x7FFFFFFF, 0x7FFFFFFF, 8, 2, 0, 0, 0)
+    blob = (
+        PNG_SIG + chunk(b"IHDR", huge)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 100)) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="impossible expansion"):
+        decode_png(blob)
+    # the guard must not reject legitimate images
+    good = encode_png(px, 2, 2, 3, [1, 2])
+    assert decode_png(good) == (2, 2, 3, px)

@@ -891,3 +891,65 @@ def test_cow_rewrites_never_resurrect_dv_deleted_rows(
     got = _rows(spark, path)
     assert (50, 500) not in got
     assert not any(k % 10 == 3 for k, _ in got)
+
+
+def test_read_key_range_applies_deletion_vectors(spark, base, tmp_path):
+    """Review r16: the manifest-pruned range scan must anti-join DVs
+    exactly like read_snapshot — a range read that skipped them would
+    resurrect merge-on-read deletes."""
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    SN.delete_where_dv(path, "k = 5", spark)
+    df, files_read, files_total = SN.read_key_range(spark, path, 0, 10)
+    got = {(r["k"], r["v"]) for r in df.collect()}
+    assert got == {(k, k * 10) for k in range(11) if k != 5}
+    assert files_read == 1 and files_total == 4  # pruning still real
+    # time-travel range read on v0 still sees the row
+    df0, _, _ = SN.read_key_range(spark, path, 0, 10, version=0)
+    assert (5, 50) in {(r["k"], r["v"]) for r in df0.collect()}
+
+
+def test_rewrites_prune_fully_folded_dv_entries(spark, base, tmp_path):
+    """Review r16: a copy-on-write rewrite folds DVs for the files it
+    replaces — a carried DV entry whose covered files ALL got
+    rewritten must be dropped from the manifest (else sidecars and
+    rows_deleted accumulate forever), while an entry still covering a
+    surviving file is kept."""
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    SN.delete_where_dv(path, "k = 5", spark)      # covers file 0-24 only
+    SN.delete_where_dv(path, "k = 80", spark)     # covers file 75-99 only
+    # rewrite ONLY the first file: k=5's entry folds away, k=80's stays
+    v = SN.merge_upsert(
+        spark.createDataFrame([(10, -1)], "k long, v long"), path
+    )
+    m = SN._read_manifest(path, v)
+    assert [dv["rows"] for dv in m["dvs"]] == [1]  # only k=80's entry
+    got = {(r["k"], r["v"]) for r in SN.read_snapshot(spark, path).collect()}
+    assert (5, 50) not in got and (80, 800) not in got and (10, -1) in got
+    h = SN.history(path)
+    assert h[-1]["rows_deleted"] == 1
+
+
+def test_vacuum_sweeps_emptied_dv_commit_dirs(spark, base, tmp_path):
+    """Review r16: after folding + vacuum reclaim the sidecar
+    parquets, the dv/ commit directory holds only _SUCCESS/.crc
+    debris and must be swept like any emptied data commit dir."""
+    import os
+
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    SN.delete_where_dv(path, "k % 10 = 3", spark)
+    m1 = SN._read_manifest(path, 1)
+    dv_commit_dirs = {
+        os.path.dirname(os.path.dirname(p))
+        for dv in m1["dvs"]
+        for p in dv["paths"]
+    }
+    assert all(os.path.isdir(d) for d in dv_commit_dirs)
+    SN.cluster_optimize(spark, path, 4)
+    SN.vacuum(path, keep_last=1)
+    assert not any(os.path.exists(d) for d in dv_commit_dirs)
+    live = {(k, k * 10) for k in range(100) if k % 10 != 3}
+    assert {(r["k"], r["v"])
+            for r in SN.read_snapshot(spark, path).collect()} == live
