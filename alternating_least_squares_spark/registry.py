@@ -15377,6 +15377,42 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # and their evidence is the pytest floors (each has a hash-green
 # oracle-adjacent twin where one is possible: ipf_fixed, g04b,
 # m04/m05).
+#
+# R17 PREFIX PLAN (write-ahead, VERDICT r15 #8; computed from the
+# CORRECTNESS_r01..r15 union with this round's FINAL prefix marked
+# r16 — i.e. AFTER the four new r16 entries (st16, ac13, mm09, gr11)
+# displaced m04_market_basket, j07_abandoned_clicks,
+# ipf_cost_per_visit_fixed, and h21_sole_returning_supplier from the
+# r11 fill): oldest-first by (round, displaced-first, name). The
+# stale tail is exactly 23 r11 rows + the 50-entry r12 cohort, so
+# the plan is all 23 r11 rows + the 27-entry r12 cohort head. LEAD
+# with the four displaced rows — m04_market_basket,
+# j07_abandoned_clicks, ipf_cost_per_visit_fixed,
+# h21_sole_returning_supplier — then the 19 r11 leftovers,
+# alphabetical: m05_pinned_scoring, mm03_arrow_features,
+# mm04_resize_stride, p04_drift_gated_admission, q04_psi_drift,
+# rc01_subtree_rollup, rc03_bom_effective_qty, rc05_recursive_cte,
+# sql03_sql_udf, sql04_lateral_topk, st12_stream_drift_gate,
+# t07_top_bigrams, t24_ngram_decontaminate, v04_binary_hamming_topk,
+# w03_time_range_avg, w04_distribution_funcs, w05_tumbling_batch,
+# x04_pandas_udaf_geomean, x07_python_datasource — then fill the
+# remaining 27 slots from the 50-entry r12 cohort head,
+# alphabetical: a01_cmap, a02_dot, a03_diff_vector, a04_l2_norm,
+# a05_rmse, a06_transpose, a07_sum_rows, a08_sum_cols,
+# ac10_snapshot_tag, e09_activity_streaks, e12_daily_top_type,
+# e13_rfm_segments, e14_cumulative_users, e18_linear_interpolate,
+# e19_interval_coalesce, g07_weighted_mean, g08_exact_corr,
+# gr08_connected_components, j01_asof_join, j05_asof_nearest,
+# j06_point_in_time, m06_pinned_recommend, m07_pinned_ranking,
+# p03_training_pipeline, q02_referential_integrity,
+# q05_schema_drift, rc04_materialized_path — exactly 4 + 19 + 27 =
+# 50. After r17 the r11 cohort is fully retired and the stale tail
+# is the 23 r12 leftovers (sql02_shared_windows, st01_stream_hourly,
+# st10_stream_admission, st13_stream_budget_admission,
+# t13_sequence_packing, ...) + the r13 cohort, which head the r18
+# plan. New r17 entries displace the r12 fill from the END as
+# always (rc04_materialized_path first, then q05_schema_drift,
+# q02_referential_integrity, ...).
 _PREFIX = [
     # r10-stale cohort (the last 19 — after this round the r10 cohort
     # is fully retired).  First the five rows displaced by r15's new
