@@ -953,3 +953,43 @@ def test_vacuum_sweeps_emptied_dv_commit_dirs(spark, base, tmp_path):
     live = {(k, k * 10) for k in range(100) if k % 10 != 3}
     assert {(r["k"], r["v"])
             for r in SN.read_snapshot(spark, path).collect()} == live
+
+
+def test_change_feed_sees_dv_deletes(spark, base, tmp_path):
+    """CDC × DV composition: diff_versions across a delete_dv commit
+    classifies the DV-deleted keys as deletes (the feed reads through
+    read_snapshot, so merge-on-read deletes are first-class changes —
+    Delta CDF-with-DV semantics)."""
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    v1 = SN.delete_where_dv(path, "k % 25 = 7", spark)
+    feed = {
+        (r["k"], r["change_type"])
+        for r in SN.diff_versions(spark, path, 0, v1).collect()
+    }
+    assert feed == {(k, "delete") for k in range(100) if k % 25 == 7}
+
+
+def test_restore_to_dv_version_keeps_sidecars_through_vacuum(
+    spark, base, tmp_path
+):
+    """RESTORE carries the target's dvs by reference; vacuum must
+    treat the restored head's sidecars as referenced — reclaiming
+    them would resurrect the deleted rows."""
+    import os
+
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    v1 = SN.delete_where_dv(path, "k % 10 = 3", spark)
+    live = {(k, k * 10) for k in range(100) if k % 10 != 3}
+    SN.cluster_optimize(spark, path, 4)          # v2: DVs folded
+    SN.restore(path, v1)                         # v3: head back on DVs
+    sidecars = [
+        p
+        for dv in SN._read_manifest(path, v1)["dvs"]
+        for p in dv["paths"]
+    ]
+    SN.vacuum(path, keep_last=1)                 # expires v0-v2
+    assert all(os.path.exists(p) for p in sidecars)
+    assert {(r["k"], r["v"])
+            for r in SN.read_snapshot(spark, path).collect()} == live
