@@ -1541,6 +1541,79 @@ WHERE NOT (o_orderstatus = 'F' AND o_custkey % 10 = 3)
 """
 
 
+def q_ac14_dv_delete_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE by DISTRIBUTED key set
+    (sources/snapshot.delete_keys_dv) — ac13's predicate twin and the
+    production GDPR / CDC-apply shape: the keys to erase come from
+    ANOTHER table (every order holding a line item with quantity ≥
+    49), are never collected to the driver, and the delete commits
+    ONE position sidecar with every data file carried by reference
+    (asserted in-query: file list byte-identical to v0, sidecar
+    non-empty — loud if a rewrite sneaks in). A planted NULL key
+    exercises the ignored-NULL contract (an equi-delete cannot
+    address NULL) without touching the oracle.
+
+    The oracle is the declarative NOT IN anti-join over the same two
+    tables — exactly what the copy-on-write delete_keys produces —
+    so one hash certifies the semi-join position capture, the
+    sidecar round-trip, and the read-side anti-join together. With
+    ac13 this completes the mutation matrix {predicate, key-set} ×
+    {copy-on-write, merge-on-read}. At 100 TB a 100 M-key erasure
+    costs one keyed semi-join + one sidecar write — no file
+    rewrites, same plan shape as a 10-key one."""
+    import shutil
+
+    from alternating_least_squares_spark.sources import snapshot as SN
+
+    path = _scratch_path(
+        "alternating_ls_ac14", sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 6).alias("price"),
+    )
+    SN.create_table(
+        orders.repartitionByRange(AC13_FILES, "o_orderkey"),
+        path,
+        key="o_orderkey",
+    )
+    files0 = [f["path"] for f in SN._read_manifest(path, 0)["files"]]
+    keys = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 49)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+        .unionByName(
+            spark.createDataFrame([(None,)], "o_orderkey long")
+        )
+    )
+    v1 = SN.delete_keys_dv(path, keys)
+    m = SN._read_manifest(path, v1)
+    if [f["path"] for f in m["files"]] != files0:
+        raise ValueError(
+            "ac14: delete_keys_dv changed the data file list — the "
+            "merge-on-read contract is broken"
+        )
+    if not m.get("dvs") or m["dvs"][-1]["rows"] == 0:
+        raise ValueError(
+            "ac14: delete_keys_dv wrote no position sidecar (vacuous "
+            "— regenerated testdata matched nothing?)"
+        )
+    return SN.read_snapshot(spark, path)
+
+
+SQL_AC14 = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       round(o_totalprice, 6) AS price
+FROM orders
+WHERE o_orderkey NOT IN (
+  SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49
+)
+"""
+
+
 def q_ac03_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over (l_partkey, l_suppkey) —
     the multi-column data-skipping layout (operators/zorder.py; the
@@ -15239,6 +15312,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # ac12 reads the HEAD after restore(v0) + vacuum; same v0 truth
     "ac12_restore": (q_ac12_restore, SQL_AC02),
     "ac13_deletion_vectors": (q_ac13_deletion_vectors, SQL_AC13),
+    "ac14_dv_delete_keys": (q_ac14_dv_delete_keys, SQL_AC14),
     "e13_rfm_segments": (q_e13_rfm_segments, SQL_E13),
     "g07_weighted_mean": (q_g07_weighted_mean, SQL_G07),
     "g08_exact_corr": (q_g08_exact_corr, SQL_G08),
@@ -15465,16 +15539,17 @@ _PREFIX = [
     "h16_supplier_part_counts",
     "h17_small_qty_revenue",
     "h18_important_parts",
-    "h19_min_cost_supplier",
     # new in round 16 (each displaces one r11-cohort fill slot from
     # the END per the rule above: m04_market_basket is displaced by
     # st16, j07_abandoned_clicks by ac13, ipf_cost_per_visit_fixed by
-    # mm09, h21_sole_returning_supplier by gr11 — displaced rows LEAD
-    # the r17 plan)
+    # mm09, h21_sole_returning_supplier by gr11,
+    # h19_min_cost_supplier by ac14 — displaced rows LEAD the r17
+    # plan)
     "st16_outer_join_watermark",
     "ac13_deletion_vectors",
     "mm09_palette_png",
     "gr11_sssp",
+    "ac14_dv_delete_keys",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

@@ -742,6 +742,76 @@ def delete_where_dv(path: str, predicate: str, spark: SparkSession) -> int:
     return version
 
 
+def delete_keys_dv(path: str, keys: DataFrame) -> int:
+    """Merge-on-read DELETE by key SET — :func:`delete_keys`'s
+    deletion-vector twin and the production GDPR/CDC-apply shape at
+    100 TB: remove every row whose table key appears in ``keys`` by
+    committing one position sidecar, never rewriting a data file.
+    The key set stays DISTRIBUTED end-to-end (same contract as
+    delete_keys): position capture is the file scan LEFT SEMI joined
+    to the key set — keys are never collected — and file pruning is
+    unnecessary because nothing is rewritten; parquet predicate
+    pushdown still trims the scan when the key column is clustered.
+
+    Matches :func:`delete_keys` semantics exactly: NULL keys in the
+    set are ignored (an equi-delete cannot address them), keys
+    absent from the table delete nothing, and already-DV-deleted
+    positions are never re-recorded (the capture scan runs against
+    the DV-applied live state). A miss-everything key set commits a
+    no-op version."""
+    spark = keys.sparkSession
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot table at {path}")
+    prev = _read_manifest(path, versions[-1])
+    key = prev["key"]
+    if key not in keys.columns:
+        raise ValueError(
+            f"delete_keys_dv: key frame must carry the table key "
+            f"{key!r}; got columns {keys.columns}"
+        )
+    dvs = prev.get("dvs", [])
+    version = versions[-1] + 1
+    if prev["files"]:
+        kset = keys.select(key).filter(F.col(key).isNotNull()).distinct()
+        scan = (
+            spark.read.schema(_manifest_schema(prev))
+            .parquet(*[f["path"] for f in prev["files"]])
+            .withColumn("__fp", F.col("_metadata.file_path"))
+            .withColumn("__ri", F.col("_metadata.row_index"))
+        )
+        dv_paths = [p for dv in dvs for p in dv["paths"]]
+        if dv_paths:
+            dvf = (
+                spark.read.schema(_DV_SCHEMA).parquet(*dv_paths)
+                .select(
+                    F.col("file_path").alias("__fp"),
+                    F.col("row_index").alias("__ri"),
+                )
+            )
+            scan = scan.join(dvf, ["__fp", "__ri"], "left_anti")
+        hits = scan.join(kset, key, "left_semi").select(
+            F.col("__fp").alias("file_path"),
+            F.col("__ri").alias("row_index"),
+        )
+        new_dv = _write_dv_files(hits, path)
+        if new_dv["paths"]:
+            dvs = dvs + [new_dv]
+    _commit(
+        path,
+        version,
+        {
+            "version": version,
+            "operation": "delete_dv",
+            "key": key,
+            "schema": prev["schema"],
+            "files": prev["files"],
+            "dvs": dvs,
+        },
+    )
+    return version
+
+
 def cluster_optimize(
     spark: SparkSession, path: str, n_files: int
 ) -> dict:

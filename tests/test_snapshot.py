@@ -993,3 +993,43 @@ def test_restore_to_dv_version_keeps_sidecars_through_vacuum(
     assert all(os.path.exists(p) for p in sidecars)
     assert {(r["k"], r["v"])
             for r in SN.read_snapshot(spark, path).collect()} == live
+
+
+def test_dv_delete_keys_merge_on_read_semantics(spark, base, tmp_path):
+    """delete_keys_dv: key-set merge-on-read delete carries every
+    data file by reference, ignores NULL keys, treats absent keys as
+    no-ops (including a miss-everything set → clean no-op version),
+    never re-records positions a prior DV already deleted, and
+    composes with delete_where_dv."""
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    SN.delete_where_dv(path, "k = 30", spark)  # prior DV commit
+
+    keys = spark.createDataFrame(
+        [(10,), (30,), (None,), (5000,)], "k long"
+    )  # 30 already deleted, NULL ignored, 5000 absent
+    v2 = SN.delete_keys_dv(path, keys)
+    m0 = SN._read_manifest(path, 0)
+    m2 = SN._read_manifest(path, v2)
+    assert [f["path"] for f in m2["files"]] == [
+        f["path"] for f in m0["files"]
+    ]
+    assert [dv["rows"] for dv in m2["dvs"]] == [1, 1]  # only k=10 new
+    got = {(r["k"], r["v"])
+           for r in SN.read_snapshot(spark, path).collect()}
+    assert got == {(k, k * 10) for k in range(100) if k not in (10, 30)}
+
+    # miss-everything key set: clean no-op version, same dvs
+    v3 = SN.delete_keys_dv(
+        path, spark.createDataFrame([(7777,)], "k long")
+    )
+    m3 = SN._read_manifest(path, v3)
+    assert [dv["rows"] for dv in m3["dvs"]] == [1, 1]
+    assert {(r["k"], r["v"])
+            for r in SN.read_snapshot(spark, path).collect()} == got
+
+    # missing key column refuses loudly
+    with pytest.raises(ValueError, match="key frame must carry"):
+        SN.delete_keys_dv(
+            path, spark.createDataFrame([(1,)], "wrong long")
+        )
