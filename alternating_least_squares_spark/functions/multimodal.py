@@ -1192,6 +1192,90 @@ def attach_palette_png_blob(
     )
 
 
+def seeded_png_pixel(seed: int, i: int) -> int:
+    """Pixel byte ``i`` of the p06 planted image for ``seed`` — the
+    shared Python/SQL contract (the p05 waveform discipline). The
+    first six bytes are the seed's low 48 bits VERBATIM, so two
+    distinct seeds < 2^48 always plant DISTINCT blobs (the keep-one
+    by-construction claim needs this: a formula-only variant admitted
+    collisions at seed distance lcm(60, 256) = 3840 — inside even the
+    sf0.01 corpus); the tail mixes the seed's high bits the way the
+    p05 waveform does, so bytes stay non-periodic in the seed."""
+    if i < 6:
+        return (seed >> (8 * i)) & 255
+    return (seed * 131 + i * 65537 + i * i * (seed // 65536) + 77) % 256
+
+
+def attach_seeded_png_blob(
+    docs: DataFrame, id_col: str = "doc_id", seed_col: str = "seed"
+) -> DataFrame:
+    """Plant a real RGB/RGBA PNG per row driven ONLY by ``seed_col``
+    (not by doc text): dims ``(seed%4+2) × (seed%3+1)`` with
+    ``3 + seed%2`` channels, pixels from :func:`seeded_png_pixel`,
+    per-row filter ``(seed + row) % 5``. Rows sharing a seed plant
+    byte-identical blobs — the exact-dup-twin construction the p06
+    curation chain dedupes on. Arrow-batched 1:1."""
+
+    def build(d: int, seed) -> bytes:
+        s = int(seed)
+        w, h, ch = s % 4 + 2, s % 3 + 1, 3 + s % 2
+        n = w * h * ch
+        pxb = bytes(seeded_png_pixel(s, i) for i in range(n))
+        return encode_png(
+            pxb, w, h, ch, [(s + r) % 5 for r in range(h)]
+        )
+
+    return _attach_blob_1to1(
+        docs, build, id_col=id_col, value_col=seed_col
+    )
+
+
+def png_pixel_stats(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Decode PNG payloads and reduce the pixel bytes to the exact
+    integer stats the p06 quality gates run on — (width, height,
+    channels, n_px, sum_px, min_px, max_px). Arrow-batched 1:1; the
+    heavy blob dies here, seven narrow columns ride on; corrupt
+    payloads raise (fail loud)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "channels",
+                "n_px", "sum_px", "min_px", "max_px",
+            )}
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                data = bytes(blob) if blob is not None else b""
+                w, h, ch, px = decode_png(data)
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["n_px"].append(len(px))
+                out["sum_px"].append(sum(px))
+                out["min_px"].append(min(px))
+                out["max_px"].append(max(px))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "width": pd.Series(out["width"], dtype="int32"),
+                "height": pd.Series(out["height"], dtype="int32"),
+                "channels": pd.Series(out["channels"], dtype="int32"),
+                "n_px": pd.Series(out["n_px"], dtype="int64"),
+                "sum_px": pd.Series(out["sum_px"], dtype="int64"),
+                "min_px": pd.Series(out["min_px"], dtype="int64"),
+                "max_px": pd.Series(out["max_px"], dtype="int64"),
+            })
+
+    return df.select(id_col, blob_col).mapInPandas(
+        batches,
+        "doc_id long, width int, height int, channels int, "
+        "n_px long, sum_px long, min_px long, max_px long",
+    )
+
+
 def decode_png_features(
     df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
 ) -> DataFrame:

@@ -8343,6 +8343,103 @@ WHERE peak < {P05_PEAK_MAX}
 """
 
 
+P06_MEAN_MIN = 110   # darkness gate: mean pixel byte must reach this
+P06_RANGE_MIN = 160  # contrast gate: max−min pixel byte must reach this
+
+
+def q_p06_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IMAGE corpus curation — p05's audio pipeline run on
+    the image side, exercising the real PNG decoder inside a curation
+    chain rather than in isolation: ingest (planted RGB/RGBA PNGs
+    driven by a SEED column, exact-dup twins at +20M sharing the
+    base's byte-identical blob) → container decode (mm08's
+    machinery) → pixel-stat quality gates (darkness: sum_px ≥
+    n_px·110; contrast: max−min ≥ 160 — both exact integer compares,
+    both evidential: at any SF a deterministic ~63% of docs fails the
+    darkness gate and ~37% the contrast gate) → exact dedup on the
+    JVM-side md5 OF THE PNG BYTES (twins collapse to the min doc_id
+    with zero Python in the dedup) → the admitted image profile.
+
+    Ground truth is forced by construction exactly as in p05: a twin
+    is byte-identical to its base (the blob is seed-driven), so it
+    gates identically and always loses keep-one — the admitted set is
+    the BASE docs passing both gates, which the oracle restates
+    arithmetically via the shared pixel contract
+    (multimodal.seeded_png_pixel): bytes 0-5 are the seed's low 48
+    bits VERBATIM (distinct seeds < 2^48 plant DISTINCT blobs — a
+    formula-only variant collided at seed distance lcm(60,256)=3840,
+    inside even sf0.01), the tail mixes the seed's high bits (the p05
+    periodicity lesson). The stats ride the DECODED pixels, so the
+    hash also re-certifies the whole unfilter arithmetic under
+    composition. Scale: two narrow Arrow passes, one 16-byte-key
+    dedup shuffle — the mm06/p05 shape."""
+    from alternating_least_squares_spark.functions.multimodal import (
+        attach_seeded_png_blob,
+        png_pixel_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    twins = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.col("doc_id").alias("seed"),
+    )
+    corpus = docs.select(
+        "doc_id", F.col("doc_id").alias("seed")
+    ).unionByName(twins)
+    with_png = attach_seeded_png_blob(corpus).withColumn(
+        "png_md5", F.md5("blob")
+    )
+    stats = png_pixel_stats(with_png)
+    winners = with_png.groupBy("png_md5").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return (
+        stats.join(winners.select("doc_id"), "doc_id", "semi")
+        .filter(F.col("sum_px") >= F.col("n_px") * P06_MEAN_MIN)
+        .filter(F.col("max_px") - F.col("min_px") >= P06_RANGE_MIN)
+        .select(
+            "doc_id", "width", "height", "channels",
+            "n_px", "sum_px", "min_px", "max_px",
+        )
+    )
+
+
+SQL_P06 = f"""
+WITH dim AS (
+  SELECT doc_id,
+         CAST(doc_id % 4 + 2 AS INTEGER) AS width,
+         CAST(doc_id % 3 + 1 AS INTEGER) AS height,
+         CAST(3 + doc_id % 2 AS INTEGER) AS channels
+  FROM documents
+),
+s AS (
+  SELECT doc_id, width, height, channels,
+         unnest(generate_series(0, width * height * channels - 1)) AS i
+  FROM dim
+),
+v AS (
+  SELECT doc_id, width, height, channels,
+         CASE WHEN i < 6 THEN (doc_id >> (8 * i)) & 255
+              ELSE (doc_id * 131 + i * 65537
+                    + i * i * (doc_id // 65536) + 77) % 256
+         END AS x
+  FROM s
+),
+prof AS (
+  SELECT doc_id, width, height, channels,
+         CAST(count(*) AS BIGINT) AS n_px,
+         CAST(sum(x) AS BIGINT) AS sum_px,
+         CAST(min(x) AS BIGINT) AS min_px,
+         CAST(max(x) AS BIGINT) AS max_px
+  FROM v GROUP BY doc_id, width, height, channels
+)
+SELECT doc_id, width, height, channels, n_px, sum_px, min_px, max_px
+FROM prof
+WHERE sum_px >= n_px * {P06_MEAN_MIN}
+  AND max_px - min_px >= {P06_RANGE_MIN}
+"""
+
+
 def q_ipf_cost_per_visit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship iterative pipeline (A17 converge + E2/E3 ETL).
     Iterative fixed-point — not expressible as one SQL statement, so
@@ -15364,6 +15461,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "p03_training_pipeline": (q_p03_training_pipeline, SQL_P03),
     "p04_drift_gated_admission": (q_p04_drift_gated_admission, SQL_P04),
     "p05_audio_curation": (q_p05_audio_curation, SQL_P05),
+    "p06_image_curation": (q_p06_image_curation, SQL_P06),
     "w08_ewma": (q_w08_ewma, SQL_W08),
     "w09_rolling_slope": (q_w09_rolling_slope, SQL_W09),
     "w10_rolling_median": (q_w10_rolling_median, SQL_W10),
@@ -15454,23 +15552,25 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 #
 # R17 PREFIX PLAN (write-ahead, VERDICT r15 #8; computed from the
 # CORRECTNESS_r01..r15 union with this round's FINAL prefix marked
-# r16 — i.e. AFTER the four new r16 entries (st16, ac13, mm09, gr11)
-# displaced m04_market_basket, j07_abandoned_clicks,
-# ipf_cost_per_visit_fixed, and h21_sole_returning_supplier from the
-# r11 fill): oldest-first by (round, displaced-first, name). The
-# stale tail is exactly 23 r11 rows + the 50-entry r12 cohort, so
-# the plan is all 23 r11 rows + the 27-entry r12 cohort head. LEAD
-# with the four displaced rows — m04_market_basket,
-# j07_abandoned_clicks, ipf_cost_per_visit_fixed,
-# h21_sole_returning_supplier — then the 19 r11 leftovers,
-# alphabetical: m05_pinned_scoring, mm03_arrow_features,
-# mm04_resize_stride, p04_drift_gated_admission, q04_psi_drift,
-# rc01_subtree_rollup, rc03_bom_effective_qty, rc05_recursive_cte,
-# sql03_sql_udf, sql04_lateral_topk, st12_stream_drift_gate,
-# t07_top_bigrams, t24_ngram_decontaminate, v04_binary_hamming_topk,
+# r16 — i.e. AFTER the six new r16 entries (st16, ac13, mm09, gr11,
+# ac14, p06 — the <=6 throttle exactly) displaced
+# m04_market_basket, j07_abandoned_clicks, ipf_cost_per_visit_fixed,
+# h21_sole_returning_supplier, h19_min_cost_supplier, and
+# h18_important_parts from the r11 fill): oldest-first by (round,
+# displaced-first, name). The stale tail is exactly 25 r11 rows +
+# the 50-entry r12 cohort, so the plan is all 25 r11 rows + the
+# 25-entry r12 cohort head. LEAD with the six displaced rows —
+# m04_market_basket, j07_abandoned_clicks, ipf_cost_per_visit_fixed,
+# h21_sole_returning_supplier, h19_min_cost_supplier,
+# h18_important_parts — then the 19 r11 leftovers, alphabetical:
+# m05_pinned_scoring, mm03_arrow_features, mm04_resize_stride,
+# p04_drift_gated_admission, q04_psi_drift, rc01_subtree_rollup,
+# rc03_bom_effective_qty, rc05_recursive_cte, sql03_sql_udf,
+# sql04_lateral_topk, st12_stream_drift_gate, t07_top_bigrams,
+# t24_ngram_decontaminate, v04_binary_hamming_topk,
 # w03_time_range_avg, w04_distribution_funcs, w05_tumbling_batch,
 # x04_pandas_udaf_geomean, x07_python_datasource — then fill the
-# remaining 27 slots from the 50-entry r12 cohort head,
+# remaining 25 slots from the 50-entry r12 cohort head,
 # alphabetical: a01_cmap, a02_dot, a03_diff_vector, a04_l2_norm,
 # a05_rmse, a06_transpose, a07_sum_rows, a08_sum_cols,
 # ac10_snapshot_tag, e09_activity_streaks, e12_daily_top_type,
@@ -15478,15 +15578,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # e19_interval_coalesce, g07_weighted_mean, g08_exact_corr,
 # gr08_connected_components, j01_asof_join, j05_asof_nearest,
 # j06_point_in_time, m06_pinned_recommend, m07_pinned_ranking,
-# p03_training_pipeline, q02_referential_integrity,
-# q05_schema_drift, rc04_materialized_path — exactly 4 + 19 + 27 =
-# 50. After r17 the r11 cohort is fully retired and the stale tail
-# is the 23 r12 leftovers (sql02_shared_windows, st01_stream_hourly,
-# st10_stream_admission, st13_stream_budget_admission,
-# t13_sequence_packing, ...) + the r13 cohort, which head the r18
+# p03_training_pipeline, q02_referential_integrity — exactly
+# 6 + 19 + 25 = 50. After r17 the r11 cohort is fully retired and
+# the stale tail is the 25 r12 leftovers (q05_schema_drift,
+# rc04_materialized_path, sql02_shared_windows, st01_stream_hourly,
+# st10_stream_admission, ...) + the r13 cohort, which head the r18
 # plan. New r17 entries displace the r12 fill from the END as
-# always (rc04_materialized_path first, then q05_schema_drift,
-# q02_referential_integrity, ...).
+# always (q02_referential_integrity first, then
+# p03_training_pipeline, m07_pinned_ranking, ...).
 _PREFIX = [
     # r10-stale cohort (the last 19 — after this round the r10 cohort
     # is fully retired).  First the five rows displaced by r15's new
@@ -15538,18 +15637,19 @@ _PREFIX = [
     "h15_top_supplier",
     "h16_supplier_part_counts",
     "h17_small_qty_revenue",
-    "h18_important_parts",
-    # new in round 16 (each displaces one r11-cohort fill slot from
-    # the END per the rule above: m04_market_basket is displaced by
-    # st16, j07_abandoned_clicks by ac13, ipf_cost_per_visit_fixed by
-    # mm09, h21_sole_returning_supplier by gr11,
-    # h19_min_cost_supplier by ac14 — displaced rows LEAD the r17
+    # new in round 16, at the <=6 throttle exactly (each displaces
+    # one r11-cohort fill slot from the END per the rule above:
+    # m04_market_basket is displaced by st16, j07_abandoned_clicks by
+    # ac13, ipf_cost_per_visit_fixed by mm09,
+    # h21_sole_returning_supplier by gr11, h19_min_cost_supplier by
+    # ac14, h18_important_parts by p06 — displaced rows LEAD the r17
     # plan)
     "st16_outer_join_watermark",
     "ac13_deletion_vectors",
     "mm09_palette_png",
     "gr11_sssp",
     "ac14_dv_delete_keys",
+    "p06_image_curation",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

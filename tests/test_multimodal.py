@@ -1019,3 +1019,54 @@ def test_png_decoder_truncated_stream_and_impossible_expansion():
     # the guard must not reject legitimate images
     good = encode_png(px, 2, 2, 3, [1, 2])
     assert decode_png(good) == (2, 2, 3, px)
+
+
+def test_p06_twins_dropped_by_dedup_and_stats_match_contract(spark):
+    """p06 mirror of the p05 twin pin: every +20M twin is
+    byte-identical to its base (the blob is seed-driven), so it gates
+    identically and must be absent from the output because keep-one
+    dropped it — no admitted id is ever a twin, and at least one
+    admitted base HAS a twin (proof the dedup, not a gate, excluded
+    it). The admitted set equals the analytic gate evaluation over
+    the shared pixel contract, and both gates are evidential (each
+    fails a nonempty slice)."""
+    from alternating_least_squares_spark.functions.multimodal import (
+        seeded_png_pixel,
+    )
+    from alternating_least_squares_spark.registry import (
+        P06_MEAN_MIN,
+        P06_RANGE_MIN,
+        q_p06_image_curation,
+    )
+    from alternating_least_squares_spark.sources import load_table
+    from tests.conftest import SF_SMALL
+
+    admitted = {
+        r["doc_id"]
+        for r in q_p06_image_curation(spark, SF_SMALL).collect()
+    }
+    assert admitted and all(d < 20_000_000 for d in admitted)
+    assert [d for d in admitted if d % 10 == 0]  # some twinned bases
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, SF_SMALL, "documents")
+        .select("doc_id").collect()
+    ]
+
+    def stats(s):
+        n = (s % 4 + 2) * (s % 3 + 1) * (3 + s % 2)
+        b = [seeded_png_pixel(s, i) for i in range(n)]
+        return n, sum(b), min(b), max(b)
+
+    want, fail_mean, fail_range = set(), 0, 0
+    for d in ids:
+        n, sm, lo, hi = stats(d)
+        dark_ok = sm >= n * P06_MEAN_MIN
+        contrast_ok = hi - lo >= P06_RANGE_MIN
+        fail_mean += not dark_ok
+        fail_range += not contrast_ok
+        if dark_ok and contrast_ok:
+            want.add(d)
+    assert admitted == want
+    assert fail_mean and fail_range  # both gates evidential
