@@ -1596,7 +1596,9 @@ def q_ac14_dv_delete_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ac14: delete_keys_dv changed the data file list — the "
             "merge-on-read contract is broken"
         )
-    if not m.get("dvs") or m["dvs"][-1]["rows"] == 0:
+    # (delete_keys_dv only appends an entry when the sidecar is
+    # non-empty, so presence alone is the vacuity test)
+    if not m.get("dvs"):
         raise ValueError(
             "ac14: delete_keys_dv wrote no position sidecar (vacuous "
             "— regenerated testdata matched nothing?)"
@@ -8289,6 +8291,14 @@ def q_p05_audio_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # same twin-id-domain guard as p06 (review r16): a base doc_id
+    # at/above the offset would alias a twin id
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    if mx is not None and mx >= 20_000_000:
+        raise ValueError(
+            f"p05: max doc_id {mx} >= the 20M twin offset — "
+            "regenerated testdata outgrew the twin id domain"
+        )
     twins = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 20_000_000).alias("doc_id"),
         F.col("doc_id").alias("seed"),
@@ -8379,6 +8389,16 @@ def q_p06_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # the twin construction requires the base id domain to sit BELOW
+    # the twin offset — a base at/above it would alias a twin id and
+    # break the keep-one claim a hash-failure away from its cause
+    # (review r16); guard loudly instead of assuming
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    if mx is not None and mx >= 20_000_000:
+        raise ValueError(
+            f"p06: max doc_id {mx} >= the 20M twin offset — "
+            "regenerated testdata outgrew the twin id domain"
+        )
     twins = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 20_000_000).alias("doc_id"),
         F.col("doc_id").alias("seed"),

@@ -193,6 +193,31 @@ def _carry_dvs(prev: dict, surviving_files: list[dict]) -> list[dict]:
     ]
 
 
+def _live_scan_with_positions(spark: SparkSession, prev: dict) -> DataFrame:
+    """The shared position-capture contract of :func:`delete_where`,
+    :func:`delete_where_dv`, and :func:`delete_keys_dv` (review r16 —
+    three verbatim copies would let a fix land in two of them): the
+    DV-applied scan of a manifest's data files with ``__fp``/``__ri``
+    captured from ``_metadata`` BEFORE the anti-join, because
+    ``input_file_name()`` evaluated after a shuffle join returns ""
+    and ``_metadata`` is only resolvable against the source
+    relation. Caller must ensure ``prev["files"]`` is non-empty."""
+    scan = (
+        spark.read.schema(_manifest_schema(prev))
+        .parquet(*[f["path"] for f in prev["files"]])
+        .withColumn("__fp", F.col("_metadata.file_path"))
+        .withColumn("__ri", F.col("_metadata.row_index"))
+    )
+    dv_paths = [p for dv in prev.get("dvs", []) for p in dv["paths"]]
+    if dv_paths:
+        dvf = spark.read.schema(_DV_SCHEMA).parquet(*dv_paths).select(
+            F.col("file_path").alias("__fp"),
+            F.col("row_index").alias("__ri"),
+        )
+        scan = scan.join(dvf, ["__fp", "__ri"], "left_anti")
+    return scan
+
+
 def _require_absolute(path: str) -> None:
     """Relative table paths are rejected up front: Spark resolves them
     against the JVM working directory while this module's manifest IO
@@ -606,36 +631,28 @@ def delete_where(path: str, predicate: str, spark: SparkSession) -> int:
     """Copy-on-write DELETE: files containing matching rows are
     rewritten without them; files with no match carry over by
     reference. Which files match is decided by ONE filtered scan
-    collecting distinct ``input_file_name()`` — parquet pushdown
-    applies, so for a selective predicate this reads footers + few
-    row groups, not the table."""
+    collecting the distinct ``_metadata`` file paths (captured before
+    the DV anti-join — see :func:`_live_scan_with_positions`) —
+    parquet pushdown applies, so for a selective predicate this reads
+    footers + few row groups, not the table."""
     versions = _list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no snapshot table at {path}")
     prev = _read_manifest(path, versions[-1])
-    all_paths = [f["path"] for f in prev["files"]]
     schema = _manifest_schema(prev)
-    # capture the file path from _metadata BEFORE the DV anti-join:
-    # input_file_name() evaluated after a shuffle join returns ""
-    scan = (
-        spark.read.schema(schema).parquet(*all_paths)
-        .withColumn("__fp", F.col("_metadata.file_path"))
-        .withColumn("__ri", F.col("_metadata.row_index"))
-    )
-    dv_paths = [p for dv in prev.get("dvs", []) for p in dv["paths"]]
-    if dv_paths:
-        dvf = spark.read.schema(_DV_SCHEMA).parquet(*dv_paths).select(
-            F.col("file_path").alias("__fp"),
-            F.col("row_index").alias("__ri"),
-        )
-        scan = scan.join(dvf, ["__fp", "__ri"], "left_anti")
-    hit_paths = {
-        _local_path(r["p"])
-        for r in scan.filter(predicate)
-        .select(F.col("__fp").alias("p"))
-        .distinct()
-        .collect()
-    }
+    if prev["files"]:
+        hit_paths = {
+            _local_path(r["p"])
+            for r in _live_scan_with_positions(spark, prev)
+            .filter(predicate)
+            .select(F.col("__fp").alias("p"))
+            .distinct()
+            .collect()
+        }
+    else:
+        # a legitimately-empty table (delete-all earlier): commit a
+        # clean no-op version instead of crashing on an empty scan
+        hit_paths = set()
     touched = [f for f in prev["files"] if f["path"] in hit_paths]
     untouched = [f for f in prev["files"] if f["path"] not in hit_paths]
     new_files = []
@@ -704,23 +721,9 @@ def delete_where_dv(path: str, predicate: str, spark: SparkSession) -> int:
     dvs = prev.get("dvs", [])
     version = versions[-1] + 1
     if prev["files"]:
-        scan = (
-            spark.read.schema(_manifest_schema(prev))
-            .parquet(*[f["path"] for f in prev["files"]])
-            .withColumn("__fp", F.col("_metadata.file_path"))
-            .withColumn("__ri", F.col("_metadata.row_index"))
-        )
-        dv_paths = [p for dv in dvs for p in dv["paths"]]
-        if dv_paths:
-            dvf = (
-                spark.read.schema(_DV_SCHEMA).parquet(*dv_paths)
-                .select(
-                    F.col("file_path").alias("__fp"),
-                    F.col("row_index").alias("__ri"),
-                )
-            )
-            scan = scan.join(dvf, ["__fp", "__ri"], "left_anti")
-        hits = scan.filter(predicate).select(
+        hits = _live_scan_with_positions(spark, prev).filter(
+            predicate
+        ).select(
             F.col("__fp").alias("file_path"),
             F.col("__ri").alias("row_index"),
         )
@@ -774,23 +777,9 @@ def delete_keys_dv(path: str, keys: DataFrame) -> int:
     version = versions[-1] + 1
     if prev["files"]:
         kset = keys.select(key).filter(F.col(key).isNotNull()).distinct()
-        scan = (
-            spark.read.schema(_manifest_schema(prev))
-            .parquet(*[f["path"] for f in prev["files"]])
-            .withColumn("__fp", F.col("_metadata.file_path"))
-            .withColumn("__ri", F.col("_metadata.row_index"))
-        )
-        dv_paths = [p for dv in dvs for p in dv["paths"]]
-        if dv_paths:
-            dvf = (
-                spark.read.schema(_DV_SCHEMA).parquet(*dv_paths)
-                .select(
-                    F.col("file_path").alias("__fp"),
-                    F.col("row_index").alias("__ri"),
-                )
-            )
-            scan = scan.join(dvf, ["__fp", "__ri"], "left_anti")
-        hits = scan.join(kset, key, "left_semi").select(
+        hits = _live_scan_with_positions(spark, prev).join(
+            kset, key, "left_semi"
+        ).select(
             F.col("__fp").alias("file_path"),
             F.col("__ri").alias("row_index"),
         )

@@ -1033,3 +1033,17 @@ def test_dv_delete_keys_merge_on_read_semantics(spark, base, tmp_path):
         SN.delete_keys_dv(
             path, spark.createDataFrame([(1,)], "wrong long")
         )
+
+
+def test_delete_where_on_empty_table_is_a_clean_noop(spark, base, tmp_path):
+    """Review r16: a predicate delete against a legitimately-empty
+    table (delete-all earlier) commits a no-op version instead of
+    crashing on an empty scan."""
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    SN.delete_where(path, "k >= 0", spark)        # delete-all
+    assert SN.read_snapshot(spark, path).count() == 0
+    v = SN.delete_where(path, "k = 1", spark)     # no-op on empty
+    m = SN._read_manifest(path, v)
+    assert m["files"] == [] and m["operation"] == "delete"
+    assert SN.read_snapshot(spark, path).count() == 0
