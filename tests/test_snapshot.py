@@ -1047,3 +1047,99 @@ def test_delete_where_on_empty_table_is_a_clean_noop(spark, base, tmp_path):
     m = SN._read_manifest(path, v)
     assert m["files"] == [] and m["operation"] == "delete"
     assert SN.read_snapshot(spark, path).count() == 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+# a bounded random program over the table's whole mutation surface:
+# each step is (op, param); params are kept tiny so a 5-example run
+# stays in test-suite budget while still interleaving COW rewrites,
+# MOR deletes, folding, and vacuum in orders no hand-written test
+# would think to try
+_ops = hst.lists(
+    hst.one_of(
+        hst.tuples(hst.just("upsert"),
+                   hst.sets(hst.integers(0, 119), min_size=1, max_size=4)),
+        hst.tuples(hst.just("delete_keys"),
+                   hst.sets(hst.integers(0, 119), min_size=1, max_size=4)),
+        hst.tuples(hst.just("delete_keys_dv"),
+                   hst.sets(hst.integers(0, 119), min_size=1, max_size=4)),
+        hst.tuples(hst.just("delete_where"), hst.integers(2, 9)),
+        hst.tuples(hst.just("delete_where_dv"), hst.integers(2, 9)),
+        hst.tuples(hst.just("optimize"), hst.integers(1, 4)),
+        hst.tuples(hst.just("vacuum"), hst.just(None)),
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(ops=_ops)
+def test_snapshot_state_machine_matches_dict_model(
+    spark, tmp_path_factory, ops
+):
+    """Property test of the whole mutation surface: a random program
+    of upserts, COW deletes (predicate + key set), MOR deletes
+    (predicate + key set), clustered rewrites, and vacuums must leave
+    every surviving VERSION equal to a plain Python dict model
+    replayed to the same step — time travel included (vacuum prunes
+    history, so only retained versions are compared). This is the
+    interleaving coverage hand-written tests can't enumerate: DV
+    commits folded by optimize, COW rewrites over live DVs, vacuum
+    between any two."""
+    path = str(tmp_path_factory.mktemp("sm") / "t")
+    base = spark.createDataFrame(
+        [(k, k * 10) for k in range(100)], "k long, v long"
+    ).repartitionByRange(4, "k")
+    SN.create_table(base, path, key="k")
+    model = {k: k * 10 for k in range(100)}
+    history = {0: dict(model)}  # version -> model state
+
+    for op, arg in ops:
+        if op == "upsert":
+            updates = [(k, k + 1000) for k in sorted(arg)]
+            v = SN.merge_upsert(
+                spark.createDataFrame(updates, "k long, v long"), path
+            )
+            model.update(dict(updates))
+        elif op == "delete_keys":
+            v = SN.delete_keys(
+                path,
+                spark.createDataFrame(
+                    [(k,) for k in sorted(arg)], "k long"
+                ),
+            )
+            for k in arg:
+                model.pop(k, None)
+        elif op == "delete_keys_dv":
+            v = SN.delete_keys_dv(
+                path,
+                spark.createDataFrame(
+                    [(k,) for k in sorted(arg)], "k long"
+                ),
+            )
+            for k in arg:
+                model.pop(k, None)
+        elif op == "delete_where":
+            v = SN.delete_where(path, f"k % {arg} = 1", spark)
+            model = {k: x for k, x in model.items() if k % arg != 1}
+        elif op == "delete_where_dv":
+            v = SN.delete_where_dv(path, f"k % {arg} = 1", spark)
+            model = {k: x for k, x in model.items() if k % arg != 1}
+        elif op == "optimize":
+            v = SN.cluster_optimize(spark, path, arg)["version"]
+        else:  # vacuum: prunes history, head keeps reading
+            SN.vacuum(path, keep_last=1)
+            latest = SN._list_versions(path)[-1]
+            history = {latest: history[latest]}
+            v = latest
+        history[v] = dict(model)
+
+    for v, want in history.items():
+        got = {
+            (r["k"], r["v"])
+            for r in SN.read_snapshot(spark, path, version=v).collect()
+        }
+        assert got == set(want.items()), f"version {v} diverged"
