@@ -1070,3 +1070,49 @@ def test_p06_twins_dropped_by_dedup_and_stats_match_contract(spark):
             want.add(d)
     assert admitted == want
     assert fail_mean and fail_range  # both gates evidential
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=hst.integers(1, 9),
+    h=hst.integers(1, 6),
+    mode=hst.sampled_from(["rgb", "rgba", "palette"]),
+    fseed=hst.integers(0, 10**9),
+    pxseed=hst.integers(0, 10**9),
+    psize=hst.integers(1, 17),
+)
+def test_png_roundtrip_property(w, h, mode, fseed, pxseed, psize):
+    """Any dimensions, any per-row filter assignment, any pixel
+    content, all three color modes: decode_png(encode_png(x)) == x
+    (with palette mode comparing against the analytic PLTE
+    expansion). Deterministic content derived from the drawn seeds —
+    the property the fixed-case tests sample, stated in full."""
+    from alternating_least_squares_spark.functions.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    filters = [(fseed // (5**r)) % 5 for r in range(h)]
+    if mode == "palette":
+        pal = [
+            tuple((pxseed // (7 ** (3 * j + c))) % 256 for c in range(3))
+            for j in range(psize)
+        ]
+        idx = bytes(
+            (pxseed // (3 ** (i % 20)) + i) % psize for i in range(w * h)
+        )
+        blob = encode_png(idx, w, h, row_filters=filters, palette=pal)
+        want = bytes(c for i in idx for c in pal[i])
+        assert decode_png(blob) == (w, h, 3, want)
+    else:
+        ch = 3 if mode == "rgb" else 4
+        px = bytes(
+            (pxseed // (3 ** (i % 20)) + i * 31) % 256
+            for i in range(w * h * ch)
+        )
+        blob = encode_png(px, w, h, ch, row_filters=filters)
+        assert decode_png(blob) == (w, h, ch, px)
