@@ -15607,69 +15607,65 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # always (q02_referential_integrity first, then
 # p03_training_pipeline, m07_pinned_ranking, ...).
 _PREFIX = [
-    # r10-stale cohort (the last 19 — after this round the r10 cohort
-    # is fully retired).  First the five rows displaced by r15's new
-    # entries, then the fourteen youngest-by-name r10 rows.
-    "j08_scd2_intersect",
-    "mm01_media_features",
-    "mm05_resize_nearest",
-    "q03_quantile_gate",
-    "rc02_node_depth",
-    "s01_lsh_topk",
-    "s03_ivf_topk",
-    "s04_mllib_euclidean",
-    "s05_pca_topk",
-    "s06_pq_topk",
-    "st11_stream_ewma",
-    "w08_ewma",
-    "x10_partition_pruning",
-    "x11_table_profile",
-    "x12_salted_join",
-    "x18_runtime_bloom_filter",
-    "x19_epoch_shuffle",
-    "x20_aqe_skew_join",
-    "x21_cbo_stats_broadcast",
-    # r11-stale cohort fill, alphabetical head of the 50-entry r11
-    # cohort; new r16 entries displace from the END (m04, j07,
-    # ipf_cost_per_visit_fixed, h21, ...)
-    "a16_ipf_step",
-    "a17_converge",
-    "a22_rake3",
-    "ac08_change_feed",
-    "ac09_replicate_via_feed",
-    "b04_orc_roundtrip",
-    "b07_binaryfile_source",
-    "b08_text_roundtrip",
-    "c16_scd2",
-    "d07_incremental_dedup",
-    "d08_containment_pairs",
-    "d09_incremental_near_dup",
-    "d10_indexed_admission",
-    "d11_neardup_keep_one",
-    "e03_sessionize",
-    "e07_cohort_retention",
-    "e10_inter_event_gaps",
-    "e17_locf_fill",
-    "g02_cube",
-    "g06_histogram",
-    "gr02_degree_profile",
-    "h01_pricing_summary",
-    "h15_top_supplier",
-    "h16_supplier_part_counts",
-    "h17_small_qty_revenue",
-    # new in round 16, at the <=6 throttle exactly (each displaces
-    # one r11-cohort fill slot from the END per the rule above:
-    # m04_market_basket is displaced by st16, j07_abandoned_clicks by
-    # ac13, ipf_cost_per_visit_fixed by mm09,
-    # h21_sole_returning_supplier by gr11, h19_min_cost_supplier by
-    # ac14, h18_important_parts by p06 — displaced rows LEAD the r17
-    # plan)
-    "st16_outer_join_watermark",
-    "ac13_deletion_vectors",
-    "mm09_palette_png",
-    "gr11_sssp",
-    "ac14_dv_delete_keys",
-    "p06_image_curation",
+    # ROUND 17 ROTATION (executes the write-ahead plan above verbatim,
+    # VERDICT r16 #1).  LEAD with the six rows displaced by r16's new
+    # entries, oldest-debt-first per the displacement rule.
+    "m04_market_basket",
+    "j07_abandoned_clicks",
+    "ipf_cost_per_visit_fixed",
+    "h21_sole_returning_supplier",
+    "h19_min_cost_supplier",
+    "h18_important_parts",
+    # ... then the 19 r11-cohort leftovers, alphabetical (after this
+    # round the r11 cohort is fully retired).
+    "m05_pinned_scoring",
+    "mm03_arrow_features",
+    "mm04_resize_stride",
+    "p04_drift_gated_admission",
+    "q04_psi_drift",
+    "rc01_subtree_rollup",
+    "rc03_bom_effective_qty",
+    "rc05_recursive_cte",
+    "sql03_sql_udf",
+    "sql04_lateral_topk",
+    "st12_stream_drift_gate",
+    "t07_top_bigrams",
+    "t24_ngram_decontaminate",
+    "v04_binary_hamming_topk",
+    "w03_time_range_avg",
+    "w04_distribution_funcs",
+    "w05_tumbling_batch",
+    "x04_pandas_udaf_geomean",
+    "x07_python_datasource",
+    # ... then the 25-entry alphabetical head of the 50-entry r12
+    # cohort; new r17 entries displace from the END
+    # (q02_referential_integrity first, then p03_training_pipeline,
+    # m07_pinned_ranking, ...).
+    "a01_cmap",
+    "a02_dot",
+    "a03_diff_vector",
+    "a04_l2_norm",
+    "a05_rmse",
+    "a06_transpose",
+    "a07_sum_rows",
+    "a08_sum_cols",
+    "ac10_snapshot_tag",
+    "e09_activity_streaks",
+    "e12_daily_top_type",
+    "e13_rfm_segments",
+    "e14_cumulative_users",
+    "e18_linear_interpolate",
+    "e19_interval_coalesce",
+    "g07_weighted_mean",
+    "g08_exact_corr",
+    "gr08_connected_components",
+    "j01_asof_join",
+    "j05_asof_nearest",
+    "j06_point_in_time",
+    "m06_pinned_recommend",
+    "m07_pinned_ranking",
+    "p03_training_pipeline",
+    "q02_referential_integrity",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))
