@@ -931,6 +931,15 @@ def encode_png(
         raise ValueError(f"dimensions {width}x{height} exceed the PNG >I range")
     plte = b""
     if palette is not None:
+        if channels != 3:
+            # palette mode forces color type 3 / bpp 1 — a caller
+            # passing channels=4 alongside a palette would silently
+            # get a structurally different PNG than asked for; keep
+            # the argument validation loud (ADVICE r16)
+            raise ValueError(
+                f"channels={channels} conflicts with palette mode "
+                "(indexed PNG is always 1 byte/pixel; omit channels)"
+            )
         if not 1 <= len(palette) <= 256:
             raise ValueError(
                 f"palette must hold 1-256 entries, got {len(palette)}"
@@ -1108,6 +1117,14 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
         # was chopped off (plain zlib.decompress raised on it) — keep
         # that corruption class loud (review r16)
         raise ValueError("truncated IDAT stream (missing terminator)")
+    if dec.unused_data:
+        # bytes INSIDE the IDAT chunks after the zlib terminator —
+        # plain zlib.decompress tolerated these silently; the spec
+        # says the stream fills the IDAT data exactly (ADVICE r16)
+        raise ValueError(
+            f"{len(dec.unused_data)} trailing bytes inside IDAT "
+            "after the zlib stream terminator"
+        )
     if len(scan) != want:
         raise ValueError(
             f"IDAT decodes to {len(scan)} bytes, want {want}"

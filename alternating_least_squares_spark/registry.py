@@ -8292,12 +8292,17 @@ def q_p05_audio_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     # same twin-id-domain guard as p06 (review r16): a base doc_id
-    # at/above the offset would alias a twin id
-    mx = docs.agg(F.max("doc_id")).first()[0]
-    if mx is not None and mx >= 20_000_000:
+    # at/above the offset would alias a twin id.  The LOW bound
+    # matters too (ADVICE r16): a negative base could alias INTO the
+    # base domain after +20M, and seeded byte extraction (`seed >>
+    # (8*i)`) vs the oracle's `%`/`//` arithmetic diverge below 0 —
+    # one agg computes both ends
+    mn, mx = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if mx is not None and (mn < 0 or mx >= 20_000_000):
         raise ValueError(
-            f"p05: max doc_id {mx} >= the 20M twin offset — "
-            "regenerated testdata outgrew the twin id domain"
+            f"p05: doc_id range [{mn}, {mx}] outside the twin id "
+            "domain [0, 20M) — regenerated testdata broke the "
+            "keep-one-by-construction contract"
         )
     twins = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 20_000_000).alias("doc_id"),
@@ -8389,15 +8394,17 @@ def q_p06_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    # the twin construction requires the base id domain to sit BELOW
-    # the twin offset — a base at/above it would alias a twin id and
-    # break the keep-one claim a hash-failure away from its cause
-    # (review r16); guard loudly instead of assuming
-    mx = docs.agg(F.max("doc_id")).first()[0]
-    if mx is not None and mx >= 20_000_000:
+    # the twin construction requires the base id domain to sit in
+    # [0, 20M) — a base at/above the offset would alias a twin id,
+    # and a NEGATIVE base could alias into the base domain after +20M
+    # while `seed >> (8*i)` and the oracle's `%`/`//` diverge below 0
+    # (ADVICE r16); guard both ends loudly in one agg
+    mn, mx = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if mx is not None and (mn < 0 or mx >= 20_000_000):
         raise ValueError(
-            f"p06: max doc_id {mx} >= the 20M twin offset — "
-            "regenerated testdata outgrew the twin id domain"
+            f"p06: doc_id range [{mn}, {mx}] outside the twin id "
+            "domain [0, 20M) — regenerated testdata broke the "
+            "keep-one-by-construction contract"
         )
     twins = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 20_000_000).alias("doc_id"),

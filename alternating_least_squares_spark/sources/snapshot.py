@@ -118,6 +118,21 @@ def _write_data_files(
     ]
 
 
+def _reject_working_cols(df: DataFrame, where: str) -> None:
+    """The DV read paths stage position columns named ``__fp``/``__ri``
+    via ``withColumn``, which would silently OVERWRITE (then drop) a
+    real table column of either name on every read — data loss on
+    read instead of a loud failure (ADVICE r16). No sane table uses
+    these names; refuse them outright."""
+    clash = [c for c in df.columns if c in ("__fp", "__ri")]
+    if clash:
+        raise ValueError(
+            f"{where}: table schema contains reserved working "
+            f"column(s) {clash} — rename them; __fp/__ri are staged "
+            "internally for deletion-vector position joins"
+        )
+
+
 def _apply_dvs(spark: SparkSession, df: DataFrame, dvs: list | None) -> DataFrame:
     """Subtract a manifest's deletion vectors from a raw file scan:
     LEFT ANTI join on (file path, row position) using the parquet
@@ -135,6 +150,7 @@ def _apply_dvs(spark: SparkSession, df: DataFrame, dvs: list | None) -> DataFram
     paths = [p for dv in (dvs or []) for p in dv["paths"]]
     if not paths:
         return df
+    _reject_working_cols(df, "_apply_dvs")
     dvf = spark.read.schema(_DV_SCHEMA).parquet(*paths).select(
         F.col("file_path").alias("__fp"),
         F.col("row_index").alias("__ri"),
@@ -202,11 +218,12 @@ def _live_scan_with_positions(spark: SparkSession, prev: dict) -> DataFrame:
     ``input_file_name()`` evaluated after a shuffle join returns ""
     and ``_metadata`` is only resolvable against the source
     relation. Caller must ensure ``prev["files"]`` is non-empty."""
-    scan = (
-        spark.read.schema(_manifest_schema(prev))
-        .parquet(*[f["path"] for f in prev["files"]])
-        .withColumn("__fp", F.col("_metadata.file_path"))
-        .withColumn("__ri", F.col("_metadata.row_index"))
+    scan = spark.read.schema(_manifest_schema(prev)).parquet(
+        *[f["path"] for f in prev["files"]]
+    )
+    _reject_working_cols(scan, "_live_scan_with_positions")
+    scan = scan.withColumn("__fp", F.col("_metadata.file_path")).withColumn(
+        "__ri", F.col("_metadata.row_index")
     )
     dv_paths = [p for dv in prev.get("dvs", []) for p in dv["paths"]]
     if dv_paths:

@@ -1116,3 +1116,93 @@ def test_png_roundtrip_property(w, h, mode, fseed, pxseed, psize):
         )
         blob = encode_png(px, w, h, ch, row_filters=filters)
         assert decode_png(blob) == (w, h, ch, px)
+
+def test_png_idat_trailing_zlib_garbage_refuses():
+    """ADVICE r16: bytes inside IDAT after the zlib stream terminator
+    must refuse even when the inflated output is exactly ``want``
+    bytes — plain zlib.decompress tolerated this silently; the spec
+    says the stream fills the IDAT data exactly."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from alternating_least_squares_spark.functions.multimodal import (
+        PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    px = bytes(range(2 * 2 * 3))
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    scan = zlib.compress(b"\x00" + px[:6] + b"\x00" + px[6:])
+    clean = (
+        PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", scan)
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(clean) == (2, 2, 3, px)
+    dirty = (
+        PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", scan + b"\xde\xad\xbe\xef")
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="trailing bytes inside IDAT"):
+        decode_png(dirty)
+    # the same garbage split into a SECOND consecutive IDAT chunk is
+    # the identical stream to the decompressor — also refused
+    dirty2 = (
+        PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", scan) + chunk(b"IDAT", b"\xde\xad")
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="trailing bytes inside IDAT"):
+        decode_png(dirty2)
+
+
+def test_encode_png_palette_channels_conflict_refuses():
+    """ADVICE r16: palette mode forces color type 3 / bpp 1, so a
+    caller passing channels=4 alongside a palette must get a loud
+    ValueError, not a structurally different PNG."""
+    import pytest
+
+    from alternating_least_squares_spark.functions.multimodal import (
+        encode_png,
+    )
+
+    pal = [(1, 2, 3), (4, 5, 6)]
+    with pytest.raises(ValueError, match="conflicts with palette mode"):
+        encode_png(b"\x00\x01", 2, 1, 4, palette=pal)
+    # the default (3) stays accepted, keyword or omitted
+    assert encode_png(b"\x00\x01", 2, 1, palette=pal)
+    assert encode_png(b"\x00\x01", 2, 1, 3, palette=pal)
+
+
+def test_twin_domain_guard_rejects_out_of_range_ids(spark, tmp_path):
+    """ADVICE r16: the p05/p06 twin-id-domain guard must trip on
+    NEGATIVE doc_ids too (a negative base could alias into the base
+    domain after +20M, and seed-byte extraction vs the oracle's
+    ``%``/``//`` arithmetic diverge below 0), not just on ids at or
+    above the offset."""
+    import pytest
+
+    from alternating_least_squares_spark.registry import (
+        q_p05_audio_curation,
+        q_p06_image_curation,
+    )
+
+    for bad, frag in ((-1, "p05"), (25_000_000, "p05")):
+        d = tmp_path / f"sf_{frag}_{bad}"
+        spark.createDataFrame(
+            [(bad, "t", "en", "s", 1)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(str(d / "documents.parquet"))
+        with pytest.raises(ValueError, match="twin id domain"):
+            q_p05_audio_curation(spark, str(d))
+        with pytest.raises(ValueError, match="twin id domain"):
+            q_p06_image_curation(spark, str(d))

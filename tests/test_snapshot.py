@@ -1143,3 +1143,29 @@ def test_snapshot_state_machine_matches_dict_model(
             for r in SN.read_snapshot(spark, path, version=v).collect()
         }
         assert got == set(want.items()), f"version {v} diverged"
+
+def test_reserved_working_cols_rejected_on_dv_paths(spark, tmp_path):
+    """ADVICE r16: the DV paths stage position columns named
+    ``__fp``/``__ri`` via withColumn, which would silently overwrite
+    and then DROP a real table column of either name on every
+    DV-applied read (data loss on read). Tables carrying those names
+    must be refused loudly at the point the working columns would be
+    staged — and stay fully usable when no DVs are involved."""
+    for col in ("__fp", "__ri"):
+        path = str(tmp_path / f"t_{col}")
+        df = spark.range(10).select(
+            F.col("id").alias("k"), F.col("id").alias(col)
+        )
+        SN.create_table(df, path, key="k")
+        # non-DV reads are unaffected — the column round-trips
+        assert SN.read_snapshot(spark, path).columns == ["k", col]
+        # the MOR delete captures positions through the live scan and
+        # must refuse before staging the clashing working columns
+        with pytest.raises(ValueError, match="reserved working"):
+            SN.delete_where_dv(path, "k < 3", spark)
+        # ... and a table that somehow acquired DVs would refuse at
+        # read time through _apply_dvs (exercised directly)
+        with pytest.raises(ValueError, match="reserved working"):
+            SN._apply_dvs(
+                spark, df, [{"paths": ["/nonexistent.parquet"], "rows": 1}]
+            )
