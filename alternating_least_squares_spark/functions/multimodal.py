@@ -24,15 +24,17 @@ RIFF/WAVE container round-trips through :func:`encode_wav` /
 :func:`decode_wav` (chunk-walking, loud on malformed/unsupported —
 mm07), both oracle-exact on planted deterministic waveforms.
 The PNG common case is real too (round 15): :func:`encode_png` /
-:func:`decode_png` build and parse 8-bit RGB/RGBA non-interlaced
-PNGs with stdlib ``zlib`` + ``struct`` — CRC-verified chunk walk,
-all five scanline filters — and, since round 16, 8-bit PALETTE
-(color type 3) PNGs: PLTE chunk walk, bpp=1 unfilter, index
-expansion to RGB (mm09). Remaining compressed formats stay gated:
-:func:`extract_media_features` keeps the byte-level features plus
-clearly-faked decode stand-ins, and :func:`decode_image` raises
+:func:`decode_png` build and parse 8-bit RGB/RGBA PNGs with
+stdlib ``zlib`` + ``struct`` — CRC-verified chunk walk, all five
+scanline filters — plus, since round 16, 8-bit PALETTE (color type
+3) PNGs (PLTE chunk walk, bpp=1 unfilter, index expansion to RGB;
+mm09) and, since round 17, Adam7 INTERLACED PNGs (seven
+independently-filtered pass sub-images de-interlaced through the
+same unfilter machinery; mm10). Remaining compressed formats stay
+gated: :func:`extract_media_features` keeps the byte-level features
+plus clearly-faked decode stand-ins, and :func:`decode_image` raises
 ``NotImplementedError`` unless PIL is importable (JPEG, and PNG's
-16-bit/interlaced shapes). Swapping in a richer decoder changes ONLY the body of the
+16-bit depth). Swapping in a richer decoder changes ONLY the body of the
 per-batch function — the Spark-side plumbing (schemas, batching,
 partitioning) is what this module locks down and tests.
 
@@ -449,10 +451,9 @@ def decode_image(blob: bytes):  # pragma: no cover - stub by design
     """Decode a compressed image payload via PIL. STUB: the container
     has no image libraries; gate on PIL and fail loudly rather than
     fake silently. Formats with stdlib-only decoders need no library:
-    uncompressed BMPs use :func:`decode_bmp`, and the PNG common case
-    (8-bit RGB/RGBA, non-interlaced — round 15) uses
-    :func:`decode_png`; this gate remains for JPEG and the uncommon
-    PNG shapes (palette, 16-bit, interlaced)."""
+    uncompressed BMPs use :func:`decode_bmp`, and 8-bit
+    RGB/RGBA/palette PNG — interlaced or not — uses
+    :func:`decode_png`; this gate remains for JPEG and 16-bit PNG."""
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:
@@ -843,11 +844,11 @@ def wav_features(
 # VERDICT r14 #4: PNG is the one PIL-gated format closable with the
 # stdlib alone — zlib (in the stdlib) is the whole compression layer,
 # and the rest is chunk framing plus the five scanline filters, pure
-# arithmetic. The pair below builds and parses the COMMON case: 8-bit
-# RGB/RGBA, non-interlaced, critical chunks IHDR/IDAT/IEND (ancillary
-# chunks skipped by the walk, CRCs verified). Everything else —
-# palette, 16-bit, interlaced, JPEG — stays behind the decode_image
-# PIL gate: loud, never faked. Same discipline that took BMP
+# arithmetic. The pair below builds and parses the COMMON cases:
+# 8-bit RGB/RGBA/palette, interlaced (Adam7) or not, critical chunks
+# IHDR/PLTE/IDAT/IEND (ancillary chunks skipped by the walk, CRCs
+# verified). Everything else — 16-bit depth, JPEG — stays behind the
+# decode_image PIL gate: loud, never faked. Same discipline that took BMP
 # (encode_bmp/decode_bmp, round 9) and WAV (encode_wav/decode_wav,
 # round 14) real.
 
@@ -903,6 +904,75 @@ def _png_predictor(
     return _paeth(a, b, c)
 
 
+# Adam7 pass grid (PNG spec §8.2): per pass, the (x origin, x step,
+# y origin, y step) of the pixels that pass carries.
+_ADAM7 = (
+    (0, 8, 0, 8),
+    (4, 8, 0, 8),
+    (0, 4, 4, 8),
+    (2, 4, 0, 4),
+    (0, 2, 2, 4),
+    (1, 2, 0, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _adam7_passes(width: int, height: int) -> list[tuple[int, int, int, int, int, int]]:
+    """The NON-EMPTY Adam7 passes for a ``width``×``height`` image as
+    ``(x0, dx, y0, dy, wp, hp)`` — pass sub-image dims via the spec's
+    ceiling arithmetic. Empty passes (small images miss later-origin
+    passes entirely) contribute no scanlines and NO filter bytes, the
+    detail most hand-rolled de-interlacers get wrong."""
+    out = []
+    for x0, dx, y0, dy in _ADAM7:
+        wp = (width - x0 + dx - 1) // dx if width > x0 else 0
+        hp = (height - y0 + dy - 1) // dy if height > y0 else 0
+        if wp > 0 and hp > 0:
+            out.append((x0, dx, y0, dy, wp, hp))
+    return out
+
+
+def _filter_scanlines(
+    rows: list[bytes], bpp: int, filters: list[int]
+) -> bytearray:
+    """Filter a contiguous scanline group (a whole non-interlaced
+    image, or ONE Adam7 pass — each pass restarts with a zero prior
+    row, spec §8.2) into ``(filter byte + filtered row)*`` form."""
+    scan = bytearray()
+    prev = bytes(len(rows[0])) if rows else b""
+    for raw, f in zip(rows, filters):
+        scan.append(f)
+        scan.extend(
+            (raw[i] - _png_predictor(f, i, bpp, raw, prev)) & 0xFF
+            for i in range(len(raw))
+        )
+        prev = raw
+    return scan
+
+
+def _unfilter_scanlines(
+    scan: bytes, off: int, row: int, bpp: int, nrows: int
+) -> bytearray:
+    """Unfilter ``nrows`` scanlines of ``row`` bytes starting at byte
+    ``off`` of the inflated stream (one scanline group: the whole
+    image, or one Adam7 pass — prior row starts zero per group).
+    Returns the concatenated reconstructed rows."""
+    out = bytearray()
+    prev = bytes(row)
+    for r in range(nrows):
+        base = off + r * (row + 1)
+        f = scan[base]
+        if f > 4:
+            raise ValueError(f"bad scanline filter type {f}")
+        frow = scan[base + 1 : base + 1 + row]
+        raw = bytearray(row)
+        for i in range(row):
+            raw[i] = (frow[i] + _png_predictor(f, i, bpp, raw, prev)) & 0xFF
+        out.extend(raw)
+        prev = bytes(raw)
+    return out
+
+
 def encode_png(
     pixels: bytes,
     width: int,
@@ -910,16 +980,25 @@ def encode_png(
     channels: int = 3,
     row_filters: list[int] | None = None,
     palette: list[tuple[int, int, int]] | None = None,
+    interlace: bool = False,
 ) -> bytes:
     """Serialize raw 8-bit pixel bytes (top-down row-major) as a
-    non-interlaced PNG — color type 2 (RGB, channels=3), 6 (RGBA,
-    channels=4), or, with ``palette``, 3 (indexed: ``pixels`` are
-    1-byte PLTE indices and a PLTE chunk of RGB triples is written
-    between IHDR and IDAT). ``row_filters`` picks the per-scanline
-    filter type (0-4, default all 0); filters are genuinely APPLIED
-    before compression (bpp = 1 in palette mode), so a decoder that
-    mishandles any filter type produces wrong pixels, not just wrong
-    bytes."""
+    PNG — color type 2 (RGB, channels=3), 6 (RGBA, channels=4), or,
+    with ``palette``, 3 (indexed: ``pixels`` are 1-byte PLTE indices
+    and a PLTE chunk of RGB triples is written between IHDR and
+    IDAT). ``row_filters`` picks the per-scanline filter type (0-4,
+    default all 0); filters are genuinely APPLIED before compression
+    (bpp = 1 in palette mode), so a decoder that mishandles any
+    filter type produces wrong pixels, not just wrong bytes.
+
+    With ``interlace=True`` the image is Adam7-interlaced (spec
+    §8.2): pixels are regrouped into up to seven pass sub-images,
+    each filtered INDEPENDENTLY (prior row restarts at zero per
+    pass), concatenated in pass order into one zlib stream; empty
+    passes emit nothing. ``row_filters`` then addresses the emitted
+    interlaced scanlines in stream order (pass 1 rows first), and
+    its required length is the total non-empty pass row count —
+    mismatches raise with that expected count."""
     import zlib
 
     if width <= 0 or height <= 0:
@@ -968,21 +1047,40 @@ def encode_png(
             f"pixel buffer is {len(pixels)} bytes, want {row * height} "
             f"for {width}x{height}x{bpp}"
         )
-    filters = row_filters if row_filters is not None else [0] * height
-    if len(filters) != height or not all(0 <= f <= 4 for f in filters):
-        raise ValueError(f"bad row_filters {filters!r}")
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
-    prev = bytes(row)
-    scan = bytearray()
-    for r in range(height):
-        raw = pixels[r * row : (r + 1) * row]
-        f = filters[r]
-        scan.append(f)
-        scan.extend(
-            (raw[i] - _png_predictor(f, i, bpp, raw, prev)) & 0xFF
-            for i in range(row)
+    if interlace:
+        passes = _adam7_passes(width, height)
+        n_rows = sum(hp for *_, hp in passes)
+    else:
+        n_rows = height
+    filters = row_filters if row_filters is not None else [0] * n_rows
+    if len(filters) != n_rows or not all(0 <= f <= 4 for f in filters):
+        raise ValueError(
+            f"bad row_filters {filters!r} (want {n_rows} entries 0-4"
+            + (", the interlaced scanline count)" if interlace else ")")
         )
-        prev = raw
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color, 0, 0, int(interlace)
+    )
+    if interlace:
+        scan = bytearray()
+        fi = 0
+        for x0, dx, y0, dy, wp, hp in passes:
+            rows = [
+                bytes(
+                    pixels[((y0 + r * dy) * width + x0 + c * dx) * bpp + k]
+                    for c in range(wp)
+                    for k in range(bpp)
+                )
+                for r in range(hp)
+            ]
+            scan += _filter_scanlines(rows, bpp, filters[fi : fi + hp])
+            fi += hp
+    else:
+        scan = _filter_scanlines(
+            [pixels[r * row : (r + 1) * row] for r in range(height)],
+            bpp,
+            filters,
+        )
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -1002,9 +1100,10 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
     unfiltered at bpp=1 then index-expanded through the PLTE's RGB
     triples; the return is the EXPANDED RGB buffer, channels=3, the
     PIL convert("RGB") contract), compression 0, filter method 0,
-    interlace 0 — anything else raises ValueError (the loud-gate
-    discipline; decode_image's PIL gate is the route for
-    16-bit/interlaced). The five scanline filters
+    interlace 0 (sequential) or 1 (Adam7 — each pass sub-image
+    unfiltered independently, then scattered to final positions) —
+    anything else raises ValueError (the loud-gate discipline;
+    decode_image's PIL gate is the route for 16-bit depth). The five scanline filters
     (None/Sub/Up/Average/Paeth) are all implemented; zlib failures,
     size mismatches, a missing/malformed/duplicated/late PLTE, and
     out-of-range palette indices surface as ValueError, the module's
@@ -1079,10 +1178,10 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
     )
     if width <= 0 or height <= 0 or width > 0x7FFFFFFF or height > 0x7FFFFFFF:
         raise ValueError(f"malformed PNG dimensions {width}x{height}")
-    if depth != 8 or color not in (2, 3, 6) or comp or fmeth or interlace:
+    if depth != 8 or color not in (2, 3, 6) or comp or fmeth or interlace > 1:
         raise ValueError(
-            f"only 8-bit RGB/RGBA/palette non-interlaced PNG is "
-            f"supported (depth={depth}, color={color}, "
+            f"only 8-bit RGB/RGBA/palette PNG (interlace 0 or Adam7) "
+            f"is supported (depth={depth}, color={color}, "
             f"interlace={interlace}); decode_image's PIL gate handles "
             "the rest"
         )
@@ -1093,7 +1192,12 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
     bpp = {2: 3, 3: 1, 6: 4}[color]
     channels = {2: 3, 3: 3, 6: 4}[color]
     row = width * bpp
-    want = (row + 1) * height
+    passes = _adam7_passes(width, height) if interlace else []
+    want = (
+        sum((wp * bpp + 1) * hp for *_, wp, hp in passes)
+        if interlace
+        else (row + 1) * height
+    )
     # the cap below is only as good as `want`, which the IHDR (i.e.
     # the attacker) controls: deflate's maximum expansion is 1032:1,
     # so a stream that CLAIMS more than len(idat)*1032 output cannot
@@ -1129,20 +1233,23 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError(
             f"IDAT decodes to {len(scan)} bytes, want {want}"
         )
-    out = bytearray()
-    prev = bytes(row)
-    for r in range(height):
-        f = scan[r * (row + 1)]
-        if f > 4:
-            raise ValueError(f"bad scanline filter type {f}")
-        frow = scan[r * (row + 1) + 1 : (r + 1) * (row + 1)]
-        raw = bytearray(row)
-        for i in range(row):
-            raw[i] = (
-                frow[i] + _png_predictor(f, i, bpp, raw, prev)
-            ) & 0xFF
-        out.extend(raw)
-        prev = bytes(raw)
+    if interlace:
+        # Adam7: unfilter each pass sub-image independently (prior
+        # row restarts at zero per pass, spec §8.2), then SCATTER its
+        # pixels to their final (x0+c·dx, y0+r·dy) positions
+        out = bytearray(row * height)
+        off = 0
+        for x0, dx, y0, dy, wp, hp in passes:
+            prow = wp * bpp
+            raw = _unfilter_scanlines(scan, off, prow, bpp, hp)
+            off += (prow + 1) * hp
+            for r in range(hp):
+                for c in range(wp):
+                    dst = ((y0 + r * dy) * width + x0 + c * dx) * bpp
+                    src = (r * wp + c) * bpp
+                    out[dst : dst + bpp] = raw[src : src + bpp]
+    else:
+        out = _unfilter_scanlines(scan, 0, row, bpp, height)
     if color == 3:
         n_colors = len(plte) // 3
         bad = max(out, default=0)
@@ -1202,6 +1309,36 @@ def attach_palette_png_blob(
             idx, w, h,
             row_filters=[(d + r) % 5 for r in range(h)],
             palette=palette,
+        )
+
+    return _attach_blob_1to1(
+        docs, build, id_col=id_col, value_col=text_col
+    )
+
+
+def attach_interlaced_png_blob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Plant a real Adam7-INTERLACED PNG per document: ``(id%9+2) ×
+    (id%7+2)`` with ``3 + id%2`` channels (RGB even / RGBA odd ids),
+    pixel bytes from the shared ``_ascii_pixels`` contract, and
+    per-INTERLACED-scanline filter ``(id + i) % 5`` in pass stream
+    order — across the corpus every filter type runs inside every
+    pass geometry. Dims up to 10×8 make pass membership VARY: some
+    docs populate all seven passes, the smallest miss pass 2 (x0=4)
+    or pass 3 (y0=4) entirely, so the empty-pass arithmetic (zero
+    scanlines, zero filter bytes) is exercised IN the planted corpus,
+    not just in unit fixtures. Arrow-batched 1:1 via
+    ``_attach_blob_1to1``."""
+
+    def build(d: int, text) -> bytes:
+        w, h, ch = d % 9 + 2, d % 7 + 2, 3 + d % 2
+        px = _ascii_pixels(d, text, w * h * ch, "attach_interlaced_png_blob")
+        n_rows = sum(hp for *_, hp in _adam7_passes(w, h))
+        return encode_png(
+            px, w, h, ch,
+            row_filters=[(d + i) % 5 for i in range(n_rows)],
+            interlace=True,
         )
 
     return _attach_blob_1to1(

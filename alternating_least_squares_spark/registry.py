@@ -8253,6 +8253,53 @@ FROM px
 """
 
 
+def q_mm10_interlaced_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adam7 INTERLACED PNG decode — the largest remaining PIL-gated
+    PNG class taken real (VERDICT r16 #4; functions/multimodal
+    _adam7_passes + the interlaced branches of encode_png/decode_png):
+    a true interlace=1 PNG per doc — CRC-verified chunk walk, ONE
+    zlib stream holding up to seven pass sub-images, each unfiltered
+    INDEPENDENTLY (prior row restarts at zero per pass, spec §8.2)
+    through the same five-filter machinery mm08/mm09 certified, then
+    SCATTERED to final (x0+c·dx, y0+r·dy) positions. Planted per doc:
+    ``(id%9+2) × (id%7+2)`` with ``3+id%2`` channels, pixels the
+    doc's ASCII buffer, per-interlaced-scanline filter ``(id+i)%5``
+    — dims vary pass membership across the corpus (the smallest docs
+    miss pass 2 or 3 entirely), so empty-pass arithmetic is in the
+    hash, and a de-interlacer with any wrong pass origin/step/ceiling
+    reconstructs a permuted buffer and hash-breaks. The oracle
+    restates the decoded pixels arithmetically (text substring+rpad),
+    which decode == encode⁻¹ makes both filter- AND
+    interlace-independent — the strongest form of the mm08 contract.
+    The PIL gate shrinks to 16-bit depth + JPEG. Scale: one narrow
+    Arrow pass per side, no shuffle; the blob dies at the decode
+    stage (the mm06-mm09 shape)."""
+    from alternating_least_squares_spark.functions.multimodal import (
+        attach_interlaced_png_blob,
+        decode_png_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return decode_png_features(attach_interlaced_png_blob(docs))
+
+
+SQL_MM10 = """
+WITH dim AS (
+  SELECT doc_id,
+         CAST(doc_id % 9 + 2 AS INTEGER) AS width,
+         CAST(doc_id % 7 + 2 AS INTEGER) AS height,
+         CAST(3 + doc_id % 2 AS INTEGER) AS channels,
+         text
+  FROM documents
+)
+SELECT doc_id, width, height, channels,
+       md5(rpad(substring(coalesce(text, ''), 1,
+                          width * height * channels),
+                width * height * channels, 'x')) AS pixel_md5
+FROM dim
+"""
+
+
 P05_PEAK_MAX = 32_000        # clipping gate: max|s| must stay under
 P05_ENERGY_MIN = 340_000_000  # silence gate: mean energy per sample
 
@@ -15386,6 +15433,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "mm07_wav_decode": (q_mm07_wav_decode, SQL_MM07),
     "mm08_png_decode": (q_mm08_png_decode, SQL_MM08),
     "mm09_palette_png": (q_mm09_palette_png, SQL_MM09),
+    "mm10_interlaced_png": (q_mm10_interlaced_png, SQL_MM10),
     "d01_simhash": (q_d01_simhash, SQL_D01),
     "d02_jaccard_pairs": (q_d02_jaccard_pairs, SQL_D02),
     "d03_minhash_near_dup": (q_d03_minhash_near_dup, SQL_D03),
@@ -15672,7 +15720,10 @@ _PREFIX = [
     "m06_pinned_recommend",
     "m07_pinned_ranking",
     "p03_training_pipeline",
-    "q02_referential_integrity",
+    # new in round 17 (each displaces one r12-cohort fill slot from
+    # the END per the rule above: q02_referential_integrity is
+    # displaced by mm10 — displaced rows LEAD the r18 plan)
+    "mm10_interlaced_png",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

@@ -1081,22 +1081,30 @@ from hypothesis import strategies as hst
     w=hst.integers(1, 9),
     h=hst.integers(1, 6),
     mode=hst.sampled_from(["rgb", "rgba", "palette"]),
+    interlace=hst.booleans(),
     fseed=hst.integers(0, 10**9),
     pxseed=hst.integers(0, 10**9),
     psize=hst.integers(1, 17),
 )
-def test_png_roundtrip_property(w, h, mode, fseed, pxseed, psize):
+def test_png_roundtrip_property(w, h, mode, interlace, fseed, pxseed, psize):
     """Any dimensions, any per-row filter assignment, any pixel
-    content, all three color modes: decode_png(encode_png(x)) == x
-    (with palette mode comparing against the analytic PLTE
-    expansion). Deterministic content derived from the drawn seeds —
-    the property the fixed-case tests sample, stated in full."""
+    content, all three color modes, interlaced or sequential:
+    decode_png(encode_png(x)) == x (with palette mode comparing
+    against the analytic PLTE expansion). Deterministic content
+    derived from the drawn seeds — the property the fixed-case tests
+    sample, stated in full. Small drawn dims make Adam7 pass
+    EMPTINESS vary across examples (w<5 kills pass 2, h<5 pass 3,
+    ...), so the empty-pass arithmetic is inside the property."""
     from alternating_least_squares_spark.functions.multimodal import (
+        _adam7_passes,
         decode_png,
         encode_png,
     )
 
-    filters = [(fseed // (5**r)) % 5 for r in range(h)]
+    n_rows = (
+        sum(hp for *_, hp in _adam7_passes(w, h)) if interlace else h
+    )
+    filters = [(fseed // (5**r)) % 5 for r in range(n_rows)]
     if mode == "palette":
         pal = [
             tuple((pxseed // (7 ** (3 * j + c))) % 256 for c in range(3))
@@ -1105,7 +1113,9 @@ def test_png_roundtrip_property(w, h, mode, fseed, pxseed, psize):
         idx = bytes(
             (pxseed // (3 ** (i % 20)) + i) % psize for i in range(w * h)
         )
-        blob = encode_png(idx, w, h, row_filters=filters, palette=pal)
+        blob = encode_png(
+            idx, w, h, row_filters=filters, palette=pal, interlace=interlace
+        )
         want = bytes(c for i in idx for c in pal[i])
         assert decode_png(blob) == (w, h, 3, want)
     else:
@@ -1114,8 +1124,11 @@ def test_png_roundtrip_property(w, h, mode, fseed, pxseed, psize):
             (pxseed // (3 ** (i % 20)) + i * 31) % 256
             for i in range(w * h * ch)
         )
-        blob = encode_png(px, w, h, ch, row_filters=filters)
+        blob = encode_png(
+            px, w, h, ch, row_filters=filters, interlace=interlace
+        )
         assert decode_png(blob) == (w, h, ch, px)
+
 
 def test_png_idat_trailing_zlib_garbage_refuses():
     """ADVICE r16: bytes inside IDAT after the zlib stream terminator
@@ -1206,3 +1219,115 @@ def test_twin_domain_guard_rejects_out_of_range_ids(spark, tmp_path):
             q_p05_audio_curation(spark, str(d))
         with pytest.raises(ValueError, match="twin id domain"):
             q_p06_image_curation(spark, str(d))
+
+
+def test_adam7_interlaced_roundtrip_and_geometry():
+    """mm10's codec contract: Adam7 encode/decode inverts across dims
+    that populate all seven passes (8×8+), miss later-origin passes
+    (tiny dims), and every color mode — and the pass geometry helper
+    matches the spec's ceiling arithmetic (empty passes contribute
+    zero scanlines AND zero filter bytes)."""
+    import itertools
+    import random
+
+    from alternating_least_squares_spark.functions.multimodal import (
+        _adam7_passes,
+        decode_png,
+        encode_png,
+    )
+
+    # spec geometry pins: 8x8 populates all 7 passes with 1/1/2/4/8/
+    # 16/32 pixels; 1x1 is pass 1 alone; 4x4 misses pass 2 (x0=4);
+    # 3x1 keeps only passes 1 and 6 of the first scanline group
+    assert [wp * hp for *_, wp, hp in _adam7_passes(8, 8)] == [
+        1, 1, 2, 4, 8, 16, 32
+    ]
+    assert len(_adam7_passes(1, 1)) == 1
+    assert all(x0 != 4 for x0, *_ in _adam7_passes(4, 4))
+    assert sum(wp * hp for *_, wp, hp in _adam7_passes(3, 1)) == 3
+
+    rng = random.Random(1707)
+    for w, h, ch in itertools.product(
+        [1, 2, 4, 5, 8, 9, 16], [1, 2, 4, 5, 8, 9], [3, 4]
+    ):
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        n = sum(hp for *_, hp in _adam7_passes(w, h))
+        filters = [rng.randrange(5) for _ in range(n)]
+        blob = encode_png(px, w, h, ch, row_filters=filters, interlace=True)
+        assert decode_png(blob) == (w, h, ch, px), (w, h, ch)
+    # palette + interlace composes
+    pal = [(j, 255 - j, (j * 3) % 256) for j in range(11)]
+    for w, h in [(1, 1), (3, 2), (8, 8), (10, 5)]:
+        idx = bytes(rng.randrange(11) for _ in range(w * h))
+        n = sum(hp for *_, hp in _adam7_passes(w, h))
+        blob = encode_png(
+            idx, w, h,
+            row_filters=[rng.randrange(5) for _ in range(n)],
+            palette=pal, interlace=True,
+        )
+        want = bytes(c for i in idx for c in pal[i])
+        assert decode_png(blob) == (w, h, 3, want), (w, h)
+
+
+def test_adam7_crash_classes():
+    """Malformed interlaced PNGs raise ValueError (the fuzz
+    discipline): wrong stream length for the interlaced scanline
+    layout, bad filter byte inside a LATER pass, interlace method 2+,
+    and encode-side row_filters count mismatch naming the interlaced
+    expectation."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from alternating_least_squares_spark.functions.multimodal import (
+        PNG_SIG,
+        _adam7_passes,
+        decode_png,
+        encode_png,
+    )
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    # 4x4 RGB interlaced: passes 1,3,4,5,6,7 -> want = sum((wp*3+1)*hp)
+    w = h = 4
+    want = sum((wp * 3 + 1) * hp for *_, wp, hp in _adam7_passes(w, h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+
+    # non-interlaced-sized stream under an interlace=1 IHDR mismatches
+    seq = zlib.compress(b"\x00" + bytes(12) + (b"\x00" + bytes(12)) * 3)
+    blob = PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", seq) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_png(blob)
+
+    # right length, but a 7 filter byte inside the LAST pass
+    scan = bytearray(want)
+    off = 0
+    for *_, wp, hp in _adam7_passes(w, h):
+        off += (wp * 3 + 1) * hp
+    scan[off - (4 * 3 + 1)] = 7  # first filter byte of pass 7's last row
+    blob = (
+        PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="bad scanline filter type"):
+        decode_png(blob)
+
+    # interlace method 2 refuses through the loud gate
+    ihdr2 = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 2)
+    blob = (
+        PNG_SIG + chunk(b"IHDR", ihdr2)
+        + chunk(b"IDAT", zlib.compress(bytes(want)))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(blob)
+
+    # encode-side: wrong row_filters length names the interlaced count
+    with pytest.raises(ValueError, match="interlaced scanline count"):
+        encode_png(bytes(w * h * 3), w, h, row_filters=[0] * h, interlace=True)
