@@ -1616,6 +1616,98 @@ WHERE o_orderkey NOT IN (
 """
 
 
+def q_ac15_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE via deletion vectors (VERDICT r16 #3;
+    sources/snapshot.update_where_dv) — the completion of the
+    {predicate, key-set} × {COW, MOR} mutation matrix: two UPDATEs in
+    sequence, each committing (a) a position sidecar that hides the
+    matched rows' OLD images and (b) the corrected images APPENDED as
+    new data files in the SAME commit — never rewriting a carried
+    file. Asserted in-query: each update manifest's file list starts
+    with the previous list verbatim and strictly extends it
+    (merge-on-read, loud if a rewrite sneaks in), each gained a
+    non-empty sidecar, operation == 'update_dv'. The SECOND update's
+    match scan runs against the DV-applied live state, so it can hit
+    rows living in the FIRST update's appended correction file —
+    update-over-update through the sidecar machinery is inside the
+    hash. The oracle is the nested CASE restatement — exactly what
+    copy-on-write merge_upsert of the corrected rows produces (the
+    equivalence is additionally pinned row-for-row against
+    merge_upsert in tests/test_snapshot.py, with CDC classifying the
+    changed keys as 'update' and cluster_optimize folding both the
+    DVs and the corrections). Arithmetic stays hash-exact: '+1.0' /
+    '*2.0' on an already-round(,6) double are identical IEEE ops in
+    both engines. At 100 TB a 1-row update = one sidecar + one tiny
+    append; compaction folds the read debt back."""
+    import shutil
+
+    from alternating_least_squares_spark.sources import snapshot as SN
+
+    path = _scratch_path(
+        "alternating_ls_ac15", sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 6).alias("price"),
+    )
+    SN.create_table(
+        orders.repartitionByRange(AC13_FILES, "o_orderkey"),
+        path,
+        key="o_orderkey",
+    )
+    files = [[f["path"] for f in SN._read_manifest(path, 0)["files"]]]
+    v1 = SN.update_where_dv(
+        path,
+        "o_orderstatus = 'O' AND o_custkey % 7 = 2",
+        {"o_orderstatus": "'U'", "price": "price + 1.0"},
+        spark,
+    )
+    v2 = SN.update_where_dv(
+        path, "o_orderkey % 89 = 1", {"price": "price * 2.0"}, spark
+    )
+    for v in (v1, v2):
+        m = SN._read_manifest(path, v)
+        fl = [f["path"] for f in m["files"]]
+        if fl[: len(files[-1])] != files[-1] or len(fl) <= len(files[-1]):
+            raise ValueError(
+                f"ac15: update_dv v{v} rewrote or failed to extend the "
+                "data file list — the merge-on-read contract is broken"
+            )
+        if len(m.get("dvs", [])) != v or m["dvs"][-1]["rows"] == 0:
+            raise ValueError(
+                f"ac15: update_dv v{v} wrote no position sidecar "
+                "(vacuous — regenerated testdata matched nothing?)"
+            )
+        if m["operation"] != "update_dv":
+            raise ValueError(f"ac15: v{v} operation {m['operation']!r}")
+        files.append(fl)
+    return SN.read_snapshot(spark, path)
+
+
+SQL_AC15 = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         round(o_totalprice, 6) AS price
+  FROM orders
+),
+u1 AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderstatus = 'O' AND o_custkey % 7 = 2
+              THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderstatus = 'O' AND o_custkey % 7 = 2
+              THEN price + 1.0 ELSE price END AS price
+  FROM base
+)
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 89 = 1 THEN price * 2.0 ELSE price END
+         AS price
+FROM u1
+"""
+
+
 def q_ac03_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over (l_partkey, l_suppkey) —
     the multi-column data-skipping layout (operators/zorder.py; the
@@ -15485,6 +15577,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ac12_restore": (q_ac12_restore, SQL_AC02),
     "ac13_deletion_vectors": (q_ac13_deletion_vectors, SQL_AC13),
     "ac14_dv_delete_keys": (q_ac14_dv_delete_keys, SQL_AC14),
+    "ac15_dv_update": (q_ac15_dv_update, SQL_AC15),
     "e13_rfm_segments": (q_e13_rfm_segments, SQL_E13),
     "g07_weighted_mean": (q_g07_weighted_mean, SQL_G07),
     "g08_exact_corr": (q_g08_exact_corr, SQL_G08),
@@ -15719,11 +15812,12 @@ _PREFIX = [
     "j06_point_in_time",
     "m06_pinned_recommend",
     "m07_pinned_ranking",
-    "p03_training_pipeline",
     # new in round 17 (each displaces one r12-cohort fill slot from
     # the END per the rule above: q02_referential_integrity is
-    # displaced by mm10 — displaced rows LEAD the r18 plan)
+    # displaced by mm10, p03_training_pipeline by ac15 — displaced
+    # rows LEAD the r18 plan)
     "mm10_interlaced_png",
+    "ac15_dv_update",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

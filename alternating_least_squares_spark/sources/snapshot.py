@@ -818,6 +818,127 @@ def delete_keys_dv(path: str, keys: DataFrame) -> int:
     return version
 
 
+def update_where_dv(
+    path: str,
+    predicate: str,
+    assignments: dict[str, str],
+    spark: SparkSession,
+) -> int:
+    """Merge-on-read UPDATE — the Delta deletion-vector update shape
+    and the completion of the {predicate, key-set} × {COW, MOR}
+    mutation matrix (VERDICT r16 #3): rows matching ``predicate`` get
+    a position-sidecar entry (their OLD image disappears from every
+    read via :func:`_apply_dvs`) AND their corrected images — each
+    ``assignments`` column replaced by its SQL expression evaluated
+    over the old row — are APPENDED as new data files in the SAME
+    commit. At 100 TB a 1-row update costs one tiny sidecar plus one
+    tiny append, never a multi-GB file rewrite; compaction
+    (:func:`cluster_optimize`) later folds both the DV and the
+    appended correction into clustered files.
+
+    Read-after-update equals what copy-on-write
+    :func:`merge_upsert` of the corrected rows would produce; CDC
+    (:func:`diff_versions`) accordingly classifies the changed keys
+    as ``update`` — not delete+insert — because both run over the
+    DV-applied reads. Consequently the KEY column cannot be assigned
+    (re-keying is semantically delete+insert; use delete + append).
+    UPDATE semantics match :func:`delete_where_dv`: only rows where
+    the predicate is TRUE update (NULL keeps the row untouched);
+    already-DV-deleted positions are invisible to the match scan; a
+    no-match predicate commits a no-op version. Assignments must
+    preserve each column's type exactly — a silent widening would
+    poison every later read (checked loudly).
+
+    The matched frame is localCheckpoint'd once: it feeds two writes
+    (sidecar + corrections) which must agree row-for-row, and at
+    O(matched rows) the materialization is the cheap side of not
+    re-scanning the table."""
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot table at {path}")
+    prev = _read_manifest(path, versions[-1])
+    key = prev["key"]
+    if not assignments:
+        raise ValueError("update_where_dv: assignments must be non-empty")
+    table_fields = _schema_fields(_manifest_schema(prev))
+    unknown = sorted(set(assignments) - set(table_fields))
+    if unknown:
+        raise ValueError(
+            f"update_where_dv: assignment(s) to unknown column(s) "
+            f"{unknown}; table columns are {sorted(table_fields)}"
+        )
+    if key in assignments:
+        raise ValueError(
+            f"update_where_dv: the table key {key!r} cannot be "
+            "assigned — re-keying is delete+insert, not an update"
+        )
+    dvs = prev.get("dvs", [])
+    version = versions[-1] + 1
+    new_files: list[dict] = []
+    if prev["files"]:
+        matched = (
+            _live_scan_with_positions(spark, prev)
+            .filter(predicate)
+            .localCheckpoint(eager=True)
+        )
+        hits = matched.select(
+            F.col("__fp").alias("file_path"),
+            F.col("__ri").alias("row_index"),
+        )
+        new_dv = _write_dv_files(hits, path)
+        if new_dv["paths"]:
+            dvs = dvs + [new_dv]
+            corrected = matched.drop("__fp", "__ri").withColumns(
+                {c: F.expr(e) for c, e in assignments.items()}
+            )
+            got = _schema_fields(corrected.schema)
+            # integer literals type narrow ('1000000' is int, not the
+            # column's bigint): WIDEN losslessly like Delta's ANSI
+            # store-assignment; any other retyping stays loud — a
+            # silent string/float swap would poison every later read
+            ints = ["tinyint", "smallint", "int", "bigint"]
+            widen = {
+                c: table_fields[c]
+                for c in assignments
+                if got[c] != table_fields[c]
+                and got[c] in ints
+                and table_fields[c] in ints
+                and ints.index(got[c]) < ints.index(table_fields[c])
+            }
+            if widen:
+                corrected = corrected.withColumns(
+                    {c: F.col(c).cast(t) for c, t in widen.items()}
+                )
+                got = _schema_fields(corrected.schema)
+            retyped = sorted(
+                c for c in assignments if got[c] != table_fields[c]
+            )
+            if retyped:
+                raise ValueError(
+                    f"update_where_dv: assignment retypes column(s) "
+                    + ", ".join(
+                        f"{c} ({table_fields[c]} -> {got[c]})"
+                        for c in retyped
+                    )
+                    + " — cast the expression back to the table type"
+                )
+            corrected = corrected.select(*table_fields)
+            new_files = _write_data_files(corrected, path, key)
+    _commit(
+        path,
+        version,
+        {
+            "version": version,
+            "operation": "update_dv",
+            "key": key,
+            "schema": prev["schema"],
+            "files": prev["files"] + new_files,
+            "dvs": dvs,
+        },
+    )
+    return version
+
+
 def cluster_optimize(
     spark: SparkSession, path: str, n_files: int
 ) -> dict:

@@ -1144,6 +1144,7 @@ def test_snapshot_state_machine_matches_dict_model(
         }
         assert got == set(want.items()), f"version {v} diverged"
 
+
 def test_reserved_working_cols_rejected_on_dv_paths(spark, tmp_path):
     """ADVICE r16: the DV paths stage position columns named
     ``__fp``/``__ri`` via withColumn, which would silently overwrite
@@ -1169,3 +1170,97 @@ def test_reserved_working_cols_rejected_on_dv_paths(spark, tmp_path):
             SN._apply_dvs(
                 spark, df, [{"paths": ["/nonexistent.parquet"], "rows": 1}]
             )
+
+
+def test_update_where_dv_equals_cow_merge_upsert(spark, base, tmp_path):
+    """The VERDICT r16 #3 equivalence: read-after-MOR-update equals
+    what copy-on-write merge_upsert of the corrected rows produces on
+    the same batch — and the update commit carried every data file by
+    reference, appending only the corrections."""
+    mor, cow = str(tmp_path / "mor"), str(tmp_path / "cow")
+    SN.create_table(base, mor, key="k")
+    SN.create_table(base, cow, key="k")
+    files0 = [f["path"] for f in SN._read_manifest(mor, 0)["files"]]
+
+    v = SN.update_where_dv(mor, "k % 10 = 3", {"v": "v + 1000"}, spark)
+    corrected = SN.read_snapshot(spark, cow).filter("k % 10 = 3").selectExpr(
+        "k", "v + 1000 AS v"
+    )
+    SN.merge_upsert(corrected, cow)
+
+    got = {(r["k"], r["v"]) for r in SN.read_snapshot(spark, mor).collect()}
+    want = {(r["k"], r["v"]) for r in SN.read_snapshot(spark, cow).collect()}
+    assert got == want and len(got) == 100
+    m = SN._read_manifest(mor, v)
+    fl = [f["path"] for f in m["files"]]
+    assert fl[: len(files0)] == files0 and len(fl) > len(files0)
+    assert m["operation"] == "update_dv" and m["dvs"][-1]["rows"] == 10
+    # time travel: v0 still shows the pre-update image
+    v0 = {(r["k"], r["v"]) for r in SN.read_snapshot(spark, mor, version=0).collect()}
+    assert v0 == {(i, i * 10) for i in range(100)}
+
+
+def test_update_dv_cdc_classifies_as_update(spark, base, tmp_path):
+    """CDC across a DV-update commit reports the changed keys as
+    'update' — not delete+insert — because diff_versions runs over
+    DV-applied reads (the VERDICT r16 #3 interplay pin)."""
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    SN.update_where_dv(path, "k < 5", {"v": "v + 7"}, spark)
+    d = SN.diff_versions(spark, path, 0, 1)
+    rows = {(r["k"], r["change_type"], r["v_new"]) for r in d.collect()}
+    assert rows == {(i, "update", i * 10 + 7) for i in range(5)}
+
+
+def test_update_dv_fold_and_second_update_hits_corrections(spark, base, tmp_path):
+    """cluster_optimize folds BOTH the DV and the appended correction
+    (manifest dvs reset, read unchanged); and a second update whose
+    predicate matches already-corrected rows DVs positions inside the
+    first update's appended file — update-over-update through the
+    sidecar machinery."""
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    SN.update_where_dv(path, "k = 7", {"v": "1000000"}, spark)
+    # second update matches ONLY the corrected row's new image
+    SN.update_where_dv(path, "v = 1000000", {"v": "v + 1"}, spark)
+    live = {(r["k"], r["v"]) for r in SN.read_snapshot(spark, path).collect()}
+    assert (7, 1000001) in live and len(live) == 100
+    res = SN.cluster_optimize(spark, path, 2)
+    m = SN._read_manifest(path, res["version"])
+    assert not m.get("dvs")
+    folded = {(r["k"], r["v"]) for r in SN.read_snapshot(spark, path).collect()}
+    assert folded == live
+
+
+def test_update_dv_guards_and_noop(spark, base, tmp_path):
+    """Loud contracts: empty/unknown/key/retyping assignments raise;
+    a no-match predicate commits a no-op version (deterministic
+    version contract); NULL predicate keeps rows untouched."""
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    with pytest.raises(ValueError, match="non-empty"):
+        SN.update_where_dv(path, "k = 1", {}, spark)
+    with pytest.raises(ValueError, match="unknown column"):
+        SN.update_where_dv(path, "k = 1", {"nope": "1"}, spark)
+    with pytest.raises(ValueError, match="cannot be assigned"):
+        SN.update_where_dv(path, "k = 1", {"k": "k + 1"}, spark)
+    with pytest.raises(ValueError, match="retypes"):
+        SN.update_where_dv(path, "k = 1", {"v": "'text'"}, spark)
+    # failed attempts must not have committed anything
+    assert SN._list_versions(path) == [0]
+    v = SN.update_where_dv(path, "k = -1", {"v": "v + 1"}, spark)
+    assert v == 1
+    m = SN._read_manifest(path, 1)
+    assert not m.get("dvs") and len(m["files"]) == len(
+        SN._read_manifest(path, 0)["files"]
+    )
+    # NULL predicate (NULL v) keeps the row: plant a NULL-v row first
+    from pyspark.sql import types as T  # noqa: F401
+
+    SN.append(
+        base.sparkSession.createDataFrame([(200, None)], "k long, v long"),
+        path,
+    )
+    SN.update_where_dv(path, "v < 0", {"v": "0"}, spark)
+    live = {(r["k"], r["v"]) for r in SN.read_snapshot(spark, path).collect()}
+    assert (200, None) in live and len(live) == 101
