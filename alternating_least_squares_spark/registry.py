@@ -12781,6 +12781,101 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 """
 
 
+def q_st17_streaming_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming GDPR erasure feed (VERDICT r16 #6;
+    streaming/events.stream_erase_keys_from_snapshot) — the two
+    newest subsystems composed: erasure-request files stream in
+    (three waves, maxFilesPerTrigger=1 forcing three micro-batches)
+    and foreachBatch applies each batch's key set to the snapshot
+    table as ONE merge-on-read ``delete_keys_dv`` commit stamped with
+    ``erasure_batch_id`` (the st08 txn-ledger discipline, so
+    at-least-once redelivery never double-commits — redelivery is
+    pinned in tests/test_streaming.py). Asserted in-query: exactly 3
+    batches ran, the table gained exactly 3 delete_dv versions with
+    strictly increasing ledger stamps, and every one carried the
+    creation file list BYTE-IDENTICAL with a non-empty sidecar —
+    merge-on-read under a streaming driver, loud if a rewrite or a
+    batch merge sneaks in. The oracle is the one-shot declarative
+    erasure over the same key predicate, so the hash proves replayed
+    feed == batch erasure. At 100 TB: requests stream continuously;
+    each batch costs one distributed semi-join position capture + one
+    tiny sidecar write; compaction folds the DVs on its own cadence."""
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from alternating_least_squares_spark.sources import snapshot as SN
+    from alternating_least_squares_spark.streaming import (
+        stream_erase_keys_from_snapshot,
+    )
+
+    base = _scratch_path(
+        "alternating_ls_st17", sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    table, req, ckpt = (
+        os.path.join(base, d) for d in ("table", "requests", "_ckpt")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 6).alias("price"),
+    )
+    SN.create_table(
+        orders.repartitionByRange(AC13_FILES, "o_orderkey"),
+        table,
+        key="o_orderkey",
+    )
+    files0 = [f["path"] for f in SN._read_manifest(table, 0)["files"]]
+    keys = orders.filter(F.col("o_custkey") % 13 == 5).select("o_orderkey")
+    # three request waves, one file each (repartition(1)) so
+    # maxFilesPerTrigger=1 yields exactly three erasure micro-batches
+    for w in range(3):
+        keys.filter(F.col("o_orderkey") % 3 == w).repartition(1).write.mode(
+            "append"
+        ).parquet(req)
+    n = stream_erase_keys_from_snapshot(
+        spark,
+        req,
+        ckpt,
+        table,
+        T.StructType([T.StructField("o_orderkey", T.LongType())]),
+        max_files_per_trigger=1,
+    )
+    versions = SN._list_versions(table)
+    if n != 3 or versions != [0, 1, 2, 3]:
+        raise ValueError(
+            f"st17: expected 3 erasure batches/commits, got n={n}, "
+            f"versions={versions} (batch merge or ledger skip?)"
+        )
+    stamps = []
+    for v in (1, 2, 3):
+        m = SN._read_manifest(table, v)
+        if [f["path"] for f in m["files"]] != files0:
+            raise ValueError(
+                f"st17: erasure v{v} changed the data file list — "
+                "the merge-on-read contract is broken"
+            )
+        if len(m.get("dvs", [])) != v or m["dvs"][-1]["rows"] == 0:
+            raise ValueError(
+                f"st17: erasure v{v} wrote no position sidecar "
+                "(vacuous — regenerated testdata matched nothing?)"
+            )
+        stamps.append(m["erasure_batch_id"])
+    if stamps != sorted(set(stamps)) or len(stamps) != 3:
+        raise ValueError(f"st17: non-monotonic erasure ledger {stamps}")
+    return SN.read_snapshot(spark, table)
+
+
+SQL_ST17 = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       round(o_totalprice, 6) AS price
+FROM orders
+WHERE NOT (o_custkey % 13 = 5)
+"""
+
 def q_t19_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram conditional-LM scoring — t18's context-aware upgrade
     (the KenLM-shaped filter of CCNet-style curation): docs scored by
@@ -15621,6 +15716,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "st14_stream_weighted_sample": (q_st14_stream_weighted_sample, SQL_X23),
     "st15_watermark_late_drop": (q_st15_watermark_late_drop, SQL_ST15),
     "st16_outer_join_watermark": (q_st16_outer_join_watermark, SQL_ST16),
+    "st17_streaming_erasure": (q_st17_streaming_erasure, SQL_ST17),
     "t23_span_scrub": (q_t23_span_scrub, SQL_T23),
     "t24_ngram_decontaminate": (q_t24_ngram_decontaminate, SQL_T24),
     # t25's oracle IS t24's text-key SQL: the driver hash certifies
@@ -15811,13 +15907,13 @@ _PREFIX = [
     "j05_asof_nearest",
     "j06_point_in_time",
     "m06_pinned_recommend",
-    "m07_pinned_ranking",
     # new in round 17 (each displaces one r12-cohort fill slot from
     # the END per the rule above: q02_referential_integrity is
-    # displaced by mm10, p03_training_pipeline by ac15 — displaced
-    # rows LEAD the r18 plan)
+    # displaced by mm10, p03_training_pipeline by ac15,
+    # m07_pinned_ranking by st17 — displaced rows LEAD the r18 plan)
     "mm10_interlaced_png",
     "ac15_dv_update",
+    "st17_streaming_erasure",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

@@ -762,7 +762,9 @@ def delete_where_dv(path: str, predicate: str, spark: SparkSession) -> int:
     return version
 
 
-def delete_keys_dv(path: str, keys: DataFrame) -> int:
+def delete_keys_dv(
+    path: str, keys: DataFrame, extra: dict | None = None
+) -> int:
     """Merge-on-read DELETE by key SET — :func:`delete_keys`'s
     deletion-vector twin and the production GDPR/CDC-apply shape at
     100 TB: remove every row whose table key appears in ``keys`` by
@@ -778,7 +780,9 @@ def delete_keys_dv(path: str, keys: DataFrame) -> int:
     absent from the table delete nothing, and already-DV-deleted
     positions are never re-recorded (the capture scan runs against
     the DV-applied live state). A miss-everything key set commits a
-    no-op version."""
+    no-op version. ``extra`` merges caller keys into the manifest —
+    the txn-ledger hook streaming sinks use for batch-id idempotence
+    (the st08 discipline, reused by stream_erase_keys_from_snapshot)."""
     spark = keys.sparkSession
     versions = _list_versions(path)
     if not versions:
@@ -813,6 +817,7 @@ def delete_keys_dv(path: str, keys: DataFrame) -> int:
             "schema": prev["schema"],
             "files": prev["files"],
             "dvs": dvs,
+            **(extra or {}),
         },
     )
     return version

@@ -362,6 +362,84 @@ def incremental_file_ingest(
     return sum(ingested)
 
 
+def stream_erase_keys_from_snapshot(
+    spark: SparkSession,
+    requests_dir: str,
+    checkpoint_dir: str,
+    table_path: str,
+    key_schema: T.StructType,
+    max_files_per_trigger: int | None = 1,
+) -> int:
+    """The streaming GDPR erasure feed (VERDICT r16 #6): erasure
+    requests land as files under ``requests_dir``; each micro-batch's
+    key set is applied to the snapshot table as ONE merge-on-read
+    ``delete_keys_dv`` commit — a position sidecar, never a file
+    rewrite. Composes the two newest subsystems: the st09 incremental
+    file ledger decides WHAT arrived, the ac14 DV path decides HOW it
+    is erased. Returns the number of erasure COMMITS applied by this
+    run (empty and redelivered batches apply nothing).
+
+    Exactly-once: foreachBatch is at-least-once, so each DV commit
+    records ``erasure_batch_id`` in its manifest (the st08 txn-ledger
+    discipline via delete_keys_dv's ``extra``); a redelivered batch
+    (id ≤ the last recorded) is skipped instead of re-committing —
+    harmless for erasure semantics but version-polluting. The ledger
+    scan is O(versions since the last erasure), not O(log).
+
+    At 100 TB this is the production erasure pipeline shape: requests
+    stream in continuously, each batch costs one distributed semi-join
+    position capture + one tiny sidecar write against a table that is
+    never rewritten; compaction folds the accumulated DVs on its own
+    cadence."""
+    applied: list[int] = []
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if _apply_erasure_batch(batch_df, batch_id, table_path):
+            applied.append(batch_id)
+
+    reader = spark.readStream.schema(key_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    query = (
+        reader.parquet(requests_dir)
+        .writeStream.foreachBatch(_apply)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    query.awaitTermination()
+    return len(applied)
+
+
+def _apply_erasure_batch(
+    batch_df: DataFrame, batch_id: int, table_path: str
+) -> bool:
+    """One erasure micro-batch (module-level so the redelivery path is
+    unit-testable, like :func:`_apply_profile_batch`): skip if this
+    ``batch_id`` was already committed, else one ``delete_keys_dv``
+    stamped with it. No-data micro-batches (the engine may fire one
+    at availableNow shutdown) commit nothing — an empty erasure set
+    has nothing to be idempotent about, and a no-op version per run
+    would pollute the table history."""
+    from ..sources import snapshot as SN
+
+    if batch_df.isEmpty():
+        return False
+    versions = SN._list_versions(table_path)
+    for v in reversed(versions):
+        last = SN._read_manifest(table_path, v).get("erasure_batch_id")
+        if last is not None:
+            if batch_id <= last:
+                return False  # redelivered batch: already applied
+            break
+    SN.delete_keys_dv(
+        table_path, batch_df, extra={"erasure_batch_id": batch_id}
+    )
+    return True
+
+
 def run_stream_to_batch(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Replay the stream to completion (``Trigger.AvailableNow``) into
     an in-memory sink and return the final result as a batch DataFrame.
