@@ -12876,6 +12876,7 @@ FROM orders
 WHERE NOT (o_custkey % 13 = 5)
 """
 
+
 def q_t19_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram conditional-LM scoring — t18's context-aware upgrade
     (the KenLM-shaped filter of CCNet-style curation): docs scored by
@@ -13410,6 +13411,176 @@ SELECT t.doc_id,
          AS clean_md5
 FROM toks2 t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
 GROUP BY 1
+"""
+
+
+T26_K = 50     # window length — Lee et al. 2021's 50-token threshold
+T26_CAP = 100  # hot-gram cap: a window in more distinct docs is
+               # boilerplate/stopword-like; pair fan-out past the cap
+               # is quadratic noise, excluded identically in the oracle
+
+
+def q_t26_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-DOCUMENT exact substring dedup at the Lee et al. 2021
+    50-token grain (VERDICT r16 #5) — the pairwise completion of the
+    substring family: t21 detects corpus-repeated windows per doc and
+    t23 scrubs them, but neither says WHICH documents share WHAT. t26
+    emits one row per maximal shared span: (doc_a, doc_b, a_start,
+    b_start, span_tokens) for every pair of documents sharing a run
+    of ≥ 50 consecutive identical tokens — the evidence table an
+    attribution/near-licensing audit and targeted-removal pass key
+    on.
+
+    Shape: tokens → 50-token windows via COMPILED lead() exprs over
+    (doc_id, pos) (the t21 measured choice), each window collapsing
+    to the t21 128-bit hash pair BEFORE any shuffle (16 bytes/window,
+    birthday-safe at 10¹² grams); repeated-window keys from one
+    groupBy, capped at T26_CAP distinct docs (the d08 hot-bucket
+    discipline — a boilerplate window in 10⁵ docs would otherwise
+    fan out 10¹⁰ pairs); the pair join is an EQUI-join on the hash
+    pair (never all-pairs); consecutive shared windows then merge to
+    maximal spans by the classic diagonal trick — (pa − pb) is
+    constant along a shared run, so gap-and-island per (pair,
+    diagonal) with IDENTICAL order keys in both engines (the w12
+    lesson) turns 11 window hits into one 60-token span row.
+
+    Planted signal (the synthetic corpus shares no natural 8-gram, a
+    fortiori no 50-gram, except exact-dup texts — which both engines
+    treat identically): docs with id%7==3 append a 60-token paragraph
+    UNIQUE TO id%13 (token i = 't26x{fam}w{i}'), so same-family
+    planted docs share exactly the 11 fully-inside windows → one
+    span of 60; docs with id%7==4 append a 30-token snippet — BELOW
+    threshold, asserted absent in pytest. At 100 TB: one token
+    explode, one keyed count, one capped equi-join, two window
+    passes — no quadratic stage anywhere."""
+    from alternating_least_squares_spark.functions.width import (
+        spread_if_narrow,
+    )
+
+    k = T26_K
+    fam = (F.col("doc_id") % 13).cast("string")
+    para = F.concat_ws(
+        " ", *[F.concat(F.lit("t26x"), fam, F.lit(f"w{i}")) for i in range(60)]
+    )
+    snip = F.concat_ws(
+        " ", *[F.concat(F.lit("t26s"), fam, F.lit(f"w{i}")) for i in range(30)]
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" "), para),
+        )
+        .when(
+            F.col("doc_id") % 7 == 4,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" "), snip),
+        )
+        .otherwise(F.col("text"))
+        .alias("ptext"),
+    )
+    tokrows = spread_if_narrow(docs, "doc_id").select(
+        "doc_id", F.posexplode(TX.tokens(F.col("ptext"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    gram = F.concat_ws(" ", *leads)
+    win = (
+        tokrows.select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            gram.alias("gram"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.xxhash64(F.lit(1), "gram").alias("h1"),
+            F.xxhash64(F.lit(2), "gram").alias("h2"),
+        )
+        .localCheckpoint(eager=True)  # feeds the count AND both join sides
+    )
+    rep = (
+        win.groupBy("h1", "h2")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= T26_CAP))
+        .select("h1", "h2")
+    )
+    # repeated windows are rare here → broadcast; on a web corpus drop
+    # the hint and let AQE pick (the t21 note)
+    wr = win.join(F.broadcast(rep), ["h1", "h2"], "semi")
+    a = wr.select("h1", "h2", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"))
+    b = wr.select("h1", "h2", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"))
+    pairs = (
+        a.join(b, ["h1", "h2"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w2 = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    brk = F.when(F.col("pa") - F.lag("pa").over(w2) == 1, F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    isl = pairs.withColumn("grp", F.sum(brk).over(w2))
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pa").alias("a_start"),
+            F.min("pb").alias("b_start"),
+            (F.max("pa") - F.min("pa") + k).alias("span_tokens"),
+        )
+        .select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
+    )
+
+
+SQL_T26 = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 3
+              THEN coalesce(text, '') || ' ' || array_to_string(
+                list_transform(range(60),
+                               i -> 't26x' || (doc_id % 13) || 'w' || i),
+                ' ')
+              WHEN doc_id % 7 = 4
+              THEN coalesce(text, '') || ' ' || array_to_string(
+                list_transform(range(30),
+                               i -> 't26s' || (doc_id % 13) || 'w' || i),
+                ' ')
+              ELSE text END AS ptext
+  FROM documents
+),
+tk AS (SELECT doc_id, {_toks_sql("ptext")} AS toks FROM d),
+w AS (
+  SELECT doc_id, i AS pos, array_to_string(toks[i+1:i+{T26_K}], ' ') AS gram
+  FROM tk, UNNEST(range(len(toks) - {T26_K - 1})) t(i)
+),
+r AS (
+  SELECT gram FROM w
+  GROUP BY 1 HAVING count(DISTINCT doc_id) BETWEEN 2 AND {T26_CAP}
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+         a.pos - b.pos AS diag
+  FROM w a JOIN w b USING (gram)
+  WHERE a.doc_id < b.doc_id AND gram IN (SELECT gram FROM r)
+),
+g AS (
+  SELECT doc_a, doc_b, pa, pb, diag,
+         CASE WHEN pa - lag(pa) OVER (PARTITION BY doc_a, doc_b, diag
+                                      ORDER BY pa) = 1
+              THEN 0 ELSE 1 END AS brk
+  FROM p
+),
+isl AS (
+  SELECT doc_a, doc_b, diag, pa, pb,
+         sum(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+  FROM g
+)
+SELECT doc_a, doc_b,
+       CAST(min(pa) AS BIGINT) AS a_start,
+       CAST(min(pb) AS BIGINT) AS b_start,
+       CAST(max(pa) - min(pa) + {T26_K} AS BIGINT) AS span_tokens
+FROM isl
+GROUP BY doc_a, doc_b, diag, grp
 """
 
 
@@ -15722,6 +15893,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # t25's oracle IS t24's text-key SQL: the driver hash certifies
     # hash-key == text-key (the d10/SQL_D09 shared-oracle pattern)
     "t25_hashed_decontaminate": (q_t25_hashed_decontaminate, SQL_T24),
+    "t26_substring_dedup": (q_t26_substring_dedup, SQL_T26),
     "p03_training_pipeline": (q_p03_training_pipeline, SQL_P03),
     "p04_drift_gated_admission": (q_p04_drift_gated_admission, SQL_P04),
     "p05_audio_curation": (q_p05_audio_curation, SQL_P05),
@@ -15906,14 +16078,15 @@ _PREFIX = [
     "j01_asof_join",
     "j05_asof_nearest",
     "j06_point_in_time",
-    "m06_pinned_recommend",
     # new in round 17 (each displaces one r12-cohort fill slot from
     # the END per the rule above: q02_referential_integrity is
     # displaced by mm10, p03_training_pipeline by ac15,
-    # m07_pinned_ranking by st17 — displaced rows LEAD the r18 plan)
+    # m07_pinned_ranking by st17, m06_pinned_recommend by t26 —
+    # displaced rows LEAD the r18 plan)
     "mm10_interlaced_png",
     "ac15_dv_update",
     "st17_streaming_erasure",
+    "t26_substring_dedup",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

@@ -918,3 +918,82 @@ def test_q05_schema_drift_flags_planted_null_column(spark):
     assert got[("srcA", "text")] == (0, 0, 0, 0)
     assert got[("srcB", "lang")] == (0, 0, 0, 0)
     assert got[("srcB", "n_chars")] == (0, 0, 0, 0)
+
+
+def test_t26_substring_dedup_hand_computed(spark, monkeypatch):
+    """t26 on a corpus computable by hand (ids ≡ 0 mod 7 keep the
+    registry's planting branches inert): a 60-token block shared
+    mid-doc/at-0/by-an-exact-dup must yield exactly the three maximal
+    span rows with the right starts and lengths; a 49-token overlap
+    (one below threshold) and a windowless short doc yield nothing."""
+    import alternating_least_squares_spark.registry as R
+    from alternating_least_squares_spark.registry import queries
+
+    shared = " ".join(f"s{i}" for i in range(60))
+    sub49 = " ".join(f"s{i}" for i in range(49))
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(f"a{i}" for i in range(10)) + " " + shared),
+            (7, shared + " " + " ".join(f"b{i}" for i in range(5))),
+            (14, "c0 " + sub49 + " c1"),
+            (21, " ".join(f"a{i}" for i in range(10)) + " " + shared),
+            (28, "w0 w1 w2"),
+        ],
+        "doc_id long, text string",
+    )
+    real_load = R.load_table
+    monkeypatch.setattr(
+        R, "load_table",
+        lambda sp, sf, name: docs if name == "documents"
+        else real_load(sp, sf, name),
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"], r["a_start"], r["b_start"], r["span_tokens"])
+        for r in queries()["t26_substring_dedup"](spark, "ignored").collect()
+    }
+    assert rows == {
+        (0, 7, 10, 0, 60),    # mid-doc vs position 0
+        (0, 21, 0, 0, 70),    # exact dup: the WHOLE doc is one span
+        (7, 21, 0, 10, 60),
+    }
+
+
+def test_t26_planting_and_threshold(spark, monkeypatch):
+    """The registry's own planted corpus: same-family %7==3 docs share
+    exactly the 60-token paragraph (one span row, correct offsets);
+    same-family %7==4 docs share only the 30-token snippet — below
+    the 50-token threshold, so NO row (the sub-threshold pin VERDICT
+    r16 #5 asks for); and the hot-gram cap kills pair fan-out when
+    lowered beneath the family size."""
+    import alternating_least_squares_spark.registry as R
+    from alternating_least_squares_spark.registry import queries
+
+    # 3 % 7 == 3, 16 % 7 == 2... use 3 and 94 (94%7==3, 94%13==3 ==
+    # 3%13) for the para family; 4 and 95 (both %7==4, %13==4) for
+    # the snippet family
+    assert 94 % 7 == 3 and 94 % 13 == 3 % 13
+    assert 95 % 7 == 4 and 95 % 13 == 4 % 13
+    docs = spark.createDataFrame(
+        [
+            (3, " ".join(f"p{i}" for i in range(60))),
+            (94, " ".join(f"q{i}" for i in range(20))),
+            (4, " ".join(f"r{i}" for i in range(55))),
+            (95, " ".join(f"u{i}" for i in range(25))),
+        ],
+        "doc_id long, text string",
+    )
+    real_load = R.load_table
+    monkeypatch.setattr(
+        R, "load_table",
+        lambda sp, sf, name: docs if name == "documents"
+        else real_load(sp, sf, name),
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"], r["a_start"], r["b_start"], r["span_tokens"])
+        for r in queries()["t26_substring_dedup"](spark, "ignored").collect()
+    }
+    assert rows == {(3, 94, 60, 20, 60)}
+    # cap below the family size: the paragraph's windows are now "hot"
+    # and excluded — no pairs at all
+    monkeypatch.setattr(R, "T26_CAP", 1)
+    assert queries()["t26_substring_dedup"](spark, "ignored").count() == 0
