@@ -16022,6 +16022,43 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # plan. New r17 entries displace the r12 fill from the END as
 # always (q02_referential_integrity first, then
 # p03_training_pipeline, m07_pinned_ranking, ...).
+# R18 PREFIX PLAN (write-ahead, VERDICT r16 #8; computed from the
+# CORRECTNESS_r01..r16 union with this round's FINAL prefix marked
+# r17 — i.e. AFTER the four new r17 entries (mm10, ac15, st17, t26 —
+# under the <=6 throttle) displaced q02_referential_integrity,
+# p03_training_pipeline, m07_pinned_ranking, and m06_pinned_recommend
+# from the r12 fill): oldest-first by (round, displaced-first, name).
+# The stale tail is exactly 29 r12 rows (the 4 displaced + 25
+# leftovers) + the 50-entry r13 cohort, so the plan is all 29 r12
+# rows + the 21-entry r13 cohort head. LEAD with the four displaced
+# rows in displacement order — q02_referential_integrity,
+# p03_training_pipeline, m07_pinned_ranking, m06_pinned_recommend —
+# then the 25 r12 leftovers, alphabetical: q05_schema_drift,
+# rc04_materialized_path, sql02_shared_windows, st01_stream_hourly,
+# st10_stream_admission, st13_stream_budget_admission,
+# t13_sequence_packing, t15_sentence_split, t16_normalized_dupes,
+# t17_edit_distance_pairs, t18_unigram_logprob, t19_bigram_logprob,
+# t20_line_dedup, t21_repeated_spans, t22_bpe_merge_pairs,
+# t23_span_scrub, t25_hashed_decontaminate,
+# w07_native_session_window, w09_rolling_slope,
+# x13_dynamic_partition_pruning, x14_incremental_mv,
+# x15_temperature_mix, x16_training_shuffle, x17_dsir_weights,
+# x22_token_budget_mix — then fill the remaining 21 slots from the
+# 50-entry r13 cohort head, alphabetical: a09_laplace_smooth,
+# a10_weight_matrix, a11_apply_weights, a12_add_labels, a13_mmult,
+# a14_seed_matrix, a15_optimize_marginal, a18_normalize_matrix,
+# a19_error_matrix, a20_matrix_norm, a21_converge_coordinate,
+# ac01_snapshot_merge, ac02_time_travel, ac03_zorder_code,
+# b01_b02_csv_roundtrip, b03_symmetric_diff, c01_sorted_scan,
+# c02_filter_nonzero, c04_micros_to_currency, c05_anti_join,
+# c06_zero_pad — exactly 4 + 25 + 21 = 50. After r18 the r12 cohort
+# is fully retired and the stale tail is the 29 r13 leftovers
+# (c08_pivot, c08_unpivot, c10_safe_divide, c11_upsert, ...) + the
+# r14 cohort, which head the r19 plan. New r18 entries displace the
+# r13 fill from the END as always (c06_zero_pad first, then
+# c05_anti_join, c04_micros_to_currency, ...). Rows-only-by-design
+# entries (m01–m03, g04, ipf_cost_per_visit) stay out of the prefix
+# as ever.
 _PREFIX = [
     # ROUND 17 ROTATION (executes the write-ahead plan above verbatim,
     # VERDICT r16 #1).  LEAD with the six rows displaced by r16's new
