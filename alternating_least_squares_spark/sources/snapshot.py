@@ -191,6 +191,24 @@ def _write_dv_files(hits: DataFrame, path: str) -> dict:
     }
 
 
+_RESERVED_MANIFEST_KEYS = frozenset(
+    {"version", "operation", "key", "schema", "files", "dvs", "pruning"}
+)
+
+
+def _check_extra(extra: dict | None, where: str) -> None:
+    """The ``extra`` manifest hook (txn ledgers, batch ids) must never
+    be able to clobber a reserved manifest entry — extra={"files": []}
+    would commit an empty file list and silently empty the table on
+    every later read (review r17)."""
+    clash = sorted(_RESERVED_MANIFEST_KEYS & set(extra or {}))
+    if clash:
+        raise ValueError(
+            f"{where}: extra manifest keys {clash} collide with "
+            "reserved manifest entries"
+        )
+
+
 def _carry_dvs(prev: dict, surviving_files: list[dict]) -> list[dict]:
     """The DV list a rewriting commit carries: every prev entry at
     least one of whose covered data files is still referenced (its
@@ -257,6 +275,12 @@ def create_table(
     ``extra``: caller metadata merged into the manifest (e.g. the
     streaming sink's ``batch_id`` for redelivery idempotence)."""
     _require_absolute(path)
+    _check_extra(extra, "create_table")
+    # reject the DV working-column names where the mistake is MADE —
+    # the read-side guards in _apply_dvs/_live_scan_with_positions
+    # stay as the belt, but failing months later on the first DV
+    # commit would force a full rewrite to fix (review r17)
+    _reject_working_cols(df, "create_table")
     if _list_versions(path):
         raise FileExistsError(f"snapshot table already exists at {path}")
     files = _write_data_files(df, path, key)
@@ -403,6 +427,8 @@ def append(
     versions = _list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no snapshot table at {path}")
+    _check_extra(extra, "append")
+    _reject_working_cols(df, "append")
     prev = _read_manifest(path, versions[-1])
     if key is not None and key != prev["key"]:
         raise ValueError(
@@ -480,6 +506,8 @@ def merge_upsert(
     versions = _list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no snapshot table at {path}")
+    _check_extra(extra, "merge_upsert")
+    _reject_working_cols(updates, "merge_upsert")
     prev = _read_manifest(path, versions[-1])
     key = prev["key"]
     table_fields = _schema_fields(_manifest_schema(prev))
@@ -787,6 +815,7 @@ def delete_keys_dv(
     versions = _list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no snapshot table at {path}")
+    _check_extra(extra, "delete_keys_dv")
     prev = _read_manifest(path, versions[-1])
     key = prev["key"]
     if key not in keys.columns:
@@ -877,6 +906,39 @@ def update_where_dv(
             f"update_where_dv: the table key {key!r} cannot be "
             "assigned — re-keying is delete+insert, not an update"
         )
+    # Validate assignment TYPES before any write and independent of
+    # the data (review r17: checking only on the matched slice made
+    # the same bad call loud or silent depending on the predicate,
+    # and a late raise left an orphaned sidecar). The probe is an
+    # empty frame with the manifest schema — pure plan analysis, no
+    # IO. Integer literals type narrow ('1000000' is int, not the
+    # column's bigint): WIDEN losslessly like Delta's ANSI
+    # store-assignment; any other retyping stays loud — a silent
+    # string/float swap would poison every later read.
+    exprs = {c: F.expr(e) for c, e in assignments.items()}
+    probe = spark.createDataFrame([], _manifest_schema(prev)).withColumns(
+        exprs
+    )
+    got = _schema_fields(probe.schema)
+    ints = ["tinyint", "smallint", "int", "bigint"]
+    widen = {
+        c: table_fields[c]
+        for c in assignments
+        if got[c] != table_fields[c]
+        and got[c] in ints
+        and table_fields[c] in ints
+        and ints.index(got[c]) < ints.index(table_fields[c])
+    }
+    got.update(widen)
+    retyped = sorted(c for c in assignments if got[c] != table_fields[c])
+    if retyped:
+        raise ValueError(
+            f"update_where_dv: assignment retypes column(s) "
+            + ", ".join(
+                f"{c} ({table_fields[c]} -> {got[c]})" for c in retyped
+            )
+            + " — cast the expression back to the table type"
+        )
     dvs = prev.get("dvs", [])
     version = versions[-1] + 1
     new_files: list[dict] = []
@@ -893,39 +955,10 @@ def update_where_dv(
         new_dv = _write_dv_files(hits, path)
         if new_dv["paths"]:
             dvs = dvs + [new_dv]
-            corrected = matched.drop("__fp", "__ri").withColumns(
-                {c: F.expr(e) for c, e in assignments.items()}
-            )
-            got = _schema_fields(corrected.schema)
-            # integer literals type narrow ('1000000' is int, not the
-            # column's bigint): WIDEN losslessly like Delta's ANSI
-            # store-assignment; any other retyping stays loud — a
-            # silent string/float swap would poison every later read
-            ints = ["tinyint", "smallint", "int", "bigint"]
-            widen = {
-                c: table_fields[c]
-                for c in assignments
-                if got[c] != table_fields[c]
-                and got[c] in ints
-                and table_fields[c] in ints
-                and ints.index(got[c]) < ints.index(table_fields[c])
-            }
+            corrected = matched.drop("__fp", "__ri").withColumns(exprs)
             if widen:
                 corrected = corrected.withColumns(
                     {c: F.col(c).cast(t) for c, t in widen.items()}
-                )
-                got = _schema_fields(corrected.schema)
-            retyped = sorted(
-                c for c in assignments if got[c] != table_fields[c]
-            )
-            if retyped:
-                raise ValueError(
-                    f"update_where_dv: assignment retypes column(s) "
-                    + ", ".join(
-                        f"{c} ({table_fields[c]} -> {got[c]})"
-                        for c in retyped
-                    )
-                    + " — cast the expression back to the table type"
                 )
             corrected = corrected.select(*table_fields)
             new_files = _write_data_files(corrected, path, key)

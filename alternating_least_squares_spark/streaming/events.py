@@ -380,11 +380,18 @@ def stream_erase_keys_from_snapshot(
     run (empty and redelivered batches apply nothing).
 
     Exactly-once: foreachBatch is at-least-once, so each DV commit
-    records ``erasure_batch_id`` in its manifest (the st08 txn-ledger
-    discipline via delete_keys_dv's ``extra``); a redelivered batch
-    (id ≤ the last recorded) is skipped instead of re-committing —
-    harmless for erasure semantics but version-polluting. The ledger
-    scan is O(versions since the last erasure), not O(log).
+    records ``(erasure_feed, erasure_batch_id)`` in its manifest (the
+    st08 txn-ledger discipline via delete_keys_dv's ``extra``, scoped
+    like Delta's ``(txnAppId, txnVersion)``); a redelivered batch (id
+    ≤ the last recorded FOR THIS FEED) is skipped instead of
+    re-committing. The feed id is the checkpoint's own query id
+    (``<checkpoint>/metadata``, minted by Spark at stream start), so
+    batch ids from a NEW or recreated checkpoint — which restart at 0
+    — are never compared against another feed's stamps: they re-apply
+    harmlessly (key-set deletes are idempotent) instead of being
+    silently skipped, the compliance failure a table-scoped bare
+    batch id would invite (review r17). The ledger scan walks
+    manifests newest-first until it finds this feed's stamp.
 
     At 100 TB this is the production erasure pipeline shape: requests
     stream in continuously, each batch costs one distributed semi-join
@@ -394,7 +401,10 @@ def stream_erase_keys_from_snapshot(
     applied: list[int] = []
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        if _apply_erasure_batch(batch_df, batch_id, table_path):
+        # read lazily: Spark writes <checkpoint>/metadata at stream
+        # start, before the first batch fires
+        feed = _checkpoint_feed_id(checkpoint_dir)
+        if _apply_erasure_batch(batch_df, batch_id, table_path, feed):
             applied.append(batch_id)
 
     reader = spark.readStream.schema(key_schema)
@@ -413,29 +423,46 @@ def stream_erase_keys_from_snapshot(
     return len(applied)
 
 
+def _checkpoint_feed_id(checkpoint_dir: str) -> str:
+    """The streaming checkpoint's unique query id — Spark writes it to
+    ``<checkpoint>/metadata`` when the stream starts and reuses it on
+    every restart FROM that checkpoint; a deleted/recreated checkpoint
+    mints a new one. Exactly the scope an exactly-once batch ledger
+    needs (Delta's txnAppId)."""
+    import json
+
+    with open(os.path.join(checkpoint_dir, "metadata")) as fh:
+        return json.load(fh)["id"]
+
+
 def _apply_erasure_batch(
-    batch_df: DataFrame, batch_id: int, table_path: str
+    batch_df: DataFrame, batch_id: int, table_path: str, feed_id: str
 ) -> bool:
     """One erasure micro-batch (module-level so the redelivery path is
     unit-testable, like :func:`_apply_profile_batch`): skip if this
-    ``batch_id`` was already committed, else one ``delete_keys_dv``
-    stamped with it. No-data micro-batches (the engine may fire one
-    at availableNow shutdown) commit nothing — an empty erasure set
-    has nothing to be idempotent about, and a no-op version per run
-    would pollute the table history."""
+    ``batch_id`` was already committed BY THIS FEED, else one
+    ``delete_keys_dv`` stamped with (feed, batch id). Batch ids are
+    only meaningful within one checkpoint lineage — comparing across
+    feeds would silently drop a fresh checkpoint's erasures (review
+    r17). No-data micro-batches (the engine may fire one at
+    availableNow shutdown) commit nothing — an empty erasure set has
+    nothing to be idempotent about, and a no-op version per run would
+    pollute the table history."""
     from ..sources import snapshot as SN
 
     if batch_df.isEmpty():
         return False
     versions = SN._list_versions(table_path)
     for v in reversed(versions):
-        last = SN._read_manifest(table_path, v).get("erasure_batch_id")
-        if last is not None:
-            if batch_id <= last:
+        m = SN._read_manifest(table_path, v)
+        if m.get("erasure_feed") == feed_id:
+            if batch_id <= m["erasure_batch_id"]:
                 return False  # redelivered batch: already applied
             break
     SN.delete_keys_dv(
-        table_path, batch_df, extra={"erasure_batch_id": batch_id}
+        table_path,
+        batch_df,
+        extra={"erasure_feed": feed_id, "erasure_batch_id": batch_id},
     )
     return True
 

@@ -1149,27 +1149,45 @@ def test_reserved_working_cols_rejected_on_dv_paths(spark, tmp_path):
     """ADVICE r16: the DV paths stage position columns named
     ``__fp``/``__ri`` via withColumn, which would silently overwrite
     and then DROP a real table column of either name on every
-    DV-applied read (data loss on read). Tables carrying those names
-    must be refused loudly at the point the working columns would be
-    staged — and stay fully usable when no DVs are involved."""
+    DV-applied read (data loss on read). The write path now refuses
+    such tables outright (see
+    test_working_cols_rejected_at_write_time), so the read-side
+    guards are the BELT for tables created before the write-time
+    check existed — exercised directly against _apply_dvs and through
+    delete_where_dv on a hand-planted legacy manifest."""
     for col in ("__fp", "__ri"):
-        path = str(tmp_path / f"t_{col}")
         df = spark.range(10).select(
             F.col("id").alias("k"), F.col("id").alias(col)
         )
-        SN.create_table(df, path, key="k")
-        # non-DV reads are unaffected — the column round-trips
-        assert SN.read_snapshot(spark, path).columns == ["k", col]
-        # the MOR delete captures positions through the live scan and
-        # must refuse before staging the clashing working columns
-        with pytest.raises(ValueError, match="reserved working"):
-            SN.delete_where_dv(path, "k < 3", spark)
-        # ... and a table that somehow acquired DVs would refuse at
-        # read time through _apply_dvs (exercised directly)
         with pytest.raises(ValueError, match="reserved working"):
             SN._apply_dvs(
                 spark, df, [{"paths": ["/nonexistent.parquet"], "rows": 1}]
             )
+    # legacy table planted by writing parquet + manifest directly
+    # (bypassing the new write-time guard, as a pre-guard table would)
+    import json
+    import os
+
+    path = str(tmp_path / "legacy")
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.col("id").alias("__fp")
+    )
+    data_dir = os.path.join(path, "data", "d0")
+    df.write.parquet(data_dir)
+    files = [
+        {"path": os.path.join(data_dir, f), "rows": 10,
+         "min_key": 0, "max_key": 9}
+        for f in os.listdir(data_dir) if f.endswith(".parquet")
+    ]
+    os.makedirs(os.path.join(path, "_log"))
+    with open(os.path.join(path, "_log", "0.json"), "w") as fh:
+        json.dump({"version": 0, "operation": "create", "key": "k",
+                   "schema": df.schema.json(), "files": files}, fh)
+    # non-DV reads still work on the legacy table
+    assert SN.read_snapshot(spark, path).columns == ["k", "__fp"]
+    # the MOR delete must refuse before staging working columns
+    with pytest.raises(ValueError, match="reserved working"):
+        SN.delete_where_dv(path, "k < 3", spark)
 
 
 def test_update_where_dv_equals_cow_merge_upsert(spark, base, tmp_path):
@@ -1264,3 +1282,71 @@ def test_update_dv_guards_and_noop(spark, base, tmp_path):
     SN.update_where_dv(path, "v < 0", {"v": "0"}, spark)
     live = {(r["k"], r["v"]) for r in SN.read_snapshot(spark, path).collect()}
     assert (200, None) in live and len(live) == 101
+
+
+def test_extra_cannot_clobber_reserved_manifest_keys(spark, base, tmp_path):
+    """Review r17: the extra manifest hook must refuse reserved keys —
+    extra={'files': []} would commit an empty file list and silently
+    empty the table on every later read."""
+    path = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="reserved manifest"):
+        SN.create_table(base, path, key="k", extra={"files": []})
+    SN.create_table(base, path, key="k")
+    for bad in ({"dvs": []}, {"schema": "x"}, {"version": 99}):
+        with pytest.raises(ValueError, match="reserved manifest"):
+            SN.append(base.limit(1), path, extra=bad)
+        with pytest.raises(ValueError, match="reserved manifest"):
+            SN.merge_upsert(base.limit(1), path, extra=bad)
+        with pytest.raises(ValueError, match="reserved manifest"):
+            SN.delete_keys_dv(
+                path, base.select("k").limit(1), extra=bad
+            )
+    # benign ledger keys still pass through
+    v = SN.append(base.limit(1).selectExpr("k + 1000 AS k", "v"), path,
+                  extra={"batch_id": 7})
+    assert SN._read_manifest(path, v)["batch_id"] == 7
+
+
+def test_working_cols_rejected_at_write_time(spark, tmp_path):
+    """Review r17: __fp/__ri are refused where the mistake is MADE
+    (create_table/append/merge_upsert), not months later on the first
+    DV commit."""
+    bad = spark.range(5).select(
+        F.col("id").alias("k"), F.col("id").alias("__fp")
+    )
+    with pytest.raises(ValueError, match="reserved working"):
+        SN.create_table(bad, str(tmp_path / "a"), key="k")
+    path = str(tmp_path / "b")
+    SN.create_table(
+        spark.range(5).select(F.col("id").alias("k"),
+                              F.col("id").alias("v")),
+        path, key="k",
+    )
+    bad2 = spark.range(5).select(
+        F.col("id").alias("k"), F.col("id").alias("v"),
+        F.col("id").alias("__ri"),
+    )
+    with pytest.raises(ValueError, match="reserved working"):
+        SN.append(bad2, path, merge_schema=True)
+    with pytest.raises(ValueError, match="reserved working"):
+        SN.merge_upsert(bad2, path, merge_schema=True)
+
+
+def test_update_dv_validates_before_any_write(spark, base, tmp_path):
+    """Review r17: assignment-type validation is data-INDEPENDENT (a
+    no-match predicate raises on a retyping assignment exactly like a
+    matching one) and runs BEFORE any sidecar write, so a failed
+    update leaves neither a version nor orphan data files."""
+    import glob
+    import os
+
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    files_before = set(glob.glob(os.path.join(path, "data", "**", "*"),
+                                 recursive=True))
+    with pytest.raises(ValueError, match="retypes"):
+        SN.update_where_dv(path, "k = -999", {"v": "'text'"}, spark)
+    assert SN._list_versions(path) == [0]
+    files_after = set(glob.glob(os.path.join(path, "data", "**", "*"),
+                                recursive=True))
+    assert files_after == files_before  # no orphan sidecar/data files

@@ -1031,14 +1031,25 @@ def test_erasure_batch_redelivery_is_idempotent(spark, tmp_path):
     b0 = spark.createDataFrame([(3,), (5,)], "k long")
     b1 = spark.createDataFrame([(7,)], "k long")
     empty = spark.createDataFrame([], "k long")
-    assert _apply_erasure_batch(b0, 0, path) is True
-    assert _apply_erasure_batch(b0, 0, path) is False   # redelivered
-    assert _apply_erasure_batch(empty, 1, path) is False  # no-data batch
-    assert _apply_erasure_batch(b1, 2, path) is True
-    assert _apply_erasure_batch(b1, 1, path) is False   # stale id
+    assert _apply_erasure_batch(b0, 0, path, "feedA") is True
+    assert _apply_erasure_batch(b0, 0, path, "feedA") is False  # redelivered
+    assert _apply_erasure_batch(empty, 1, path, "feedA") is False  # no-data
+    assert _apply_erasure_batch(b1, 2, path, "feedA") is True
+    assert _apply_erasure_batch(b1, 1, path, "feedA") is False  # stale id
     assert SN._list_versions(path) == [0, 1, 2]
     live = {r["k"] for r in SN.read_snapshot(spark, path).collect()}
     assert live == set(range(20)) - {3, 5, 7}
+    # a NEW checkpoint lineage restarts batch ids at 0 — its batches
+    # must NOT be skipped against feedA's stamps (review r17: a
+    # table-scoped bare batch id silently dropped them); the re-apply
+    # of already-erased keys is a harmless idempotent no-op commit,
+    # and genuinely new keys erase
+    b2 = spark.createDataFrame([(7,), (11,)], "k long")
+    assert _apply_erasure_batch(b2, 0, path, "feedB") is True
+    live = {r["k"] for r in SN.read_snapshot(spark, path).collect()}
+    assert live == set(range(20)) - {3, 5, 7, 11}
+    # and feedA's OWN ledger is untouched by feedB's commit
+    assert _apply_erasure_batch(b1, 2, path, "feedA") is False
 
 
 def test_streaming_erasure_equals_batch_delete(spark, tmp_path):
