@@ -33,8 +33,8 @@ independently-filtered pass sub-images de-interlaced through the
 same unfilter machinery; mm10). Remaining compressed formats stay
 gated: :func:`extract_media_features` keeps the byte-level features
 plus clearly-faked decode stand-ins, and :func:`decode_image` raises
-``NotImplementedError`` unless PIL is importable (JPEG, and PNG's
-16-bit depth). Swapping in a richer decoder changes ONLY the body of the
+``NotImplementedError`` unless PIL is importable (JPEG alone, since
+round 17's 16-bit-depth support, mm11, closed the last PNG class). Swapping in a richer decoder changes ONLY the body of the
 per-batch function — the Spark-side plumbing (schemas, batching,
 partitioning) is what this module locks down and tests.
 
@@ -451,9 +451,9 @@ def decode_image(blob: bytes):  # pragma: no cover - stub by design
     """Decode a compressed image payload via PIL. STUB: the container
     has no image libraries; gate on PIL and fail loudly rather than
     fake silently. Formats with stdlib-only decoders need no library:
-    uncompressed BMPs use :func:`decode_bmp`, and 8-bit
-    RGB/RGBA/palette PNG — interlaced or not — uses
-    :func:`decode_png`; this gate remains for JPEG and 16-bit PNG."""
+    uncompressed BMPs use :func:`decode_bmp`, and 8/16-bit
+    RGB/RGBA and 8-bit palette PNG — interlaced or not — use
+    :func:`decode_png`; this gate remains for JPEG alone."""
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:
@@ -845,10 +845,10 @@ def wav_features(
 # stdlib alone — zlib (in the stdlib) is the whole compression layer,
 # and the rest is chunk framing plus the five scanline filters, pure
 # arithmetic. The pair below builds and parses the COMMON cases:
-# 8-bit RGB/RGBA/palette, interlaced (Adam7) or not, critical chunks
-# IHDR/PLTE/IDAT/IEND (ancillary chunks skipped by the walk, CRCs
-# verified). Everything else — 16-bit depth, JPEG — stays behind the
-# decode_image PIL gate: loud, never faked. Same discipline that took BMP
+# 8/16-bit RGB/RGBA and 8-bit palette, interlaced (Adam7) or not,
+# critical chunks IHDR/PLTE/IDAT/IEND (ancillary chunks skipped by
+# the walk, CRCs verified). Only JPEG stays behind the decode_image
+# PIL gate: loud, never faked. Same discipline that took BMP
 # (encode_bmp/decode_bmp, round 9) and WAV (encode_wav/decode_wav,
 # round 14) real.
 
@@ -981,6 +981,7 @@ def encode_png(
     row_filters: list[int] | None = None,
     palette: list[tuple[int, int, int]] | None = None,
     interlace: bool = False,
+    depth: int = 8,
 ) -> bytes:
     """Serialize raw 8-bit pixel bytes (top-down row-major) as a
     PNG — color type 2 (RGB, channels=3), 6 (RGBA, channels=4), or,
@@ -998,7 +999,14 @@ def encode_png(
     passes emit nothing. ``row_filters`` then addresses the emitted
     interlaced scanlines in stream order (pass 1 rows first), and
     its required length is the total non-empty pass row count —
-    mismatches raise with that expected count."""
+    mismatches raise with that expected count.
+
+    ``depth=16`` writes 16-bit samples: ``pixels`` is the raw
+    scanline byte buffer with BIG-ENDIAN 2-byte samples (the PNG wire
+    order), so bpp = 2×channels and the five filters run bytewise at
+    that offset exactly as the spec prescribes; composes with
+    ``interlace``, refuses with ``palette`` (the spec allows color
+    type 3 only at depths ≤ 8)."""
     import zlib
 
     if width <= 0 or height <= 0:
@@ -1008,8 +1016,15 @@ def encode_png(
         # would raise struct.error past 2^32-1 (same guard encode_wav
         # grew for its '<I' sizes)
         raise ValueError(f"dimensions {width}x{height} exceed the PNG >I range")
+    if depth not in (8, 16):
+        raise ValueError(f"depth must be 8 or 16, got {depth}")
     plte = b""
     if palette is not None:
+        if depth != 8:
+            raise ValueError(
+                "palette PNG is defined only at depths <= 8 (spec "
+                "11.2.2); 16-bit palette is not a legal PNG"
+            )
         if channels != 3:
             # palette mode forces color type 3 / bpp 1 — a caller
             # passing channels=4 alongside a palette would silently
@@ -1040,7 +1055,7 @@ def encode_png(
             raise ValueError(
                 f"channels must be 3 (RGB) or 4 (RGBA), got {channels}"
             )
-        bpp, color = channels, 2 if channels == 3 else 6
+        bpp, color = channels * (depth // 8), 2 if channels == 3 else 6
     row = width * bpp
     if len(pixels) != row * height:
         raise ValueError(
@@ -1059,7 +1074,7 @@ def encode_png(
             + (", the interlaced scanline count)" if interlace else ")")
         )
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, color, 0, 0, int(interlace)
+        ">IIBBBBB", width, height, depth, color, 0, 0, int(interlace)
     )
     if interlace:
         scan = bytearray()
@@ -1178,18 +1193,28 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
     )
     if width <= 0 or height <= 0 or width > 0x7FFFFFFF or height > 0x7FFFFFFF:
         raise ValueError(f"malformed PNG dimensions {width}x{height}")
-    if depth != 8 or color not in (2, 3, 6) or comp or fmeth or interlace > 1:
+    if (
+        depth not in (8, 16)
+        or color not in (2, 3, 6)
+        or (depth == 16 and color == 3)  # spec 11.2.2: PLTE needs <= 8
+        or comp
+        or fmeth
+        or interlace > 1
+    ):
         raise ValueError(
-            f"only 8-bit RGB/RGBA/palette PNG (interlace 0 or Adam7) "
-            f"is supported (depth={depth}, color={color}, "
+            f"only 8/16-bit RGB/RGBA or 8-bit palette PNG (interlace "
+            f"0 or Adam7) is supported (depth={depth}, color={color}, "
             f"interlace={interlace}); decode_image's PIL gate handles "
             "the rest"
         )
     if color == 3 and plte is None:
         raise ValueError("palette PNG (color type 3) without a PLTE chunk")
     # bytes per pixel IN the scanlines: palette rows carry 1-byte
-    # indices, expanded through the PLTE only after unfiltering
-    bpp = {2: 3, 3: 1, 6: 4}[color]
+    # indices, expanded through the PLTE only after unfiltering;
+    # 16-bit samples are 2 bytes each (big-endian on the wire — the
+    # returned buffer keeps that order) and the filters run bytewise
+    # at this bpp offset exactly as the spec prescribes
+    bpp = {2: 3, 3: 1, 6: 4}[color] * (depth // 8 if color != 3 else 1)
     channels = {2: 3, 3: 3, 6: 4}[color]
     row = width * bpp
     passes = _adam7_passes(width, height) if interlace else []
@@ -1339,6 +1364,37 @@ def attach_interlaced_png_blob(
             px, w, h, ch,
             row_filters=[(d + i) % 5 for i in range(n_rows)],
             interlace=True,
+        )
+
+    return _attach_blob_1to1(
+        docs, build, id_col=id_col, value_col=text_col
+    )
+
+
+def attach_deep_png_blob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Plant a real 16-BIT-depth PNG per document: ``(id%4+2) ×
+    (id%3+1)`` with ``3 + id%2`` channels at depth 16 — the scanline
+    buffer is the doc's ASCII pixel contract at 2 bytes/sample (both
+    bytes of every sample are planted text bytes, so the decoded
+    buffer md5 stays restatable as a SQL string hash), per-scanline
+    filter ``(id + i) % 5`` running bytewise at bpp = 2×channels (a
+    decoder predicting at the 8-bit offset reconstructs garbage and
+    hash-breaks), and every ``id % 5 == 0`` doc ALSO Adam7-interlaced
+    — the depth × interlace composition is certified inside one hash.
+    Arrow-batched 1:1 via ``_attach_blob_1to1``."""
+
+    def build(d: int, text) -> bytes:
+        w, h, ch = d % 4 + 2, d % 3 + 1, 3 + d % 2
+        px = _ascii_pixels(d, text, w * h * ch * 2, "attach_deep_png_blob")
+        inter = d % 5 == 0
+        n_rows = sum(hp for *_, hp in _adam7_passes(w, h)) if inter else h
+        return encode_png(
+            px, w, h, ch,
+            row_filters=[(d + i) % 5 for i in range(n_rows)],
+            interlace=inter,
+            depth=16,
         )
 
     return _attach_blob_1to1(

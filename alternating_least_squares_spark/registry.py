@@ -8392,6 +8392,50 @@ FROM dim
 """
 
 
+def q_mm11_deep_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-BIT-depth PNG decode — the LAST PIL-gated PNG class taken
+    real (functions/multimodal encode_png/decode_png depth=16; after
+    this the gate is JPEG alone): scanlines carry big-endian 2-byte
+    samples, so bpp = 2×channels and the five filters predict
+    BYTEWISE at that offset (spec §9.2) — a decoder unfiltering at
+    the 8-bit offset reconstructs garbage and hash-breaks. Planted
+    per doc: ``(id%4+2) × (id%3+1)`` with ``3+id%2`` channels, the
+    scanline buffer = the doc's ASCII pixel contract at 2
+    bytes/sample (both bytes of every sample are text bytes, keeping
+    the md5 restatable as a SQL string hash), per-scanline filter
+    ``(id+i)%5``; every ``id%5==0`` doc is ALSO Adam7-interlaced, so
+    the depth × interlace composition — pass geometry at bpp 6/8 —
+    is certified inside the same hash. The oracle is the mm08
+    arithmetic restatement at n = w·h·ch·2, which decode == encode⁻¹
+    makes depth-, filter-, and interlace-independent. Scale: the
+    mm06-mm10 shape — one narrow Arrow pass per side, no shuffle, the
+    blob dies at the decode stage."""
+    from alternating_least_squares_spark.functions.multimodal import (
+        attach_deep_png_blob,
+        decode_png_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return decode_png_features(attach_deep_png_blob(docs))
+
+
+SQL_MM11 = """
+WITH dim AS (
+  SELECT doc_id,
+         CAST(doc_id % 4 + 2 AS INTEGER) AS width,
+         CAST(doc_id % 3 + 1 AS INTEGER) AS height,
+         CAST(3 + doc_id % 2 AS INTEGER) AS channels,
+         text
+  FROM documents
+)
+SELECT doc_id, width, height, channels,
+       md5(rpad(substring(coalesce(text, ''), 1,
+                          width * height * channels * 2),
+                width * height * channels * 2, 'x')) AS pixel_md5
+FROM dim
+"""
+
+
 P05_PEAK_MAX = 32_000        # clipping gate: max|s| must stay under
 P05_ENERGY_MIN = 340_000_000  # silence gate: mean energy per sample
 
@@ -15792,6 +15836,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "mm08_png_decode": (q_mm08_png_decode, SQL_MM08),
     "mm09_palette_png": (q_mm09_palette_png, SQL_MM09),
     "mm10_interlaced_png": (q_mm10_interlaced_png, SQL_MM10),
+    "mm11_deep_png": (q_mm11_deep_png, SQL_MM11),
     "d01_simhash": (q_d01_simhash, SQL_D01),
     "d02_jaccard_pairs": (q_d02_jaccard_pairs, SQL_D02),
     "d03_minhash_near_dup": (q_d03_minhash_near_dup, SQL_D03),
@@ -16024,15 +16069,16 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # p03_training_pipeline, m07_pinned_ranking, ...).
 # R18 PREFIX PLAN (write-ahead, VERDICT r16 #8; computed from the
 # CORRECTNESS_r01..r16 union with this round's FINAL prefix marked
-# r17 — i.e. AFTER the four new r17 entries (mm10, ac15, st17, t26 —
-# under the <=6 throttle) displaced q02_referential_integrity,
-# p03_training_pipeline, m07_pinned_ranking, and m06_pinned_recommend
-# from the r12 fill): oldest-first by (round, displaced-first, name).
-# The stale tail is exactly 29 r12 rows (the 4 displaced + 25
-# leftovers) + the 50-entry r13 cohort, so the plan is all 29 r12
-# rows + the 21-entry r13 cohort head. LEAD with the four displaced
-# rows in displacement order — q02_referential_integrity,
-# p03_training_pipeline, m07_pinned_ranking, m06_pinned_recommend —
+# r17 — i.e. AFTER the five new r17 entries (mm10, ac15, st17, t26,
+# mm11 — under the <=6 throttle) displaced q02_referential_integrity,
+# p03_training_pipeline, m07_pinned_ranking, m06_pinned_recommend,
+# and j06_point_in_time from the r12 fill): oldest-first by (round,
+# displaced-first, name). The stale tail is exactly 30 r12 rows (the
+# 5 displaced + 25 leftovers) + the 50-entry r13 cohort, so the plan
+# is all 30 r12 rows + the 20-entry r13 cohort head. LEAD with the
+# five displaced rows in displacement order —
+# q02_referential_integrity, p03_training_pipeline,
+# m07_pinned_ranking, m06_pinned_recommend, j06_point_in_time —
 # then the 25 r12 leftovers, alphabetical: q05_schema_drift,
 # rc04_materialized_path, sql02_shared_windows, st01_stream_hourly,
 # st10_stream_admission, st13_stream_budget_admission,
@@ -16043,22 +16089,22 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # w07_native_session_window, w09_rolling_slope,
 # x13_dynamic_partition_pruning, x14_incremental_mv,
 # x15_temperature_mix, x16_training_shuffle, x17_dsir_weights,
-# x22_token_budget_mix — then fill the remaining 21 slots from the
+# x22_token_budget_mix — then fill the remaining 20 slots from the
 # 50-entry r13 cohort head, alphabetical: a09_laplace_smooth,
 # a10_weight_matrix, a11_apply_weights, a12_add_labels, a13_mmult,
 # a14_seed_matrix, a15_optimize_marginal, a18_normalize_matrix,
 # a19_error_matrix, a20_matrix_norm, a21_converge_coordinate,
 # ac01_snapshot_merge, ac02_time_travel, ac03_zorder_code,
 # b01_b02_csv_roundtrip, b03_symmetric_diff, c01_sorted_scan,
-# c02_filter_nonzero, c04_micros_to_currency, c05_anti_join,
-# c06_zero_pad — exactly 4 + 25 + 21 = 50. After r18 the r12 cohort
-# is fully retired and the stale tail is the 29 r13 leftovers
-# (c08_pivot, c08_unpivot, c10_safe_divide, c11_upsert, ...) + the
-# r14 cohort, which head the r19 plan. New r18 entries displace the
-# r13 fill from the END as always (c06_zero_pad first, then
-# c05_anti_join, c04_micros_to_currency, ...). Rows-only-by-design
-# entries (m01–m03, g04, ipf_cost_per_visit) stay out of the prefix
-# as ever.
+# c02_filter_nonzero, c04_micros_to_currency, c05_anti_join —
+# exactly 5 + 25 + 20 = 50. After r18 the r12 cohort is fully
+# retired and the stale tail is the 30 r13 leftovers (c06_zero_pad,
+# c08_pivot, c08_unpivot, c10_safe_divide, ...) + the r14 cohort,
+# which head the r19 plan. New r18 entries displace the r13 fill
+# from the END as always (c05_anti_join first, then
+# c04_micros_to_currency, c02_filter_nonzero, ...).
+# Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
+# stay out of the prefix as ever.
 _PREFIX = [
     # ROUND 17 ROTATION (executes the write-ahead plan above verbatim,
     # VERDICT r16 #1).  LEAD with the six rows displaced by r16's new
@@ -16114,16 +16160,16 @@ _PREFIX = [
     "gr08_connected_components",
     "j01_asof_join",
     "j05_asof_nearest",
-    "j06_point_in_time",
     # new in round 17 (each displaces one r12-cohort fill slot from
     # the END per the rule above: q02_referential_integrity is
     # displaced by mm10, p03_training_pipeline by ac15,
-    # m07_pinned_ranking by st17, m06_pinned_recommend by t26 —
-    # displaced rows LEAD the r18 plan)
+    # m07_pinned_ranking by st17, m06_pinned_recommend by t26,
+    # j06_point_in_time by mm11 — displaced rows LEAD the r18 plan)
     "mm10_interlaced_png",
     "ac15_dv_update",
     "st17_streaming_erasure",
     "t26_substring_dedup",
+    "mm11_deep_png",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

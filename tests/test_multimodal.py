@@ -681,12 +681,15 @@ def test_png_decoder_fails_loud_on_malformed_containers():
     with pytest.raises(ValueError, match="CRC mismatch"):
         decode_png(bytes(corrupt))
     # unsupported IHDR shapes refuse rather than mis-decode (palette
-    # moved OUT of this list in round 16: color type 3 is now a real
-    # decode path — see test_palette_png_*)
+    # moved OUT of this list in round 16, Adam7 interlace and 16-bit
+    # depth in round 17 — all real decode paths now, see
+    # test_palette_png_* / test_adam7_* / test_16bit_png_*)
     for depth, color, interlace in (
-        (16, 2, 0),   # 16-bit
         (8, 0, 0),    # grayscale
-        (8, 2, 1),    # interlaced (Adam7)
+        (16, 0, 0),   # 16-bit grayscale
+        (4, 2, 0),    # sub-byte depth
+        (16, 3, 0),   # 16-bit palette (spec-illegal)
+        (8, 2, 2),    # unknown interlace method
     ):
         ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
         blob = (
@@ -694,7 +697,7 @@ def test_png_decoder_fails_loud_on_malformed_containers():
             + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
             + chunk(b"IEND", b"")
         )
-        with pytest.raises(ValueError, match="only 8-bit RGB/RGBA"):
+        with pytest.raises(ValueError, match="supported"):
             decode_png(blob)
     # unknown CRITICAL chunk (uppercase first letter) must refuse
     ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
@@ -1082,11 +1085,14 @@ from hypothesis import strategies as hst
     h=hst.integers(1, 6),
     mode=hst.sampled_from(["rgb", "rgba", "palette"]),
     interlace=hst.booleans(),
+    deep=hst.booleans(),
     fseed=hst.integers(0, 10**9),
     pxseed=hst.integers(0, 10**9),
     psize=hst.integers(1, 17),
 )
-def test_png_roundtrip_property(w, h, mode, interlace, fseed, pxseed, psize):
+def test_png_roundtrip_property(
+    w, h, mode, interlace, deep, fseed, pxseed, psize
+):
     """Any dimensions, any per-row filter assignment, any pixel
     content, all three color modes, interlaced or sequential:
     decode_png(encode_png(x)) == x (with palette mode comparing
@@ -1120,12 +1126,14 @@ def test_png_roundtrip_property(w, h, mode, interlace, fseed, pxseed, psize):
         assert decode_png(blob) == (w, h, 3, want)
     else:
         ch = 3 if mode == "rgb" else 4
+        depth = 16 if deep else 8
         px = bytes(
             (pxseed // (3 ** (i % 20)) + i * 31) % 256
-            for i in range(w * h * ch)
+            for i in range(w * h * ch * (depth // 8))
         )
         blob = encode_png(
-            px, w, h, ch, row_filters=filters, interlace=interlace
+            px, w, h, ch, row_filters=filters, interlace=interlace,
+            depth=depth,
         )
         assert decode_png(blob) == (w, h, ch, px)
 
@@ -1331,3 +1339,68 @@ def test_adam7_crash_classes():
     # encode-side: wrong row_filters length names the interlaced count
     with pytest.raises(ValueError, match="interlaced scanline count"):
         encode_png(bytes(w * h * 3), w, h, row_filters=[0] * h, interlace=True)
+
+
+def test_16bit_png_roundtrip_and_crash_classes():
+    """mm11's codec contract: depth=16 encode/decode inverts (raw
+    big-endian 2-byte-sample buffer) across dims/channels, sequential
+    AND Adam7-interlaced — the filters must predict at bpp=2×channels
+    (an 8-bit-offset predictor reconstructs garbage, which the
+    roundtrip would catch); 16-bit palette refuses on BOTH sides
+    (spec 11.2.2), and non-8/16 depths refuse."""
+    import itertools
+    import random
+    import struct
+    import zlib
+
+    import pytest
+
+    from alternating_least_squares_spark.functions.multimodal import (
+        PNG_SIG,
+        _adam7_passes,
+        decode_png,
+        encode_png,
+    )
+
+    rng = random.Random(1711)
+    for w, h, ch, inter in itertools.product(
+        [1, 3, 5, 8, 9], [1, 2, 5, 8], [3, 4], [False, True]
+    ):
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch * 2))
+        n = sum(hp for *_, hp in _adam7_passes(w, h)) if inter else h
+        blob = encode_png(
+            px, w, h, ch,
+            row_filters=[rng.randrange(5) for _ in range(n)],
+            interlace=inter, depth=16,
+        )
+        assert decode_png(blob) == (w, h, ch, px), (w, h, ch, inter)
+
+    with pytest.raises(ValueError, match="depth must be"):
+        encode_png(b"\x00" * 3, 1, 1, depth=12)
+    with pytest.raises(ValueError, match="depths"):
+        encode_png(b"\x00", 1, 1, depth=16, palette=[(0, 0, 0)])
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    # a hand-built 16-bit PALETTE IHDR refuses through the loud gate
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0)
+    blob = (
+        PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", b"\x00\x00\x00")
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 3)) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="supported"):
+        decode_png(blob)
+    # truncated 16-bit stream (8-bit-sized payload under a 16-bit
+    # IHDR) refuses on the stream-size contract
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    blob = (
+        PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" + bytes(6) + b"\x00" + bytes(6)))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(blob)
