@@ -1106,19 +1106,22 @@ def encode_png(
 
 
 def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
-    """REAL PNG decode for the common case, stdlib only: returns
-    ``(width, height, channels, pixels)`` with pixels top-down
-    row-major, unfiltered. Chunks are WALKED with CRC verification;
-    ancillary chunks (tEXt, gAMA, ...) are skipped, unknown CRITICAL
-    chunks raise. Supported: 8-bit depth, color type 2 (RGB), 6
-    (RGBA), or 3 (palette — scanlines are 1-byte PLTE indices,
-    unfiltered at bpp=1 then index-expanded through the PLTE's RGB
-    triples; the return is the EXPANDED RGB buffer, channels=3, the
-    PIL convert("RGB") contract), compression 0, filter method 0,
-    interlace 0 (sequential) or 1 (Adam7 — each pass sub-image
-    unfiltered independently, then scattered to final positions) —
-    anything else raises ValueError (the loud-gate discipline;
-    decode_image's PIL gate is the route for 16-bit depth). The five scanline filters
+    """REAL PNG decode, stdlib only: returns ``(width, height,
+    channels, pixels)`` with pixels top-down row-major, unfiltered —
+    at depth 16 the buffer keeps the wire's BIG-ENDIAN 2-byte
+    samples, so its length is ``w*h*channels*2``. Chunks are WALKED
+    with CRC verification; ancillary chunks (tEXt, gAMA, ...) are
+    skipped, unknown CRITICAL chunks raise. Supported: depth 8 or 16
+    for color type 2 (RGB) and 6 (RGBA); depth 8 for color type 3
+    (palette — scanlines are 1-byte PLTE indices, unfiltered at bpp=1
+    then index-expanded through the PLTE's RGB triples; the return is
+    the EXPANDED RGB buffer, channels=3, the PIL convert("RGB")
+    contract; 16-bit palette is spec-illegal and refuses);
+    compression 0, filter method 0, interlace 0 (sequential) or 1
+    (Adam7 — each pass sub-image unfiltered independently, then
+    scattered to final positions) — anything else raises ValueError
+    (the loud-gate discipline; decode_image's PIL gate is the route
+    for JPEG). The five scanline filters
     (None/Sub/Up/Average/Paeth) are all implemented; zlib failures,
     size mismatches, a missing/malformed/duplicated/late PLTE, and
     out-of-range palette indices surface as ValueError, the module's

@@ -256,14 +256,20 @@ def stream_upsert_profiles_to_snapshot(
     from ..sources import snapshot as SN
 
     spark = events.sparkSession
+    ckpt = os.path.join(path, "_stream_checkpoint")
+    memo: dict = {}
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        # the checkpoint's query id is immutable for its lifetime —
+        # read it once per run, not per micro-batch (review r17)
+        if "feed" not in memo:
+            memo["feed"] = _checkpoint_feed_id(ckpt)
+        _apply_profile_batch(batch_df, batch_id, path, memo["feed"])
+
     query = (
-        events.writeStream.foreachBatch(
-            lambda batch_df, batch_id: _apply_profile_batch(
-                batch_df, batch_id, path
-            )
-        )
+        events.writeStream.foreachBatch(_apply)
         .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(path, "_stream_checkpoint"))
+        .option("checkpointLocation", ckpt)
         .start()
     )
     query.awaitTermination()
@@ -274,15 +280,25 @@ def stream_upsert_profiles_to_snapshot(
     )
 
 
-def _apply_profile_batch(batch_df: DataFrame, batch_id: int, path: str) -> None:
+def _apply_profile_batch(
+    batch_df: DataFrame, batch_id: int, path: str, feed_id: str
+) -> None:
     """One micro-batch of the snapshot-sink MERGE (module-level so the
     redelivery path is unit-testable).
 
     Idempotence: foreachBatch is AT-LEAST-once — a batch whose commit
     completed but whose checkpoint write did not is redelivered on
-    restart. The manifest therefore records ``batch_id``; a redelivered
-    batch (id ≤ last committed id) is skipped instead of double-summed.
-    This is the Delta txn-version pattern."""
+    restart. The manifest therefore records ``(profile_feed,
+    batch_id)`` — the Delta ``(txnAppId, txnVersion)`` pattern, scoped
+    by the checkpoint's query id like the erasure ledger (review r17:
+    a table-scoped bare batch id silently DROPPED a fresh checkpoint's
+    batches, whose ids restart at 0 — for a summing MERGE sink that is
+    data loss). A redelivered batch (id ≤ the last committed id FOR
+    THIS FEED) is skipped instead of double-summed. Within one feed
+    the newest commit is this feed's own, so the ledger walk is O(1)
+    in steady state; a new feed against an existing table re-ingests
+    by design — exactly-once is a per-checkpoint-lineage contract, as
+    in Delta."""
     from ..sources import snapshot as SN
 
     spark = batch_df.sparkSession
@@ -301,13 +317,15 @@ def _apply_profile_batch(batch_df: DataFrame, batch_id: int, path: str) -> None:
             prof.withColumnRenamed("_v", "total_value"),
             path,
             key="user_id",
-            extra={"batch_id": batch_id},
+            extra={"profile_feed": feed_id, "batch_id": batch_id},
         )
         return
-    last = SN._read_manifest(path, versions[-1])
-    last_batch = last.get("batch_id")
-    if last_batch is not None and batch_id <= last_batch:
-        return  # redelivered batch: already applied
+    for v in reversed(versions):
+        m = SN._read_manifest(path, v)
+        if m.get("profile_feed") == feed_id:
+            if batch_id <= m["batch_id"]:
+                return  # redelivered batch: already applied
+            break
     cur = SN.read_snapshot(spark, path).select(
         "user_id",
         F.col("n_events").alias("_n0"),
@@ -320,7 +338,10 @@ def _apply_profile_batch(batch_df: DataFrame, batch_id: int, path: str) -> None:
         .cast(dec)
         .alias("total_value"),
     )
-    SN.merge_upsert(combined, path, extra={"batch_id": batch_id})
+    SN.merge_upsert(
+        combined, path,
+        extra={"profile_feed": feed_id, "batch_id": batch_id},
+    )
 
 
 def incremental_file_ingest(
@@ -399,12 +420,15 @@ def stream_erase_keys_from_snapshot(
     never rewritten; compaction folds the accumulated DVs on its own
     cadence."""
     applied: list[int] = []
+    memo: dict = {}
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        # read lazily: Spark writes <checkpoint>/metadata at stream
-        # start, before the first batch fires
-        feed = _checkpoint_feed_id(checkpoint_dir)
-        if _apply_erasure_batch(batch_df, batch_id, table_path, feed):
+        # read lazily (Spark writes <checkpoint>/metadata at stream
+        # start, before the first batch fires) and ONCE — the id is
+        # immutable for the checkpoint's lifetime (review r17)
+        if "feed" not in memo:
+            memo["feed"] = _checkpoint_feed_id(checkpoint_dir)
+        if _apply_erasure_batch(batch_df, batch_id, table_path, memo["feed"]):
             applied.append(batch_id)
 
     reader = spark.readStream.schema(key_schema)
@@ -428,10 +452,14 @@ def _checkpoint_feed_id(checkpoint_dir: str) -> str:
     ``<checkpoint>/metadata`` when the stream starts and reuses it on
     every restart FROM that checkpoint; a deleted/recreated checkpoint
     mints a new one. Exactly the scope an exactly-once batch ledger
-    needs (Delta's txnAppId)."""
+    needs (Delta's txnAppId). ``file:``-URI checkpoint locations (the
+    checkpointLocation option accepts them) are normalized to plain
+    paths (review r17)."""
     import json
 
-    with open(os.path.join(checkpoint_dir, "metadata")) as fh:
+    from ..sources.snapshot import _local_path
+
+    with open(os.path.join(_local_path(checkpoint_dir), "metadata")) as fh:
         return json.load(fh)["id"]
 
 

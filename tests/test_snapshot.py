@@ -225,14 +225,24 @@ def test_profile_batch_redelivery_is_idempotent(spark, tmp_path):
     path = str(tmp_path / "t")
     b0 = spark.createDataFrame([(1, 2.0)], "user_id long, value double")
     b1 = spark.createDataFrame([(1, 3.0)], "user_id long, value double")
-    _apply_profile_batch(b0, 0, path)
-    _apply_profile_batch(b0, 0, path)  # redelivered create
-    _apply_profile_batch(b1, 1, path)
-    _apply_profile_batch(b1, 1, path)  # redelivered merge
+    _apply_profile_batch(b0, 0, path, "feedA")
+    _apply_profile_batch(b0, 0, path, "feedA")  # redelivered create
+    _apply_profile_batch(b1, 1, path, "feedA")
+    _apply_profile_batch(b1, 1, path, "feedA")  # redelivered merge
     rows = SN.read_snapshot(spark, path).collect()
     assert len(rows) == 1
     assert rows[0]["n_events"] == 2 and float(rows[0]["total_value"]) == 5.0
     assert len(SN.history(path)) == 2
+    # a NEW checkpoint lineage restarts batch ids at 0: its batches
+    # must APPLY (exactly-once is per-lineage, the Delta txnAppId
+    # contract) — the pre-r17 table-scoped bare batch id silently
+    # dropped them, which for a summing sink is data loss
+    _apply_profile_batch(b1, 0, path, "feedB")
+    rows = SN.read_snapshot(spark, path).collect()
+    assert rows[0]["n_events"] == 3 and float(rows[0]["total_value"]) == 8.0
+    # ... and feedA's own ledger is unaffected by feedB's commit
+    _apply_profile_batch(b1, 1, path, "feedA")  # still redelivered
+    assert SN.read_snapshot(spark, path).collect()[0]["n_events"] == 3
 
 
 def _parquet_files_on_disk(path: str) -> set[str]:
