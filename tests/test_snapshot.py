@@ -204,7 +204,7 @@ def test_profile_batches_disjoint_keys_keep_decimal_scale(spark, tmp_path):
         batch = spark.createDataFrame(
             [(uid, 1.25 + i)], "user_id long, value double"
         )
-        _apply_profile_batch(batch, i, path)
+        _apply_profile_batch(batch, i, path, "feedA")
     got = {
         r["user_id"]: r["total_value"]
         for r in SN.read_snapshot(spark, path).collect()
