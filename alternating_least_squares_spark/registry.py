@@ -16106,70 +16106,64 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix as ever.
 _PREFIX = [
-    # ROUND 17 ROTATION (executes the write-ahead plan above verbatim,
-    # VERDICT r16 #1).  LEAD with the six rows displaced by r16's new
-    # entries, oldest-debt-first per the displacement rule.
-    "m04_market_basket",
-    "j07_abandoned_clicks",
-    "ipf_cost_per_visit_fixed",
-    "h21_sole_returning_supplier",
-    "h19_min_cost_supplier",
-    "h18_important_parts",
-    # ... then the 19 r11-cohort leftovers, alphabetical (after this
-    # round the r11 cohort is fully retired).
-    "m05_pinned_scoring",
-    "mm03_arrow_features",
-    "mm04_resize_stride",
-    "p04_drift_gated_admission",
-    "q04_psi_drift",
-    "rc01_subtree_rollup",
-    "rc03_bom_effective_qty",
-    "rc05_recursive_cte",
-    "sql03_sql_udf",
-    "sql04_lateral_topk",
-    "st12_stream_drift_gate",
-    "t07_top_bigrams",
-    "t24_ngram_decontaminate",
-    "v04_binary_hamming_topk",
-    "w03_time_range_avg",
-    "w04_distribution_funcs",
-    "w05_tumbling_batch",
-    "x04_pandas_udaf_geomean",
-    "x07_python_datasource",
-    # ... then the 25-entry alphabetical head of the 50-entry r12
-    # cohort; new r17 entries displace from the END
-    # (q02_referential_integrity first, then p03_training_pipeline,
-    # m07_pinned_ranking, ...).
-    "a01_cmap",
-    "a02_dot",
-    "a03_diff_vector",
-    "a04_l2_norm",
-    "a05_rmse",
-    "a06_transpose",
-    "a07_sum_rows",
-    "a08_sum_cols",
-    "ac10_snapshot_tag",
-    "e09_activity_streaks",
-    "e12_daily_top_type",
-    "e13_rfm_segments",
-    "e14_cumulative_users",
-    "e18_linear_interpolate",
-    "e19_interval_coalesce",
-    "g07_weighted_mean",
-    "g08_exact_corr",
-    "gr08_connected_components",
-    "j01_asof_join",
-    "j05_asof_nearest",
-    # new in round 17 (each displaces one r12-cohort fill slot from
-    # the END per the rule above: q02_referential_integrity is
-    # displaced by mm10, p03_training_pipeline by ac15,
-    # m07_pinned_ranking by st17, m06_pinned_recommend by t26,
-    # j06_point_in_time by mm11 — displaced rows LEAD the r18 plan)
-    "mm10_interlaced_png",
-    "ac15_dv_update",
-    "st17_streaming_erasure",
-    "t26_substring_dedup",
-    "mm11_deep_png",
+    # ROUND 18 ROTATION (executes the write-ahead plan above verbatim,
+    # VERDICT r17 #1).  LEAD with the five rows displaced by r17's new
+    # entries, displacement order per the rule.
+    "q02_referential_integrity",
+    "p03_training_pipeline",
+    "m07_pinned_ranking",
+    "m06_pinned_recommend",
+    "j06_point_in_time",
+    # ... then the 25 r12-cohort leftovers, alphabetical (after this
+    # round the r12 cohort is fully retired).
+    "q05_schema_drift",
+    "rc04_materialized_path",
+    "sql02_shared_windows",
+    "st01_stream_hourly",
+    "st10_stream_admission",
+    "st13_stream_budget_admission",
+    "t13_sequence_packing",
+    "t15_sentence_split",
+    "t16_normalized_dupes",
+    "t17_edit_distance_pairs",
+    "t18_unigram_logprob",
+    "t19_bigram_logprob",
+    "t20_line_dedup",
+    "t21_repeated_spans",
+    "t22_bpe_merge_pairs",
+    "t23_span_scrub",
+    "t25_hashed_decontaminate",
+    "w07_native_session_window",
+    "w09_rolling_slope",
+    "x13_dynamic_partition_pruning",
+    "x14_incremental_mv",
+    "x15_temperature_mix",
+    "x16_training_shuffle",
+    "x17_dsir_weights",
+    "x22_token_budget_mix",
+    # ... then the 20-entry alphabetical head of the 50-entry r13
+    # cohort; new r18 entries displace from the END (c05_anti_join
+    # first, then c04_micros_to_currency, c02_filter_nonzero, ...).
+    "a09_laplace_smooth",
+    "a10_weight_matrix",
+    "a11_apply_weights",
+    "a12_add_labels",
+    "a13_mmult",
+    "a14_seed_matrix",
+    "a15_optimize_marginal",
+    "a18_normalize_matrix",
+    "a19_error_matrix",
+    "a20_matrix_norm",
+    "a21_converge_coordinate",
+    "ac01_snapshot_merge",
+    "ac02_time_travel",
+    "ac03_zorder_code",
+    "b01_b02_csv_roundtrip",
+    "b03_symmetric_diff",
+    "c01_sorted_scan",
+    "c02_filter_nonzero",
+    "c04_micros_to_currency",
+    "c05_anti_join",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))
