@@ -734,7 +734,12 @@ def delete_where(path: str, predicate: str, spark: SparkSession) -> int:
     return version
 
 
-def delete_where_dv(path: str, predicate: str, spark: SparkSession) -> int:
+def delete_where_dv(
+    path: str,
+    predicate: str,
+    spark: SparkSession,
+    extra: dict | None = None,
+) -> int:
     """Merge-on-read DELETE — the Delta deletion-vector / Iceberg v2
     position-delete pattern (VERDICT r15 #4): instead of rewriting
     every file containing a match (:func:`delete_where`'s
@@ -758,11 +763,23 @@ def delete_where_dv(path: str, predicate: str, spark: SparkSession) -> int:
     predicate is TRUE are deleted (a NULL predicate keeps the row);
     already-deleted positions are never re-recorded (the match scan
     runs against the DV-applied live state). A no-match predicate
-    commits a no-op version (deterministic version contract)."""
+    commits a no-op version (deterministic version contract).
+    ``extra`` merges caller keys into the manifest — the txn-ledger
+    hook the streaming sinks use (ADVICE r17: exposed uniformly
+    across the mutation surface).
+
+    The predicate is resolved against the TABLE schema (an empty
+    probe frame — pure plan analysis, no IO) before the scan, so a
+    predicate naming an unknown column — including the internal
+    ``__fp``/``__ri`` working columns the position capture stages —
+    raises loudly instead of silently filtering on scan-internal
+    metadata (ADVICE r17)."""
     versions = _list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no snapshot table at {path}")
+    _check_extra(extra, "delete_where_dv")
     prev = _read_manifest(path, versions[-1])
+    spark.createDataFrame([], _manifest_schema(prev)).filter(predicate)
     dvs = prev.get("dvs", [])
     version = versions[-1] + 1
     if prev["files"]:
@@ -785,6 +802,7 @@ def delete_where_dv(path: str, predicate: str, spark: SparkSession) -> int:
             "schema": prev["schema"],
             "files": prev["files"],
             "dvs": dvs,
+            **(extra or {}),
         },
     )
     return version
@@ -857,6 +875,7 @@ def update_where_dv(
     predicate: str,
     assignments: dict[str, str],
     spark: SparkSession,
+    extra: dict | None = None,
 ) -> int:
     """Merge-on-read UPDATE — the Delta deletion-vector update shape
     and the completion of the {predicate, key-set} × {COW, MOR}
@@ -886,10 +905,19 @@ def update_where_dv(
     The matched frame is localCheckpoint'd once: it feeds two writes
     (sidecar + corrections) which must agree row-for-row, and at
     O(matched rows) the materialization is the cheap side of not
-    re-scanning the table."""
+    re-scanning the table.
+
+    ``extra`` merges caller keys into the manifest — the txn-ledger
+    hook the streaming sinks use for batch-id idempotence, exposed
+    here for symmetry with append/merge_upsert/delete_keys_dv so a
+    streaming MOR-update sink can be made redelivery-idempotent
+    (ADVICE r17). The predicate is resolved against the TABLE schema
+    before any scan, so naming ``__fp``/``__ri`` (or any unknown
+    column) raises loudly (ADVICE r17)."""
     versions = _list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no snapshot table at {path}")
+    _check_extra(extra, "update_where_dv")
     prev = _read_manifest(path, versions[-1])
     key = prev["key"]
     if not assignments:
@@ -916,6 +944,12 @@ def update_where_dv(
     # store-assignment; any other retyping stays loud — a silent
     # string/float swap would poison every later read.
     exprs = {c: F.expr(e) for c, e in assignments.items()}
+    # The predicate resolves against the TABLE schema too — an empty
+    # probe, so a predicate naming an unknown column (including the
+    # internal __fp/__ri position columns the match scan stages)
+    # raises loudly instead of silently filtering on scan-internal
+    # metadata (ADVICE r17).
+    spark.createDataFrame([], _manifest_schema(prev)).filter(predicate)
     probe = spark.createDataFrame([], _manifest_schema(prev)).withColumns(
         exprs
     )
@@ -972,6 +1006,7 @@ def update_where_dv(
             "schema": prev["schema"],
             "files": prev["files"] + new_files,
             "dvs": dvs,
+            **(extra or {}),
         },
     )
     return version
@@ -1038,6 +1073,69 @@ def cluster_optimize(
         "files_after": len(files),
         "rows": sum(f["rows"] for f in files),
     }
+
+
+def dv_debt_gauge(path: str, version: int | None = None) -> dict:
+    """The merge-on-read READ-DEBT gauge (VERDICT r17 #5): every DV
+    commit (ac13-ac15, st17) defers work that every subsequent read
+    pays for — the position anti-join — until a rewrite folds the
+    sidecars. This makes that debt OBSERVABLE from manifests alone
+    (O(1) metadata reads, never a data scan — the x11 table-profile
+    discipline): per-file row counts are manifest stats and DV
+    position counts are recorded per sidecar commit, so::
+
+        file_rows    = Σ manifest file rows   (includes DV-hidden)
+        dv_positions = Σ dv entry rows        (distinct live positions
+                                               at commit time — the
+                                               capture scan never
+                                               re-records a deleted
+                                               position, so the sum is
+                                               exact, not an estimate)
+        live_rows    = file_rows - dv_positions
+        debt_ppm     = dv_positions * 1e6 DIV file_rows  (integer)
+        dv_commits   = number of DV entries carried by the manifest
+
+    At 100 TB this is the metric a compaction scheduler keys on:
+    tables write DVs all day and the gauge says which ones are worth
+    a :func:`cluster_optimize` tonight."""
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot table at {path}")
+    v = versions[-1] if version is None else version
+    m = _read_manifest(path, v)
+    file_rows = sum(f["rows"] for f in m["files"])
+    dvs = m.get("dvs", [])
+    dv_positions = sum(d["rows"] for d in dvs)
+    return {
+        "version": v,
+        "file_rows": file_rows,
+        "live_rows": file_rows - dv_positions,
+        "dv_positions": dv_positions,
+        "debt_ppm": dv_positions * 1_000_000 // file_rows if file_rows else 0,
+        "dv_commits": len(dvs),
+        "sidecar_files": sum(len(d["paths"]) for d in dvs),
+    }
+
+
+def auto_fold(
+    spark: SparkSession, path: str, threshold_ppm: int, n_files: int
+) -> dict:
+    """The fold POLICY on top of :func:`dv_debt_gauge` (VERDICT r17
+    #5): trigger :func:`cluster_optimize` — which folds every DV into
+    rewritten data files and resets the gauge to zero — only when
+    ``debt_ppm`` EXCEEDS ``threshold_ppm``; below it, commit nothing
+    (a no-op fold per scheduler tick would churn the version history
+    and rewrite data for no read-side win). Returns the pre-decision
+    gauge plus {folded, version}; the decision itself is O(manifest),
+    so a scheduler can sweep thousands of tables cheaply and pay the
+    rewrite only where reads are actually bleeding."""
+    if threshold_ppm < 0:
+        raise ValueError(f"threshold_ppm must be >= 0 (got {threshold_ppm})")
+    gauge = dv_debt_gauge(path)
+    if gauge["debt_ppm"] <= threshold_ppm:
+        return {**gauge, "folded": False}
+    res = cluster_optimize(spark, path, n_files)
+    return {**gauge, "folded": True, "version": res["version"]}
 
 
 def read_key_range(

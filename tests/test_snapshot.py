@@ -1360,3 +1360,52 @@ def test_update_dv_validates_before_any_write(spark, base, tmp_path):
     files_after = set(glob.glob(os.path.join(path, "data", "**", "*"),
                                 recursive=True))
     assert files_after == files_before  # no orphan sidecar/data files
+
+
+def test_dv_mutations_extra_ledger_hook(spark, base, tmp_path):
+    """ADVICE r18: update_where_dv / delete_where_dv expose the same
+    ``extra`` manifest hook as create_table/append/merge_upsert/
+    delete_keys_dv, so a streaming MOR-update sink can stamp a
+    (feed, batch_id) ledger; reserved manifest keys stay rejected."""
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    v1 = SN.update_where_dv(
+        path, "k % 10 = 3", {"v": "v + 1"}, spark,
+        extra={"upd_feed": "f1", "upd_batch_id": 7},
+    )
+    m = SN._read_manifest(path, v1)
+    assert m["upd_feed"] == "f1" and m["upd_batch_id"] == 7
+    v2 = SN.delete_where_dv(
+        path, "k % 10 = 4", spark, extra={"del_feed": "f1"}
+    )
+    assert SN._read_manifest(path, v2)["del_feed"] == "f1"
+    for bad in (
+        lambda: SN.update_where_dv(
+            path, "k = 1", {"v": "v"}, spark, extra={"files": []}
+        ),
+        lambda: SN.delete_where_dv(
+            path, "k = 1", spark, extra={"schema": "x"}
+        ),
+    ):
+        with pytest.raises(ValueError, match="reserved manifest"):
+            bad()
+
+
+def test_dv_predicate_resolved_against_table_schema(spark, base, tmp_path):
+    """ADVICE r18: a predicate naming the internal ``__fp``/``__ri``
+    working columns (or any unknown column) must raise loudly instead
+    of silently filtering on scan-internal metadata — and it must
+    raise BEFORE any sidecar/commit lands (no orphaned version)."""
+    from pyspark.errors import AnalysisException
+
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    for pred in ("__fp IS NOT NULL", "__ri > 0", "no_such_col = 1"):
+        with pytest.raises(AnalysisException):
+            SN.delete_where_dv(path, pred, spark)
+        with pytest.raises(AnalysisException):
+            SN.update_where_dv(path, pred, {"v": "v + 1"}, spark)
+    assert SN._list_versions(path) == [0]  # nothing committed
+    # sane predicates still work against the real scan
+    SN.delete_where_dv(path, "k = 1", spark)
+    assert SN.read_snapshot(spark, path).filter("k = 1").count() == 0

@@ -1091,3 +1091,126 @@ def test_streaming_erasure_equals_batch_delete(spark, tmp_path):
         m = SN._read_manifest(mor, v)
         assert [f["path"] for f in m["files"]] == files0
         assert m["operation"] == "delete_dv"
+
+
+def test_ledger_legacy_bare_stamp_fallback(spark, tmp_path):
+    """Migration gap (ADVICE r18): a table written by the pre-r17 sink
+    stamped a bare batch id with no feed key. A CONTINUING legacy
+    checkpoint can only redeliver exactly the stamped id, so the
+    fallback skips equality — and only equality — instead of
+    re-applying (double-summing) or skipping a fresh lineage's work."""
+    from pyspark.sql import functions as F
+
+    from alternating_least_squares_spark.sources import snapshot as SN
+    from alternating_least_squares_spark.streaming.events import (
+        _apply_erasure_batch,
+        _apply_profile_batch,
+    )
+
+    # --- erasure sink over a legacy-stamped table
+    path = str(tmp_path / "legacy_erasure")
+    base = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    SN.create_table(base, path, key="k")
+    SN.delete_keys_dv(
+        path,
+        spark.createDataFrame([(1,)], "k long"),
+        extra={"erasure_batch_id": 4},  # pre-r17 bare stamp
+    )
+    b = spark.createDataFrame([(3,)], "k long")
+    # exact legacy redelivery: skipped
+    assert _apply_erasure_batch(b, 4, path, "feedX") is False
+    # the continuing feed's NEXT batch applies and stamps feed-scoped
+    assert _apply_erasure_batch(b, 5, path, "feedX") is True
+    m = SN._read_manifest(path, SN._list_versions(path)[-1])
+    assert m["erasure_feed"] == "feedX" and m["erasure_batch_id"] == 5
+    # a different id against the legacy stamp is a fresh lineage:
+    # applies (harmless idempotent re-erase), never silently dropped
+    path2 = str(tmp_path / "legacy_erasure2")
+    SN.create_table(base, path2, key="k")
+    SN.delete_keys_dv(
+        path2,
+        spark.createDataFrame([(1,)], "k long"),
+        extra={"erasure_batch_id": 4},
+    )
+    assert _apply_erasure_batch(b, 0, path2, "feedY") is True
+
+    # --- profile sink: the dangerous direction is double-summing
+    ppath = str(tmp_path / "legacy_profile")
+    ev = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 7.0)], "user_id long, value double"
+    )
+    dec = "decimal(38,10)"
+    prof = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast(dec)).cast(dec).alias("total_value"),
+    )
+    SN.create_table(prof, ppath, key="user_id", extra={"batch_id": 4})
+    before = {
+        (r["user_id"], r["n_events"])
+        for r in SN.read_snapshot(spark, ppath).collect()
+    }
+    # redelivered legacy batch: skipped, nothing double-summed
+    _apply_profile_batch(ev, 4, ppath, "newfeed")
+    assert SN._list_versions(ppath) == [0]
+    after = {
+        (r["user_id"], r["n_events"])
+        for r in SN.read_snapshot(spark, ppath).collect()
+    }
+    assert after == before
+    # the next batch applies normally and stamps feed-scoped
+    _apply_profile_batch(ev, 5, ppath, "newfeed")
+    m = SN._read_manifest(ppath, SN._list_versions(ppath)[-1])
+    assert m["profile_feed"] == "newfeed" and m["batch_id"] == 5
+
+
+def test_ledger_cold_scan_bounded(spark, tmp_path, monkeypatch):
+    """VERDICT r17 #8 / ADVICE r18: the per-run memo caps the ledger
+    walk — a fresh feed over a DEEP version history pays the cold
+    O(versions) manifest scan at most once per run, and after the
+    feed's first commit the steady state is ZERO manifest reads."""
+    from pyspark.sql import functions as F
+
+    from alternating_least_squares_spark.sources import snapshot as SN
+    from alternating_least_squares_spark.streaming import events as EV
+
+    path = str(tmp_path / "deep")
+    base = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    SN.create_table(base, path, key="k")
+    for i in range(12):  # deep history from another writer
+        SN.delete_keys_dv(path, spark.createDataFrame([(i,)], "k long"))
+    nversions = len(SN._list_versions(path))
+    assert nversions == 13
+
+    reads = []
+    real = SN._read_manifest
+    monkeypatch.setattr(
+        SN, "_read_manifest", lambda p, v: reads.append(v) or real(p, v)
+    )
+    memo: dict = {}
+    b = spark.createDataFrame([(30,)], "k long")
+    # no-stamp cold scan: walks the full history once...
+    assert EV._ledger_already_applied(
+        path, "erasure_feed", "erasure_batch_id", "f1", 0, memo
+    ) is False
+    cold = len(reads)
+    assert cold == nversions
+    # ...and the floor memo makes the next pre-commit check read
+    # nothing new
+    assert EV._ledger_already_applied(
+        path, "erasure_feed", "erasure_batch_id", "f1", 0, memo
+    ) is False
+    assert len(reads) == cold
+    # after the feed's own first commit the memo answers directly
+    assert EV._apply_erasure_batch(b, 0, path, "f1", memo) is True
+    reads.clear()
+    assert EV._ledger_already_applied(
+        path, "erasure_feed", "erasure_batch_id", "f1", 0, memo
+    ) is True
+    assert EV._ledger_already_applied(
+        path, "erasure_feed", "erasure_batch_id", "f1", 1, memo
+    ) is False
+    assert reads == []  # steady state: zero manifest reads
