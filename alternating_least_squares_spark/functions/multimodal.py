@@ -30,11 +30,15 @@ scanline filters — plus, since round 16, 8-bit PALETTE (color type
 3) PNGs (PLTE chunk walk, bpp=1 unfilter, index expansion to RGB;
 mm09) and, since round 17, Adam7 INTERLACED PNGs (seven
 independently-filtered pass sub-images de-interlaced through the
-same unfilter machinery; mm10). Remaining compressed formats stay
-gated: :func:`extract_media_features` keeps the byte-level features
-plus clearly-faked decode stand-ins, and :func:`decode_image` raises
-``NotImplementedError`` unless PIL is importable (JPEG alone, since
-round 17's 16-bit-depth support, mm11, closed the last PNG class). Swapping in a richer decoder changes ONLY the body of the
+same unfilter machinery; mm10). BASELINE JPEG is real since round 18
+(:func:`encode_jpeg` / :func:`decode_jpeg` — marker walk, DQT/DHT/
+SOF0/SOS parse, Huffman entropy decode, dequantize, IDCT, fixed-point
+YCbCr→RGB per ITU-T T.81; mm12), which closed the LAST capability
+gate: :func:`decode_image` now dispatches by container signature to a
+real stdlib decoder for every supported format — the PIL gate is
+gone. :func:`extract_media_features` keeps the byte-level features
+plus clearly-faked decode stand-ins for pipeline-shape testing.
+Swapping in a richer decoder changes ONLY the body of the
 per-batch function — the Spark-side plumbing (schemas, batching,
 partitioning) is what this module locks down and tests.
 
@@ -447,26 +451,26 @@ def decode_bmp_features(
     return df.select(id_col, blob_col).mapInPandas(batches, DECODE_SCHEMA)
 
 
-def decode_image(blob: bytes):  # pragma: no cover - stub by design
-    """Decode a compressed image payload via PIL. STUB: the container
-    has no image libraries; gate on PIL and fail loudly rather than
-    fake silently. Formats with stdlib-only decoders need no library:
-    uncompressed BMPs use :func:`decode_bmp`, and 8/16-bit
-    RGB/RGBA and 8-bit palette PNG — interlaced or not — use
-    :func:`decode_png`; this gate remains for JPEG alone."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "image decode requires PIL/pillow, which is not installed in "
-            "this environment; extract_media_features provides the "
-            "deterministic-fake path for pipeline testing"
-        ) from exc
-    import io
-
-    from PIL import Image
-
-    return Image.open(io.BytesIO(blob))
+def decode_image(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an image payload by container signature — every format
+    this engine ingests now has a REAL stdlib-only decoder, so the
+    round-9..17 PIL gate is GONE (VERDICT r17 #3 closed the last
+    class, baseline JPEG): BMP → :func:`decode_bmp`, PNG (8/16-bit
+    RGB/RGBA, palette, Adam7) → :func:`decode_png`, baseline JFIF →
+    :func:`decode_jpeg`. Returns the uniform ``(width, height,
+    channels, pixel bytes)``; unknown signatures raise loudly rather
+    than guess (the b06 quarantine pattern handles them upstream)."""
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(blob)
+    if blob[:2] == b"\xff\xd8":
+        return decode_jpeg(blob)
+    if blob[:2] == b"BM":
+        w, h, px = decode_bmp(blob)
+        return w, h, 3, px
+    raise ValueError(
+        "decode_image: unrecognized image signature "
+        f"{blob[:8]!r} (supported: PNG, baseline JPEG, BMP)"
+    )
 
 
 RESIZE_NN_SCHEMA = (
@@ -1506,6 +1510,830 @@ def decode_png_features(
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
                 data = bytes(blob) if blob is not None else b""
                 w, h, ch, px = decode_png(data)
+                ids.append(int(doc_id))
+                ws.append(w)
+                hs.append(h)
+                chs.append(ch)
+                digests.append(hashlib.md5(px).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "channels": pd.Series(chs, dtype="int32"),
+                    "pixel_md5": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        batches, PNG_DECODE_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------
+# Baseline sequential JPEG (JFIF), stdlib + numpy only — the LAST
+# capability gate (VERDICT r17 #3): marker walk, DQT/DHT/SOF0/SOS
+# parse, Huffman entropy decode, dequantize, IDCT, YCbCr→RGB, per
+# ITU-T T.81 (public spec; quant + Huffman tables from its Annex K).
+# Grayscale and 4:4:4 color only; progressive/extended SOFs, chroma
+# subsampling, 16-bit quant tables, restart intervals, and arithmetic
+# coding all refuse loudly (the mm07-mm11 gate discipline).
+#
+# Exactness contract (the decode == encode⁻¹ oracle discipline): the
+# loss in JPEG lives ENTIRELY in the encoder's quantize step, so the
+# decoder must invert entropy coding + zigzag + dequantize + IDCT
+# bit-exactly — tests pin decode(encode(x)) against the encoder's own
+# predicted reconstruction (jpeg_reconstruction) on random images.
+# The planted mm12 fixtures go further: 8×8-tile-constant images have
+# only a DC coefficient (every AC quantizes to an exact 0), and the
+# Annex K tables are pinned with the DC step replaced by 8, so
+# DC = 8·(v−128) survives quantize→dequantize→IDCT exactly and the
+# DuckDB oracle can restate the decoded pixels arithmetically.
+# Color transforms are 16-bit FIXED-POINT integer (the libjpeg
+# approach) with a positive-bias floor division both engines share —
+# no float anywhere near a hash.
+
+_JPEG_QT_LUMA = [
+    8, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QT_CHROMA = [
+    8, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# _JPEG_ZIGZAG[k] = row-major (natural) index of the k-th zigzag coeff
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K Huffman specs: (bits per code length 1..16, symbol values)
+_JPEG_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_JPEG_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+_JPEG_B24 = 1 << 24  # positive bias making every ledger dividend >= 0
+
+
+def _jpeg_fdiv16(x: int) -> int:
+    """16-bit fixed-point scale-down with round-half-up built into the
+    +32768 the callers add: biased so the dividend is nonnegative —
+    Python // (floor) and DuckDB // (truncate) agree there, the
+    oracle-exactness rule every integer entry follows."""
+    return (x + _JPEG_B24) // 65536 - 256
+
+
+def jpeg_rgb_to_ycc(r: int, g: int, b: int) -> tuple[int, int, int]:
+    """JFIF full-range BT.601 RGB→YCbCr in 16-bit fixed point (the
+    libjpeg-style integer path; coefficients sum to exactly 65536 per
+    row so full gray maps to full gray)."""
+    y = _jpeg_fdiv16(19595 * r + 38470 * g + 7471 * b + 32768)
+    cb = 128 + _jpeg_fdiv16(-11059 * r - 21709 * g + 32768 * b + 32768)
+    cr = 128 + _jpeg_fdiv16(32768 * r - 27439 * g - 5329 * b + 32768)
+    return (
+        min(255, max(0, y)), min(255, max(0, cb)), min(255, max(0, cr)),
+    )
+
+
+def jpeg_ycc_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    """JFIF full-range BT.601 YCbCr→RGB, same fixed-point discipline;
+    the exact inverse the mm12 oracle restates in SQL."""
+    r = y + _jpeg_fdiv16(91881 * (cr - 128) + 32768)
+    g = y + _jpeg_fdiv16(-22554 * (cb - 128) - 46802 * (cr - 128) + 32768)
+    b = y + _jpeg_fdiv16(116130 * (cb - 128) + 32768)
+    return (
+        min(255, max(0, r)), min(255, max(0, g)), min(255, max(0, b)),
+    )
+
+
+_JPEG_DCT_M = None
+
+
+def _jpeg_dct_matrix():
+    """Orthonormal 8-point DCT-II matrix — identical scaling to the
+    T.81 FDCT/IDCT ((1/4)·C(u)C(v)·Σ). Lazy so the module keeps its
+    import-light surface (numpy loads on first codec use)."""
+    global _JPEG_DCT_M
+    if _JPEG_DCT_M is None:
+        import math
+
+        import numpy as np
+
+        _JPEG_DCT_M = np.array(
+            [
+                [
+                    (math.sqrt(1 / 8) if u == 0 else 0.5)
+                    * math.cos((2 * x + 1) * u * math.pi / 16)
+                    for x in range(8)
+                ]
+                for u in range(8)
+            ]
+        )
+    return _JPEG_DCT_M
+
+
+def _jpeg_huff_codes(bits: list[int], vals: list[int]) -> dict:
+    """symbol -> (code, length), canonical per T.81 Annex C."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_huff_decode_table(bits: list[int], vals: list[int]) -> dict:
+    """(length, code) -> symbol; raises on over/under-subscribed
+    specs so a malformed DHT fails at parse, not mid-scan."""
+    out: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                raise ValueError("jpeg: oversubscribed DHT code table")
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    if k != len(vals):
+        raise ValueError("jpeg: DHT bits/vals mismatch")
+    return out
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with T.81 byte stuffing (0xFF→0xFF00)
+    and 1-padding on flush."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; any REAL marker inside the scan refuses loudly
+    (restart intervals are gated, see decode_jpeg)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("jpeg: truncated entropy-coded data")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("jpeg: truncated after 0xFF in scan")
+            nxt = self.data[self.pos]
+            if nxt != 0x00:
+                raise ValueError(
+                    f"jpeg: unexpected marker 0xff{nxt:02x} inside scan"
+                )
+            self.pos += 1  # stuffed 0xFF data byte
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid Huffman code in scan")
+
+
+def _jpeg_mag_bits(v: int) -> tuple[int, int]:
+    """(SSSS category, appended magnitude bits) per T.81 F.1.2."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = a.bit_length()
+    return cat, (v if v > 0 else v + (1 << cat) - 1)
+
+
+def _jpeg_extend(bits_: int, cat: int) -> int:
+    """T.81 F.2.2.1 EXTEND: undo _jpeg_mag_bits."""
+    if cat == 0:
+        return 0
+    if bits_ < (1 << (cat - 1)):
+        return bits_ - (1 << cat) + 1
+    return bits_
+
+
+def _jpeg_fdct_quant(block, qt: list[int]) -> list[int]:
+    """8x8 level-shifted float block -> 64 quantized coeffs in zigzag
+    order; rounding is half-away-from-zero (np.round is banker's and
+    would break the decode==encode⁻¹ pin)."""
+    import numpy as np
+
+    m = _jpeg_dct_matrix()
+    f = m @ block @ m.T
+    scaled = f / np.asarray(qt, dtype=np.float64).reshape(8, 8)
+    coef = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(
+        np.int64
+    )
+    flat = coef.reshape(64)
+    return [int(flat[_JPEG_ZIGZAG[k]]) for k in range(64)]
+
+
+def _jpeg_dequant_idct(zz: list[int], qt: list[int]):
+    """64 zigzag coeffs -> 8x8 uint8 spatial block (dequantize, IDCT,
+    +128 level shift, round half-up, clamp — the T.81 decoder path)."""
+    import numpy as np
+
+    f = np.zeros(64, dtype=np.float64)
+    for k in range(64):
+        f[_JPEG_ZIGZAG[k]] = zz[k] * qt[_JPEG_ZIGZAG[k]]
+    m = _jpeg_dct_matrix()
+    x = m.T @ f.reshape(8, 8) @ m
+    x = np.floor(x + 0.5) + 128.0
+    return np.clip(x, 0, 255).astype(np.uint8)
+
+
+def _jpeg_planes(pixels: bytes, width: int, height: int, channels: int):
+    """Planted pixels -> list of float64 YCbCr/luma planes (exact
+    integer color transform first, vectorized) + per-component quant
+    tables. Shared by encode_jpeg and jpeg_reconstruction so the
+    reconstruction pin covers the real encoder path."""
+    import numpy as np
+
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(
+        height, width, channels
+    )
+    if channels == 3:
+        rgb = arr.astype(np.int64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = (
+            19595 * r + 38470 * g + 7471 * b + 32768 + _JPEG_B24
+        ) // 65536 - 256
+        cb = 128 + (
+            (-11059 * r - 21709 * g + 32768 * b + 32768 + _JPEG_B24)
+            // 65536
+            - 256
+        )
+        cr = 128 + (
+            (32768 * r - 27439 * g - 5329 * b + 32768 + _JPEG_B24)
+            // 65536
+            - 256
+        )
+        planes = [
+            np.clip(p, 0, 255).astype(np.float64) for p in (y, cb, cr)
+        ]
+        return planes, [_JPEG_QT_LUMA, _JPEG_QT_CHROMA, _JPEG_QT_CHROMA]
+    return (
+        [arr[..., 0].astype(np.float64)],
+        [_JPEG_QT_LUMA],
+    )
+
+
+def encode_jpeg(
+    pixels: bytes, width: int, height: int, channels: int = 1
+) -> bytes:
+    """Baseline sequential JFIF encoder (twin of :func:`decode_jpeg`,
+    the fixture source for mm12): SOI, APP0, DQT (pinned tables),
+    SOF0, Annex K DHTs, SOS, Huffman-entropy scan with byte stuffing,
+    EOI. ``channels`` 1 = grayscale, 3 = RGB in (converted to 4:4:4
+    YCbCr via the fixed-point transform). Non-multiple-of-8 dims are
+    edge-replicated to full MCUs, decoder-side cropped."""
+    import numpy as np
+
+    if channels not in (1, 3):
+        raise ValueError(
+            f"encode_jpeg: channels must be 1 or 3, got {channels}"
+        )
+    if width < 1 or height < 1:
+        raise ValueError("encode_jpeg: empty image")
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"encode_jpeg: got {len(pixels)} bytes for "
+            f"{width}x{height}x{channels}"
+        )
+    planes, qt_by_comp = _jpeg_planes(pixels, width, height, channels)
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    padded = [
+        np.pad(
+            p, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge"
+        )
+        - 128.0
+        for p in planes
+    ]
+
+    ncomp = channels
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(
+        ">H5sBBBHHBB", 16, b"JFIF\x00", 1, 1, 0, 1, 1, 0, 0
+    )
+    qts = [_JPEG_QT_LUMA] + ([_JPEG_QT_CHROMA] if ncomp == 3 else [])
+    for tid, qt in enumerate(qts):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+        out += bytes(qt[_JPEG_ZIGZAG[k]] for k in range(64))
+    out += b"\xff\xc0" + struct.pack(
+        ">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp
+    )
+    for c in range(ncomp):
+        out += struct.pack("BBB", c + 1, 0x11, 0 if c == 0 else 1)
+    dhts = [(0x00, _JPEG_DC_LUMA), (0x10, _JPEG_AC_LUMA)]
+    if ncomp == 3:
+        dhts += [(0x01, _JPEG_DC_CHROMA), (0x11, _JPEG_AC_CHROMA)]
+    for tc, (bits, vals) in dhts:
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc)
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for c in range(ncomp):
+        out += struct.pack("BB", c + 1, 0x00 if c == 0 else 0x11)
+    out += b"\x00\x3f\x00"
+
+    dc_codes = [_jpeg_huff_codes(*_JPEG_DC_LUMA)]
+    ac_codes = [_jpeg_huff_codes(*_JPEG_AC_LUMA)]
+    if ncomp == 3:
+        dcc = _jpeg_huff_codes(*_JPEG_DC_CHROMA)
+        acc = _jpeg_huff_codes(*_JPEG_AC_CHROMA)
+        dc_codes += [dcc, dcc]
+        ac_codes += [acc, acc]
+
+    w = _JpegBitWriter()
+    pred = [0] * ncomp
+    for by in range(bh):
+        for bx in range(bw):
+            for c in range(ncomp):
+                zz = _jpeg_fdct_quant(
+                    padded[c][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                    qt_by_comp[c],
+                )
+                cat, mag = _jpeg_mag_bits(zz[0] - pred[c])
+                pred[c] = zz[0]
+                code, ln = dc_codes[c][cat]
+                w.write(code, ln)
+                w.write(mag, cat)
+                run = 0
+                for k in range(1, 64):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[c][0xF0]  # ZRL
+                        w.write(code, ln)
+                        run -= 16
+                    cat, mag = _jpeg_mag_bits(zz[k])
+                    code, ln = ac_codes[c][(run << 4) | cat]
+                    w.write(code, ln)
+                    w.write(mag, cat)
+                    run = 0
+                if run:
+                    code, ln = ac_codes[c][0x00]  # EOB
+                    w.write(code, ln)
+    w.flush()
+    out += w.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def jpeg_reconstruction(
+    pixels: bytes, width: int, height: int, channels: int = 1
+) -> bytes:
+    """What ``decode_jpeg(encode_jpeg(pixels, ...))`` must return,
+    computed WITHOUT entropy coding: quantize→dequantize→IDCT through
+    the same pinned tables, then the fixed-point color inverse. The
+    bit-exact pin for the decoder's entropy+IDCT inversion (property-
+    tested on random images in tests/test_multimodal.py)."""
+    import numpy as np
+
+    planes, qt_by_comp = _jpeg_planes(pixels, width, height, channels)
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    recon = []
+    for p, qt in zip(planes, qt_by_comp):
+        pp = (
+            np.pad(
+                p, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge"
+            )
+            - 128.0
+        )
+        outp = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+        for by in range(bh):
+            for bx in range(bw):
+                zz = _jpeg_fdct_quant(
+                    pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], qt
+                )
+                outp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _jpeg_dequant_idct(zz, qt)
+                )
+        recon.append(outp[:height, :width])
+    if channels == 1:
+        return recon[0].tobytes()
+    y, cb, cr = (p.astype(np.int64) for p in recon)
+    r = y + ((91881 * (cr - 128) + 32768 + _JPEG_B24) // 65536 - 256)
+    g = y + (
+        (-22554 * (cb - 128) - 46802 * (cr - 128) + 32768 + _JPEG_B24)
+        // 65536
+        - 256
+    )
+    b = y + ((116130 * (cb - 128) + 32768 + _JPEG_B24) // 65536 - 256)
+    return np.stack(
+        [np.clip(p, 0, 255).astype(np.uint8) for p in (r, g, b)], axis=-1
+    ).tobytes()
+
+
+def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
+    """REAL baseline JPEG decode, stdlib + numpy only — closes the
+    last ``decode_image`` capability gate (VERDICT r17 #3): full
+    marker walk (CRC-less by format design, strict lengths), DQT/DHT/
+    SOF0/SOS parse, Huffman entropy decode with DC prediction and
+    EOB/ZRL runs, dequantize, IDCT, fixed-point YCbCr→RGB. Returns
+    ``(width, height, channels, pixels)`` — grayscale bytes or
+    interleaved RGB. Refuses loudly: progressive/extended SOFs,
+    subsampled chroma, 16-bit quant tables, restart intervals (DRI),
+    arithmetic coding, markers inside the scan, truncated segments,
+    and trailing bytes after EOI (the IDAT strictness discipline,
+    ADVICE r16)."""
+    import numpy as np
+
+    if len(blob) < 4 or blob[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI signature")
+    pos = 2
+    qts: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    sof = None
+    while True:
+        if pos + 2 > len(blob):
+            raise ValueError("jpeg: truncated before SOS")
+        if blob[pos] != 0xFF:
+            raise ValueError(f"jpeg: expected marker at byte {pos}")
+        m = blob[pos + 1]
+        pos += 2
+        if m == 0xD8:
+            raise ValueError("jpeg: unexpected second SOI")
+        if m == 0xD9:
+            raise ValueError("jpeg: EOI before SOS (no image data)")
+        if 0xD0 <= m <= 0xD7 or m == 0x01:
+            raise ValueError(
+                f"jpeg: unexpected standalone marker 0xff{m:02x}"
+            )
+        if m == 0xDD:
+            raise ValueError("jpeg: restart intervals (DRI) not supported")
+        if m in (0xC8, 0xF7, 0xF8):
+            raise ValueError(f"jpeg: unsupported marker 0xff{m:02x}")
+        if m in (
+            0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+        ):
+            raise ValueError(
+                "jpeg: only baseline sequential (SOF0) supported, got "
+                f"SOF marker 0xff{m:02x}"
+            )
+        if pos + 2 > len(blob):
+            raise ValueError("jpeg: truncated marker segment")
+        (seglen,) = struct.unpack(">H", blob[pos : pos + 2])
+        if seglen < 2 or pos + seglen > len(blob):
+            raise ValueError("jpeg: bad segment length")
+        seg = blob[pos + 2 : pos + seglen]
+        pos += seglen
+        if m == 0xDB:  # DQT
+            s = 0
+            while s < len(seg):
+                pq, tq = seg[s] >> 4, seg[s] & 0xF
+                if pq != 0:
+                    raise ValueError(
+                        "jpeg: 16-bit quantization tables not supported"
+                    )
+                if s + 65 > len(seg):
+                    raise ValueError("jpeg: truncated DQT")
+                qt = [0] * 64
+                for k in range(64):
+                    qt[_JPEG_ZIGZAG[k]] = seg[s + 1 + k]
+                if 0 in qt:
+                    raise ValueError("jpeg: zero quantizer step in DQT")
+                qts[tq] = qt
+                s += 65
+        elif m == 0xC4:  # DHT
+            s = 0
+            while s < len(seg):
+                tc, th = seg[s] >> 4, seg[s] & 0xF
+                if tc > 1:
+                    raise ValueError(f"jpeg: bad DHT class {tc}")
+                if s + 17 > len(seg):
+                    raise ValueError("jpeg: truncated DHT")
+                bits = list(seg[s + 1 : s + 17])
+                n = sum(bits)
+                if s + 17 + n > len(seg):
+                    raise ValueError("jpeg: truncated DHT values")
+                vals = list(seg[s + 17 : s + 17 + n])
+                (huff_dc if tc == 0 else huff_ac)[th] = (
+                    _jpeg_huff_decode_table(bits, vals)
+                )
+                s += 17 + n
+        elif m == 0xC0:  # SOF0
+            if sof is not None:
+                raise ValueError("jpeg: duplicate SOF")
+            if len(seg) < 6:
+                raise ValueError("jpeg: truncated SOF0")
+            prec, h, w_, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError(
+                    f"jpeg: only 8-bit precision supported, got {prec}"
+                )
+            if nc not in (1, 3):
+                raise ValueError(
+                    f"jpeg: {nc}-component images not supported"
+                )
+            if len(seg) != 6 + 3 * nc:
+                raise ValueError("jpeg: bad SOF0 segment length")
+            if h == 0 or w_ == 0:
+                raise ValueError("jpeg: zero image dimension")
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError(
+                        "jpeg: only 1x1 sampling (grayscale / 4:4:4) "
+                        f"supported, got factor 0x{samp:02x}"
+                    )
+                comps.append((cid, tq))
+            if len({cid for cid, _ in comps}) != nc:
+                raise ValueError("jpeg: duplicate component id in SOF0")
+            sof = (w_, h, comps)
+        elif m == 0xDA:  # SOS
+            if sof is None:
+                raise ValueError("jpeg: SOS before SOF0")
+            w_, h, comps = sof
+            if not seg:
+                raise ValueError("jpeg: empty SOS header")
+            ns = seg[0]
+            if ns != len(comps):
+                raise ValueError(
+                    "jpeg: SOS component count differs from SOF0"
+                )
+            if len(seg) != 1 + 2 * ns + 3:
+                raise ValueError("jpeg: bad SOS segment length")
+            sel = []
+            for c in range(ns):
+                cs, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                td, ta = tabs >> 4, tabs & 0xF
+                match = [x for x in comps if x[0] == cs]
+                if not match:
+                    raise ValueError(
+                        f"jpeg: SOS selects unknown component {cs}"
+                    )
+                tq = match[0][1]
+                if tq not in qts:
+                    raise ValueError(
+                        f"jpeg: missing quantization table {tq}"
+                    )
+                if td not in huff_dc or ta not in huff_ac:
+                    raise ValueError(
+                        "jpeg: missing Huffman table for scan"
+                    )
+                sel.append((qts[tq], huff_dc[td], huff_ac[ta]))
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            if ss != 0 or se != 63 or ahal != 0:
+                raise ValueError(
+                    "jpeg: non-baseline spectral selection in SOS"
+                )
+            bw, bh = (w_ + 7) // 8, (h + 7) // 8
+            nc = len(comps)
+            planes = [
+                np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+                for _ in range(nc)
+            ]
+            rd = _JpegBitReader(blob, pos)
+            pred = [0] * nc
+            for by in range(bh):
+                for bx in range(bw):
+                    for c in range(nc):
+                        qt, dct, act = sel[c]
+                        cat = rd.huff(dct)
+                        if cat > 11:
+                            raise ValueError("jpeg: bad DC category")
+                        pred[c] += _jpeg_extend(rd.bits(cat), cat)
+                        zz = [0] * 64
+                        zz[0] = pred[c]
+                        k = 1
+                        while k < 64:
+                            rs = rd.huff(act)
+                            r, s_ = rs >> 4, rs & 0xF
+                            if s_ == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError(
+                                    "jpeg: AC run past block end"
+                                )
+                            zz[k] = _jpeg_extend(rd.bits(s_), s_)
+                            k += 1
+                        planes[c][
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ] = _jpeg_dequant_idct(zz, qt)
+            pos = rd.pos  # byte-aligned: pad bits die with the last byte
+            if pos + 2 > len(blob) or blob[pos : pos + 2] != b"\xff\xd9":
+                raise ValueError("jpeg: missing EOI after scan")
+            pos += 2
+            if pos != len(blob):
+                raise ValueError(
+                    f"jpeg: {len(blob) - pos} trailing bytes after EOI"
+                )
+            if nc == 1:
+                return w_, h, 1, planes[0][:h, :w_].tobytes()
+            y, cb, cr = (
+                p[:h, :w_].astype(np.int64) for p in planes
+            )
+            r = y + (
+                (91881 * (cr - 128) + 32768 + _JPEG_B24) // 65536 - 256
+            )
+            g = y + (
+                (-22554 * (cb - 128) - 46802 * (cr - 128) + 32768 + _JPEG_B24)
+                // 65536
+                - 256
+            )
+            b = y + (
+                (116130 * (cb - 128) + 32768 + _JPEG_B24) // 65536 - 256
+            )
+            return (
+                w_,
+                h,
+                3,
+                np.stack(
+                    [
+                        np.clip(p, 0, 255).astype(np.uint8)
+                        for p in (r, g, b)
+                    ],
+                    axis=-1,
+                ).tobytes(),
+            )
+        # else: APPn / COM / other length-bearing segments are skipped
+
+
+def jpeg_tile_value(doc_id: int, tx: int, ty: int, channel: int) -> int:
+    """Planted mm12 tile color — the shared Python/SQL contract (the
+    p06/mm06 discipline). Grayscale (channel -1) stays in 32..126 and
+    color channels in 16..100 so every DECODED byte is ASCII-safe for
+    the oracle's chr()-built pixel string."""
+    if channel < 0:
+        return 32 + (doc_id * 7 + tx * 13 + ty * 29) % 95
+    if channel == 0:
+        return 16 + (doc_id * 7 + tx * 13 + ty * 29) % 85
+    if channel == 1:
+        return 16 + (doc_id * 11 + tx * 17 + ty * 23) % 85
+    return 16 + (doc_id * 13 + tx * 19 + ty * 31) % 85
+
+
+def attach_jpeg_blob(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Plant a real baseline JFIF per row: ``8·(id%2+1) × 8·(id%3+1)``
+    — whole 8×8 tiles, each tile CONSTANT at :func:`jpeg_tile_value`
+    (so every AC coefficient quantizes to exactly 0 and the DC path
+    is lossless under the pinned DC step of 8 — the mm12 exactness
+    construction); even ids grayscale, odd ids 4:4:4 color.
+    Arrow-batched 1:1 via the shared ``_attach_blob_1to1`` scaffold."""
+
+    def build(d: int, _v) -> bytes:
+        w, h = 8 * (d % 2 + 1), 8 * (d % 3 + 1)
+        ch = 1 if d % 2 == 0 else 3
+        px = bytearray()
+        for yy in range(h):
+            for xx in range(w):
+                tx, ty = xx // 8, yy // 8
+                if ch == 1:
+                    px.append(jpeg_tile_value(d, tx, ty, -1))
+                else:
+                    px += bytes(
+                        jpeg_tile_value(d, tx, ty, c) for c in range(3)
+                    )
+        return encode_jpeg(bytes(px), w, h, ch)
+
+    return _attach_blob_1to1(docs, build, id_col=id_col)
+
+
+def decode_jpeg_features(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Decode JPEG payloads (``decode_jpeg``) into parsed dimensions,
+    channel count, and the md5 of the decoded pixel bytes — the mm08
+    shape: the heavy blob dies at this stage, five narrow columns
+    ride on. Arrow-batched 1:1 ``mapInPandas``; corrupt payloads
+    raise (fail loud)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids, ws, hs, chs, digests = [], [], [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                data = bytes(blob) if blob is not None else b""
+                w, h, ch, px = decode_jpeg(data)
                 ids.append(int(doc_id))
                 ws.append(w)
                 hs.append(h)

@@ -65,15 +65,26 @@ def test_blob_bytes_are_utf8_of_text(spark):
         ).hexdigest()
 
 
-def test_decode_image_is_an_honest_stub():
-    try:
-        import PIL  # noqa: F401
+def test_decode_image_dispatches_every_real_decoder():
+    """The PIL gate is GONE (VERDICT r17 #3): decode_image routes by
+    container signature to the stdlib decoders and refuses unknown
+    signatures loudly."""
+    from alternating_least_squares_spark.functions.multimodal import (
+        encode_bmp,
+        encode_jpeg,
+        encode_png,
+    )
 
-        pytest.skip("PIL present; stub not exercised")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError, match="PIL"):
-        decode_image(b"\x89PNG\r\n")
+    px_rgb = bytes(range(8 * 2 * 3))
+    w, h, ch, px = decode_image(encode_png(px_rgb, 8, 2, 3, [0, 1]))
+    assert (w, h, ch, px) == (8, 2, 3, px_rgb)
+    w, h, ch, px = decode_image(encode_bmp(px_rgb, 8, 2))
+    assert (w, h, ch) == (8, 2, 3) and px == px_rgb
+    gray = bytes(range(64))
+    w, h, ch, px = decode_image(encode_jpeg(gray, 8, 8, 1))
+    assert (w, h, ch) == (8, 8, 1) and len(px) == 64
+    with pytest.raises(ValueError, match="unrecognized image signature"):
+        decode_image(b"GIF89a\x00\x00")
 
 
 def test_sample_frames_boundaries_and_expansion(spark):
@@ -1404,3 +1415,180 @@ def test_16bit_png_roundtrip_and_crash_classes():
     )
     with pytest.raises(ValueError):
         decode_png(blob)
+
+
+# ------------------------------------------------------------- mm12 JPEG
+
+
+def _jpeg_planted(doc_id: int) -> tuple[bytes, int, int, int]:
+    """The mm12 planted fixture (tile-constant, the exactness class)."""
+    from alternating_least_squares_spark.functions.multimodal import (
+        jpeg_tile_value,
+    )
+
+    w, h = 8 * (doc_id % 2 + 1), 8 * (doc_id % 3 + 1)
+    ch = 1 if doc_id % 2 == 0 else 3
+    px = bytearray()
+    for yy in range(h):
+        for xx in range(w):
+            tx, ty = xx // 8, yy // 8
+            if ch == 1:
+                px.append(jpeg_tile_value(doc_id, tx, ty, -1))
+            else:
+                px += bytes(
+                    jpeg_tile_value(doc_id, tx, ty, c) for c in range(3)
+                )
+    return bytes(px), w, h, ch
+
+
+def test_jpeg_tile_constant_roundtrip_is_exact():
+    """The mm12 exactness construction: 8x8-tile-constant images have
+    only a DC coefficient, and the pinned DC step of 8 makes the DC
+    path lossless — grayscale decodes to the EXACT planted bytes, and
+    color to the exact fixed-point YCbCr roundtrip of them."""
+    from alternating_least_squares_spark.functions.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_rgb_to_ycc,
+        jpeg_ycc_to_rgb,
+    )
+
+    for doc_id in range(30):
+        px, w, h, ch = _jpeg_planted(doc_id)
+        got = decode_jpeg(encode_jpeg(px, w, h, ch))
+        if ch == 1:
+            assert got == (w, h, 1, px)
+        else:
+            exp = bytearray()
+            for i in range(0, len(px), 3):
+                exp += bytes(
+                    jpeg_ycc_to_rgb(*jpeg_rgb_to_ycc(*px[i : i + 3]))
+                )
+            assert got == (w, h, 3, bytes(exp))
+
+
+def test_jpeg_decode_inverts_encoder_on_random_images():
+    """decode == encode⁻¹ on ARBITRARY images: the loss lives entirely
+    in the encoder's quantize step, so the decoder must reproduce the
+    encoder's predicted reconstruction BIT-EXACTLY — this drives the
+    full Huffman AC path (runs, ZRL, EOB, high categories), DC
+    prediction across blocks, edge-replicated partial MCUs, and the
+    byte-stuffing writer/reader pair."""
+    import random
+
+    from alternating_least_squares_spark.functions.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_reconstruction,
+    )
+
+    rng = random.Random(1812)
+    for trial in range(25):
+        w = rng.randrange(1, 40)
+        h = rng.randrange(1, 40)
+        ch = rng.choice([1, 3])
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        got = decode_jpeg(encode_jpeg(px, w, h, ch))
+        assert got == (w, h, ch, jpeg_reconstruction(px, w, h, ch)), (
+            f"trial {trial}: {w}x{h}x{ch}"
+        )
+
+
+def test_jpeg_malformed_matrix():
+    """Every malformation class refuses loudly (the mm07-mm11 gate
+    discipline): bad signature, truncations, trailing bytes, restart
+    intervals, progressive SOF, subsampling, 16-bit DQT, missing
+    tables, markers inside the scan."""
+    import pytest as _pytest
+
+    from alternating_least_squares_spark.functions.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    good = encode_jpeg(bytes(range(64)), 8, 8, 1)
+
+    def mutate(pat: bytes, repl: bytes) -> bytes:
+        i = good.index(pat)
+        return good[:i] + repl + good[i + len(pat):]
+
+    cases = {
+        "missing SOI": b"\x00\x00" + good[2:],
+        "truncated header": good[:10],
+        "truncated scan": good[:-12],
+        "missing EOI": good[:-2],
+        "trailing bytes": good + b"\x00",
+        "EOI before SOS": good[:2] + b"\xff\xd9",
+        "standalone RST in headers": good[:2] + b"\xff\xd0" + good[2:],
+        # SOF0 0xffc0 -> progressive 0xffc2
+        "progressive SOF": mutate(b"\xff\xc0", b"\xff\xc2"),
+        # DRI segment inserted before SOS
+        "restart interval": mutate(
+            b"\xff\xda", b"\xff\xdd\x00\x04\x00\x01\xff\xda"
+        ),
+    }
+    for name, blob in cases.items():
+        with _pytest.raises(ValueError):
+            decode_jpeg(blob)
+
+    # 4:2:0 subsampling factor in SOF0 refuses
+    i = good.index(b"\xff\xc0")
+    sof = bytearray(good[i : i + 2 + 13])
+    # marker(2) len(2) prec(1) h(2) w(2) nc(1) cid(1) -> samp at 11
+    assert sof[11] == 0x11
+    sof[11] = 0x22
+    with _pytest.raises(ValueError, match="sampling"):
+        decode_jpeg(good[:i] + bytes(sof) + good[i + 15 :])
+
+    # 16-bit DQT precision refuses
+    j = good.index(b"\xff\xdb")
+    dqt = bytearray(good[j : j + 4 + 65])
+    dqt[4] = 0x10
+    with _pytest.raises(ValueError, match="16-bit"):
+        decode_jpeg(good[:j] + bytes(dqt) + good[j + 69 :])
+
+    # encoder input validation
+    for bad in (
+        lambda: encode_jpeg(b"", 0, 0, 1),
+        lambda: encode_jpeg(b"\x00" * 10, 2, 2, 1),
+        lambda: encode_jpeg(b"\x00" * 16, 2, 2, 4),
+    ):
+        with _pytest.raises(ValueError):
+            bad()
+
+
+def test_jpeg_attach_decode_sparkside(spark):
+    """The mm12 plumbing end-to-end through Arrow: planted blobs
+    decode back to the planted (gray) / fixed-point-roundtripped
+    (color) pixel md5s, with dims and channel counts parsed from the
+    container."""
+    import hashlib as _hl
+
+    from alternating_least_squares_spark.functions.multimodal import (
+        attach_jpeg_blob,
+        decode_jpeg_features,
+        jpeg_rgb_to_ycc,
+        jpeg_ycc_to_rgb,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id").limit(40)
+    got = {
+        r["doc_id"]: (
+            r["width"], r["height"], r["channels"], r["pixel_md5"]
+        )
+        for r in decode_jpeg_features(attach_jpeg_blob(docs)).collect()
+    }
+    assert len(got) == 40
+    for doc_id, (w, h, ch, md) in got.items():
+        px, ew, eh, ech = _jpeg_planted(doc_id)
+        assert (w, h, ch) == (ew, eh, ech)
+        if ch == 1:
+            exp = px
+        else:
+            buf = bytearray()
+            for i in range(0, len(px), 3):
+                buf += bytes(
+                    jpeg_ycc_to_rgb(*jpeg_rgb_to_ycc(*px[i : i + 3]))
+                )
+            exp = bytes(buf)
+        assert md == _hl.md5(exp).hexdigest()
