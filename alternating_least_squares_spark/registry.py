@@ -13019,6 +13019,134 @@ WHERE NOT (o_custkey % 13 = 5)
 """
 
 
+def q_st18_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming replication feed (VERDICT r17 #4;
+    streaming/events.stream_cdc_apply_to_snapshot) — CDC APPLY, the
+    lakehouse streaming composition ac08+ac09 left open: the source
+    table's change feeds (``diff_versions`` per commit, materialized
+    as one file per wave with PINNED names and mtimes so the file
+    source replays them in commit order) stream into a replica cloned
+    at v0; each micro-batch applies inserts+updates as ONE
+    ``merge_upsert`` and deletes as ONE merge-on-read
+    ``delete_keys_dv`` carrying the checkpoint-scoped ``(cdc_feed,
+    cdc_batch_id)`` ledger stamp (the st17/st08 discipline — the
+    stamp rides the batch's FINAL commit, issued even when the batch
+    has no deletes, so a partially-applied batch is never marked
+    done). Asserted in-query: exactly 3 change batches applied; the
+    replica history is exactly [create, merge, delete_dv, delete_dv,
+    merge, delete_dv] (wave 1 = inserts+updates → merge + stamped
+    no-op delete; wave 2 = pure deletes → one stamped DV delete;
+    wave 3 = pure updates → merge + stamped no-op delete); ledger
+    stamps strictly increase [0, 1, 2] on the delete commits and
+    merges stay unstamped. The oracle restates the source's
+    surviving-row state at head, so the hash proves replayed feed ==
+    source — replication without a full copy. At 100 TB: each batch
+    costs one file-pruned MERGE over touched keys + one position
+    sidecar, both O(batch), never O(table)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from alternating_least_squares_spark.sources import snapshot as SN
+    from alternating_least_squares_spark.streaming import (
+        stream_cdc_apply_to_snapshot,
+    )
+
+    src = _snapshot_table_for(spark, sf_dir, "st18src")
+    # a third source commit so one wave is pure updates: %8==3 keys
+    # (all live: 3 % 4 != 0 and never deleted) at price*3
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 6).alias("price")
+    )
+    SN.merge_upsert(
+        orders.filter(F.col("o_orderkey") % 8 == 3).select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("price") * 3, 6).alias("price"),
+        ),
+        src,
+    )
+    base = _scratch_path(
+        "alternating_ls_st18", sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    replica, req, ckpt = (
+        os.path.join(base, d) for d in ("replica", "changes", "_ckpt")
+    )
+    SN.create_table(
+        SN.read_snapshot(spark, src, version=0), replica, key="o_orderkey"
+    )
+    os.makedirs(req, exist_ok=True)
+    for i, (a, b) in enumerate([(0, 1), (1, 2), (2, 3)]):
+        wave = SN.diff_versions(spark, src, a, b).select(
+            "o_orderkey",
+            "change_type",
+            F.col("o_custkey_new").alias("o_custkey"),
+            F.col("price_new").alias("price"),
+        )
+        tmp = os.path.join(base, f"_w{i}")
+        wave.repartition(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(req, f"wave{i}.parquet")
+        shutil.copyfile(part, dst)
+        # apply order IS the contract: pin name and mtime together
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    n = stream_cdc_apply_to_snapshot(
+        spark,
+        req,
+        ckpt,
+        replica,
+        T.StructType(
+            [
+                T.StructField("o_orderkey", T.LongType()),
+                T.StructField("change_type", T.StringType()),
+                T.StructField("o_custkey", T.LongType()),
+                T.StructField("price", T.DoubleType()),
+            ]
+        ),
+        max_files_per_trigger=1,
+    )
+    versions = SN._list_versions(replica)
+    if n != 3 or versions != [0, 1, 2, 3, 4, 5]:
+        raise ValueError(
+            f"st18: expected 3 applied batches over versions [0..5], "
+            f"got n={n}, versions={versions} (wave merge or reorder?)"
+        )
+    ops = []
+    stamps = []
+    for v in versions[1:]:
+        m = SN._read_manifest(replica, v)
+        ops.append(m["operation"])
+        if m["operation"] == "delete_dv":
+            if m.get("cdc_feed") is None:
+                raise ValueError(f"st18: unstamped delete commit v{v}")
+            stamps.append(m["cdc_batch_id"])
+        elif "cdc_batch_id" in m:
+            raise ValueError(f"st18: stamp on non-final commit v{v}")
+    if ops != ["merge", "delete_dv", "delete_dv", "merge", "delete_dv"]:
+        raise ValueError(f"st18: unexpected op history {ops}")
+    if stamps != [0, 1, 2]:
+        raise ValueError(f"st18: non-monotonic cdc ledger {stamps}")
+    return SN.read_snapshot(spark, replica)
+
+
+# replayed feed replica == the source's surviving rows at head:
+# v1 doubles %8<=1 (inserting %8==0), v2 deletes %8==2, v3 triples %8==3
+SQL_ST18 = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 8 = 3
+            THEN round(round(o_totalprice, 6) * 3, 6)
+            WHEN o_orderkey % 8 <= 1
+            THEN round(round(o_totalprice, 6) * 2, 6)
+            ELSE round(o_totalprice, 6) END AS price
+FROM orders
+WHERE (o_orderkey % 4 != 0 OR o_orderkey % 8 <= 1)
+  AND o_orderkey % 8 != 2
+"""
+
+
 def q_t19_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram conditional-LM scoring — t18's context-aware upgrade
     (the KenLM-shaped filter of CCNet-style curation): docs scored by
@@ -16032,6 +16160,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "st15_watermark_late_drop": (q_st15_watermark_late_drop, SQL_ST15),
     "st16_outer_join_watermark": (q_st16_outer_join_watermark, SQL_ST16),
     "st17_streaming_erasure": (q_st17_streaming_erasure, SQL_ST17),
+    "st18_streaming_cdc_apply": (q_st18_streaming_cdc_apply, SQL_ST18),
     "t23_span_scrub": (q_t23_span_scrub, SQL_T23),
     "t24_ngram_decontaminate": (q_t24_ngram_decontaminate, SQL_T24),
     # t25's oracle IS t24's text-key SQL: the driver hash certifies
@@ -16261,11 +16390,12 @@ _PREFIX = [
     "b03_symmetric_diff",
     "c01_sorted_scan",
     "c02_filter_nonzero",
-    "c04_micros_to_currency",
     # new in round 18 (each displaces one r13-cohort fill slot from
-    # the END per the rule above: c05_anti_join is displaced by mm12
-    # — displaced rows LEAD the r19 plan)
+    # the END per the rule above: c05_anti_join is displaced by mm12,
+    # c04_micros_to_currency by st18 — displaced rows LEAD the r19
+    # plan)
     "mm12_jpeg_decode",
+    "st18_streaming_cdc_apply",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

@@ -9,6 +9,7 @@ from alternating_least_squares_spark.streaming.events import (  # noqa: F401
     read_events_stream,
     run_stream_to_batch,
     sessionize_stream,
+    stream_cdc_apply_to_snapshot,
     stream_erase_keys_from_snapshot,
     stream_upsert_profiles_to_snapshot,
 )

@@ -573,6 +573,113 @@ def _apply_erasure_batch(
     return True
 
 
+def stream_cdc_apply_to_snapshot(
+    spark: SparkSession,
+    changes_dir: str,
+    checkpoint_dir: str,
+    table_path: str,
+    change_schema: T.StructType,
+    max_files_per_trigger: int | None = 1,
+) -> int:
+    """The streaming replication feed (VERDICT r17 #4) — CDC APPLY:
+    change rows (the ac08 ``diff_versions`` shape, materialized as
+    files: the table key, a ``change_type`` of insert/update/delete,
+    and the NEW column values) stream into a replica snapshot table.
+    Each micro-batch applies its inserts+updates as ONE ``merge_upsert``
+    and its deletes as ONE merge-on-read ``delete_keys_dv`` (the ac09
+    batch-apply path under a streaming driver). Returns the number of
+    change batches APPLIED by this run (empty and redelivered batches
+    apply nothing).
+
+    Exactly-once: the ledger stamp ``(cdc_feed, cdc_batch_id)`` —
+    checkpoint-scoped via :func:`_checkpoint_feed_id`, the st17/st08
+    discipline — rides the batch's FINAL commit (the delete, which is
+    issued even when the batch has no deletes: a no-op DV version
+    whose only job is carrying the stamp). Crash ordering is safe in
+    both directions: a crash between merge and delete redelivers the
+    batch, whose MERGE re-applies the same materialized values
+    (content-idempotent — feed rows carry values, not expressions)
+    before the delete lands with the stamp; a crash after the delete
+    is a plain redelivery, skipped by :func:`_ledger_already_applied`.
+
+    Batch ORDER is load-bearing (an update must not overtake the
+    delete that precedes it): the file source processes files oldest
+    modification time first, so a producer appending change waves in
+    commit order preserves apply order; ``maxFilesPerTrigger`` keeps
+    waves from merging into one batch when per-wave commits matter.
+
+    At 100 TB this is cross-region table sync without full copies:
+    each batch costs one file-pruned MERGE over the touched keys +
+    one position-sidecar delete, both O(batch), never O(table)."""
+    applied: list[int] = []
+    memo: dict = {}
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if "feed" not in memo:
+            memo["feed"] = _checkpoint_feed_id(checkpoint_dir)
+        if _apply_cdc_batch(
+            batch_df, batch_id, table_path, memo["feed"], memo
+        ):
+            applied.append(batch_id)
+
+    reader = spark.readStream.schema(change_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    query = (
+        reader.parquet(changes_dir)
+        .writeStream.foreachBatch(_apply)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    query.awaitTermination()
+    return len(applied)
+
+
+def _apply_cdc_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    table_path: str,
+    feed_id: str,
+    memo: dict | None = None,
+) -> bool:
+    """One CDC micro-batch (module-level so the redelivery path is
+    unit-testable): skip if this ``batch_id`` was already committed BY
+    THIS FEED; else MERGE the non-delete rows (key + new values,
+    ``change_type`` dropped) and delete the delete-rows' keys via one
+    stamped ``delete_keys_dv``. The stamp rides the delete — always
+    issued, possibly as a no-op DV version — so a partially-applied
+    batch (merge landed, crash before delete) is never marked done."""
+    from ..sources import snapshot as SN
+
+    if batch_df.isEmpty():
+        return False
+    if _ledger_already_applied(
+        table_path, "cdc_feed", "cdc_batch_id", feed_id, batch_id, memo
+    ):
+        return False  # redelivered batch: already applied
+    versions = SN._list_versions(table_path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot table at {table_path}")
+    key = SN._read_manifest(table_path, versions[-1])["key"]
+    upserts = batch_df.filter(F.col("change_type") != "delete").drop(
+        "change_type"
+    )
+    deletes = batch_df.filter(F.col("change_type") == "delete").select(key)
+    if not upserts.isEmpty():
+        SN.merge_upsert(upserts, table_path)
+    SN.delete_keys_dv(
+        table_path,
+        deletes,
+        extra={"cdc_feed": feed_id, "cdc_batch_id": batch_id},
+    )
+    if memo is not None:
+        memo["_ledger_last"] = batch_id
+    return True
+
+
 def run_stream_to_batch(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Replay the stream to completion (``Trigger.AvailableNow``) into
     an in-memory sink and return the final result as a batch DataFrame.

@@ -1214,3 +1214,118 @@ def test_ledger_cold_scan_bounded(spark, tmp_path, monkeypatch):
         path, "erasure_feed", "erasure_batch_id", "f1", 1, memo
     ) is False
     assert reads == []  # steady state: zero manifest reads
+
+
+def test_cdc_batch_redelivery_is_idempotent(spark, tmp_path):
+    """st18's ledger: re-applying an already-committed CDC batch id
+    commits nothing; the stamp rides the batch's FINAL commit so a
+    merge-without-delete crash never marks the batch done; and a
+    fresh feed's re-apply is CONTENT-idempotent (feed rows carry
+    materialized values, not expressions)."""
+    from pyspark.sql import functions as F
+
+    from alternating_least_squares_spark.sources import snapshot as SN
+    from alternating_least_squares_spark.streaming.events import (
+        _apply_cdc_batch,
+    )
+
+    path = str(tmp_path / "replica")
+    base = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    SN.create_table(base, path, key="k")
+    batch = spark.createDataFrame(
+        [(3, "update", 333), (99, "insert", 990), (5, "delete", None)],
+        "k long, change_type string, v long",
+    )
+    assert _apply_cdc_batch(batch, 0, path, "feedA") is True
+    vs = SN._list_versions(path)
+    assert [SN._read_manifest(path, v)["operation"] for v in vs[1:]] == [
+        "merge", "delete_dv",
+    ]
+    state = {
+        (r["k"], r["v"]) for r in SN.read_snapshot(spark, path).collect()
+    }
+    assert (3, 333) in state and (99, 990) in state
+    assert 5 not in {k for k, _ in state}
+    # redelivered and stale ids: nothing committed
+    assert _apply_cdc_batch(batch, 0, path, "feedA") is False
+    assert SN._list_versions(path) == vs
+    empty = spark.createDataFrame([], "k long, change_type string, v long")
+    assert _apply_cdc_batch(empty, 1, path, "feedA") is False
+    # a fresh checkpoint lineage re-applies the same materialized
+    # values: new versions, UNCHANGED content
+    assert _apply_cdc_batch(batch, 0, path, "feedB") is True
+    assert {
+        (r["k"], r["v"]) for r in SN.read_snapshot(spark, path).collect()
+    } == state
+
+
+def test_cdc_stream_fresh_checkpoint_reapply(spark, tmp_path):
+    """End-to-end st18 property: replaying the whole change feed from
+    a FRESH checkpoint over an already-synced replica applies every
+    batch again (new feed id — never compared to the old lineage) and
+    leaves the content exactly where it was."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from alternating_least_squares_spark.sources import snapshot as SN
+    from alternating_least_squares_spark.streaming import (
+        stream_cdc_apply_to_snapshot,
+    )
+
+    src = str(tmp_path / "src")
+    base = spark.range(30).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    SN.create_table(base, src, key="k")
+    SN.merge_upsert(
+        spark.createDataFrame([(2, 222), (40, 400)], "k long, v long"), src
+    )
+    SN.delete_keys(src, spark.createDataFrame([(7,), (8,)], "k long"))
+
+    replica = str(tmp_path / "replica")
+    SN.create_table(SN.read_snapshot(spark, src, version=0), replica, key="k")
+    req = str(tmp_path / "changes")
+    os.makedirs(req)
+    for i, (a, b) in enumerate([(0, 1), (1, 2)]):
+        wave = SN.diff_versions(spark, src, a, b).select(
+            "k", "change_type", F.col("v_new").alias("v")
+        )
+        tmp = str(tmp_path / f"_w{i}")
+        wave.repartition(1).write.mode("overwrite").parquet(tmp)
+        dst = os.path.join(req, f"wave{i}.parquet")
+        shutil.copyfile(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_700_000_000 + i,) * 2)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("change_type", T.StringType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    n1 = stream_cdc_apply_to_snapshot(
+        spark, req, str(tmp_path / "ck1"), replica, schema
+    )
+    assert n1 == 2
+    want = {(r["k"], r["v"]) for r in SN.read_snapshot(spark, src).collect()}
+    got = {
+        (r["k"], r["v"]) for r in SN.read_snapshot(spark, replica).collect()
+    }
+    assert got == want
+    # same checkpoint: everything already applied, zero new batches
+    assert stream_cdc_apply_to_snapshot(
+        spark, req, str(tmp_path / "ck1"), replica, schema
+    ) == 0
+    # fresh checkpoint: re-applies all waves, content unchanged
+    n2 = stream_cdc_apply_to_snapshot(
+        spark, req, str(tmp_path / "ck2"), replica, schema
+    )
+    assert n2 == 2
+    assert {
+        (r["k"], r["v"]) for r in SN.read_snapshot(spark, replica).collect()
+    } == want
