@@ -1708,6 +1708,109 @@ FROM u1
 """
 
 
+def q_ac16_dv_debt_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV READ-DEBT gauge + fold policy (VERDICT r17 #5;
+    sources/snapshot.dv_debt_gauge / auto_fold) — the observability
+    piece the MOR family (ac13-ac15, st17-st18) needs at 100 TB:
+    every DV commit defers work every read then pays (the position
+    anti-join) until a rewrite folds it, and the gauge makes that
+    debt visible from MANIFESTS ALONE — O(files) metadata, no data
+    scan (the x11 table-profile discipline): file_rows from manifest
+    stats, dv_positions from per-sidecar commit counts (exact, never
+    an estimate: capture scans run DV-applied so positions are never
+    re-recorded), debt_ppm integer DIV. The policy half:
+    ``auto_fold(threshold)`` triggers ``cluster_optimize`` — which
+    folds every DV and resets the gauge — ONLY when debt_ppm exceeds
+    the threshold. Asserted in-query: a delete_keys_dv + an
+    update_where_dv put known debt on the table; auto_fold AT the
+    current debt_ppm declines (no new version — a no-op fold per
+    scheduler tick would churn history); auto_fold just below it
+    folds; the post-fold gauge reads exactly zero debt. The oracle
+    restates both gauge rows from the same arithmetic over orders, so
+    the hash proves the manifest bookkeeping (file stats + sidecar
+    counts through delete, update-with-append, and fold) is
+    row-exact. At 100 TB this is the compaction scheduler's sweep:
+    O(manifest) per table across thousands of tables, paying the
+    rewrite only where reads are bleeding."""
+    import shutil
+
+    from alternating_least_squares_spark.sources import snapshot as SN
+
+    path = _scratch_path(
+        "alternating_ls_ac16", sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 6).alias("price")
+    )
+    SN.create_table(
+        orders.repartitionByRange(AC13_FILES, "o_orderkey"),
+        path,
+        key="o_orderkey",
+    )
+    SN.delete_keys_dv(
+        path, orders.filter(F.col("o_custkey") % 13 == 5).select("o_orderkey")
+    )
+    SN.update_where_dv(
+        path, "o_orderkey % 89 = 1", {"price": "price * 2.0"}, spark
+    )
+    g1 = SN.dv_debt_gauge(path)
+    if g1["dv_positions"] == 0 or g1["debt_ppm"] == 0:
+        raise ValueError(f"ac16: no planted debt? gauge={g1}")
+    nv = len(SN._list_versions(path))
+    skip = SN.auto_fold(spark, path, g1["debt_ppm"], AC13_FILES)
+    if skip["folded"] or len(SN._list_versions(path)) != nv:
+        raise ValueError(
+            f"ac16: auto_fold at threshold == debt must decline, got "
+            f"{skip} over {SN._list_versions(path)}"
+        )
+    fold = SN.auto_fold(spark, path, g1["debt_ppm"] - 1, AC13_FILES)
+    if not fold["folded"] or len(SN._list_versions(path)) != nv + 1:
+        raise ValueError(f"ac16: auto_fold below debt must fold, got {fold}")
+    g2 = SN.dv_debt_gauge(path)
+    if (g2["dv_positions"], g2["debt_ppm"], g2["dv_commits"]) != (0, 0, 0):
+        raise ValueError(f"ac16: fold did not reset the gauge: {g2}")
+    rows = [
+        (
+            stage,
+            g["file_rows"],
+            g["live_rows"],
+            g["dv_positions"],
+            g["debt_ppm"],
+            g["dv_commits"],
+        )
+        for stage, g in (("pre", g1), ("post", g2))
+    ]
+    return spark.createDataFrame(
+        rows,
+        "stage string, file_rows long, live_rows long, dv_positions long, "
+        "debt_ppm long, dv_commits long",
+    )
+
+
+SQL_AC16 = """
+WITH c AS (
+  SELECT count(*) AS n0,
+         sum(CASE WHEN o_custkey % 13 = 5 THEN 1 ELSE 0 END) AS d1,
+         sum(CASE WHEN o_orderkey % 89 = 1 AND o_custkey % 13 != 5
+                  THEN 1 ELSE 0 END) AS u1
+  FROM orders
+)
+SELECT 'pre' AS stage,
+       CAST(n0 + u1 AS BIGINT) AS file_rows,
+       CAST(n0 - d1 AS BIGINT) AS live_rows,
+       CAST(d1 + u1 AS BIGINT) AS dv_positions,
+       CAST((d1 + u1) * 1000000 // (n0 + u1) AS BIGINT) AS debt_ppm,
+       CAST(2 AS BIGINT) AS dv_commits
+FROM c
+UNION ALL
+SELECT 'post' AS stage,
+       CAST(n0 - d1 AS BIGINT), CAST(n0 - d1 AS BIGINT),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM c
+"""
+
+
 def q_ac03_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over (l_partkey, l_suppkey) —
     the multi-column data-skipping layout (operators/zorder.py; the
@@ -16116,6 +16219,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ac13_deletion_vectors": (q_ac13_deletion_vectors, SQL_AC13),
     "ac14_dv_delete_keys": (q_ac14_dv_delete_keys, SQL_AC14),
     "ac15_dv_update": (q_ac15_dv_update, SQL_AC15),
+    "ac16_dv_debt_gauge": (q_ac16_dv_debt_gauge, SQL_AC16),
     "e13_rfm_segments": (q_e13_rfm_segments, SQL_E13),
     "g07_weighted_mean": (q_g07_weighted_mean, SQL_G07),
     "g08_exact_corr": (q_g08_exact_corr, SQL_G08),
@@ -16389,13 +16493,13 @@ _PREFIX = [
     "b01_b02_csv_roundtrip",
     "b03_symmetric_diff",
     "c01_sorted_scan",
-    "c02_filter_nonzero",
     # new in round 18 (each displaces one r13-cohort fill slot from
     # the END per the rule above: c05_anti_join is displaced by mm12,
-    # c04_micros_to_currency by st18 — displaced rows LEAD the r19
-    # plan)
+    # c04_micros_to_currency by st18, c02_filter_nonzero by ac16 —
+    # displaced rows LEAD the r19 plan)
     "mm12_jpeg_decode",
     "st18_streaming_cdc_apply",
+    "ac16_dv_debt_gauge",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

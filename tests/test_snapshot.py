@@ -1409,3 +1409,51 @@ def test_dv_predicate_resolved_against_table_schema(spark, base, tmp_path):
     # sane predicates still work against the real scan
     SN.delete_where_dv(path, "k = 1", spark)
     assert SN.read_snapshot(spark, path).filter("k = 1").count() == 0
+
+
+def test_dv_debt_gauge_and_auto_fold(spark, base, tmp_path):
+    """VERDICT r17 #5: the gauge is exact manifest arithmetic (no data
+    scan), auto_fold declines at/below threshold and folds above it,
+    and a fold resets the gauge to zero."""
+    path = str(tmp_path / "t")
+    SN.create_table(base, path, key="k")
+    g0 = SN.dv_debt_gauge(path)
+    assert g0 == {
+        "version": 0, "file_rows": 100, "live_rows": 100,
+        "dv_positions": 0, "debt_ppm": 0, "dv_commits": 0,
+        "sidecar_files": 0,
+    }
+    import pyspark.sql.functions as F  # noqa: N812
+
+    SN.delete_keys_dv(
+        path, spark.range(10).select((F.col("id") * 10).alias("k"))
+    )
+    SN.update_where_dv(path, "k % 10 = 3", {"v": "v + 1"}, spark)
+    g1 = SN.dv_debt_gauge(path)
+    # 100 created + 10 update corrections appended; 10 deleted + 10
+    # updated old images hidden
+    assert g1["file_rows"] == 110
+    assert g1["dv_positions"] == 20
+    assert g1["live_rows"] == 90
+    assert g1["debt_ppm"] == 20 * 1_000_000 // 110
+    assert g1["dv_commits"] == 2 and g1["sidecar_files"] >= 2
+    # gauge is pure metadata: historical versions gauge too
+    assert SN.dv_debt_gauge(path, version=0)["dv_positions"] == 0
+    # decline at threshold == debt (no version churn)
+    before = SN._list_versions(path)
+    assert SN.auto_fold(spark, path, g1["debt_ppm"], 4)["folded"] is False
+    assert SN._list_versions(path) == before
+    # fold just below it; gauge resets to zero and content survives
+    res = SN.auto_fold(spark, path, g1["debt_ppm"] - 1, 4)
+    assert res["folded"] is True
+    g2 = SN.dv_debt_gauge(path)
+    assert (g2["file_rows"], g2["live_rows"], g2["dv_positions"],
+            g2["debt_ppm"], g2["dv_commits"]) == (90, 90, 0, 0, 0)
+    got = {(r["k"], r["v"]) for r in SN.read_snapshot(spark, path).collect()}
+    want = {
+        (k, k * 10 + (1 if k % 10 == 3 else 0))
+        for k in range(100) if k % 10 != 0
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="threshold_ppm"):
+        SN.auto_fold(spark, path, -1, 4)
