@@ -13793,39 +13793,15 @@ T26_CAP = 100  # hot-gram cap: a window in more distinct docs is
                # is quadratic noise, excluded identically in the oracle
 
 
-def q_t26_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-DOCUMENT exact substring dedup at the Lee et al. 2021
-    50-token grain (VERDICT r16 #5) — the pairwise completion of the
-    substring family: t21 detects corpus-repeated windows per doc and
-    t23 scrubs them, but neither says WHICH documents share WHAT. t26
-    emits one row per maximal shared span: (doc_a, doc_b, a_start,
-    b_start, span_tokens) for every pair of documents sharing a run
-    of ≥ 50 consecutive identical tokens — the evidence table an
-    attribution/near-licensing audit and targeted-removal pass key
-    on.
-
-    Shape: tokens → 50-token windows via COMPILED lead() exprs over
-    (doc_id, pos) (the t21 measured choice), each window collapsing
-    to the t21 128-bit hash pair BEFORE any shuffle (16 bytes/window,
-    birthday-safe at 10¹² grams); repeated-window keys from one
-    groupBy, capped at T26_CAP distinct docs (the d08 hot-bucket
-    discipline — a boilerplate window in 10⁵ docs would otherwise
-    fan out 10¹⁰ pairs); the pair join is an EQUI-join on the hash
-    pair (never all-pairs); consecutive shared windows then merge to
-    maximal spans by the classic diagonal trick — (pa − pb) is
-    constant along a shared run, so gap-and-island per (pair,
-    diagonal) with IDENTICAL order keys in both engines (the w12
-    lesson) turns 11 window hits into one 60-token span row.
-
-    Planted signal (the synthetic corpus shares no natural 8-gram, a
-    fortiori no 50-gram, except exact-dup texts — which both engines
-    treat identically): docs with id%7==3 append a 60-token paragraph
-    UNIQUE TO id%13 (token i = 't26x{fam}w{i}'), so same-family
-    planted docs share exactly the 11 fully-inside windows → one
-    span of 60; docs with id%7==4 append a 30-token snippet — BELOW
-    threshold, asserted absent in pytest. At 100 TB: one token
-    explode, one keyed count, one capped equi-join, two window
-    passes — no quadratic stage anywhere."""
+def _t26_stream(
+    spark: SparkSession, sf_dir: str, pin_tokens: bool = False
+) -> tuple:
+    """Shared t26/t27 stream over the PLANTED corpus: returns
+    ``(tokrows, spans)`` — the (doc_id, pos, tok) token stream and the
+    maximal-shared-span evidence table. ``pin_tokens`` checkpoints the
+    token stream when a caller (t27) re-reads it for reassembly, so
+    tokenization is paid once (the t21/t23 discipline). Semantics and
+    shape documented on :func:`q_t26_substring_dedup`."""
     from alternating_least_squares_spark.functions.width import (
         spread_if_narrow,
     )
@@ -13854,6 +13830,8 @@ def q_t26_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokrows = spread_if_narrow(docs, "doc_id").select(
         "doc_id", F.posexplode(TX.tokens(F.col("ptext"))).alias("pos", "tok")
     )
+    if pin_tokens:
+        tokrows = tokrows.localCheckpoint(eager=True)
     w = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
     gram = F.concat_ws(" ", *leads)
@@ -13894,7 +13872,7 @@ def q_t26_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1)
     )
     isl = pairs.withColumn("grp", F.sum(brk).over(w2))
-    return (
+    spans = (
         isl.groupBy("doc_a", "doc_b", "diag", "grp")
         .agg(
             F.min("pa").alias("a_start"),
@@ -13903,9 +13881,48 @@ def q_t26_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
     )
+    return tokrows, spans
 
 
-SQL_T26 = f"""
+def q_t26_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-DOCUMENT exact substring dedup at the Lee et al. 2021
+    50-token grain (VERDICT r16 #5) — the pairwise completion of the
+    substring family: t21 detects corpus-repeated windows per doc and
+    t23 scrubs them, but neither says WHICH documents share WHAT. t26
+    emits one row per maximal shared span: (doc_a, doc_b, a_start,
+    b_start, span_tokens) for every pair of documents sharing a run
+    of ≥ 50 consecutive identical tokens — the evidence table an
+    attribution/near-licensing audit and the t27 targeted-removal
+    pass key on.
+
+    Shape: tokens → 50-token windows via COMPILED lead() exprs over
+    (doc_id, pos) (the t21 measured choice), each window collapsing
+    to the t21 128-bit hash pair BEFORE any shuffle (16 bytes/window,
+    birthday-safe at 10¹² grams); repeated-window keys from one
+    groupBy, capped at T26_CAP distinct docs (the d08 hot-bucket
+    discipline — a boilerplate window in 10⁵ docs would otherwise
+    fan out 10¹⁰ pairs); the pair join is an EQUI-join on the hash
+    pair (never all-pairs); consecutive shared windows then merge to
+    maximal spans by the classic diagonal trick — (pa − pb) is
+    constant along a shared run, so gap-and-island per (pair,
+    diagonal) with IDENTICAL order keys in both engines (the w12
+    lesson) turns 11 window hits into one 60-token span row.
+
+    Planted signal (the synthetic corpus shares no natural 8-gram, a
+    fortiori no 50-gram, except exact-dup texts — which both engines
+    treat identically): docs with id%7==3 append a 60-token paragraph
+    UNIQUE TO id%13 (token i = 't26x{fam}w{i}'), so same-family
+    planted docs share exactly the 11 fully-inside windows → one
+    span of 60; docs with id%7==4 append a 30-token snippet — BELOW
+    threshold, asserted absent in pytest. At 100 TB: one token
+    explode, one keyed count, one capped equi-join, two window
+    passes — no quadratic stage anywhere."""
+    return _t26_stream(spark, sf_dir)[1]
+
+
+# shared t26/t27 CTE chain (documents -> planted corpus -> token
+# windows -> repeated-window pairs -> maximal-span islands)
+_T26_CTES = f"""
 WITH d AS (
   SELECT doc_id,
          CASE WHEN doc_id % 7 = 3
@@ -13948,12 +13965,112 @@ isl AS (
          sum(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
   FROM g
 )
+"""
+
+SQL_T26 = _T26_CTES + f"""
 SELECT doc_a, doc_b,
        CAST(min(pa) AS BIGINT) AS a_start,
        CAST(min(pb) AS BIGINT) AS b_start,
        CAST(max(pa) - min(pa) + {T26_K} AS BIGINT) AS span_tokens
 FROM isl
 GROUP BY doc_a, doc_b, diag, grp
+"""
+
+
+def q_t27_span_scrub_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted span scrub over t26's evidence table (VERDICT r17 #6
+    — the removal half of t26, completing the substring family the
+    way t23 completes t21): for every maximal shared span, the
+    HIGHER doc_id of the pair (doc_b — doc_a < doc_b always, so the
+    LOWEST doc of each sharing family keeps its canonical copy — the
+    d06/t23 keep-one convention) has the span's token positions
+    [b_start, b_start + span_tokens) removed, token-exact; every
+    other doc, and every uncovered token of a scrubbed doc, survives
+    byte-identically. Documents are REASSEMBLED from surviving
+    tokens in original order (t23's array_sort-inside-agg discipline
+    — the output md5 is stable at any parallelism), emitting
+    (doc_id, n_tokens, n_kept, clean_md5) per tokenizable doc.
+
+    Overlapping spans against DIFFERENT partners union cleanly (the
+    covered-position set distincts on (doc_id, pos)); sub-threshold
+    residue stays by construction — a post-scrub t26 re-run finds
+    nothing ≥ 50 tokens (pinned in pytest). Distributed shape: the
+    t26 stream plus ONE position explode over the span table (tiny —
+    O(spans × span length), never the corpus), one distinct, one
+    keyed left join against the checkpointed token stream; no pass
+    rescans text. At 100 TB this is the remediation job an audit
+    feeds: evidence rows in, surgically-scrubbed corpus out."""
+    tokrows, spans = _t26_stream(spark, sf_dir, pin_tokens=True)
+    covered = (
+        spans.select(
+            F.col("doc_b").alias("doc_id"),
+            F.explode(
+                F.sequence(
+                    F.col("b_start"),
+                    F.col("b_start") + F.col("span_tokens") - 1,
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+        .withColumn("_c", F.lit(True))
+    )
+    joined = tokrows.join(covered, ["doc_id", "pos"], "left").select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.coalesce(~F.col("_c"), F.lit(True)).alias("keep"),
+    )
+    agg = joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("pos").alias("p"),
+                    F.col("keep").alias("k"),
+                    F.col("tok").alias("s"),
+                )
+            )
+        ).alias("arr"),
+    )
+    clean = F.array_join(
+        F.transform(F.filter("arr", lambda x: x["k"]), lambda x: x["s"]),
+        " ",
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_kept",
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+SQL_T27 = _T26_CTES + f"""
+, sp AS (
+  SELECT doc_b, min(pb) AS b_start,
+         max(pb) - min(pb) + {T26_K} AS span_tokens
+  FROM isl
+  GROUP BY doc_a, doc_b, diag, grp
+),
+cov AS (
+  SELECT DISTINCT doc_b AS doc_id, b_start + j AS pos
+  FROM sp, UNNEST(range(span_tokens)) t2(j)
+),
+toks2 AS (
+  SELECT doc_id, i AS pos, toks[i + 1] AS tok
+  FROM tk, UNNEST(range(len(toks))) t(i)
+)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN c.pos IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       md5(coalesce(string_agg(CASE WHEN c.pos IS NULL THEN t.tok END,
+                               ' ' ORDER BY t.pos), ''))
+         AS clean_md5
+FROM toks2 t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+GROUP BY 1
 """
 
 
@@ -16271,6 +16388,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # hash-key == text-key (the d10/SQL_D09 shared-oracle pattern)
     "t25_hashed_decontaminate": (q_t25_hashed_decontaminate, SQL_T24),
     "t26_substring_dedup": (q_t26_substring_dedup, SQL_T26),
+    "t27_span_scrub_pairs": (q_t27_span_scrub_pairs, SQL_T27),
     "p03_training_pipeline": (q_p03_training_pipeline, SQL_P03),
     "p04_drift_gated_admission": (q_p04_drift_gated_admission, SQL_P04),
     "p05_audio_curation": (q_p05_audio_curation, SQL_P05),
@@ -16492,14 +16610,14 @@ _PREFIX = [
     "ac03_zorder_code",
     "b01_b02_csv_roundtrip",
     "b03_symmetric_diff",
-    "c01_sorted_scan",
     # new in round 18 (each displaces one r13-cohort fill slot from
     # the END per the rule above: c05_anti_join is displaced by mm12,
-    # c04_micros_to_currency by st18, c02_filter_nonzero by ac16 —
-    # displaced rows LEAD the r19 plan)
+    # c04_micros_to_currency by st18, c02_filter_nonzero by ac16,
+    # c01_sorted_scan by t27 — displaced rows LEAD the r19 plan)
     "mm12_jpeg_decode",
     "st18_streaming_cdc_apply",
     "ac16_dv_debt_gauge",
+    "t27_span_scrub_pairs",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

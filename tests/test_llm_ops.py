@@ -997,3 +997,66 @@ def test_t26_planting_and_threshold(spark, monkeypatch):
     # and excluded — no pairs at all
     monkeypatch.setattr(R, "T26_CAP", 1)
     assert queries()["t26_substring_dedup"](spark, "ignored").count() == 0
+
+
+def test_t27_scrub_kills_spans_and_keeps_canonical(spark, monkeypatch):
+    """VERDICT r17 #6: t27 scrubs each shared span from the HIGHER
+    doc of the pair, token-exact. On the hand corpus: the canonical
+    (lowest) doc survives byte-identical, scrubbed docs keep exactly
+    their uncovered tokens, sub-threshold overlaps stay untouched —
+    and a t26 re-run over the SCRUBBED corpus finds nothing ≥ the
+    threshold."""
+    import hashlib
+
+    import alternating_least_squares_spark.registry as R
+    from alternating_least_squares_spark.registry import queries
+
+    shared = " ".join(f"s{i}" for i in range(60))
+    sub49 = " ".join(f"s{i}" for i in range(49))
+    texts = {
+        0: " ".join(f"a{i}" for i in range(10)) + " " + shared,
+        7: shared + " " + " ".join(f"b{i}" for i in range(5)),
+        14: "c0 " + sub49 + " c1",
+        21: " ".join(f"a{i}" for i in range(10)) + " " + shared,
+        28: "w0 w1 w2",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    real_load = R.load_table
+    monkeypatch.setattr(
+        R, "load_table",
+        lambda sp, sf, name: docs if name == "documents"
+        else real_load(sp, sf, name),
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["clean_md5"])
+        for r in queries()["t27_span_scrub_pairs"](spark, "ignored").collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # doc 0 is doc_a in every pair it joins: canonical, intact
+    assert got[0] == (70, 70, md5(texts[0]))
+    # doc 7 loses its 60-token shared prefix, keeps the b-tail
+    assert got[7] == (65, 5, md5(" ".join(f"b{i}" for i in range(5))))
+    # doc 21 is an exact dup of doc 0: the whole 70-token doc is the
+    # shared span -> scrubbed to nothing
+    assert got[21] == (70, 0, md5(""))
+    # sub-threshold (49) and windowless docs untouched
+    assert got[14] == (51, 51, md5(texts[14]))
+    assert got[28] == (3, 3, md5(texts[28]))
+
+    # the removal is COMPLETE: t26 over the scrubbed corpus is empty
+    scrubbed_texts = {
+        0: texts[0], 14: texts[14], 28: texts[28],
+        7: " ".join(f"b{i}" for i in range(5)),
+        21: "",
+    }
+    docs2 = spark.createDataFrame(
+        list(scrubbed_texts.items()), "doc_id long, text string"
+    )
+    monkeypatch.setattr(
+        R, "load_table",
+        lambda sp, sf, name: docs2 if name == "documents"
+        else real_load(sp, sf, name),
+    )
+    assert queries()["t26_substring_dedup"](spark, "ignored").count() == 0
