@@ -16553,6 +16553,40 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # which head the r19 plan. New r18 entries displace the r13 fill
 # from the END as always (c05_anti_join first, then
 # c04_micros_to_currency, c02_filter_nonzero, ...).
+# R19 PREFIX PLAN (write-ahead, VERDICT r17 #9; computed from the
+# CORRECTNESS_r01..r17 union with this round's FINAL prefix marked
+# r18 — i.e. AFTER the four new r18 entries (mm12, st18, ac16, t27 —
+# under the <=6 throttle) displaced c05_anti_join,
+# c04_micros_to_currency, c02_filter_nonzero, and c01_sorted_scan
+# from the r13 fill): oldest-first by (round, displaced-first,
+# name). The stale tail is exactly 34 r13 rows (the 4 displaced +
+# 30 leftovers) + the 50-entry r14 cohort, so the plan is all 34
+# r13 rows + the 16-entry r14 cohort head. LEAD with the four
+# displaced rows in displacement order — c05_anti_join,
+# c04_micros_to_currency, c02_filter_nonzero, c01_sorted_scan —
+# then the 30 r13 leftovers, alphabetical: c06_zero_pad, c08_pivot,
+# c08_unpivot, c10_safe_divide, c11_upsert, c12_set_ops,
+# c13_try_arithmetic, c14_nullsafe_join, c15_explode_outer,
+# d01_simhash, d04_dedup_components, d12_threshold_near_dup,
+# d13_simhash_near_dup, e01_hourly_value, e02_json_extract,
+# e04_resample_gapfill, e05_variant_json, g05_grouping_sets,
+# gr09_label_propagation, sql05_shared_pivot, t01_token_stats,
+# t02_quality_score, t03_lang_id, t04_fingerprint,
+# t05_exact_dup_groups, t06_tfidf, v01_cosine_pairs,
+# v02_topk_cosine, v03_quantize_int8, w10_rolling_median — then
+# fill the remaining 16 slots from the 50-entry r14 cohort head,
+# alphabetical: ac04_compact_files, ac05_vacuum,
+# ac06_schema_evolution, ac11_cluster_optimize, ac12_restore,
+# b06_corrupt_records, c03_projection, c07_sort_by_key,
+# c09_ones_matrix, d02_jaccard_pairs, d06_keep_one, d14_url_dedup,
+# d15_threshold_collapse, e08_ohlc_bars, e20_last_touch_attribution,
+# e21_retention_cohorts — exactly 4 + 30 + 16 = 50. After r19 the
+# r13 cohort is fully retired and the stale tail is the 34 r14
+# leftovers (g04b_sketch_exact_regime, gr10_ktruss, j02_range_join,
+# ...) + the r15 cohort, which head the
+# r20 plan. New r19 entries displace the r14 fill from the END as
+# always (e21_retention_cohorts first, then e20_last_touch_attribution,
+# e08_ohlc_bars, ...).
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix as ever.
 _PREFIX = [
