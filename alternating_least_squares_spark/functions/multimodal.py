@@ -2352,3 +2352,69 @@ def decode_jpeg_features(
     return df.select(id_col, blob_col).mapInPandas(
         batches, PNG_DECODE_SCHEMA
     )
+
+
+def attach_mixed_media_blob(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The mm13 mixed-corpus fixture: one REAL container per row with
+    the format chosen by ``id % 3`` — uncompressed BMP, filtered RGB
+    PNG, or baseline 4:4:4 JPEG — all planted from the SAME
+    :func:`jpeg_tile_value` RGB tile contract (8-multiple dims,
+    tile-constant colors: lossless through BMP/PNG by format and
+    through JPEG by the mm12 DC-exactness construction). This is the
+    real shape of a scraped corpus: the decoder cannot assume a
+    format per partition, only per payload. Arrow-batched 1:1."""
+
+    def build(d: int, _v) -> bytes:
+        w, h = 8 * (d % 2 + 1), 8 * ((d // 3) % 3 + 1)
+        px = bytearray()
+        for yy in range(h):
+            for xx in range(w):
+                tx, ty = xx // 8, yy // 8
+                px += bytes(
+                    jpeg_tile_value(d, tx, ty, c) for c in range(3)
+                )
+        px = bytes(px)
+        if d % 3 == 0:
+            return encode_bmp(px, w, h)
+        if d % 3 == 1:
+            return encode_png(px, w, h, 3, [(d + r) % 5 for r in range(h)])
+        return encode_jpeg(px, w, h, 3)
+
+    return _attach_blob_1to1(docs, build, id_col=id_col)
+
+
+def decode_image_features(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Format-agnostic decode over a MIXED media column via
+    :func:`decode_image`'s signature dispatch — the mm08 feature shape
+    (dims, channels, decoded-pixel md5) for a corpus where every row
+    may carry a different container. Arrow-batched 1:1; unknown
+    signatures and corrupt payloads raise (fail loud)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids, ws, hs, chs, digests = [], [], [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                data = bytes(blob) if blob is not None else b""
+                w, h, ch, px = decode_image(data)
+                ids.append(int(doc_id))
+                ws.append(w)
+                hs.append(h)
+                chs.append(ch)
+                digests.append(hashlib.md5(px).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "channels": pd.Series(chs, dtype="int32"),
+                    "pixel_md5": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        batches, PNG_DECODE_SCHEMA
+    )

@@ -8637,6 +8637,94 @@ FROM pix
 """
 
 
+def q_mm13_decode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXED-format corpus decode through the uniform signature
+    dispatch (the round-18 capstone over mm01-mm12: with every
+    supported container now owning a REAL stdlib decoder,
+    ``decode_image`` routes BY PAYLOAD — the real shape of a scraped
+    media corpus, where no partition is format-homogeneous): each doc
+    plants one genuine container chosen by ``id % 3`` — uncompressed
+    BMP, filtered RGB PNG, baseline 4:4:4 JPEG — all from the SAME
+    jpeg_tile_value RGB tile contract, and one
+    ``decode_image_features`` pass decodes all three through the
+    magic-byte dispatch. Exactness: BMP and PNG are lossless by
+    format (decode == planted bytes verbatim — PNG additionally
+    exercises per-row filters (id+row)%5 through the dispatch path);
+    JPEG is lossless on the tile-constant class by the mm12 DC
+    construction, decoding to the fixed-point YCbCr roundtrip. The
+    oracle builds BOTH pixel strings per doc and selects by id%3 —
+    one hash certifies all three decoders AND the dispatch glue.
+    Scale: the mm06-mm12 shape — one narrow Arrow pass, no shuffle,
+    per-payload branching costs nothing plan-side."""
+    from alternating_least_squares_spark.functions.multimodal import (
+        attach_mixed_media_blob,
+        decode_image_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_image_features(attach_mixed_media_blob(docs))
+
+
+SQL_MM13 = """
+WITH dim AS (
+  SELECT doc_id,
+         CAST(8 * (doc_id % 2 + 1) AS INTEGER) AS width,
+         CAST(8 * ((doc_id // 3) % 3 + 1) AS INTEGER) AS height
+  FROM documents
+),
+px AS (
+  SELECT doc_id, width, height, i,
+         (i % width) // 8 AS tx, (i // width) // 8 AS ty
+  FROM dim, unnest(generate_series(0, width * height - 1)) t(i)
+),
+rgb AS (
+  SELECT *,
+         16 + (doc_id * 7 + tx * 13 + ty * 29) % 85 AS r,
+         16 + (doc_id * 11 + tx * 17 + ty * 23) % 85 AS g,
+         16 + (doc_id * 13 + tx * 19 + ty * 31) % 85 AS b
+  FROM px
+),
+ycc AS (
+  SELECT *,
+    LEAST(255, GREATEST(0,
+      (19595*r + 38470*g + 7471*b + 32768 + 16777216) // 65536 - 256))
+      AS y,
+    LEAST(255, GREATEST(0, 128 +
+      ((-11059)*r - 21709*g + 32768*b + 32768 + 16777216) // 65536 - 256))
+      AS cb,
+    LEAST(255, GREATEST(0, 128 +
+      (32768*r - 27439*g - 5329*b + 32768 + 16777216) // 65536 - 256))
+      AS cr
+  FROM rgb
+),
+dec AS (
+  SELECT *,
+    LEAST(255, GREATEST(0,
+      y + (91881*(cr-128) + 32768 + 16777216) // 65536 - 256)) AS r2,
+    LEAST(255, GREATEST(0,
+      y + ((-22554)*(cb-128) - 46802*(cr-128) + 32768 + 16777216)
+          // 65536 - 256)) AS g2,
+    LEAST(255, GREATEST(0,
+      y + (116130*(cb-128) + 32768 + 16777216) // 65536 - 256)) AS b2
+  FROM ycc
+),
+pix AS (
+  SELECT doc_id, width, height,
+         string_agg(chr(CAST(r AS INTEGER)) || chr(CAST(g AS INTEGER))
+                    || chr(CAST(b AS INTEGER)), '' ORDER BY i)
+           AS pixels_raw,
+         string_agg(chr(CAST(r2 AS INTEGER)) || chr(CAST(g2 AS INTEGER))
+                    || chr(CAST(b2 AS INTEGER)), '' ORDER BY i)
+           AS pixels_jpg
+  FROM dec GROUP BY 1, 2, 3
+)
+SELECT doc_id, width, height, CAST(3 AS INTEGER) AS channels,
+       md5(CASE WHEN doc_id % 3 = 2 THEN pixels_jpg
+                ELSE pixels_raw END) AS pixel_md5
+FROM pix
+"""
+
+
 P05_PEAK_MAX = 32_000        # clipping gate: max|s| must stay under
 P05_ENERGY_MIN = 340_000_000  # silence gate: mean energy per sample
 
@@ -16284,6 +16372,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "mm10_interlaced_png": (q_mm10_interlaced_png, SQL_MM10),
     "mm11_deep_png": (q_mm11_deep_png, SQL_MM11),
     "mm12_jpeg_decode": (q_mm12_jpeg_decode, SQL_MM12),
+    "mm13_decode_dispatch": (q_mm13_decode_dispatch, SQL_MM13),
     "d01_simhash": (q_d01_simhash, SQL_D01),
     "d02_jaccard_pairs": (q_d02_jaccard_pairs, SQL_D02),
     "d03_minhash_near_dup": (q_d03_minhash_near_dup, SQL_D03),
@@ -16555,15 +16644,16 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # c04_micros_to_currency, c02_filter_nonzero, ...).
 # R19 PREFIX PLAN (write-ahead, VERDICT r17 #9; computed from the
 # CORRECTNESS_r01..r17 union with this round's FINAL prefix marked
-# r18 — i.e. AFTER the four new r18 entries (mm12, st18, ac16, t27 —
-# under the <=6 throttle) displaced c05_anti_join,
-# c04_micros_to_currency, c02_filter_nonzero, and c01_sorted_scan
-# from the r13 fill): oldest-first by (round, displaced-first,
-# name). The stale tail is exactly 34 r13 rows (the 4 displaced +
-# 30 leftovers) + the 50-entry r14 cohort, so the plan is all 34
-# r13 rows + the 16-entry r14 cohort head. LEAD with the four
-# displaced rows in displacement order — c05_anti_join,
-# c04_micros_to_currency, c02_filter_nonzero, c01_sorted_scan —
+# r18 — i.e. AFTER the five new r18 entries (mm12, st18, ac16, t27,
+# mm13 — under the <=6 throttle) displaced c05_anti_join,
+# c04_micros_to_currency, c02_filter_nonzero, c01_sorted_scan, and
+# b03_symmetric_diff from the r13 fill): oldest-first by (round,
+# displaced-first, name). The stale tail is exactly 35 r13 rows (the
+# 5 displaced + 30 leftovers) + the 50-entry r14 cohort, so the plan
+# is all 35 r13 rows + the 15-entry r14 cohort head. LEAD with the
+# five displaced rows in displacement order — c05_anti_join,
+# c04_micros_to_currency, c02_filter_nonzero, c01_sorted_scan,
+# b03_symmetric_diff —
 # then the 30 r13 leftovers, alphabetical: c06_zero_pad, c08_pivot,
 # c08_unpivot, c10_safe_divide, c11_upsert, c12_set_ops,
 # c13_try_arithmetic, c14_nullsafe_join, c15_explode_outer,
@@ -16574,19 +16664,19 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # t02_quality_score, t03_lang_id, t04_fingerprint,
 # t05_exact_dup_groups, t06_tfidf, v01_cosine_pairs,
 # v02_topk_cosine, v03_quantize_int8, w10_rolling_median — then
-# fill the remaining 16 slots from the 50-entry r14 cohort head,
+# fill the remaining 15 slots from the 50-entry r14 cohort head,
 # alphabetical: ac04_compact_files, ac05_vacuum,
 # ac06_schema_evolution, ac11_cluster_optimize, ac12_restore,
 # b06_corrupt_records, c03_projection, c07_sort_by_key,
 # c09_ones_matrix, d02_jaccard_pairs, d06_keep_one, d14_url_dedup,
-# d15_threshold_collapse, e08_ohlc_bars, e20_last_touch_attribution,
-# e21_retention_cohorts — exactly 4 + 30 + 16 = 50. After r19 the
-# r13 cohort is fully retired and the stale tail is the 34 r14
-# leftovers (g04b_sketch_exact_regime, gr10_ktruss, j02_range_join,
-# ...) + the r15 cohort, which head the
-# r20 plan. New r19 entries displace the r14 fill from the END as
-# always (e21_retention_cohorts first, then e20_last_touch_attribution,
-# e08_ohlc_bars, ...).
+# d15_threshold_collapse, e08_ohlc_bars, e20_last_touch_attribution —
+# exactly 5 + 30 + 15 = 50. After r19 the r13 cohort is fully
+# retired and the stale tail is the 35 r14 leftovers
+# (e21_retention_cohorts, g04b_sketch_exact_regime, gr10_ktruss,
+# ...) + the r15 cohort, which head the r20 plan. New r19 entries
+# displace the r14 fill from the END as always
+# (e20_last_touch_attribution first, then e08_ohlc_bars,
+# d15_threshold_collapse, ...).
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix as ever.
 _PREFIX = [
@@ -16643,15 +16733,16 @@ _PREFIX = [
     "ac02_time_travel",
     "ac03_zorder_code",
     "b01_b02_csv_roundtrip",
-    "b03_symmetric_diff",
     # new in round 18 (each displaces one r13-cohort fill slot from
     # the END per the rule above: c05_anti_join is displaced by mm12,
     # c04_micros_to_currency by st18, c02_filter_nonzero by ac16,
-    # c01_sorted_scan by t27 — displaced rows LEAD the r19 plan)
+    # c01_sorted_scan by t27, b03_symmetric_diff by mm13 — displaced
+    # rows LEAD the r19 plan)
     "mm12_jpeg_decode",
     "st18_streaming_cdc_apply",
     "ac16_dv_debt_gauge",
     "t27_span_scrub_pairs",
+    "mm13_decode_dispatch",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

@@ -1592,3 +1592,40 @@ def test_jpeg_attach_decode_sparkside(spark):
                 )
             exp = bytes(buf)
         assert md == _hl.md5(exp).hexdigest()
+
+
+def test_mixed_media_dispatch_sparkside(spark):
+    """mm13: a format-heterogeneous corpus (BMP/PNG/JPEG by id%3, all
+    planted from the same RGB tile contract) decodes through ONE
+    decode_image_features pass — BMP/PNG byte-exact, JPEG as the
+    fixed-point roundtrip."""
+    import hashlib as _hl
+
+    from alternating_least_squares_spark.functions.multimodal import (
+        attach_mixed_media_blob,
+        decode_image_features,
+        jpeg_rgb_to_ycc,
+        jpeg_tile_value,
+        jpeg_ycc_to_rgb,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id").limit(30)
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["channels"], r["pixel_md5"])
+        for r in decode_image_features(attach_mixed_media_blob(docs)).collect()
+    }
+    assert len(got) == 30
+    for d, (w, h, ch, md) in got.items():
+        ew, eh = 8 * (d % 2 + 1), 8 * ((d // 3) % 3 + 1)
+        assert (w, h, ch) == (ew, eh, 3)
+        exp = bytearray()
+        for yy in range(eh):
+            for xx in range(ew):
+                tx, ty = xx // 8, yy // 8
+                rgb = tuple(
+                    jpeg_tile_value(d, tx, ty, c) for c in range(3)
+                )
+                if d % 3 == 2:  # jpeg: fixed-point roundtrip
+                    rgb = jpeg_ycc_to_rgb(*jpeg_rgb_to_ycc(*rgb))
+                exp += bytes(rgb)
+        assert md == _hl.md5(bytes(exp)).hexdigest(), f"doc {d} ({d % 3})"
