@@ -547,7 +547,7 @@ def resize_bmp_nearest(
 # PCM is the one audio format decodable with zero third-party deps
 # (numpy.frombuffer over raw little-endian int16 IS the decode a WAV
 # data chunk needs), so — exactly like the BMP path above vs the
-# PIL-gated PNG/JPEG stub — the audio rung of the media ladder gets a
+# then-PIL-gated PNG/JPEG stub — the audio rung of the media ladder gets a
 # REAL decode stage, not a byte-level stand-in. Compressed codecs
 # (mp3/flac/ogg) stay behind decode_image-style loud gates if ever
 # needed; the Spark-side plumbing (binary column, Arrow batches,
@@ -851,8 +851,9 @@ def wav_features(
 # arithmetic. The pair below builds and parses the COMMON cases:
 # 8/16-bit RGB/RGBA and 8-bit palette, interlaced (Adam7) or not,
 # critical chunks IHDR/PLTE/IDAT/IEND (ancillary chunks skipped by
-# the walk, CRCs verified). Only JPEG stays behind the decode_image
-# PIL gate: loud, never faked. Same discipline that took BMP
+# the walk, CRCs verified). JPEG closed in round 18
+# (encode_jpeg/decode_jpeg below) — the PIL gate is gone. Same
+# discipline that took BMP
 # (encode_bmp/decode_bmp, round 9) and WAV (encode_wav/decode_wav,
 # round 14) real.
 
@@ -1124,8 +1125,7 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
     compression 0, filter method 0, interlace 0 (sequential) or 1
     (Adam7 — each pass sub-image unfiltered independently, then
     scattered to final positions) — anything else raises ValueError
-    (the loud-gate discipline; decode_image's PIL gate is the route
-    for JPEG). The five scanline filters
+    (the loud-gate discipline). The five scanline filters
     (None/Sub/Up/Average/Paeth) are all implemented; zlib failures,
     size mismatches, a missing/malformed/duplicated/late PLTE, and
     out-of-range palette indices surface as ValueError, the module's
@@ -1211,8 +1211,7 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError(
             f"only 8/16-bit RGB/RGBA or 8-bit palette PNG (interlace "
             f"0 or Adam7) is supported (depth={depth}, color={color}, "
-            f"interlace={interlace}); decode_image's PIL gate handles "
-            "the rest"
+            f"interlace={interlace})"
         )
     if color == 3 and plte is None:
         raise ValueError("palette PNG (color type 3) without a PLTE chunk")
@@ -1493,14 +1492,16 @@ def png_pixel_stats(
     )
 
 
-def decode_png_features(
-    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+def _decode_features_1to1(
+    df: DataFrame, decode_fn, id_col: str, blob_col: str
 ) -> DataFrame:
-    """Decode PNG payloads (``decode_png``) into parsed dimensions,
-    channel count, and the md5 of the decoded top-down pixel bytes —
-    the heavy blob dies at this stage, five narrow columns ride on.
-    Arrow-batched 1:1 ``mapInPandas``; corrupt payloads raise (fail
-    loud; b06 is the quarantine pattern)."""
+    """Shared Arrow-batched decode-to-features scaffold (review r18:
+    the PNG/JPEG/dispatch feature functions were three verbatim
+    copies of this loop — the attach-side lesson of
+    ``_attach_blob_1to1`` applied to the decode side).
+    ``decode_fn(bytes) -> (width, height, channels, pixels)``; NULL
+    payloads read as empty bytes (the shared contract), corrupt
+    payloads raise (fail loud)."""
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
@@ -1509,7 +1510,7 @@ def decode_png_features(
             ids, ws, hs, chs, digests = [], [], [], [], []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
                 data = bytes(blob) if blob is not None else b""
-                w, h, ch, px = decode_png(data)
+                w, h, ch, px = decode_fn(data)
                 ids.append(int(doc_id))
                 ws.append(w)
                 hs.append(h)
@@ -1528,6 +1529,18 @@ def decode_png_features(
     return df.select(id_col, blob_col).mapInPandas(
         batches, PNG_DECODE_SCHEMA
     )
+
+
+def decode_png_features(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Decode PNG payloads (``decode_png``) into parsed dimensions,
+    channel count, and the md5 of the decoded top-down pixel bytes —
+    the heavy blob dies at this stage, five narrow columns ride on.
+    Arrow-batched 1:1 ``mapInPandas``; corrupt payloads raise (fail
+    loud; b06 is the quarantine pattern)."""
+
+    return _decode_features_1to1(df, decode_png, id_col, blob_col)
 
 
 # --------------------------------------------------------------------
@@ -1897,6 +1910,25 @@ def _jpeg_planes(pixels: bytes, width: int, height: int, channels: int):
     )
 
 
+def _jpeg_ycc_planes_to_rgb(y, cb, cr) -> bytes:
+    """Vectorized twin of :func:`jpeg_ycc_to_rgb` over int64 planes —
+    the ONE copy of the fixed-point inverse both decode_jpeg and
+    jpeg_reconstruction share, so the decode == encode⁻¹ pin cannot
+    be broken by the two paths drifting (review r18)."""
+    import numpy as np
+
+    r = y + ((91881 * (cr - 128) + 32768 + _JPEG_B24) // 65536 - 256)
+    g = y + (
+        (-22554 * (cb - 128) - 46802 * (cr - 128) + 32768 + _JPEG_B24)
+        // 65536
+        - 256
+    )
+    b = y + ((116130 * (cb - 128) + 32768 + _JPEG_B24) // 65536 - 256)
+    return np.stack(
+        [np.clip(p, 0, 255).astype(np.uint8) for p in (r, g, b)], axis=-1
+    ).tobytes()
+
+
 def encode_jpeg(
     pixels: bytes, width: int, height: int, channels: int = 1
 ) -> bytes:
@@ -1914,6 +1946,13 @@ def encode_jpeg(
         )
     if width < 1 or height < 1:
         raise ValueError("encode_jpeg: empty image")
+    if width > 65535 or height > 65535:
+        # SOF0 carries dims as 16-bit fields; check here so the crash
+        # class stays ValueError, not struct.error (review r18)
+        raise ValueError(
+            f"encode_jpeg: dimensions {width}x{height} exceed the "
+            "format's 65535 limit"
+        )
     if len(pixels) != width * height * channels:
         raise ValueError(
             f"encode_jpeg: got {len(pixels)} bytes for "
@@ -2033,16 +2072,7 @@ def jpeg_reconstruction(
     if channels == 1:
         return recon[0].tobytes()
     y, cb, cr = (p.astype(np.int64) for p in recon)
-    r = y + ((91881 * (cr - 128) + 32768 + _JPEG_B24) // 65536 - 256)
-    g = y + (
-        (-22554 * (cb - 128) - 46802 * (cr - 128) + 32768 + _JPEG_B24)
-        // 65536
-        - 256
-    )
-    b = y + ((116130 * (cb - 128) + 32768 + _JPEG_B24) // 65536 - 256)
-    return np.stack(
-        [np.clip(p, 0, 255).astype(np.uint8) for p in (r, g, b)], axis=-1
-    ).tobytes()
+    return _jpeg_ycc_planes_to_rgb(y, cb, cr)
 
 
 def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
@@ -2071,6 +2101,13 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("jpeg: truncated before SOS")
         if blob[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at byte {pos}")
+        # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede a
+        # marker code — skip them instead of misreading 0xFF as the
+        # code and the real marker as a segment length (review r18)
+        while pos + 1 < len(blob) and blob[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(blob):
+            raise ValueError("jpeg: truncated fill bytes before marker")
         m = blob[pos + 1]
         pos += 2
         if m == 0xD8:
@@ -2251,29 +2288,7 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
             y, cb, cr = (
                 p[:h, :w_].astype(np.int64) for p in planes
             )
-            r = y + (
-                (91881 * (cr - 128) + 32768 + _JPEG_B24) // 65536 - 256
-            )
-            g = y + (
-                (-22554 * (cb - 128) - 46802 * (cr - 128) + 32768 + _JPEG_B24)
-                // 65536
-                - 256
-            )
-            b = y + (
-                (116130 * (cb - 128) + 32768 + _JPEG_B24) // 65536 - 256
-            )
-            return (
-                w_,
-                h,
-                3,
-                np.stack(
-                    [
-                        np.clip(p, 0, 255).astype(np.uint8)
-                        for p in (r, g, b)
-                    ],
-                    axis=-1,
-                ).tobytes(),
-            )
+            return w_, h, 3, _jpeg_ycc_planes_to_rgb(y, cb, cr)
         # else: APPn / COM / other length-bearing segments are skipped
 
 
@@ -2326,32 +2341,7 @@ def decode_jpeg_features(
     ride on. Arrow-batched 1:1 ``mapInPandas``; corrupt payloads
     raise (fail loud)."""
 
-    def batches(it: Iterator) -> Iterator:
-        import pandas as pd
-
-        for pdf in it:
-            ids, ws, hs, chs, digests = [], [], [], [], []
-            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
-                data = bytes(blob) if blob is not None else b""
-                w, h, ch, px = decode_jpeg(data)
-                ids.append(int(doc_id))
-                ws.append(w)
-                hs.append(h)
-                chs.append(ch)
-                digests.append(hashlib.md5(px).hexdigest())
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "width": pd.Series(ws, dtype="int32"),
-                    "height": pd.Series(hs, dtype="int32"),
-                    "channels": pd.Series(chs, dtype="int32"),
-                    "pixel_md5": pd.Series(digests, dtype="object"),
-                }
-            )
-
-    return df.select(id_col, blob_col).mapInPandas(
-        batches, PNG_DECODE_SCHEMA
-    )
+    return _decode_features_1to1(df, decode_jpeg, id_col, blob_col)
 
 
 def attach_mixed_media_blob(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -2392,29 +2382,4 @@ def decode_image_features(
     may carry a different container. Arrow-batched 1:1; unknown
     signatures and corrupt payloads raise (fail loud)."""
 
-    def batches(it: Iterator) -> Iterator:
-        import pandas as pd
-
-        for pdf in it:
-            ids, ws, hs, chs, digests = [], [], [], [], []
-            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
-                data = bytes(blob) if blob is not None else b""
-                w, h, ch, px = decode_image(data)
-                ids.append(int(doc_id))
-                ws.append(w)
-                hs.append(h)
-                chs.append(ch)
-                digests.append(hashlib.md5(px).hexdigest())
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "width": pd.Series(ws, dtype="int32"),
-                    "height": pd.Series(hs, dtype="int32"),
-                    "channels": pd.Series(chs, dtype="int32"),
-                    "pixel_md5": pd.Series(digests, dtype="object"),
-                }
-            )
-
-    return df.select(id_col, blob_col).mapInPandas(
-        batches, PNG_DECODE_SCHEMA
-    )
+    return _decode_features_1to1(df, decode_image, id_col, blob_col)

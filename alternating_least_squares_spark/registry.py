@@ -8248,7 +8248,7 @@ FROM documents
 def q_mm06_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode + frame analysis (the audio rung of the
     media ladder, with an actual decode the way mm01/mm05's BMP path
-    is real where PNG/JPEG stay PIL-gated): a deterministic int16
+    was real while PNG/JPEG were still PIL-gated): a deterministic int16
     little-endian PCM waveform is planted per doc (attach_pcm_blob —
     raw WAV-data-chunk bytes through an Arrow boundary), then
     pcm_frame_features parses it with numpy.frombuffer (THE decode
@@ -8358,9 +8358,10 @@ def q_mm08_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoder that mishandles any filter type reconstructs wrong
     pixels and hash-breaks. The oracle restates the decoded
     scanlines arithmetically (text substring+rpad), which decode ==
-    encode⁻¹ makes filter-independent. 8-bit RGB/RGBA non-interlaced
-    only; palette/16-bit/interlaced/JPEG stay behind the
-    decode_image PIL gate, loud. Scale: one narrow Arrow pass per
+    encode⁻¹ makes filter-independent. This entry is 8-bit RGB/RGBA
+    non-interlaced; palette (mm09), interlaced (mm10), 16-bit (mm11)
+    and JPEG (mm12) each closed in later rounds — the PIL gate is
+    gone. Scale: one narrow Arrow pass per
     side, no shuffle; the blob dies at the decode stage — five
     narrow columns ride on (the mm06/mm07 shape)."""
     from alternating_least_squares_spark.functions.multimodal import (
@@ -8466,7 +8467,8 @@ def q_mm10_interlaced_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     restates the decoded pixels arithmetically (text substring+rpad),
     which decode == encode⁻¹ makes both filter- AND
     interlace-independent — the strongest form of the mm08 contract.
-    The PIL gate shrinks to 16-bit depth + JPEG. Scale: one narrow
+    The PIL gate shrank to 16-bit depth + JPEG (both closed since).
+    Scale: one narrow
     Arrow pass per side, no shuffle; the blob dies at the decode
     stage (the mm06-mm09 shape)."""
     from alternating_least_squares_spark.functions.multimodal import (

@@ -299,12 +299,18 @@ def _ledger_already_applied(
     can redeliver is exactly the stamped one — foreachBatch redelivers
     only the last batch whose checkpoint write didn't land; every
     earlier id is behind the committed offset and every later id is
-    new work — so equality, and only equality, skips. A FRESH
-    checkpoint's batch 0 against a legacy table therefore re-applies
-    (the compliance-safe direction for erasure; for the summing
-    profile sink the one ambiguous case — a new feed whose batch 0
-    meets a legacy stamp of exactly 0 — re-applies too, matching the
-    documented new-feed-re-ingests contract).
+    new work — so equality, and only equality, skips; only the
+    NEWEST legacy stamp participates (deeper ones are older lineage
+    history), and the feed's OWN scoped stamp anywhere in the walk
+    takes precedence over a legacy stamp above it (review r18: a
+    mixed-version deployment interleaves both, and stopping at the
+    first bare stamp would shadow the scoped ledger and double-apply
+    a redelivered summing batch). A FRESH checkpoint's batch 0
+    against a legacy table therefore re-applies (the compliance-safe
+    direction for erasure; for the summing profile sink the one
+    ambiguous case — a new feed whose batch 0 meets a legacy stamp of
+    exactly 0 — re-applies too, matching the documented
+    new-feed-re-ingests contract).
 
     Scan bound (ADVICE r17 / VERDICT r17 #8): ``memo`` (per-run
     dict, shared with the caller's feed-id cache) caps the walk.
@@ -323,17 +329,29 @@ def _ledger_already_applied(
         return batch_id <= last
     versions = SN._list_versions(table_path)
     floor = memo.get("_ledger_floor", -1)
+    legacy_skip = None
     for v in reversed(versions):
         if v <= floor:
             break
         m = SN._read_manifest(table_path, v)
         if m.get(feed_key) == feed_id:
+            # this feed's own stamp wins even when a legacy (or other
+            # writer's) commit sits ABOVE it — the walk must not stop
+            # at the first bare stamp or a mixed-version deployment
+            # (upgraded sink + not-yet-upgraded writer) would shadow
+            # the scoped ledger and double-apply (review r18)
             memo["_ledger_last"] = m[id_key]
             return batch_id <= m[id_key]
-        if feed_key not in m and id_key in m:
-            # legacy bare stamp: equality-only fallback (see above);
-            # don't memoize — the feed's own first commit will.
-            return batch_id == m[id_key]
+        if legacy_skip is None and feed_key not in m and id_key in m:
+            # NEWEST legacy bare stamp only: equality-only fallback
+            # (see above). Deeper legacy stamps are older lineage
+            # history — matching them would wrongly skip fresh work.
+            # Recorded, not returned: the feed's own stamp deeper in
+            # the history still takes precedence. Not memoized — the
+            # feed's own first commit will be.
+            legacy_skip = batch_id == m[id_key]
+    if legacy_skip is not None:
+        return legacy_skip
     memo["_ledger_floor"] = versions[-1] if versions else -1
     return False
 
@@ -664,6 +682,26 @@ def _apply_cdc_batch(
     if not versions:
         raise FileNotFoundError(f"no snapshot table at {table_path}")
     key = SN._read_manifest(table_path, versions[-1])["key"]
+    # fail LOUD on unclassifiable rows before anything commits: a NULL
+    # change_type vanishes from both filters below (NULL comparisons)
+    # and a misspelled type would merge as an upsert carrying NULL
+    # payloads — both silently diverge the replica (review r18). The
+    # probe is O(batch) and short-circuits at the first bad row.
+    bad = (
+        batch_df.filter(
+            F.col("change_type").isNull()
+            | ~F.col("change_type").isin("insert", "update", "delete")
+        )
+        .select("change_type")
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"cdc apply: unclassifiable change_type "
+            f"{bad[0]['change_type']!r} in batch {batch_id} (expected "
+            "insert/update/delete)"
+        )
     upserts = batch_df.filter(F.col("change_type") != "delete").drop(
         "change_type"
     )

@@ -1629,3 +1629,29 @@ def test_mixed_media_dispatch_sparkside(spark):
                     rgb = jpeg_ycc_to_rgb(*jpeg_rgb_to_ycc(*rgb))
                 exp += bytes(rgb)
         assert md == _hl.md5(bytes(exp)).hexdigest(), f"doc {d} ({d % 3})"
+
+
+def test_jpeg_fill_bytes_and_dimension_limit():
+    """Review r18: T.81 B.1.1.2 permits 0xFF FILL bytes before any
+    marker — the walk must skip them, not misparse; and over-65535
+    dims refuse with the module's ValueError crash class, not a
+    struct.error."""
+    from alternating_least_squares_spark.functions.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    px = bytes(range(64))
+    good = encode_jpeg(px, 8, 8, 1)
+    # insert fill bytes before the DQT and the SOS markers
+    i = good.index(b"\xff\xdb")
+    j = good.index(b"\xff\xda")
+    filled = (
+        good[:i] + b"\xff" * 3 + good[i:j] + b"\xff" + good[j:]
+    )
+    assert decode_jpeg(filled) == decode_jpeg(good)
+    # trailing fill bytes at EOF still refuse (truncated marker)
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:i] + b"\xff\xff")
+    with pytest.raises(ValueError, match="65535"):
+        encode_jpeg(b"\x00" * 70000, 70000, 1, 1)

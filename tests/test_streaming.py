@@ -1329,3 +1329,92 @@ def test_cdc_stream_fresh_checkpoint_reapply(spark, tmp_path):
     assert {
         (r["k"], r["v"]) for r in SN.read_snapshot(spark, replica).collect()
     } == want
+
+
+def test_ledger_feed_stamp_wins_over_newer_legacy(spark, tmp_path):
+    """Review r18: a mixed-version deployment interleaves feed-scoped
+    and legacy bare stamps. The feed's OWN stamp deeper in the walk
+    must win over a legacy stamp above it (else a redelivered summing
+    batch re-applies), and only the NEWEST legacy stamp participates
+    in the equality fallback."""
+    from pyspark.sql import functions as F
+
+    from alternating_least_squares_spark.sources import snapshot as SN
+    from alternating_least_squares_spark.streaming.events import (
+        _apply_erasure_batch,
+        _ledger_already_applied,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.range(30).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    SN.create_table(base, path, key="k")
+    # upgraded sink commits feed-scoped batch 5...
+    assert _apply_erasure_batch(
+        spark.createDataFrame([(1,)], "k long"), 5, path, "F"
+    ) is True
+    # ...then a not-yet-upgraded writer stamps a bare batch_id above it
+    SN.delete_keys_dv(
+        path,
+        spark.createDataFrame([(2,)], "k long"),
+        extra={"erasure_batch_id": 3},
+    )
+    # F's batch 5 redelivered: must be SKIPPED (scoped stamp wins)
+    assert _apply_erasure_batch(
+        spark.createDataFrame([(1,)], "k long"), 5, path, "F"
+    ) is False
+    # and F's next batch still applies
+    assert _apply_erasure_batch(
+        spark.createDataFrame([(3,)], "k long"), 6, path, "F"
+    ) is True
+
+    # only the NEWEST legacy stamp participates: legacy stamps 3 (old)
+    # then 7 (new); a fresh feed's batch 3 must NOT match the deep one
+    path2 = str(tmp_path / "t2")
+    SN.create_table(base, path2, key="k")
+    SN.delete_keys_dv(
+        path2, spark.createDataFrame([(1,)], "k long"),
+        extra={"erasure_batch_id": 3},
+    )
+    SN.delete_keys_dv(
+        path2, spark.createDataFrame([(2,)], "k long"),
+        extra={"erasure_batch_id": 7},
+    )
+    assert _ledger_already_applied(
+        path2, "erasure_feed", "erasure_batch_id", "G", 3
+    ) is False
+    assert _ledger_already_applied(
+        path2, "erasure_feed", "erasure_batch_id", "G", 7
+    ) is True
+
+
+def test_cdc_batch_rejects_unclassifiable_change_type(spark, tmp_path):
+    """Review r18: NULL or misspelled change_type must fail the batch
+    loudly before anything commits — a NULL row would vanish from
+    both filters and a 'DELETE' would merge as an upsert."""
+    from pyspark.sql import functions as F
+
+    from alternating_least_squares_spark.sources import snapshot as SN
+    from alternating_least_squares_spark.streaming.events import (
+        _apply_cdc_batch,
+    )
+
+    path = str(tmp_path / "replica")
+    SN.create_table(
+        spark.range(5).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        path,
+        key="k",
+    )
+    import pytest
+
+    for bad_type in (None, "DELETE", "remove"):
+        batch = spark.createDataFrame(
+            [(1, "update", 11), (2, bad_type, 22)],
+            "k long, change_type string, v long",
+        )
+        with pytest.raises(ValueError, match="unclassifiable change_type"):
+            _apply_cdc_batch(batch, 0, path, "feedA")
+    assert SN._list_versions(path) == [0]  # nothing committed
