@@ -1655,3 +1655,32 @@ def test_jpeg_fill_bytes_and_dimension_limit():
         decode_jpeg(good[:i] + b"\xff\xff")
     with pytest.raises(ValueError, match="65535"):
         encode_jpeg(b"\x00" * 70000, 70000, 1, 1)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=hst.integers(1, 34),
+    h=hst.integers(1, 34),
+    ch=hst.sampled_from([1, 3]),
+    pxseed=hst.integers(0, 10**9),
+)
+def test_jpeg_reconstruction_property(w, h, ch, pxseed):
+    """Any dimensions (including non-multiple-of-8 partial MCUs), any
+    pixel content, gray or 4:4:4: decode_jpeg(encode_jpeg(x)) equals
+    the encoder's predicted reconstruction BIT-exactly — the
+    decode == encode⁻¹ pin stated in full, with the drawn content
+    driving arbitrary Huffman AC paths (runs, ZRL, EOB positions,
+    magnitude categories) and DC prediction chains. Deterministic
+    content derived from the drawn seed (the PNG property's
+    discipline)."""
+    from alternating_least_squares_spark.functions.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_reconstruction,
+    )
+
+    n = w * h * ch
+    px = bytes((pxseed // (3 ** (i % 19)) + 7 * i) % 256 for i in range(n))
+    assert decode_jpeg(encode_jpeg(px, w, h, ch)) == (
+        w, h, ch, jpeg_reconstruction(px, w, h, ch)
+    )
