@@ -13340,6 +13340,106 @@ WHERE (o_orderkey % 4 != 0 OR o_orderkey % 8 <= 1)
 """
 
 
+def q_st19_streaming_fold_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The erasure feed with the compaction policy wired in (the
+    st17 + ac16 composition; streaming/events.stream_erase_with_auto_fold):
+    erasure-request waves stream into the snapshot table as stamped
+    merge-on-read deletes, and after each applied batch the DV debt
+    gauge — read from manifests alone — triggers ``cluster_optimize``
+    ONLY when debt_ppm exceeds the threshold. The threshold is pinned
+    to the FIRST wave's exact post-delete debt, so wave 1 must NOT
+    fold (debt == threshold declines) and a later wave must — both
+    sides of the policy are evidential, asserted against an exact
+    in-entry SIMULATION of (file_rows, dv_positions, versions) that
+    replays the same integer arithmetic the gauge uses. Folding is
+    CONTENT-neutral (it rewrites the DV-applied live rows), so the
+    oracle — the one-shot declarative erasure, st17's — hash-proves
+    replayed-feed-with-folds == batch erasure. At 100 TB this is the
+    steady state: requests stream all day, each batch costs one
+    semi-join position capture + one sidecar, and the table folds
+    itself exactly as often as reads start bleeding — never
+    per-batch, never on a blind schedule."""
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from alternating_least_squares_spark.sources import snapshot as SN
+    from alternating_least_squares_spark.streaming import (
+        stream_erase_with_auto_fold,
+    )
+
+    base = _scratch_path(
+        "alternating_ls_st19", sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    table, req, ckpt = (
+        os.path.join(base, d) for d in ("table", "requests", "_ckpt")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 6).alias("price"),
+    )
+    SN.create_table(
+        orders.repartitionByRange(AC13_FILES, "o_orderkey"),
+        table,
+        key="o_orderkey",
+    )
+    n0 = orders.count()
+    keys = orders.filter(F.col("o_custkey") % 13 == 5).select("o_orderkey")
+    wave_counts = []
+    for w in range(3):
+        kw = keys.filter(F.col("o_orderkey") % 3 == w)
+        wave_counts.append(kw.count())
+        kw.repartition(1).write.mode("append").parquet(req)
+    threshold = wave_counts[0] * 1_000_000 // n0
+    # exact shadow simulation of the gauge/fold arithmetic
+    file_rows, dv, ver = n0, 0, 0
+    sim_folds, sim_ops = [], []
+    for i, wc in enumerate(wave_counts):
+        dv += wc
+        ver += 1
+        sim_ops.append("delete_dv")
+        if dv * 1_000_000 // file_rows > threshold:
+            file_rows -= dv
+            dv = 0
+            ver += 1
+            sim_ops.append("cluster_optimize")
+            sim_folds.append((i, ver))
+    if not sim_folds or len(sim_folds) == 3 or min(wave_counts) == 0:
+        raise ValueError(
+            f"st19: planted premise broke — waves {wave_counts} with "
+            f"threshold {threshold} must fold at least once and "
+            "decline at least once"
+        )
+    n, folds = stream_erase_with_auto_fold(
+        spark,
+        req,
+        ckpt,
+        table,
+        T.StructType([T.StructField("o_orderkey", T.LongType())]),
+        threshold,
+        AC13_FILES,
+    )
+    versions = SN._list_versions(table)
+    ops = [SN._read_manifest(table, v)["operation"] for v in versions[1:]]
+    if n != 3 or folds != sim_folds or ops != sim_ops:
+        raise ValueError(
+            f"st19: stream disagreed with the gauge simulation — "
+            f"n={n}, folds={folds} (sim {sim_folds}), ops={ops} "
+            f"(sim {sim_ops})"
+        )
+    g = SN.dv_debt_gauge(table)
+    if g["dv_positions"] != dv or g["file_rows"] != file_rows:
+        raise ValueError(f"st19: final gauge {g} != sim ({file_rows}, {dv})")
+    return SN.read_snapshot(spark, table)
+
+
+SQL_ST19 = SQL_ST17  # folds are content-neutral: same erasure survivors
+
+
 def q_t19_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram conditional-LM scoring — t18's context-aware upgrade
     (the KenLM-shaped filter of CCNet-style curation): docs scored by
@@ -16473,6 +16573,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "st16_outer_join_watermark": (q_st16_outer_join_watermark, SQL_ST16),
     "st17_streaming_erasure": (q_st17_streaming_erasure, SQL_ST17),
     "st18_streaming_cdc_apply": (q_st18_streaming_cdc_apply, SQL_ST18),
+    "st19_streaming_fold_policy": (q_st19_streaming_fold_policy, SQL_ST19),
     "t23_span_scrub": (q_t23_span_scrub, SQL_T23),
     "t24_ngram_decontaminate": (q_t24_ngram_decontaminate, SQL_T24),
     # t25's oracle IS t24's text-key SQL: the driver hash certifies
@@ -16646,16 +16747,16 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # c04_micros_to_currency, c02_filter_nonzero, ...).
 # R19 PREFIX PLAN (write-ahead, VERDICT r17 #9; computed from the
 # CORRECTNESS_r01..r17 union with this round's FINAL prefix marked
-# r18 — i.e. AFTER the five new r18 entries (mm12, st18, ac16, t27,
-# mm13 — under the <=6 throttle) displaced c05_anti_join,
-# c04_micros_to_currency, c02_filter_nonzero, c01_sorted_scan, and
-# b03_symmetric_diff from the r13 fill): oldest-first by (round,
-# displaced-first, name). The stale tail is exactly 35 r13 rows (the
-# 5 displaced + 30 leftovers) + the 50-entry r14 cohort, so the plan
-# is all 35 r13 rows + the 15-entry r14 cohort head. LEAD with the
-# five displaced rows in displacement order — c05_anti_join,
+# r18 — i.e. AFTER the six new r18 entries (mm12, st18, ac16, t27,
+# mm13, st19 — closing AT the <=6 throttle) displaced c05_anti_join,
 # c04_micros_to_currency, c02_filter_nonzero, c01_sorted_scan,
-# b03_symmetric_diff —
+# b03_symmetric_diff, and b01_b02_csv_roundtrip from the r13 fill):
+# oldest-first by (round, displaced-first, name). The stale tail is
+# exactly 36 r13 rows (the 6 displaced + 30 leftovers) + the
+# 50-entry r14 cohort, so the plan is all 36 r13 rows + the 14-entry
+# r14 cohort head. LEAD with the six displaced rows in displacement
+# order — c05_anti_join, c04_micros_to_currency, c02_filter_nonzero,
+# c01_sorted_scan, b03_symmetric_diff, b01_b02_csv_roundtrip —
 # then the 30 r13 leftovers, alphabetical: c06_zero_pad, c08_pivot,
 # c08_unpivot, c10_safe_divide, c11_upsert, c12_set_ops,
 # c13_try_arithmetic, c14_nullsafe_join, c15_explode_outer,
@@ -16666,19 +16767,19 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # t02_quality_score, t03_lang_id, t04_fingerprint,
 # t05_exact_dup_groups, t06_tfidf, v01_cosine_pairs,
 # v02_topk_cosine, v03_quantize_int8, w10_rolling_median — then
-# fill the remaining 15 slots from the 50-entry r14 cohort head,
+# fill the remaining 14 slots from the 50-entry r14 cohort head,
 # alphabetical: ac04_compact_files, ac05_vacuum,
 # ac06_schema_evolution, ac11_cluster_optimize, ac12_restore,
 # b06_corrupt_records, c03_projection, c07_sort_by_key,
 # c09_ones_matrix, d02_jaccard_pairs, d06_keep_one, d14_url_dedup,
-# d15_threshold_collapse, e08_ohlc_bars, e20_last_touch_attribution —
-# exactly 5 + 30 + 15 = 50. After r19 the r13 cohort is fully
-# retired and the stale tail is the 35 r14 leftovers
-# (e21_retention_cohorts, g04b_sketch_exact_regime, gr10_ktruss,
-# ...) + the r15 cohort, which head the r20 plan. New r19 entries
-# displace the r14 fill from the END as always
-# (e20_last_touch_attribution first, then e08_ohlc_bars,
-# d15_threshold_collapse, ...).
+# d15_threshold_collapse, e08_ohlc_bars —
+# exactly 6 + 30 + 14 = 50. After r19 the r13 cohort is fully
+# retired and the stale tail is the 36 r14 leftovers
+# (e20_last_touch_attribution, e21_retention_cohorts,
+# g04b_sketch_exact_regime, ...) + the r15 cohort, which head the
+# r20 plan. New r19 entries displace the r14 fill from the END as
+# always (e08_ohlc_bars first, then d15_threshold_collapse,
+# d14_url_dedup, ...).
 # Rows-only-by-design entries (m01–m03, g04, ipf_cost_per_visit)
 # stay out of the prefix as ever.
 _PREFIX = [
@@ -16734,17 +16835,18 @@ _PREFIX = [
     "ac01_snapshot_merge",
     "ac02_time_travel",
     "ac03_zorder_code",
-    "b01_b02_csv_roundtrip",
     # new in round 18 (each displaces one r13-cohort fill slot from
     # the END per the rule above: c05_anti_join is displaced by mm12,
     # c04_micros_to_currency by st18, c02_filter_nonzero by ac16,
-    # c01_sorted_scan by t27, b03_symmetric_diff by mm13 — displaced
-    # rows LEAD the r19 plan)
+    # c01_sorted_scan by t27, b03_symmetric_diff by mm13,
+    # b01_b02_csv_roundtrip by st19 — displaced rows LEAD the r19
+    # plan; the round's new-entry count closes AT the <=6 throttle)
     "mm12_jpeg_decode",
     "st18_streaming_cdc_apply",
     "ac16_dv_debt_gauge",
     "t27_span_scrub_pairs",
     "mm13_decode_dispatch",
+    "st19_streaming_fold_policy",
 ]
 assert len(_PREFIX) == 50 and len(set(_PREFIX)) == 50
 assert set(_PREFIX) <= set(REGISTRY), sorted(set(_PREFIX) - set(REGISTRY))

@@ -11,6 +11,7 @@ from alternating_least_squares_spark.streaming.events import (  # noqa: F401
     sessionize_stream,
     stream_cdc_apply_to_snapshot,
     stream_erase_keys_from_snapshot,
+    stream_erase_with_auto_fold,
     stream_upsert_profiles_to_snapshot,
 )
 from alternating_least_squares_spark.streaming.stateful import (  # noqa: F401

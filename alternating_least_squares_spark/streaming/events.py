@@ -591,6 +591,65 @@ def _apply_erasure_batch(
     return True
 
 
+def stream_erase_with_auto_fold(
+    spark: SparkSession,
+    requests_dir: str,
+    checkpoint_dir: str,
+    table_path: str,
+    key_schema: T.StructType,
+    threshold_ppm: int,
+    n_files: int,
+    max_files_per_trigger: int | None = 1,
+) -> tuple[int, list]:
+    """The erasure feed with the compaction POLICY wired in (the
+    st17 + ac16 composition): after each applied erasure batch,
+    ``auto_fold(threshold_ppm)`` reads the debt gauge from manifests
+    (O(files) metadata) and triggers ``cluster_optimize`` only when
+    the accumulated DV debt exceeds the threshold — the steady-state
+    shape of a 100 TB erasure pipeline, where requests stream all day
+    and the table folds itself exactly as often as reads start
+    bleeding, never per-batch. Returns ``(applied_batches,
+    [(batch_id, folded_version), ...])``.
+
+    Folding is CONTENT-neutral (the fold rewrites the DV-applied live
+    rows), so replay == one-shot batch erasure still holds — the st19
+    registry entry hash-proves it while asserting the fold fired
+    exactly when the simulated gauge crossed the threshold. Redelivery
+    stays exactly-once: the fold's own commit carries no feed stamp,
+    and the ledger walk skips past it to the stamped delete below."""
+    applied: list[int] = []
+    folds: list[tuple[int, int]] = []
+    memo: dict = {}
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        from ..sources import snapshot as SN
+
+        if "feed" not in memo:
+            memo["feed"] = _checkpoint_feed_id(checkpoint_dir)
+        if _apply_erasure_batch(
+            batch_df, batch_id, table_path, memo["feed"], memo
+        ):
+            applied.append(batch_id)
+            res = SN.auto_fold(spark, table_path, threshold_ppm, n_files)
+            if res["folded"]:
+                folds.append((batch_id, res["version"]))
+
+    reader = spark.readStream.schema(key_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    query = (
+        reader.parquet(requests_dir)
+        .writeStream.foreachBatch(_apply)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    query.awaitTermination()
+    return len(applied), folds
+
+
 def stream_cdc_apply_to_snapshot(
     spark: SparkSession,
     changes_dir: str,

@@ -1418,3 +1418,73 @@ def test_cdc_batch_rejects_unclassifiable_change_type(spark, tmp_path):
         with pytest.raises(ValueError, match="unclassifiable change_type"):
             _apply_cdc_batch(batch, 0, path, "feedA")
     assert SN._list_versions(path) == [0]  # nothing committed
+
+
+def test_streaming_fold_policy_redelivery_and_content(spark, tmp_path):
+    """st19: the fold commit (no feed stamp) must not break the
+    erasure ledger — a redelivered batch after a fold is still
+    skipped because the walk passes the cluster_optimize manifest to
+    the stamped delete below — and fold-under-streaming is
+    content-neutral vs the one-shot batch erasure."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from alternating_least_squares_spark.sources import snapshot as SN
+    from alternating_least_squares_spark.streaming import (
+        stream_erase_with_auto_fold,
+    )
+    from alternating_least_squares_spark.streaming.events import (
+        _apply_erasure_batch,
+    )
+
+    base = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    table = str(tmp_path / "t")
+    SN.create_table(base.repartitionByRange(4, "k"), table, key="k")
+    req = str(tmp_path / "req")
+    # waves of 5, 20, 3 keys; threshold = wave-1 debt (5%) so wave 2
+    # folds (25% > 5%) and waves 1/3 decline (wave 3 is 3/75 = 4%
+    # of the post-fold live rows — the denominator SHRINKS at a fold)
+    waves = [range(0, 5), range(10, 30), range(40, 43)]
+    for i, w in enumerate(waves):
+        spark.createDataFrame([(k,) for k in w], "k long").repartition(
+            1
+        ).write.mode("append").parquet(req)
+        os.utime(
+            [os.path.join(req, f) for f in os.listdir(req)
+             if f.endswith(".parquet")][0], (1_700_000_000 + i,) * 2
+        )
+    n, folds = stream_erase_with_auto_fold(
+        spark, req, str(tmp_path / "ck"), table,
+        T.StructType([T.StructField("k", T.LongType())]),
+        threshold_ppm=5 * 1_000_000 // 100, n_files=4,
+    )
+    assert n == 3
+    assert [b for b, _ in folds] == [1]  # only the 20-key wave folds
+    ops = [
+        SN._read_manifest(table, v)["operation"]
+        for v in SN._list_versions(table)[1:]
+    ]
+    assert ops == ["delete_dv", "delete_dv", "cluster_optimize", "delete_dv"]
+    # content == one-shot erasure of all 30 keys
+    live = {r["k"] for r in SN.read_snapshot(spark, table).collect()}
+    erased = set(range(0, 5)) | set(range(10, 30)) | set(range(40, 43))
+    assert live == set(range(100)) - erased
+    # redelivery of the LAST batch (stamped delete sits under nothing)
+    # and of a batch whose stamp sits BELOW the fold commit: both skip
+    b2 = spark.createDataFrame([(42,)], "k long")
+    assert _apply_erasure_batch(b2, 2, table, _feed(tmp_path)) is False
+    b1 = spark.createDataFrame([(29,)], "k long")
+    assert _apply_erasure_batch(b1, 1, table, _feed(tmp_path)) is False
+
+
+def _feed(tmp_path) -> str:
+    """The checkpoint feed id minted by the stream above."""
+    from alternating_least_squares_spark.streaming.events import (
+        _checkpoint_feed_id,
+    )
+
+    return _checkpoint_feed_id(str(tmp_path / "ck"))
