@@ -98,18 +98,30 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     model: KMeansModel | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-Flat top-k: probe the n_probe nearest lists, exact-cosine
     rerank, per-query window top-k. Returns
-    (query_id, neighbor_id, cosine, rank)."""
+    (query_id, neighbor_id, cosine, rank).
+
+    ``centroids`` (plain nested lists) bypasses the MLlib fit — pass
+    pq.train_coarse_centroids' driver-side bounded-sample Lloyd output
+    when the vocabulary does not need a distributed fit (a coarse
+    quantizer never does: "KMeans itself trains on a sample", this
+    module's own 100 TB posture; FAISS trains IVF vocabularies the
+    same way). Assignment/probing are identical literal-argmin
+    expressions either way."""
     from alternating_least_squares_spark.functions.pq import (
         assign_lists_lit,
         probe_lists_lit,
     )
 
-    if model is None:
-        model = train_centroids(emb, vec_col, n_centroids, seed)
-    cents = extract_centroids(model)
+    if centroids is not None:
+        cents = [[float(x) for x in c] for c in centroids]
+    else:
+        if model is None:
+            model = train_centroids(emb, vec_col, n_centroids, seed)
+        cents = extract_centroids(model)
     corpus = assign_lists_lit(
         emb.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_e")

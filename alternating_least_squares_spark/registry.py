@@ -3025,22 +3025,30 @@ def q_s03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     MLlib's findClosest), so every same-pattern member is a candidate
     and the exact-cosine rerank forces the top-5. Real-valued recall
     stays pinned by tests/test_similarity.py."""
-    from alternating_least_squares_spark.functions.ivf import (
-        ivf_topk,
-        train_centroids,
+    from alternating_least_squares_spark.functions.ivf import ivf_topk
+    from alternating_least_squares_spark.functions.pq import (
+        train_coarse_centroids,
     )
 
     emb = _sgn3_embeddings(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 20)
-    # random init: the oracle argument is assignment-invariant (any
-    # centroid set puts identical patterns in one list), so the
-    # k-means|| init passes buy nothing here — the sm01 rationale in
-    # train_centroids' docstring
-    model = train_centroids(
-        emb, n_centroids=16, init_mode="random"
+    # r18: driver-side bounded-sample Lloyd (pq.train_coarse_centroids,
+    # the s06 trainer) in place of the distributed MLlib fit — a
+    # 16-centroid coarse quantizer never needs a distributed fit (the
+    # ivf module's own 100 TB posture: "KMeans itself trains on a
+    # sample"; FAISS practice), and the oracle argument above is
+    # assignment-INVARIANT: any centroid set puts identical patterns
+    # in one list and the probe ranks the query's own list first under
+    # the shared lowest-index tie-break — hash-identical result,
+    # verified against the oracle. Saves the fit's ~8 driver-blocking
+    # Spark jobs per invocation (guide §1.2 step 1; measured ~-0.9 s
+    # at sf0.1); the trainer collects one bounded deterministic
+    # sample.
+    cents = train_coarse_centroids(
+        emb, "embedding", n_centroids=16, id_col="vec_id"
     )
     return ivf_topk(
-        emb, queries_df, k=5, n_centroids=16, n_probe=4, model=model
+        emb, queries_df, k=5, n_centroids=16, n_probe=4, centroids=cents
     )
 
 
@@ -10339,16 +10347,10 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     gr03 and gr04."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
-    ).distinct()
-    return (
-        li.alias("x")
-        .join(li.alias("y"), "l_orderkey")
-        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .select(
-            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
-        )
-        .distinct()
     )
+    # r18: basket-form pair generation — see _basket_pairs (one
+    # exchange fewer than the self-join spelling, identical pair set)
+    return _basket_pairs(li).distinct()
 
 
 SQL_GR03 = f"""
@@ -10524,6 +10526,27 @@ GR05_ROUNDS = 12
 GR05_MIN_SUPPORT = 2
 
 
+def _basket_pairs(
+    df: DataFrame, key: str = "l_orderkey", item: str = "l_partkey"
+) -> DataFrame:
+    """Per-key item pairs ``(a, b)`` with a < b, in BASKET form: one
+    ``groupBy(key).collect_set`` + two narrow generators, replacing
+    the self-equi-join spelling (guide §2.4 — the join costs an extra
+    exchange of the full item stream plus two sort-merge sorts; the
+    basket form's only exchange is the key groupBy, and collect_set
+    dedups within key so no pre-``distinct`` pass is needed either).
+    Pair multiset is identical: per key, all unordered pairs of the
+    key's distinct items, once each. Fan-out per basket row is
+    bounded by basket size exactly as the self-join was (TPC-H
+    baskets ≤ 7; cap baskets before pairing at real scale — the m04
+    note). Shared by _support_edges / _copurchase_edges / m04."""
+    baskets = df.groupBy(key).agg(F.collect_set(item).alias("_ps"))
+    return baskets.select(F.explode("_ps").alias("a"), "_ps").select(
+        "a",
+        F.explode(F.filter("_ps", lambda p: p > F.col("a"))).alias("b"),
+    )
+
+
 def _support_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SHARED gr05/gr06/gr08 graph fixture: part co-purchase edges
     thresholded at GR05_MIN_SUPPORT distinct orders (the m04 support
@@ -10531,20 +10554,15 @@ def _support_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the support graph has the skewed degrees real data shows). One
     definition so a threshold or join-strategy change cannot silently
     diverge one gr entry from its oracle; the gr08 pinning test
-    imports this same function."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    imports this same function. r18: basket-form pair generation
+    (:func:`_basket_pairs`) — one exchange fewer and no sort-merge
+    sorts, identical pair counts (hash-verified on every gr oracle)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
     return (
-        li.alias("x")
-        .join(li.alias("y"), "l_orderkey")
-        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .groupBy(
-            F.col("x.l_partkey").alias("a"),
-            F.col("y.l_partkey").alias("b"),
-        )
+        _basket_pairs(li)
+        .groupBy("a", "b")
         .agg(F.count("*").alias("_support"))
         .filter(F.col("_support") >= GR05_MIN_SUPPORT)
         .select("a", "b")
@@ -10797,19 +10815,13 @@ def _support_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap to traverse, so the weighted shortest path genuinely
     diverges from the hop count (a 2-hop chain of support-4 edges
     costs 2, beating a direct support-2 edge at 3)."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
+    # r18: basket-form pair generation — see _basket_pairs
     return (
-        li.alias("x")
-        .join(li.alias("y"), "l_orderkey")
-        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .groupBy(
-            F.col("x.l_partkey").alias("a"),
-            F.col("y.l_partkey").alias("b"),
-        )
+        _basket_pairs(li)
+        .groupBy("a", "b")
         .agg(F.count("*").alias("_support"))
         .filter(F.col("_support") >= GR05_MIN_SUPPORT)
         .select(
@@ -11487,6 +11499,9 @@ def q_sm01_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-copies (vec_id%20==0, id +1M) exercise the drop path at
     every sf; probabilistic behavior on real-valued near-dups stays
     pinned by tests/test_semdedup.py's planted-cluster fixtures."""
+    from alternating_least_squares_spark.functions.pq import (
+        train_coarse_centroids,
+    )
     from alternating_least_squares_spark.functions.semdedup import (
         semantic_dedup,
     )
@@ -11501,8 +11516,19 @@ def q_sm01_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies = emb.filter(F.col("vec_id") % 20 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
+    full = emb.unionByName(copies)
+    # r18: driver-side bounded-sample Lloyd for the dedup vocabulary
+    # (the s03 rationale, one step past r8's random-init fix): the
+    # keep/drop decision is assignment-invariant by the construction
+    # above, so the vocabulary needs no distributed fit at all — the
+    # semdedup module docstring's "training on a driver-bounded
+    # sample" made literal. Hash-identical result (oracle-verified);
+    # saves the MLlib fit's driver-blocking jobs (~-0.9 s at sf0.1).
+    cents = train_coarse_centroids(
+        full, "embedding", n_centroids=8, id_col="vec_id"
+    )
     kept = semantic_dedup(
-        emb.unionByName(copies), n_centroids=8, threshold=0.99
+        full, n_centroids=8, threshold=0.99, centroids=cents
     )
     return kept.select("vec_id")
 
@@ -11656,9 +11682,11 @@ def q_m04_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket item-item co-occurrence with LIFT — the
     oracle-checkable face of recommendation (m01-m03 are model-based,
     rows-only by nature; co-occurrence statistics are exact). Pairs
-    come from a self-equi-join on the order key — fan-out is bounded
-    by basket size (TPC-H baskets ≤ 7; cap baskets before pairing at
-    real scale), never corpus×corpus. ``n_ab >= 3`` bounds the output
+    come from basket-form generation keyed on the order (r18,
+    :func:`_basket_pairs` — formerly a self-equi-join; same pair
+    counts, one exchange fewer) — fan-out is bounded by basket size
+    (TPC-H baskets ≤ 7; cap baskets before pairing at real scale),
+    never corpus×corpus. ``n_ab >= 3`` bounds the output
     to statistically meaningful pairs. lift = P(a,b)/(P(a)·P(b)) via
     one baked scalar (order count) and exact integer counts."""
     li = (
@@ -11669,16 +11697,13 @@ def q_m04_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_orders = li.select("l_orderkey").distinct().count()
     margins = li.groupBy(F.col("l_partkey")).agg(F.count("*").alias("n"))
-    a, b = li.alias("a"), li.alias("b")
+    # r18: basket-form pair generation from the checkpoint — see
+    # _basket_pairs (replaces the self-equi-join: one exchange fewer,
+    # no sort-merge sorts, identical pair counts)
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
+        _basket_pairs(li)
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+            F.col("a").alias("part_a"), F.col("b").alias("part_b")
         )
         .agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= 3)
