@@ -117,6 +117,7 @@ def converge_dense(
     verbose: bool = False,
     seed_fill: float = 0.0,
     x_total: float | None = None,
+    n_rows: int | None = None,
 ) -> IPFResult:
     """IPF with the column marginal as driver-side literals.
 
@@ -135,7 +136,9 @@ def converge_dense(
     x-marginal can contain such rows must densify explicitly.)
 
     ``x_total`` skips the precondition aggregate when the caller has
-    already computed Σx.
+    already computed Σx; ``n_rows`` likewise skips the layout-sizing
+    count when the caller already knows |x| (allocate_costs reads both
+    off its x-checkpoint observe metrics — r18).
     """
     y_rows = y_marginal.select(M.ID, M.V).collect()
     if len(y_rows) > MAX_DRIVER_COLS:
@@ -182,7 +185,8 @@ def converge_dense(
     # count of the (tiny) marginal sizes the layout so a 20k-row bench
     # state runs 3 tasks/job instead of 32 — per-sweep wall time is
     # task scheduling, not compute, at that size.
-    n_rows = x_marginal.count()
+    if n_rows is None:
+        n_rows = x_marginal.count()
     n_parts = max(
         1,
         min(

@@ -28,7 +28,7 @@ plan per output, materialized once by the IPF loop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from alternating_least_squares_spark.operators import matrix as M
@@ -178,19 +178,50 @@ def allocate_costs(
     """
     if base is None:
         base = part_hour_base(spark, sf_dir).localCheckpoint(eager=True)
+    # Σx and |x| ride the x checkpoint as observe metrics (r18, the
+    # ipf_dense sweep pattern) — the former separate agg + count
+    # actions are gone; same values by construction.
+    obs_x = Observation()
     x = (
         base.groupBy(F.col(M.R).alias(M.ID))
         .agg(F.sum("revenue").alias(M.V))
         .filter(F.col(M.V) != 0)
+        .observe(
+            obs_x,
+            F.sum(M.V).alias("_xt"),
+            F.count(F.lit(1)).alias("_nr"),
+        )
         .localCheckpoint(eager=True)  # 4 downstream actions read it
     )
-    x_total = x.agg(F.sum(M.V)).first()[0]
+    x_total = obs_x.get["_xt"]
     if x_total is None:
         raise ValueError(
             "no revenue rows in lineitem — cannot build the x marginal"
         )
-    y = hour_cost_marginal(spark, sf_dir, rescale_to=x_total).localCheckpoint(
-        eager=True
+    n_rows = obs_x.get["_nr"]
+    # y is read exactly once downstream (converge_dense collects it to
+    # driver literals), so no checkpoint; the rescale total rides the
+    # SAME aggregate plan instead of a separate pre-scan (r18 — the
+    # former shape paid an agg action + a checkpoint action here).
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(F.hour("ts").cast("long").alias(M.ID))
+        .agg(F.sum("value").alias(M.V))
+        .filter(F.col(M.V) != 0)
+    )
+    y_raw = hourly.agg(
+        F.collect_list(F.struct(M.ID, M.V)).alias("_rows"),
+        F.sum(M.V).alias("_yt"),
+    ).first()
+    if not y_raw or not y_raw["_yt"]:
+        raise ValueError(
+            "hour marginal is empty or sums to 0 — cannot rescale to "
+            f"{x_total} (IPF needs both marginals on a shared total)"
+        )
+    scale_f = x_total / y_raw["_yt"]
+    y = spark.createDataFrame(
+        [(r[M.ID], r[M.V] * scale_f) for r in y_raw["_rows"]],
+        f"{M.ID} long, {M.V} double",
     )
     # SPARSE seed + fused alpha-fill: every x part has >= 1 base row
     # (x is an aggregate OF base), so the seed_fill fast path is exact
@@ -205,6 +236,7 @@ def allocate_costs(
         max_iterations=max_iterations,
         seed_fill=1e-15,
         x_total=x_total,
+        n_rows=n_rows,
     )
 
 
@@ -268,26 +300,32 @@ def cost_per_visit_fixed(
         )
         .localCheckpoint(eager=True)  # x, seed, and finale all read it
     )
+    # Σx / Σy ride the marginal checkpoints as observe metrics (r18) —
+    # the former separate agg actions are gone; same BIGINT sums.
+    obs_x = Observation()
     x = (
         base.groupBy(F.col(M.R).alias("id"))
         .agg(F.sum("rev_us").alias("g_us"))
         .filter(F.col("g_us") != 0)
+        .observe(obs_x, F.sum("g_us").alias("_xt"))
         .localCheckpoint(eager=True)
     )
-    x_total = x.agg(F.sum("g_us")).first()[0]
+    x_total = obs_x.get["_xt"]
     if not x_total:
         raise ValueError("no revenue in lineitem — empty x marginal")
     ev = load_table(spark, sf_dir, "events")
     hour = F.expr(
         f"pmod((ts_ns - pmod(ts_ns, {NS_PER_HOUR})) DIV {NS_PER_HOUR}, 24)"
     )
+    obs_y = Observation()
     yr = (
         ev.groupBy(hour.alias("id"))
         .agg(F.sum(F.floor(F.col("value") * F.lit(1e6))).alias("raw_us"))
         .filter(F.col("raw_us") != 0)
+        .observe(obs_y, F.sum("raw_us").alias("_yt"))
         .localCheckpoint(eager=True)
     )
-    y_total = yr.agg(F.sum("raw_us")).first()[0]
+    y_total = obs_y.get["_yt"]
     if not y_total:
         raise ValueError("no event value — empty y marginal")
     # one double divide then one multiply — same association as the
