@@ -12011,8 +12011,16 @@ def _psi_terms(pop: DataFrame, ref: DataFrame):
         F.count("*").alias("c_sb")
     )
     per_s = pop.groupBy("source").agg(F.count("*").alias("n_s"))
-    per_b = ref.groupBy("bucket").agg(F.count("*").alias("c_b"))
-    n = ref.count()
+    # ONE pass over ref: the bounded (≤10-row) bucket histogram is
+    # collected and re-emitted as a local relation, and the reference
+    # total is its exact sum — the former separate ref.count() was a
+    # SECOND full scan of the reference (incl. its quality-score
+    # expression) for a number the histogram already contains (r18).
+    b_rows = ref.groupBy("bucket").agg(F.count("*").alias("c_b")).collect()
+    n = sum(r["c_b"] for r in b_rows)
+    per_b = ref.sparkSession.createDataFrame(
+        [(r["bucket"], r["c_b"]) for r in b_rows], "bucket long, c_b long"
+    )
     grid = per_s.select(
         "source",
         "n_s",
