@@ -12011,16 +12011,15 @@ def _psi_terms(pop: DataFrame, ref: DataFrame):
         F.count("*").alias("c_sb")
     )
     per_s = pop.groupBy("source").agg(F.count("*").alias("n_s"))
-    # ONE pass over ref: the bounded (≤10-row) bucket histogram is
-    # collected and re-emitted as a local relation, and the reference
-    # total is its exact sum — the former separate ref.count() was a
-    # SECOND full scan of the reference (incl. its quality-score
-    # expression) for a number the histogram already contains (r18).
-    b_rows = ref.groupBy("bucket").agg(F.count("*").alias("c_b")).collect()
-    n = sum(r["c_b"] for r in b_rows)
-    per_b = ref.sparkSession.createDataFrame(
-        [(r["bucket"], r["c_b"]) for r in b_rows], "bucket long, c_b long"
-    )
+    per_b = ref.groupBy("bucket").agg(F.count("*").alias("c_b"))
+    # NOTE (r18): an attempt to fold this count into a collected
+    # per-bucket histogram (one "scan" instead of "two") REGRESSED
+    # q04 ~2x and was reverted: count() PRUNES ref's quality-score
+    # expression (it needs no columns), so the "second scan" was
+    # already near-free, while the collected histogram forced a full
+    # quality pass to run SERIALLY at build time that previously rode
+    # the main job in parallel. Measure pruning before counting scans.
+    n = ref.count()
     grid = per_s.select(
         "source",
         "n_s",
