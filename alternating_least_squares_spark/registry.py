@@ -3025,30 +3025,30 @@ def q_s03_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     MLlib's findClosest), so every same-pattern member is a candidate
     and the exact-cosine rerank forces the top-5. Real-valued recall
     stays pinned by tests/test_similarity.py."""
-    from alternating_least_squares_spark.functions.ivf import ivf_topk
-    from alternating_least_squares_spark.functions.pq import (
-        train_coarse_centroids,
+    from alternating_least_squares_spark.functions.ivf import (
+        ivf_topk,
+        train_centroids,
     )
 
     emb = _sgn3_embeddings(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 20)
-    # r18: driver-side bounded-sample Lloyd (pq.train_coarse_centroids,
-    # the s06 trainer) in place of the distributed MLlib fit — a
-    # 16-centroid coarse quantizer never needs a distributed fit (the
-    # ivf module's own 100 TB posture: "KMeans itself trains on a
-    # sample"; FAISS practice), and the oracle argument above is
-    # assignment-INVARIANT: any centroid set puts identical patterns
-    # in one list and the probe ranks the query's own list first under
-    # the shared lowest-index tie-break — hash-identical result,
-    # verified against the oracle. Saves the fit's ~8 driver-blocking
-    # Spark jobs per invocation (guide §1.2 step 1; measured ~-0.9 s
-    # at sf0.1); the trainer collects one bounded deterministic
-    # sample.
-    cents = train_coarse_centroids(
-        emb, "embedding", n_centroids=16, id_col="vec_id"
+    # random init: the oracle argument is assignment-invariant (any
+    # centroid set puts identical patterns in one list), so the
+    # k-means|| init passes buy nothing here — the sm01 rationale in
+    # train_centroids' docstring. (r18 note: swapping this fit for the
+    # driver-side Lloyd was tried — hash-green by the same invariance,
+    # but four load-gated bench windows read s03 consistently ~0.5 s
+    # SLOWER: here the fit is small next to the probe/rerank, and the
+    # deterministic orderBy-sample pays an extra pass over the md5-
+    # derived fixture expressions. sm01 keeps the swap — there the
+    # vocabulary is the only distributed fit and the measurement reads
+    # positive. ivf_topk's centroids= input remains for callers whose
+    # vocabulary is already driver-side.)
+    model = train_centroids(
+        emb, n_centroids=16, init_mode="random"
     )
     return ivf_topk(
-        emb, queries_df, k=5, n_centroids=16, n_probe=4, centroids=cents
+        emb, queries_df, k=5, n_centroids=16, n_probe=4, model=model
     )
 
 
