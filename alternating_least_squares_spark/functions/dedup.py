@@ -366,6 +366,117 @@ def exact_dup_groups(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _arrow_minhash_bands(
+    narrow: DataFrame, keep: str, n_hashes: int, bands: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """``(_id, <keep>, _hs)`` → ``(_id, <keep>, _bands)`` via ONE
+    ``mapInArrow`` pass — the vectorized-NumPy twin of
+    ``band_hashes(minhash_signature(_hs, prehashed=True))``.
+
+    Why (guide §4.2): the expression spelling is a nested
+    higher-order ``transform``, and HOF lambdas run INTERPRETED in
+    Spark — 32 permutations × |shingles| interpreted ``xxhash64``
+    evaluations was the single largest interpreted cost on the
+    headline (~2.7 s of d11's ~4 s at sf0.1). Here the same
+    arithmetic runs as ~a dozen vectorized uint64 NumPy ops per
+    permutation over the batch's flattened shingle-hash buffer.
+
+    Bit-exactness (the correctness contract — candidate PAIRS depend
+    on these hashes): ``functions.xxh`` replicates Spark's
+    ``XXH64.hashInt/hashLong`` short-input paths exactly, so
+    ``sig[j] = min_h xxhash64(j, h)`` and the banded fold
+    ``xxhash64(b, slice(sig, ...))`` (= hashInt(b, 42) folded through
+    hashLong per element, NULLs skipped) produce the same longs the
+    expression path produced. Empty shingle sets (⇒ all-NULL
+    signature ⇒ every element skipped in the fold) yield
+    ``hashInt(b, 42)`` per band — the same constant the expression
+    path yields. Parity is pinned by
+    tests/test_r19_optimizations.py on the full pipeline AND on raw
+    random longs.
+
+    Plan shape: still the narrow zero-shuffle pass (PythonMapInArrow
+    replaces the projection; no Exchange added); only ``_id``,
+    ``keep`` and ``_hs`` cross the Python boundary.
+    """
+    import pyarrow as pa
+
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    in_schema = narrow.schema
+    out_schema = StructType(
+        [in_schema["_id"], in_schema[keep]]
+        + [StructField("_bands", ArrayType(LongType()), False)]
+    )
+
+    def bands_batches(it):
+        import numpy as np
+
+        from alternating_least_squares_spark.functions import xxh
+
+        perm_seeds = [xxh.xxhash64_int_seed(j) for j in range(n_hashes)]
+        band_seeds = [xxh.xxhash64_int_seed(b) for b in range(bands)]
+        band_offsets_cache: dict[int, pa.Array] = {}
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            cols = {name: i for i, name in enumerate(batch.schema.names)}
+            hs = batch.column(cols["_hs"])
+            # ListArray internals: `offsets` is the (slice-adjusted)
+            # int32 offsets array, indexing absolutely into `values`
+            # (which deliberately includes pre-slice data).
+            offs = np.asarray(hs.offsets).astype(np.int64)
+            vals = np.asarray(hs.values).view(np.uint64)[: offs[-1]]
+            starts, ends = offs[:-1], offs[1:]
+            nonempty = ends > starts  # NULL rows carry equal offsets
+            ne_starts = starts[nonempty]
+            n_ne = int(ne_starts.size)
+            out = np.empty((n, bands), dtype=np.int64)
+            if n_ne:
+                # per-permutation signature mins for non-empty docs:
+                # empty docs contribute no values, so dropping their
+                # (duplicate) start indices keeps reduceat segments
+                # exactly the per-doc ranges.
+                sig = np.empty((n_hashes, n_ne), dtype=np.uint64)
+                for j in range(n_hashes):
+                    y = xxh.hash_long(vals, perm_seeds[j]).view(np.int64)
+                    # array_min on BIGINT compares SIGNED — min in
+                    # int64 view, store bits back as uint64
+                    sig[j] = np.minimum.reduceat(y, ne_starts).view(
+                        np.uint64
+                    )
+                ne_bands = np.empty((n_ne, bands), dtype=np.int64)
+                for b in range(bands):
+                    h = np.broadcast_to(band_seeds[b], (n_ne,)).copy()
+                    for r in range(rows_per_band):
+                        h = xxh.hash_long(sig[b * rows_per_band + r], h)
+                    ne_bands[:, b] = h.view(np.int64)
+                out[nonempty] = ne_bands
+            if n_ne < n:
+                out[~nonempty] = np.array(
+                    band_seeds, dtype=np.uint64
+                ).view(np.int64)
+            if n not in band_offsets_cache:
+                band_offsets_cache[n] = pa.array(
+                    np.arange(0, (n + 1) * bands, bands, dtype=np.int32),
+                    type=pa.int32(),
+                )
+            bands_arr = pa.ListArray.from_arrays(
+                band_offsets_cache[n], pa.array(out.reshape(-1))
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(cols["_id"]),
+                    batch.column(cols[keep]),
+                    bands_arr,
+                ],
+                names=["_id", keep, "_bands"],
+            )
+
+    return narrow.mapInArrow(bands_batches, out_schema)
+
+
 def lsh_signatures(
     docs: DataFrame,
     id_col: str,
@@ -374,6 +485,7 @@ def lsh_signatures(
     bands: int = 8,
     k: int = 3,
     keep: str = "_hs",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """One narrow pass per doc → ``(_id, <keep>, _bands)``: distinct
     k-shingles, xxhash64 them once, MinHash over the longs, LSH band
@@ -381,7 +493,14 @@ def lsh_signatures(
     ``"_hs"`` (the shingle-hash longs — the scale path) or ``"_sh"``
     (the raw shingle strings — the oracle-friendly twin). Shared by
     :func:`near_dup_pairs` (self-dedup) and
-    :func:`incremental_near_dup_admission` (batch-vs-corpus)."""
+    :func:`incremental_near_dup_admission` (batch-vs-corpus).
+
+    ``use_arrow=True`` (default) computes the 32-permutation MinHash
+    + band fold in vectorized NumPy behind ``mapInArrow``
+    (:func:`_arrow_minhash_bands`) — bit-identical to the expression
+    path (``use_arrow=False``, kept as the dependency-light twin and
+    the parity oracle) but without 32×|shingles| interpreted HOF
+    lambda evaluations. Same narrow no-shuffle shape either way."""
     if keep not in ("_hs", "_sh"):
         raise ValueError(f"keep must be '_hs' or '_sh': {keep}")
     rows_per_band = n_hashes // bands
@@ -390,15 +509,21 @@ def lsh_signatures(
     # then: see functions.width.spread_if_narrow for why an
     # unconditional repartition is a scale bug.
     docs = spread_if_narrow(docs, id_col)
-    return (
-        docs.select(
-            F.col(id_col).alias("_id"),
-            F.array_distinct(shingles(F.col(text_col), k)).alias("_sh"),
+    # hash each shingle string once; the 32 permutations then mix
+    # cheap longs instead of re-hashing strings
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles(F.col(text_col), k)).alias("_sh"),
+    ).withColumn("_hs", F.transform("_sh", lambda s: F.xxhash64(s)))
+    if use_arrow:
+        narrow = base.select("_id", keep, "_hs") if keep == "_sh" else (
+            base.select("_id", "_hs")
         )
-        # hash each shingle string once; the 32 permutations then mix
-        # cheap longs instead of re-hashing strings
-        .withColumn("_hs", F.transform("_sh", lambda s: F.xxhash64(s)))
-        .withColumn(
+        return _arrow_minhash_bands(
+            narrow, keep, n_hashes, bands, rows_per_band
+        )
+    return (
+        base.withColumn(
             "_sig", minhash_signature(F.col("_hs"), n_hashes, prehashed=True)
         )
         .select(

@@ -259,31 +259,20 @@ def triangle_counts(
     e, _deg, per_edge = _oriented_intersections(
         edges, max_degree, broadcast_adjacency
     )
-    one = F.lit(1).cast("long")
-    contrib = per_edge.select(
-        F.explode(
-            F.concat(
-                F.array(
-                    F.struct(
-                        F.col("u").alias("part"),
-                        F.size("_ws").cast("long").alias("n"),
-                    ),
-                    F.struct(
-                        F.col("v").alias("part"),
-                        F.size("_ws").cast("long").alias("n"),
-                    ),
-                ),
-                F.transform(
-                    "_ws",
-                    lambda w: F.struct(w.alias("part"), one.alias("n")),
-                ),
-            )
-        ).alias("_c")
-    )
+    # r19 (guide §4.1): the contribution stage used to build
+    # struct arrays with a higher-order ``transform`` — HOF lambdas
+    # run INTERPRETED, so every triangle paid interpreted
+    # struct-construction. Same attribution, HOF-free: explode the
+    # intersection into one row per TRIANGLE (u, v, w), then explode
+    # the plain 3-element vertex array — two codegen Generates, each
+    # triangle contributes exactly +1 to each corner (endpoints'
+    # previous +|ws| ≡ one +1 per member row), and the map-side
+    # partial count collapses the rows before the single exchange.
+    tri = per_edge.select("u", "v", F.explode("_ws").alias("w"))
     return (
-        contrib.select("_c.part", "_c.n")
+        tri.select(F.explode(F.array("u", "v", "w")).alias("part"))
         .groupBy("part")
-        .agg(F.sum("n").alias("n_triangles"))
+        .agg(F.count("*").cast("long").alias("n_triangles"))
     )
 
 
@@ -349,38 +338,30 @@ def _edge_common_counts(per_edge: DataFrame) -> DataFrame:
     out-arrays without ever joining full undirected neighborhoods.
     Shared by :func:`edge_neighborhood_scores` (gr04) and
     :func:`edge_support` (the k-truss peel primitive)."""
-    one = F.lit(1).cast("long")
-
     def _key(x, y):  # canonical (a, b) = (min, max) edge key
-        return [
-            F.least(x, y).alias("a"),
-            F.greatest(x, y).alias("b"),
-        ]
+        return F.struct(
+            F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
+        )
 
-    contrib = per_edge.select(
+    # r19 (guide §4.1): HOF-free twin of the old transform-built
+    # struct stream (HOF lambdas run interpreted): one row per
+    # TRIANGLE via a codegen explode, then each triangle contributes
+    # +1 to its three edges through a plain 3-struct array — the base
+    # edge's previous +|ws| is one +1 per member row, identical sum.
+    tri = per_edge.select("u", "v", F.explode("_ws").alias("w"))
+    contrib = tri.select(
         F.explode(
-            F.concat(
-                F.array(
-                    F.struct(
-                        *_key(F.col("u"), F.col("v")),
-                        F.size("_ws").cast("long").alias("n"),
-                    )
-                ),
-                F.transform(
-                    "_ws",
-                    lambda w: F.struct(*_key(F.col("u"), w), one.alias("n")),
-                ),
-                F.transform(
-                    "_ws",
-                    lambda w: F.struct(*_key(F.col("v"), w), one.alias("n")),
-                ),
+            F.array(
+                _key(F.col("u"), F.col("v")),
+                _key(F.col("u"), F.col("w")),
+                _key(F.col("v"), F.col("w")),
             )
         ).alias("_c")
     )
     return (
-        contrib.select("_c.a", "_c.b", "_c.n")
+        contrib.select("_c.a", "_c.b")
         .groupBy("a", "b")
-        .agg(F.sum("n").alias("common"))
+        .agg(F.count("*").cast("long").alias("common"))
     )
 
 
@@ -579,8 +560,17 @@ def kcore(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    e, _owned = local_checkpoint_owned(edges.select("a", "b").distinct())
-    n_prev = e.count()
+    # the initial edge count rides the input checkpoint's
+    # materialization as an observe metric (r19, ADVICE r18: fixed
+    # mode briefly paid this as a separate count() job) — zero count
+    # actions in either mode now.
+    obs0 = Observation()
+    e, _owned = local_checkpoint_owned(
+        edges.select("a", "b")
+        .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("_n"))
+    )
+    n_prev = obs0.get["_n"]
     limit = max_rounds
     r = 0
     while True:
@@ -894,31 +884,16 @@ def clustering_coefficients(
     e, deg, per_edge = _oriented_intersections(
         edges, max_degree, broadcast_adjacency
     )
-    one = F.lit(1).cast("long")
-    contrib = per_edge.select(
-        F.explode(
-            F.concat(
-                F.array(
-                    F.struct(
-                        F.col("u").alias("vertex"),
-                        F.size("_ws").cast("long").alias("n"),
-                    ),
-                    F.struct(
-                        F.col("v").alias("vertex"),
-                        F.size("_ws").cast("long").alias("n"),
-                    ),
-                ),
-                F.transform(
-                    "_ws",
-                    lambda w: F.struct(w.alias("vertex"), one.alias("n")),
-                ),
-            )
-        ).alias("_c")
-    )
+    # r19: HOF-free contribution stream — see :func:`triangle_counts`
+    # (one row per triangle, +1 per corner via a plain 3-array
+    # explode; the old transform-built struct array ran interpreted).
+    tri_rows = per_edge.select("u", "v", F.explode("_ws").alias("w"))
     tri = (
-        contrib.select("_c.vertex", "_c.n")
+        tri_rows.select(
+            F.explode(F.array("u", "v", "w")).alias("vertex")
+        )
         .groupBy("vertex")
-        .agg(F.sum("n").alias("n_triangles"))
+        .agg(F.count("*").cast("long").alias("n_triangles"))
     )
     return (
         deg.filter(F.col("degree") >= 2)
@@ -962,7 +937,9 @@ def components_fixed(edges: DataFrame, rounds: int) -> DataFrame:
     unrolled oracle states). The changed-count rides the round's own
     checkpoint materialization as an ``observe`` metric (the ipf_dense
     pattern) — zero extra jobs; at sf0.1 the gr08 support graph
-    converges in 3 of its 10 budgeted rounds.
+    converges after 8 of its 10 budgeted rounds (instrumented
+    changed-counts 3136, 757, 202, 69, 19, 3, 2, 0 — the last two
+    rounds are skipped).
 
     Scale shape: per round ONE vertex-keyed equi-join (labels onto
     out-edges) + ONE groupBy-min — both shuffle on the vertex id, the

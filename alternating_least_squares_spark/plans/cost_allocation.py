@@ -53,18 +53,27 @@ def part_cost_marginal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hourly_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNSCALED hourly event-value aggregate — the single spelling of
+    the y-marginal's group/filter, shared by :func:`hour_cost_marginal`
+    and :func:`allocate_costs` (ADVICE r18: the two inline copies
+    could silently diverge; one definition is the `_support_edges`
+    discipline)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.hour("ts").cast("long").alias(M.ID))
+        .agg(F.sum("value").alias(M.V))
+        .filter(F.col(M.V) != 0)
+    )
+
+
 def hour_cost_marginal(
     spark: SparkSession, sf_dir: str, rescale_to: float | None = None
 ) -> DataFrame:
     """y-marginal: event value per hour-of-day (hour costs analog,
     ``core.clj:159-165``). Optionally rescaled so Σy == Σx (IPF
     precondition)."""
-    events = load_table(spark, sf_dir, "events")
-    hourly = (
-        events.groupBy(F.hour("ts").cast("long").alias(M.ID))
-        .agg(F.sum("value").alias(M.V))
-        .filter(F.col(M.V) != 0)
-    )
+    hourly = _hourly_base(spark, sf_dir)
     if rescale_to is not None:
         total = hourly.agg(F.sum(M.V)).first()[0]
         if not total:  # empty/all-zero events table: nothing to rescale
@@ -203,13 +212,7 @@ def allocate_costs(
     # driver literals), so no checkpoint; the rescale total rides the
     # SAME aggregate plan instead of a separate pre-scan (r18 — the
     # former shape paid an agg action + a checkpoint action here).
-    events = load_table(spark, sf_dir, "events")
-    hourly = (
-        events.groupBy(F.hour("ts").cast("long").alias(M.ID))
-        .agg(F.sum("value").alias(M.V))
-        .filter(F.col(M.V) != 0)
-    )
-    y_raw = hourly.agg(
+    y_raw = _hourly_base(spark, sf_dir).agg(
         F.collect_list(F.struct(M.ID, M.V)).alias("_rows"),
         F.sum(M.V).alias("_yt"),
     ).first()

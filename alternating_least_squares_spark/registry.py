@@ -11498,7 +11498,16 @@ def q_sm01_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern string), which is the oracle below. The planted
     exact-copies (vec_id%20==0, id +1M) exercise the drop path at
     every sf; probabilistic behavior on real-valued near-dups stays
-    pinned by tests/test_semdedup.py's planted-cluster fixtures."""
+    pinned by tests/test_semdedup.py's planted-cluster fixtures.
+
+    Precondition (ADVICE r18, made explicit): the invariance argument
+    is STRUCTURAL, not fixture-dependent — the sign quantization
+    happens inside this query, so for ANY regenerated fixture two
+    distinct ±1 patterns of dimension d have cosine ≤ (d−2)/d, and
+    the argument needs (d−2)/d < 0.99, i.e. d < 200. The embeddings
+    table is 64-dimensional (0.96875 < 0.99 with margin); a fixture
+    change that widened embeddings to ≥ 200 dims would break the
+    bound and must revert sm01 to the distributed fit."""
     from alternating_least_squares_spark.functions.pq import (
         train_coarse_centroids,
     )

@@ -180,9 +180,27 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
+
+    def loadavg() -> list[float]:
+        """(1-min, 5-min) system load — the round-18 lesson: a loaded
+        window is indistinguishable from a plan regression unless the
+        artifact itself records the load (VERDICT r18 item 2). Returns
+        [-1, -1] where the platform has no getloadavg."""
+        try:
+            l1, l5, _ = os.getloadavg()
+            return [round(l1, 2), round(l5, 2)]
+        except (AttributeError, OSError):
+            return [-1.0, -1.0]
+
+    load_start = loadavg()
+    # per-query 1-min load sampled just before its first run: the
+    # throttle pattern per entry, riding the sidecar + stderr only
+    # (the compact line stays bounded).
+    query_loads: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         runs: list[float] = []
+        query_loads[name] = loadavg()[0]
         for _ in range(n_runs):
             t0 = time.time()
             df = fn(spark, SF_DIR)
@@ -198,9 +216,19 @@ def main() -> None:
         timings[name] = round(
             s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2, 3
         )
-        print(f"# {name}: median {timings[name]:.1f}s {runs}", file=sys.stderr)
+        print(
+            f"# {name}: median {timings[name]:.1f}s {runs} "
+            f"load1 {query_loads[name]:.2f}",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
+    load_end = loadavg()
+    # drift-robust secondary aggregate (additions-only): the sum of
+    # per-query MINIMUM runs — on this box the min is far less
+    # load-sensitive than the median (BASELINE.md / OPTIMIZATION_r18
+    # both use MIN-sum as the operative cross-window comparator).
+    total_min = round(sum(min(r) for r in raw_runs.values()), 3)
     # The driver captures only a ~2000-char stdout TAIL; round 6's
     # final line (~3.4 KB with raw runs inline) overflowed it and
     # BENCH_r06.json recorded parsed:null.  The machine-readable line
@@ -216,6 +244,10 @@ def main() -> None:
         "runs": raw_runs,
         "n_runs": n_runs,
         "sf": sf_from_dir(SF_DIR),
+        "value_min_sum": total_min,
+        "load_start": load_start,
+        "load_end": load_end,
+        "query_load1": query_loads,
     }
     sidecar = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_last_full.json"
@@ -234,6 +266,12 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "n_runs": n_runs,
         "sf": sf_from_dir(SF_DIR),
+        # additions-only self-defense fields (VERDICT r18 item 2): a
+        # reader can tell a loaded window (high load_*, value_min_sum
+        # far below value) from a plan regression without rerunning.
+        "value_min_sum": total_min,
+        "load_start": load_start,
+        "load_end": load_end,
     }
     # NOTE: sum(queries) in the emitted line won't exactly equal
     # `value` — per-query medians are rounded to 2 decimals for length
@@ -255,6 +293,9 @@ def main() -> None:
             "unit": "sec",
             "n_runs": n_runs,
             "sf": sf_from_dir(SF_DIR),
+            "value_min_sum": total_min,
+            "load_start": load_start,
+            "load_end": load_end,
         }
         line = json.dumps(compact, separators=(",", ":"))
     # Visible length audit (VERDICT r11 #2): the driver records only a

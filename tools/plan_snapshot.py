@@ -24,17 +24,35 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r18"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_TAG", "r19"),
+)
+
+USAGE = (
+    "usage: python tools/plan_snapshot.py <tag> <query> [query ...]\n"
+    "       python tools/plan_snapshot.py <tag> --headline\n"
+    "(<tag> is a filename suffix like 'before'/'after', not a query "
+    "name)"
 )
 
 
 def main() -> None:
+    # ADVICE r18: no-arg invocations crashed with a bare IndexError,
+    # and a query name typed first was silently eaten as the tag.
+    if len(sys.argv) < 3:
+        raise SystemExit(USAGE)
     tag = sys.argv[1]
     names = sys.argv[2:]
     from alternating_least_squares_spark import registry
     from alternating_least_squares_spark.session import get_spark
 
     qs = registry.queries()
+    if tag in qs:
+        raise SystemExit(
+            f"tag {tag!r} collides with a registry query name — "
+            f"did you forget the tag argument?\n{USAGE}"
+        )
     if names == ["--headline"]:
         import bench
 
