@@ -68,6 +68,110 @@ def assign_clusters(
     return emb.withColumn("cluster", F.array_min(dists)["j"])
 
 
+def _pandas_cluster_pairs(
+    assigned: DataFrame, threshold: float
+) -> DataFrame:
+    """Per-cluster pairwise cosine via ``applyInPandas`` — the
+    vectorized twin of the self-join spelling (guide §4.2: the join
+    evaluated one interpreted 64-element HOF dot per candidate PAIR —
+    |cluster|² lambda-fold evaluations, ~4 s of sm01's ~4.8 s at
+    sf0.1 — where NumPy does the same arithmetic at C speed on the
+    |cluster|×dim matrix).
+
+    Arithmetic parity with the join path (pinned by
+    tests/test_r19_optimizations.py): the dot accumulates over k in
+    ascending order as ``acc = acc + (a_k · b_k)`` with one rounding
+    per multiply and per add — exactly the fold order of
+    ``vec_dot``'s ``aggregate(zip_with(...))`` — the denominator is
+    the same single ``na·nb`` multiply, and rounding replicates
+    Spark's HALF_UP (away from zero), so the emitted cosines are
+    bit-identical, not merely close. Zero-norm vectors (denominator
+    0) emit no pairs, matching ``_safe_ratio``'s NULL semantics.
+
+    Shuffle shape: ONE exchange keyed on ``cluster`` shipping each
+    vector once (the join shipped every vector twice and fanned
+    |cluster|² pair rows through the filter); pairs are generated in
+    row blocks so a task holds a (block × |cluster|) score matrix,
+    never |cluster|² at once."""
+    import numpy as np
+    import pandas as pd
+
+    def pairs_fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # NULL vectors can never pair (their cosine is NULL on the
+        # join path); drop them before stacking
+        pdf = pdf[pdf["_v"].notna()]
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "cluster": pd.Series([], dtype="int32"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        V = np.stack(pdf["_v"].to_numpy())
+        norms = pdf["_n"].to_numpy(dtype=np.float64)
+        cluster = np.int32(pdf["cluster"].iloc[0])
+        dim = V.shape[1]
+        out_a, out_b, out_c = [], [], []
+        block = max(1, (1 << 22) // m)
+        for i0 in range(0, m, block):
+            i1 = min(m, i0 + block)
+            # sequential-k accumulation == vec_dot's fold order: one
+            # rounded multiply + one rounded add per element, k asc.
+            C = np.zeros((i1 - i0, m))
+            for k in range(dim):
+                C += V[i0:i1, k, None] * V[None, :, k]
+            denom = norms[i0:i1, None] * norms[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = C / denom
+            # HALF_UP to 6 decimals, away from zero (Spark F.round)
+            cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+            ok = (denom != 0) & (cos >= threshold)
+            # unordered index pairs only (j > global i)
+            cols = np.arange(m)[None, :]
+            rows_g = np.arange(i0, i1)[:, None]
+            ok &= cols > rows_g
+            ri, ci = np.nonzero(ok)
+            if ri.size:
+                ia, ib = ids[ri + i0], ids[ci]
+                lo = np.minimum(ia, ib)
+                hi = np.maximum(ia, ib)
+                out_a.append(lo)
+                out_b.append(hi)
+                out_c.append(cos[ri, ci])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "cluster": pd.Series([], dtype="int32"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
+        a = np.concatenate(out_a)
+        return pd.DataFrame(
+            {
+                "id_a": a,
+                "id_b": np.concatenate(out_b),
+                "cluster": np.full(a.size, cluster, dtype=np.int32),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    # an equi-join drops NULL keys; groupBy would keep a NULL-cluster
+    # group — filter it so both spellings agree on unassignable rows
+    return (
+        assigned.filter(F.col("cluster").isNotNull())
+        .groupBy("cluster")
+        .applyInPandas(
+            pairs_fn, "id_a long, id_b long, cluster int, cosine double"
+        )
+    )
+
+
 def semantic_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -76,6 +180,7 @@ def semantic_dup_pairs(
     threshold: float = 0.95,
     seed: int = 42,
     centroids: list[list[float]] | None = None,
+    use_pandas: bool = True,
 ) -> DataFrame:
     """Intra-cluster semantic duplicate pairs:
     ``(id_a, id_b, cluster, cosine)`` with ``id_a < id_b`` and
@@ -85,7 +190,13 @@ def semantic_dup_pairs(
 
     Pass ``centroids`` to reuse/pin a vocabulary (tests plant them);
     otherwise MLlib KMeans trains one on ``emb``.
-    """
+
+    ``use_pandas=True`` (default) scores each cluster's pairs with
+    vectorized NumPy behind ``applyInPandas``
+    (:func:`_pandas_cluster_pairs`) — bit-identical cosines to the
+    self-join spelling (``use_pandas=False``, kept as the parity
+    twin), one exchange instead of two join sides, no interpreted
+    per-pair HOF dot."""
     if centroids is None:
         from alternating_least_squares_spark.functions.ivf import (
             train_centroids,
@@ -105,17 +216,17 @@ def semantic_dup_pairs(
     # (transform(v, x -> x / norm(v))) re-evaluates the O(d) norm
     # aggregate per ELEMENT on the interpreted HOF path, an O(d²)
     # per-row blowup that measured ~2× on sm01's bench entry
-    assigned = (
-        assign_clusters(emb, centroids, vec_col)
-        .select(
-            F.col(id_col).alias("_id"),
-            "cluster",
-            vec_d.alias("_v"),
-            vec_norm(F.col(vec_col)).alias("_n"),
-        )
-        # one materialization: the self-join below reads it twice
-        .localCheckpoint(eager=True)
+    narrow = assign_clusters(emb, centroids, vec_col).select(
+        F.col(id_col).alias("_id"),
+        "cluster",
+        vec_d.alias("_v"),
+        vec_norm(F.col(vec_col)).alias("_n"),
     )
+    if use_pandas:
+        # single consumer (the grouped pandas pass) — no checkpoint
+        return _pandas_cluster_pairs(narrow, threshold)
+    # one materialization: the self-join below reads it twice
+    assigned = narrow.localCheckpoint(eager=True)
     a = assigned.select(
         F.col("_id").alias("id_a"), "cluster",
         F.col("_v").alias("_va"), F.col("_n").alias("_na"),

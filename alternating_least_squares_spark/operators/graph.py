@@ -159,11 +159,19 @@ def _oriented_intersections(
     # release each round's generation once its successor is
     # materialized — one-shot callers (gr03/gr04) leave them pinned
     # for the session, the same accepted cost as their final result.
-    e, _own_e = local_checkpoint_owned(edges.select("a", "b"))
+    # |E| for the broadcast gate rides the checkpoint materialization
+    # as an observe metric (r19, the kcore/ipf pattern) — no separate
+    # count job.
+    obs_e = Observation()
+    e, _own_e = local_checkpoint_owned(
+        edges.select("a", "b").observe(
+            obs_e, F.count(F.lit(1)).alias("_n")
+        )
+    )
     if broadcast_adjacency is None:
-        # count is ~free on the eager checkpoint; |E| == total
-        # out-array elements, exactly the thing being shipped
-        broadcast_adjacency = e.count() <= BROADCAST_EDGE_LIMIT
+        # |E| == total out-array elements, exactly the thing being
+        # shipped
+        broadcast_adjacency = obs_e.get["_n"] <= BROADCAST_EDGE_LIMIT
     deg = vertex_degrees(e)
 
     def _attach_deg(df: DataFrame, side: str) -> DataFrame:

@@ -83,12 +83,45 @@ def test_semantic_dedup_keeps_lowest_id(spark):
 
 
 def test_no_all_pairs_outside_clusters(spark):
-    """The only join is an equi-join on cluster: one Join node, no
-    CartesianProduct, in the optimized pair plan."""
+    """Candidate generation is bounded by cluster in BOTH spellings:
+    the pandas path groups on cluster with NO join at all; the join
+    twin is exactly one equi-join on cluster. Neither plans a
+    CartesianProduct."""
     emb = _corpus(spark)
     pairs = semantic_dup_pairs(emb, threshold=0.9, centroids=[C0, C1])
     plan = pairs._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("Join") == 1 and "Cartesian" not in plan
+    assert "Join" not in plan and "Cartesian" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    join_pairs = semantic_dup_pairs(
+        emb, threshold=0.9, centroids=[C0, C1], use_pandas=False
+    )
+    jplan = join_pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert jplan.count("Join") == 1 and "Cartesian" not in jplan
+
+
+def test_pandas_pairs_bit_identical_to_join(spark):
+    """The r19 pandas pair path must emit the SAME (id_a, id_b,
+    cluster, cosine) rows as the join spelling — including equal
+    cosine doubles (the sequential-k accumulation replicates the HOF
+    fold's rounding order)."""
+    emb = _corpus(spark)
+    got = sorted(
+        map(
+            tuple,
+            semantic_dup_pairs(
+                emb, threshold=0.5, centroids=[C0, C1]
+            ).collect(),
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            semantic_dup_pairs(
+                emb, threshold=0.5, centroids=[C0, C1], use_pandas=False
+            ).collect(),
+        )
+    )
+    assert got == exp and len(got) > 0
 
 
 def test_trained_centroids_path_recall_floor(spark):
